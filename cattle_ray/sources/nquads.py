@@ -1,0 +1,63 @@
+"""S5/S6: N-Quads source and sink as Ray Data transforms.
+
+Line-oriented → embarrassingly parallel both ways (unlike the reference,
+which re-parses the whole ``.nq`` into one in-memory rdflib graph on every
+download — ``/root/reference/src/cattle.py:308-309``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..model import format_nquads_batch, parse_nquads_lines
+
+
+def read_nquads(paths):
+    """``.nq`` file(s) → quad Dataset (S6)."""
+    import ray.data as rd
+
+    ds = rd.read_text(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return parse_nquads_lines(batch["text"].to_pylist())
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_nquads(triples_ds, out_dir: str, include_graph: bool = True):
+    """Quad Dataset → directory of ``.nq`` part files (S5).
+
+    Gzip variant (S9, mirrors ``src/cattle.py:313-319``): pass the gzipped
+    export through :func:`cattle_ray.serialize.serialize_collected` instead.
+    """
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        lines = format_nquads_batch(batch, include_graph=include_graph)
+        payload = ("\n".join(lines["line"].to_pylist()) + "\n").encode("utf-8")
+        # content-addressed part name → idempotent under Ray task retries
+        # (generalizes the reference's hash-folder memoization,
+        #  /root/reference/src/hash_folder.py:35-43)
+        name = hashlib.md5(payload).hexdigest()
+        tmp = os.path.join(out_dir, f".{name}.tmp")
+        dst = os.path.join(out_dir, f"part-{name}.nq")
+        if not os.path.exists(dst):
+            with open(tmp, "wb") as f:
+                f.write(payload)
+            os.replace(tmp, dst)  # atomic commit
+        return pa.table({"path": pa.array([dst]), "n_lines": pa.array([len(lines)])})
+
+    manifest = triples_ds.map_batches(write_block, batch_format="pyarrow")
+    return manifest.to_pandas()  # small: one row per block
+
+
+def nquads_lines(triples_ds, include_graph: bool = True):
+    """Quad Dataset → Dataset with a single ``line`` column (caller picks the
+    sink: write to storage, gzip, or stream)."""
+    return triples_ds.map_batches(
+        lambda b: format_nquads_batch(b, include_graph=include_graph),
+        batch_format="pyarrow",
+    )

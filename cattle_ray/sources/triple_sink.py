@@ -1,0 +1,63 @@
+"""S8/O1: graph materialization — partitioned Parquet triple/adjacency tables
+sorted by subject (BASELINE.json:6 "partitioned Parquet adjacency/triple
+tables sorted by subject").
+
+Two layouts, both resumable (one directory per partition):
+
+- :func:`write_triples_sorted` — global range sort (``ds.sort('subj')``)
+  then ``write_parquet``. Global order across files; one all-to-all shuffle.
+- :func:`write_triples_hash_partitioned` — hash-partition on ``subj`` into
+  ``num_partitions`` buckets, sort WITHIN each partition. No global order
+  across buckets but co-locates each subject's adjacency in exactly one
+  partition — the layout downstream graph queries want — and the shuffle is
+  a bucketed repartition, cheaper and skew-tolerant (hub subjects stay one
+  group but never straddle partitions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import zlib
+
+
+def add_subj_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    subs = batch["subj"].to_pylist()
+    part = np.fromiter(
+        (zlib.crc32((s or "").encode()) % num_partitions for s in subs),
+        dtype=np.int32,
+        count=len(subs),
+    )
+    return batch.append_column("part_id", pa.array(part))
+
+
+def write_triples_sorted(triples_ds, out_dir: str):
+    """Global subject sort → Parquet directory."""
+    triples_ds.sort("subj").write_parquet(out_dir)
+    return out_dir
+
+
+def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int = 16):
+    """Hash-partition by subj, per-partition subject sort, one Parquet dir per
+    partition (resumable unit). Returns the written partition manifest."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with_part = triples_ds.map_batches(
+        lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
+    )
+
+    def write_group(g: pd.DataFrame) -> pd.DataFrame:
+        pid = int(g["part_id"].iloc[0])
+        g = g.sort_values(["subj", "pred", "obj"], kind="mergesort").drop(columns=["part_id"])
+        pdir = os.path.join(out_dir, f"part_id={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        dst = os.path.join(pdir, "data.parquet")
+        pa.parquet.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        os.replace(tmp, dst)
+        return pd.DataFrame({"part_id": [pid], "n_triples": [len(g)], "path": [dst]})
+
+    manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pandas")
+    return manifest.to_pandas()

@@ -1,0 +1,73 @@
+"""G1-G3: aggregations with explicit shuffle discipline.
+
+- :func:`partial_count` — two-stage count: per-batch partial aggregation
+  inside ``map_batches`` (Arrow ``Table.group_by`` — C++), then a small
+  ``groupby().sum`` over partials. The shuffle moves one row per (key, batch)
+  instead of one per input row; hub keys (skew) cost O(#batches), not O(rows).
+- :func:`salted_group_count` — the same with an explicit salt column for
+  ``map_groups``-style consumers that need bounded group size.
+- :func:`top_k_counts` — O2: hot-predicate diagnostics.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _partial(batch: pa.Table, keys: list[str]) -> pa.Table:
+    out = batch.group_by(keys).aggregate([([], "count_all")])
+    return out.rename_columns(keys + ["partial_n"])
+
+
+def partial_count(ds, keys):
+    """groupby(keys).count() with map-side combine (skew-proof)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    partials = ds.map_batches(lambda b: _partial(b, keys), batch_format="pyarrow")
+    return partials.groupby(keys).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def salted_group_count(ds, keys, salt_buckets: int = 16):
+    """G2: two-stage salted aggregation — stage 1 groups on
+    (keys + salt=hash(row)%k), stage 2 drops the salt. Used when the consumer
+    is a ``map_groups`` whose per-group memory must stay bounded even for hub
+    keys (a plain ``aggregate`` already combines; this guards custom logic)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        salt = np.arange(n, dtype=np.int64) % salt_buckets
+        return batch.append_column("_salt", pa.array(salt))
+
+    stage1 = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .map_batches(lambda b: _partial(b, keys + ["_salt"]), batch_format="pyarrow")
+        .groupby(keys + ["_salt"])
+        .aggregate(Sum("partial_n", alias_name="salted_n"))
+    )
+    return stage1.groupby(keys).aggregate(Sum("salted_n", alias_name="n"))
+
+
+def top_k_counts(ds, keys, k: int = 10):
+    """O2: top-k hot keys by count, deterministic tie-break on the key."""
+    counts = partial_count(ds, keys)
+    keys = list(keys)
+    return counts.sort(["n"] + keys, descending=[True] + [False] * len(keys)).limit(k)
+
+
+def distinct(ds, cols):
+    """G3: distinct values via the same map-side combine."""
+    cols = list(cols)
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    local = ds.map_batches(local_distinct, batch_format="pyarrow")
+    return local.groupby(cols).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

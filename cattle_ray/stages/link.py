@@ -1,0 +1,292 @@
+"""T2/T3/T4 + J1/J2: mention detection, entity linking, URI canonicalization.
+
+All three are stateful actor-pool ``map_batches`` stages (the input_hint
+mandated idiom): state (automaton / alias dict) is built ONCE per actor in
+``__init__`` from a ``ray.put`` broadcast ref; ``__call__`` is per batch.
+
+- :class:`MentionDetector` (T2): alias gazetteer → Aho-Corasick-style
+  automaton (here: one compiled alternation regex with word boundaries —
+  C-speed scan; a trie automaton drops in behind the same interface when the
+  gazetteer outgrows regex compilation).
+- :class:`EntityLinker` (T3, J1 broadcast form): mention surface →
+  candidate ``(entity_uri, prior)`` list from the alias dictionary; picks the
+  max-prior candidate (FIXTURES.md §4 ambiguity rule). The J2 shuffle-join
+  form for alias tables too big to broadcast is `link_large_dict` below.
+- :class:`Canonicalizer` (T4): pure URI normalization rules + optional
+  broadcast canonical-id map, applied vectorized to subj/obj columns.
+
+Scale note (J1 vs J2 switch, SURVEY.md §7.4): the broadcast dict is shipped
+through the object store ONCE via ``ray.put`` on the driver and fetched once
+per actor — never per batch. Config threshold `BROADCAST_MAX_ALIASES` guards
+the switch to the co-partitioned join.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .openie import MENTION_NS
+
+BROADCAST_MAX_ALIASES = 5_000_000  # ~hundreds of MB; beyond this use link_large_dict
+
+
+def _get(ref):
+    import ray
+
+    return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+
+def normalize_alias(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+class MentionDetector:
+    """T2: find alias occurrences in ``text`` → one output row per mention
+    ``(url, mention, alias_norm, begin, end)``. Flat-map shape."""
+
+    def __init__(self, aliases, text_col: str = "text", url_col: str = "url"):
+        aliases = _get(aliases)
+        if isinstance(aliases, dict):
+            surface_forms = list(aliases)
+        else:
+            surface_forms = list(aliases)
+        # longest-first alternation so "Brunei Darussalam" wins over "Brunei"
+        pats = sorted({a for a in surface_forms if a}, key=len, reverse=True)
+        self._rx = re.compile(
+            r"(?<![\w])(?:" + "|".join(re.escape(a) for a in pats) + r")(?![\w])"
+        )
+        self.text_col = text_col
+        self.url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        urls = batch[self.url_col].to_pylist()
+        out = {"url": [], "mention": [], "alias_norm": [], "begin": [], "end": []}
+        for text, url in zip(texts, urls):
+            if not text:
+                continue
+            for m in self._rx.finditer(text):
+                out["url"].append(url)
+                out["mention"].append(m.group(0))
+                out["alias_norm"].append(normalize_alias(m.group(0)))
+                out["begin"].append(m.start())
+                out["end"].append(m.end())
+        return pa.table(
+            {
+                "url": pa.array(out["url"], pa.string()),
+                "mention": pa.array(out["mention"], pa.string()),
+                "alias_norm": pa.array(out["alias_norm"], pa.string()),
+                "begin": pa.array(out["begin"], pa.int32()),
+                "end": pa.array(out["end"], pa.int32()),
+            }
+        )
+
+
+def build_alias_index(alias_table: pa.Table) -> dict[str, list[tuple[str, float]]]:
+    """aliases(alias, entity_uri, prior) → {alias_norm: [(uri, prior) desc]}.
+
+    Driver-side; result goes through ``ray.put`` (J1 broadcast join)."""
+    idx: dict[str, list[tuple[str, float]]] = {}
+    for alias, uri, prior in zip(
+        alias_table["alias"].to_pylist(),
+        alias_table["entity_uri"].to_pylist(),
+        alias_table["prior"].to_pylist(),
+    ):
+        idx.setdefault(normalize_alias(alias), []).append((uri, float(prior)))
+    for cands in idx.values():
+        cands.sort(key=lambda t: (-t[1], t[0]))  # max prior, URI tiebreak
+    return idx
+
+
+class EntityLinker:
+    """T3/J1: alias dict broadcast once; per batch, rewrite mention-URIs in
+    triple subj/obj columns to canonical entity URIs (max-prior candidate).
+    Unlinkable mentions pass through unchanged (stay mention-level)."""
+
+    def __init__(self, alias_index, cols=("subj", "obj")):
+        self.index = _get(alias_index)
+        self.cols = cols
+        self._prefix = MENTION_NS
+
+    def _link_value(self, v: str) -> str:
+        if v is None or not v.startswith(self._prefix):
+            return v
+        surface = unquote(v[len(self._prefix):])
+        cands = self.index.get(normalize_alias(surface))
+        return cands[0][0] if cands else v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col in self.cols:
+            if col not in batch.column_names:
+                continue
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # vectorized prefilter: only mention-URI rows need Python work
+            mask = pc.fill_null(pc.starts_with(arr, self._prefix), False)
+            if col == "obj" and "obj_is_iri" in batch.column_names:
+                mask = pc.and_(mask, pc.fill_null(batch["obj_is_iri"].combine_chunks(), False))
+            if not pc.any(mask).as_py():
+                continue
+            vals = arr.to_pylist()
+            mk = mask.to_pylist()
+            new = pa.array(
+                [self._link_value(v) if m else v for v, m in zip(vals, mk)], pa.string()
+            )
+            batch = batch.set_column(batch.column_names.index(col), col, new)
+        return batch
+
+
+def candidates_batch(mentions: pa.Table, alias_index: dict) -> pa.Table:
+    """Candidate generation (T3 proper): mention rows → one row per
+    (mention, candidate) pair with prior, for downstream disambiguation."""
+    out = {"url": [], "mention": [], "alias_norm": [], "entity_uri": [], "prior": []}
+    for url, mention, norm in zip(
+        mentions["url"].to_pylist(),
+        mentions["mention"].to_pylist(),
+        mentions["alias_norm"].to_pylist(),
+    ):
+        for uri, prior in alias_index.get(norm, []):
+            out["url"].append(url)
+            out["mention"].append(mention)
+            out["alias_norm"].append(norm)
+            out["entity_uri"].append(uri)
+            out["prior"].append(prior)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "mention": pa.array(out["mention"], pa.string()),
+            "alias_norm": pa.array(out["alias_norm"], pa.string()),
+            "entity_uri": pa.array(out["entity_uri"], pa.string()),
+            "prior": pa.array(out["prior"], pa.float64()),
+        }
+    )
+
+
+class CandidateGenerator:
+    """T3 actor-pool wrapper around :func:`candidates_batch`."""
+
+    def __init__(self, alias_index):
+        self.index = _get(alias_index)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return candidates_batch(batch, self.index)
+
+
+def link_large_dict(mentions_ds, aliases_ds, num_buckets: int = 64):
+    """J2: co-partitioned hash join for alias dictionaries too large to
+    broadcast. Both sides gain ``_bucket = hash(alias_norm) % B``; matching
+    buckets join pairwise inside ``map_groups`` (the guide's portable
+    partitioned hash-join pattern). Hot aliases can be salted into
+    sub-buckets by raising ``num_buckets``.
+    """
+    import pandas as pd
+
+    def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        key = df["alias_norm"] if "alias_norm" in df else df["alias"].map(normalize_alias)
+        df["alias_norm"] = key
+        df["_bucket"] = key.map(lambda s: hash_bucket(s, num_buckets))
+        return df
+
+    m = mentions_ds.map_batches(add_bucket, batch_format="pandas")
+    a = aliases_ds.map_batches(add_bucket, batch_format="pandas")
+
+    a_by_bucket: dict[int, "pd.DataFrame"] = {}
+    for part in a.iter_batches(batch_format="pandas"):
+        for bkt, grp in part.groupby("_bucket"):
+            a_by_bucket[bkt] = pd.concat([a_by_bucket.get(bkt, pd.DataFrame()), grp])
+    import ray
+
+    refs = {bkt: ray.put(df) for bkt, df in a_by_bucket.items()}
+
+    def join_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        bkt = int(df["_bucket"].iloc[0])
+        side = ray.get(refs[bkt]) if bkt in refs else None
+        if side is None:
+            return df.head(0).assign(entity_uri=pd.Series(dtype=str), prior=pd.Series(dtype=float))
+        out = df.merge(side[["alias_norm", "entity_uri", "prior"]], on="alias_norm", how="inner")
+        return out.drop(columns=["_bucket"])
+
+    return m.groupby("_bucket").map_groups(join_group, batch_format="pandas")
+
+
+def hash_bucket(s: str, num_buckets: int) -> int:
+    import zlib
+
+    return zlib.crc32(s.encode("utf-8")) % num_buckets
+
+
+# ---------------------------------------------------------------------------
+# T4: URI canonicalization
+
+_CANON_STRIP_RE = re.compile(r"[^a-z0-9]+")
+
+
+def canonical_uri(uri: str) -> str:
+    """Pure normalization rules: lowercase scheme+host, strip trailing
+    slashes, collapse duplicate slashes in the path."""
+    if uri is None:
+        return uri
+    m = re.match(r"^(https?)://([^/]+)(/.*)?$", uri)
+    if not m:
+        return uri
+    scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3) or ""
+    path = re.sub(r"/{2,}", "/", path).rstrip("/")
+    return f"{scheme}://{host}{path}"
+
+
+# A URI needs rule-work iff: uppercase in scheme or host, double slash in the
+# path, or a trailing slash. Checked vectorized; only flagged rows hit Python.
+_NEEDS_CANON_PAT = (
+    r"(^[a-zA-Z]*[A-Z][a-zA-Z]*://)|(^[a-zA-Z]+://[^/]*[A-Z])|(://[^/]*/.*//)|(/$)"
+)
+
+
+class Canonicalizer:
+    """T4 actor-pool stage: rule-based normalization + optional broadcast
+    ``{raw_uri: canonical_uri}`` map (J3 semi-join) over subj/obj columns.
+
+    Vectorized fast path: a regex mask (pyarrow kernel) selects the rows that
+    can possibly change; already-canonical URIs are passed through zero-copy.
+    """
+
+    def __init__(self, canon_map=None, cols=("subj", "pred", "obj")):
+        self.map = _get(canon_map) or {}
+        self.cols = cols
+
+    def _canon(self, v):
+        if v is None:
+            return v
+        v2 = self.map.get(v)
+        return v2 if v2 is not None else canonical_uri(v)
+
+    def _apply(self, arr: pa.Array, extra_mask=None) -> pa.Array:
+        mask = pc.fill_null(pc.match_substring_regex(arr, _NEEDS_CANON_PAT), False)
+        if self.map:
+            mask = pc.or_(mask, pc.fill_null(pc.is_in(arr, value_set=pa.array(list(self.map))), False))
+        if extra_mask is not None:
+            mask = pc.and_(mask, extra_mask)
+        if not pc.any(mask).as_py():
+            return arr
+        vals = arr.to_pylist()
+        mk = mask.to_pylist()
+        return pa.array([self._canon(v) if m else v for v, m in zip(vals, mk)], pa.string())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for col in self.cols:
+            if col not in batch.column_names:
+                continue
+            arr = batch[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            extra = None
+            if col == "obj" and "obj_is_iri" in batch.column_names:
+                extra = pc.fill_null(batch["obj_is_iri"].combine_chunks(), False)
+            new = self._apply(arr, extra)
+            batch = batch.set_column(batch.column_names.index(col), col, new)
+        return batch

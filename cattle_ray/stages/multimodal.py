@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The real decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container
+(environment constraint), so the codec boundary is stubbed two ways:
+
+- :class:`FakeImageCodec` — a deterministic container format (``CRIM`` magic
+  + big-endian width/height/channels + raw payload) so the Ray-side plumbing
+  (schema, bytes-capped batches, actor signature, output layout) is REAL and
+  tested end-to-end.
+- :class:`ImageDecoder` with ``backend="pil"`` raises ``NotImplementedError``
+  at __init__ — the clearly-marked seam where a real decoder plugs in.
+
+Scale notes: binary payloads make rows wide — these stages must be fed with
+``batch_size`` sized by BYTES (helper :func:`rows_for_byte_budget`), and the
+binary column is dropped as soon as features are extracted (projection before
+any shuffle — SURVEY.md §7.4 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"CRIM"  # cattle-ray image
+_HDR = struct.Struct(">4sHHB")
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
+    """Deterministic fake image: header + seeded byte payload."""
+    payload_len = width * height * channels
+    rng = np.random.RandomState((seed ^ (width << 16) ^ height) & 0x7FFFFFFF)
+    payload = rng.randint(0, 256, size=min(payload_len, 4096), dtype=np.uint8).tobytes()
+    return _HDR.pack(MAGIC, width, height, channels) + payload
+
+
+def decode_fake_image(buf: bytes) -> dict:
+    magic, w, h, c = _HDR.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ValueError("not a CRIM payload")
+    payload = buf[_HDR.size:]
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": int(c),
+        "payload_crc": zlib.crc32(payload) & 0xFFFFFFFF,
+        "n_bytes": len(buf),
+    }
+
+
+class ImageDecoder:
+    """Actor-pool decode stage: ``image:binary`` → typed metadata columns
+    (+ optional feature vector). Stateful so a real backend loads its model /
+    codec context once per actor."""
+
+    def __init__(self, backend: str = "fake", feature_dim: int = 8):
+        if backend == "fake":
+            self._decode = decode_fake_image
+        elif backend == "pil":
+            raise NotImplementedError(
+                "PIL/libjpeg not available in this environment; plug a real "
+                "decoder here (same __call__ contract)"
+            )
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        self.feature_dim = feature_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bufs = batch["image"].to_pylist()
+        metas = [self._decode(b) if b else None for b in bufs]
+        feats = []
+        for m, b in zip(metas, bufs):
+            if m is None:
+                feats.append([0.0] * self.feature_dim)
+                continue
+            # deterministic fake "feature extraction": crc-seeded projection
+            rng = np.random.RandomState(m["payload_crc"] & 0x7FFFFFFF)
+            feats.append(rng.rand(self.feature_dim).tolist())
+        cols = {n: batch[n] for n in batch.column_names if n != "image"}  # drop binary
+        for field in ("width", "height", "channels", "n_bytes"):
+            cols[field] = pa.array(
+                [m[field] if m else None for m in metas], pa.int32()
+            )
+        cols["payload_crc"] = pa.array(
+            [m["payload_crc"] if m else None for m in metas], pa.uint32()
+        )
+        cols["features"] = pa.array(feats, pa.list_(pa.float32(), self.feature_dim))
+        return pa.table(cols)
+
+
+class FrameSampler:
+    """Video frame-sampling plumbing (deterministic stub): emits every k-th
+    'frame index' row per clip — the flat-map/actor shape a real ffmpeg
+    sampler uses."""
+
+    def __init__(self, every_k: int = 10):
+        self.k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        n_frames = batch["n_frames"].to_pylist()
+        out_id, out_f = [], []
+        for cid, n in zip(ids, n_frames):
+            for f in range(0, int(n or 0), self.k):
+                out_id.append(cid)
+                out_f.append(f)
+        return pa.table({"clip_id": pa.array(out_id), "frame_idx": pa.array(out_f, pa.int32())})
+
+
+def rows_for_byte_budget(avg_row_bytes: int, budget_bytes: int = 64 << 20) -> int:
+    """batch_size helper: cap batches by BYTES for wide binary rows."""
+    return max(1, budget_bytes // max(1, avg_row_bytes))
+
+
+def add_fake_images(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Test/bench helper: deterministic image column derived from an id."""
+    ids = batch[id_col].to_pylist()
+    imgs = [
+        encode_fake_image(64 + (i % 64), 48 + (i % 48), 3, seed=i) for i in ids
+    ]
+    return batch.append_column("image", pa.array(imgs, pa.binary()))

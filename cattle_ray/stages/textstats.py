@@ -1,0 +1,129 @@
+"""Text-analysis stages for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All vectorized per batch; language-ID holds per-language stopword/char-gram
+tables built once per actor (T2-style stateful stage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+
+_STOPWORDS_EN = LANG_PROFILES["en"]
+# BPE-ish token pattern: word pieces, numbers, punctuation runs (public
+# GPT-2-style pre-tokenizer shape, simplified)
+_BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+
+def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Whitespace token count — fully vectorized (split + list length)."""
+    t = pc.cast(batch[text_col], pa.string())
+    ws = pc.list_value_length(pc.split_pattern_regex(pc.fill_null(t, ""), r"\s+"))
+    # empty string splits to [''] → count 1; fix to 0 for empty/null
+    empty = pc.or_(pc.is_null(t), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(t, "")), ""))
+    n = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
+    return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """BPE-ish regex token count (vectorized via Arrow count-matches
+    fallback to per-doc findall — regex is C)."""
+    texts = batch[text_col].to_pylist()
+    counts = [len(_BPE_RE.findall(t)) if t else 0 for t in texts]
+    return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Quality signals: length, punctuation ratio, stopword ratio, mean word
+    length + a composite score in [0,1]. pandas str ops (C-vectorized)."""
+    s = batch[text_col].to_pandas().fillna("")
+    n_chars = s.str.len().to_numpy(dtype=np.int64)
+    toks = s.str.split()
+    n_tok = toks.map(len).to_numpy(dtype=np.int64)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS_EN)).to_numpy(
+        dtype=np.int64
+    )
+    n_punct = s.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
+    safe_tok = np.maximum(n_tok, 1)
+    safe_chars = np.maximum(n_chars, 1)
+    stop_ratio = n_stop / safe_tok
+    punct_ratio = n_punct / safe_chars
+    mean_word_len = (n_chars - np.maximum(n_tok - 1, 0)) / safe_tok
+    score = np.clip(
+        0.4 * np.clip(n_tok / 50.0, 0, 1)
+        + 0.3 * np.clip(stop_ratio * 5, 0, 1)
+        + 0.3 * (1 - np.clip(punct_ratio * 5, 0, 1)),
+        0,
+        1,
+    )
+    out = batch
+    for name, arr in [
+        ("q_n_chars", pa.array(n_chars)),
+        ("q_n_tokens", pa.array(n_tok)),
+        ("stop_ratio", pa.array(stop_ratio)),
+        ("punct_ratio", pa.array(punct_ratio)),
+        ("mean_word_len", pa.array(mean_word_len)),
+        ("quality", pa.array(score)),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+class LangId:
+    """Stopword-profile language guesser (deterministic heuristic). Profiles
+    built once per actor; per batch a pandas token scan."""
+
+    def __init__(self, profiles=None):
+        self.profiles = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas().fillna("")
+        toks = s.str.lower().str.split()
+
+        def guess(ws):
+            if not ws:
+                return "und"
+            best, best_n = "und", 0
+            for lang, prof in self.profiles.items():
+                n = sum(1 for w in ws if w in prof)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        return batch.append_column("lang_pred", pa.array(toks.map(guess), pa.string()))
+
+
+def fingerprint_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Document fingerprints: md5 hex (exact identity — generalizes
+    /root/reference/src/hash_folder.py:10-32) + 64-bit rolling (Rabin-Karp
+    style polynomial) hash of the token stream."""
+    texts = batch[text_col].to_pylist()
+    md5s, rolls = [], []
+    import zlib
+
+    B, M = 1000003, (1 << 61) - 1
+    for t in texts:
+        t = t or ""
+        md5s.append(hashlib.md5(t.encode()).hexdigest())
+        h = 0
+        # crc32 per token: process-independent (Python hash() is salted)
+        for tok in t.split():
+            h = (h * B + zlib.crc32(tok.encode())) % M
+        rolls.append(h)
+    return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
+        "rolling_hash", pa.array(np.array(rolls, dtype=np.uint64))
+    )

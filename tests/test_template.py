@@ -1,0 +1,84 @@
+"""Unit tests: template compile/render, IRI encoding, datatype formatting
+(SURVEY.md §5.2-2)."""
+
+import pyarrow as pa
+import pytest
+
+from cattle_ray.model import XSD
+from cattle_ray.template import (
+    CompiledTemplate,
+    MappingTemplate,
+    format_literal_array,
+    iri_encode_array,
+    resolve_datatype,
+)
+
+
+def test_compile_segments():
+    t = CompiledTemplate.compile("https://ex.org/{A}/x/{_row}")
+    assert t.columns == ("A", "_row")
+    assert t.segments[0] == "https://ex.org/"
+
+
+def test_render_vectorized():
+    t = CompiledTemplate.compile("https://ex.org/id/{name}/r{_row}")
+    batch = pa.table({"name": ["a", "b c"], "_row": [1, 2]})
+    out = t.render(batch).to_pylist()
+    assert out == ["https://ex.org/id/a/r1", "https://ex.org/id/b%20c/r2"]
+
+
+def test_render_constant():
+    t = CompiledTemplate.compile("https://ex.org/p")
+    assert t.is_constant
+    assert t.render(pa.table({"x": [1, 2, 3]})).to_pylist() == ["https://ex.org/p"] * 3
+
+
+def test_iri_encode_only_when_needed():
+    arr = pa.array(["clean", "has space", "Ünïcode", None])
+    out = iri_encode_array(arr).to_pylist()
+    assert out[0] == "clean"
+    assert out[1] == "has%20space"
+    assert "%" in out[2]
+    assert out[3] is None
+
+
+def test_resolve_datatype():
+    assert resolve_datatype("xsd:decimal") == XSD + "decimal"
+    assert resolve_datatype("gYear") == XSD + "gYear"
+    assert resolve_datatype("http://ex.org/dt") == "http://ex.org/dt"
+    assert resolve_datatype(None) is None
+
+
+def test_group_char_strip():
+    meta = {
+        "tableSchema": {
+            "columns": [
+                {"name": "Int", "datatype": "xsd:decimal", "csvw:format": {"groupChar": ","}}
+            ]
+        }
+    }
+    tmpl = MappingTemplate.from_dict(meta)
+    spec = tmpl.columns[0]
+    arr, ok = format_literal_array(pa.array(["131,063", "7", "bad"]), spec)
+    assert arr.to_pylist() == ["131063", "7", "bad"]
+    assert ok.to_pylist() == [True, True, False]
+
+
+def test_lang_only_for_strings():
+    meta = {
+        "tableSchema": {
+            "columns": [
+                {"name": "a", "datatype": "xsd:integer", "lang": "en"},
+                {"name": "b", "datatype": "xsd:string", "lang": "en"},
+            ]
+        }
+    }
+    tmpl = MappingTemplate.from_dict(meta)
+    assert tmpl.columns[0].lang is None
+    assert tmpl.columns[1].lang == "en"
+
+
+def test_missing_column_raises():
+    t = CompiledTemplate.compile("x{nope}")
+    with pytest.raises(KeyError):
+        t.render(pa.table({"a": [1]}))
