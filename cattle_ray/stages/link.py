@@ -232,7 +232,7 @@ def canonical_uri(uri: str) -> str:
     slashes, collapse duplicate slashes in the path."""
     if uri is None:
         return uri
-    m = re.match(r"^(https?)://([^/]+)(/.*)?$", uri)
+    m = re.match(r"^(https?)://([^/]+)(/.*)?$", uri, re.IGNORECASE)
     if not m:
         return uri
     scheme, host, path = m.group(1).lower(), m.group(2).lower(), m.group(3) or ""

@@ -131,7 +131,10 @@ class CompiledTemplate:
                 col = pc.cast(batch[name], pa.string())
                 if isinstance(col, pa.ChunkedArray):
                     col = col.combine_chunks()
-                if encode:
+                # data columns are IRI-encoded (F6); context columns injected
+                # by the engine (underscore-prefixed: _url, _row, _tbl) are
+                # already IRI-shaped and substitute raw
+                if encode and not name.startswith("_"):
                     col = iri_encode_array(col)
                 # null cell inside a URI template renders as empty string
                 col = pc.fill_null(col, "")
