@@ -32,9 +32,10 @@ _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Whitespace token count — fully vectorized (split + list length)."""
     t = pc.cast(batch[text_col], pa.string())
-    ws = pc.list_value_length(pc.split_pattern_regex(pc.fill_null(t, ""), r"\s+"))
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(t, ""))
+    ws = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
     # empty string splits to [''] → count 1; fix to 0 for empty/null
-    empty = pc.or_(pc.is_null(t), pc.equal(pc.utf8_trim_whitespace(pc.fill_null(t, "")), ""))
+    empty = pc.equal(trimmed, "")
     n = pc.if_else(empty, pa.scalar(0, pa.int32()), ws)
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 

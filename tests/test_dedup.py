@@ -1,0 +1,122 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, token Jaccard, embedding LSH."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from cattle_ray.stages.dedup import (
+    connected_components,
+    dedup_exact,
+    embedding_neardup_pairs,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    simhash_pairs,
+)
+
+
+def _docs_with_dups():
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "through the green fields toward the old stone bridge every morning"
+    )
+    near = base.replace("green", "blue")  # 1-word change → high jaccard
+    far = "completely different content about databases and query engines here"
+    rows = []
+    for i in range(30):
+        if i % 3 == 0:
+            rows.append({"doc_id": i, "text": base})
+        elif i % 3 == 1:
+            rows.append({"doc_id": i, "text": near})
+        else:
+            rows.append({"doc_id": i, "text": far + f" tail{i}"})
+    return pd.DataFrame(rows)
+
+
+def test_dedup_exact_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(_docs_with_dups())
+    out = dedup_exact(ds, ["text"], keep_col="doc_id").to_pandas()
+    # base appears 10×, near 10×, far distinct per row (10 distinct)
+    assert len(out) == 12
+    kept_base = out[out["text"].str.contains("green fields")]["doc_id"].iloc[0]
+    assert kept_base == 0  # min doc_id survives
+
+
+def test_minhash_estimates_jaccard():
+    a = shingle_hashes("the quick brown fox jumps over the lazy dog again today", 3)
+    b = shingle_hashes("the quick brown fox jumps over the lazy cat again today", 3)
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    inter = len(np.intersect1d(a, b))
+    true_j = inter / (len(a) + len(b) - inter)
+    assert abs(est - true_j) < 0.2
+
+
+def test_minhash_lsh_finds_neardups(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(_docs_with_dups())
+    pairs = minhash_dedup_pairs(ds, threshold=0.7).to_pandas()
+    # all 10 base copies pair with each other (est_jaccard=1), base~near too
+    ids_base = set(range(0, 30, 3))
+    got_pairs = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 3) in got_pairs
+    comp = connected_components(pairs)
+    roots = {comp.get(i, i) for i in ids_base}
+    assert len(roots) == 1  # one cluster for all base copies
+
+
+def test_simhash_hamming_zero_for_identical():
+    assert simhash64("same text here") == simhash64("same text here")
+    assert simhash64("") == 0
+
+
+def test_simhash_pairs(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(_docs_with_dups())
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 3) in got  # identical docs → hamming 0
+
+
+def test_jaccard_pairs_exact(ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d", "a b c e", "x y z w"],
+        }
+    )
+    out = jaccard_pairs(rd.from_pandas(df), min_jaccard=0.1).to_pandas()
+    row = out[(out["a"] == 1) & (out["b"] == 2)].iloc[0]
+    assert row["intersection"] == 3
+    assert abs(row["jaccard"] - 3 / 5) < 1e-12
+    assert len(out[(out["a"] == 1) & (out["b"] == 3)]) == 0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8)
+    rows = []
+    for i in range(20):
+        if i < 10:
+            v = base + rng.randn(8) * 0.01  # near-dups of base
+        else:
+            v = rng.randn(8)
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = embedding_neardup_pairs(ds, threshold=0.98, num_planes=6).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    # most near-dup pairs among ids 0..9 found (LSH recall < 1 by design)
+    hits = sum(1 for a in range(10) for b in range(a + 1, 10) if (a, b) in got)
+    assert hits >= 20
+    assert all(p >= 0.98 for p in pairs["cosine"])

@@ -1,0 +1,47 @@
+"""ANN: brute-force exactness vs numpy oracle; IVF recall."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def vec_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": [v.tolist() for v in vecs]})
+    return rd.from_pandas(df), vecs
+
+
+def test_brute_force_matches_numpy(vec_ds):
+    from cattle_ray.stages.similarity import knn_brute_force
+
+    ds, vecs = vec_ds
+    rng = np.random.RandomState(1)
+    q = rng.randn(3, 16)
+    out = knn_brute_force(ds, q, k=5).to_pandas()
+
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = v @ qq.T
+    for qi in range(3):
+        order = np.lexsort((np.arange(300), -sims[:, qi]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].tolist()
+        assert got == order.tolist()
+
+
+def test_ivf_recall(vec_ds):
+    from cattle_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    ds, _ = vec_ds
+    rng = np.random.RandomState(2)
+    q = rng.randn(2, 16)
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = knn_ivf(ds, q, k=10, n_clusters=8, nprobe=4).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5  # nprobe=4/8 → decent recall

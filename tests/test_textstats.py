@@ -1,0 +1,54 @@
+"""Text analysis: token counts, quality, lang-id, fingerprints."""
+
+import pyarrow as pa
+
+from cattle_ray.stages.textstats import (
+    LangId,
+    bpe_token_count_batch,
+    fingerprint_batch,
+    quality_batch,
+    token_count_batch,
+)
+
+
+def _batch(texts):
+    return pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+
+def test_token_count_vectorized():
+    out = token_count_batch(_batch(["a b c", "", None, "  x  y "]))
+    assert out["n_tokens"].to_pylist() == [3, 0, 0, 2]
+
+
+def test_bpe_token_count():
+    out = bpe_token_count_batch(_batch(["hello, world42!"]))
+    # hello | , | world | 42 | !
+    assert out["n_bpe_tokens"].to_pylist() == [5]
+
+
+def test_quality_signals():
+    out = quality_batch(_batch(["the cat and the dog sat on the mat", "!!! ??? ..."]))
+    q = out.to_pydict()
+    assert q["q_n_tokens"] == [9, 3]
+    assert q["stop_ratio"][0] > 0.3
+    assert q["punct_ratio"][1] > 0.5
+    assert q["quality"][0] > q["quality"][1]
+
+
+def test_langid_heuristic():
+    langid = LangId()
+    out = langid(_batch([
+        "the cat is in the house and it is warm",
+        "der hund ist nicht in das haus und die katze",
+        "le chat est dans la maison et les chiens",
+        "",
+    ]))
+    assert out["lang_pred"].to_pylist() == ["en", "de", "fr", "und"]
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint_batch(_batch(["same text"]))
+    b = fingerprint_batch(_batch(["same text"]))
+    assert a["md5"].to_pylist() == b["md5"].to_pylist()
+    assert a["rolling_hash"].to_pylist() == b["rolling_hash"].to_pylist()
+    assert a["md5"][0].as_py() == __import__("hashlib").md5(b"same text").hexdigest()
