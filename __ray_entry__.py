@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet tables for every SQL-expressible one.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names and dtypes match the oracle exactly (driver sorts columns by
+name and value-hashes). Float aggregates are rounded on BOTH sides to wash
+out summation-order ulps; cosine top-k returns ids+rank only (DuckDB's
+``list_cosine_similarity`` computes in float32).
 """
 
 from __future__ import annotations
@@ -18,27 +17,635 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+EX = "https://example.org/def/"
+
+#: template for the deterministic embedded table in pages_from_documents
+DOC_TABLE_TEMPLATE = {
+    "@id": "https://example.org/doctable",
+    "aboutUrl": "{_url}#t{_tbl}/r{_row}",
+    "tableSchema": {
+        "columns": [
+            {"name": "rank", "datatype": "xsd:integer", "propertyUrl": EX + "rank"},
+            {"name": "name", "datatype": "xsd:string", "propertyUrl": EX + "name"},
+            {"name": "name", "virtual": True, "propertyUrl": EX + "entity",
+             "valueUrl": "https://example.org/id/entity/{name}"},
+            {"name": "score", "datatype": "xsd:integer", "propertyUrl": EX + "score"},
+        ]
+    },
+}
+
+DOC_TEMPLATES = {("rank", "name", "score"): DOC_TABLE_TEMPLATE}
+
+#: word-salad OpenIE rule (oracle-parity verified vs DuckDB regexp_extract_all)
+SALAD_RULES = [(r"(?P<s>\w+) join (?P<o>\w+)", EX + "joins")]
+
+#: alias gazetteer for the mention-detection query (lowercase corpus words)
+MENTION_ALIASES = ["spark", "join", "window", "hash", "stream", "customer"]
+
+GRAPH = "https://example.org/graph/ci"
+
+QUAD_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _pages(sf_dir: str):
+    from cattle_ray.pages import pages_from_documents
+
+    return pages_from_documents(sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+
+
+def q_kg_extract_text(sf_dir: str):
+    """M6: html→text extraction; byte-identical to the source text."""
+    from cattle_ray.stages.extract import extract_batch
+
+    return _pages(sf_dir).map_batches(
+        lambda b: extract_batch(b, tables=False).select(["url", "text"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_kg_csvw_triples(sf_dir: str):
+    """M7→M1-M3: embedded-table extraction + CSVW template conversion."""
+    import ray
+
+    from cattle_ray.stages.extract import extract_batch
+    from cattle_ray.stages.tables import TableConvert
+
+    tmpl_ref = ray.put(DOC_TEMPLATES)
+    return (
+        _pages(sf_dir)
+        .map_batches(extract_batch, batch_format="pyarrow")
+        .map_batches(
+            TableConvert,
+            fn_constructor_kwargs=dict(templates=tmpl_ref, graph=GRAPH),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
+    )
+
+
+def q_kg_openie(sf_dir: str):
+    """M8: pattern extraction over text (rule registry U5)."""
+    from cattle_ray.pages import doc_url
+    from cattle_ray.stages.openie import OpenIEExtract
+
+    def add_url(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "url", pa.array([doc_url(i) for i in b["doc_id"].to_pylist()], pa.string())
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_url, batch_format="pyarrow")
+        .map_batches(
+            OpenIEExtract,
+            fn_constructor_kwargs=dict(rules=SALAD_RULES, graph=GRAPH),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .map_batches(
+            lambda b: b.select(["subj", "pred", "obj", "obj_is_iri", "src_url"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_kg_mentions(sf_dir: str):
+    """T2: gazetteer mention detection + per-(doc, alias) counts."""
+    import ray
+
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.link import MentionDetector
+
+    ref = ray.put(MENTION_ALIASES)
+    mentions = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MentionDetector,
+        fn_constructor_kwargs=dict(aliases=ref, url_col="doc_id"),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    counts = partial_count(mentions, ["url", "alias_norm"])
+    return counts.map_batches(
+        lambda b: b.rename_columns(["doc_id", "alias", "n"]), batch_format="pyarrow"
+    )
+
+
+def q_kg_canonicalize(sf_dir: str):
+    """T4: URI canonicalization rules over distinct sources."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.link import canonical_uri
+
+    srcs = distinct(_docs(sf_dir, ["source"]), ["source"])
+
+    def canon(b: pa.Table) -> pa.Table:
+        raw = [f"HTTPS://Example.org/src/{s}/" for s in b["source"].to_pylist()]
+        return pa.table(
+            {
+                "source": b["source"],
+                "canonical_uri": pa.array([canonical_uri(u) for u in raw], pa.string()),
+            }
+        )
+
+    return srcs.map_batches(canon, batch_format="pyarrow")
+
+
+def q_kg_pred_freq(sf_dir: str):
+    """G2: predicate frequency with salted two-stage aggregation."""
+    from cattle_ray.stages.aggregates import salted_group_count
+
+    return salted_group_count(q_kg_csvw_triples(sf_dir), ["pred"])
+
+
+def q_kg_pipeline(sf_dir: str):
+    """Flagship: full chain incl. union, linking, canonicalize, dedup (D2/D4).
+    Not SQL-expressible end-to-end → rows-only check (pytest covers P/R)."""
+    from cattle_ray.pipelines.kg import build_triples
+
+    return build_triples(
+        _pages(sf_dir),
+        graph=GRAPH,
+        templates=DOC_TEMPLATES,
+        openie_rules=SALAD_RULES,
+        langs=("en", "de", "fr", "es", "zh"),
+        concurrency=2,
+    )
+
+
+def q_doc_dedup(sf_dir: str):
+    """D1/D2: exact dedup on (lang, source), min doc_id survives."""
+    from cattle_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(_docs(sf_dir, ["doc_id", "lang", "source"]),
+                      ["lang", "source"], keep_col="doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "lang", "source"]),
+                           batch_format="pyarrow")
+
+
+def q_doc_token_count(sf_dir: str):
+    from cattle_ray.stages.textstats import token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: token_count_batch(b).select(["doc_id", "n_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_quality(sf_dir: str):
+    from cattle_ray.stages.textstats import quality_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: quality_batch(b).select(
+            ["doc_id", "q_n_chars", "q_n_tokens", "stop_ratio", "punct_ratio"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from cattle_ray.stages.textstats import fingerprint_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "md5"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_doc_langid(sf_dir: str):
+    """Heuristic language-ID (rows-only: no SQL equivalent)."""
+    from cattle_ray.stages.textstats import LangId
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates (rows-only; word-salad corpus has
+    high baseline similarity, threshold set high)."""
+    from cattle_ray.stages.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from cattle_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_doc_jaccard(sf_dir: str):
+    """Exact unigram Jaccard over the doc_id<60 subset (token-join form)."""
+    from cattle_ray.stages.dedup import jaccard_pairs
+
+    sub = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 60)), batch_format="pyarrow"
+    )
+    return jaccard_pairs(sub, min_jaccard=0.0)
+
+
+def q_embed_knn(sf_dir: str):
+    """ANN baseline: brute-force cosine top-10 for queries = vec_id 0..3."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import knn_brute_force
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = tbl.filter(pc.less(tbl["vec_id"], 4)).sort_by("vec_id")
+    queries = np.stack(tbl["embedding"].to_pylist())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, queries, k=10)
+    return out.map_batches(
+        lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
+    )
+
+
+def q_embed_knn_ivf(sf_dir: str):
+    """IVF ANN scale path (approximate → rows-only)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import knn_ivf
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tbl = tbl.filter(pc.less(tbl["vec_id"], 4)).sort_by("vec_id")
+    queries = np.stack(tbl["embedding"].to_pylist())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, queries, k=10, n_clusters=16, nprobe=4)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, threshold=0.3, num_planes=8)
+
+
+def q_events_hourly(sf_dir: str):
+    """Windowed aggregate: tumbling 1h per user (count + rounded sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        t = pa.table({"user_id": b["user_id"], "hour": hour, "value": b["value"]})
+        out = t.group_by(["user_id", "hour"]).aggregate([("value", "sum"), ([], "count_all")])
+        return out.rename_columns(["user_id", "hour", "value_sum", "cnt"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "hour"])
+        .aggregate(Sum("value_sum", alias_name="sum_value"), Sum("cnt", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour": pc.cast(b["hour"], pa.timestamp("us")),
+                "n": b["n"],
+                "sum_value": pc.round(b["sum_value"], 2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_events_top_users(sf_dir: str):
+    """O2 top-k: 10 most active users, deterministic tie-break."""
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import top_k_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return top_k_counts(ds, ["user_id"], k=10)
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate with map-side combine."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "qty": b["l_quantity"],
+                "price": b["l_extendedprice"],
+                "disc_price": disc_price,
+                "disc": b["l_discount"],
+            }
+        )
+        out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "sum"), ("disc_price", "sum"), ("disc", "sum"), ([], "count_all")]
+        )
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_s", "price_s", "dp_s", "disc_s", "cnt"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_s", alias_name="sum_qty"),
+            Sum("price_s", alias_name="sum_base_price"),
+            Sum("dp_s", alias_name="sum_disc_price"),
+            Sum("disc_s", alias_name="sum_disc"),
+            Sum("cnt", alias_name="count_order"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "sum_qty": pc.round(b["sum_qty"], 2),
+                "sum_base_price": pc.round(b["sum_base_price"], 2),
+                "sum_disc_price": pc.round(b["sum_disc_price"], 2),
+                "avg_disc": pc.round(pc.divide(b["sum_disc"], pc.cast(b["count_order"], pa.float64())), 6),
+                "count_order": b["count_order"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def q_orders_by_segment(sf_dir: str):
+    """J1 broadcast join: orders × customer (small side via ray.put)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from cattle_ray.stages.aggregates import partial_count
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    class AddSegment:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            seg = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
+            return b.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
+    return partial_count(joined, ["c_mktsegment"])
+
+
+def q_nation_region(sf_dir: str):
+    """Dim-dim broadcast join → (n_name, r_name)."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    lookup_ref = ray.put(dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())))
+
+    def join(b: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        return pa.table(
+            {
+                "n_name": b["n_name"],
+                "r_name": pa.array([lk.get(k) for k in b["n_regionkey"].to_pylist()], pa.string()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(join, batch_format="pyarrow")
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic binary image column → actor-pool
+    decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
+    from cattle_ray.stages.multimodal import ImageDecoder, add_fake_images
+
+    return (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(add_fake_images, batch_format="pyarrow")
+        .map_batches(ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=256)
+        .map_batches(
+            lambda b: b.select(["doc_id", "width", "height", "channels", "n_bytes"]),
+            batch_format="pyarrow",
+        )
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    return q_kg_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "kg_extract_text": q_kg_extract_text,
+        "kg_csvw_triples": q_kg_csvw_triples,
+        "kg_openie": q_kg_openie,
+        "kg_mentions": q_kg_mentions,
+        "kg_canonicalize": q_kg_canonicalize,
+        "kg_pred_freq": q_kg_pred_freq,
+        "kg_pipeline": q_kg_pipeline,
+        "doc_dedup": q_doc_dedup,
+        "doc_token_count": q_doc_token_count,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_langid": q_doc_langid,
+        "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_jaccard": q_doc_jaccard,
+        "embed_knn": q_embed_knn,
+        "embed_knn_ivf": q_embed_knn_ivf,
+        "embed_neardup": q_embed_neardup,
+        "events_hourly": q_events_hourly,
+        "events_top_users": q_events_top_users,
+        "lineitem_agg": q_lineitem_agg,
+        "orders_by_segment": q_orders_by_segment,
+        "nation_region": q_nation_region,
+        "multimodal_decode": q_multimodal_decode,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TRIPLE_BASE_CTE = """
+WITH r AS (SELECT range AS r FROM range(1, 4)),
+     d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+     base AS (
+       SELECT 'https://example.org/doc/' || doc_id || '#t0/r' || r AS subj,
+              CAST(r AS VARCHAR) AS rank_s,
+              'Entity' || ((doc_id + r) % 50) AS ent,
+              CAST((doc_id * 7 + r * 13) % 1000 AS VARCHAR) AS score_s
+       FROM d, r),
+     triples AS (
+       SELECT subj, 'https://example.org/def/rank' AS pred, rank_s AS obj,
+              FALSE AS obj_is_iri,
+              'http://www.w3.org/2001/XMLSchema#integer' AS obj_datatype,
+              CAST(NULL AS VARCHAR) AS obj_lang FROM base
+       UNION ALL
+       SELECT subj, 'https://example.org/def/name', ent, FALSE,
+              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM base
+       UNION ALL
+       SELECT subj, 'https://example.org/def/entity',
+              'https://example.org/id/entity/' || ent, TRUE,
+              CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM base
+       UNION ALL
+       SELECT subj, 'https://example.org/def/score', score_s, FALSE,
+              'http://www.w3.org/2001/XMLSchema#integer',
+              CAST(NULL AS VARCHAR) FROM base)
+"""
+
+_STOPLIST_SQL = "('the','and','of','to','a','in','is','it','that','for')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    mention_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{w}' AS alias, "
+        f"CAST(len(regexp_extract_all(text, '\\b{w}\\b')) AS BIGINT) AS n "
+        f"FROM documents"
+        for w in MENTION_ALIASES
+    )
+    return {
+        "kg_extract_text": (
+            "SELECT 'https://example.org/doc/' || doc_id AS url, text FROM documents"
+        ),
+        "kg_csvw_triples": _TRIPLE_BASE_CTE + "SELECT * FROM triples",
+        "kg_openie": r"""
+            SELECT 'https://example.org/mention/' || pair[1] AS subj,
+                   'https://example.org/def/joins' AS pred,
+                   pair[2] AS obj,
+                   FALSE AS obj_is_iri,
+                   'https://example.org/doc/' || doc_id AS src_url
+            FROM (
+              SELECT doc_id,
+                     unnest(list_zip(regexp_extract_all(text, '(\w+) join (\w+)', 1),
+                                     regexp_extract_all(text, '(\w+) join (\w+)', 2))) AS pair
+              FROM documents)
+        """,
+        "kg_mentions": (
+            f"SELECT doc_id, alias, n FROM ({mention_union}) WHERE n > 0"
+        ),
+        "kg_canonicalize": (
+            "SELECT DISTINCT source, "
+            "'https://example.org/src/' || source AS canonical_uri FROM documents"
+        ),
+        "kg_pred_freq": _TRIPLE_BASE_CTE
+        + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
+        "doc_dedup": (
+            "SELECT min(doc_id) AS doc_id, lang, source FROM documents "
+            "GROUP BY lang, source"
+        ),
+        "doc_token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS q_n_chars,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     END AS q_n_tokens,
+                     CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                          ELSE CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                          x -> lower(x) IN {_STOPLIST_SQL})) AS BIGINT)
+                     END AS n_stop,
+                     CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
+              FROM documents)
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   CAST(n_stop AS DOUBLE) / greatest(q_n_tokens, 1) AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / greatest(q_n_chars, 1) AS punct_ratio
+            FROM t
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_jaccard": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 60),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS intersection
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a, i.b, i.intersection,
+                   CAST(i.intersection AS DOUBLE) / (sa.sz + sb.sz - i.intersection) AS jaccard
+            FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+        """,
+        "embed_knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+            sims AS (
+              SELECT CAST(q.qid AS INTEGER) AS query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding, q.qe) AS s
+              FROM embeddings e, q),
+            ranked AS (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+              FROM sims)
+            SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= 10
+        """,
+        "events_hourly": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_top_users": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "nation_region": """
+            SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   CAST(64 + doc_id % 64 AS INTEGER) AS width,
+                   CAST(48 + doc_id % 48 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(9 + 4096 AS INTEGER) AS n_bytes
+            FROM documents
+        """,
+    }

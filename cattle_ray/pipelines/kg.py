@@ -68,6 +68,7 @@ def build_triples(
     graph: str = "https://example.org/graph/run",
     langs: tuple = ("en",),
     templates: dict | None = None,
+    openie_rules=None,
     link_entities: bool = True,
     concurrency: int | tuple = 4,
     dedup: bool = True,
@@ -90,7 +91,7 @@ def build_triples(
     )
     openie_triples = extracted.map_batches(
         OpenIEExtract,
-        fn_constructor_kwargs=dict(graph=graph),
+        fn_constructor_kwargs=dict(rules=openie_rules, graph=graph),
         batch_format="pyarrow",
         concurrency=concurrency,
     )

@@ -75,9 +75,11 @@ class MentionDetector:
                 out["alias_norm"].append(normalize_alias(m.group(0)))
                 out["begin"].append(m.start())
                 out["end"].append(m.end())
+        # url column keeps the id column's own type (string url or int id)
+        url_type = batch.schema.field(self.url_col).type
         return pa.table(
             {
-                "url": pa.array(out["url"], pa.string()),
+                "url": pa.array(out["url"], url_type),
                 "mention": pa.array(out["mention"], pa.string()),
                 "alias_norm": pa.array(out["alias_norm"], pa.string()),
                 "begin": pa.array(out["begin"], pa.int32()),
