@@ -182,7 +182,6 @@ def q_kg_pipeline(sf_dir: str):
         templates=DOC_TEMPLATES,
         openie_rules=SALAD_RULES,
         langs=("en", "de", "fr", "es", "zh"),
-        concurrency=2,
     )
 
 

@@ -2,14 +2,21 @@
 north_star):
 
     pages ──filter(lang)──► extract(text+tables)
-          ├─► TableConvert (CSVW templates over embedded tables)   [M7→M1]
-          └─► OpenIEExtract over text                              [M8]
-        union (D4) ─► EntityLinker ─► Canonicalizer ─► dedup (D2)
+          ├─► CSVW templates over embedded tables                  [M7→M1]
+          └─► OpenIE pattern extraction over text                  [M8]
+        union (D4) ─► entity linking ─► canonicalization ─► dedup (D2)
         ─► partitioned/sorted Parquet triples (S8/O1) + manifest (R3/G1)
 
-Every stage boundary is a zero-copy Arrow handoff; the only wide ops are the
-dedup groupby and the subject partition of the sink. The html column is
-dropped at extraction so no shuffle ever carries page bytes.
+Physical plan note (learned the hard way): expressing each logical stage as
+its own ``ActorPoolMapOperator`` starves the task-pool operators when
+Σ(pool CPUs) reaches ``num_cpus`` — and a Dataset-level ``union`` of the
+table/OpenIE channels re-executes the shared extraction ONCE PER BRANCH.
+So the narrow stages are FUSED into one actor (:class:`KgStage`): per batch
+it extracts, converts, pattern-extracts, links, and canonicalizes in a single
+zero-copy pass — one actor pool, one read, no union operator. The only wide
+op left is the dedup groupby (D2), exactly as the shuffle budget in
+SURVEY.md §7.3 prescribes. The individual stage classes in ``stages/`` stay
+available for composing custom pipelines.
 """
 
 from __future__ import annotations
@@ -17,7 +24,7 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..aliases import alias_table
-from ..model import QUAD_KEY
+from ..model import QUAD_KEY, TRIPLE_SCHEMA
 from ..stages.convert import CsvwConvert
 from ..stages.dedup import dedup_exact
 from ..stages.extract import extract_batch
@@ -62,6 +69,33 @@ TEMPLATES_BY_SIGNATURE = {
 }
 
 
+class KgStage:
+    """Fused per-batch KG stage (actor pool): lang-filter → extract →
+    [table-convert ∪ OpenIE] → entity-link → canonicalize.
+
+    All per-actor state (compiled templates, compiled rule regexes, alias
+    index from a ``ray.put`` broadcast ref) is built once in ``__init__``
+    (input_hint actor-pool idiom). One zero-copy Arrow pass per batch.
+    """
+
+    def __init__(self, templates, graph: str, alias_index=None, openie_rules=None,
+                 langs: tuple = ("en",)):
+        self.langs = tuple(langs)
+        self.table_convert = TableConvert(templates, graph)
+        self.openie = OpenIEExtract(rules=openie_rules, graph=graph)
+        self.linker = EntityLinker(alias_index) if alias_index is not None else None
+        self.canon = Canonicalizer()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = filter_lang(extract_batch(batch), self.langs)
+        parts = [self.table_convert(batch), self.openie(batch)]  # D4 union
+        triples = pa.concat_tables([p for p in parts if p.num_rows] or
+                                   [TRIPLE_SCHEMA.empty_table()])
+        if self.linker is not None:
+            triples = self.linker(triples)
+        return self.canon(triples)
+
+
 def build_triples(
     pages_ds,
     *,
@@ -70,43 +104,30 @@ def build_triples(
     templates: dict | None = None,
     openie_rules=None,
     link_entities: bool = True,
-    concurrency: int | tuple = 4,
+    concurrency: int | tuple = (1, 8),
+    batch_size: int | None = 512,
     dedup: bool = True,
 ):
-    """pages Dataset (input_hint schema) → deduplicated quad Dataset."""
+    """pages Dataset (input_hint schema) → deduplicated quad Dataset.
+
+    ``concurrency`` is an autoscaling ``(min, max)`` actor-pool range so the
+    pool never reserves every CPU away from the read/shuffle stages.
+    """
     import ray
 
     templates = templates or TEMPLATES_BY_SIGNATURE
-
-    extracted = pages_ds.map_batches(
-        lambda b: filter_lang(extract_batch(b), langs), batch_format="pyarrow"
-    )
-
+    idx_ref = ray.put(build_alias_index(alias_table())) if link_entities else None
     tmpl_ref = ray.put(templates)
-    table_triples = extracted.map_batches(
-        TableConvert,
-        fn_constructor_kwargs=dict(templates=tmpl_ref, graph=graph),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    openie_triples = extracted.map_batches(
-        OpenIEExtract,
-        fn_constructor_kwargs=dict(rules=openie_rules, graph=graph),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
-    triples = table_triples.union(openie_triples)  # D4
 
-    if link_entities:
-        idx_ref = ray.put(build_alias_index(alias_table()))
-        triples = triples.map_batches(
-            EntityLinker,
-            fn_constructor_kwargs=dict(alias_index=idx_ref),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
-    triples = triples.map_batches(
-        Canonicalizer, batch_format="pyarrow", concurrency=concurrency
+    triples = pages_ds.map_batches(
+        KgStage,
+        fn_constructor_kwargs=dict(
+            templates=tmpl_ref, graph=graph, alias_index=idx_ref,
+            openie_rules=openie_rules, langs=langs,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
     )
     if dedup:
         triples = dedup_exact(triples, QUAD_KEY + ["graph"])
