@@ -52,10 +52,25 @@ GRAPH = "https://example.org/graph/ci"
 QUAD_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
 
 
-def _docs(sf_dir: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 4000):
+    """read_parquet with column pruning and right-sized blocks: tiny test
+    files otherwise split into 2×cpus ~80-row blocks whose per-task
+    scheduling overhead dwarfs compute; at real scale the same heuristic
+    (rows-per-block target, capped at 4× cores) yields many large blocks."""
+    import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    nrows = pq.ParquetFile(path).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    blocks = max(2, min(nrows // rows_per_block + 1, 4 * cpus))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+
+
+def _docs(sf_dir: str, columns=None):
+    # text rows are wide; ~500 rows/block keeps tasks meaty but parallel
+    return _read(sf_dir, "documents", columns, rows_per_block=500)
 
 
 def _pages(sf_dir: str):
@@ -267,7 +282,7 @@ def q_embed_knn(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.filter(pc.less(tbl["vec_id"], 4)).sort_by("vec_id")
     queries = np.stack(tbl["embedding"].to_pylist())
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=1000)
     out = knn_brute_force(ds, queries, k=10)
     return out.map_batches(
         lambda b: b.select(["query_id", "vec_id", "rank"]), batch_format="pyarrow"
@@ -284,7 +299,7 @@ def q_embed_knn_ivf(sf_dir: str):
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     tbl = tbl.filter(pc.less(tbl["vec_id"], 4)).sort_by("vec_id")
     queries = np.stack(tbl["embedding"].to_pylist())
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=1000)
     return knn_ivf(ds, queries, k=10, n_clusters=16, nprobe=4)
 
 
@@ -294,7 +309,7 @@ def q_embed_neardup(sf_dir: str):
 
     from cattle_ray.stages.dedup import embedding_neardup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=1000)
     return embedding_neardup_pairs(ds, threshold=0.3, num_planes=8)
 
 
@@ -303,7 +318,7 @@ def q_events_hourly(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"], rows_per_block=20000)
 
     def partial(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b["ts"], unit="hour")
@@ -311,8 +326,10 @@ def q_events_hourly(sf_dir: str):
         out = t.group_by(["user_id", "hour"]).aggregate([("value", "sum"), ([], "count_all")])
         return out.rename_columns(["user_id", "hour", "value_sum", "cnt"])
 
+    from cattle_ray.stages.aggregates import coalesce_small
+
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(["user_id", "hour"])
         .aggregate(Sum("value_sum", alias_name="sum_value"), Sum("cnt", alias_name="n"))
     )
@@ -336,7 +353,7 @@ def q_events_top_users(sf_dir: str):
 
     from cattle_ray.stages.aggregates import top_k_counts
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ds = _read(sf_dir, "events", ["user_id"], rows_per_block=20000)
     return top_k_counts(ds, ["user_id"], k=10)
 
 
@@ -345,10 +362,11 @@ def q_lineitem_agg(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    ds = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-                 "l_discount", "l_shipdate"],
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_shipdate"],
+        rows_per_block=100000,
     )
 
     def partial(b: pa.Table) -> pa.Table:
@@ -371,8 +389,10 @@ def q_lineitem_agg(sf_dir: str):
             ["l_returnflag", "l_linestatus", "qty_s", "price_s", "dp_s", "disc_s", "cnt"]
         )
 
+    from cattle_ray.stages.aggregates import coalesce_small
+
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"), 8)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty_s", alias_name="sum_qty"),
@@ -418,7 +438,7 @@ def q_orders_by_segment(sf_dir: str):
             seg = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
             return b.append_column("c_mktsegment", pa.array(seg, pa.string()))
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000)
     joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
     return partial_count(joined, ["c_mktsegment"])
 
@@ -441,7 +461,7 @@ def q_nation_region(sf_dir: str):
             }
         )
 
-    return rd.read_parquet(f"{sf_dir}/nation.parquet").map_batches(join, batch_format="pyarrow")
+    return _read(sf_dir, "nation").map_batches(join, batch_format="pyarrow")
 
 
 def q_multimodal_decode(sf_dir: str):

@@ -194,9 +194,18 @@ def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_from_documents(sf_dir: str):
-    """Ray Dataset of input_hint-shaped pages derived from sf documents."""
+def pages_from_documents(sf_dir: str, rows_per_block: int = 500):
+    """Ray Dataset of input_hint-shaped pages derived from sf documents.
+    Blocks are right-sized from parquet metadata so downstream stages get
+    real parallelism even on small test files."""
+    import pyarrow.parquet as pq
+    import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    path = f"{sf_dir}/documents.parquet"
+    nrows = pq.ParquetFile(path).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    blocks = max(2, min(nrows // rows_per_block + 1, 4 * cpus))
+    ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"],
+                         override_num_blocks=blocks)
     return ds.map_batches(pages_from_documents_batch, batch_format="pyarrow")

@@ -55,25 +55,41 @@ def within_batch_dedup(batch: pa.Table, hash_col: str = "_chash") -> pa.Table:
     ).cast(batch.schema)
 
 
-def dedup_exact(ds, cols, keep_col: str | None = None):
+def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
     """D2: hash-partitioned exact dedup. ``keep_col`` (e.g. an id) selects the
     minimum-valued row per duplicate group for determinism; otherwise first.
 
-    Within-group full-column equality guards 64-bit hash collisions (matters
-    at 10^12 rows where 64-bit birthday collisions are expected).
+    Shuffle discipline: the groupby key is a LOW-CARDINALITY bucket
+    (``_chash % num_buckets``), not the content hash itself — ``map_groups``
+    calls its UDF once per group, so grouping on the raw hash would mean one
+    Python/pandas call per distinct row (measured 15s for 16k groups);
+    per-bucket the dedup is one vectorized ``drop_duplicates``. Buckets are
+    uniform by construction (hash of content); scale ``num_buckets`` with the
+    corpus so a bucket fits a worker's heap. Dedup compares FULL column
+    values within bucket, so 64-bit hash collisions (expected at 10^12 rows)
+    cannot drop distinct rows.
     """
     cols = list(cols)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = batch["_chash"].to_numpy(zero_copy_only=False).astype(np.uint64) % num_buckets
+        return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
         if keep_col is not None:
             g = g.sort_values(keep_col, kind="mergesort")
-        return g.drop_duplicates(subset=cols).drop(columns=["_chash"])
+        return g.drop_duplicates(subset=cols).drop(columns=["_chash", "_bucket"])
+
+    from .aggregates import coalesce_small
 
     return (
-        ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
-        .map_batches(within_batch_dedup, batch_format="pyarrow")
-        .groupby("_chash")
-        .map_groups(first_per_group, batch_format="pandas")
+        coalesce_small(
+            ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
+            .map_batches(within_batch_dedup, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+        )
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
     )
 
 
@@ -122,67 +138,87 @@ def minhash_signature(sh: np.ndarray) -> np.ndarray:
 
 class MinHashBands:
     """Per-batch: text → minhash signature → LSH band rows
-    ``(id, band_id, band_hash, sig)``. Signature kept (fixed-size list col)
-    so pair verification is a signature compare — no second text pass."""
+    ``(id, band_id, band_hash, _bucket, sig)``. Signature kept (fixed-size
+    list col) so pair verification is a signature compare — no second text
+    pass. ``_bucket = (band_hash ^ band_id) % num_buckets`` is the
+    low-cardinality shuffle key (see :func:`dedup_exact` rationale)."""
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3):
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3,
+                 num_buckets: int = 64):
         self.id_col, self.text_col, self.ngram = id_col, text_col, ngram
         self.rows_per_band = MINHASH_K // LSH_BANDS
+        self.num_buckets = num_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bh, out_sig = [], [], [], []
+        n = len(ids)
         r = self.rows_per_band
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(shingle_hashes(t or "", self.ngram))
-            sig_list = sig.tolist()
+        sigs = np.empty((n, MINHASH_K), dtype=np.uint64)
+        for j, t in enumerate(texts):
+            sigs[j] = minhash_signature(shingle_hashes(t or "", self.ngram))
+        # band hashes vectorized: crc32 per (doc, band) chunk
+        band_hash = np.empty((n, LSH_BANDS), dtype=np.uint32)
+        for j in range(n):
+            row = sigs[j]
             for b in range(LSH_BANDS):
-                chunk = sig[b * r : (b + 1) * r]
-                bh = zlib.crc32(chunk.tobytes())
-                out_id.append(i)
-                out_band.append(b)
-                out_bh.append(bh)
-                out_sig.append(sig_list)
+                band_hash[j, b] = zlib.crc32(row[b * r : (b + 1) * r].tobytes())
+        out_id = np.repeat(np.asarray(ids), LSH_BANDS)
+        out_band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
+        out_bh = band_hash.reshape(-1)
+        bucket = ((out_bh.astype(np.uint64) ^ out_band.astype(np.uint64)) % self.num_buckets).astype(np.int64)
+        sig_rep = np.repeat(sigs, LSH_BANDS, axis=0)
         return pa.table(
             {
                 "id": pa.array(out_id),
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_bh, pa.uint32()),
-                "sig": pa.array(out_sig, pa.list_(pa.uint64(), MINHASH_K)),
+                "_bucket": pa.array(bucket),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig_rep.reshape(-1)), MINHASH_K
+                ),
             }
         )
 
 
-def _pairs_from_band_group(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one (band_id, band_hash) bucket, verified by
-    minhash-estimated Jaccard (= mean equal positions)."""
-    g = g.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
-    n = len(g)
-    if n < 2:
+def _pairs_from_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """Candidate pairs within one shuffle bucket: only rows whose
+    (band_id, band_hash) collides with another doc's are touched (vectorized
+    prefilter); the Python loop runs over colliding bands only."""
+    g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
+    if g.empty:
         return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    sigs = np.stack(g["sig"].to_numpy())
-    ids = g["id"].to_numpy()
     a_out, b_out, j_out = [], [], []
-    for i in range(n - 1):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        hit = np.nonzero(eq >= threshold)[0]
-        for h in hit:
-            a_out.append(ids[i])
-            b_out.append(ids[i + 1 + h])
-            j_out.append(float(eq[h]))
+    for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+        grp = grp.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
+        n = len(grp)
+        if n < 2:
+            continue
+        sigs = np.stack(grp["sig"].to_numpy())
+        ids = grp["id"].to_numpy()
+        for i in range(n - 1):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hit = np.nonzero(eq >= threshold)[0]
+            for h in hit:
+                a_out.append(ids[i])
+                b_out.append(ids[i + 1 + h])
+                j_out.append(float(eq[h]))
     return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": j_out})
 
 
 def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngram=3,
-                        concurrency=4):
+                        concurrency=4, num_buckets=64):
     """MinHash+LSH near-dup candidate pairs (a<b) with estimated Jaccard."""
     bands = ds.map_batches(
-        MinHashBands, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram),
+        MinHashBands,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram,
+                                   num_buckets=num_buckets),
         batch_format="pyarrow", concurrency=concurrency,
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda g: _pairs_from_band_group(g, threshold), batch_format="pandas"
+    from .aggregates import coalesce_small
+
+    pairs = coalesce_small(bands).groupby("_bucket").map_groups(
+        lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas"
     )
     # same pair can surface from several bands → exact dedup on (a,b)
     return dedup_exact(pairs, ["a", "b"])
@@ -228,41 +264,50 @@ def add_simhash(batch: pa.Table, text_col="text", out_col="simhash") -> pa.Table
     return batch.append_column(out_col, pa.array(np.array(vals, dtype=np.uint64)))
 
 
-def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3):
+def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3,
+                  num_buckets=64):
     """Near-dup pairs by SimHash: 4×16-bit band buckets guarantee recall for
-    Hamming ≤ 3; verify exact Hamming within bucket."""
+    Hamming ≤ 3 (pigeonhole); verify exact Hamming within band collision.
+    Shuffle key is the low-cardinality ``_bucket`` (see dedup_exact)."""
 
     def bands(batch: pa.Table) -> pa.Table:
         batch = add_simhash(batch, text_col)
-        ids = batch[id_col].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        rid, rb, rbh, rh = [], [], [], []
-        for i, h in zip(ids, hs):
-            for b in range(4):
-                rid.append(i)
-                rb.append(b)
-                rbh.append((h >> (16 * b)) & 0xFFFF)
-                rh.append(h)
+        ids = np.asarray(batch[id_col].to_pylist())
+        hs = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
+        n = len(ids)
+        band_id = np.tile(np.arange(4, dtype=np.uint64), n)
+        hs_rep = np.repeat(hs, 4)
+        band_hash = ((hs_rep >> (16 * band_id)) & np.uint64(0xFFFF)).astype(np.uint32)
+        bucket = ((band_hash.astype(np.uint64) * np.uint64(2654435761) + band_id)
+                  % num_buckets).astype(np.int64)
         return pa.table(
-            {"id": rid, "band_id": pa.array(rb, pa.int32()),
-             "band_hash": pa.array(rbh, pa.uint32()),
-             "simhash": pa.array(np.array(rh, dtype=np.uint64))}
+            {"id": pa.array(np.repeat(ids, 4)),
+             "band_id": pa.array(band_id.astype(np.int32)),
+             "band_hash": pa.array(band_hash),
+             "_bucket": pa.array(bucket),
+             "simhash": pa.array(hs_rep)}
         )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
-        ids = g["id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+        g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
         a_out, b_out, d_out = [], [], []
-        for i in range(len(g) - 1):
-            x = hs[i + 1 :] ^ hs[i]
-            dist = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(dist <= max_hamming)[0]:
-                a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); d_out.append(int(dist[j]))
+        for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
+            grp = grp.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            hs = grp["simhash"].to_numpy().astype(np.uint64)
+            for i in range(len(grp) - 1):
+                x = hs[i + 1 :] ^ hs[i]
+                dist = np.array([bin(int(v)).count("1") for v in x])
+                for j in np.nonzero(dist <= max_hamming)[0]:
+                    a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); d_out.append(int(dist[j]))
         return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
 
-    cand = ds.map_batches(bands, batch_format="pyarrow").groupby(
-        ["band_id", "band_hash"]
+    from .aggregates import coalesce_small
+
+    cand = coalesce_small(ds.map_batches(bands, batch_format="pyarrow")).groupby(
+        "_bucket"
     ).map_groups(pairs, batch_format="pandas")
     return dedup_exact(cand, ["a", "b"])
 
@@ -271,58 +316,84 @@ def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3):
 # exact n-gram Jaccard (token-join form; oracle-checkable)
 
 
-def token_set_batch(batch: pa.Table, id_col="doc_id", text_col="text", n=1) -> pa.Table:
-    ids, toks = [], []
+def token_set_batch(batch: pa.Table, id_col="doc_id", text_col="text", n=1,
+                    num_buckets=64) -> pa.Table:
+    """Explode each doc into its distinct token n-grams, carrying the doc's
+    set size (each doc lives in exactly one batch, so sizes are exact) and a
+    low-cardinality shuffle bucket keyed on the token."""
+    ids, toks, szs, buckets = [], [], [], []
     for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
         ts = (t or "").split()
         grams = (
             set(ts) if n == 1 else {" ".join(ts[j : j + n]) for j in range(len(ts) - n + 1)}
         )
+        sz = len(grams)
         for g in sorted(grams):
             ids.append(i)
             toks.append(g)
-    return pa.table({"id": pa.array(ids), "token": pa.array(toks, pa.string())})
-
-
-def jaccard_pairs(ds, id_col="doc_id", text_col="text", n=1, min_jaccard=0.0):
-    """Exact token-set Jaccard for all co-occurring pairs via the token join:
-    explode distinct tokens → groupby(token) pair emission → sum intersections
-    → |A∪B| from set sizes. Quadratic in bucket size: intended for bounded
-    subsets / verification, not the full corpus (use MinHash there)."""
-    toks = ds.map_batches(
-        lambda b: token_set_batch(b, id_col, text_col, n), batch_format="pyarrow"
+            szs.append(sz)
+            buckets.append(zlib.crc32(g.encode()) % num_buckets)
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "token": pa.array(toks, pa.string()),
+            "sz": pa.array(szs, pa.int64()),
+            "_bucket": pa.array(buckets, pa.int64()),
+        }
     )
-    sizes = toks.groupby("id").count()  # id, count()
 
-    def pair_emit(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    pair_counts = (
-        toks.groupby("token")
-        .map_groups(pair_emit, batch_format="pandas")
-        .groupby(["a", "b"])
-        .count()
-    )  # a, b, count() = |A∩B|
+def jaccard_pairs(ds, id_col="doc_id", text_col="text", n=1, min_jaccard=0.0,
+                  num_buckets=64):
+    """Exact token-set Jaccard for all co-occurring pairs via the token join:
+    explode distinct tokens (+sizes) → per-bucket vectorized self-join →
+    partial pair counts → one small final sum → jaccard from carried sizes.
+    Quadratic in per-token doc frequency: intended for bounded subsets /
+    verification, not the full corpus (use MinHash there)."""
+    from ray.data.aggregate import Max, Sum
 
-    sizes_df = sizes.to_pandas().rename(columns={"count()": "sz"})
-    import ray
+    toks = ds.map_batches(
+        lambda b: token_set_batch(b, id_col, text_col, n, num_buckets),
+        batch_format="pyarrow",
+    )
 
-    sizes_ref = ray.put(dict(zip(sizes_df["id"], sizes_df["sz"])))
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated(subset=["token"], keep=False)]
+        if g.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                 "sa": pd.Series(dtype="int64"), "sb": pd.Series(dtype="int64"),
+                 "cnt": pd.Series(dtype="int64")}
+            )
+        m = g.merge(g, on="token", suffixes=("_x", "_y"))
+        m = m[m["id_x"] < m["id_y"]]
+        out = (
+            m.groupby(["id_x", "id_y", "sz_x", "sz_y"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return out.rename(columns={"id_x": "a", "id_y": "b", "sz_x": "sa", "sz_y": "sb"})
+
+    from .aggregates import coalesce_small
+
+    partials = coalesce_small(toks).groupby("_bucket").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    agg = coalesce_small(partials, 8).groupby(["a", "b"]).aggregate(
+        Sum("cnt", alias_name="intersection"),
+        Max("sa", alias_name="sa"),
+        Max("sb", alias_name="sb"),
+    )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
-        inter = batch["count()"].to_numpy(dtype=np.float64)
-        sa = batch["a"].map(sz).to_numpy(dtype=np.float64)
-        sb = batch["b"].map(sz).to_numpy(dtype=np.float64)
-        batch = batch.rename(columns={"count()": "intersection"})
+        inter = batch["intersection"].to_numpy(dtype=np.float64)
+        sa = batch["sa"].to_numpy(dtype=np.float64)
+        sb = batch["sb"].to_numpy(dtype=np.float64)
+        batch = batch[["a", "b", "intersection"]].copy()
         batch["jaccard"] = inter / (sa + sb - inter)
         return batch[batch["jaccard"] >= min_jaccard]
 
-    return pair_counts.map_batches(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -360,8 +431,10 @@ def embedding_neardup_pairs(ds, id_col="vec_id", vec_col="embedding",
             {"a": ids[ii][keep], "b": ids[jj][keep], "cosine": sims[ii, jj][keep]}
         )
 
+    from .aggregates import coalesce_small
+
     return (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        coalesce_small(ds.map_batches(bucketize, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
     )

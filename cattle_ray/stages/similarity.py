@@ -55,7 +55,9 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
              "sim": pa.array(out_sim, pa.float64())}
         )
 
-    cand = ds.map_batches(batch_topk, batch_format="pyarrow")
+    from .aggregates import coalesce_small
+
+    cand = coalesce_small(ds.map_batches(batch_topk, batch_format="pyarrow"), 4)
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
@@ -125,7 +127,9 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              "sim": pa.array(out_sim, pa.float64())}
         )
 
-    cand = ds.map_batches(batch_topk, batch_format="pyarrow")
+    from .aggregates import coalesce_small
+
+    cand = coalesce_small(ds.map_batches(batch_topk, batch_format="pyarrow"), 4)
 
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
