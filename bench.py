@@ -79,20 +79,60 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_subprocess(ncpu: int) -> dict:
+def run_scaling_job(num_cpus: int, n_pages: int) -> dict:
+    """The scaling-evidence workload (BASELINE.md protocol): the FULL flagship
+    pipeline (generate input_hint pages → extract → CSVW+OpenIE → link →
+    canonicalize → dedup) over the FIXTURES.md §1 synthetic corpus, sized so
+    compute dominates the fixed all-to-all overhead. Same input (seed-pinned
+    generation) at every parallelism level."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from cattle_ray.pages import pages_dataset
+    from cattle_ray.pipelines.kg import build_triples
+
+    blocks = max(16, 4 * num_cpus)
+    t0 = time.perf_counter()
+    ds = build_triples(
+        pages_dataset(n_pages, override_num_blocks=blocks),
+        concurrency=(1, num_cpus),
+    )
+    n_triples = ds.count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "scaling_job_sec", "value": round(dt, 3), "unit": "sec",
+        "n_pages": n_pages, "n_triples": int(n_triples),
+        "triples_per_sec": round(n_triples / dt, 1), "num_cpus": num_cpus,
+    }
+
+
+def run_subprocess(ncpu: int, scaling_pages: int | None = None) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, check=True,
-    ).stdout
+    argv = [sys.executable, os.path.abspath(__file__)]
+    if scaling_pages is not None:
+        env["GRAFT_SCALING_PAGES"] = str(scaling_pages)
+        argv.append("--scaling-job")
+    out = subprocess.run(argv, env=env, capture_output=True, text=True, check=True).stdout
     return json.loads(out.strip().splitlines()[-1])
 
 
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling-job" in sys.argv:
+        n_pages = int(os.environ.get("GRAFT_SCALING_PAGES", "600000"))
+        print(json.dumps(run_scaling_job(ncpu, n_pages)))
+        return
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo, r_hi = run_subprocess(lo), run_subprocess(hi)
+        n_pages = int(os.environ.get("GRAFT_SCALING_PAGES", "600000"))
+        r_lo = run_subprocess(lo, scaling_pages=n_pages)
+        r_hi = run_subprocess(hi, scaling_pages=n_pages)
         t_lo, t_hi = r_lo["value"], r_hi["value"]
         eff = (t_lo / t_hi) / (hi / lo)
         print(json.dumps({
@@ -103,10 +143,10 @@ def main():
             "sec_32": t_hi,
             "triples_per_sec_8": r_lo["triples_per_sec"],
             "triples_per_sec_32": r_hi["triples_per_sec"],
-            "sf": sf_dir,
+            "n_pages": n_pages,
+            "n_triples": r_hi["n_triples"],
         }))
         return
-    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     print(json.dumps(run_benchmarks(sf_dir, ncpu)))
 
 

@@ -1,0 +1,74 @@
+"""S5/S6/S8: N-Quads sink/source and partitioned sorted triple sink."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from cattle_ray.model import QUAD_KEY, triples_table
+from cattle_ray.sources.nquads import nquads_lines, read_nquads, write_nquads
+from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+
+
+def _triples(n=50):
+    return triples_table(
+        pa.array([f"http://s{i % 7}" for i in range(n)]),
+        pa.array([f"http://p{i % 3}" for i in range(n)]),
+        pa.array([f"o{i}" for i in range(n)]),
+        pa.array([False] * n),
+        pa.array([None] * n, pa.string()),
+        pa.array([None] * n, pa.string()),
+        pa.array(["http://g"] * n),
+        pa.array([None] * n, pa.string()),
+    )
+
+
+@pytest.fixture
+def triples_ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_arrow(_triples()).repartition(4)
+
+
+def test_nquads_write_read_roundtrip(triples_ds, tmp_path):
+    out = str(tmp_path / "nq")
+    manifest = write_nquads(triples_ds, out)
+    assert manifest["n_lines"].sum() == 50
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".nq")]
+    assert files
+    back = read_nquads(files).to_pandas()
+    assert len(back) == 50
+    got = set(map(tuple, back[QUAD_KEY].fillna("∅").itertuples(index=False)))
+    want_df = _triples().to_pandas()
+    want = set(map(tuple, want_df[QUAD_KEY].fillna("∅").itertuples(index=False)))
+    assert got == want
+
+
+def test_nquads_write_idempotent(triples_ds, tmp_path):
+    """Content-addressed part names → rerun adds no files (retry safety)."""
+    out = str(tmp_path / "nq")
+    write_nquads(triples_ds, out)
+    first = sorted(os.listdir(out))
+    write_nquads(triples_ds, out)
+    assert sorted(os.listdir(out)) == first
+
+
+def test_hash_partitioned_sink(triples_ds, tmp_path):
+    out = str(tmp_path / "triples")
+    manifest = write_triples_hash_partitioned(triples_ds, out, num_partitions=4)
+    assert manifest["n_triples"].sum() == 50
+    # each partition sorted by subj, subjects never straddle partitions
+    subj_to_part = {}
+    for _, row in manifest.iterrows():
+        t = pq.read_table(row["path"])
+        subs = t["subj"].to_pylist()
+        assert subs == sorted(subs)
+        for s in set(subs):
+            assert subj_to_part.setdefault(s, row["part_id"]) == row["part_id"]
+
+
+def test_nquads_lines_dataset(triples_ds):
+    lines = nquads_lines(triples_ds).to_pandas()
+    assert len(lines) == 50
+    assert all(l.endswith(" .") for l in lines["line"])
