@@ -464,6 +464,44 @@ def q_nation_region(sf_dir: str):
     return _read(sf_dir, "nation").map_batches(join, batch_format="pyarrow")
 
 
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (custom windowed operator)."""
+    from cattle_ray.stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=20000)
+    return sessionize(ds, key="user_id", ts="ts", gap="1h")
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event matched to the user's most recent prior order
+    date (co-partitioned merge_asof — Ray Data has no native as-of join)."""
+    from cattle_ray.stages.joins import asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"], rows_per_block=20000)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"], rows_per_block=50000)
+    out = asof_join(
+        events, orders, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey",
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_orders_customer_hashjoin(sf_dir: str):
+    """Co-partitioned large-large hash join (J2): orders ⋈ customer."""
+    from cattle_ray.stages.joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], rows_per_block=50000)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    out = hash_join(orders, cust, "o_custkey", "c_custkey")
+    return out.map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -506,6 +544,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_knn_ivf": q_embed_knn_ivf,
         "embed_neardup": q_embed_neardup,
         "events_hourly": q_events_hourly,
+        "events_sessionize": q_events_sessionize,
+        "events_asof_orders": q_events_asof_orders,
+        "orders_customer_hashjoin": q_orders_customer_hashjoin,
         "events_top_users": q_events_top_users,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
@@ -631,6 +672,33 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
               FROM sims)
             SELECT query_id, vec_id, CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= 10
+        """,
+        "events_sessionize": """
+            WITH x AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            y AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+            SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM y GROUP BY user_id, sid
+        """,
+        "events_asof_orders": """
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderdate
+            FROM events e ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """,
+        "orders_customer_hashjoin": """
+            SELECT o_orderkey, o_custkey, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

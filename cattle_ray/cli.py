@@ -1,0 +1,125 @@
+"""CLI driver — the reference's job lifecycle as headless commands.
+
+Mirrors cattle's entry points (SURVEY.md §3):
+
+- ``build``    ≙ ``POST /build``: infer metadata JSON from a CSV
+  (``/root/reference/src/cattle.py:177-214`` via COW build).
+- ``convert``  ≙ ``POST /build_convert`` + download: CSV+metadata → RDF in
+  any supported format (``src/cattle.py:243-333``); ``--zip`` gzips the
+  payload (``:313-319``); unknown formats exit 65 (the 415-equivalent,
+  ``:328``); ``--output-format`` replaces HTTP content negotiation
+  (``:312-328`` — S10).
+- ``pages``    — the web-scale path: pages parquet → triples parquet with
+  the flagship pipeline, partitioned + manifest-resumable.
+
+Run-identity is content-hashed, not random (F2 determinism): the graph name
+carries ``md5(csv ‖ metadata)`` instead of the reference's timestamp, so
+reruns are idempotent; pass ``--run-ts`` to reproduce the reference's
+timestamped-graph behavior (``druid.md:21``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args):
+    from .infer import infer_metadata
+
+    meta = infer_metadata(args.csv, base=args.base)
+    out = args.out or (args.csv[: -len(".csv")] + "-metadata.json"
+                       if args.csv.endswith(".csv") else args.csv + "-metadata.json")
+    with open(out, "w") as f:
+        json.dump(meta, f, indent=2)
+    print(out)
+
+
+def cmd_convert(args):
+    from .pipelines.kg import csv_to_nquads
+    from .serialize import ACCEPTED_FORMATS, EXTENSION_DICT, serialize_collected
+    from .state.manifest import content_hash
+
+    if args.output_format not in ACCEPTED_FORMATS:
+        print(f"unsupported format {args.output_format!r}; accepted: {ACCEPTED_FORMATS}",
+              file=sys.stderr)
+        sys.exit(65)
+    _ensure_ray(args.num_cpus)
+    meta = json.load(open(args.metadata))
+    with open(args.csv, "rb") as f:
+        run_id = content_hash(f.read() + json.dumps(meta, sort_keys=True).encode())
+    graph = args.graph or f"{meta.get('@id', 'https://example.org/run')}/graph/{args.run_ts or run_id}"
+    triples, _lines = csv_to_nquads(args.csv, meta, graph)
+    payload = serialize_collected(triples, args.output_format, zip_output=args.zip)
+    ext = EXTENSION_DICT.get(args.output_format, ".out") + (".gz" if args.zip else "")
+    out = args.out or (args.csv + ext)
+    with open(out, "wb") as f:
+        f.write(payload)
+    print(out)
+
+
+def cmd_pages(args):
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.kg import build_triples
+    from .sources.triple_sink import write_triples_hash_partitioned
+
+    pages = rd.read_parquet(args.input)
+    triples = build_triples(pages, graph=args.graph or "https://example.org/graph/run")
+    manifest = write_triples_hash_partitioned(triples, args.out,
+                                              num_partitions=args.partitions)
+    print(json.dumps({
+        "partitions": len(manifest),
+        "n_triples": int(manifest["n_triples"].sum()),
+        "out": args.out,
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cattle-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="infer CSVW metadata from a CSV")
+    b.add_argument("csv")
+    b.add_argument("--base")
+    b.add_argument("--out")
+    b.set_defaults(fn=cmd_build)
+
+    c = sub.add_parser("convert", help="CSV+metadata → RDF file")
+    c.add_argument("csv")
+    c.add_argument("metadata")
+    c.add_argument("--output-format", default="nquads")
+    c.add_argument("--zip", action="store_true")
+    c.add_argument("--graph")
+    c.add_argument("--run-ts")
+    c.add_argument("--out")
+    c.set_defaults(fn=cmd_convert)
+
+    g = sub.add_parser("pages", help="pages parquet → partitioned triple parquet")
+    g.add_argument("input")
+    g.add_argument("out")
+    g.add_argument("--graph")
+    g.add_argument("--partitions", type=int, default=16)
+    g.set_defaults(fn=cmd_pages)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""J2 generalized: co-partitioned joins that need no broadcast side.
+
+Pattern (ray_guide "Joins and lookups"): both sides gain
+``_bucket = hash(key) % B``, are tagged and unioned, and one
+``groupby(_bucket)`` co-locates matching keys; the per-bucket pandas join is
+vectorized. One shuffle total, no driver-side materialization of either
+side. Skewed keys: raise ``num_buckets`` (hot keys still co-locate, but a
+bucket holds fewer cold keys alongside them).
+
+- :func:`hash_join` — equi join (inner/left).
+- :func:`asof_join` — per-key as-of (backward) join via ``pd.merge_asof``
+  within buckets (the SURVEY.md §2 "custom operator" class: Ray Data has no
+  native as-of join). Partitioning assumption: all rows of one key land in
+  one bucket (guaranteed by hashing the key).
+
+The two sides travel through ONE union Dataset (tag column ``_side``), so
+the join costs a single groupby shuffle; schemas are rectangularized by the
+union (each side's missing columns are null) and re-split per bucket using
+the sides' recorded column lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _with_bucket_and_tag(ds, key: str, tag: int, num_buckets: int,
+                         combined: "pa.Schema"):
+    """Pad this side's batches to the COMBINED schema (other side's columns
+    as typed nulls) — Ray's union does not rectangularize differing schemas,
+    so we make both sides schema-identical before it."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        bucket = (k.astype(np.int64) % num_buckets).astype(np.int64)
+        n = len(batch)
+        arrays = []
+        for field in combined:
+            if field.name in batch.column_names:
+                col = batch[field.name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        out = pa.Table.from_arrays(arrays, schema=combined)
+        return out.append_column("_bucket", pa.array(bucket)).append_column(
+            "_side", pa.array(np.full(n, tag, dtype=np.int8))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _combined_schema(left_ds, right_ds) -> "pa.Schema":
+    ls, rs = left_ds.schema(), right_ds.schema()
+    fields = [pa.field(n, t) for n, t in zip(ls.names, ls.types)]
+    seen = set(ls.names)
+    for n, t in zip(rs.names, rs.types):
+        if n not in seen:
+            fields.append(pa.field(n, t))
+        elif not any(f.name == n and f.type == t for f in fields):
+            raise ValueError(
+                f"join sides share column {n!r} with different types; rename first"
+            )
+    return pa.schema(fields)
+
+
+def _side_columns(ds):
+    """(column names, pandas dtype map) for one side — used to restore dtypes
+    after the union pads the other side's rows with NaN (int64 → float64)."""
+    schema = ds.schema()
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+    )
+    dtypes = arrow_schema.empty_table().to_pandas().dtypes.to_dict()
+    return list(schema.names), dtypes
+
+
+def _union_buckets(left_ds, right_ds, left_key, right_key, num_buckets):
+    from .aggregates import coalesce_small
+
+    combined = _combined_schema(left_ds, right_ds)
+    l = _with_bucket_and_tag(left_ds, left_key, 0, num_buckets, combined)
+    r = _with_bucket_and_tag(right_ds, right_key, 1, num_buckets, combined)
+    return coalesce_small(l.union(r))
+
+
+def _split_sides(g: pd.DataFrame, left_side, right_side):
+    left_cols, left_dtypes = left_side
+    right_cols, right_dtypes = right_side
+    l = g[g["_side"] == 0][left_cols].astype(left_dtypes)
+    r = g[g["_side"] == 1][right_cols].astype(right_dtypes)
+    return l, r
+
+
+def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
+              num_buckets: int = 32):
+    """Co-partitioned equi join. Column collisions follow pandas suffix rules
+    (left unsuffixed, right ``_r``)."""
+    left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
+    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l, r = _split_sides(g, left_side, right_side)
+        return l.merge(r, left_on=left_on, right_on=right_on, how=how,
+                       suffixes=("", "_r"))
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,
+              right_by: str, direction: str = "backward", num_buckets: int = 32):
+    """Per-key as-of join: for each left row, the right row with the greatest
+    ``right_on`` ≤ ``left_on`` (direction='backward') among rows with
+    matching by-key. Right columns keep their names (``_r`` on collision)."""
+    left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
+    unioned = _union_buckets(left_ds, right_ds, left_by, right_by, num_buckets)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l, r = _split_sides(g, left_side, right_side)
+        if l.empty:
+            out = pd.merge_asof(
+                l.sort_values(left_on), r.sort_values(right_on).head(0),
+                left_on=left_on, right_on=right_on, left_by=left_by,
+                right_by=right_by, direction=direction, suffixes=("", "_r"),
+            )
+            return out
+        l = l.sort_values(left_on, kind="mergesort")
+        r = r.sort_values(right_on, kind="mergesort")
+        return pd.merge_asof(
+            l, r, left_on=left_on, right_on=right_on, left_by=left_by,
+            right_by=right_by, direction=direction, suffixes=("", "_r"),
+        )
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")

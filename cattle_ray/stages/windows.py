@@ -1,0 +1,53 @@
+"""Stream-shaped operators over the bounded events log (ray_guide
+"Streaming-shaped workloads"): the input is an ordered, partitioned log;
+windows are computed per key inside bucketed ``map_groups`` with pandas.
+
+Ordering assumption (stated per the guide): rows of one key are sorted by
+``ts`` inside the group before windowing; results are invariant to the
+intra-group input order (sessionization uses only diffs over the sorted ts).
+
+- :func:`sessionize` — gap-based sessions per key.
+- :func:`tumbling_window` lives in ``__ray_entry__.q_events_hourly`` as the
+  partial-aggregation form (floor_temporal + map-side combine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def sessionize(ds, *, key: str = "user_id", ts: str = "ts",
+               gap: "pd.Timedelta | str" = "1h", num_buckets: int = 32):
+    """Gap-based sessionization: a new session starts when the time since the
+    key's previous event exceeds ``gap``. Returns one row per session:
+    ``(key, session_id, session_start, session_end, n)`` with 1-based
+    session numbering per key in ts order."""
+    gap = pd.Timedelta(gap)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+        )
+
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts], kind="mergesort")
+        brk = (g[ts].diff() > gap) | (g[key] != g[key].shift())
+        g = g.assign(session_id=brk.groupby(g[key]).cumsum().astype("int64"))
+        out = (
+            g.groupby([key, "session_id"], sort=False)
+            .agg(session_start=(ts, "min"), session_end=(ts, "max"), n=(ts, "size"))
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    from .aggregates import coalesce_small
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )

@@ -1,0 +1,68 @@
+"""M5 schema inference + CLI surface (build/convert — reference §3 parity)."""
+
+import gzip
+import json
+from pathlib import Path
+
+import pytest
+
+from cattle_ray.infer import infer_metadata, sniff_delimiter
+from cattle_ray.model import parse_nquads_lines
+
+FIX = Path(__file__).parent / "fixtures"
+
+
+def test_sniff_semicolon():
+    lines = open(FIX / "imf.csv").readlines()
+    assert sniff_delimiter(lines) == ";"
+
+
+def test_infer_imf_metadata():
+    meta = infer_metadata(str(FIX / "imf.csv"))
+    assert meta["dialect"]["delimiter"] == ";"
+    cols = {c["name"]: c for c in meta["tableSchema"]["columns"]}
+    assert cols["Rank"]["datatype"] == "xsd:integer"
+    assert cols["Country"]["datatype"] == "xsd:string"
+    assert cols["Int"]["datatype"] == "xsd:decimal"
+    assert cols["Int"]["csvw:format"] == {"groupChar": ","}
+    assert "{_row}" in meta["aboutUrl"]
+
+
+def test_infer_then_convert_roundtrips(ray_session, tmp_path):
+    """build → convert on the inferred template: output re-parses and emits
+    one triple per non-null cell (the src/cattle.py:308-311 validity gate)."""
+    from cattle_ray.pipelines.kg import csv_to_nquads
+
+    meta = infer_metadata(str(FIX / "imf.csv"))
+    triples, lines = csv_to_nquads(str(FIX / "imf.csv"), meta, "https://g/run")
+    nq = lines.to_pandas()["line"].tolist()
+    back = parse_nquads_lines(nq)
+    assert back.num_rows == 8 * 3
+
+
+def test_cli_build_and_convert(ray_session, tmp_path):
+    from cattle_ray.cli import main
+
+    csv = tmp_path / "imf.csv"
+    csv.write_text((FIX / "imf.csv").read_text())
+    main(["build", str(csv)])
+    meta_path = tmp_path / "imf-metadata.json"
+    assert meta_path.exists()
+    json.load(open(meta_path))
+
+    out = tmp_path / "out.nq.gz"
+    main(["convert", str(csv), str(meta_path), "--zip", "--out", str(out)])
+    payload = gzip.decompress(out.read_bytes()).decode()
+    assert parse_nquads_lines(payload.splitlines()).num_rows == 24
+
+
+def test_cli_unknown_format_exits_65(ray_session, tmp_path):
+    from cattle_ray.cli import main
+
+    csv = tmp_path / "x.csv"
+    csv.write_text("a,b\n1,2\n")
+    meta = tmp_path / "m.json"
+    main(["build", str(csv), "--out", str(meta)])
+    with pytest.raises(SystemExit) as e:
+        main(["convert", str(csv), str(meta), "--output-format", "nope"])
+    assert e.value.code == 65

@@ -1,0 +1,86 @@
+"""Co-partitioned joins (hash/as-of) and sessionization vs pandas oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.RandomState(3)
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(200),
+            "k": rng.randint(0, 20, 200),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 10000, 200), "m"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k2": rng.randint(0, 25, 60),
+            "rts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 10000, 60), "m"),
+            "val": rng.randn(60),
+        }
+    )
+    return left, right
+
+
+def test_hash_join_matches_pandas(ray_session, frames):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import hash_join
+
+    left, right = frames
+    out = hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "k2").to_pandas()
+    want = left.merge(right, left_on="k", right_on="k2", suffixes=("", "_r"))
+    key = ["event_id", "k2", "rts"]
+    assert (
+        out.sort_values(key + ["val"]).reset_index(drop=True)[key].equals(
+            want.sort_values(key + ["val"]).reset_index(drop=True)[key]
+        )
+    )
+    assert len(out) == len(want)
+
+
+def test_asof_join_matches_pandas(ray_session, frames):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import asof_join
+
+    left, right = frames
+    out = asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="ts", right_on="rts", left_by="k", right_by="k2",
+    ).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("rts", kind="mergesort"),
+        left_on="ts", right_on="rts", left_by="k", right_by="k2",
+        direction="backward", suffixes=("", "_r"),
+    )
+    o = out.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(o["rts"], w["rts"])
+    assert len(o) == len(left)
+
+
+def test_sessionize_gap_rule(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import sessionize
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:30", "2024-01-01 02:00",
+                 "2024-01-01 02:30", "2024-01-01 00:00", "2024-01-02 00:00"]
+            ),
+        }
+    )
+    out = sessionize(rd.from_pandas(df), gap="1h").to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    assert u1["n"].tolist() == [2, 2]
+    u2 = out[out["user_id"] == 2].sort_values("session_id")
+    assert u2["n"].tolist() == [1, 1]
+    assert u1["session_id"].tolist() == [1, 2]
