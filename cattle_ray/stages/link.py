@@ -180,41 +180,50 @@ class CandidateGenerator:
 
 
 def link_large_dict(mentions_ds, aliases_ds, num_buckets: int = 64):
-    """J2: co-partitioned hash join for alias dictionaries too large to
-    broadcast. Both sides gain ``_bucket = hash(alias_norm) % B``; matching
-    buckets join pairwise inside ``map_groups`` (the guide's portable
-    partitioned hash-join pattern). Hot aliases can be salted into
-    sub-buckets by raising ``num_buckets``.
-    """
-    import pandas as pd
+    """J2: co-partitioned join for alias dictionaries too large to broadcast
+    (the T3b scale path; switch at BROADCAST_MAX_ALIASES). Both sides are
+    hash-partitioned on a numeric alias key and joined per bucket by the
+    generic co-partitioned :func:`cattle_ray.stages.joins.hash_join` — ONE
+    shuffle, neither side ever materialized on the driver. Hot aliases can
+    be salted into sub-buckets by raising ``num_buckets``."""
+    import pyarrow as _pa
 
-    def add_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.copy()
-        key = df["alias_norm"] if "alias_norm" in df else df["alias"].map(normalize_alias)
-        df["alias_norm"] = key
-        df["_bucket"] = key.map(lambda s: hash_bucket(s, num_buckets))
-        return df
+    from .joins import hash_join
 
-    m = mentions_ds.map_batches(add_bucket, batch_format="pandas")
-    a = aliases_ds.map_batches(add_bucket, batch_format="pandas")
+    def norm_mentions(batch: _pa.Table) -> _pa.Table:
+        if "alias_norm" in batch.column_names:
+            return batch
+        norms = [normalize_alias(a) for a in batch["mention"].to_pylist()]
+        return batch.append_column("alias_norm", _pa.array(norms, _pa.string()))
 
-    a_by_bucket: dict[int, "pd.DataFrame"] = {}
-    for part in a.iter_batches(batch_format="pandas"):
-        for bkt, grp in part.groupby("_bucket"):
-            a_by_bucket[bkt] = pd.concat([a_by_bucket.get(bkt, pd.DataFrame()), grp])
-    import ray
+    def norm_aliases(batch: _pa.Table) -> _pa.Table:
+        norms = [normalize_alias(a) for a in batch["alias"].to_pylist()]
+        out = batch.append_column("alias_key", _pa.array(norms, _pa.string()))
+        return out.append_column(
+            "_akey", _pa.array([hash_bucket(n, 1 << 30) for n in norms], _pa.int64())
+        )
 
-    refs = {bkt: ray.put(df) for bkt, df in a_by_bucket.items()}
+    def add_mkey(batch: _pa.Table) -> _pa.Table:
+        return batch.append_column(
+            "_akey",
+            _pa.array(
+                [hash_bucket(n, 1 << 30) for n in batch["alias_norm"].to_pylist()],
+                _pa.int64(),
+            ),
+        )
 
-    def join_group(df: "pd.DataFrame") -> "pd.DataFrame":
-        bkt = int(df["_bucket"].iloc[0])
-        side = ray.get(refs[bkt]) if bkt in refs else None
-        if side is None:
-            return df.head(0).assign(entity_uri=pd.Series(dtype=str), prior=pd.Series(dtype=float))
-        out = df.merge(side[["alias_norm", "entity_uri", "prior"]], on="alias_norm", how="inner")
-        return out.drop(columns=["_bucket"])
-
-    return m.groupby("_bucket").map_groups(join_group, batch_format="pandas")
+    m = mentions_ds.map_batches(norm_mentions, batch_format="pyarrow").map_batches(
+        add_mkey, batch_format="pyarrow"
+    )
+    a = aliases_ds.map_batches(norm_aliases, batch_format="pyarrow")
+    joined = hash_join(m, a, "_akey", "_akey", num_buckets=num_buckets)
+    # crc collisions across distinct aliases: verify string equality
+    return joined.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["alias_norm"], b["alias_key"])
+        ).drop_columns([c for c in ("_akey", "_akey_r", "alias_key") if c in b.column_names]),
+        batch_format="pyarrow",
+    )
 
 
 def hash_bucket(s: str, num_buckets: int) -> int:

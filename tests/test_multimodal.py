@@ -1,0 +1,63 @@
+"""Multimodal plumbing: deterministic codec stub, actor decode stage,
+byte-budget batching, frame sampling."""
+
+import pyarrow as pa
+import pytest
+
+from cattle_ray.stages.multimodal import (
+    FrameSampler,
+    ImageDecoder,
+    add_fake_images,
+    decode_fake_image,
+    encode_fake_image,
+    rows_for_byte_budget,
+)
+
+
+def test_codec_roundtrip_deterministic():
+    a = encode_fake_image(64, 48, 3, seed=7)
+    b = encode_fake_image(64, 48, 3, seed=7)
+    assert a == b
+    meta = decode_fake_image(a)
+    assert (meta["width"], meta["height"], meta["channels"]) == (64, 48, 3)
+    assert meta["n_bytes"] == len(a)
+
+
+def test_decoder_stage_drops_binary():
+    batch = add_fake_images(pa.table({"doc_id": [1, 2, 3]}))
+    out = ImageDecoder()(batch)
+    assert "image" not in out.column_names
+    assert out["width"].to_pylist() == [64 + 1, 64 + 2, 64 + 3]
+    assert out["features"].type.list_size == 8
+
+
+def test_pil_backend_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        ImageDecoder(backend="pil")
+
+
+def test_frame_sampler_flatmap():
+    out = FrameSampler(every_k=10)(
+        pa.table({"clip_id": [1, 2], "n_frames": [25, 5]})
+    )
+    assert out["clip_id"].to_pylist() == [1, 1, 1, 2]
+    assert out["frame_idx"].to_pylist() == [0, 10, 20, 0]
+
+
+def test_byte_budget():
+    assert rows_for_byte_budget(1 << 20, 64 << 20) == 64
+    assert rows_for_byte_budget(0) >= 1
+
+
+def test_decode_in_ray_pipeline(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(40))})).repartition(4)
+    out = (
+        ds.map_batches(add_fake_images, batch_format="pyarrow")
+        .map_batches(ImageDecoder, batch_format="pyarrow", concurrency=2,
+                     batch_size=rows_for_byte_budget(4200, 1 << 20))
+        .to_pandas()
+    )
+    assert len(out) == 40
+    assert out["payload_crc"].nunique() > 1
