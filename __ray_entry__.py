@@ -502,6 +502,45 @@ def q_orders_customer_hashjoin(sf_dir: str):
     )
 
 
+def q_doc_train_split(sf_dir: str):
+    """Deterministic hash-based train/val split (O3-adjacent: reproducible
+    sampling for training pipelines — split is a pure function of the id,
+    stable at any parallelism, no RNG state)."""
+
+    def split(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296) % np.uint64(100)
+        lab = np.where(h < 90, "train", "val")
+        return pa.table({"doc_id": b["doc_id"], "split": pa.array(lab.tolist(), pa.string())})
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(split, batch_format="pyarrow")
+
+
+def q_events_top_per_user(sf_dir: str):
+    """Per-key top-k (grouped window): each user's 3 highest-value events,
+    deterministic tie-break on event_id. Bucketed groupby + vectorized
+    per-bucket head (no per-key UDF calls)."""
+    from cattle_ray.stages.aggregates import coalesce_small
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"], rows_per_block=20000)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.append_column("_bucket", pa.array((k.astype(np.int64) % 32)))
+
+    def topk(g):
+        g = g.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby("user_id", sort=False).head(3)
+        return out[["event_id", "user_id", "value"]]
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -548,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
         "events_top_users": q_events_top_users,
+        "events_top_per_user": q_events_top_per_user,
+        "doc_train_split": q_doc_train_split,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "nation_region": q_nation_region,
@@ -708,6 +749,19 @@ def oracle_sql() -> dict[str, str]:
         "events_top_users": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "events_top_per_user": """
+            SELECT event_id, user_id, value FROM (
+              SELECT event_id, user_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) WHERE rn <= 3
+        """,
+        "doc_train_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM documents
         """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
