@@ -48,16 +48,22 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
     )
 
-    def write_group(g: pd.DataFrame) -> pd.DataFrame:
-        pid = int(g["part_id"].iloc[0])
-        g = g.sort_values(["subj", "pred", "obj"], kind="mergesort").drop(columns=["part_id"])
+    def write_group(g: pa.Table) -> pa.Table:
+        # pure-Arrow path: zero pandas round-trip on the full triple payload
+        pid = int(g["part_id"][0].as_py())
+        g = g.drop_columns(["part_id"]).sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
         pdir = os.path.join(out_dir, f"part_id={pid}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         dst = os.path.join(pdir, "data.parquet")
-        pa.parquet.write_table(pa.Table.from_pandas(g, preserve_index=False), tmp)
+        pa.parquet.write_table(g, tmp)
         os.replace(tmp, dst)
-        return pd.DataFrame({"part_id": [pid], "n_triples": [len(g)], "path": [dst]})
+        return pa.table(
+            {"part_id": pa.array([pid]), "n_triples": pa.array([g.num_rows]),
+             "path": pa.array([dst])}
+        )
 
-    manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pandas")
+    manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
     return manifest.to_pandas()

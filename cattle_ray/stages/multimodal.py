@@ -90,6 +90,66 @@ class ImageDecoder:
         return pa.table(cols)
 
 
+MAGIC_AUDIO = b"CRAU"
+_AUDIO_HDR = struct.Struct(">4sIH")  # magic, n_samples, sample_rate/100
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int = 16000, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed & 0x7FFFFFFF)
+    payload = rng.randint(-128, 128, size=min(n_samples, 2048), dtype=np.int8).tobytes()
+    return _AUDIO_HDR.pack(MAGIC_AUDIO, n_samples, sample_rate // 100) + payload
+
+
+def decode_fake_audio(buf: bytes) -> dict:
+    magic, n_samples, sr = _AUDIO_HDR.unpack_from(buf, 0)
+    if magic != MAGIC_AUDIO:
+        raise ValueError("not a CRAU payload")
+    return {
+        "n_samples": int(n_samples),
+        "sample_rate": int(sr) * 100,
+        "duration_s": n_samples / (sr * 100.0),
+        "n_bytes": len(buf),
+    }
+
+
+class AudioFeaturizer:
+    """Actor-pool audio stage: ``audio:binary`` → duration/rate metadata +
+    deterministic fake feature frames (one row per 1-second window — the
+    flat-map shape a real fbank/MFCC extractor has). ``backend="torchaudio"``
+    is the marked seam for a real decoder."""
+
+    def __init__(self, backend: str = "fake", frame_dim: int = 4):
+        if backend != "fake":
+            raise NotImplementedError(
+                "audio codecs not available in this environment; plug a real "
+                "decoder here (same __call__ contract)"
+            )
+        self.frame_dim = frame_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        bufs = batch["audio"].to_pylist()
+        out_id, out_frame, out_feat = [], [], []
+        for cid, buf in zip(ids, bufs):
+            if not buf:
+                continue
+            meta = decode_fake_audio(buf)
+            n_frames = max(1, int(meta["duration_s"]))
+            rng = np.random.RandomState((zlib.crc32(buf) ^ n_frames) & 0x7FFFFFFF)
+            feats = rng.rand(n_frames, self.frame_dim)
+            for f in range(n_frames):
+                out_id.append(cid)
+                out_frame.append(f)
+                out_feat.append(feats[f].tolist())
+        return pa.table(
+            {
+                "clip_id": pa.array(out_id),
+                "frame_idx": pa.array(out_frame, pa.int32()),
+                "features": pa.array(out_feat, pa.list_(pa.float32(), self.frame_dim)),
+            }
+        )
+
+
 class FrameSampler:
     """Video frame-sampling plumbing (deterministic stub): emits every k-th
     'frame index' row per clip — the flat-map/actor shape a real ffmpeg

@@ -44,6 +44,31 @@ def test_frame_sampler_flatmap():
     assert out["frame_idx"].to_pylist() == [0, 10, 20, 0]
 
 
+def test_audio_featurizer_flatmap():
+    from cattle_ray.stages.multimodal import AudioFeaturizer, encode_fake_audio
+
+    batch = pa.table(
+        {
+            "clip_id": [1, 2],
+            "audio": [encode_fake_audio(48000, 16000, seed=1),
+                      encode_fake_audio(16000, 16000, seed=2)],
+        }
+    )
+    out = AudioFeaturizer()(batch)
+    # 3s clip → 3 frames; 1s clip → 1 frame
+    assert out["clip_id"].to_pylist() == [1, 1, 1, 2]
+    assert out["features"].type.list_size == 4
+    out2 = AudioFeaturizer()(batch)
+    assert out["features"].to_pylist() == out2["features"].to_pylist()
+
+
+def test_audio_real_backend_is_stub():
+    from cattle_ray.stages.multimodal import AudioFeaturizer
+
+    with pytest.raises(NotImplementedError):
+        AudioFeaturizer(backend="torchaudio")
+
+
 def test_byte_budget():
     assert rows_for_byte_budget(1 << 20, 64 << 20) == 64
     assert rows_for_byte_budget(0) >= 1
