@@ -82,8 +82,16 @@ class KgStage:
                  langs: tuple = ("en",)):
         self.langs = tuple(langs)
         self.table_convert = TableConvert(templates, graph)
-        self.openie = OpenIEExtract(rules=openie_rules, graph=graph)
-        self.linker = EntityLinker(alias_index) if alias_index is not None else None
+        # entity linking fused INTO extraction (alias_index given to OpenIE):
+        # spans link via one dict hit instead of quote→mention-URI→unquote;
+        # the standalone EntityLinker still covers mention URIs arriving from
+        # other channels (none in this pipeline, so it is skipped).
+        import ray
+
+        if alias_index is not None and isinstance(alias_index, ray.ObjectRef):
+            alias_index = ray.get(alias_index)
+        self.openie = OpenIEExtract(rules=openie_rules, graph=graph,
+                                    alias_index=alias_index)
         self.canon = Canonicalizer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -91,8 +99,6 @@ class KgStage:
         parts = [self.table_convert(batch), self.openie(batch)]  # D4 union
         triples = pa.concat_tables([p for p in parts if p.num_rows] or
                                    [TRIPLE_SCHEMA.empty_table()])
-        if self.linker is not None:
-            triples = self.linker(triples)
         return self.canon(triples)
 
 

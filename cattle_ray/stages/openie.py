@@ -54,11 +54,26 @@ class OpenIEExtract:
     """
 
     def __init__(self, rules=None, graph: str = "", text_col: str = "text",
-                 url_col: str = "url"):
+                 url_col: str = "url", alias_index=None):
         self.rules = [(re.compile(rx), pred) for rx, pred in (rules or DEFAULT_RULES)]
         self.graph = graph
         self.text_col = text_col
         self.url_col = url_col
+        # optional inline entity linking (T3 fused into M8): spares the
+        # quote→unquote round trip through mention URIs when both stages run
+        # in the same actor (see pipelines.kg.KgStage)
+        self.alias_index = alias_index
+
+    def _span_uri(self, span: str, cache: dict) -> str:
+        uri = cache.get(span)
+        if uri is None:
+            if self.alias_index is not None:
+                cands = self.alias_index.get(" ".join(span.lower().split()))
+                uri = cands[0][0] if cands else mention_uri(span)
+            else:
+                uri = mention_uri(span)
+            cache[span] = uri
+        return uri
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -67,6 +82,7 @@ class OpenIEExtract:
             if self.url_col in batch.column_names
             else [None] * len(texts)
         )
+        cache: dict = {}
         subj, pred, obj, is_iri, src = [], [], [], [], []
         for text, url in zip(texts, urls):
             if not text:
@@ -78,10 +94,10 @@ class OpenIEExtract:
                     o_span = g.get("o")
                     if s_span is None:
                         continue
-                    subj.append(mention_uri(s_span))
+                    subj.append(self._span_uri(s_span, cache))
                     pred.append(p)
                     if o_span is not None and o_span[:1].isupper():
-                        obj.append(mention_uri(o_span))
+                        obj.append(self._span_uri(o_span, cache))
                         is_iri.append(True)
                     else:
                         obj.append(o_span if o_span is not None else s_span)
