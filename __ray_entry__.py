@@ -541,6 +541,21 @@ def q_events_top_per_user(sf_dir: str):
     )
 
 
+def q_events_value_quantiles(sf_dir: str):
+    """Exact distributed quantiles (2-pass histogram selection, no global
+    sort) — DuckDB quantile_disc semantics."""
+    from cattle_ray.stages.quantiles import quantile_disc
+
+    ds = _read(sf_dir, "events", ["value"], rows_per_block=20000)
+    qd = quantile_disc(ds, "value", [0.25, 0.5, 0.75, 0.9])
+    return pa.table(
+        {
+            "q": pa.array([0.25, 0.5, 0.75, 0.9], pa.float64()),
+            "value": pa.array([qd[0.25], qd[0.5], qd[0.75], qd[0.9]], pa.float64()),
+        }
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -589,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": q_events_top_users,
         "events_top_per_user": q_events_top_per_user,
         "doc_train_split": q_doc_train_split,
+        "events_value_quantiles": q_events_value_quantiles,
         "lineitem_agg": q_lineitem_agg,
         "orders_by_segment": q_orders_by_segment,
         "nation_region": q_nation_region,
@@ -756,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "events_value_quantiles": """
+            SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events
+            UNION ALL SELECT 0.5, quantile_disc(value, 0.5) FROM events
+            UNION ALL SELECT 0.75, quantile_disc(value, 0.75) FROM events
+            UNION ALL SELECT 0.9, quantile_disc(value, 0.9) FROM events
         """,
         "doc_train_split": """
             SELECT doc_id,
