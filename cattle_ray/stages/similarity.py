@@ -84,6 +84,62 @@ def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def ivf_build(ds, out_dir: str, n_clusters: int = 16, sample_size: int = 2048,
+              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):
+    """Build a persisted IVF index: assign every vector to its nearest
+    centroid inside ``map_batches`` and write Parquet partitioned by
+    ``centroid_id`` (one directory per centroid). Queries then PRUNE AT THE
+    READ: only the ``nprobe`` closest centroid directories are opened —
+    at 100 TB this is the difference between scanning everything and
+    scanning nprobe/n_clusters of it. Returns the centroid matrix (also
+    persisted to ``centroids.npy``)."""
+    import os
+
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()
+    cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        vecs = _unit(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        a = (vecs @ c.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("centroid_id", pa.array(a))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["centroid_id"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    return cent
+
+
+def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+              id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Query a persisted IVF index reading ONLY the nprobe nearest centroid
+    partitions (directory-level pruning — nothing else leaves storage)."""
+    import os
+
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    q_unit = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]
+    dirs = sorted({int(c) for row in probe for c in row})
+    paths = []
+    for c in dirs:
+        pdir = os.path.join(index_dir, f"centroid_id={c}")
+        if os.path.isdir(pdir):
+            paths.extend(
+                os.path.join(pdir, f)
+                for f in sorted(os.listdir(pdir))
+                if f.endswith(".parquet")
+            )
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_brute_force(ds, queries, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             nprobe: int = 4, sample_size: int = 2048,
             id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):

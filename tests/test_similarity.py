@@ -33,6 +33,32 @@ def test_brute_force_matches_numpy(vec_ds):
         assert got == order.tolist()
 
 
+def test_ivf_persisted_index_prunes_reads(vec_ds, tmp_path):
+    """ivf_build writes centroid-partitioned parquet; ivf_query opens only
+    nprobe partition dirs and still recovers most true neighbors."""
+    import os
+
+    import numpy as np
+
+    from cattle_ray.stages.similarity import ivf_build, ivf_query, knn_brute_force
+
+    ds, _ = vec_ds
+    idx_dir = str(tmp_path / "ivf")
+    cent = ivf_build(ds, idx_dir, n_clusters=8)
+    assert cent.shape[0] == 8
+    part_dirs = [d for d in os.listdir(idx_dir) if d.startswith("centroid_id=")]
+    assert len(part_dirs) >= 2  # really partitioned on disk
+
+    rng = np.random.RandomState(4)
+    q = rng.randn(2, 16)
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    approx = ivf_query(idx_dir, q, k=10, nprobe=4).to_pandas()
+    for qi in range(2):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5
+
+
 def test_ivf_recall(vec_ds):
     from cattle_ray.stages.similarity import knn_brute_force, knn_ivf
 
