@@ -55,10 +55,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_openie",
         "kg_mentions",
         "doc_minhash_pairs",
+        "doc_simhash_pairs",
+        "doc_dedup",
         "doc_token_count",
+        "doc_quality",
         "embed_knn",
+        "embed_neardup",
         "events_hourly",
+        "events_sessionize",
+        "events_asof_orders",
+        "events_value_quantiles",
+        "orders_customer_hashjoin",
         "lineitem_agg",
+        "multimodal_decode",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -99,6 +99,15 @@ def test_table_extraction_inverse_property(rows):
     assert extract_tables_bytes(html) == [tbl]
 
 
+@given(st.text(alphabet=string.printable.replace("\n", "").replace("\r", ""), max_size=50))
+@settings(max_examples=100, deadline=None)
+def test_canonical_uri_idempotent(s):
+    from cattle_ray.stages.link import canonical_uri
+
+    once = canonical_uri(s)
+    assert canonical_uri(once) == once
+
+
 @given(table_and_template())
 @settings(max_examples=20, deadline=None)
 def test_dedup_idempotent(tt):
