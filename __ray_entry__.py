@@ -186,6 +186,14 @@ def q_kg_pred_freq(sf_dir: str):
     return salted_group_count(q_kg_csvw_triples(sf_dir), ["pred"])
 
 
+def q_kg_subject_degree(sf_dir: str):
+    """G2 hub-entity detection: per-subject triple counts (salted two-stage
+    so a hub subject can never overload one reducer)."""
+    from cattle_ray.stages.aggregates import salted_group_count
+
+    return salted_group_count(q_kg_csvw_triples(sf_dir), ["subj"])
+
+
 def q_kg_pipeline(sf_dir: str):
     """Flagship: full chain incl. union, linking, canonicalize, dedup (D2/D4).
     Not SQL-expressible end-to-end → rows-only check (pytest covers P/R)."""
@@ -556,6 +564,21 @@ def q_events_value_quantiles(sf_dir: str):
     )
 
 
+def q_lineitem_part_join(sf_dir: str):
+    """Native Ray Data hash-partitioned join (Dataset.join) on two fact-sized
+    sides; falls back to the portable co-partitioned join on older Ray."""
+    from cattle_ray.stages.joins import native_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"],
+               rows_per_block=100000)
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"], rows_per_block=50000)
+    out = native_join(li, part, "l_partkey", "p_partkey", num_partitions=16)
+    return out.map_batches(
+        lambda b: b.select(["l_orderkey", "l_linenumber", "l_partkey", "p_name"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -585,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": q_kg_mentions,
         "kg_canonicalize": q_kg_canonicalize,
         "kg_pred_freq": q_kg_pred_freq,
+        "kg_subject_degree": q_kg_subject_degree,
         "kg_pipeline": q_kg_pipeline,
         "doc_dedup": q_doc_dedup,
         "doc_token_count": q_doc_token_count,
@@ -601,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
+        "lineitem_part_join": q_lineitem_part_join,
         "events_top_users": q_events_top_users,
         "events_top_per_user": q_events_top_per_user,
         "doc_train_split": q_doc_train_split,
@@ -675,6 +700,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kg_pred_freq": _TRIPLE_BASE_CTE
         + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
+        "kg_subject_degree": _TRIPLE_BASE_CTE
+        + "SELECT subj, count(*) AS n FROM triples GROUP BY subj",
         "doc_dedup": (
             "SELECT min(doc_id) AS doc_id, lang, source FROM documents "
             "GROUP BY lang, source"
@@ -756,6 +783,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_customer_hashjoin": """
             SELECT o_orderkey, o_custkey, c_mktsegment
             FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "lineitem_part_join": """
+            SELECT l_orderkey, l_linenumber, l_partkey, p_name
+            FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

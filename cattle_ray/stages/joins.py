@@ -95,6 +95,19 @@ def _split_sides(g: pd.DataFrame, left_side, right_side):
     return l, r
 
 
+def native_join(left_ds, right_ds, left_on: str, right_on: str,
+                how: str = "inner", num_partitions: int = 32):
+    """Ray Data's built-in hash-partitioned ``Dataset.join`` (available in
+    this Ray version — checked via hasattr per the guide), with fallback to
+    our portable co-partitioned :func:`hash_join` on older releases."""
+    if hasattr(left_ds, "join"):
+        return left_ds.join(
+            right_ds, how, num_partitions, on=(left_on,), right_on=(right_on,)
+        )
+    return hash_join(left_ds, right_ds, left_on, right_on, how=how,
+                     num_buckets=num_partitions)
+
+
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
               num_buckets: int = 32):
     """Co-partitioned equi join. Column collisions follow pandas suffix rules
