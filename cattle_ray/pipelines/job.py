@@ -57,7 +57,7 @@ def run_kg_job(
     ``fail_after`` kills the job after k newly-committed partitions (the
     SURVEY.md §5.2-4 resume test hook). Returns rows committed THIS run.
     """
-    from ..pages import pages_dataset
+    from ..pages import gen_pages_batch  # noqa: F401 (partition materializer)
     from .kg import build_triples
 
     os.makedirs(out_dir, exist_ok=True)

@@ -12,7 +12,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 
 def _partial(batch: pa.Table, keys: list[str]) -> pa.Table:

@@ -11,7 +11,7 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
