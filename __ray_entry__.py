@@ -194,6 +194,31 @@ def q_kg_subject_degree(sf_dir: str):
     return salted_group_count(q_kg_csvw_triples(sf_dir), ["subj"])
 
 
+def q_kg_entity_cooccurrence(sf_dir: str):
+    """Graph query over the materialized triples: subjects sharing an entity
+    (2-hop co-occurrence) via a self equi-join on the object column — the
+    access pattern the subject-partitioned adjacency layout serves."""
+    from cattle_ray.stages.joins import native_join
+
+    ent = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity")).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    )
+    right = ent.map_batches(
+        lambda b: b.rename_columns(["subj_b", "obj_b"]), batch_format="pyarrow"
+    )
+    joined = native_join(ent, right, "obj", "obj_b", num_partitions=8)
+
+    def finish(b: pa.Table) -> pa.Table:
+        m = pc.less(b["subj"], b["subj_b"])
+        t = b.filter(m)
+        return pa.table(
+            {"subj_a": t["subj"], "subj_b": t["subj_b"], "entity": t["obj"]}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def q_kg_pipeline(sf_dir: str):
     """Flagship: full chain incl. union, linking, canonicalize, dedup (D2/D4).
     Not SQL-expressible end-to-end → rows-only check (pytest covers P/R)."""
@@ -609,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonicalize": q_kg_canonicalize,
         "kg_pred_freq": q_kg_pred_freq,
         "kg_subject_degree": q_kg_subject_degree,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "kg_pipeline": q_kg_pipeline,
         "doc_dedup": q_doc_dedup,
         "doc_token_count": q_doc_token_count,
@@ -702,6 +728,12 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
         "kg_subject_degree": _TRIPLE_BASE_CTE
         + "SELECT subj, count(*) AS n FROM triples GROUP BY subj",
+        "kg_entity_cooccurrence": _TRIPLE_BASE_CTE + """
+            , ent AS (SELECT subj, obj FROM triples
+                      WHERE pred = 'https://example.org/def/entity')
+            SELECT a.subj AS subj_a, b.subj AS subj_b, a.obj AS entity
+            FROM ent a JOIN ent b ON a.obj = b.obj AND a.subj < b.subj
+        """,
         "doc_dedup": (
             "SELECT min(doc_id) AS doc_id, lang, source FROM documents "
             "GROUP BY lang, source"
