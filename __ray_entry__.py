@@ -220,17 +220,23 @@ def q_kg_entity_cooccurrence(sf_dir: str):
 
 
 def q_kg_pipeline(sf_dir: str):
-    """Flagship: full chain incl. union, linking, canonicalize, dedup (D2/D4).
-    Not SQL-expressible end-to-end → rows-only check (pytest covers P/R)."""
+    """Flagship: full chain — extract → [CSVW tables ∪ OpenIE] → link →
+    canonicalize → dedup (D2/D4). Oracle: DISTINCT over the SQL union of both
+    channels (word-salad spans have no alias entry, so linking and
+    canonicalization are identity on this corpus — which makes the END-TO-END
+    pipeline SQL-checkable; the linking/canonicalization behaviors are
+    oracle-checked separately via kg_mentions / kg_canonicalize and
+    golden-tested in pytest)."""
     from cattle_ray.pipelines.kg import build_triples
 
-    return build_triples(
+    triples = build_triples(
         _pages(sf_dir),
         graph=GRAPH,
         templates=DOC_TEMPLATES,
         openie_rules=SALAD_RULES,
         langs=("en", "de", "fr", "es", "zh"),
     )
+    return triples.map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
 
 
 def q_doc_dedup(sf_dir: str):
@@ -728,6 +734,21 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT pred, count(*) AS n FROM triples GROUP BY pred",
         "kg_subject_degree": _TRIPLE_BASE_CTE
         + "SELECT subj, count(*) AS n FROM triples GROUP BY subj",
+        "kg_pipeline": _TRIPLE_BASE_CTE + r"""
+            , openie AS (
+              SELECT 'https://example.org/mention/' || pair[1] AS subj,
+                     'https://example.org/def/joins' AS pred,
+                     pair[2] AS obj, FALSE AS obj_is_iri,
+                     CAST(NULL AS VARCHAR) AS obj_datatype,
+                     CAST(NULL AS VARCHAR) AS obj_lang
+              FROM (
+                SELECT unnest(list_zip(
+                         regexp_extract_all(text, '(\w+) join (\w+)', 1),
+                         regexp_extract_all(text, '(\w+) join (\w+)', 2))) AS pair
+                FROM documents))
+            SELECT DISTINCT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+            FROM (SELECT * FROM triples UNION ALL SELECT * FROM openie)
+        """,
         "kg_entity_cooccurrence": _TRIPLE_BASE_CTE + """
             , ent AS (SELECT subj, obj FROM triples
                       WHERE pred = 'https://example.org/def/entity')
