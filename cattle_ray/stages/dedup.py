@@ -104,6 +104,7 @@ _MERSENNE = (1 << 61) - 1
 def _perm_params(k: int = MINHASH_K, seed: int = 42):
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)  # odd multiplier → bijection in the mod-2^64 ring
     b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
     return a, b
 
@@ -111,117 +112,228 @@ def _perm_params(k: int = MINHASH_K, seed: int = 42):
 _PERM_A, _PERM_B = _perm_params()
 
 
-def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → uint64 hashes (crc32 pairs; C-speed per shingle)."""
+_P1 = np.uint64(11400714819323198485)  # odd 64-bit mixing constants
+_P2 = np.uint64(14029467366897019727)
+_P3 = np.uint64(1609587929392839161)
+
+
+def _token_hashes(toks: list, cache: dict | None = None) -> np.ndarray:
+    """Per-token 64-bit hashes with an optional cross-call cache (vocabulary
+    repeats heavily; the cache turns most lookups into dict hits)."""
+    if cache is None:
+        cache = {}
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            b = t.encode()
+            h = zlib.crc32(b) | (zlib.crc32(b[::-1]) << 32)
+            cache[t] = h
+        out[i] = h
+    return out
+
+
+def shingle_hashes(text: str, n: int = 3, _cache: dict | None = None) -> np.ndarray:
+    """Word n-gram shingles → uint64 hashes. Tokens are hashed once (cached),
+    n-gram hashes are a vectorized positional mix of the token hashes —
+    no per-gram string building or hashing."""
     toks = text.split()
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    if not grams:
+    if not toks:
         return np.zeros(0, dtype=np.uint64)
-    out = np.fromiter(
-        (zlib.crc32(g.encode()) | (zlib.crc32(g.encode()[::-1]) << 32) for g in grams),
-        dtype=np.uint64,
-        count=len(grams),
-    )
-    return np.unique(out)
+    th = _token_hashes(toks, _cache)
+    if len(toks) < n:
+        combined = np.uint64(0)
+        for i, h in enumerate(th):
+            combined ^= h * (_P1 if i % 3 == 0 else _P2 if i % 3 == 1 else _P3)
+        return np.unique(np.array([combined], dtype=np.uint64))
+    # rolling positional mix over a sliding window of n token hashes
+    k = len(toks) - n + 1
+    acc = np.zeros(k, dtype=np.uint64)
+    muls = (_P1, _P2, _P3)
+    for j in range(n):
+        acc ^= th[j : j + k] * muls[j % 3]
+    return np.unique(acc)
 
 
 def minhash_signature(sh: np.ndarray) -> np.ndarray:
-    """(a*x+b) mod p permutation minima, vectorized over shingles × k."""
+    """(a*x+b) permutation minima (multiply-shift universal hashing in the
+    implicit mod-2^64 ring — no expensive uint64 modulo), vectorized over
+    shingles × k."""
     if sh.size == 0:
         return np.full(MINHASH_K, np.iinfo(np.uint64).max, dtype=np.uint64)
-    v = (_PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]) % _MERSENNE
-    return v.min(axis=1).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = _PERM_A[:, None] * sh[None, :] + _PERM_B[:, None]
+    return v.min(axis=1)
 
 
-class MinHashBands:
-    """Per-batch: text → minhash signature → LSH band rows
-    ``(id, band_id, band_hash, _bucket, sig)``. Signature kept (fixed-size
-    list col) so pair verification is a signature compare — no second text
-    pass. ``_bucket = (band_hash ^ band_id) % num_buckets`` is the
-    low-cardinality shuffle key (see :func:`dedup_exact` rationale)."""
+class MinHashSignatures:
+    """Per-batch: text → minhash signature, ONE row per doc
+    ``(id, sig: fixed_size_list<uint64, K>)``. Band rows are derived from
+    signatures downstream — the signature matrix is never duplicated
+    per band (32× payload amplification measured as the dominant cost of
+    the naive band-row layout)."""
 
-    def __init__(self, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3,
-                 num_buckets: int = 64):
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", ngram: int = 3):
         self.id_col, self.text_col, self.ngram = id_col, text_col, ngram
-        self.rows_per_band = MINHASH_K // LSH_BANDS
-        self.num_buckets = num_buckets
+        self._token_cache: dict = {}  # per-actor vocabulary hash cache
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
+        if len(self._token_cache) > 2_000_000:
+            self._token_cache.clear()  # bound actor heap on huge vocabularies
+        ids = batch[self.id_col]
         texts = batch[self.text_col].to_pylist()
-        n = len(ids)
-        r = self.rows_per_band
+        n = len(texts)
         sigs = np.empty((n, MINHASH_K), dtype=np.uint64)
         for j, t in enumerate(texts):
-            sigs[j] = minhash_signature(shingle_hashes(t or "", self.ngram))
-        # band hashes vectorized: crc32 per (doc, band) chunk
-        band_hash = np.empty((n, LSH_BANDS), dtype=np.uint32)
-        for j in range(n):
-            row = sigs[j]
-            for b in range(LSH_BANDS):
-                band_hash[j, b] = zlib.crc32(row[b * r : (b + 1) * r].tobytes())
-        out_id = np.repeat(np.asarray(ids), LSH_BANDS)
-        out_band = np.tile(np.arange(LSH_BANDS, dtype=np.int32), n)
-        out_bh = band_hash.reshape(-1)
-        bucket = ((out_bh.astype(np.uint64) ^ out_band.astype(np.uint64)) % self.num_buckets).astype(np.int64)
-        sig_rep = np.repeat(sigs, LSH_BANDS, axis=0)
+            sigs[j] = minhash_signature(
+                shingle_hashes(t or "", self.ngram, self._token_cache)
+            )
+        # binary payload (K×8 bytes) — avoids Ray's tensor-extension cast of
+        # fixed-size lists, which breaks across the join path
         return pa.table(
             {
-                "id": pa.array(out_id),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.uint32()),
-                "_bucket": pa.array(bucket),
-                "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig_rep.reshape(-1)), MINHASH_K
-                ),
+                "id": ids,
+                "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
             }
         )
 
 
-def _pairs_from_bucket(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Candidate pairs within one shuffle bucket: only rows whose
-    (band_id, band_hash) collides with another doc's are touched (vectorized
-    prefilter); the Python loop runs over colliding bands only."""
+def bands_from_sigs(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+    """(id, sig) → 32 tiny band rows per doc ``(id, band_id, band_hash,
+    _bucket)`` — no signature payload in the shuffle."""
+    n = len(batch)
+    r = MINHASH_K // LSH_BANDS
+    buf = b"".join(batch["sig"].to_pylist())
+    sigs = np.frombuffer(buf, dtype=np.uint64).reshape(n, MINHASH_K)
+    band_hash = np.empty((n, LSH_BANDS), dtype=np.uint32)
+    for j in range(n):
+        row = sigs[j]
+        for b in range(LSH_BANDS):
+            band_hash[j, b] = zlib.crc32(row[b * r : (b + 1) * r].tobytes())
+    ids = np.asarray(batch["id"].to_pylist())
+    out_id = np.tile(ids, LSH_BANDS)
+    out_band = np.repeat(np.arange(LSH_BANDS, dtype=np.int32), n)
+    out_bh = band_hash.T.reshape(-1).copy()
+    bucket = (
+        (out_bh.astype(np.uint64) ^ out_band.astype(np.uint64)) % num_buckets
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "id": pa.array(out_id),
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bh, pa.uint32()),
+            "_bucket": pa.array(bucket),
+        }
+    )
+
+
+def _candidate_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Candidate (a,b) pairs within one shuffle bucket: vectorized duplicate
+    prefilter, loop only over collided (band_id, band_hash) groups."""
     g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
     if g.empty:
-        return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-    a_out, b_out, j_out = [], [], []
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    a_out, b_out = [], []
     for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
-        grp = grp.drop_duplicates(subset=["id"]).sort_values("id", kind="mergesort")
-        n = len(grp)
-        if n < 2:
+        ids = np.sort(grp["id"].unique())
+        if len(ids) < 2:
             continue
-        sigs = np.stack(grp["sig"].to_numpy())
-        ids = grp["id"].to_numpy()
-        for i in range(n - 1):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for h in hit:
-                a_out.append(ids[i])
-                b_out.append(ids[i + 1 + h])
-                j_out.append(float(eq[h]))
-    return pd.DataFrame({"a": a_out, "b": b_out, "est_jaccard": j_out})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        a_out.extend(ids[ii].tolist())
+        b_out.extend(ids[jj].tolist())
+    return pd.DataFrame({"a": a_out, "b": b_out})
+
+
+def _verify_pairs_batch(batch, sa: np.ndarray, sb: np.ndarray, threshold: float):
+    est = (sa == sb).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "a": pa.array(np.asarray(batch["a"].to_pylist())[keep]),
+            "b": pa.array(np.asarray(batch["b"].to_pylist())[keep]),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
+
+
+_EMPTY_PAIRS = pa.table(
+    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+     "est_jaccard": pa.array([], pa.float64())}
+)
 
 
 def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngram=3,
-                        concurrency=4, num_buckets=64):
-    """MinHash+LSH near-dup candidate pairs (a<b) with estimated Jaccard."""
-    bands = ds.map_batches(
-        MinHashBands,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram,
-                                   num_buckets=num_buckets),
-        batch_format="pyarrow", concurrency=concurrency,
-    )
-    from .aggregates import coalesce_small
+                        concurrency=4, num_buckets=64,
+                        sig_broadcast_max: int = 100_000):
+    """MinHash+LSH near-dup pairs (a<b) with estimated Jaccard.
 
-    pairs = coalesce_small(bands).groupby("_bucket").map_groups(
-        lambda g: _pairs_from_bucket(g, threshold), batch_format="pandas"
+    Plan (signature data never duplicated 32× across the shuffle):
+      sigs  = one row per doc (id, sig bytes) — MATERIALIZED once (consumed
+              by three branches; laziness would recompute the minhash 3×)
+      bands = 32 payload-free rows per doc → ONE bucket groupby → candidate
+              pairs → exact dedup on (a, b)
+      verify: corpus ≤ ``sig_broadcast_max`` docs → sig dict broadcast via
+              ``ray.put``, verification inside one map_batches (no join);
+              bigger corpora → two co-partitioned joins pair↔sig. At extreme
+              scale, persist sigs to Parquet instead of materializing.
+    """
+    import ray
+
+    from .aggregates import coalesce_small
+    from .joins import hash_join
+
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()
+    bands = sigs.map_batches(
+        lambda b: bands_from_sigs(b, num_buckets), batch_format="pyarrow"
     )
-    # same pair can surface from several bands → exact dedup on (a,b)
-    return dedup_exact(pairs, ["a", "b"])
+    cand = coalesce_small(bands).groupby("_bucket").map_groups(
+        _candidate_pairs_from_bucket, batch_format="pandas"
+    )
+    cand = dedup_exact(cand, ["a", "b"])
+
+    if sigs.count() <= sig_broadcast_max:
+        sig_df = sigs.to_pandas()
+        sig_ref = ray.put(dict(zip(sig_df["id"], sig_df["sig"])))
+
+        class VerifyPairs:
+            def __init__(self):
+                self.sigs = ray.get(sig_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if len(batch) == 0:
+                    return _EMPTY_PAIRS
+                n = len(batch)
+                a = batch["a"].to_pylist()
+                b = batch["b"].to_pylist()
+                sa = np.frombuffer(b"".join(self.sigs[x] for x in a),
+                                   dtype=np.uint64).reshape(n, MINHASH_K)
+                sb = np.frombuffer(b"".join(self.sigs[x] for x in b),
+                                   dtype=np.uint64).reshape(n, MINHASH_K)
+                return _verify_pairs_batch(batch, sa, sb, threshold)
+
+        return cand.map_batches(VerifyPairs, batch_format="pyarrow", concurrency=2)
+
+    sig_a = sigs.map_batches(
+        lambda b: b.rename_columns(["a", "sig_a"]), batch_format="pyarrow"
+    )
+    sig_b = sigs.map_batches(
+        lambda b: b.rename_columns(["b", "sig_b"]), batch_format="pyarrow"
+    )
+    withs = hash_join(hash_join(cand, sig_a, "a", "a"), sig_b, "b", "b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY_PAIRS
+        n = len(batch)
+        sa = np.frombuffer(b"".join(batch["sig_a"].to_pylist()), dtype=np.uint64).reshape(n, MINHASH_K)
+        sb = np.frombuffer(b"".join(batch["sig_b"].to_pylist()), dtype=np.uint64).reshape(n, MINHASH_K)
+        return _verify_pairs_batch(batch, sa, sb, threshold)
+
+    return withs.map_batches(verify, batch_format="pyarrow")
 
 
 def connected_components(pairs_df: pd.DataFrame) -> dict:

@@ -55,9 +55,10 @@ def _with_bucket_and_tag(ds, key: str, tag: int, num_buckets: int,
 
 def _combined_schema(left_ds, right_ds) -> "pa.Schema":
     ls, rs = left_ds.schema(), right_ds.schema()
-    fields = [pa.field(n, t) for n, t in zip(ls.names, ls.types)]
+    fields = [pa.field(n, _to_arrow_type(t)) for n, t in zip(ls.names, ls.types)]
     seen = set(ls.names)
     for n, t in zip(rs.names, rs.types):
+        t = _to_arrow_type(t)
         if n not in seen:
             fields.append(pa.field(n, t))
         elif not any(f.name == n and f.type == t for f in fields):
@@ -67,12 +68,30 @@ def _combined_schema(left_ds, right_ds) -> "pa.Schema":
     return pa.schema(fields)
 
 
+_PY_TO_ARROW = {
+    bytes: pa.binary(), str: pa.string(), int: pa.int64(),
+    float: pa.float64(), bool: pa.bool_(),
+}
+
+
+def _to_arrow_type(t):
+    """Ray ``Dataset.schema().types`` entries are Arrow DataTypes for Arrow
+    blocks but numpy dtypes / Python types for pandas blocks — normalize."""
+    if isinstance(t, pa.DataType):
+        return t
+    if isinstance(t, np.dtype):
+        return pa.from_numpy_dtype(t)
+    if t in _PY_TO_ARROW:
+        return _PY_TO_ARROW[t]
+    raise TypeError(f"cannot map column type {t!r} to Arrow")
+
+
 def _side_columns(ds):
     """(column names, pandas dtype map) for one side — used to restore dtypes
     after the union pads the other side's rows with NaN (int64 → float64)."""
     schema = ds.schema()
     arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+        [pa.field(n, _to_arrow_type(t)) for n, t in zip(schema.names, schema.types)]
     )
     dtypes = arrow_schema.empty_table().to_pandas().dtypes.to_dict()
     return list(schema.names), dtypes
@@ -111,14 +130,40 @@ def native_join(left_ds, right_ds, left_on: str, right_on: str,
 def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
               num_buckets: int = 32):
     """Co-partitioned equi join. Column collisions follow pandas suffix rules
-    (left unsuffixed, right ``_r``)."""
+    (left unsuffixed, right ``_r``). Output blocks carry an EXPLICIT Arrow
+    schema (pandas merge results otherwise degrade bytes/str columns to
+    ``object`` dtype, which breaks schema propagation into chained joins);
+    with ``how="left"`` the right side's integer columns become float64
+    (NaN for unmatched rows)."""
     left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
+    l_schema = pa.schema(
+        [pa.field(n, _to_arrow_type(t)) for n, t in
+         zip(left_ds.schema().names, left_ds.schema().types)]
+    )
+    r_schema = pa.schema(
+        [pa.field(n, _to_arrow_type(t)) for n, t in
+         zip(right_ds.schema().names, right_ds.schema().types)]
+    )
+    out_fields = list(l_schema)
+    left_names = set(l_schema.names)
+    for f in r_schema:
+        if f.name == right_on and right_on == left_on:
+            continue  # pandas merges equal-named keys into one column
+        t = f.type
+        if how == "left" and pa.types.is_integer(t):
+            t = pa.float64()
+        name = f.name if f.name not in left_names else f.name + "_r"
+        out_fields.append(pa.field(name, t))
+    out_schema = pa.schema(out_fields)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pd.DataFrame) -> pa.Table:
         l, r = _split_sides(g, left_side, right_side)
-        return l.merge(r, left_on=left_on, right_on=right_on, how=how,
-                       suffixes=("", "_r"))
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
+                      suffixes=("", "_r"))
+        return pa.Table.from_pandas(
+            out[list(out_schema.names)], schema=out_schema, preserve_index=False
+        )
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
 

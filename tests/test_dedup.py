@@ -71,6 +71,20 @@ def test_minhash_lsh_finds_neardups(ray_session):
     assert len(roots) == 1  # one cluster for all base copies
 
 
+def test_minhash_join_verify_path(ray_session):
+    """The at-scale verification path (co-partitioned sig joins, broadcast
+    disabled) finds the same pairs as the broadcast path."""
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = rd.from_pandas(_docs_with_dups())
+    broadcast = minhash_dedup_pairs(ds, threshold=0.7).to_pandas()
+    joined = minhash_dedup_pairs(ds, threshold=0.7, sig_broadcast_max=0).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"]))
+    assert key(broadcast) == key(joined)
+
+
 def test_simhash_hamming_zero_for_identical():
     assert simhash64("same text here") == simhash64("same text here")
     assert simhash64("") == 0
