@@ -359,31 +359,32 @@ def q_events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts", "value"], rows_per_block=20000)
 
+    import pandas as pd
+
+    from cattle_ray.stages.aggregates import add_key_bucket, coalesce_small
+
     def partial(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b["ts"], unit="hour")
         t = pa.table({"user_id": b["user_id"], "hour": hour, "value": b["value"]})
         out = t.group_by(["user_id", "hour"]).aggregate([("value", "sum"), ([], "count_all")])
-        return out.rename_columns(["user_id", "hour", "value_sum", "cnt"])
+        out = out.rename_columns(["user_id", "hour", "value_sum", "cnt"])
+        return add_key_bucket(out, ["user_id", "hour"], 16)
 
-    from cattle_ray.stages.aggregates import coalesce_small
-
-    agg = (
-        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
-        .groupby(["user_id", "hour"])
-        .aggregate(Sum("value_sum", alias_name="sum_value"), Sum("cnt", alias_name="n"))
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": b["user_id"],
-                "hour": pc.cast(b["hour"], pa.timestamp("us")),
-                "n": b["n"],
-                "sum_value": pc.round(b["sum_value"], 2),
-            }
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(["user_id", "hour"], sort=False)
+            .agg(sum_value=("value_sum", "sum"), n=("cnt", "sum"))
+            .reset_index()
         )
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n"] = out["n"].astype("int64")
+        return out[["user_id", "hour", "n", "sum_value"]]
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return (
+        coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
 
 
 def q_events_top_users(sf_dir: str):
