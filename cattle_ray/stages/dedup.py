@@ -4,11 +4,13 @@ n-gram Jaccard, embedding-cosine near-dup.
 Shuffle discipline (SURVEY.md §7.3, ray_guide "Aggregation at scale"):
 - Exact dedup: vectorized content hash inside ``map_batches`` → within-batch
   pre-dedup (shrinks the shuffle) → ``groupby(hash)`` → per-group first.
-- MinHash-LSH: shingle→minhash per batch (numpy, no shuffle) → explode to
-  ``(band_id, band_hash, id)`` rows → ONE groupby on the band key → candidate
-  pairs → verify by minhash-estimated Jaccard (mergeable, no second pass over
-  text). Connected components by iterated min-label propagation — driver
-  union-find only on the (provably small) candidate pair set.
+- MinHash-LSH: shingle→minhash per batch (numpy, no shuffle); signatures are
+  emitted ONCE per doc and band rows carry no payload (the naive
+  sig-per-band-row layout amplifies the shuffle 32×) → ONE bucket groupby →
+  candidate pairs → verify by signature compare (broadcast dict when the
+  corpus is small, co-partitioned sig joins at scale). Connected components
+  by iterated min-label propagation — driver union-find only on the
+  (provably small) candidate pair set.
 - SimHash: 64-bit fingerprint per doc; near-dup candidates via 4×16-bit band
   buckets (Hamming ≤ 3 ⇒ at least one band identical — pigeonhole).
 - Embedding near-dup: random-hyperplane LSH buckets → within-bucket cosine.
