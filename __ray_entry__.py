@@ -611,6 +611,19 @@ def q_lineitem_part_join(sf_dir: str):
     )
 
 
+def q_users_without_orders(sf_dir: str):
+    """Anti join (broadcast key-set): event users with no order history."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.joins import semi_join
+
+    users = distinct(_read(sf_dir, "events", ["user_id"], rows_per_block=20000),
+                     ["user_id"])
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000).map_batches(
+        lambda b: b.filter(pc.less(b["o_custkey"], 10)), batch_format="pyarrow"
+    )
+    return semi_join(users, orders, "user_id", "o_custkey", anti=True)
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -659,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
         "lineitem_part_join": q_lineitem_part_join,
+        "users_without_orders": q_users_without_orders,
         "events_top_users": q_events_top_users,
         "events_top_per_user": q_events_top_per_user,
         "doc_train_split": q_doc_train_split,
@@ -841,6 +855,10 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_part_join": """
             SELECT l_orderkey, l_linenumber, l_partkey, p_name
             FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "users_without_orders": """
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_custkey < 10)
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

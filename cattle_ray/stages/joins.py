@@ -114,6 +114,91 @@ def _split_sides(g: pd.DataFrame, left_side, right_side):
     return l, r
 
 
+class _BloomFilter:
+    """Minimal double-hash Bloom filter over int/str keys (numpy bitset).
+    For semi/anti joins whose key set is too large to broadcast exactly:
+    false positives only (a semi join may keep, an anti join may drop, a
+    stray row) — callers needing exactness use the exact-set path."""
+
+    def __init__(self, n_items: int, fp_rate: float = 0.01):
+        m = max(64, int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, int(m / max(1, n_items) * np.log(2)))
+        self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _hash(keys: np.ndarray, seed: int) -> np.ndarray:
+        h = keys.astype(np.uint64) ^ np.uint64(seed * 0x9E3779B97F4A7C15 & (2**64 - 1))
+        h ^= h >> np.uint64(33)
+        with np.errstate(over="ignore"):
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        return h
+
+    def add(self, keys: np.ndarray):
+        for s in range(self.k):
+            idx = self._hash(keys, s + 1) % np.uint64(self.m)
+            np.bitwise_or.at(self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        out = np.ones(len(keys), dtype=bool)
+        for s in range(self.k):
+            idx = self._hash(keys, s + 1) % np.uint64(self.m)
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
+def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
+              use_bloom: bool = False, fp_rate: float = 0.01):
+    """Semi (keep matches) / anti (keep non-matches) join via a broadcast key
+    set — the guide's pattern: `ray.put` the key set once, filter inside
+    map_batches; no shuffle at all. ``use_bloom=True`` swaps the exact set
+    for a Bloom filter when the key side is large (approximate: see
+    :class:`_BloomFilter`)."""
+    import ray
+
+    keys = keys_ds.map_batches(
+        lambda b: b.select([right_on]), batch_format="pyarrow"
+    ).to_pandas()[right_on]
+    if use_bloom:
+        arr = keys.to_numpy()
+        if arr.dtype == object:
+            arr = np.fromiter((zlib_crc(k) for k in arr), dtype=np.uint64, count=len(arr))
+        bf = _BloomFilter(len(arr), fp_rate)
+        bf.add(arr)
+        ref = ray.put(bf)
+
+        def filt(batch: pa.Table) -> pa.Table:
+            f = ray.get(ref)
+            vals = batch[left_on].to_numpy(zero_copy_only=False)
+            if vals.dtype == object:
+                vals = np.fromiter((zlib_crc(v) for v in vals), dtype=np.uint64,
+                                   count=len(vals))
+            m = f.contains(vals)
+            return batch.filter(pa.array(~m if anti else m))
+
+    else:
+        ref = ray.put(set(keys.tolist()))
+
+        def filt(batch: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            m = np.fromiter(
+                (v in s for v in batch[left_on].to_pylist()), dtype=bool,
+                count=len(batch),
+            )
+            return batch.filter(pa.array(~m if anti else m))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def zlib_crc(v) -> int:
+    import zlib
+
+    return zlib.crc32(str(v).encode())
+
+
 def native_join(left_ds, right_ds, left_on: str, right_on: str,
                 how: str = "inner", num_partitions: int = 32):
     """Ray Data's built-in hash-partitioned ``Dataset.join`` (available in

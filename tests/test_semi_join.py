@@ -1,0 +1,43 @@
+"""Semi/anti join: exact broadcast set and Bloom-filter scale path."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_semi_and_anti_exact(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(20)), "v": list(range(20))}))
+    keys = rd.from_pandas(pd.DataFrame({"k2": [2, 4, 6, 99]}))
+    semi = semi_join(left, keys, "k", "k2").to_pandas()
+    anti = semi_join(left, keys, "k", "k2", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [2, 4, 6]
+    assert sorted(anti["k"]) == sorted(set(range(20)) - {2, 4, 6})
+
+
+def test_bloom_semi_superset_of_exact(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    rng = np.random.RandomState(0)
+    left = rd.from_pandas(pd.DataFrame({"k": rng.randint(0, 100000, 5000)}))
+    keys = rd.from_pandas(pd.DataFrame({"k2": rng.randint(0, 100000, 500)}))
+    exact = set(semi_join(left, keys, "k", "k2").to_pandas()["k"])
+    bloom = set(semi_join(left, keys, "k", "k2", use_bloom=True).to_pandas()["k"])
+    # Bloom has false positives only: never misses a true match
+    assert exact <= bloom
+    assert len(bloom - exact) <= max(5, int(0.05 * len(exact) + 50))
+
+
+def test_bloom_string_keys(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [f"u{i}" for i in range(100)]}))
+    keys = rd.from_pandas(pd.DataFrame({"k2": ["u1", "u50"]}))
+    out = semi_join(left, keys, "k", "k2", use_bloom=True).to_pandas()
+    assert {"u1", "u50"} <= set(out["k"])
