@@ -338,9 +338,80 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
     return withs.map_batches(verify, batch_format="pyarrow")
 
 
+def connected_components_distributed(pairs_ds, max_iters: int = 20,
+                                     num_buckets: int = 32):
+    """Distributed connected components over a pair Dataset (a, b) by
+    iterated min-label propagation — the scale path when the verified pair
+    set is too large for driver union-find.
+
+    Each round: labels(id, label) ⋈ edges both directions → per-id min of
+    neighbor labels → merge with own label. Converges in O(diameter) rounds
+    (near-dup clusters are shallow; ``max_iters`` bounds pathological
+    chains). Returns a Dataset (id, label) with label = min id of the
+    component. Per-round cost: one co-partitioned join + one bucketed
+    min-aggregation; iterating materializes labels each round (small: two
+    int64 columns).
+    """
+    import pandas as pd  # noqa: F811
+
+    from .aggregates import add_key_bucket, coalesce_small
+    from .joins import hash_join
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table({"u": pa.concat_arrays(
+            [t["a"].combine_chunks().cast(pa.int64()),
+             t["b"].combine_chunks().cast(pa.int64())]),
+            "v": pa.concat_arrays(
+            [t["b"].combine_chunks().cast(pa.int64()),
+             t["a"].combine_chunks().cast(pa.int64())])}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    labels = edges.map_batches(
+        lambda t: pa.table({"id": pc.unique(t["u"].combine_chunks())}),
+        batch_format="pyarrow",
+    )
+    labels = dedup_exact(labels, ["id"]).map_batches(
+        lambda t: pa.table({"id": t["id"], "label": t["id"]}), batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(max_iters):
+        # neighbor labels: edges(u,v) ⋈ labels on v → candidate label for u
+        cand = hash_join(edges, labels, "v", "id", num_buckets=num_buckets)
+        cand = cand.map_batches(
+            lambda t: pa.table({"id": t["u"], "label": t["label"]}),
+            batch_format="pyarrow",
+        )
+        both = cand.union(labels)
+
+        def min_label(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("id", sort=False)["label"].min().reset_index()
+            out["label"] = out["label"].astype("int64")
+            return out
+
+        new_labels = (
+            coalesce_small(
+                both.map_batches(
+                    lambda t: add_key_bucket(t.select(["id", "label"]), ["id"], num_buckets),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("_bucket")
+            .map_groups(min_label, batch_format="pandas")
+            .materialize()
+        )
+        # fixpoint check: total label sum strictly decreases until converged
+        old_sum = labels.sum("label")
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            break
+    return labels
+
+
 def connected_components(pairs_df: pd.DataFrame) -> dict:
     """Driver-side union-find over the (small) verified pair set → {id: root}.
-    Scale path: iterate min-label propagation as a groupby loop instead."""
+    Scale path: :func:`connected_components_distributed`."""
     parent: dict = {}
 
     def find(x):
