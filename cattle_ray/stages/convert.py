@@ -131,16 +131,20 @@ def convert_batch(
             sub = batch.take(idx)
             sub_cells = pc.cast(cells.take(idx), pa.string())
             split = pc.split_pattern(sub_cells, spec.separator)
-            lengths = pc.list_value_length(split)
             parent = pc.list_parent_indices(split)
             flat_vals = pc.list_flatten(split)
             sub_rep = sub.take(parent)
+            # {column} in valueUrl must substitute the SPLIT element, not the
+            # raw multi-valued cell — replace the column in the exploded rows
+            if spec.name in sub_rep.column_names:
+                sub_rep = sub_rep.set_column(
+                    sub_rep.column_names.index(spec.name), spec.name, flat_vals
+                )
             _emit_column_chunk(
                 chunks, spec, sub_rep, flat_vals,
                 subj.take(idx).take(parent), pred.take(idx).take(parent),
                 graph_arr.take(idx).take(parent), src.take(idx).take(parent),
             )
-            del lengths
             continue
 
         idx = pc.indices_nonzero(mask)

@@ -78,6 +78,50 @@ def test_lang_only_for_strings():
     assert tmpl.columns[1].lang == "en"
 
 
+def test_separator_explode_with_value_url():
+    """separator + valueUrl: each split element renders its own IRI
+    (COW multi-valued cells — SURVEY.md §1.2 separators)."""
+    from cattle_ray.stages.convert import convert_batch
+
+    meta = {
+        "@id": "https://ex.org/t",
+        "aboutUrl": "https://ex.org/t/row/{_row}",
+        "tableSchema": {
+            "columns": [
+                {"name": "tags", "separator": "|",
+                 "propertyUrl": "https://ex.org/def/tag",
+                 "valueUrl": "https://ex.org/id/tag/{tags}"},
+            ]
+        },
+    }
+    batch = pa.table({"tags": ["a|b c|d", "x", ""], "_row": [1, 2, 3]})
+    out = convert_batch(batch, MappingTemplate.from_dict(meta), graph="https://g")
+    assert out.num_rows == 4  # 3 split values + 1 single; empty cell skipped
+    objs = out["obj"].to_pylist()
+    assert "https://ex.org/id/tag/a" in objs
+    assert "https://ex.org/id/tag/b%20c" in objs  # element IRI-encoded
+    assert "https://ex.org/id/tag/x" in objs
+
+
+def test_separator_explode_literals():
+    from cattle_ray.stages.convert import convert_batch
+
+    meta = {
+        "@id": "https://ex.org/t",
+        "aboutUrl": "https://ex.org/t/row/{_row}",
+        "tableSchema": {
+            "columns": [
+                {"name": "nums", "separator": ",", "datatype": "xsd:integer",
+                 "propertyUrl": "https://ex.org/def/n"},
+            ]
+        },
+    }
+    batch = pa.table({"nums": ["1,2,3"], "_row": [1]})
+    out = convert_batch(batch, MappingTemplate.from_dict(meta), graph="https://g")
+    assert out["obj"].to_pylist() == ["1", "2", "3"]
+    assert out["subj"].to_pylist() == ["https://ex.org/t/row/1"] * 3
+
+
 def test_missing_column_raises():
     t = CompiledTemplate.compile("x{nope}")
     with pytest.raises(KeyError):
