@@ -624,6 +624,132 @@ def q_users_without_orders(sf_dir: str):
     return semi_join(users, orders, "user_id", "o_custkey", anti=True)
 
 
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped star join: customer(filter) ⋈ orders ⋈ lineitem with
+    grouped revenue — broadcast the dimension, co-partition the facts."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from cattle_ray.stages.aggregates import add_key_bucket, coalesce_small
+    from cattle_ray.stages.joins import native_join
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    bld = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    bld_ref = ray.put(bld)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   rows_per_block=50000)
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        keys = ray.get(bld_ref)
+        m = np.fromiter((k in keys for k in b["o_custkey"].to_pylist()), dtype=bool,
+                        count=len(b))
+        t = b.filter(pa.array(m))
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1998-01-01", "us"))))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               rows_per_block=100000)
+
+    def li_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(np.datetime64("1995-01-01", "us"))))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    joined = native_join(
+        orders.map_batches(filter_orders, batch_format="pyarrow"),
+        li.map_batches(li_filter, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", num_partitions=16,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
+                      "rev": b["rev"]})
+        out = t.group_by(["o_orderkey", "o_orderdate"]).aggregate([("rev", "sum")])
+        out = out.rename_columns(["o_orderkey", "o_orderdate", "rev_s"])
+        return add_key_bucket(out, ["o_orderkey"], 16)
+
+    import pandas as pd
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(["o_orderkey", "o_orderdate"], sort=False)["rev_s"].sum()
+            .reset_index(name="revenue")
+        )
+        out["revenue"] = out["revenue"].round(2)
+        return out
+
+    return (
+        coalesce_small(joined.map_batches(partial, batch_format="pyarrow"), 8)
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def q_events_sliding_window(sf_dir: str):
+    """Sliding-window aggregate: 1h windows every 15min per user — each event
+    flat-maps to the ≤4 windows containing it, then the bucketed count."""
+    from cattle_ray.stages.aggregates import add_key_bucket, coalesce_small
+    from cattle_ray.stages.windows import sliding_window_expand
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"], rows_per_block=20000)
+    expanded = ds.map_batches(
+        lambda b: sliding_window_expand(b, ts="ts", window="1h", slide="15min"),
+        batch_format="pyarrow",
+    )
+
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["user_id", "window_start"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["user_id", "window_start", "cnt"])
+        return add_key_bucket(out, ["user_id", "window_start"], 16)
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(["user_id", "window_start"], sort=False)["cnt"].sum()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        coalesce_small(expanded.map_batches(partial, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Entity importance: PageRank power iteration over the doc→entity
+    bipartite edges of the materialized triples (rows-only: iterative)."""
+    import zlib
+
+    from cattle_ray.stages.graph import pagerank
+
+    ent = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity")), batch_format="pyarrow"
+    )
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = [zlib.crc32(x.encode()) for x in b["subj"].to_pylist()]
+        d = [zlib.crc32(x.encode()) for x in b["obj"].to_pylist()]
+        return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+
+    return pagerank(ent.map_batches(to_edges, batch_format="pyarrow"), iters=5)
+
+
+def q_doc_corpus_dedup(sf_dir: str):
+    """End-to-end training-corpus near-dedup: LSH pairs → connected
+    components → keep min-id representative per cluster (rows-only)."""
+    from cattle_ray.stages.dedup import dedup_corpus
+
+    out = dedup_corpus(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
+    return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -673,6 +799,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
         "lineitem_part_join": q_lineitem_part_join,
         "users_without_orders": q_users_without_orders,
+        "shipping_priority": q_shipping_priority,
+        "events_sliding_window": q_events_sliding_window,
+        "kg_pagerank": q_kg_pagerank,
+        "doc_corpus_dedup": q_doc_corpus_dedup,
         "events_top_users": q_events_top_users,
         "events_top_per_user": q_events_top_per_user,
         "doc_train_split": q_doc_train_split,
@@ -859,6 +989,27 @@ def oracle_sql() -> dict[str, str]:
         "users_without_orders": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_custkey < 10)
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1995-01-01'
+            GROUP BY o_orderkey, o_orderdate
+        """,
+        "events_sliding_window": """
+            SELECT user_id, make_timestamp(ws) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT user_id, epoch_us(ts) AS e,
+                     ((epoch_us(ts) // 900000000) - o.o) * 900000000 AS ws
+              FROM events, (SELECT unnest([0, 1, 2, 3]) AS o) o)
+            WHERE e < ws + 3600000000
+            GROUP BY user_id, ws
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -38,6 +38,21 @@ def write_triples_sorted(triples_ds, out_dir: str):
     return out_dir
 
 
+def read_triples_for_subject(out_dir: str, subj: str, num_partitions: int = 16):
+    """Read-side counterpart of the hash-partitioned layout: a subject lookup
+    opens exactly ONE partition file (``crc32(subj) % P``) and row-filters it
+    — at 100 TB this is a point read against 1/P of the data, and the
+    per-partition subject sort makes the inner scan binary-searchable."""
+    import pyarrow.parquet as pq
+
+    pid = zlib.crc32(subj.encode()) % num_partitions
+    path = f"{out_dir}/part_id={pid}/data.parquet"
+    tbl = pq.read_table(path)
+    import pyarrow.compute as pc
+
+    return tbl.filter(pc.equal(tbl["subj"], subj))
+
+
 def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int = 16):
     """Hash-partition by subj, per-partition subject sort, one Parquet dir per
     partition (resumable unit). Returns the written partition manifest."""

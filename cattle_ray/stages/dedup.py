@@ -409,6 +409,36 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
     return labels
 
 
+def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
+                 num_buckets=64):
+    """End-to-end training-corpus near-dedup: MinHash-LSH pairs → connected
+    components → drop every doc that is not its cluster's min-id
+    representative. Returns the filtered Dataset (exact duplicates collapse
+    too: identical texts have identical signatures → est_jaccard 1.0).
+
+    Composition: minhash_dedup_pairs (bounded shuffles) + distributed CC +
+    a broadcast drop-set semi-filter — no full-corpus shuffle at any step.
+    """
+    import ray
+
+    pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
+                                threshold=threshold, ngram=ngram,
+                                num_buckets=num_buckets)
+    labels = connected_components_distributed(pairs, num_buckets=num_buckets).to_pandas()
+    drop = set(labels.loc[labels["id"] != labels["label"], "id"])
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        m = np.fromiter(
+            (i not in d for i in batch[id_col].to_pylist()), dtype=bool,
+            count=len(batch),
+        )
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def connected_components(pairs_df: pd.DataFrame) -> dict:
     """Driver-side union-find over the (small) verified pair set → {id: root}.
     Scale path: :func:`connected_components_distributed`."""

@@ -18,6 +18,31 @@ import pandas as pd
 import pyarrow as pa
 
 
+def sliding_window_expand(batch: pa.Table, *, ts: str = "ts",
+                          window: str = "1h", slide: str = "15min") -> pa.Table:
+    """Flat-map each row to every sliding window containing it
+    (window/slide ratio k → k output rows per input row). Adds
+    ``window_start`` (timestamp). Fully vectorized: epoch arithmetic + tile.
+    """
+    w = int(pd.Timedelta(window).total_seconds() * 1_000_000)
+    s = int(pd.Timedelta(slide).total_seconds() * 1_000_000)
+    k = w // s
+    t = batch[ts]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    epoch = t.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # last window starting at or before t: floor(t/s)*s; windows going back k-1 slides
+    base = (epoch // s) * s
+    offsets = np.arange(k, dtype=np.int64) * s
+    starts = np.repeat(base, k) - np.tile(offsets, len(base))
+    keep = np.repeat(epoch, k) < starts + w  # event inside [start, start+w)
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), k)[keep]
+    out = batch.take(pa.array(idx))
+    return out.append_column(
+        "window_start", pa.array(starts[keep]).cast(pa.timestamp("us"))
+    )
+
+
 def sessionize(ds, *, key: str = "user_id", ts: str = "ts",
                gap: "pd.Timedelta | str" = "1h", num_buckets: int = 32):
     """Gap-based sessionization: a new session starts when the time since the

@@ -68,6 +68,17 @@ def test_hash_partitioned_sink(triples_ds, tmp_path):
             assert subj_to_part.setdefault(s, row["part_id"]) == row["part_id"]
 
 
+def test_subject_point_read_prunes(triples_ds, tmp_path):
+    """read_triples_for_subject opens exactly one partition file."""
+    from cattle_ray.sources.triple_sink import read_triples_for_subject
+
+    out = str(tmp_path / "t")
+    write_triples_hash_partitioned(triples_ds, out, num_partitions=4)
+    got = read_triples_for_subject(out, "http://s3", num_partitions=4)
+    assert got.num_rows > 0
+    assert set(got["subj"].to_pylist()) == {"http://s3"}
+
+
 def test_nquads_lines_dataset(triples_ds):
     lines = nquads_lines(triples_ds).to_pandas()
     assert len(lines) == 50
