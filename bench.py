@@ -36,6 +36,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     for name in ["documents", "embeddings", "events", "lineitem"]:
         with open(f"{sf_dir}/{name}.parquet", "rb") as f:
             f.read()
+    # warm the Ray worker pool: the first actor-based execution in a fresh
+    # session pays ~3s of worker-process module imports — Python startup
+    # cost, not pipeline throughput. One tiny untimed pipeline absorbs it.
+    em.queries()["kg_pipeline"]("/root/testdata/sf0.001").count()
 
     results: dict[str, float] = {}
     counts: dict[str, int] = {}
@@ -105,6 +109,9 @@ def run_scaling_job(num_cpus: int, n_pages: int) -> dict:
     from cattle_ray.pipelines.kg import build_triples
 
     blocks = max(16, 4 * num_cpus)
+    # untimed warmup: absorb worker-process import cost (see run_benchmarks)
+    build_triples(pages_dataset(2000, override_num_blocks=8),
+                  concurrency=(1, num_cpus)).count()
     t0 = time.perf_counter()
     ds = build_triples(
         pages_dataset(n_pages, override_num_blocks=blocks),
