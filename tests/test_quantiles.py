@@ -32,10 +32,37 @@ def test_constant_and_empty(ray_session):
     assert quantile_disc(ds, "x", [0.5]) == {0.5: 3.0}
 
 
-def test_bin_overflow_raises(ray_session):
+def test_skew_refinement_recurses(ray_session):
+    """Extreme skew: a dense cluster + one far outlier packs most values
+    into a single bin — the recursive refinement still answers exactly."""
     import ray.data as rd
 
-    vals = np.concatenate([np.zeros(1000), np.array([1e9])])  # extreme skew
+    rng = np.random.RandomState(9)
+    dense = rng.rand(2000)                      # all in [0, 1)
+    vals = np.concatenate([dense, np.array([1e9])])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals})).repartition(4)
+    out = quantile_disc(ds, "x", [0.25, 0.5, 0.99], num_bins=8,
+                        max_bin_collect=300)
+    for q in (0.25, 0.5, 0.99):
+        assert out[q] == _oracle(vals, q), q
+
+
+def test_duplicate_run_skew_terminates(ray_session):
+    """A bin of identical values terminates instantly via the lo==hi path."""
+    import ray.data as rd
+
+    vals = np.concatenate([np.full(5000, 7.5), np.array([0.0, 1e6])])
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}))
+    out = quantile_disc(ds, "x", [0.5], num_bins=4, max_bin_collect=10)
+    assert out[0.5] == 7.5
+
+
+def test_bin_overflow_raises_when_refinement_exhausted(ray_session):
+    import ray.data as rd
+
+    # continuous uniform mass: every refinement level still overflows
+    vals = np.random.RandomState(1).rand(4000)
     ds = rd.from_pandas(pd.DataFrame({"x": vals}))
     with pytest.raises(ValueError, match="overflow"):
-        quantile_disc(ds, "x", [0.5], num_bins=4, max_bin_collect=100)
+        quantile_disc(ds, "x", [0.5], num_bins=2, max_bin_collect=10,
+                      max_refine=1)
