@@ -2,12 +2,18 @@
 
 :func:`pagerank` — entity-importance power iteration expressed with the same
 co-partitioned-join + bucketed-aggregate primitives as the rest of the
-engine: each round is one ``hash_join`` (edge source ⋈ rank), one bucketed
-contribution sum, and one left join back onto the node universe. The rank
-state lives in the object store between rounds (two int64/float64 columns);
-nothing rank-sized ever lands on the driver. Out-degrees are broadcast once
-(fine to ~10^8 non-dangling nodes; beyond that, swap the broadcast for a
-co-partitioned degree join — same key as the contribution join).
+engine. Fully distributed at every step:
+
+- out-degrees are joined into the edge table ONCE before the loop (static),
+  so no degree broadcast limits the node count;
+- each round: one ``hash_join`` (edges ⋈ ranks on src), a bucketed in-flow
+  sum, and a left join back onto the node universe;
+- the dangling mass needs no node-level scan: Σ_edges rank(src)/deg(src)
+  summed per edge equals the total rank held by nodes WITH out-edges, so
+  dangling = 1 − that sum (one distributed column sum).
+
+Rank state lives in the object store between rounds (two columns); nothing
+node- or edge-sized ever lands on the driver.
 """
 
 from __future__ import annotations
@@ -25,8 +31,6 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
     Ranks sum to ~1.0 (dangling mass redistributed uniformly). Deterministic
     at any parallelism: every reduction is a sum of fixed values.
     """
-    import ray
-
     from .aggregates import add_key_bucket, coalesce_small
     from .dedup import dedup_exact
     from .joins import hash_join
@@ -50,16 +54,28 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
     ).materialize()
     n_nodes = nodes.count()
 
-    deg_df = (
-        edges.map_batches(
-            lambda t: t.group_by(["src"]).aggregate([([], "count_all")])
-            .rename_columns(["src", "deg_p"]),
-            batch_format="pyarrow",
-        )
-        .to_pandas()
-        .groupby("src")["deg_p"].sum()
+    # static: fold out-degree into the edge table (co-partitioned join, once)
+    def local_deg(t: pa.Table) -> pa.Table:
+        out = t.group_by(["src"]).aggregate([([], "count_all")])
+        out = out.rename_columns(["dnode", "deg_p"])
+        return add_key_bucket(out, ["dnode"], num_buckets)
+
+    def sum_deg(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("dnode", sort=False)["deg_p"].sum().reset_index(name="deg")
+        out["deg"] = out["deg"].astype("int64")
+        return out
+
+    deg = (
+        coalesce_small(edges.map_batches(local_deg, batch_format="pyarrow"), 8)
+        .groupby("_bucket")
+        .map_groups(sum_deg, batch_format="pandas")
     )
-    deg_ref = ray.put(deg_df.to_dict())
+    edges_deg = hash_join(edges, deg, "src", "dnode", num_buckets=num_buckets)
+    edges_deg = edges_deg.map_batches(
+        lambda t: pa.table({"src": t["src"], "dst": t["dst"],
+                            "deg": t["deg"].combine_chunks().cast(pa.float64())}),
+        batch_format="pyarrow",
+    ).materialize()
 
     ranks = nodes.map_batches(
         lambda t: pa.table(
@@ -69,43 +85,31 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
     ).materialize()
 
     for _ in range(iters):
-        # dangling rank mass (nodes without out-edges), summed distributed
-        def dangling_mass(b: pa.Table) -> pa.Table:
-            deg = ray.get(deg_ref)
-            m = np.fromiter((n not in deg for n in b["node"].to_pylist()),
-                            dtype=bool, count=len(b))
-            kept = b.filter(pa.array(m))
-            return pa.table({"d": pa.array([float(pc.sum(kept["rank"]).as_py() or 0.0)])})
-
-        dangling = sum(
-            r["d"] for r in ranks.map_batches(dangling_mass, batch_format="pyarrow")
-            .to_pandas().to_dict("records")
-        )
-        base = (1 - damping) / n_nodes + damping * dangling / n_nodes
-
-        joined = hash_join(edges, ranks, "src", "node", num_buckets=num_buckets)
+        joined = hash_join(edges_deg, ranks, "src", "node",
+                           num_buckets=num_buckets).materialize()
 
         def contrib(b: pa.Table) -> pa.Table:
-            deg = ray.get(deg_ref)
-            srcs = b["src"].to_pylist()
-            d = np.fromiter((deg[s] for s in srcs), dtype=np.float64, count=len(srcs))
-            c = b["rank"].to_numpy(zero_copy_only=False) / d
-            out = pa.table({"node": b["dst"], "in_sum": pa.array(c)})
+            c = pc.divide(b["rank"], b["deg"])
+            out = pa.table({"node": b["dst"], "in_sum": c})
             return add_key_bucket(out, ["node"], num_buckets)
+
+        contribs = joined.map_batches(contrib, batch_format="pyarrow").materialize()
+        # non-dangling mass = Σ_edges rank(src)/deg(src); dangling = 1 − it
+        non_dangling = contribs.sum("in_sum") or 0.0
+        base = (1 - damping) / n_nodes + damping * (1.0 - non_dangling) / n_nodes
 
         def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", sort=False)["in_sum"].sum().reset_index()
 
         sums = (
-            coalesce_small(joined.map_batches(contrib, batch_format="pyarrow"), 8)
+            coalesce_small(contribs, 8)
             .groupby("_bucket")
             .map_groups(reduce_rank, batch_format="pandas")
         )
-        # node universe ⋉ sums (left join): zero in-flow → base rank
         merged = hash_join(nodes, sums, "node", "node", how="left",
                            num_buckets=num_buckets)
 
-        def finish(b: pa.Table) -> pa.Table:
+        def finish(b: pa.Table, base=base) -> pa.Table:
             s = pc.fill_null(b["in_sum"], 0.0)
             rank = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), s))
             return pa.table({"node": b["node"], "rank": rank})
