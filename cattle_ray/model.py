@@ -121,8 +121,19 @@ def format_nquads_batch(batch: pa.Table, include_graph: bool = True) -> pa.Table
     iri_obj = pc.binary_join_element_wise("<", pc.cast(obj, pa.string()), ">", "")
     obj_term = pc.if_else(is_iri, iri_obj, lit)
 
+    # blank-node terms (`_:label`) are emitted raw, never <>-wrapped
+    def _subj_or_bnode(arr):
+        wrapped = pc.binary_join_element_wise("<", arr, ">", "")
+        is_bnode = pc.starts_with(arr, "_:")
+        return pc.if_else(is_bnode, arr, wrapped)
+
+    obj_term = pc.if_else(
+        pc.and_(is_iri, pc.fill_null(pc.starts_with(pc.cast(obj, pa.string()), "_:"), False)),
+        pc.cast(obj, pa.string()),
+        obj_term,
+    )
     parts = [
-        pc.binary_join_element_wise("<", subj, ">", ""),
+        _subj_or_bnode(subj),
         pc.binary_join_element_wise("<", pred, ">", ""),
         obj_term,
     ]
@@ -141,8 +152,8 @@ def format_nquads_batch(batch: pa.Table, include_graph: bool = True) -> pa.Table
 
 
 _NQ_RE = re.compile(
-    r"^\s*<(?P<s>[^>]*)>\s+<(?P<p>[^>]*)>\s+"
-    r"(?:<(?P<o_iri>[^>]*)>|\"(?P<o_lit>(?:[^\"\\]|\\.)*)\""
+    r"^\s*(?:<(?P<s>[^>]*)>|(?P<s_bn>_:[A-Za-z0-9_]+))\s+<(?P<p>[^>]*)>\s+"
+    r"(?:<(?P<o_iri>[^>]*)>|(?P<o_bn>_:[A-Za-z0-9_]+)|\"(?P<o_lit>(?:[^\"\\]|\\.)*)\""
     r"(?:\^\^<(?P<dt>[^>]*)>|@(?P<lang>[A-Za-z0-9-]+))?)"
     r"(?:\s+<(?P<g>[^>]*)>)?\s*\.\s*$"
 )
@@ -159,10 +170,10 @@ def parse_nquads_lines(lines: list[str], src_url: str | None = None) -> pa.Table
         if not m:
             raise ValueError(f"invalid N-Quads line: {ln!r}")
         d = m.groupdict()
-        cols["subj"].append(d["s"])
+        cols["subj"].append(d["s"] if d["s"] is not None else d["s_bn"])
         cols["pred"].append(d["p"])
-        if d["o_iri"] is not None:
-            cols["obj"].append(d["o_iri"])
+        if d["o_iri"] is not None or d["o_bn"] is not None:
+            cols["obj"].append(d["o_iri"] if d["o_iri"] is not None else d["o_bn"])
             cols["obj_is_iri"].append(True)
             cols["obj_datatype"].append(None)
             cols["obj_lang"].append(None)

@@ -46,18 +46,67 @@ def _rows(table: pa.Table):
     return table.to_pylist()
 
 
-def _serialize_turtle(table: pa.Table) -> str:
-    """Minimal turtle: full-IRI terms (no prefix compression — valid turtle,
-    deterministic, no global state)."""
-    out = []
+import re as _re
+
+_PN_LOCAL_RE = _re.compile(r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$")
+
+
+def _build_prefix_table(table: pa.Table, max_prefixes: int = 16) -> dict[str, str]:
+    """Frequency-ranked namespace → prefix-label table (driver-side global
+    state — this is exactly why turtle is a collected, not per-block, format;
+    SURVEY.md §7.4). A namespace qualifies when splitting at the last '#'/'/'
+    leaves a turtle-safe local name."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+
+    def visit(iri: str | None):
+        if not iri:
+            return
+        cut = max(iri.rfind("#"), iri.rfind("/")) + 1
+        ns, local = iri[:cut], iri[cut:]
+        if ns and local and _PN_LOCAL_RE.match(local):
+            counts[ns] += 1
+
     for r in _rows(table):
-        s = f"<{r['subj']}> <{r['pred']}> "
+        visit(r["subj"])
+        visit(r["pred"])
         if r["obj_is_iri"]:
-            s += f"<{r['obj']}>"
+            visit(r["obj"])
+        visit(r.get("obj_datatype"))
+    ranked = [ns for ns, c in counts.most_common(max_prefixes) if c >= 2]
+    return {ns: f"ns{i}" for i, ns in enumerate(sorted(ranked))}
+
+
+def _term(iri: str, prefixes: dict[str, str]) -> str:
+    cut = max(iri.rfind("#"), iri.rfind("/")) + 1
+    ns, local = iri[:cut], iri[cut:]
+    label = prefixes.get(ns)
+    if label is not None and local and _PN_LOCAL_RE.match(local):
+        return f"{label}:{local}"
+    return f"<{iri}>"
+
+
+def _serialize_turtle(table: pa.Table, prefixes: dict | None = None,
+                      header: bool = True) -> str:
+    """Turtle with a driver-side @prefix table (frequent namespaces
+    compressed; everything else stays a full IRI — always valid)."""
+    if prefixes is None:
+        prefixes = _build_prefix_table(table)
+    out = []
+    if header:
+        out = [f"@prefix {label}: <{ns}> ."
+               for ns, label in sorted(prefixes.items(), key=lambda kv: kv[1])]
+        if out:
+            out.append("")
+    for r in _rows(table):
+        s = f"{_term(r['subj'], prefixes)} {_term(r['pred'], prefixes)} "
+        if r["obj_is_iri"]:
+            s += _term(r["obj"], prefixes)
         else:
             lit = json.dumps(r["obj"])
             if r["obj_datatype"]:
-                s += f"{lit}^^<{r['obj_datatype']}>"
+                s += f"{lit}^^{_term(r['obj_datatype'], prefixes)}"
             elif r["obj_lang"]:
                 s += f"{lit}@{r['obj_lang']}"
             else:
@@ -67,12 +116,19 @@ def _serialize_turtle(table: pa.Table) -> str:
 
 
 def _serialize_trig(table: pa.Table) -> str:
+    prefixes = _build_prefix_table(table)
     by_graph: dict[str, list] = {}
     for r in _rows(table):
         by_graph.setdefault(r.get("graph") or "", []).append(r)
     parts = []
+    hdr = [f"@prefix {label}: <{ns}> ."
+           for ns, label in sorted(prefixes.items(), key=lambda kv: kv[1])]
+    if hdr:
+        parts.append("\n".join(hdr) + "\n")
     for g, rows in sorted(by_graph.items()):
-        body = _serialize_turtle(pa.Table.from_pylist(rows, schema=table.schema))
+        body = _serialize_turtle(
+            pa.Table.from_pylist(rows, schema=table.schema), prefixes, header=False
+        )
         if g:
             parts.append(f"<{g}> {{\n{body}}}\n")
         else:

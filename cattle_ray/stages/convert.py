@@ -29,7 +29,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..model import TRIPLE_SCHEMA, XSD, triples_table
+from ..model import RDF_NS, TRIPLE_SCHEMA, XSD, triples_table
 from ..template import ColumnSpec, MappingTemplate, format_literal_array
 
 
@@ -125,6 +125,19 @@ def convert_batch(
         cells = _apply_default(cells, spec)
         mask = _cell_mask(cells, spec)
 
+        if spec.separator and spec.collection:
+            # csvw:collectionUrl: multi-valued cell → RDF list
+            # (rdf:first / rdf:rest chain on deterministic blank nodes)
+            idx = pc.indices_nonzero(mask)
+            if len(idx) > 0:
+                chunks.append(
+                    _emit_collection(
+                        spec, batch.take(idx), pc.cast(cells.take(idx), pa.string()),
+                        subj.take(idx), pred.take(idx), graph, src.take(idx),
+                    )
+                )
+            continue
+
         if spec.separator:
             # multi-valued cells: split → explode (one triple per element)
             idx = pc.indices_nonzero(mask)
@@ -159,6 +172,66 @@ def convert_batch(
     if not chunks:
         return TRIPLE_SCHEMA.empty_table()
     return pa.concat_tables(chunks)
+
+
+def _emit_collection(
+    spec: ColumnSpec,
+    rows: pa.Table,
+    cells: pa.Array,
+    subj: pa.Array,
+    pred: pa.Array,
+    graph: str,
+    src: pa.Array,
+) -> pa.Table:
+    """csvw:collectionUrl semantics: the cell's separator-split values become
+    an ordered RDF collection; one (subject, pred, head) triple plus the
+    rdf:first/rdf:rest chain. Blank-node labels are content-hashed from
+    (subject, pred) — deterministic at any parallelism, stable across
+    retries (SURVEY.md determinism contract). Rare-feature path: per-cell
+    Python loop (lists are inherently sequential)."""
+    import hashlib
+
+    RDF_FIRST = RDF_NS + "first"
+    RDF_REST = RDF_NS + "rest"
+    RDF_NIL = RDF_NS + "nil"
+    cols: dict[str, list] = {k: [] for k in TRIPLE_SCHEMA.names}
+
+    def emit(s, p, o, is_iri, dt, lang, src_v):
+        cols["subj"].append(s)
+        cols["pred"].append(p)
+        cols["obj"].append(o)
+        cols["obj_is_iri"].append(is_iri)
+        cols["obj_datatype"].append(dt)
+        cols["obj_lang"].append(lang)
+        cols["graph"].append(graph)
+        cols["src_url"].append(src_v)
+
+    dt = spec.datatype if spec.datatype not in (None, XSD + "string") else None
+    lang = spec.lang if dt is None else None
+    for i in range(len(rows)):
+        s, p = subj[i].as_py(), pred[i].as_py()
+        src_v = src[i].as_py()
+        values = (cells[i].as_py() or "").split(spec.separator)
+        values = [v for v in values if v != ""]
+        tag = hashlib.md5(f"{s}\x1f{p}".encode()).hexdigest()[:12]
+        if not values:
+            emit(s, p, RDF_NIL, True, None, None, src_v)
+            continue
+        heads = [f"_:c{tag}_{j}" for j in range(len(values))]
+        emit(s, p, heads[0], True, None, None, src_v)
+        for j, v in enumerate(values):
+            if spec.value_url is not None:
+                one = pa.table({spec.name: [v], **{
+                    c: [rows[c][i].as_py()] for c in rows.column_names if c != spec.name
+                }})
+                obj_v = spec.value_url.render(one)[0].as_py()
+                emit(heads[j], RDF_FIRST, obj_v, True, None, None, src_v)
+            else:
+                fv, _ok = format_literal_array(pa.array([v], pa.string()), spec)
+                emit(heads[j], RDF_FIRST, fv[0].as_py(), False, dt, lang, src_v)
+            rest = heads[j + 1] if j + 1 < len(values) else RDF_NIL
+            emit(heads[j], RDF_REST, rest, True, None, None, src_v)
+    return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
 
 
 def _emit_column_chunk(

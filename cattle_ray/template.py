@@ -159,6 +159,7 @@ class ColumnSpec:
     default: str | None = None
     separator: str | None = None
     group_char: str | None = None
+    collection: bool = False  # csvw:collectionUrl → RDF list (rdf:first/rest)
 
 
 @dataclass(frozen=True)
@@ -213,6 +214,7 @@ class MappingTemplate:
                     default=c.get("default"),
                     separator=c.get("separator"),
                     group_char=group_char,
+                    collection=bool(c.get("csvw:collectionUrl")),
                 )
             )
         return MappingTemplate(about_url=about, columns=tuple(cols), dialect=dialect, base=base)

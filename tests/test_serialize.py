@@ -44,6 +44,23 @@ def test_gzip_deterministic():
     assert gzip.decompress(a) == serialize_collected(_table(), "nquads")
 
 
+def test_turtle_prefix_compression():
+    payload = serialize_collected(_table(), "turtle").decode()
+    assert "@prefix" in payload
+    # repeated namespaces compressed; s1 appears as a prefixed name
+    assert ":s1" in payload
+    # full form still parseable alternative: prefix declarations name real namespaces
+    for line in payload.splitlines():
+        if line.startswith("@prefix"):
+            assert line.endswith(" .") and "<http" in line
+
+
+def test_trig_single_prefix_header():
+    payload = serialize_collected(_table(), "trig").decode()
+    assert payload.count("@prefix ns0:") <= 1
+    assert "{" in payload and "}" in payload
+
+
 def test_jsonld_valid_json():
     payload = serialize_collected(_table(), "json-ld")
     doc = json.loads(payload)

@@ -126,3 +126,42 @@ def test_missing_column_raises():
     t = CompiledTemplate.compile("x{nope}")
     with pytest.raises(KeyError):
         t.render(pa.table({"a": [1]}))
+
+
+def test_collection_url_rdf_list():
+    """csvw:collectionUrl: ordered RDF list with deterministic bnodes."""
+    from cattle_ray.model import RDF_NS, format_nquads_batch, parse_nquads_lines
+    from cattle_ray.stages.convert import convert_batch
+
+    meta = {
+        "@id": "https://ex.org/t",
+        "aboutUrl": "https://ex.org/t/row/{_row}",
+        "tableSchema": {
+            "columns": [
+                {"name": "tags", "separator": "|", "csvw:collectionUrl": True,
+                 "propertyUrl": "https://ex.org/def/tags"},
+            ]
+        },
+    }
+    batch = pa.table({"tags": ["a|b", "", "x", "|"], "_row": [1, 2, 3, 4]})
+    out = convert_batch(batch, MappingTemplate.from_dict(meta), graph="https://g")
+    # row1: head + 2×(first,rest) = 5; row2 empty cell → skipped entirely
+    # (engine-wide skip-on-empty); row3: head + 2 = 3; row4 "|" → empty list
+    # after element filtering → rdf:nil head only
+    assert out.num_rows == 5 + 0 + 3 + 1
+    d = out.to_pylist()
+    by_pred = {}
+    for r in d:
+        by_pred.setdefault(r["pred"], []).append(r)
+    heads = by_pred["https://ex.org/def/tags"]
+    assert any(r["obj"] == RDF_NS + "nil" for r in heads)  # "|" cell → nil
+    first_objs = [r["obj"] for r in by_pred[RDF_NS + "first"]]
+    assert set(first_objs) == {"a", "b", "x"}
+    # deterministic: same input → same bnode labels
+    out2 = convert_batch(batch, MappingTemplate.from_dict(meta), graph="https://g")
+    assert out.to_pylist() == out2.to_pylist()
+    # bnode round-trip through N-Quads
+    lines = format_nquads_batch(out)["line"].to_pylist()
+    assert any(l.startswith("_:c") for l in lines)
+    back = parse_nquads_lines(lines)
+    assert back.num_rows == out.num_rows
