@@ -52,11 +52,14 @@ GRAPH = "https://example.org/graph/ci"
 QUAD_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
 
 
-def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 4000):
-    """read_parquet with column pruning and right-sized blocks: tiny test
-    files otherwise split into 2×cpus ~80-row blocks whose per-task
-    scheduling overhead dwarfs compute; at real scale the same heuristic
-    (rows-per-block target, capped at 4× cores) yields many large blocks."""
+def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 4000,
+          filter=None):
+    """read_parquet with column pruning, right-sized blocks, and optional
+    row-group predicate pushdown (``filter`` = pyarrow dataset expression):
+    tiny test files otherwise split into 2×cpus ~80-row blocks whose
+    per-task scheduling overhead dwarfs compute; at real scale the same
+    heuristic (rows-per-block target, capped at 4× cores) yields many large
+    blocks, and the filter prunes row groups before bytes leave storage."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
@@ -65,7 +68,8 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 4000):
     nrows = pq.ParquetFile(path).metadata.num_rows
     cpus = int(ray.cluster_resources().get("CPU", 8))
     blocks = max(2, min(nrows // rows_per_block + 1, 4 * cpus))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks,
+                           filter=filter)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -618,9 +622,10 @@ def q_users_without_orders(sf_dir: str):
 
     users = distinct(_read(sf_dir, "events", ["user_id"], rows_per_block=20000),
                      ["user_id"])
-    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000).map_batches(
-        lambda b: b.filter(pc.less(b["o_custkey"], 10)), batch_format="pyarrow"
-    )
+    # M9-style predicate pushdown: the o_custkey<10 filter prunes row groups
+    # AT THE READ (pyarrow dataset expression), not in a downstream map
+    orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000,
+                   filter=(pc.field("o_custkey") < 10))
     return semi_join(users, orders, "user_id", "o_custkey", anti=True)
 
 
