@@ -24,13 +24,13 @@ from .model import format_nquads_batch
 
 EXTENSION_DICT = {
     "n3": ".n3", "nquads": ".nq", "nt": ".nt", "rdfxml": ".rdf",
-    "trig": ".trig", "trix": ".trix", "turtle": ".ttl", "xml": ".xml",
+    "trig": ".trig", "trix": ".xml", "turtle": ".ttl", "xml": ".rdf",
     "json-ld": ".jsonld",
 }
 MIME_TYPE_DICT = {
     "n3": "text/n3", "nquads": "application/n-quads", "nt": "application/n-triples",
     "rdfxml": "application/rdf+xml", "trig": "application/trig",
-    "trix": "application/trix", "turtle": "text/turtle", "xml": "application/rdf+xml",
+    "trix": "application/xml", "turtle": "text/turtle", "xml": "application/rdf+xml",
     "json-ld": "application/ld+json",
 }
 LINE_FORMATS = {"nquads", "nt"}
@@ -79,6 +79,8 @@ def _build_prefix_table(table: pa.Table, max_prefixes: int = 16) -> dict[str, st
 
 
 def _term(iri: str, prefixes: dict[str, str]) -> str:
+    if iri.startswith("_:"):
+        return iri  # blank node label — emitted raw in turtle/n3/trig
     cut = max(iri.rfind("#"), iri.rfind("/")) + 1
     ns, local = iri[:cut], iri[cut:]
     label = prefixes.get(ns)
@@ -140,12 +142,18 @@ def _serialize_rdfxml(table: pa.Table) -> str:
     lines = ['<?xml version="1.0" encoding="utf-8"?>',
              '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">']
     for r in _rows(table):
-        lines.append(f'  <rdf:Description rdf:about="{_xml_escape(r["subj"])}">')
+        subj = r["subj"]
+        if subj.startswith("_:"):  # blank node → rdf:nodeID, never rdf:about
+            lines.append(f'  <rdf:Description rdf:nodeID="{_xml_escape(subj[2:])}">')
+        else:
+            lines.append(f'  <rdf:Description rdf:about="{_xml_escape(subj)}">')
         pred = r["pred"]
         # split pred into namespace + local name at last # or /
         cut = max(pred.rfind("#"), pred.rfind("/")) + 1
         ns, local = pred[:cut], pred[cut:] or "p"
-        if r["obj_is_iri"]:
+        if r["obj_is_iri"] and r["obj"].startswith("_:"):
+            lines.append(f'    <{local} xmlns="{_xml_escape(ns)}" rdf:nodeID="{_xml_escape(r["obj"][2:])}"/>')
+        elif r["obj_is_iri"]:
             lines.append(f'    <{local} xmlns="{_xml_escape(ns)}" rdf:resource="{_xml_escape(r["obj"])}"/>')
         else:
             attrs = f' xmlns="{_xml_escape(ns)}"'
@@ -162,12 +170,17 @@ def _serialize_rdfxml(table: pa.Table) -> str:
 def _serialize_trix(table: pa.Table) -> str:
     lines = ['<?xml version="1.0" encoding="utf-8"?>',
              '<TriX xmlns="http://www.w3.org/2004/03/trix/trix-1/">', "  <graph>"]
+    def node(iri: str) -> str:  # trix: blank nodes go in <id>, not <uri>
+        if iri.startswith("_:"):
+            return f"<id>{_xml_escape(iri[2:])}</id>"
+        return f"<uri>{_xml_escape(iri)}</uri>"
+
     for r in _rows(table):
         lines.append("    <triple>")
-        lines.append(f"      <uri>{_xml_escape(r['subj'])}</uri>")
+        lines.append(f"      {node(r['subj'])}")
         lines.append(f"      <uri>{_xml_escape(r['pred'])}</uri>")
         if r["obj_is_iri"]:
-            lines.append(f"      <uri>{_xml_escape(r['obj'])}</uri>")
+            lines.append(f"      {node(r['obj'])}")
         elif r["obj_datatype"]:
             lines.append(
                 f'      <typedLiteral datatype="{_xml_escape(r["obj_datatype"])}">'

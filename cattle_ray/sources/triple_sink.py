@@ -65,6 +65,8 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
 
     def write_group(g: pa.Table) -> pa.Table:
         # pure-Arrow path: zero pandas round-trip on the full triple payload
+        import pyarrow.parquet as pq  # pa.parquet is NOT auto-imported by pyarrow
+
         pid = int(g["part_id"][0].as_py())
         g = g.drop_columns(["part_id"]).sort_by(
             [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
@@ -73,7 +75,7 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         dst = os.path.join(pdir, "data.parquet")
-        pa.parquet.write_table(g, tmp)
+        pq.write_table(g, tmp)
         os.replace(tmp, dst)
         return pa.table(
             {"part_id": pa.array([pid]), "n_triples": pa.array([g.num_rows]),

@@ -186,9 +186,9 @@ def _emit_collection(
     """csvw:collectionUrl semantics: the cell's separator-split values become
     an ordered RDF collection; one (subject, pred, head) triple plus the
     rdf:first/rdf:rest chain. Blank-node labels are content-hashed from
-    (subject, pred) — deterministic at any parallelism, stable across
-    retries (SURVEY.md determinism contract). Rare-feature path: per-cell
-    Python loop (lists are inherently sequential)."""
+    (subject, pred, raw cell) — deterministic at any parallelism, stable
+    across retries (SURVEY.md determinism contract). Rare-feature path:
+    per-cell Python loop (lists are inherently sequential)."""
     import hashlib
 
     RDF_FIRST = RDF_NS + "first"
@@ -211,9 +211,14 @@ def _emit_collection(
     for i in range(len(rows)):
         s, p = subj[i].as_py(), pred[i].as_py()
         src_v = src[i].as_py()
-        values = (cells[i].as_py() or "").split(spec.separator)
+        raw = cells[i].as_py() or ""
+        values = raw.split(spec.separator)
         values = [v for v in values if v != ""]
-        tag = hashlib.md5(f"{s}\x1f{p}".encode()).hexdigest()[:12]
+        # hash includes the CELL CONTENT: two rows rendering the same
+        # (aboutUrl, propertyUrl) — any aboutUrl not using {_row} — must get
+        # distinct list chains unless their cells are identical (in which case
+        # the emitted triples are identical and dedup merges them harmlessly)
+        tag = hashlib.md5(f"{s}\x1f{p}\x1f{raw}".encode()).hexdigest()[:12]
         if not values:
             emit(s, p, RDF_NIL, True, None, None, src_v)
             continue

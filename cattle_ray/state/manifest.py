@@ -9,10 +9,12 @@ partition appends one JSONL row
     part_id, input_part_hash, template_hash, out_path,
     n_rows_in, n_triples_out, wall_ms, status, run_ts
 
-committed via write-temp + ``os.replace`` (atomic on POSIX). Resume =
-anti-join pending partitions against committed ``(part_id,
-input_part_hash, template_hash)`` keys; partition output files are
-content-addressed so a double-commit is idempotent (FIXTURES.md §6).
+committed via append + ``fsync`` (single-writer: the driver; a line-sized
+append is atomic on POSIX, and ``load()`` tolerates one torn trailing line
+from a crash mid-append). Resume = anti-join pending partitions against
+committed ``(part_id, input_part_hash, template_hash)`` keys; partition
+output files are content-addressed so a double-commit is idempotent
+(FIXTURES.md §6).
 """
 
 from __future__ import annotations
@@ -54,7 +56,16 @@ class Manifest:
                 line = line.strip()
                 if not line:
                     continue
-                row = json.loads(line)
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    # a crash mid-append leaves one torn trailing line — the
+                    # exact failure the manifest exists to survive; skip it
+                    # (the partition simply re-runs) instead of blocking resume
+                    import warnings
+
+                    warnings.warn(f"manifest {self.path}: skipping torn line")
+                    continue
                 if row.get("status") == "committed":
                     out[(row["part_id"], row["input_part_hash"], row["template_hash"])] = row
         return out

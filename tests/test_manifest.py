@@ -85,3 +85,24 @@ def test_commit_is_atomic_append(tmp_path):
             }
         )
     assert len(man.load()) == 10
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    """A crash mid-append leaves a torn final JSONL line; load() must skip it
+    (with a warning) instead of raising and blocking resume."""
+    import warnings
+
+    from cattle_ray.state.manifest import Manifest
+
+    m = Manifest(str(tmp_path / "m.jsonl"))
+    row = {k: "x" for k in
+           ("part_id", "input_part_hash", "template_hash", "out_path", "run_ts")}
+    row.update(n_rows_in=1, n_triples_out=2, wall_ms=3, status="committed")
+    m.commit(row)
+    with open(m.path, "a") as f:
+        f.write('{"part_id": "torn, no clo')  # simulated crash mid-append
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        done = m.load()
+    assert len(done) == 1  # the committed row survives, torn line skipped
+    assert any("torn" in str(x.message) for x in w)

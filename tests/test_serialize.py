@@ -78,3 +78,37 @@ def test_nt_drops_graph():
     nq = serialize_collected(_table(), "nquads").decode()
     assert "<http://g>" not in nt
     assert "<http://g>" in nq
+
+
+def _bnode_table():
+    return triples_table(
+        pa.array(["http://s1", "_:b0", "_:b0"]),
+        pa.array(["http://p1", "http://ns#first", "http://ns#rest"]),
+        pa.array(["_:b0", "lit", "http://ns#nil"]),
+        pa.array([True, False, True]),
+        pa.array([None, None, None], pa.string()),
+        pa.array([None, None, None], pa.string()),
+        pa.array(["http://g"] * 3),
+        pa.array([None, None, None], pa.string()),
+    )
+
+
+@pytest.mark.parametrize("fmt", ACCEPTED_FORMATS)
+def test_bnodes_every_format(fmt):
+    """Blank nodes must serialize validly in every document format: raw
+    label in turtle-family, rdf:nodeID in rdfxml, <id> in trix."""
+    payload = serialize_collected(_bnode_table(), fmt).decode()
+    assert "<_:" not in payload          # never a bnode label inside <...>
+    assert 'rdf:about="_:' not in payload
+    assert 'rdf:resource="_:' not in payload
+    if fmt in ("turtle", "n3", "trig"):
+        assert "_:b0" in payload
+    if fmt in ("rdfxml", "xml"):
+        assert 'rdf:nodeID="b0"' in payload
+    if fmt == "trix":
+        assert "<id>b0</id>" in payload
+    if fmt == "json-ld":
+        assert {"@id": "_:b0"} in [
+            v for n in json.loads(payload) for vs in n.values()
+            if isinstance(vs, list) for v in vs
+        ] or any(n["@id"] == "_:b0" for n in json.loads(payload))

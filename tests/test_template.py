@@ -165,3 +165,36 @@ def test_collection_url_rdf_list():
     assert any(l.startswith("_:c") for l in lines)
     back = parse_nquads_lines(lines)
     assert back.num_rows == out.num_rows
+
+
+def test_collection_bnodes_distinct_per_row():
+    """Two rows rendering the SAME (aboutUrl, propertyUrl) — aboutUrl without
+    {_row} — must get distinct list chains per distinct cell (regression:
+    labels hashed from (subj, pred) only merged/corrupted the lists)."""
+    from cattle_ray.model import RDF_NS
+    from cattle_ray.stages.convert import convert_batch
+
+    meta = {
+        "@id": "https://ex.org/t",
+        "aboutUrl": "https://ex.org/country/{iso}",
+        "tableSchema": {
+            "columns": [
+                {"name": "tags", "separator": "|", "csvw:collectionUrl": True,
+                 "propertyUrl": "https://ex.org/def/tags"},
+            ]
+        },
+    }
+    # same iso → same subject for both rows, different cells
+    batch = pa.table({"iso": ["BE", "BE"], "tags": ["a|b", "c|d"], "_row": [1, 2]})
+    out = convert_batch(batch, MappingTemplate.from_dict(meta), graph="https://g")
+    rows = out.to_pylist()
+    firsts = [r for r in rows if r["pred"] == RDF_NS + "first"]
+    # each bnode carries exactly ONE rdf:first value
+    by_subj = {}
+    for r in firsts:
+        by_subj.setdefault(r["subj"], set()).add(r["obj"])
+    assert all(len(v) == 1 for v in by_subj.values()), by_subj
+    assert {o for v in by_subj.values() for o in v} == {"a", "b", "c", "d"}
+    # two distinct heads hang off the shared subject
+    heads = [r["obj"] for r in rows if r["pred"] == "https://ex.org/def/tags"]
+    assert len(set(heads)) == 2
