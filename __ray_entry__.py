@@ -369,18 +369,22 @@ def q_events_hourly(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(b["ts"], unit="hour")
-        t = pa.table({"user_id": b["user_id"], "hour": hour, "value": b["value"]})
-        out = t.group_by(["user_id", "hour"]).aggregate([("value", "sum"), ([], "count_all")])
-        out = out.rename_columns(["user_id", "hour", "value_sum", "cnt"])
+        # ORDER-DETERMINISTIC revenue-style sum: per-row cents (half-up) are
+        # summed as int64, so partial-sum order can never flip a rounded hash
+        # (retry-safety; oracle uses the identical per-row cents expression)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(b["value"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"user_id": b["user_id"], "hour": hour, "cents": cents})
+        out = t.group_by(["user_id", "hour"]).aggregate([("cents", "sum"), ([], "count_all")])
+        out = out.rename_columns(["user_id", "hour", "cents_sum", "cnt"])
         return add_key_bucket(out, ["user_id", "hour"], 16)
 
     def finish(g: "pd.DataFrame") -> "pd.DataFrame":
         out = (
             g.groupby(["user_id", "hour"], sort=False)
-            .agg(sum_value=("value_sum", "sum"), n=("cnt", "sum"))
+            .agg(cents=("cents_sum", "sum"), n=("cnt", "sum"))
             .reset_index()
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = out["cents"] / 100.0  # exact: int64 cents / 100
         out["n"] = out["n"].astype("int64")
         return out[["user_id", "hour", "n", "sum_value"]]
 
@@ -413,6 +417,11 @@ def q_lineitem_agg(sf_dir: str):
         rows_per_block=100000,
     )
 
+    def _half_up(arr, scale: float):
+        # per-row fixed-point units (half-up) → int64; summation becomes exact
+        # integer arithmetic, deterministic at ANY partial-sum order
+        return pc.cast(pc.floor(pc.add(pc.multiply(arr, scale), 0.5)), pa.int64())
+
     def partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
         disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
@@ -420,10 +429,10 @@ def q_lineitem_agg(sf_dir: str):
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "qty": b["l_quantity"],
-                "price": b["l_extendedprice"],
-                "disc_price": disc_price,
-                "disc": b["l_discount"],
+                "qty": _half_up(b["l_quantity"], 100.0),
+                "price": _half_up(b["l_extendedprice"], 100.0),
+                "disc_price": _half_up(disc_price, 100.0),
+                "disc": _half_up(b["l_discount"], 1e6),
             }
         )
         out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -448,14 +457,18 @@ def q_lineitem_agg(sf_dir: str):
     )
 
     def finish(b: pa.Table) -> pa.Table:
+        # int64 unit-sums / scale — exact, no post-sum rounding needed
+        cnt = pc.cast(b["count_order"], pa.float64())
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
-                "sum_qty": pc.round(b["sum_qty"], 2),
-                "sum_base_price": pc.round(b["sum_base_price"], 2),
-                "sum_disc_price": pc.round(b["sum_disc_price"], 2),
-                "avg_disc": pc.round(pc.divide(b["sum_disc"], pc.cast(b["count_order"], pa.float64())), 6),
+                "sum_qty": pc.divide(pc.cast(b["sum_qty"], pa.float64()), 100.0),
+                "sum_base_price": pc.divide(pc.cast(b["sum_base_price"], pa.float64()), 100.0),
+                "sum_disc_price": pc.divide(pc.cast(b["sum_disc_price"], pa.float64()), 100.0),
+                "avg_disc": pc.divide(
+                    pc.divide(pc.cast(b["sum_disc"], pa.float64()), 1e6), cnt
+                ),
                 "count_order": b["count_order"],
             }
         )
@@ -472,15 +485,17 @@ def q_orders_by_segment(sf_dir: str):
     from cattle_ray.stages.aggregates import partial_count
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    lookup_ref = ray.put(cust.combine_chunks())  # two aligned Arrow arrays
 
     class AddSegment:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            t = ray.get(lookup_ref)  # once per actor
+            self.keys, self.vals = t["c_custkey"].chunk(0), t["c_mktsegment"].chunk(0)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            seg = [self.lookup.get(k) for k in b["o_custkey"].to_pylist()]
-            return b.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            # vectorized broadcast lookup: index_in + take (no Python loop)
+            idx = pc.index_in(b["o_custkey"], value_set=self.keys)
+            return b.append_column("c_mktsegment", pc.take(self.vals, idx))
 
     orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000)
     joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
@@ -493,16 +508,14 @@ def q_nation_region(sf_dir: str):
     import ray.data as rd
     import pyarrow.parquet as pq
 
-    reg = pq.read_table(f"{sf_dir}/region.parquet")
-    lookup_ref = ray.put(dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())))
+    reg = pq.read_table(f"{sf_dir}/region.parquet").combine_chunks()
+    lookup_ref = ray.put(reg)
 
     def join(b: pa.Table) -> pa.Table:
-        lk = ray.get(lookup_ref)
+        lk = ray.get(lookup_ref)  # zero-copy from object store
+        idx = pc.index_in(b["n_regionkey"], value_set=lk["r_regionkey"].chunk(0))
         return pa.table(
-            {
-                "n_name": b["n_name"],
-                "r_name": pa.array([lk.get(k) for k in b["n_regionkey"].to_pylist()], pa.string()),
-            }
+            {"n_name": b["n_name"], "r_name": pc.take(lk["r_name"].chunk(0), idx)}
         )
 
     return _read(sf_dir, "nation").map_batches(join, batch_format="pyarrow")
@@ -639,19 +652,14 @@ def q_shipping_priority(sf_dir: str):
     from cattle_ray.stages.joins import native_join
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    bld = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
-    )
-    bld_ref = ray.put(bld)
+    bld = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"].combine_chunks()
+    bld_ref = ray.put(bld)  # broadcast as an Arrow array → vectorized is_in
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
                    rows_per_block=50000)
 
     def filter_orders(b: pa.Table) -> pa.Table:
-        keys = ray.get(bld_ref)
-        m = np.fromiter((k in keys for k in b["o_custkey"].to_pylist()), dtype=bool,
-                        count=len(b))
-        t = b.filter(pa.array(m))
+        t = b.filter(pc.is_in(b["o_custkey"], value_set=ray.get(bld_ref)))
         return t.filter(pc.less(t["o_orderdate"], pa.scalar(np.datetime64("1998-01-01", "us"))))
 
     li = _read(sf_dir, "lineitem",
@@ -661,7 +669,11 @@ def q_shipping_priority(sf_dir: str):
     def li_filter(b: pa.Table) -> pa.Table:
         b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(np.datetime64("1995-01-01", "us"))))
         rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        # per-row integer cents (half-up): the downstream sum is exact int64
+        # arithmetic — deterministic at any partial order (was: float sum +
+        # round(2), whose run-to-run ulp noise flipped the value hash)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(rev, 100.0), 0.5)), pa.int64())
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_c": cents})
 
     joined = native_join(
         orders.map_batches(filter_orders, batch_format="pyarrow"),
@@ -671,8 +683,8 @@ def q_shipping_priority(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         t = pa.table({"o_orderkey": b["o_orderkey"], "o_orderdate": b["o_orderdate"],
-                      "rev": b["rev"]})
-        out = t.group_by(["o_orderkey", "o_orderdate"]).aggregate([("rev", "sum")])
+                      "rev_c": b["rev_c"]})
+        out = t.group_by(["o_orderkey", "o_orderdate"]).aggregate([("rev_c", "sum")])
         out = out.rename_columns(["o_orderkey", "o_orderdate", "rev_s"])
         return add_key_bucket(out, ["o_orderkey"], 16)
 
@@ -683,7 +695,7 @@ def q_shipping_priority(sf_dir: str):
             g.groupby(["o_orderkey", "o_orderdate"], sort=False)["rev_s"].sum()
             .reset_index(name="revenue")
         )
-        out["revenue"] = out["revenue"].round(2)
+        out["revenue"] = out["revenue"] / 100.0  # exact: int64 cents / 100
         return out
 
     return (
@@ -996,8 +1008,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_custkey < 10)
         """,
         "shipping_priority": """
+            -- revenue summed as per-row half-up CENTS (int64): exact integer
+            -- arithmetic on both sides — order-deterministic, hash-stable
             SELECT o_orderkey, o_orderdate,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)) / 100.0 AS revenue
             FROM customer
             JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1018,7 +1033,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT user_id, date_trunc('hour', ts) AS hour,
-                   CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_top_users": """
@@ -1045,11 +1061,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lineitem_agg": """
+            -- fixed-point per-row units summed as int64: exact on both sides
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_discount) / count(*), 6) AS avg_disc,
+                   sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_qty,
+                   sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
+                   sum(CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT)) / 1000000.0 / count(*) AS avg_disc,
                    CAST(count(*) AS BIGINT) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
