@@ -417,26 +417,29 @@ def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
     too: identical texts have identical signatures → est_jaccard 1.0).
 
     Composition: minhash_dedup_pairs (bounded shuffles) + distributed CC +
-    a broadcast drop-set semi-filter — no full-corpus shuffle at any step.
+    a DISTRIBUTED anti-join of the corpus against the drop set
+    (labels where id != label) — no step ever collects ids to the driver,
+    so a 100-TB corpus with billions of duplicates cannot OOM it.
     """
-    import ray
+    from .joins import semi_join_distributed
 
     pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
                                 threshold=threshold, ngram=ngram,
                                 num_buckets=num_buckets)
-    labels = connected_components_distributed(pairs, num_buckets=num_buckets).to_pandas()
-    drop = set(labels.loc[labels["id"] != labels["label"], "id"])
-    drop_ref = ray.put(drop)
-
-    def keep(batch: pa.Table) -> pa.Table:
-        d = ray.get(drop_ref)
-        m = np.fromiter(
-            (i not in d for i in batch[id_col].to_pylist()), dtype=bool,
-            count=len(batch),
-        )
-        return batch.filter(pa.array(m))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    labels = connected_components_distributed(pairs, num_buckets=num_buckets)
+    # drop set stays a Dataset end-to-end: every non-representative id
+    drop = labels.map_batches(
+        lambda t: t.filter(pc.not_equal(t["id"], t["label"])).select(["id"]),
+        batch_format="pyarrow",
+    )
+    if id_col == "id":  # avoid a same-name/different-role collision in the union
+        return semi_join_distributed(ds, drop, id_col, "id", anti=True,
+                                     num_buckets=num_buckets)
+    drop = drop.map_batches(
+        lambda t: t.rename_columns(["_drop_id"]), batch_format="pyarrow"
+    )
+    return semi_join_distributed(ds, drop, id_col, "_drop_id", anti=True,
+                                 num_buckets=num_buckets)
 
 
 def connected_components(pairs_df: pd.DataFrame) -> dict:

@@ -24,6 +24,22 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _key_buckets(col, num_buckets: int) -> np.ndarray:
+    """Key-type-aware shuffle bucket: integer keys bucket by value (cheap,
+    preserves the old behavior), everything else (string/binary/float/…) by a
+    VECTORIZED 64-bit hash (``hash_pandas_object``) — so joining/sessionizing
+    on e.g. a ``url`` column just works instead of raising a numpy cast
+    error. Always returns non-negative int64."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        return k % num_buckets  # numpy % yields non-negative for positive divisor
+    h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _with_bucket_and_tag(ds, key: str, tag: int, num_buckets: int,
@@ -33,8 +49,7 @@ def _with_bucket_and_tag(ds, key: str, tag: int, num_buckets: int,
     so we make both sides schema-identical before it."""
 
     def f(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False)
-        bucket = (k.astype(np.int64) % num_buckets).astype(np.int64)
+        bucket = _key_buckets(batch[key], num_buckets)
         n = len(batch)
         arrays = []
         for field in combined:
@@ -71,6 +86,8 @@ def _combined_schema(left_ds, right_ds) -> "pa.Schema":
 _PY_TO_ARROW = {
     bytes: pa.binary(), str: pa.string(), int: pa.int64(),
     float: pa.float64(), bool: pa.bool_(),
+    # pandas blocks report string columns as dtype('O') / object
+    object: pa.string(),
 }
 
 
@@ -150,47 +167,92 @@ class _BloomFilter:
         return out
 
 
+def _hash_keys_u64(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == object:
+        return np.fromiter((zlib_crc(k) for k in arr), dtype=np.uint64, count=len(arr))
+    return arr.astype(np.uint64)
+
+
 def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
-              use_bloom: bool = False, fp_rate: float = 0.01):
-    """Semi (keep matches) / anti (keep non-matches) join via a broadcast key
-    set — the guide's pattern: `ray.put` the key set once, filter inside
-    map_batches; no shuffle at all. ``use_bloom=True`` swaps the exact set
-    for a Bloom filter when the key side is large (approximate: see
-    :class:`_BloomFilter`)."""
+              use_bloom: bool = False, fp_rate: float = 0.01,
+              max_broadcast_keys: int = 2_000_000, num_buckets: int = 32):
+    """Semi (keep matches) / anti (keep non-matches) join.
+
+    Path selection:
+
+    - ``use_bloom=True``: approximate Bloom filter (false positives only:
+      a semi join may keep / an anti join may drop a stray row). The filter
+      is built STREAMING — ``iter_batches`` over pre-hashed uint64 keys, so
+      driver memory is the filter's bitset, never the key set.
+    - key side ≤ ``max_broadcast_keys``: the guide's broadcast pattern — keys
+      collected ONCE as an Arrow array, ``ray.put``, filtered inside
+      map_batches with vectorized ``pc.is_in``. No shuffle.
+    - larger, exact: fully distributed — both sides tagged + bucketed on the
+      key, one groupby shuffle, per-bucket vectorized ``isin`` filter
+      (:func:`semi_join_distributed`). Use this when exactness matters at
+      scale (e.g. corpus dedup drop-lists with billions of ids).
+    """
     import ray
 
-    keys = keys_ds.map_batches(
+    keys_sel = keys_ds.map_batches(
         lambda b: b.select([right_on]), batch_format="pyarrow"
-    ).to_pandas()[right_on]
+    )
     if use_bloom:
-        arr = keys.to_numpy()
-        if arr.dtype == object:
-            arr = np.fromiter((zlib_crc(k) for k in arr), dtype=np.uint64, count=len(arr))
-        bf = _BloomFilter(len(arr), fp_rate)
-        bf.add(arr)
+        n_keys = keys_sel.count()
+        bf = _BloomFilter(n_keys, fp_rate)
+        hashed = keys_sel.map_batches(
+            lambda b: pa.table({"h": pa.array(_hash_keys_u64(
+                b[right_on].to_numpy(zero_copy_only=False)))}),
+            batch_format="pyarrow",
+        )
+        # streaming build: batches of 8-byte hashes flow through the driver,
+        # only the bitset stays resident
+        for chunk in hashed.iter_batches(batch_format="pyarrow", batch_size=65536):
+            bf.add(chunk["h"].to_numpy(zero_copy_only=False))
         ref = ray.put(bf)
 
         def filt(batch: pa.Table) -> pa.Table:
             f = ray.get(ref)
-            vals = batch[left_on].to_numpy(zero_copy_only=False)
-            if vals.dtype == object:
-                vals = np.fromiter((zlib_crc(v) for v in vals), dtype=np.uint64,
-                                   count=len(vals))
+            vals = _hash_keys_u64(batch[left_on].to_numpy(zero_copy_only=False))
             m = f.contains(vals)
             return batch.filter(pa.array(~m if anti else m))
 
-    else:
-        ref = ray.put(set(keys.tolist()))
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    if keys_sel.count() <= max_broadcast_keys:
+        keys = pa.Table.from_pandas(keys_sel.to_pandas())[right_on].combine_chunks()
+        ref = ray.put(keys)
 
         def filt(batch: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            m = np.fromiter(
-                (v in s for v in batch[left_on].to_pylist()), dtype=bool,
-                count=len(batch),
-            )
-            return batch.filter(pa.array(~m if anti else m))
+            m = pc.is_in(batch[left_on], value_set=ray.get(ref))
+            return batch.filter(pc.invert(m) if anti else m)
 
-    return ds.map_batches(filt, batch_format="pyarrow")
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    return semi_join_distributed(ds, keys_ds, left_on, right_on, anti=anti,
+                                 num_buckets=num_buckets)
+
+
+def semi_join_distributed(ds, keys_ds, left_on: str, right_on: str, *,
+                          anti: bool = False, num_buckets: int = 32):
+    """Exact distributed semi/anti join: one bucketed groupby shuffle, no
+    driver-side key collection at any point. Per bucket the filter is a
+    vectorized pandas ``isin`` of left keys against the bucket's right keys
+    (all occurrences of a key land in one bucket by construction)."""
+    keys_only = keys_ds.map_batches(
+        lambda b: b.select([right_on]), batch_format="pyarrow"
+    )
+    unioned = _union_buckets(ds, keys_only, left_on, right_on, num_buckets)
+    left_cols, left_dtypes = _side_columns(ds)
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["_side"] == 0]
+        rkeys = g.loc[g["_side"] == 1, right_on].unique()
+        m = l[left_on].isin(rkeys)
+        out = l[~m if anti else m]
+        return out[left_cols].astype(left_dtypes)
+
+    return unioned.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
 
 
 def zlib_crc(v) -> int:

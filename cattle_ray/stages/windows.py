@@ -52,9 +52,10 @@ def sessionize(ds, *, key: str = "user_id", ts: str = "ts",
     gap = pd.Timedelta(gap)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        k = batch[key].to_numpy(zero_copy_only=False)
+        from .joins import _key_buckets  # key-type-aware (string keys hash)
+
         return batch.append_column(
-            "_bucket", pa.array((k.astype(np.int64) % num_buckets).astype(np.int64))
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets))
         )
 
     def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:

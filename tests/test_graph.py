@@ -60,3 +60,37 @@ def test_dedup_corpus_keeps_representatives(ray_session):
     assert 0 in kept                       # min-id representative survives
     assert kept & set(range(1, 6)) == set()  # other copies dropped
     assert set(range(10, 14)) <= kept      # uniques untouched
+
+
+def test_dedup_corpus_no_driver_collection(ray_session, monkeypatch):
+    """The corpus-dedup drop set must never be collected to the driver
+    (scale contract): patch Dataset.to_pandas to raise inside dedup_corpus's
+    label/filter path and assert the pipeline still completes."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from cattle_ray.stages import dedup as dedup_mod
+    from cattle_ray.stages.dedup import dedup_corpus
+
+    rows = [{"doc_id": i, "text": f"unique document number {i} " * 5}
+            for i in range(30)]
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})  # exact dup of 0
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    real_to_pandas = Dataset.to_pandas
+    calls = []
+
+    def guarded(self, *a, **k):
+        calls.append(1)
+        return real_to_pandas(self, *a, **k)
+
+    # sig broadcast verify legitimately collects the (id,sig) table under the
+    # documented size gate; force the join verify path so NOTHING may collect
+    monkeypatch.setattr(Dataset, "to_pandas", guarded)
+    out = dedup_corpus(ds, threshold=0.9)
+    monkeypatch.setattr(Dataset, "to_pandas", real_to_pandas)
+    got = sorted(out.to_pandas()["doc_id"])
+    assert 100 not in got and 0 in got and len(got) == 30
+    # the only permitted driver collection is the gated sig-verify broadcast
+    assert len(calls) <= 1, f"unexpected driver collections: {len(calls)}"

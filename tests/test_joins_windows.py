@@ -84,3 +84,35 @@ def test_sessionize_gap_rule(ray_session):
     u2 = out[out["user_id"] == 2].sort_values("session_id")
     assert u2["n"].tolist() == [1, 1]
     assert u1["session_id"].tolist() == [1, 2]
+
+
+def test_hash_join_string_keys(ray_session):
+    """Key-type-aware bucketing: a join on a string key (e.g. url) must work
+    (regression: astype(int64) raised ValueError)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import hash_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"url": [f"u{i % 7}" for i in range(30)], "x": range(30)}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"u2": [f"u{i}" for i in range(7)], "y": range(7)}))
+    out = hash_join(left, right, "url", "u2", num_buckets=4).to_pandas()
+    assert len(out) == 30
+    assert (out["y"] == out["url"].str[1:].astype(int)).all()
+
+
+def test_sessionize_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import sessionize
+
+    df = pd.DataFrame({
+        "user": ["alice", "alice", "bob"],
+        "ts": pd.to_datetime(["2024-01-01 00:00", "2024-01-01 03:00",
+                              "2024-01-01 00:30"]),
+    })
+    out = sessionize(rd.from_pandas(df), key="user", ts="ts", gap="1h").to_pandas()
+    assert len(out) == 3  # alice's 3h gap splits her into 2 sessions

@@ -41,3 +41,33 @@ def test_bloom_string_keys(ray_session):
     keys = rd.from_pandas(pd.DataFrame({"k2": ["u1", "u50"]}))
     out = semi_join(left, keys, "k", "k2", use_bloom=True).to_pandas()
     assert {"u1", "u50"} <= set(out["k"])
+
+
+def test_distributed_path_matches_broadcast(ray_session):
+    """Key side above the broadcast cap → fully distributed bucketed path,
+    identical result to the broadcast path."""
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(50)), "v": range(50)}))
+    keys = rd.from_pandas(pd.DataFrame({"k2": [1, 3, 5, 7, 200]}))
+    bc = semi_join(left, keys, "k", "k2", anti=True).to_pandas()
+    dist = semi_join(left, keys, "k", "k2", anti=True,
+                     max_broadcast_keys=0).to_pandas()
+    assert sorted(dist["k"]) == sorted(bc["k"])
+    semi_d = semi_join(left, keys, "k", "k2", max_broadcast_keys=0).to_pandas()
+    assert sorted(semi_d["k"]) == [1, 3, 5, 7]
+
+
+def test_distributed_string_keys(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"url": [f"https://ex.org/{i}" for i in range(40)]}))
+    keys = rd.from_pandas(pd.DataFrame(
+        {"u2": ["https://ex.org/3", "https://ex.org/7"]}))
+    out = semi_join(left, keys, "url", "u2", max_broadcast_keys=0).to_pandas()
+    assert sorted(out["url"]) == ["https://ex.org/3", "https://ex.org/7"]
