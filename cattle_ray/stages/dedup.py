@@ -266,18 +266,23 @@ _EMPTY_PAIRS = pa.table(
 
 def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngram=3,
                         concurrency=4, num_buckets=64,
-                        sig_broadcast_max: int = 100_000):
+                        sig_broadcast_max: int = 100_000,
+                        sig_path: str | None = None):
     """MinHash+LSH near-dup pairs (a<b) with estimated Jaccard.
 
     Plan (signature data never duplicated 32× across the shuffle):
-      sigs  = one row per doc (id, sig bytes) — MATERIALIZED once (consumed
-              by three branches; laziness would recompute the minhash 3×)
+      sigs  = one row per doc (id, sig bytes) — computed ONCE, then either
+              MATERIALIZED in the object store (default; spills under
+              pressure) or, with ``sig_path=``, written to partitioned
+              Parquet and re-read by each consumer — the extreme-scale path:
+              at 10^12 docs the 128×8 B signatures are ~1 PB, which belongs
+              on storage, not in the object store (and the sig table doubles
+              as a resumable checkpoint)
       bands = 32 payload-free rows per doc → ONE bucket groupby → candidate
               pairs → exact dedup on (a, b)
       verify: corpus ≤ ``sig_broadcast_max`` docs → sig dict broadcast via
               ``ray.put``, verification inside one map_batches (no join);
-              bigger corpora → two co-partitioned joins pair↔sig. At extreme
-              scale, persist sigs to Parquet instead of materializing.
+              bigger corpora → two co-partitioned joins pair↔sig.
     """
     import ray
 
@@ -288,7 +293,14 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
         MinHashSignatures,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram),
         batch_format="pyarrow", concurrency=concurrency,
-    ).materialize()
+    )
+    if sig_path is not None:
+        import ray.data as rd
+
+        sigs.write_parquet(sig_path)
+        sigs = rd.read_parquet(sig_path)
+    else:
+        sigs = sigs.materialize()
     bands = sigs.map_batches(
         lambda b: bands_from_sigs(b, num_buckets), batch_format="pyarrow"
     )

@@ -134,3 +134,26 @@ def test_embedding_neardup(ray_session):
     hits = sum(1 for a in range(10) for b in range(a + 1, 10) if (a, b) in got)
     assert hits >= 20
     assert all(p >= 0.98 for p in pairs["cosine"])
+
+
+def test_minhash_sig_persistence_parity(ray_session, tmp_path):
+    """sig_path= (extreme-scale Parquet signature persistence) must produce
+    exactly the same pairs as the in-memory materialize path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import minhash_dedup_pairs
+
+    rows = [{"doc_id": i, "text": f"totally distinct text number {i} " * 4}
+            for i in range(40)]
+    rows += [{"doc_id": 200 + i, "text": rows[i]["text"]} for i in range(3)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    mem = minhash_dedup_pairs(ds, threshold=0.9).to_pandas()
+    ds2 = rd.from_pandas(pd.DataFrame(rows))
+    disk = minhash_dedup_pairs(ds2, threshold=0.9,
+                               sig_path=str(tmp_path / "sigs")).to_pandas()
+    key = lambda df: sorted(zip(df["a"], df["b"], df["est_jaccard"].round(9)))
+    assert key(mem) == key(disk)
+    assert len(mem) >= 3
+    import os
+    assert any(f.endswith(".parquet") for f in os.listdir(tmp_path / "sigs"))
