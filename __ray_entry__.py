@@ -742,18 +742,16 @@ def q_events_sliding_window(sf_dir: str):
 def q_kg_pagerank(sf_dir: str):
     """Entity importance: PageRank power iteration over the doc→entity
     bipartite edges of the materialized triples (rows-only: iterative)."""
-    import zlib
-
-    from cattle_ray.stages.graph import pagerank
+    from cattle_ray.stages.graph import pagerank, uri_ids64
 
     ent = q_kg_csvw_triples(sf_dir).map_batches(
         lambda b: b.filter(pc.equal(b["pred"], EX + "entity")), batch_format="pyarrow"
     )
 
     def to_edges(b: pa.Table) -> pa.Table:
-        s = [zlib.crc32(x.encode()) for x in b["subj"].to_pylist()]
-        d = [zlib.crc32(x.encode()) for x in b["obj"].to_pylist()]
-        return pa.table({"src": pa.array(s, pa.int64()), "dst": pa.array(d, pa.int64())})
+        # vectorized 64-bit ids (was: per-row crc32 — 32-bit ids birthday-
+        # collide near 65k nodes, silently merging distinct entities at scale)
+        return pa.table({"src": uri_ids64(b["subj"]), "dst": uri_ids64(b["obj"])})
 
     return pagerank(ent.map_batches(to_edges, batch_format="pyarrow"), iters=5)
 

@@ -1,19 +1,28 @@
 """Iterative graph algorithms over the materialized triple/edge tables.
 
 :func:`pagerank` — entity-importance power iteration expressed with the same
-co-partitioned-join + bucketed-aggregate primitives as the rest of the
-engine. Fully distributed at every step:
+co-partitioned-bucket primitives as the rest of the engine. Fully
+distributed at every step, with the per-round cost cut to the minimum the
+Ray Data model allows:
 
-- out-degrees are joined into the edge table ONCE before the loop (static),
-  so no degree broadcast limits the node count;
-- each round: one ``hash_join`` (edges ⋈ ranks on src), a bucketed in-flow
-  sum, and a left join back onto the node universe;
+- out-degrees are joined into the edge table ONCE before the loop;
+- the padded, bucketed, union-ready edge table is built ONCE and
+  materialized — per round it is only re-unioned with the (two-column) rank
+  table, never re-padded or re-hashed;
+- each round runs exactly TWO shuffles: one edge-sized groupby whose
+  per-bucket UDF FUSES the src-join with a partial per-dst reduce (so the
+  second shuffle moves node-sized partials, not edge-sized contributions —
+  previously the contribution table crossed a second full shuffle), and one
+  node-sized groupby that folds the partials onto the static node universe;
 - the dangling mass needs no node-level scan: Σ_edges rank(src)/deg(src)
   summed per edge equals the total rank held by nodes WITH out-edges, so
-  dangling = 1 − that sum (one distributed column sum).
+  dangling = 1 − that sum (one distributed column sum over the partials).
 
 Rank state lives in the object store between rounds (two columns); nothing
-node- or edge-sized ever lands on the driver.
+node- or edge-sized ever lands on the driver. Ray Data cannot yet PIN a
+partitioning across stages, so the edge blocks still travel through the
+per-round shuffle — when partition pinning lands, the bucketed edge dataset
+built here is exactly the shape to pin.
 """
 
 from __future__ import annotations
@@ -22,6 +31,50 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+def uri_ids64(col) -> pa.Array:
+    """Vectorized 64-bit node ids for a string (URI) column
+    (``hash_pandas_object`` — stable across processes, no per-row Python).
+    Collision expectation at 64 bits is ~n²/2⁶⁵: negligible below ~10⁹
+    distinct URIs (vs the 32-bit crc32 it replaces, which merges distinct
+    entities from ~65k nodes). Above that, carry the string id instead."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+    return pa.array(h.astype(np.int64), pa.int64())
+
+
+def _pad_bucket_tag(ds, schema: pa.Schema, key: str, side: int, num_buckets: int):
+    """Pad batches to ``schema`` (missing columns as typed nulls), add
+    ``_bucket = key % B`` and the ``_side`` tag — union-ready."""
+
+    def f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arrays = []
+        for field in schema:
+            if field.name in t.column_names:
+                col = t[field.name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                arrays.append(col.cast(field.type))
+            else:
+                arrays.append(pa.nulls(n, field.type))
+        out = pa.Table.from_arrays(arrays, schema=schema)
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = out.append_column("_bucket", pa.array(k % num_buckets))
+        return out.append_column("_side", pa.array(np.full(n, side, dtype=np.int8)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+#: stage-1 union schema: edge rows carry (src, dst, deg), rank rows (node, rank)
+_S1_SCHEMA = pa.schema([
+    ("src", pa.int64()), ("dst", pa.int64()), ("deg", pa.float64()),
+    ("node", pa.int64()), ("rank", pa.float64()),
+])
+#: stage-2 union schema: node rows carry (node), partial rows (node, in_sum)
+_S2_SCHEMA = pa.schema([("node", pa.int64()), ("in_sum", pa.float64())])
 
 
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
@@ -72,9 +125,14 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
     )
     edges_deg = hash_join(edges, deg, "src", "dnode", num_buckets=num_buckets)
     edges_deg = edges_deg.map_batches(
-        lambda t: pa.table({"src": t["src"], "dst": t["dst"],
-                            "deg": t["deg"].combine_chunks().cast(pa.float64())}),
-        batch_format="pyarrow",
+        lambda t: t.select(["src", "dst", "deg"]), batch_format="pyarrow"
+    )
+    # padded + bucketed ONCE, reused every round
+    edges_pre = coalesce_small(
+        _pad_bucket_tag(edges_deg, _S1_SCHEMA, "src", 0, num_buckets), 16
+    ).materialize()
+    nodes_pre = coalesce_small(
+        _pad_bucket_tag(nodes, _S2_SCHEMA, "node", 0, num_buckets), 8
     ).materialize()
 
     ranks = nodes.map_batches(
@@ -84,35 +142,57 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         batch_format="pyarrow",
     ).materialize()
 
+    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+        """Fused per-bucket: join ranks onto edges by src, contribute
+        rank/deg to each dst, PARTIAL-reduce by dst — the second shuffle
+        then moves one row per (bucket, dst), not one per edge."""
+        e = g[g["_side"] == 0]
+        r = g[g["_side"] == 1]
+        m = e[["src", "dst", "deg"]].merge(
+            r[["node", "rank"]], left_on="src", right_on="node", how="inner"
+        )
+        if m.empty:
+            return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                 "in_sum": pd.Series(dtype="float64")})
+        contrib = m["rank"].to_numpy() / m["deg"].to_numpy()
+        out = (
+            pd.DataFrame({"node": m["dst"].to_numpy(), "in_sum": contrib})
+            .groupby("node", sort=False)["in_sum"].sum().reset_index()
+        )
+        out["node"] = out["node"].astype("int64")
+        return out
+
     for _ in range(iters):
-        joined = hash_join(edges_deg, ranks, "src", "node",
-                           num_buckets=num_buckets).materialize()
-
-        def contrib(b: pa.Table) -> pa.Table:
-            c = pc.divide(b["rank"], b["deg"])
-            out = pa.table({"node": b["dst"], "in_sum": c})
-            return add_key_bucket(out, ["node"], num_buckets)
-
-        contribs = joined.map_batches(contrib, batch_format="pyarrow").materialize()
+        ranks_tag = coalesce_small(
+            _pad_bucket_tag(ranks, _S1_SCHEMA, "node", 1, num_buckets), 8
+        )
+        partials = (
+            edges_pre.union(ranks_tag)
+            .groupby("_bucket")
+            .map_groups(stage1, batch_format="pandas")
+            .materialize()
+        )
         # non-dangling mass = Σ_edges rank(src)/deg(src); dangling = 1 − it
-        non_dangling = contribs.sum("in_sum") or 0.0
+        non_dangling = partials.sum("in_sum") or 0.0
         base = (1 - damping) / n_nodes + damping * (1.0 - non_dangling) / n_nodes
 
-        def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby("node", sort=False)["in_sum"].sum().reset_index()
+        def stage2(g: pd.DataFrame, base=base) -> pd.DataFrame:
+            nod = g.loc[g["_side"] == 0, ["node"]]
+            p = g[g["_side"] == 1]
+            s = p.groupby("node", sort=False)["in_sum"].sum()
+            in_sum = nod["node"].map(s).fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "node": nod["node"].astype("int64").to_numpy(),
+                "rank": base + damping * in_sum,
+            })
 
-        sums = (
-            coalesce_small(contribs, 8)
-            .groupby("_bucket")
-            .map_groups(reduce_rank, batch_format="pandas")
+        partials_tag = coalesce_small(
+            _pad_bucket_tag(partials, _S2_SCHEMA, "node", 1, num_buckets), 8
         )
-        merged = hash_join(nodes, sums, "node", "node", how="left",
-                           num_buckets=num_buckets)
-
-        def finish(b: pa.Table, base=base) -> pa.Table:
-            s = pc.fill_null(b["in_sum"], 0.0)
-            rank = pc.add(pa.scalar(base), pc.multiply(pa.scalar(damping), s))
-            return pa.table({"node": b["node"], "rank": rank})
-
-        ranks = merged.map_batches(finish, batch_format="pyarrow").materialize()
+        ranks = (
+            nodes_pre.union(partials_tag)
+            .groupby("_bucket")
+            .map_groups(stage2, batch_format="pandas")
+            .materialize()
+        )
     return ranks

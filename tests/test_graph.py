@@ -94,3 +94,16 @@ def test_dedup_corpus_no_driver_collection(ray_session, monkeypatch):
     assert 100 not in got and 0 in got and len(got) == 30
     # the only permitted driver collection is the gated sig-verify broadcast
     assert len(calls) <= 1, f"unexpected driver collections: {len(calls)}"
+
+
+def test_uri_ids64_no_collisions_past_2_16():
+    """64-bit node ids must stay distinct well past the 32-bit birthday bound
+    (~65k) where the old crc32 ids started merging entities."""
+    import pyarrow as pa
+
+    from cattle_ray.stages.graph import uri_ids64
+
+    n = 70_000
+    uris = pa.array([f"https://example.org/id/entity/Entity{i}" for i in range(n)])
+    ids = uri_ids64(uris).to_pylist()
+    assert len(set(ids)) == n
