@@ -283,7 +283,8 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_langid(sf_dir: str):
-    """Heuristic language-ID (rows-only: no SQL equivalent)."""
+    """Heuristic language-ID (oracle: per-language stopword counts inlined
+    in SQL, argmax with profile-order tie-break)."""
     from cattle_ray.stages.textstats import LangId
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -859,6 +860,34 @@ WITH r AS (SELECT range AS r FROM range(1, 4)),
 _STOPLIST_SQL = "('the','and','of','to','a','in','is','it','that','for')"
 
 
+def _langid_sql() -> str:
+    """Mirror of LangId: lowercase-split tokens, per-language stopword hit
+    counts, argmax with PROFILE-ORDER tie-break, all-zero → 'und'."""
+    from cattle_ray.stages.textstats import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)  # en, de, fr, es — order IS the tie-break
+    cnt = ", ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({}))) AS BIGINT) AS n_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang])), lang)
+        for lang in langs
+    )
+    zero = " AND ".join(f"n_{lang} = 0" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = [f"n_{lang} >= n_{other}" for other in langs[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, {cnt} FROM t)
+        SELECT doc_id,
+               CASE WHEN {zero} THEN 'und' {' '.join(cases)} END AS lang_pred
+        FROM c
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     mention_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{w}' AS alias, "
@@ -945,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_langid": _langid_sql(),
         "doc_jaccard": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

@@ -55,13 +55,18 @@ class ImageDecoder:
     (+ optional feature vector). Stateful so a real backend loads its model /
     codec context once per actor."""
 
-    def __init__(self, backend: str = "fake", feature_dim: int = 8):
-        if backend == "fake":
+    def __init__(self, backend="fake", feature_dim: int = 8):
+        # the seam contract: any Callable[[bytes], dict] returning
+        # width/height/channels/payload_crc/n_bytes plugs in unchanged —
+        # a PIL-backed decoder is exactly such a callable
+        if callable(backend):
+            self._decode = backend
+        elif backend == "fake":
             self._decode = decode_fake_image
         elif backend == "pil":
             raise NotImplementedError(
-                "PIL/libjpeg not available in this environment; plug a real "
-                "decoder here (same __call__ contract)"
+                "PIL/libjpeg not available in this environment; pass a "
+                "callable backend implementing the same contract"
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")
@@ -118,11 +123,17 @@ class AudioFeaturizer:
     flat-map shape a real fbank/MFCC extractor has). ``backend="torchaudio"``
     is the marked seam for a real decoder."""
 
-    def __init__(self, backend: str = "fake", frame_dim: int = 4):
-        if backend != "fake":
+    def __init__(self, backend="fake", frame_dim: int = 4):
+        # seam contract: Callable[[bytes], dict] with
+        # n_samples/sample_rate/duration_s/n_bytes (what torchaudio.info gives)
+        if callable(backend):
+            self._decode = backend
+        elif backend == "fake":
+            self._decode = decode_fake_audio
+        else:
             raise NotImplementedError(
-                "audio codecs not available in this environment; plug a real "
-                "decoder here (same __call__ contract)"
+                "audio codecs not available in this environment; pass a "
+                "callable backend implementing the same contract"
             )
         self.frame_dim = frame_dim
 
@@ -133,7 +144,7 @@ class AudioFeaturizer:
         for cid, buf in zip(ids, bufs):
             if not buf:
                 continue
-            meta = decode_fake_audio(buf)
+            meta = self._decode(buf)
             n_frames = max(1, int(meta["duration_s"]))
             rng = np.random.RandomState((zlib.crc32(buf) ^ n_frames) & 0x7FFFFFFF)
             feats = rng.rand(n_frames, self.frame_dim)

@@ -48,16 +48,56 @@ def bpe_token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return batch.append_column("n_bpe_tokens", pa.array(counts, pa.int64()))
 
 
+def _bpe_regex_count(text: str) -> int:
+    """Default tokenizer backend: the BPE-ish regex (C-level findall)."""
+    return len(_BPE_RE.findall(text))
+
+
+class TokenCounter:
+    """Pluggable-tokenizer actor stage (same actor-pool shape as LangId):
+    ``backend_factory`` is a zero-arg picklable factory returning a
+    ``Callable[[str], int]`` — a REAL tokenizer (tiktoken / HF) loads its
+    vocab/merges exactly once per actor here in ``__init__``, then counts
+    per batch in ``__call__``. Default backend is the BPE-ish regex.
+
+    Usage::
+
+        ds.map_batches(TokenCounter, fn_constructor_kwargs=dict(
+            backend_factory=my_tokenizer_factory), batch_format="pyarrow",
+            concurrency=8)
+    """
+
+    def __init__(self, backend_factory=None, text_col: str = "text",
+                 out_col: str = "n_bpe_tokens"):
+        self.count = (backend_factory or (lambda: _bpe_regex_count))()
+        self.text_col, self.out_col = text_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [self.count(t) if t else 0
+                  for t in batch[self.text_col].to_pylist()]
+        return batch.append_column(self.out_col, pa.array(counts, pa.int64()))
+
+
+def _explode_isin_counts(s: "pd.Series", toks: "pd.Series", vocab) -> np.ndarray:
+    """Per-row count of tokens ∈ vocab, fully vectorized: explode the token
+    lists once, one C-level ``isin`` + index-grouped sum (no per-doc lambda)."""
+    ex = toks.explode().dropna()
+    if ex.empty:
+        return np.zeros(len(s), dtype=np.int64)
+    hits = ex.str.lower().isin(vocab).groupby(level=0).sum()
+    return hits.reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+
+
 def quality_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Quality signals: length, punctuation ratio, stopword ratio, mean word
     length + a composite score in [0,1]. pandas str ops (C-vectorized)."""
+    import pandas as pd
+
     s = batch[text_col].to_pandas().fillna("")
     n_chars = s.str.len().to_numpy(dtype=np.int64)
     toks = s.str.split()
     n_tok = toks.map(len).to_numpy(dtype=np.int64)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS_EN)).to_numpy(
-        dtype=np.int64
-    )
+    n_stop = _explode_isin_counts(s, toks, _STOPWORDS_EN)
     n_punct = s.str.count(r"[^\w\s]").to_numpy(dtype=np.int64)
     safe_tok = np.maximum(n_tok, 1)
     safe_chars = np.maximum(n_chars, 1)
@@ -86,26 +126,28 @@ def quality_batch(batch: pa.Table, text_col="text") -> pa.Table:
 
 class LangId:
     """Stopword-profile language guesser (deterministic heuristic). Profiles
-    built once per actor; per batch a pandas token scan."""
+    built once per actor; per batch ONE explode + one vectorized ``isin``
+    per language (no per-doc Python). Ties break by profile order (first
+    language reaching the max count); zero hits → 'und'."""
 
     def __init__(self, profiles=None):
         self.profiles = {k: frozenset(v) for k, v in (profiles or LANG_PROFILES).items()}
+        self.langs = list(self.profiles)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         s = batch["text"].to_pandas().fillna("")
-        toks = s.str.lower().str.split()
-
-        def guess(ws):
-            if not ws:
-                return "und"
-            best, best_n = "und", 0
-            for lang, prof in self.profiles.items():
-                n = sum(1 for w in ws if w in prof)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        return batch.append_column("lang_pred", pa.array(toks.map(guess), pa.string()))
+        ex = s.str.lower().str.split().explode().dropna()
+        counts = np.zeros((len(s), len(self.langs)), dtype=np.int64)
+        if not ex.empty:
+            for j, lang in enumerate(self.langs):
+                hits = ex.isin(self.profiles[lang]).groupby(level=0).sum()
+                counts[:, j] = hits.reindex(s.index, fill_value=0).to_numpy()
+        best = counts.argmax(axis=1)  # argmax = FIRST max → profile-order ties
+        pred = np.where(counts.max(axis=1) == 0, "und",
+                        np.asarray(self.langs, dtype=object)[best])
+        return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
 def fingerprint_batch(batch: pa.Table, text_col="text") -> pa.Table:

@@ -47,6 +47,10 @@ def test_frame_sampler_flatmap():
 def test_audio_featurizer_flatmap():
     from cattle_ray.stages.multimodal import AudioFeaturizer, encode_fake_audio
 
+    def _torchaudio_double(buf: bytes) -> dict:
+        return {"n_samples": 32000, "sample_rate": 16000, "duration_s": 2.0,
+                "n_bytes": len(buf)}
+
     batch = pa.table(
         {
             "clip_id": [1, 2],
@@ -86,3 +90,47 @@ def test_decode_in_ray_pipeline(ray_session):
     )
     assert len(out) == 40
     assert out["payload_crc"].nunique() > 1
+
+
+def test_image_decoder_real_backend_double(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.multimodal import ImageDecoder, add_fake_images
+
+    def _pil_double(buf: bytes) -> dict:
+        # backend double standing in for a PIL-backed decoder: honors the
+        # seam contract (width/height/channels/payload_crc/n_bytes); defined
+        # inside the test so cloudpickle ships it by value
+        return {"width": 7, "height": 9, "channels": 1, "payload_crc": 42,
+                "n_bytes": len(buf)}
+
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3]})).map_batches(
+        add_fake_images, batch_format="pyarrow"
+    )
+    out = ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs=dict(backend=_pil_double),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert out["width"].tolist() == [7, 7, 7]
+    assert "image" not in out.columns  # binary dropped before any shuffle
+    assert len(out["features"].iloc[0]) == 8
+
+
+def test_audio_featurizer_real_backend_double(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.multimodal import AudioFeaturizer, encode_fake_audio
+
+    def _torchaudio_double(buf: bytes) -> dict:
+        return {"n_samples": 32000, "sample_rate": 16000, "duration_s": 2.0,
+                "n_bytes": len(buf)}
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"clip_id": [1], "audio": [encode_fake_audio(100, 16000)]}))
+    out = ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs=dict(backend=_torchaudio_double),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert sorted(out["frame_idx"]) == [0, 1]  # duration 2.0s → 2 frames

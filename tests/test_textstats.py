@@ -52,3 +52,31 @@ def test_fingerprint_deterministic():
     assert a["md5"].to_pylist() == b["md5"].to_pylist()
     assert a["rolling_hash"].to_pylist() == b["rolling_hash"].to_pylist()
     assert a["md5"][0].as_py() == __import__("hashlib").md5(b"same text").hexdigest()
+
+
+def test_token_counter_pluggable_backend(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import TokenCounter
+
+    def _char_backend_factory():
+        # stand-in for a real tokenizer factory (e.g. tiktoken loading
+        # merges): built once per actor; counts 'tokens' as characters.
+        # Defined INSIDE the test so cloudpickle ships it by value (test
+        # modules are not importable from Ray workers).
+        return lambda t: len(t)
+
+    ds = rd.from_pandas(pd.DataFrame({"text": ["abc", "hello world", ""]}))
+    # default backend: BPE-ish regex
+    d = ds.map_batches(TokenCounter, batch_format="pyarrow",
+                       concurrency=1).to_pandas()
+    assert d["n_bpe_tokens"].tolist() == [1, 2, 0]
+    # swapped backend: the factory runs in actor __init__ (vocab-load seam)
+    c = ds.map_batches(
+        TokenCounter,
+        fn_constructor_kwargs=dict(backend_factory=_char_backend_factory,
+                                   out_col="n_chars_t"),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert c["n_chars_t"].tolist() == [3, 11, 0]
