@@ -356,18 +356,20 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
     iterated min-label propagation — the scale path when the verified pair
     set is too large for driver union-find.
 
-    Each round: labels(id, label) ⋈ edges both directions → per-id min of
-    neighbor labels → merge with own label. Converges in O(diameter) rounds
-    (near-dup clusters are shallow; ``max_iters`` bounds pathological
-    chains). Returns a Dataset (id, label) with label = min id of the
-    component. Per-round cost: one co-partitioned join + one bucketed
-    min-aggregation; iterating materializes labels each round (small: two
-    int64 columns).
+    Each round runs exactly TWO shuffles (same fused plan as
+    ``graph.pagerank``): one edge-sized groupby whose per-bucket UDF fuses
+    the neighbor-label join with a PARTIAL per-u min (so the second shuffle
+    moves node-sized partials, not edge-sized candidates), and one
+    node-sized groupby merging partials with each id's own label. The
+    padded, bucketed edge table is built once outside the loop. Converges in
+    O(diameter) rounds (near-dup clusters are shallow; ``max_iters`` bounds
+    pathological chains). Returns a Dataset (id, label) with label = min id
+    of the component.
     """
     import pandas as pd  # noqa: F811
 
-    from .aggregates import add_key_bucket, coalesce_small
-    from .joins import hash_join
+    from .aggregates import coalesce_small
+    from .graph import _pad_bucket_tag
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table({"u": pa.concat_arrays(
@@ -387,29 +389,53 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
         lambda t: pa.table({"id": t["id"], "label": t["id"]}), batch_format="pyarrow"
     ).materialize()
 
+    s1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("id", pa.int64()), ("label", pa.int64())])
+    s2_schema = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+    # padded + bucketed (on the join key v) ONCE, reused every round
+    edges_pre = coalesce_small(
+        _pad_bucket_tag(edges, s1_schema, "v", 0, num_buckets), 16
+    ).materialize()
+
+    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+        """Fused per-bucket: neighbor-label join (labels on v) + PARTIAL
+        per-u min of candidate labels."""
+        e = g[g["_side"] == 0]
+        l = g[g["_side"] == 1]
+        m = e[["u", "v"]].merge(l[["id", "label"]], left_on="v", right_on="id",
+                                how="inner")
+        if m.empty:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        out = (m[["u", "label"]].groupby("u", sort=False)["label"].min()
+               .reset_index().rename(columns={"u": "id"}))
+        out["id"] = out["id"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def stage2(g: pd.DataFrame) -> pd.DataFrame:
+        """Per id: min(own label, neighbor partial mins)."""
+        out = g.groupby("id", sort=False)["label"].min().reset_index()
+        out["id"] = out["id"].astype("int64")
+        out["label"] = out["label"].astype("int64")
+        return out
+
     for _ in range(max_iters):
-        # neighbor labels: edges(u,v) ⋈ labels on v → candidate label for u
-        cand = hash_join(edges, labels, "v", "id", num_buckets=num_buckets)
-        cand = cand.map_batches(
-            lambda t: pa.table({"id": t["u"], "label": t["label"]}),
-            batch_format="pyarrow",
+        labels_tag = coalesce_small(
+            _pad_bucket_tag(labels, s1_schema, "id", 1, num_buckets), 8
         )
-        both = cand.union(labels)
-
-        def min_label(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("id", sort=False)["label"].min().reset_index()
-            out["label"] = out["label"].astype("int64")
-            return out
-
-        new_labels = (
-            coalesce_small(
-                both.map_batches(
-                    lambda t: add_key_bucket(t.select(["id", "label"]), ["id"], num_buckets),
-                    batch_format="pyarrow",
-                )
-            )
+        partials = (
+            edges_pre.union(labels_tag)
             .groupby("_bucket")
-            .map_groups(min_label, batch_format="pandas")
+            .map_groups(stage1, batch_format="pandas")
+        )
+        # node-sized merge: own labels ∪ partials, min per id
+        own_tag = _pad_bucket_tag(labels, s2_schema, "id", 0, num_buckets)
+        part_tag = _pad_bucket_tag(partials, s2_schema, "id", 1, num_buckets)
+        new_labels = (
+            coalesce_small(own_tag.union(part_tag), 8)
+            .groupby("_bucket")
+            .map_groups(stage2, batch_format="pandas")
             .materialize()
         )
         # fixpoint check: total label sum strictly decreases until converged
