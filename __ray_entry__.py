@@ -120,13 +120,14 @@ def q_kg_csvw_triples(sf_dir: str):
 
 def q_kg_openie(sf_dir: str):
     """M8: pattern extraction over text (rule registry U5)."""
-    from cattle_ray.pages import doc_url
+    from cattle_ray.pages import DOC_URL_PREFIX
     from cattle_ray.stages.openie import OpenIEExtract
 
     def add_url(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "url", pa.array([doc_url(i) for i in b["doc_id"].to_pylist()], pa.string())
-        )
+        # vectorized url render (was a per-row f-string loop)
+        u = pc.binary_join_element_wise(
+            DOC_URL_PREFIX, pc.cast(b["doc_id"], pa.string()), "")
+        return b.append_column("url", u)
 
     return (
         _docs(sf_dir, ["doc_id", "text"])

@@ -145,8 +145,11 @@ def pages_dataset(n: int, seed: int = SEED, *, override_num_blocks: int | None =
 # Oracle-checkable derivation from the driver testdata `documents` table.
 # Every value below is SQL-reconstructible from doc_id (see __ray_entry__).
 
+DOC_URL_PREFIX = "https://example.org/doc/"
+
+
 def doc_url(doc_id: int) -> str:
-    return f"https://example.org/doc/{doc_id}"
+    return f"{DOC_URL_PREFIX}{doc_id}"
 
 
 def doc_table(doc_id: int) -> dict:

@@ -503,20 +503,37 @@ def connected_components(pairs_df: pd.DataFrame) -> dict:
 # SimHash
 
 
-def simhash64(text: str) -> int:
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 lacks ``bitwise_count``)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash64(text: str, _cache: dict | None = None) -> int:
+    """64-bit SimHash of the whitespace token stream. Token hashes are
+    computed once per distinct token (shared vocabulary cache) and the ±1
+    bit-vote accumulation is ONE vectorized (n_tokens × 64) reduction —
+    no per-token Python loop."""
     toks = text.split()
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = zlib.crc32(t.encode()) | (zlib.crc32(t.encode()[::-1]) << 32)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        acc += np.where(bits.astype(bool), 1, -1)
-    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    th = _token_hashes(toks, _cache)  # reuses the minhash token-hash cache
+    bits = ((th[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_IDX).sum())
 
 
 def add_simhash(batch: pa.Table, text_col="text", out_col="simhash") -> pa.Table:
-    vals = [simhash64(t or "") for t in batch[text_col].to_pylist()]
+    cache: dict = {}  # per-batch vocabulary cache
+    vals = [simhash64(t or "", cache) for t in batch[text_col].to_pylist()]
     return batch.append_column(out_col, pa.array(np.array(vals, dtype=np.uint64)))
 
 
@@ -555,7 +572,7 @@ def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3,
             hs = grp["simhash"].to_numpy().astype(np.uint64)
             for i in range(len(grp) - 1):
                 x = hs[i + 1 :] ^ hs[i]
-                dist = np.array([bin(int(v)).count("1") for v in x])
+                dist = _popcount64(x)  # vectorized Hamming distance
                 for j in np.nonzero(dist <= max_hamming)[0]:
                     a_out.append(ids[i]); b_out.append(ids[i + 1 + j]); d_out.append(int(dist[j]))
         return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out})
