@@ -767,6 +767,55 @@ def q_doc_corpus_dedup(sf_dir: str):
     return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token / top-token
+    fractions) — boilerplate & degenerate-repetition filter."""
+    from cattle_ray.stages.textstats import repetition_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def q_doc_domain_sample(sf_dir: str):
+    """Domain-balanced sampling: cap docs per source (domain stand-in) at 20,
+    deterministic doc_id order — hot domains can't dominate the mix."""
+    from cattle_ray.stages.aggregates import grouped_head
+
+    out = grouped_head(_docs(sf_dir, ["doc_id", "source"]), "source", "doc_id", 20)
+    return out.map_batches(lambda b: b.select(["doc_id", "source"]),
+                           batch_format="pyarrow")
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing a 5-token benchmark phrase
+    (benchmark set = every 97th doc) are flagged. Phrase derivation is a
+    bounded Ray job (n/97 tiny rows collected), scan is broadcast +
+    vectorized substring match."""
+    import ray
+
+    from cattle_ray.stages.textstats import Decontaminator
+
+    bench = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            lambda b: b.filter(pa.array(
+                b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    phrases = [" ".join((r["text"] or "").split()[:5]) for r in bench]
+    ref = ray.put([p for p in phrases if p])
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Decontaminator, fn_constructor_kwargs=dict(phrases=ref),
+                     batch_format="pyarrow", concurrency=2)
+        .map_batches(lambda b: b.select(["doc_id", "contaminated"]),
+                     batch_format="pyarrow")
+    )
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -828,6 +877,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "nation_region": q_nation_region,
         "multimodal_decode": q_multimodal_decode,
+        "doc_repetition": q_doc_repetition,
+        "doc_domain_sample": q_doc_domain_sample,
+        "doc_decontaminate": q_doc_decontaminate,
     }
 
 
@@ -976,6 +1028,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "doc_langid": _langid_sql(),
+        "doc_repetition": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+              FROM documents WHERE trim(text) != ''),
+            cnts AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS n_dist,
+                     CAST(max(c) AS BIGINT) AS top
+              FROM cnts GROUP BY doc_id)
+            SELECT doc_id, n AS rep_n_tokens, n_dist AS rep_n_distinct,
+                   1 - CAST(n_dist AS DOUBLE) / n AS dup_token_frac,
+                   CAST(top AS DOUBLE) / n AS top_token_frac
+            FROM agg
+            UNION ALL
+            SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
+        """,
+        "doc_domain_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 20
+        """,
+        "doc_decontaminate": r"""
+            WITH bench AS (
+              SELECT array_to_string(list_slice(
+                       string_split_regex(trim(text), '\s+'), 1, 5), ' ') AS phrase
+              FROM documents WHERE doc_id % 97 = 0 AND trim(text) != '')
+            SELECT d.doc_id,
+                   coalesce(bool_or(contains(d.text, b.phrase)), FALSE) AS contaminated
+            FROM documents d LEFT JOIN bench b ON TRUE
+            GROUP BY d.doc_id
+        """,
         "doc_jaccard": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

@@ -150,6 +150,61 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
+def repetition_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """Gopher-style repetition signals (quality filter for training corpora):
+    duplicate-token fraction (1 − distinct/total) and top-token fraction
+    (most frequent token's share). Fully vectorized: one explode, one
+    (doc, token) group-size, two per-doc reductions — no per-doc Python.
+    A doc with high dup_token_frac / top_token_frac is boilerplate or
+    degenerate repetition and gets filtered before training."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("")
+    toks = s.str.split()
+    n = toks.map(len).to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    if ex.empty:
+        n_dist = np.zeros(len(s), dtype=np.int64)
+        top = np.zeros(len(s), dtype=np.int64)
+    else:
+        cnts = ex.groupby([ex.index, ex]).size()
+        per_doc = cnts.groupby(level=0)
+        n_dist = per_doc.size().reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+        top = per_doc.max().reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+    safe = np.maximum(n, 1).astype(np.float64)
+    dup_frac = np.where(n > 0, 1.0 - n_dist / safe, 0.0)
+    top_frac = np.where(n > 0, top / safe, 0.0)
+    out = batch.select([id_col])
+    out = out.append_column("rep_n_tokens", pa.array(n))
+    out = out.append_column("rep_n_distinct", pa.array(n_dist))
+    out = out.append_column("dup_token_frac", pa.array(dup_frac))
+    out = out.append_column("top_token_frac", pa.array(top_frac))
+    return out
+
+
+class Decontaminator:
+    """Benchmark decontamination: flag corpus docs containing any benchmark
+    phrase as a substring. Phrases are broadcast once (``ray.put``) and the
+    scan is one vectorized ``pc.match_substring`` per phrase OR-folded —
+    right for up to a few thousand phrases; for 10^5+ switch the backend to
+    :class:`cattle_ray.stages.automaton.AhoCorasick` (same contract)."""
+
+    def __init__(self, phrases, text_col: str = "text"):
+        import ray
+
+        if isinstance(phrases, ray.ObjectRef):
+            phrases = ray.get(phrases)
+        self.phrases = [p for p in phrases if p]
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        mask = pa.array(np.zeros(len(batch), dtype=bool))
+        for p in self.phrases:
+            mask = pc.or_(mask, pc.fill_null(pc.match_substring(text, p), False))
+        return batch.append_column("contaminated", mask)
+
+
 def fingerprint_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Document fingerprints: md5 hex (exact identity — generalizes
     /root/reference/src/hash_folder.py:10-32) + 64-bit rolling (Rabin-Karp

@@ -80,3 +80,44 @@ def test_token_counter_pluggable_backend(ray_session):
         batch_format="pyarrow", concurrency=1,
     ).to_pandas()
     assert c["n_chars_t"].tolist() == [3, 11, 0]
+
+
+def test_repetition_signals():
+    import pyarrow as pa
+
+    from cattle_ray.stages.textstats import repetition_batch
+
+    b = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a a a a", "w x y z", ""]})
+    out = repetition_batch(b).to_pylist()
+    assert out[0]["dup_token_frac"] == 0.75 and out[0]["top_token_frac"] == 1.0
+    assert out[1]["dup_token_frac"] == 0.0 and out[1]["top_token_frac"] == 0.25
+    assert out[2]["rep_n_tokens"] == 0 and out[2]["dup_token_frac"] == 0.0
+
+
+def test_decontaminator_flags_substrings(ray_session):
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import Decontaminator
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the quick brown fox jumps", "nothing to see here", None]}))
+    ref = ray.put(["quick brown fox"])
+    out = ds.map_batches(Decontaminator, fn_constructor_kwargs=dict(phrases=ref),
+                         batch_format="pyarrow", concurrency=1).to_pandas()
+    assert out.sort_values("doc_id")["contaminated"].tolist() == [True, False, False]
+
+
+def test_grouped_head_caps_per_key(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_head
+
+    df = pd.DataFrame({"source": ["a"] * 5 + ["b"] * 2, "doc_id": range(7)})
+    out = grouped_head(rd.from_pandas(df), "source", "doc_id", 3).to_pandas()
+    got = out.groupby("source")["doc_id"].apply(lambda s: sorted(s)).to_dict()
+    assert got == {"a": [0, 1, 2], "b": [5, 6]}
