@@ -229,12 +229,16 @@ def bands_from_sigs(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
     )
 
 
-def _candidate_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+def _candidate_pairs_from_bucket(g: pd.DataFrame, num_buckets: int = 64) -> pd.DataFrame:
     """Candidate (a,b) pairs within one shuffle bucket: vectorized duplicate
-    prefilter, loop only over collided (band_id, band_hash) groups."""
+    prefilter, loop only over collided (band_id, band_hash) groups. Output
+    carries ``_bucket = hash(a,b) % B`` so the downstream uniquify(+verify)
+    is ONE more groupby, not a dedup stage plus a verify stage."""
     g = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
     if g.empty:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "_bucket": pd.Series(dtype="int64")})
     a_out, b_out = [], []
     for _, grp in g.groupby(["band_id", "band_hash"], sort=False):
         ids = np.sort(grp["id"].unique())
@@ -243,7 +247,12 @@ def _candidate_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ii, jj = np.triu_indices(len(ids), k=1)
         a_out.extend(ids[ii].tolist())
         b_out.extend(ids[jj].tolist())
-    return pd.DataFrame({"a": a_out, "b": b_out})
+    out = pd.DataFrame({"a": a_out, "b": b_out})
+    # local pre-dedup (same band colliding in-bucket) before the shuffle
+    out = out.drop_duplicates(subset=["a", "b"])
+    h = pd.util.hash_pandas_object(out, index=False).to_numpy()
+    out["_bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+    return out
 
 
 def _verify_pairs_batch(batch, sa: np.ndarray, sb: np.ndarray, threshold: float):
@@ -305,31 +314,42 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
         lambda b: bands_from_sigs(b, num_buckets), batch_format="pyarrow"
     )
     cand = coalesce_small(bands).groupby("_bucket").map_groups(
-        _candidate_pairs_from_bucket, batch_format="pandas"
+        lambda g: _candidate_pairs_from_bucket(g, num_buckets),
+        batch_format="pandas",
     )
-    cand = dedup_exact(cand, ["a", "b"])
 
     if sigs.count() <= sig_broadcast_max:
         sig_df = sigs.to_pandas()
         sig_ref = ray.put(dict(zip(sig_df["id"], sig_df["sig"])))
 
-        class VerifyPairs:
-            def __init__(self):
-                self.sigs = ray.get(sig_ref)
+        def uniq_verify(g: pd.DataFrame) -> pa.Table:
+            """Fused per-bucket uniquify + signature verify (broadcast sigs):
+            cross-band duplicate pairs land in the same (a,b)-hash bucket, so
+            ONE drop_duplicates here is global — saving the separate
+            dedup-stage shuffle the previous plan paid."""
+            g = g.drop_duplicates(subset=["a", "b"])
+            if g.empty:
+                return _EMPTY_PAIRS
+            sigs_d = ray.get(sig_ref)
+            n = len(g)
+            sa = np.frombuffer(b"".join(sigs_d[x] for x in g["a"]),
+                               dtype=np.uint64).reshape(n, MINHASH_K)
+            sb = np.frombuffer(b"".join(sigs_d[x] for x in g["b"]),
+                               dtype=np.uint64).reshape(n, MINHASH_K)
+            est = (sa == sb).mean(axis=1)
+            keep = est >= threshold
+            return pa.table(
+                {"a": pa.array(g["a"].to_numpy()[keep]),
+                 "b": pa.array(g["b"].to_numpy()[keep]),
+                 "est_jaccard": pa.array(est[keep], pa.float64())}
+            )
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                if len(batch) == 0:
-                    return _EMPTY_PAIRS
-                n = len(batch)
-                a = batch["a"].to_pylist()
-                b = batch["b"].to_pylist()
-                sa = np.frombuffer(b"".join(self.sigs[x] for x in a),
-                                   dtype=np.uint64).reshape(n, MINHASH_K)
-                sb = np.frombuffer(b"".join(self.sigs[x] for x in b),
-                                   dtype=np.uint64).reshape(n, MINHASH_K)
-                return _verify_pairs_batch(batch, sa, sb, threshold)
+        return coalesce_small(cand, 8).groupby("_bucket").map_groups(
+            uniq_verify, batch_format="pandas"
+        )
 
-        return cand.map_batches(VerifyPairs, batch_format="pyarrow", concurrency=2)
+    cand = dedup_exact(cand.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"), ["a", "b"])
 
     sig_a = sigs.map_batches(
         lambda b: b.rename_columns(["a", "sig_a"]), batch_format="pyarrow"
