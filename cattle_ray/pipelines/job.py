@@ -80,13 +80,41 @@ def run_kg_job(
         triples = build_triples(pages, graph=graph, concurrency=(1, 4))
         pdir = os.path.join(out_dir, f"part_id={part['part_id']}")
         os.makedirs(pdir, exist_ok=True)
-        tbl = pa.Table.from_pandas(triples.to_pandas(), preserve_index=False)
-        tbl = tbl.sort_by([("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         dst = os.path.join(pdir, "data.parquet")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, dst)
+
+        def write_sorted(g: pa.Table) -> pa.Table:
+            # sort + atomic write happen on a WORKER — the driver never
+            # materializes partition payloads (on a cluster, out_dir is
+            # shared storage); only this 1-row receipt comes back
+            import pyarrow.parquet as _pq
+
+            g = g.drop_columns(["_g"]).sort_by(
+                [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+            )
+            _pq.write_table(g, tmp)
+            os.replace(tmp, dst)
+            return pa.table({"path": pa.array([dst]),
+                             "n_rows": pa.array([g.num_rows], pa.int64())})
+
+        receipt = (
+            triples.map_batches(
+                lambda b: b.append_column("_g", pa.array([0] * len(b), pa.int8())),
+                batch_format="pyarrow",
+            )
+            .groupby("_g")
+            .map_groups(write_sorted, batch_format="pyarrow")
+            .take_all()
+        )
+        if receipt:
+            n_triples = int(receipt[0]["n_rows"])
+        else:  # zero-triple partition: commit an empty (schema-full) file
+            from ..model import TRIPLE_SCHEMA
+
+            pq.write_table(TRIPLE_SCHEMA.empty_table(), tmp)
+            os.replace(tmp, dst)
+            n_triples = 0
         done_count += 1
-        return dst, len(ids), tbl.num_rows
+        return dst, len(ids), n_triples
 
     return run_partitioned(parts, run_one, manifest, tmpl_h)
