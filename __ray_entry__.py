@@ -358,6 +358,14 @@ def q_embed_neardup(sf_dir: str):
     return embedding_neardup_pairs(ds, threshold=0.3, num_planes=8)
 
 
+def q_embed_quantize(sf_dir: str):
+    """int8 embedding quantization (exploded rows for exact oracle parity)."""
+    from cattle_ray.stages.similarity import quantize_embeddings_batch
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"], rows_per_block=1000)
+    return ds.map_batches(quantize_embeddings_batch, batch_format="pyarrow")
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: tumbling 1h per user (count + rounded sum)."""
     import ray.data as rd
@@ -880,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "doc_domain_sample": q_doc_domain_sample,
         "doc_decontaminate": q_doc_decontaminate,
+        "embed_quantize": q_embed_quantize,
     }
 
 
@@ -1044,6 +1053,22 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             UNION ALL
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
+        """,
+        "embed_quantize": """
+            -- identical arithmetic to the Ray side: f32→f64 exact casts,
+            -- scale = 127/max|x| (eps-guarded), q = floor(x*scale + 0.5)
+            WITH e AS (
+              SELECT vec_id, embedding,
+                     127.0 / greatest(list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+              FROM embeddings),
+            x AS (
+              SELECT vec_id, scale, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM e)
+            SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                   CAST(floor(CAST(v AS DOUBLE) * scale + 0.5) AS TINYINT) AS q
+            FROM x
         """,
         "doc_domain_sample": """
             SELECT doc_id, source FROM (

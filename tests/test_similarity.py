@@ -71,3 +71,26 @@ def test_ivf_recall(vec_ds):
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         a = set(approx[approx["query_id"] == qi]["vec_id"])
         assert len(e & a) / len(e) >= 0.5  # nprobe=4/8 → decent recall
+
+
+def test_quantize_roundtrip_error_bounded():
+    """int8 quantization: dequantized values within half a quantization step
+    of the original; scale carried implicitly by max|x|."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cattle_ray.stages.similarity import quantize_embeddings_batch
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(8, 16).astype(np.float32)
+    b = pa.table({"vec_id": list(range(8)),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = quantize_embeddings_batch(b)
+    assert out.num_rows == 8 * 16
+    q = out["q"].to_numpy(zero_copy_only=False).reshape(8, 16).astype(np.float64)
+    amax = np.abs(vecs.astype(np.float64)).max(axis=1, keepdims=True)
+    deq = q * amax / 127.0
+    err = np.abs(deq - vecs.astype(np.float64))
+    assert (err <= amax / 127.0 * 0.5 + 1e-12).all()
+    assert out["q"].type == pa.int8()
