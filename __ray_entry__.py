@@ -751,19 +751,39 @@ def q_events_sliding_window(sf_dir: str):
 
 def q_kg_pagerank(sf_dir: str):
     """Entity importance: PageRank power iteration over the doc→entity
-    bipartite edges of the materialized triples (rows-only: iterative)."""
+    bipartite edges of the materialized triples. Oracle: the 5-iteration
+    power method unrolled in SQL over the same edges; both sides round ranks
+    to 6 decimals (iteration reorders float partial sums at the 1e-16 level;
+    rounding at 1e-6 is 10 orders of magnitude away from the noise)."""
+    from cattle_ray.stages.aggregates import distinct
     from cattle_ray.stages.graph import pagerank, uri_ids64
+    from cattle_ray.stages.joins import hash_join
 
     ent = q_kg_csvw_triples(sf_dir).map_batches(
         lambda b: b.filter(pc.equal(b["pred"], EX + "entity")), batch_format="pyarrow"
-    )
+    ).materialize()
 
     def to_edges(b: pa.Table) -> pa.Table:
         # vectorized 64-bit ids (was: per-row crc32 — 32-bit ids birthday-
         # collide near 65k nodes, silently merging distinct entities at scale)
         return pa.table({"src": uri_ids64(b["subj"]), "dst": uri_ids64(b["obj"])})
 
-    return pagerank(ent.map_batches(to_edges, batch_format="pyarrow"), iters=5)
+    def to_map(b: pa.Table) -> pa.Table:
+        # (id ↔ uri) mapping rows for BOTH endpoints — ranks join back to
+        # URIs at the end so the output is hash-scheme-independent
+        uris = pa.concat_arrays([b["subj"].combine_chunks(),
+                                 b["obj"].combine_chunks()])
+        ids = pa.concat_arrays([uri_ids64(b["subj"]), uri_ids64(b["obj"])])
+        return pa.table({"nid": ids, "uri": uris})
+
+    ranks = pagerank(ent.map_batches(to_edges, batch_format="pyarrow"), iters=5)
+    id_map = distinct(ent.map_batches(to_map, batch_format="pyarrow"),
+                      ["nid", "uri"])
+    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=16)
+    return joined.map_batches(
+        lambda b: pa.table({"node": b["uri"], "rank": pc.round(b["rank"], 6)}),
+        batch_format="pyarrow",
+    )
 
 
 def q_doc_corpus_dedup(sf_dir: str):
@@ -922,6 +942,43 @@ WITH r AS (SELECT range AS r FROM range(1, 4)),
 _STOPLIST_SQL = "('the','and','of','to','a','in','is','it','that','for')"
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled PageRank power method, mirroring cattle_ray.stages.graph:
+    init 1/n; per round non_dangling = Σ_edges rank(src)/deg(src),
+    base = (1−d)/n + d·(1−non_dangling)/n, rank = base + d·in_sum.
+    Both sides round to 6 decimals (float partial-sum order differs at the
+    1e-16 level across engines; see q_kg_pagerank)."""
+    ctes = ""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+            nd{k} AS (SELECT coalesce(sum(r.rank / dg.deg), 0) AS nd
+                      FROM edges e JOIN deg dg ON e.s = dg.s
+                      JOIN {prev} r ON r.node = e.s),
+            ins{k} AS (SELECT e.o AS node, sum(r.rank / dg.deg) AS in_sum
+                       FROM edges e JOIN deg dg ON e.s = dg.s
+                       JOIN {prev} r ON r.node = e.s
+                       GROUP BY e.o),
+            r{k} AS (SELECT n.node,
+                            (1 - 0.85)/cnt.n + 0.85*(1 - nd{k}.nd)/cnt.n
+                            + 0.85*coalesce(i.in_sum, 0) AS rank
+                     FROM nodes n CROSS JOIN cnt CROSS JOIN nd{k}
+                     LEFT JOIN ins{k} i ON i.node = n.node)"""
+        prev = f"r{k}"
+    return _TRIPLE_BASE_CTE + f""",
+            edges AS (SELECT subj AS s, obj AS o FROM triples
+                      WHERE pred = '{EX}entity'),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
+            cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg
+                    FROM edges GROUP BY s),
+            r0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes CROSS JOIN cnt)
+            {ctes}
+        SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
 def _langid_sql() -> str:
     """Mirror of LangId: lowercase-split tokens, per-language stopword hit
     counts, argmax with PROFILE-ORDER tie-break, all-zero → 'und'."""
@@ -1054,6 +1111,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
+        "kg_pagerank": _pagerank_sql(),
         "embed_quantize": """
             -- identical arithmetic to the Ray side: f32→f64 exact casts,
             -- scale = 127/max|x| (eps-guarded), q = floor(x*scale + 0.5)

@@ -417,13 +417,13 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
         _pad_bucket_tag(edges, s1_schema, "v", 0, num_buckets), 16
     ).materialize()
 
-    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+    def stage1(g: pa.Table) -> pd.DataFrame:
         """Fused per-bucket: neighbor-label join (labels on v) + PARTIAL
-        per-u min of candidate labels."""
-        e = g[g["_side"] == 0]
-        l = g[g["_side"] == 1]
-        m = e[["u", "v"]].merge(l[["id", "label"]], left_on="v", right_on="id",
-                                how="inner")
+        per-u min of candidate labels. Sides split IN ARROW before pandas
+        (padding nulls coerce int64→float64, corrupting 64-bit ids)."""
+        e = g.filter(pc.equal(g["_side"], 0)).select(["u", "v"]).to_pandas()
+        l = g.filter(pc.equal(g["_side"], 1)).select(["id", "label"]).to_pandas()
+        m = e.merge(l, left_on="v", right_on="id", how="inner")
         if m.empty:
             return pd.DataFrame({"id": pd.Series(dtype="int64"),
                                  "label": pd.Series(dtype="int64")})
@@ -433,9 +433,10 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
         out["label"] = out["label"].astype("int64")
         return out
 
-    def stage2(g: pd.DataFrame) -> pd.DataFrame:
+    def stage2(g: pa.Table) -> pd.DataFrame:
         """Per id: min(own label, neighbor partial mins)."""
-        out = g.groupby("id", sort=False)["label"].min().reset_index()
+        df = g.select(["id", "label"]).to_pandas()  # both sides fully typed
+        out = df.groupby("id", sort=False)["label"].min().reset_index()
         out["id"] = out["id"].astype("int64")
         out["label"] = out["label"].astype("int64")
         return out
@@ -447,7 +448,7 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
         partials = (
             edges_pre.union(labels_tag)
             .groupby("_bucket")
-            .map_groups(stage1, batch_format="pandas")
+            .map_groups(stage1, batch_format="pyarrow")
         )
         # node-sized merge: own labels ∪ partials, min per id
         own_tag = _pad_bucket_tag(labels, s2_schema, "id", 0, num_buckets)
@@ -455,7 +456,7 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
         new_labels = (
             coalesce_small(own_tag.union(part_tag), 8)
             .groupby("_bucket")
-            .map_groups(stage2, batch_format="pandas")
+            .map_groups(stage2, batch_format="pyarrow")
             .materialize()
         )
         # fixpoint check: total label sum strictly decreases until converged

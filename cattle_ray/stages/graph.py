@@ -142,15 +142,15 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         batch_format="pyarrow",
     ).materialize()
 
-    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+    def stage1(g: pa.Table) -> pd.DataFrame:
         """Fused per-bucket: join ranks onto edges by src, contribute
         rank/deg to each dst, PARTIAL-reduce by dst — the second shuffle
-        then moves one row per (bucket, dst), not one per edge."""
-        e = g[g["_side"] == 0]
-        r = g[g["_side"] == 1]
-        m = e[["src", "dst", "deg"]].merge(
-            r[["node", "rank"]], left_on="src", right_on="node", how="inner"
-        )
+        then moves one row per (bucket, dst), not one per edge.
+        Sides split IN ARROW before pandas (padding nulls would otherwise
+        coerce int64 ids to float64, corrupting 64-bit hash ids)."""
+        e = g.filter(pc.equal(g["_side"], 0)).select(["src", "dst", "deg"]).to_pandas()
+        r = g.filter(pc.equal(g["_side"], 1)).select(["node", "rank"]).to_pandas()
+        m = e.merge(r, left_on="src", right_on="node", how="inner")
         if m.empty:
             return pd.DataFrame({"node": pd.Series(dtype="int64"),
                                  "in_sum": pd.Series(dtype="float64")})
@@ -169,20 +169,20 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         partials = (
             edges_pre.union(ranks_tag)
             .groupby("_bucket")
-            .map_groups(stage1, batch_format="pandas")
+            .map_groups(stage1, batch_format="pyarrow")
             .materialize()
         )
         # non-dangling mass = Σ_edges rank(src)/deg(src); dangling = 1 − it
         non_dangling = partials.sum("in_sum") or 0.0
         base = (1 - damping) / n_nodes + damping * (1.0 - non_dangling) / n_nodes
 
-        def stage2(g: pd.DataFrame, base=base) -> pd.DataFrame:
-            nod = g.loc[g["_side"] == 0, ["node"]]
-            p = g[g["_side"] == 1]
+        def stage2(g: pa.Table, base=base) -> pd.DataFrame:
+            nod = g.filter(pc.equal(g["_side"], 0)).select(["node"]).to_pandas()
+            p = g.filter(pc.equal(g["_side"], 1)).select(["node", "in_sum"]).to_pandas()
             s = p.groupby("node", sort=False)["in_sum"].sum()
             in_sum = nod["node"].map(s).fillna(0.0).to_numpy()
             return pd.DataFrame({
-                "node": nod["node"].astype("int64").to_numpy(),
+                "node": nod["node"].to_numpy(),
                 "rank": base + damping * in_sum,
             })
 
@@ -192,7 +192,7 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         ranks = (
             nodes_pre.union(partials_tag)
             .groupby("_bucket")
-            .map_groups(stage2, batch_format="pandas")
+            .map_groups(stage2, batch_format="pyarrow")
             .materialize()
         )
     return ranks

@@ -123,11 +123,16 @@ def _union_buckets(left_ds, right_ds, left_key, right_key, num_buckets):
     return coalesce_small(l.union(r))
 
 
-def _split_sides(g: pd.DataFrame, left_side, right_side):
-    left_cols, left_dtypes = left_side
-    right_cols, right_dtypes = right_side
-    l = g[g["_side"] == 0][left_cols].astype(left_dtypes)
-    r = g[g["_side"] == 1][right_cols].astype(right_dtypes)
+def _split_sides(g: pa.Table, left_side, right_side):
+    """Split a union-bucket group back into its two sides IN ARROW, selecting
+    each side's own columns BEFORE any pandas conversion. Converting the
+    padded table first would turn int64 columns with padding nulls into
+    float64 — silently corrupting keys above 2^53 (e.g. 64-bit hash ids):
+    distinct ids collapse and joins misroute rows."""
+    left_cols, _ = left_side
+    right_cols, _ = right_side
+    l = g.filter(pc.equal(g["_side"], 0)).select(left_cols).to_pandas()
+    r = g.filter(pc.equal(g["_side"], 1)).select(right_cols).to_pandas()
     return l, r
 
 
@@ -243,16 +248,16 @@ def semi_join_distributed(ds, keys_ds, left_on: str, right_on: str, *,
         lambda b: b.select([right_on]), batch_format="pyarrow"
     )
     unioned = _union_buckets(ds, keys_only, left_on, right_on, num_buckets)
-    left_cols, left_dtypes = _side_columns(ds)
+    left_cols, _ = _side_columns(ds)
 
-    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0]
-        rkeys = g.loc[g["_side"] == 1, right_on].unique()
+    def filter_bucket(g: pa.Table) -> pd.DataFrame:
+        # Arrow-side split before pandas: see _split_sides (64-bit key safety)
+        l = g.filter(pc.equal(g["_side"], 0)).select(left_cols).to_pandas()
+        rkeys = g.filter(pc.equal(g["_side"], 1)).select([right_on]).to_pandas()[right_on].unique()
         m = l[left_on].isin(rkeys)
-        out = l[~m if anti else m]
-        return out[left_cols].astype(left_dtypes)
+        return l[~m if anti else m]
 
-    return unioned.groupby("_bucket").map_groups(filter_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
 def zlib_crc(v) -> int:
@@ -304,7 +309,7 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     out_schema = pa.schema(out_fields)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
 
-    def join_bucket(g: pd.DataFrame) -> pa.Table:
+    def join_bucket(g: pa.Table) -> pa.Table:
         l, r = _split_sides(g, left_side, right_side)
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
                       suffixes=("", "_r"))
@@ -312,7 +317,7 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
             out[list(out_schema.names)], schema=out_schema, preserve_index=False
         )
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,
@@ -323,7 +328,7 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,
     left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
     unioned = _union_buckets(left_ds, right_ds, left_by, right_by, num_buckets)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(g, left_side, right_side)
         if l.empty:
             out = pd.merge_asof(
@@ -339,4 +344,4 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,
             right_by=right_by, direction=direction, suffixes=("", "_r"),
         )
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -116,3 +116,22 @@ def test_sessionize_string_keys(ray_session):
     })
     out = sessionize(rd.from_pandas(df), key="user", ts="ts", gap="1h").to_pandas()
     assert len(out) == 3  # alice's 3h gap splits her into 2 sessions
+
+
+def test_hash_join_full_range_64bit_keys(ray_session):
+    """Keys above 2^53 (e.g. 64-bit hash ids) must join EXACTLY (regression:
+    the union's padding nulls coerced int64 keys to float64 in pandas,
+    collapsing distinct ids that differ only in low bits)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import hash_join
+
+    base = 2**62
+    keys = [base + i for i in range(8)]  # adjacent ids: float64 merges them
+    left = rd.from_pandas(pd.DataFrame({"k": keys, "x": range(8)}))
+    right = rd.from_pandas(pd.DataFrame({"k2": keys, "y": [i * 10 for i in range(8)]}))
+    out = hash_join(left, right, "k", "k2", num_buckets=4).to_pandas()
+    assert len(out) == 8
+    assert (out.sort_values("x")["y"].to_numpy() ==
+            out.sort_values("x")["x"].to_numpy() * 10).all()
