@@ -288,6 +288,24 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     with ``how="left"`` the right side's integer columns become float64
     (NaN for unmatched rows)."""
     left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
+    out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, how)
+    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        l, r = _split_sides(g, left_side, right_side)
+        out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
+                      suffixes=("", "_r"))
+        return pa.Table.from_pandas(
+            out[list(out_schema.names)], schema=out_schema, preserve_index=False
+        )
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _join_out_schema(left_ds, right_ds, left_on: str, right_on: str,
+                     how: str) -> pa.Schema:
+    """Output schema of a pandas-suffix-rule equi join (left unsuffixed,
+    right ``_r``; equal-named keys merge; left-join ints become float64)."""
     l_schema = pa.schema(
         [pa.field(n, _to_arrow_type(t)) for n, t in
          zip(left_ds.schema().names, left_ds.schema().types)]
@@ -306,18 +324,68 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
             t = pa.float64()
         name = f.name if f.name not in left_names else f.name + "_r"
         out_fields.append(pa.field(name, t))
-    out_schema = pa.schema(out_fields)
-    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
+    return pa.schema(out_fields)
 
-    def join_bucket(g: pa.Table) -> pa.Table:
-        l, r = _split_sides(g, left_side, right_side)
-        out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
+
+def skew_aware_join(left_ds, right_ds, left_on: str, right_on: str,
+                    num_buckets: int = 32, hot_key_threshold: float = 0.05,
+                    sample_size: int = 100_000):
+    """Inner equi join with EXPLICIT hot-key handling: a plain co-partitioned
+    join sends every row of a hot key to one bucket — at web scale one hub
+    entity (a top domain, a mega-popular entity URI) can be 10%+ of the fact
+    side and OOM its reducer. Plan:
+
+    1. sample the left side (bounded ``sample_size`` rows) and mark keys
+       whose sampled share ≥ ``hot_key_threshold`` as HOT;
+    2. cold rows → the normal bucketed :func:`hash_join`;
+    3. hot rows → the right side's matching rows (a small set: hot keys are
+       FEW by definition) are broadcast via ``ray.put`` and map-side joined —
+       no hot row ever crosses a shuffle;
+    4. union of both results.
+
+    Same output schema/columns as :func:`hash_join` (inner). With no hot
+    keys detected this degrades to exactly ``hash_join``.
+    """
+    import ray
+
+    sample = left_ds.limit(sample_size).map_batches(
+        lambda b: b.select([left_on]), batch_format="pyarrow"
+    ).to_pandas()
+    counts = sample[left_on].value_counts(normalize=True)
+    hot = counts[counts >= hot_key_threshold].index.tolist()
+    if not hot:
+        return hash_join(left_ds, right_ds, left_on, right_on,
+                         num_buckets=num_buckets)
+
+    hot_arr = pa.array(hot)
+    hot_ref = ray.put(hot_arr)
+
+    def split(batch: pa.Table, keep_hot: bool) -> pa.Table:
+        m = pc.is_in(batch[left_on], value_set=ray.get(hot_ref))
+        return batch.filter(m if keep_hot else pc.invert(m))
+
+    cold = left_ds.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+    cold_joined = hash_join(cold, right_ds, left_on, right_on,
+                            num_buckets=num_buckets)
+
+    # right rows for the hot keys: small by construction → broadcast
+    hot_right = right_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[right_on], value_set=ray.get(hot_ref))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    hr_ref = ray.put(hot_right)
+    out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, "inner")
+
+    def hot_join(batch: pa.Table) -> pa.Table:
+        l = split(batch, True).to_pandas()
+        r = ray.get(hr_ref)
+        out = l.merge(r, left_on=left_on, right_on=right_on, how="inner",
                       suffixes=("", "_r"))
-        return pa.Table.from_pandas(
-            out[list(out_schema.names)], schema=out_schema, preserve_index=False
-        )
+        return pa.Table.from_pandas(out[list(out_schema.names)],
+                                    schema=out_schema, preserve_index=False)
 
-    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+    hot_joined = left_ds.map_batches(hot_join, batch_format="pyarrow")
+    return cold_joined.union(hot_joined)
 
 
 def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,

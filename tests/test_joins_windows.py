@@ -135,3 +135,37 @@ def test_hash_join_full_range_64bit_keys(ray_session):
     assert len(out) == 8
     assert (out.sort_values("x")["y"].to_numpy() ==
             out.sort_values("x")["x"].to_numpy() * 10).all()
+
+
+def test_skew_aware_join_matches_hash_join(ray_session):
+    """Hot-key path parity: a 50%-skewed key joined via skew_aware_join must
+    produce exactly hash_join's rows (hot rows never cross the shuffle)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import hash_join, skew_aware_join
+
+    rng = np.random.RandomState(0)
+    keys = np.where(rng.rand(2000) < 0.5, 7, rng.randint(0, 100, 2000))
+    left = rd.from_pandas(pd.DataFrame({"k": keys, "x": np.arange(2000)}))
+    right = rd.from_pandas(pd.DataFrame({"k2": np.arange(100),
+                                         "y": np.arange(100) * 3}))
+    plain = hash_join(left, right, "k", "k2").to_pandas()
+    skew = skew_aware_join(left, right, "k", "k2",
+                           hot_key_threshold=0.05).to_pandas()
+    key = lambda df: sorted(zip(df["k"], df["x"], df["y"]))
+    assert key(plain) == key(skew)
+    assert len(skew) == 2000
+
+
+def test_skew_aware_join_no_hot_keys_degrades(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import skew_aware_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": list(range(50)), "x": range(50)}))
+    right = rd.from_pandas(pd.DataFrame({"k2": list(range(50)), "y": range(50)}))
+    out = skew_aware_join(left, right, "k", "k2").to_pandas()
+    assert len(out) == 50
