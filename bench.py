@@ -72,6 +72,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "orders_customer_hashjoin",
         "lineitem_agg",
         "multimodal_decode",
+        # round-2 operators
+        "doc_repetition",
+        "doc_domain_sample",
+        "doc_decontaminate",
+        "embed_quantize",
+        "kg_pagerank",
+        "doc_corpus_dedup",
     ]
     for name in bench_queries:
         timed(name, qs[name])

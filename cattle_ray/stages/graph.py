@@ -78,11 +78,14 @@ _S2_SCHEMA = pa.schema([("node", pa.int64()), ("in_sum", pa.float64())])
 
 
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
-             num_buckets: int = 32):
+             num_buckets: int | None = None):
     """edges Dataset (src:int64, dst:int64) → Dataset (node, rank).
 
     Ranks sum to ~1.0 (dangling mass redistributed uniformly). Deterministic
     at any parallelism: every reduction is a sum of fixed values.
+    ``num_buckets=None`` auto-scales with the edge count (each shuffle
+    launches tasks per bucket, so small graphs shouldn't pay 32-bucket
+    fixed overhead per round; big graphs need buckets that fit a worker).
     """
     from .aggregates import add_key_bucket, coalesce_small
     from .dedup import dedup_exact
@@ -95,6 +98,8 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         ),
         batch_format="pyarrow",
     ).materialize()
+    if num_buckets is None:
+        num_buckets = int(min(64, max(8, edges.count() // 100_000)))
 
     nodes_tbl = edges.map_batches(
         lambda t: pa.table({"node": pc.unique(pa.concat_arrays(
