@@ -371,7 +371,7 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
 
 
 def connected_components_distributed(pairs_ds, max_iters: int = 20,
-                                     num_buckets: int = 32):
+                                     num_buckets: int | None = None):
     """Distributed connected components over a pair Dataset (a, b) by
     iterated min-label propagation — the scale path when the verified pair
     set is too large for driver union-find.
@@ -400,6 +400,8 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
              t["a"].combine_chunks().cast(pa.int64())])}),
         batch_format="pyarrow",
     ).materialize()
+    if num_buckets is None:  # per-round shuffles launch tasks per bucket
+        num_buckets = int(min(64, max(8, edges.count() // 100_000)))
 
     labels = edges.map_batches(
         lambda t: pa.table({"id": pc.unique(t["u"].combine_chunks())}),
@@ -485,7 +487,7 @@ def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
     pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
                                 threshold=threshold, ngram=ngram,
                                 num_buckets=num_buckets)
-    labels = connected_components_distributed(pairs, num_buckets=num_buckets)
+    labels = connected_components_distributed(pairs)  # buckets auto-scale
     # drop set stays a Dataset end-to-end: every non-representative id
     drop = labels.map_batches(
         lambda t: t.filter(pc.not_equal(t["id"], t["label"])).select(["id"]),

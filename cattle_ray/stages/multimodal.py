@@ -27,12 +27,35 @@ import pyarrow as pa
 MAGIC = b"CRIM"  # cattle-ray image
 _HDR = struct.Struct(">4sHHB")
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit finalizer mix (splitmix-style)."""
+    with np.errstate(over="ignore"):
+        x = x * _MIX1
+        x ^= x >> np.uint64(33)
+        x = x * _MIX2
+        x ^= x >> np.uint64(29)
+    return x
+
+
+def _fake_payloads(seeds: np.ndarray, n_bytes: int) -> np.ndarray:
+    """(n, n_bytes) deterministic pseudo-random uint8 payloads — one
+    vectorized mix per batch, per-row deterministic regardless of batching
+    (replaces one RandomState init PER ROW)."""
+    idx = np.arange((n_bytes + 7) // 8, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        words = _mix64(seeds.astype(np.uint64)[:, None] ^ _mix64(idx[None, :]))
+    return words.view(np.uint8)[:, :n_bytes]
+
 
 def encode_fake_image(width: int, height: int, channels: int = 3, seed: int = 0) -> bytes:
     """Deterministic fake image: header + seeded byte payload."""
-    payload_len = width * height * channels
-    rng = np.random.RandomState((seed ^ (width << 16) ^ height) & 0x7FFFFFFF)
-    payload = rng.randint(0, 256, size=min(payload_len, 4096), dtype=np.uint8).tobytes()
+    payload_len = min(width * height * channels, 4096)
+    s = np.array([(seed ^ (width << 16) ^ height) & 0x7FFFFFFF], dtype=np.uint64)
+    payload = _fake_payloads(s, payload_len)[0].tobytes()
     return _HDR.pack(MAGIC, width, height, channels) + payload
 
 
@@ -75,14 +98,16 @@ class ImageDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         bufs = batch["image"].to_pylist()
         metas = [self._decode(b) if b else None for b in bufs]
-        feats = []
-        for m, b in zip(metas, bufs):
-            if m is None:
-                feats.append([0.0] * self.feature_dim)
-                continue
-            # deterministic fake "feature extraction": crc-seeded projection
-            rng = np.random.RandomState(m["payload_crc"] & 0x7FFFFFFF)
-            feats.append(rng.rand(self.feature_dim).tolist())
+        # deterministic fake "feature extraction", VECTORIZED over the batch:
+        # crc-seeded 64-bit mix per (row, dim) → uniform [0,1) floats
+        # (replaces one RandomState init per row)
+        crcs = np.array([m["payload_crc"] if m else 0 for m in metas],
+                        dtype=np.uint64)
+        dims = np.arange(1, self.feature_dim + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = _mix64(crcs[:, None] ^ _mix64(dims[None, :]))
+        feats = (mixed >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        feats[[m is None for m in metas], :] = 0.0
         cols = {n: batch[n] for n in batch.column_names if n != "image"}  # drop binary
         for field in ("width", "height", "channels", "n_bytes"):
             cols[field] = pa.array(
@@ -91,7 +116,10 @@ class ImageDecoder:
         cols["payload_crc"] = pa.array(
             [m["payload_crc"] if m else None for m in metas], pa.uint32()
         )
-        cols["features"] = pa.array(feats, pa.list_(pa.float32(), self.feature_dim))
+        cols["features"] = pa.array(
+            feats.astype(np.float32).tolist(),
+            pa.list_(pa.float32(), self.feature_dim),
+        )
         return pa.table(cols)
 
 
@@ -186,9 +214,16 @@ def rows_for_byte_budget(avg_row_bytes: int, budget_bytes: int = 64 << 20) -> in
 
 
 def add_fake_images(batch: pa.Table, id_col: str = "doc_id") -> pa.Table:
-    """Test/bench helper: deterministic image column derived from an id."""
-    ids = batch[id_col].to_pylist()
+    """Test/bench helper: deterministic image column derived from an id.
+    Payloads for the whole batch come from ONE vectorized mix (byte-identical
+    to per-row :func:`encode_fake_image`)."""
+    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    w = 64 + ids % 64
+    h = 48 + ids % 48
+    seeds = ((ids ^ (w << 16) ^ h) & 0x7FFFFFFF).astype(np.uint64)
+    payloads = _fake_payloads(seeds, 4096)  # w*h*3 ≥ 9216 → capped at 4096
     imgs = [
-        encode_fake_image(64 + (i % 64), 48 + (i % 48), 3, seed=i) for i in ids
+        _HDR.pack(MAGIC, int(w[i]), int(h[i]), 3) + payloads[i].tobytes()
+        for i in range(len(ids))
     ]
     return batch.append_column("image", pa.array(imgs, pa.binary()))
