@@ -79,6 +79,14 @@ def cmd_pages(args):
 
     pages = rd.read_parquet(args.input)
     triples = build_triples(pages, graph=args.graph or "https://example.org/graph/run")
+    if args.format == "nquads":
+        from .sources.nquads import write_nquads
+
+        man = write_nquads(triples, args.out)
+        print(json.dumps({"format": "nquads",
+                          "n_triples": int(man["n_lines"].sum()),
+                          "parts": len(man), "out": args.out}))
+        return
     manifest = write_triples_hash_partitioned(triples, args.out,
                                               num_partitions=args.partitions)
     print(json.dumps({
@@ -114,6 +122,9 @@ def main(argv=None):
     g.add_argument("out")
     g.add_argument("--graph")
     g.add_argument("--partitions", type=int, default=16)
+    g.add_argument("--format", choices=["parquet", "nquads"], default="parquet",
+                   help="parquet = subject-partitioned sorted tables; "
+                        "nquads = distributed line-format .nq part files")
     g.set_defaults(fn=cmd_pages)
 
     args = p.parse_args(argv)

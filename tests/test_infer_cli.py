@@ -66,3 +66,31 @@ def test_cli_unknown_format_exits_65(ray_session, tmp_path):
     with pytest.raises(SystemExit) as e:
         main(["convert", str(csv), str(meta), "--output-format", "nope"])
     assert e.value.code == 65
+
+
+def test_cli_pages_nquads_format(ray_session, tmp_path):
+    """pages --format nquads: distributed line-format export end-to-end."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from cattle_ray.pages import gen_pages_batch
+
+    import pyarrow.parquet as pq
+
+    pq.write_table(gen_pages_batch(list(range(40))), str(tmp_path / "p.parquet"))
+    out = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4", "pages",
+         str(tmp_path / "p.parquet"), str(tmp_path / "nq"),
+         "--format", "nquads"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["format"] == "nquads" and rep["n_triples"] > 0
+    files = list((tmp_path / "nq").glob("part-*.nq"))
+    assert files
+    line = files[0].read_text().splitlines()[0]
+    assert line.endswith(" .") and line.startswith("<")
