@@ -84,3 +84,50 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
 
     manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
     return manifest.to_pandas()
+
+
+def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
+                                   num_partitions: int = 16):
+    """Incremental KG update: merge a NEW batch of triples into an existing
+    hash-partitioned store, touching ONLY the partitions the new subjects
+    hash into (a day's crawl delta rewrites its affected partitions, not the
+    100-TB store). Per affected partition, on a WORKER: read the existing
+    file, concat, exact set-dedup (RDF set semantics over the full quad row),
+    re-sort, atomic-replace. Idempotent: re-merging the same batch is a
+    no-op content-wise, and a killed merge leaves every partition either old
+    or fully-new (atomic rename), so reruns are safe."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    with_part = new_triples_ds.map_batches(
+        lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
+    )
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        pid = int(g["part_id"][0].as_py())
+        g = g.drop_columns(["part_id"])
+        pdir = os.path.join(out_dir, f"part_id={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        dst = os.path.join(pdir, "data.parquet")
+        n_old = 0
+        if os.path.exists(dst):
+            old = pq.read_table(dst)
+            n_old = old.num_rows
+            g = pa.concat_tables([old, g.cast(old.schema)])
+        # set semantics: one group_by over ALL columns = distinct rows
+        g = g.group_by(g.column_names).aggregate([]).sort_by(
+            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+        )
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(g, tmp)
+        os.replace(tmp, dst)
+        return pa.table(
+            {"part_id": pa.array([pid]), "n_total": pa.array([g.num_rows]),
+             "n_added": pa.array([g.num_rows - n_old]), "path": pa.array([dst])}
+        )
+
+    manifest = with_part.groupby("part_id").map_groups(merge_group,
+                                                       batch_format="pyarrow")
+    return manifest.to_pandas()

@@ -83,3 +83,63 @@ def test_nquads_lines_dataset(triples_ds):
     lines = nquads_lines(triples_ds).to_pandas()
     assert len(lines) == 50
     assert all(l.endswith(" .") for l in lines["line"])
+
+
+def test_incremental_merge(ray_session, tmp_path):
+    """merge_triples_hash_partitioned: only affected partitions rewritten,
+    set semantics on re-merge (idempotent), untouched partitions preserved."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.model import TRIPLE_SCHEMA
+    from cattle_ray.sources.triple_sink import (
+        merge_triples_hash_partitioned,
+        write_triples_hash_partitioned,
+    )
+
+    def quads(subjects):
+        rows = [{"subj": s, "pred": "http://p", "obj": f"o-{s}",
+                 "obj_is_iri": False, "obj_datatype": None, "obj_lang": None,
+                 "graph": "http://g", "src_url": None} for s in subjects]
+        import pyarrow as pa
+        return rd.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+
+    out = str(tmp_path / "store")
+    base_subjects = [f"http://s/{i}" for i in range(40)]
+    write_triples_hash_partitioned(quads(base_subjects), out, num_partitions=4)
+    mtimes = {p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
+              for p in os.listdir(out)}
+
+    # merge: 1 duplicate subject + 1 new one
+    import time
+    time.sleep(0.05)
+    man = merge_triples_hash_partitioned(
+        quads(["http://s/0", "http://s/new"]), out, num_partitions=4)
+    assert man["n_added"].sum() == 1  # s/0 row identical → set-dedup'd away
+
+    def read_all():
+        tbls = [pq.read_table(os.path.join(out, p, "data.parquet"))
+                for p in os.listdir(out)]
+        import pyarrow as pa
+        return pa.concat_tables(tbls)
+
+    allq = read_all()
+    assert allq.num_rows == 41
+    # only the affected partitions were rewritten
+    touched = set(f"part_id={p}" for p in man["part_id"])
+    for p, m in mtimes.items():
+        if p not in touched:
+            assert os.path.getmtime(os.path.join(out, p, "data.parquet")) == m
+    # idempotent re-merge
+    man2 = merge_triples_hash_partitioned(
+        quads(["http://s/0", "http://s/new"]), out, num_partitions=4)
+    assert man2["n_added"].sum() == 0
+    assert read_all().num_rows == 41
+    # per-partition sort maintained
+    for p in os.listdir(out):
+        t = pq.read_table(os.path.join(out, p, "data.parquet"))
+        subs = t["subj"].to_pylist()
+        assert subs == sorted(subs)
