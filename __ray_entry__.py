@@ -844,6 +844,39 @@ def q_doc_decontaminate(sf_dir: str):
     )
 
 
+def q_kg_graph_stats(sf_dir: str):
+    """G3 graph summary: triple count + exact distinct subjects/preds/objs
+    of the materialized KG (bucketed distinct, no driver-side sets)."""
+    from cattle_ray.stages.aggregates import distinct
+
+    triples = q_kg_csvw_triples(sf_dir).materialize()
+    return pa.table({
+        "n_triples": pa.array([triples.count()], pa.int64()),
+        "n_subjects": pa.array([distinct(triples, ["subj"]).count()], pa.int64()),
+        "n_predicates": pa.array([distinct(triples, ["pred"]).count()], pa.int64()),
+        "n_objects": pa.array([distinct(triples, ["obj"]).count()], pa.int64()),
+    })
+
+
+def q_events_users_approx(sf_dir: str):
+    """HLL approximate distinct users (mergeable sketch, zero shuffle —
+    rows-only: the estimate is approximate by design; accuracy is
+    pytest-asserted at 3%)."""
+    from cattle_ray.stages.sketches import approx_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"], rows_per_block=20000)
+    return pa.table({"approx_users": pa.array([approx_distinct(ds, "user_id")],
+                                              pa.int64())})
+
+
+def q_doc_term_stats(sf_dir: str):
+    """TF/DF corpus statistics (TF-IDF building block) — exact integers,
+    one string-key co-partitioned join tf ⋈ df."""
+    from cattle_ray.stages.textstats import doc_term_stats
+
+    return doc_term_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -909,6 +942,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_sample": q_doc_domain_sample,
         "doc_decontaminate": q_doc_decontaminate,
         "embed_quantize": q_embed_quantize,
+        "doc_term_stats": q_doc_term_stats,
+        "kg_graph_stats": q_kg_graph_stats,
+        "events_users_approx": q_events_users_approx,
     }
 
 
@@ -1112,6 +1148,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_graph_stats": _TRIPLE_BASE_CTE + """
+            SELECT CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+                   CAST(count(DISTINCT pred) AS BIGINT) AS n_predicates,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+            FROM triples
+        """,
         "embed_quantize": """
             -- identical arithmetic to the Ray side: f32→f64 exact casts,
             -- scale = 127/max|x| (eps-guarded), q = floor(x*scale + 0.5)
@@ -1127,6 +1170,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(i AS BIGINT) AS dim,
                    CAST(floor(CAST(v AS DOUBLE) * scale + 0.5) AS TINYINT) AS q
             FROM x
+        """,
+        "doc_term_stats": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE trim(text) != ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+            SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
         """,
         "doc_domain_sample": """
             SELECT doc_id, source FROM (

@@ -182,6 +182,53 @@ def repetition_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Ta
     return out
 
 
+def term_counts_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
+    """Explode docs into (doc_id, term, tf) rows — per-doc term frequencies,
+    fully vectorized (one explode + one two-level group-size)."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("")
+    ids = batch[id_col].to_pandas()
+    ex = s.str.split().explode().dropna()
+    if ex.empty:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    cnt = ex.groupby([ex.index, ex]).size()
+    pos = cnt.index.get_level_values(0)
+    return pa.table({
+        id_col: pa.array(ids.iloc[pos].to_numpy()),
+        "term": pa.array(cnt.index.get_level_values(1).to_numpy(), pa.string()),
+        "tf": pa.array(cnt.to_numpy(), pa.int64()),
+    })
+
+
+def doc_term_stats(ds, id_col="doc_id", text_col="text", num_buckets: int = 32):
+    """TF/DF corpus statistics — the exact-integer building block of TF-IDF
+    keyword extraction (score = tf·ln(N/df) is a trivial client-side formula;
+    keeping logs out keeps the op bit-exact and oracle-checkable).
+
+    Plan: explode per batch → (doc, term, tf) rows; document frequency per
+    term from a map-side-combined count over the SAME rows (each (doc,term)
+    appears exactly once — docs never straddle batches); then ONE
+    co-partitioned string-key join tf ⋈ df on term. At corpus scale df is
+    the skew risk (stopwords are in every doc) — the join co-locates by term
+    hash, and df rows are one per term, so hot terms amplify nothing."""
+    from .aggregates import partial_count
+    from .joins import hash_join
+
+    tf = ds.map_batches(
+        lambda b: term_counts_batch(b, id_col, text_col), batch_format="pyarrow"
+    ).materialize()  # consumed twice (tf rows + df aggregate)
+    df = partial_count(tf, ["term"]).map_batches(
+        lambda b: b.rename_columns(["term_r", "df"]), batch_format="pyarrow"
+    )
+    out = hash_join(tf, df, "term", "term_r", num_buckets=num_buckets)
+    return out.map_batches(
+        lambda b: b.select([id_col, "term", "tf", "df"]), batch_format="pyarrow"
+    )
+
+
 class Decontaminator:
     """Benchmark decontamination: flag corpus docs containing any benchmark
     phrase as a substring. Phrases are broadcast once (``ray.put``) and the

@@ -66,3 +66,33 @@ def test_bin_overflow_raises_when_refinement_exhausted(ray_session):
     with pytest.raises(ValueError, match="overflow"):
         quantile_disc(ds, "x", [0.5], num_bins=2, max_bin_collect=10,
                       max_refine=1)
+
+
+def test_hll_approx_distinct_within_tolerance(ray_session):
+    """HLL estimate within 3% of exact at 100k distinct (rse ~0.8% at p=14),
+    and invariant to block layout (mergeable sketch)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import approx_distinct
+
+    rng = np.random.RandomState(0)
+    vals = rng.randint(0, 10**12, 100_000)
+    n_exact = len(np.unique(vals))
+    ds = rd.from_pandas(pd.DataFrame({"v": np.concatenate([vals, vals])}))
+    est = approx_distinct(ds.repartition(8), "v")
+    assert abs(est - n_exact) / n_exact < 0.03
+    est2 = approx_distinct(ds.repartition(3), "v")
+    assert est == est2  # layout-invariant: registers merge by max
+
+
+def test_hll_string_column(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import approx_distinct
+
+    ds = rd.from_pandas(pd.DataFrame({"u": [f"https://d{i}.org" for i in range(5000)]}))
+    est = approx_distinct(ds, "u")
+    assert abs(est - 5000) / 5000 < 0.05
