@@ -869,6 +869,14 @@ def q_events_users_approx(sf_dir: str):
                                               pa.int64())})
 
 
+def q_events_user_quantiles(sf_dir: str):
+    """Per-user exact median + p90 of event values (grouped quantiles)."""
+    from cattle_ray.stages.quantiles import grouped_quantile_disc
+
+    ds = _read(sf_dir, "events", ["user_id", "value"], rows_per_block=20000)
+    return grouped_quantile_disc(ds, "user_id", "value", [0.5, 0.9])
+
+
 def q_doc_term_stats(sf_dir: str):
     """TF/DF corpus statistics (TF-IDF building block) — exact integers,
     one string-key co-partitioned join tf ⋈ df."""
@@ -945,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_term_stats": q_doc_term_stats,
         "kg_graph_stats": q_kg_graph_stats,
         "events_users_approx": q_events_users_approx,
+        "events_user_quantiles": q_events_user_quantiles,
     }
 
 
@@ -1296,6 +1305,13 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY user_id
                                         ORDER BY value DESC, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "events_user_quantiles": """
+            SELECT user_id, 0.5 AS q, quantile_disc(value, 0.5) AS value
+            FROM events GROUP BY user_id
+            UNION ALL
+            SELECT user_id, 0.9, quantile_disc(value, 0.9)
+            FROM events GROUP BY user_id
         """,
         "events_value_quantiles": """
             SELECT 0.25 AS q, quantile_disc(value, 0.25) AS value FROM events

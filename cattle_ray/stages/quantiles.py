@@ -128,3 +128,56 @@ def quantile_disc(ds, col: str, qs, num_bins: int = 8192,
     got = _select_ranks(ds, col, sorted(set(ranks.values())), lo, hi,
                         num_bins, max_bin_collect, max_refine)
     return {q: got[r] for q, r in ranks.items()}
+
+
+def grouped_quantile_disc(ds, key: str, col: str, qs, num_buckets: int = 32):
+    """Per-key exact discrete quantiles (DuckDB ``quantile_disc`` rank
+    semantics: element at ``ceil(q·n) − 1`` within each key's values).
+    One bucketed shuffle on the key (key-type-aware); per bucket a single
+    vectorized sort + per-key positional take — no per-key UDF calls.
+    Returns one row per (key, q): ``(key, q, value)``.
+
+    Scale note: unlike the global :func:`quantile_disc` (histogram
+    selection, nothing key-sized collected anywhere), this co-locates each
+    key's values in one bucket — right when per-key cardinality is bounded
+    (per-user event values); for a single giant key use the global path on
+    that key's filtered slice."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    qs = sorted(set(qs))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets))
+        )
+
+    def bucket_quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, col], kind="mergesort")
+        sizes = g.groupby(key, sort=False)[col].size()
+        starts = np.concatenate([[0], np.cumsum(sizes.to_numpy())[:-1]])
+        vals = g[col].to_numpy()
+        out_k, out_q, out_v = [], [], []
+        for q in qs:
+            ranks = starts + np.minimum(
+                np.maximum(np.ceil(q * sizes.to_numpy()).astype(np.int64) - 1, 0),
+                sizes.to_numpy() - 1,
+            )
+            out_k.append(sizes.index.to_numpy())
+            out_q.append(np.full(len(sizes), q))
+            out_v.append(vals[ranks])
+        return pd.DataFrame({key: np.concatenate(out_k),
+                             "q": np.concatenate(out_q),
+                             "value": np.concatenate(out_v)})
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(bucket_quantiles, batch_format="pandas")
+    )

@@ -96,3 +96,24 @@ def test_hll_string_column(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"u": [f"https://d{i}.org" for i in range(5000)]}))
     est = approx_distinct(ds, "u")
     assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_grouped_quantile_matches_numpy(ray_session):
+    """Per-key quantile_disc rank semantics vs a direct computation."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.quantiles import grouped_quantile_disc
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 20, 2000),
+                       "v": rng.randn(2000)})
+    out = grouped_quantile_disc(rd.from_pandas(df), "k", "v", [0.25, 0.5]).to_pandas()
+    for (k, q), grp in out.groupby(["k", "q"]):
+        vals = np.sort(df.loc[df["k"] == k, "v"].to_numpy())
+        rank = min(max(math.ceil(q * len(vals)) - 1, 0), len(vals) - 1)
+        assert grp["value"].iloc[0] == vals[rank], (k, q)
+    assert len(out) == 20 * 2
