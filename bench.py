@@ -79,6 +79,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embed_quantize",
         "kg_pagerank",
         "doc_corpus_dedup",
+        "doc_term_stats",
+        "events_user_quantiles",
+        "events_users_approx",
     ]
     for name in bench_queries:
         timed(name, qs[name])
