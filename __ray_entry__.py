@@ -778,8 +778,8 @@ def q_kg_pagerank(sf_dir: str):
 
     ranks = pagerank(ent.map_batches(to_edges, batch_format="pyarrow"), iters=5)
     id_map = distinct(ent.map_batches(to_map, batch_format="pyarrow"),
-                      ["nid", "uri"])
-    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=16)
+                      ["nid", "uri"], num_buckets=8)
+    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=8)
     return joined.map_batches(
         lambda b: pa.table({"node": b["uri"], "rank": pc.round(b["rank"], 6)}),
         batch_format="pyarrow",

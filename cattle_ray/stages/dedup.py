@@ -370,8 +370,45 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
     return withs.map_batches(verify, batch_format="pyarrow")
 
 
+_EMPTY_COLS = ("id", "label")
+
+
+def _cc_task(block_refs: list) -> pa.Table:
+    """Single-worker union-find for pair sets below the distributed-overhead
+    crossover; labels = numeric min id per component (same contract as the
+    distributed min-label propagation)."""
+    import ray
+
+    blocks = ray.get(block_refs)
+    tables = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b for b in blocks]
+    tables = [t for t in tables if t.num_rows > 0]  # empty blocks may carry
+    if not tables:                                  # degenerate null schemas
+        return pa.table({c: pa.array([], pa.int64()) for c in _EMPTY_COLS})
+    t = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+    df = t.to_pandas()
+    uf = connected_components(df)  # {id: root}; ROOT nodes are absent (map to self)
+    all_ids = np.unique(np.concatenate(
+        [df["a"].to_numpy(dtype=np.int64), df["b"].to_numpy(dtype=np.int64)]))
+    root_of = {int(x): uf.get(int(x), int(x)) for x in all_ids}
+    comp_min: dict = {}
+    for x, r in root_of.items():
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    ids = np.fromiter(root_of.keys(), dtype=np.int64, count=len(root_of))
+    labels = np.fromiter((comp_min[r] for r in root_of.values()), dtype=np.int64,
+                         count=len(root_of))
+    return pa.table({"id": pa.array(ids), "label": pa.array(labels)})
+
+
+#: below this pair count, per-round shuffles dominate — union-find on ONE
+#: worker instead; distributed min-label propagation above
+SMALL_CC_PAIRS = 500_000
+
+
 def connected_components_distributed(pairs_ds, max_iters: int = 20,
-                                     num_buckets: int | None = None):
+                                     num_buckets: int | None = None,
+                                     small_cc_pairs: int = SMALL_CC_PAIRS):
     """Distributed connected components over a pair Dataset (a, b) by
     iterated min-label propagation — the scale path when the verified pair
     set is too large for driver union-find.
@@ -385,11 +422,30 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
     O(diameter) rounds (near-dup clusters are shallow; ``max_iters`` bounds
     pathological chains). Returns a Dataset (id, label) with label = min id
     of the component.
+
+    Size-adaptive: pair sets under ``small_cc_pairs`` solve by union-find in
+    ONE remote task (the broadcast-small-side principle applied to
+    iteration); the distributed propagation is the default above it.
     """
     import pandas as pd  # noqa: F811
 
+    import ray
+
     from .aggregates import coalesce_small
     from .graph import _pad_bucket_tag
+
+    pairs64 = pairs_ds.map_batches(
+        lambda t: pa.table({"a": t["a"].combine_chunks().cast(pa.int64()),
+                            "b": t["b"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    if pairs64.count() <= small_cc_pairs:
+        import ray.data as rd
+
+        task = ray.remote(num_cpus=1)(_cc_task)
+        out = ray.get(task.remote(list(pairs64.to_arrow_refs())))
+        return rd.from_arrow(out)
+    pairs_ds = pairs64
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table({"u": pa.concat_arrays(

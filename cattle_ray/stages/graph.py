@@ -77,16 +77,60 @@ _S1_SCHEMA = pa.schema([
 _S2_SCHEMA = pa.schema([("node", pa.int64()), ("in_sum", pa.float64())])
 
 
+_EMPTY_COLS = ("node", "rank")
+
+
+def _pagerank_numpy_task(block_refs: list, iters: int, damping: float) -> pa.Table:
+    """Single-worker exact solve for graphs below the distributed-overhead
+    crossover (same math as the distributed rounds; vectorized bincount).
+    Receives the edge BLOCK REFS (zero-copy reads from the object store)."""
+    import ray
+
+    blocks = ray.get(block_refs)
+    tables = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b for b in blocks]
+    tables = [t for t in tables if t.num_rows > 0]  # empty blocks may carry
+    if not tables:                                  # degenerate null schemas
+        return pa.table({c: pa.array([], pa.int64()) for c in _EMPTY_COLS})
+    t = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s_idx, d_idx = inv[: len(src)], inv[len(src):]
+    n = len(nodes)
+    deg = np.bincount(s_idx, minlength=n).astype(np.float64)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = r[s_idx] / deg[s_idx]
+        non_dangling = contrib.sum()
+        base = (1 - damping) / n + damping * (1.0 - non_dangling) / n
+        r = base + damping * np.bincount(d_idx, weights=contrib, minlength=n)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank": pa.array(r, pa.float64())})
+
+
+#: below this edge count the per-round shuffle floor dominates useful work —
+#: solve on ONE worker instead (broadcast-small-side principle applied to
+#: iteration); the distributed path is the default above it
+SMALL_GRAPH_EDGES = 200_000
+
+
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
-             num_buckets: int | None = None):
+             num_buckets: int | None = None,
+             small_graph_edges: int = SMALL_GRAPH_EDGES):
     """edges Dataset (src:int64, dst:int64) → Dataset (node, rank).
 
     Ranks sum to ~1.0 (dangling mass redistributed uniformly). Deterministic
     at any parallelism: every reduction is a sum of fixed values.
+    Size-adaptive: graphs under ``small_graph_edges`` solve in one remote
+    task (numpy — identical semantics, tested to 1e-9 against the
+    distributed rounds); larger graphs run the fused distributed iteration.
     ``num_buckets=None`` auto-scales with the edge count (each shuffle
     launches tasks per bucket, so small graphs shouldn't pay 32-bucket
     fixed overhead per round; big graphs need buckets that fit a worker).
     """
+    import ray
+
     from .aggregates import add_key_bucket, coalesce_small
     from .dedup import dedup_exact
     from .joins import hash_join
@@ -98,8 +142,15 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         ),
         batch_format="pyarrow",
     ).materialize()
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        import ray.data as rd
+
+        task = ray.remote(num_cpus=1)(_pagerank_numpy_task)
+        out = ray.get(task.remote(list(edges.to_arrow_refs()), iters, damping))
+        return rd.from_arrow(out)
     if num_buckets is None:
-        num_buckets = int(min(64, max(8, edges.count() // 100_000)))
+        num_buckets = int(min(64, max(8, n_edges // 100_000)))
 
     nodes_tbl = edges.map_batches(
         lambda t: pa.table({"node": pc.unique(pa.concat_arrays(

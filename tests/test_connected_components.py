@@ -15,11 +15,15 @@ from cattle_ray.stages.dedup import connected_components, connected_components_d
         [(i, i + 1) for i in range(15)],
     ],
 )
-def test_matches_union_find(ray_session, pairs):
+@pytest.mark.parametrize("small_cc_pairs", [0, 10**6])
+def test_matches_union_find(ray_session, pairs, small_cc_pairs):
+    # both paths: distributed propagation (small_cc_pairs=0) and the
+    # single-worker union-find small-graph solve
     import ray.data as rd
 
     df = pd.DataFrame(pairs, columns=["a", "b"])
-    dist = connected_components_distributed(rd.from_pandas(df)).to_pandas()
+    dist = connected_components_distributed(
+        rd.from_pandas(df), small_cc_pairs=small_cc_pairs).to_pandas()
     got = dict(zip(dist["id"], dist["label"]))
 
     uf = connected_components(df)

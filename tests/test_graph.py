@@ -30,13 +30,17 @@ def _numpy_pagerank(edges, n, damping=0.85, iters=10):
         [(1, 2), (1, 3), (1, 4), (5, 1)],                      # star with dangling leaves
     ],
 )
-def test_pagerank_matches_numpy(ray_session, edges):
+@pytest.mark.parametrize("small_graph_edges", [0, 10**6])
+def test_pagerank_matches_numpy(ray_session, edges, small_graph_edges):
+    """Both execution paths — distributed rounds (small_graph_edges=0) and
+    the single-worker small-graph solve — must match the dense reference."""
     import ray.data as rd
 
     from cattle_ray.stages.graph import pagerank
 
     df = pd.DataFrame(edges, columns=["src", "dst"])
-    out = pagerank(rd.from_pandas(df), iters=8).to_pandas()
+    out = pagerank(rd.from_pandas(df), iters=8,
+                   small_graph_edges=small_graph_edges).to_pandas()
     got = dict(zip(out["node"], out["rank"]))
     want = _numpy_pagerank(edges, len(got), iters=8)
     assert set(got) == set(want)
