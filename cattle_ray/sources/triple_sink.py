@@ -86,6 +86,43 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
     return manifest.to_pandas()
 
 
+def match_triples(out_dir: str, *, subj: str | None = None,
+                  pred: str | None = None, obj: str | None = None,
+                  num_partitions: int = 16, columns=None):
+    """Triple-pattern query over the hash-partitioned store (the SPARQL BGP
+    primitive). Read-level pruning by pattern shape:
+
+    - ``subj`` bound → open exactly ONE partition (``crc32(subj) % P``) and
+      row-filter it (the adjacency layout's point read);
+    - subj unbound → a parallel ``read_parquet`` over all partitions with
+      the pred/obj predicates pushed into the scan (row-group pruning +
+      column projection), returning a streaming Dataset.
+
+    Returns a pyarrow Table for the subject-bound point read (small by
+    construction), else a Ray Dataset.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    if subj is not None:
+        tbl = read_triples_for_subject(out_dir, subj, num_partitions)
+        if pred is not None:
+            tbl = tbl.filter(pc.equal(tbl["pred"], pred))
+        if obj is not None:
+            tbl = tbl.filter(pc.equal(tbl["obj"], obj))
+        return tbl.select(columns) if columns else tbl
+
+    import ray.data as rd
+
+    expr = None
+    if pred is not None:
+        expr = pads.field("pred") == pred
+    if obj is not None:
+        e = pads.field("obj") == obj
+        expr = e if expr is None else (expr & e)
+    return rd.read_parquet(out_dir, columns=columns, filter=expr)
+
+
 def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                                    num_partitions: int = 16):
     """Incremental KG update: merge a NEW batch of triples into an existing

@@ -143,3 +143,40 @@ def test_incremental_merge(ray_session, tmp_path):
         t = pq.read_table(os.path.join(out, p, "data.parquet"))
         subs = t["subj"].to_pylist()
         assert subs == sorted(subs)
+
+
+def test_match_triples_patterns(ray_session, tmp_path):
+    """Triple-pattern reads: subject-bound point read opens one partition;
+    predicate/object patterns push filters into the parallel scan."""
+    import pandas as pd
+    import ray.data as rd
+    import pyarrow as pa
+
+    from cattle_ray.model import TRIPLE_SCHEMA
+    from cattle_ray.sources.triple_sink import (
+        match_triples, write_triples_hash_partitioned)
+
+    rows = []
+    for i in range(30):
+        rows.append({"subj": f"http://s/{i}", "pred": "http://p/type",
+                     "obj": f"http://c/{i % 3}", "obj_is_iri": True,
+                     "obj_datatype": None, "obj_lang": None,
+                     "graph": "http://g", "src_url": None})
+        rows.append({"subj": f"http://s/{i}", "pred": "http://p/name",
+                     "obj": f"name{i}", "obj_is_iri": False,
+                     "obj_datatype": None, "obj_lang": None,
+                     "graph": "http://g", "src_url": None})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+    out = str(tmp_path / "store")
+    write_triples_hash_partitioned(ds, out, num_partitions=4)
+
+    # s ? ? → both triples of that subject
+    t = match_triples(out, subj="http://s/7", num_partitions=4)
+    assert t.num_rows == 2
+    # s p ? → one
+    t = match_triples(out, subj="http://s/7", pred="http://p/name", num_partitions=4)
+    assert t.num_rows == 1 and t["obj"][0].as_py() == "name7"
+    # ? p o → distributed scan with pushdown
+    d = match_triples(out, pred="http://p/type", obj="http://c/1", num_partitions=4)
+    got = d.to_pandas()
+    assert len(got) == 10 and set(got["obj"]) == {"http://c/1"}
