@@ -817,9 +817,10 @@ def q_doc_domain_sample(sf_dir: str):
 
 def q_doc_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs sharing a 5-token benchmark phrase
-    (benchmark set = every 97th doc) are flagged. Phrase derivation is a
-    bounded Ray job (n/97 tiny rows collected), scan is broadcast +
-    vectorized substring match."""
+    (benchmark set = every 97th doc, a stand-in for the real fixed-size
+    benchmark suite — in production the phrase list comes from external
+    benchmark files and is bounded by construction, not corpus-proportional).
+    Scan is broadcast + vectorized substring match."""
     import ray
 
     from cattle_ray.stages.textstats import Decontaminator
