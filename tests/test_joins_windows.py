@@ -169,3 +169,26 @@ def test_skew_aware_join_no_hot_keys_degrades(ray_session):
     right = rd.from_pandas(pd.DataFrame({"k2": list(range(50)), "y": range(50)}))
     out = skew_aware_join(left, right, "k", "k2").to_pandas()
     assert len(out) == 50
+
+
+def test_asof_join_forward_and_nearest(ray_session):
+    """direction= pass-through parity with pandas.merge_asof."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import asof_join
+
+    left = pd.DataFrame({"u": [1, 1, 2], "t": [10, 25, 14]})
+    right = pd.DataFrame({"u2": [1, 1, 2], "t2": [12, 20, 30]})
+    for direction in ("forward", "nearest"):
+        out = asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            left_on="t", right_on="t2", left_by="u", right_by="u2",
+            direction=direction,
+        ).to_pandas().sort_values(["u", "t"]).reset_index(drop=True)
+        want = pd.merge_asof(
+            left.sort_values("t"), right.sort_values("t2"),
+            left_on="t", right_on="t2", left_by="u", right_by="u2",
+            direction=direction,
+        ).sort_values(["u", "t"]).reset_index(drop=True)
+        assert out["t2"].fillna(-1).tolist() == want["t2"].fillna(-1).tolist(), direction
