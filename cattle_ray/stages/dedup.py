@@ -304,8 +304,16 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
         batch_format="pyarrow", concurrency=concurrency,
     )
     if sig_path is not None:
+        import os
+        import shutil
+
         import ray.data as rd
 
+        # wipe any previous generation first: write_parquet ADDS uuid-named
+        # part files, so stale sigs from an earlier corpus would silently
+        # re-enter the band/candidate stages
+        if os.path.isdir(sig_path):
+            shutil.rmtree(sig_path)
         sigs.write_parquet(sig_path)
         sigs = rd.read_parquet(sig_path)
     else:
@@ -370,22 +378,18 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
     return withs.map_batches(verify, batch_format="pyarrow")
 
 
-_EMPTY_COLS = ("id", "label")
+_CC_EMPTY = pa.schema([("id", pa.int64()), ("label", pa.int64())])
 
 
 def _cc_task(block_refs: list) -> pa.Table:
     """Single-worker union-find for pair sets below the distributed-overhead
     crossover; labels = numeric min id per component (same contract as the
     distributed min-label propagation)."""
-    import ray
+    from .graph import gather_block_refs
 
-    blocks = ray.get(block_refs)
-    tables = [pa.Table.from_pandas(b, preserve_index=False)
-              if isinstance(b, pd.DataFrame) else b for b in blocks]
-    tables = [t for t in tables if t.num_rows > 0]  # empty blocks may carry
-    if not tables:                                  # degenerate null schemas
-        return pa.table({c: pa.array([], pa.int64()) for c in _EMPTY_COLS})
-    t = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+    t = gather_block_refs(block_refs, _CC_EMPTY)
+    if t.num_rows == 0:
+        return _CC_EMPTY.empty_table()
     df = t.to_pandas()
     uf = connected_components(df)  # {id: root}; ROOT nodes are absent (map to self)
     all_ids = np.unique(np.concatenate(
@@ -527,18 +531,22 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
 
 
 def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
-                 num_buckets=64):
+                 num_buckets=64, drop_broadcast_max: int = 2_000_000):
     """End-to-end training-corpus near-dedup: MinHash-LSH pairs → connected
     components → drop every doc that is not its cluster's min-id
     representative. Returns the filtered Dataset (exact duplicates collapse
     too: identical texts have identical signatures → est_jaccard 1.0).
 
     Composition: minhash_dedup_pairs (bounded shuffles) + distributed CC +
-    a DISTRIBUTED anti-join of the corpus against the drop set
-    (labels where id != label) — no step ever collects ids to the driver,
-    so a 100-TB corpus with billions of duplicates cannot OOM it.
+    the ADAPTIVE anti-join of the corpus against the drop set (labels where
+    id != label): a drop set under ``drop_broadcast_max`` ids broadcasts as
+    an Arrow array and filters with vectorized ``is_in`` (the corpus — with
+    its text payloads — never crosses a shuffle); a billions-of-ids drop set
+    falls through to the fully distributed bucketed anti-join, so the driver
+    can never OOM either way. ``drop_broadcast_max=0`` forces the
+    distributed path (used by the no-driver-collection test).
     """
-    from .joins import semi_join_distributed
+    from .joins import semi_join
 
     pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
                                 threshold=threshold, ngram=ngram,
@@ -549,14 +557,15 @@ def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
         lambda t: t.filter(pc.not_equal(t["id"], t["label"])).select(["id"]),
         batch_format="pyarrow",
     )
-    if id_col == "id":  # avoid a same-name/different-role collision in the union
-        return semi_join_distributed(ds, drop, id_col, "id", anti=True,
-                                     num_buckets=num_buckets)
-    drop = drop.map_batches(
-        lambda t: t.rename_columns(["_drop_id"]), batch_format="pyarrow"
-    )
-    return semi_join_distributed(ds, drop, id_col, "_drop_id", anti=True,
-                                 num_buckets=num_buckets)
+    right_on = "id"
+    if id_col != "id":  # avoid a same-name/different-role collision in unions
+        drop = drop.map_batches(
+            lambda t: t.rename_columns(["_drop_id"]), batch_format="pyarrow"
+        )
+        right_on = "_drop_id"
+    return semi_join(ds, drop, id_col, right_on, anti=True,
+                     max_broadcast_keys=drop_broadcast_max,
+                     num_buckets=num_buckets)
 
 
 def connected_components(pairs_df: pd.DataFrame) -> dict:

@@ -77,22 +77,32 @@ _S1_SCHEMA = pa.schema([
 _S2_SCHEMA = pa.schema([("node", pa.int64()), ("in_sum", pa.float64())])
 
 
-_EMPTY_COLS = ("node", "rank")
+def gather_block_refs(block_refs: list, empty_schema: pa.Schema) -> pa.Table:
+    """Resolve a dataset's block refs into ONE pa.Table (pandas blocks
+    converted, empty blocks dropped — they may carry degenerate null
+    schemas — and the rest cast to a common schema). Shared by the
+    small-graph solvers here and in ``dedup``."""
+    import ray
+
+    blocks = ray.get(block_refs)
+    tables = [pa.Table.from_pandas(b, preserve_index=False)
+              if isinstance(b, pd.DataFrame) else b for b in blocks]
+    tables = [t for t in tables if t.num_rows > 0]
+    if not tables:
+        return empty_schema.empty_table()
+    return pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+
+
+_PR_EMPTY = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
 
 
 def _pagerank_numpy_task(block_refs: list, iters: int, damping: float) -> pa.Table:
     """Single-worker exact solve for graphs below the distributed-overhead
     crossover (same math as the distributed rounds; vectorized bincount).
     Receives the edge BLOCK REFS (zero-copy reads from the object store)."""
-    import ray
-
-    blocks = ray.get(block_refs)
-    tables = [pa.Table.from_pandas(b, preserve_index=False)
-              if isinstance(b, pd.DataFrame) else b for b in blocks]
-    tables = [t for t in tables if t.num_rows > 0]  # empty blocks may carry
-    if not tables:                                  # degenerate null schemas
-        return pa.table({c: pa.array([], pa.int64()) for c in _EMPTY_COLS})
-    t = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+    t = gather_block_refs(block_refs, _PR_EMPTY)
+    if t.num_rows == 0:
+        return _PR_EMPTY.empty_table()
     src = t["src"].to_numpy(zero_copy_only=False)
     dst = t["dst"].to_numpy(zero_copy_only=False)
     nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)

@@ -201,7 +201,7 @@ def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
 
     keys_sel = keys_ds.map_batches(
         lambda b: b.select([right_on]), batch_format="pyarrow"
-    )
+    ).materialize()  # consumed twice: count() for path selection + the build
     if use_bloom:
         n_keys = keys_sel.count()
         bf = _BloomFilter(n_keys, fp_rate)
@@ -234,7 +234,7 @@ def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
-    return semi_join_distributed(ds, keys_ds, left_on, right_on, anti=anti,
+    return semi_join_distributed(ds, keys_sel, left_on, right_on, anti=anti,
                                  num_buckets=num_buckets)
 
 
@@ -348,9 +348,17 @@ def skew_aware_join(left_ds, right_ds, left_on: str, right_on: str,
     """
     import ray
 
-    sample = left_ds.limit(sample_size).map_batches(
-        lambda b: b.select([left_on]), batch_format="pyarrow"
-    ).to_pandas()
+    # inputs are consumed by multiple branches (sample + cold + hot / cold +
+    # hot-right): materialize once so upstream pipelines don't re-execute
+    left_ds = left_ds.materialize()
+    right_ds = right_ds.materialize()
+    # SCATTERED sample — a head slice from EVERY block, not the first
+    # sample_size rows: a dataset clustered by key would otherwise hide a
+    # hot key living past the head and silently defeat the detection
+    sample = left_ds.map_batches(
+        lambda b: b.select([left_on]).slice(0, max(64, sample_size // 256)),
+        batch_format="pyarrow",
+    ).limit(sample_size).to_pandas()
     counts = sample[left_on].value_counts(normalize=True)
     hot = counts[counts >= hot_key_threshold].index.tolist()
     if not hot:

@@ -34,6 +34,10 @@ def quantize_embeddings_batch(batch: pa.Table, id_col: str = "vec_id",
     oracle can reproduce exactly (all arithmetic is f32→f64 exact casts +
     identical f64 ops on both sides). Reassemble with a groupby(vec_id) or
     keep exploded for columnar scans; dequantize: x ≈ q · max|x| / 127."""
+    if len(batch) == 0:  # empty blocks occur after upstream filters/splits
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "q": pa.array([], pa.int8())})
     vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
     n, d = vecs.shape
     amax = np.maximum(np.abs(vecs).max(axis=1), 1e-30)

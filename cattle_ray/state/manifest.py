@@ -77,9 +77,18 @@ class Manifest:
         if missing:
             raise ValueError(f"manifest row missing fields: {missing}")
         payload = json.dumps(row, sort_keys=True)
-        # append is atomic for line-sized writes on POSIX; rewrite-temp keeps
-        # the file parseable even across partial failures
+        # append is atomic for line-sized writes on POSIX. If a previous run
+        # crashed mid-append, the file ends with a TORN line and no newline —
+        # appending directly would glue this commit onto the fragment and
+        # lose BOTH records; terminate the fragment first.
+        needs_nl = False
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                needs_nl = f.read(1) != b"\n"
         with open(self.path, "a") as f:
+            if needs_nl:
+                f.write("\n")
             f.write(payload + "\n")
             f.flush()
             os.fsync(f.fileno())

@@ -90,9 +90,10 @@ def test_dedup_corpus_no_driver_collection(ray_session, monkeypatch):
         return real_to_pandas(self, *a, **k)
 
     # sig broadcast verify legitimately collects the (id,sig) table under the
-    # documented size gate; force the join verify path so NOTHING may collect
+    # documented size gate; drop_broadcast_max=0 forces the distributed
+    # anti-join so NOTHING else may collect
     monkeypatch.setattr(Dataset, "to_pandas", guarded)
-    out = dedup_corpus(ds, threshold=0.9)
+    out = dedup_corpus(ds, threshold=0.9, drop_broadcast_max=0)
     monkeypatch.setattr(Dataset, "to_pandas", real_to_pandas)
     got = sorted(out.to_pandas()["doc_id"])
     assert 100 not in got and 0 in got and len(got) == 30

@@ -106,3 +106,30 @@ def test_manifest_tolerates_torn_trailing_line(tmp_path):
         done = m.load()
     assert len(done) == 1  # the committed row survives, torn line skipped
     assert any("torn" in str(x.message) for x in w)
+
+
+def test_commit_after_torn_line_preserves_both(tmp_path):
+    """A commit issued on RESUME (after a crash left a torn trailing line)
+    must not glue onto the fragment — both the old committed rows and the
+    new commit must survive load()."""
+    from cattle_ray.state.manifest import Manifest
+
+    m = Manifest(str(tmp_path / "m.jsonl"))
+
+    def row(pid):
+        r = {k: "x" for k in
+             ("input_part_hash", "template_hash", "out_path", "run_ts")}
+        r.update(part_id=pid, n_rows_in=1, n_triples_out=2, wall_ms=3,
+                 status="committed")
+        return r
+
+    m.commit(row("p1"))
+    with open(m.path, "a") as f:
+        f.write('{"part_id": "torn')  # crash mid-append, no newline
+    m.commit(row("p2"))  # the resume run's first commit
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        done = m.load()
+    assert {k[0] for k in done} == {"p1", "p2"}
