@@ -845,6 +845,23 @@ def q_doc_decontaminate(sf_dir: str):
     )
 
 
+def q_kg_store_query(sf_dir: str):
+    """S8/O1 end-to-end: materialize the triples into the subject-hash-
+    partitioned sorted Parquet store, then answer a (?, pred, ?) pattern via
+    :func:`match_triples` (filter pushed into the parallel scan). The oracle
+    checks the WHOLE write→read→filter roundtrip."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        match_triples, write_triples_hash_partitioned)
+
+    out_dir = tempfile.mkdtemp(prefix="kg_store_", dir="/tmp")
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8)
+    d = match_triples(out_dir, pred=EX + "rank")
+    return d.map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
+
+
 def q_kg_graph_stats(sf_dir: str):
     """G3 graph summary: triple count + exact distinct subjects/preds/objs
     of the materialized KG (bucketed distinct, no driver-side sets)."""
@@ -955,6 +972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_stats": q_kg_graph_stats,
         "events_users_approx": q_events_users_approx,
         "events_user_quantiles": q_events_user_quantiles,
+        "kg_store_query": q_kg_store_query,
     }
 
 
@@ -1158,6 +1176,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_store_query": _TRIPLE_BASE_CTE + """
+            SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+            FROM triples WHERE pred = 'https://example.org/def/rank'
+        """,
         "kg_graph_stats": _TRIPLE_BASE_CTE + """
             SELECT CAST(count(*) AS BIGINT) AS n_triples,
                    CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,

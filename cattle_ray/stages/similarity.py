@@ -64,6 +64,10 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
+        if len(batch) == 0:  # empty blocks after upstream filters/splits
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
         vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
         ids = np.asarray(batch[id_col].to_pylist())
         sims = _unit(vecs) @ q.T  # (n, Q)
