@@ -82,7 +82,7 @@ def cmd_pages(args):
     if args.format == "nquads":
         from .sources.nquads import write_nquads
 
-        man = write_nquads(triples, args.out)
+        man = write_nquads(triples, args.out, gzip_parts=args.zip)
         print(json.dumps({"format": "nquads",
                           "n_triples": int(man["n_lines"].sum()),
                           "parts": len(man), "out": args.out}))
@@ -125,6 +125,8 @@ def main(argv=None):
     g.add_argument("--format", choices=["parquet", "nquads"], default="parquet",
                    help="parquet = subject-partitioned sorted tables; "
                         "nquads = distributed line-format .nq part files")
+    g.add_argument("--zip", action="store_true",
+                   help="with --format nquads: gzip each part (.nq.gz)")
     g.set_defaults(fn=cmd_pages)
 
     args = p.parse_args(argv)

@@ -13,10 +13,24 @@ from ..model import format_nquads_batch, parse_nquads_lines
 
 
 def read_nquads(paths):
-    """``.nq`` file(s) → quad Dataset (S6)."""
+    """``.nq`` / ``.nq.gz`` file(s) → quad Dataset (S6).
+
+    Gzipped parts (the S9 distributed sink form) are decompressed in the
+    read tasks via Arrow's stream codec — no driver-side inflation.
+    """
     import ray.data as rd
 
-    ds = rd.read_text(paths)
+    if isinstance(paths, str):
+        paths = [paths]
+    plain = [p for p in paths if not p.endswith(".gz")]
+    gz = [p for p in paths if p.endswith(".gz")]
+    parts = []
+    if plain:
+        parts.append(rd.read_text(plain))
+    if gz:
+        parts.append(rd.read_text(
+            gz, arrow_open_stream_args={"compression": "gzip"}))
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
     def parse(batch: pa.Table) -> pa.Table:
         return parse_nquads_lines(batch["text"].to_pylist())
@@ -24,12 +38,17 @@ def read_nquads(paths):
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
-def write_nquads(triples_ds, out_dir: str, include_graph: bool = True):
+def write_nquads(triples_ds, out_dir: str, include_graph: bool = True,
+                 gzip_parts: bool = False):
     """Quad Dataset → directory of ``.nq`` part files (S5).
 
-    Gzip variant (S9, mirrors ``src/cattle.py:313-319``): pass the gzipped
-    export through :func:`cattle_ray.serialize.serialize_collected` instead.
+    ``gzip_parts=True`` writes ``.nq.gz`` parts (S9 distributed form —
+    per-part gzip with ``mtime=0`` keeps bytes deterministic and the
+    content-addressed names stable; the DRIVER-side gzip export remains
+    :func:`cattle_ray.serialize.serialize_collected`, mirroring
+    ``src/cattle.py:313-319``).
     """
+    import gzip as _gzip
     import hashlib
     import os
 
@@ -42,8 +61,11 @@ def write_nquads(triples_ds, out_dir: str, include_graph: bool = True):
         # (generalizes the reference's hash-folder memoization,
         #  /root/reference/src/hash_folder.py:35-43)
         name = hashlib.md5(payload).hexdigest()
+        ext = ".nq.gz" if gzip_parts else ".nq"
+        if gzip_parts:
+            payload = _gzip.compress(payload, mtime=0)
         tmp = os.path.join(out_dir, f".{name}.tmp")
-        dst = os.path.join(out_dir, f"part-{name}.nq")
+        dst = os.path.join(out_dir, f"part-{name}{ext}")
         if not os.path.exists(dst):
             with open(tmp, "wb") as f:
                 f.write(payload)

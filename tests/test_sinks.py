@@ -54,6 +54,32 @@ def test_nquads_write_idempotent(triples_ds, tmp_path):
     assert sorted(os.listdir(out)) == first
 
 
+def test_nquads_gzip_parts_roundtrip(triples_ds, tmp_path):
+    """S9 distributed form: gzip parts, deterministic names, readable back."""
+    import gzip
+
+    out = str(tmp_path / "nqgz")
+    manifest = write_nquads(triples_ds, out, gzip_parts=True)
+    assert manifest["n_lines"].sum() == 50
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".nq.gz") for f in files)
+    # bytes are deterministic (mtime=0) → rerun adds nothing
+    write_nquads(triples_ds, out, gzip_parts=True)
+    assert sorted(os.listdir(out)) == files
+    # each part really is gzip of the lines its name addresses
+    with open(os.path.join(out, files[0]), "rb") as f:
+        raw = gzip.decompress(f.read())
+    import hashlib
+    assert files[0] == f"part-{hashlib.md5(raw).hexdigest()}.nq.gz"
+    # transparent read-back
+    back = read_nquads([os.path.join(out, f) for f in files]).to_pandas()
+    assert len(back) == 50
+    got = set(map(tuple, back[QUAD_KEY].fillna("∅").itertuples(index=False)))
+    want_df = _triples().to_pandas()
+    want = set(map(tuple, want_df[QUAD_KEY].fillna("∅").itertuples(index=False)))
+    assert got == want
+
+
 def test_hash_partitioned_sink(triples_ds, tmp_path):
     out = str(tmp_path / "triples")
     manifest = write_triples_hash_partitioned(triples_ds, out, num_partitions=4)
