@@ -924,6 +924,84 @@ def entry() -> Any:
     return q_kg_pipeline("/root/testdata/sf0.001")
 
 
+def q_kg_adjacency(sf_dir: str):
+    """Adjacency-list materialization of the KG (north-star "adjacency
+    tables" layout): one row per subject — out-degree + deterministically
+    ordered 'pred obj' adjacency string. One bucketed subject shuffle."""
+    from cattle_ray.stages.graph import adjacency_lists
+
+    return adjacency_lists(q_kg_csvw_triples(sf_dir))
+
+
+def q_doc_chunk_dedup(sf_dir: str):
+    """Sub-document exact dedup: 10-word-window chunks, keep the globally
+    first occurrence of each distinct chunk (passage/boilerplate dedup)."""
+    from cattle_ray.stages.dedup import chunk_exact_dedup
+
+    return chunk_exact_dedup(_docs(sf_dir, ["doc_id", "text"]), chunk_words=10)
+
+
+def q_doc_incremental_dedup(sf_dir: str):
+    """Incremental ingest dedup against a PERSISTED fingerprint store:
+    the even-doc_id half plays the already-ingested corpus (its 8-word-
+    prefix fingerprints written to a Parquet store), the odd half is the
+    incoming batch — keep only rows whose fingerprint is new. Bloom
+    prefilter (streamed from the store) + exact verify of suspects → the
+    result is EXACT, so the whole write→bloom→verify roundtrip is
+    SQL-checkable."""
+    import tempfile
+
+    from cattle_ray.stages.dedup import (
+        dedup_against_store, md5_hex, write_fingerprint_store)
+
+    def add_fp(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = b["text"].to_pandas().fillna("").str.strip()
+        pref = s.str.split().str[:8].str.join(" ")
+        fp = pa.array([md5_hex(p) for p in pref], pa.string())
+        return pa.table({"doc_id": b["doc_id"], "fp": fp})
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_fp, batch_format="pyarrow").materialize()
+    store = fps.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    incoming = fps.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 1), 1)),
+        batch_format="pyarrow")
+    store_path = tempfile.mkdtemp(prefix="fp_store_", dir="/tmp")
+    write_fingerprint_store(store, store_path)
+    return dedup_against_store(incoming, store_path, fp_rate=0.01)
+
+
+def q_doc_filter_pipeline(sf_dir: str):
+    """Curation funnel (C4/Gopher-style): lang whitelist pushed into the
+    Parquet read (row groups pruned before bytes move), then one streaming
+    pass computing vectorized quality + repetition signals and applying the
+    keep thresholds — no shuffle anywhere."""
+    import pyarrow.dataset as pads
+
+    from cattle_ray.stages.textstats import quality_batch, repetition_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+               rows_per_block=500, filter=pads.field("lang").isin(["en", "de"]))
+
+    def funnel(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        r = repetition_batch(b)  # row-aligned with b by construction
+        out = pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "q_n_tokens": q["q_n_tokens"],
+            "dup_token_frac": r["dup_token_frac"],
+        })
+        keep = pc.and_(pc.greater_equal(out["q_n_tokens"], 45),
+                       pc.less_equal(out["dup_token_frac"], 0.58))
+        return out.filter(keep)
+
+    return ds.map_batches(funnel, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -973,6 +1051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_approx": q_events_users_approx,
         "events_user_quantiles": q_events_user_quantiles,
         "kg_store_query": q_kg_store_query,
+        "kg_adjacency": q_kg_adjacency,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_incremental_dedup": q_doc_incremental_dedup,
+        "doc_filter_pipeline": q_doc_filter_pipeline,
     }
 
 
@@ -1176,6 +1258,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
         "kg_pagerank": _pagerank_sql(),
+        "kg_adjacency": _TRIPLE_BASE_CTE + """
+            SELECT subj, CAST(count(*) AS BIGINT) AS out_degree,
+                   string_agg(pred || ' ' || obj, '; ' ORDER BY pred, obj) AS adj
+            FROM triples GROUP BY subj
+        """,
+        "doc_chunk_dedup": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                       FROM documents WHERE trim(text) != ''),
+            c AS (SELECT doc_id, unnest(words) AS wd,
+                         generate_subscripts(words, 1) - 1 AS i FROM w),
+            ch AS (SELECT doc_id, i // 10 AS chunk_idx,
+                          string_agg(wd, ' ' ORDER BY i) AS chunk
+                   FROM c GROUP BY doc_id, i // 10),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                  FROM ch)
+            SELECT doc_id, chunk_idx, chunk FROM r WHERE rn = 1
+        """,
+        "doc_incremental_dedup": r"""
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_slice(
+                         string_split_regex(trim(text), '\s+'), 1, 8), ' ')) AS fp
+              FROM documents)
+            SELECT doc_id, fp FROM fp i
+            WHERE doc_id % 2 = 1
+              AND fp NOT IN (SELECT fp FROM fp WHERE doc_id % 2 = 0)
+        """,
+        "doc_filter_pipeline": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tk
+              FROM documents WHERE trim(text) != '' AND lang IN ('en', 'de')),
+            cnts AS (SELECT doc_id, lang, tk, count(*) AS c
+                     FROM tok GROUP BY 1, 2, 3),
+            agg AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS nd
+                    FROM cnts GROUP BY 1, 2)
+            SELECT doc_id, lang, n AS q_n_tokens,
+                   1 - CAST(nd AS DOUBLE) / n AS dup_token_frac
+            FROM agg
+            WHERE n >= 45 AND 1 - CAST(nd AS DOUBLE) / n <= 0.58
+        """,
         "kg_store_query": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
             FROM triples WHERE pred = 'https://example.org/def/rank'

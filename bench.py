@@ -82,6 +82,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_term_stats",
         "events_user_quantiles",
         "events_users_approx",
+        "kg_adjacency",
+        "doc_chunk_dedup",
+        "doc_incremental_dedup",
+        "doc_filter_pipeline",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -809,3 +809,134 @@ def md5_hex(s: str) -> str:
     """F1 content hash (generalizes /root/reference/src/hash_folder.py:10-32 —
     no partial-content fallback needed over clean Arrow buffers)."""
     return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (fixed word windows) — sub-document granularity
+
+
+def chunk_words_batch(batch: pa.Table, id_col="doc_id", text_col="text",
+                      chunk_words: int = 10) -> pa.Table:
+    """Segment each doc into fixed ``chunk_words``-word windows (the
+    chunk-level counterpart of the per-doc content hash; whitespace
+    tokenization matches :func:`textstats.token_count_batch`). Vectorized:
+    split → explode → cumcount window index → one grouped join per chunk
+    (pandas C-level groupby; empty docs drop out)."""
+    import pandas as pd
+
+    s = pd.Series(batch[text_col].to_pylist(), dtype="object").fillna("").str.strip()
+    ids = batch[id_col].to_pandas()
+    words = s.str.split()  # \s+ semantics, no empties
+    e = pd.DataFrame({"_id": ids, "w": words}).explode("w")
+    e = e.dropna(subset=["w"])
+    if len(e) == 0:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    e["ci"] = e.groupby(level=0).cumcount() // chunk_words
+    g = e.groupby([e.index, "ci"], sort=False)
+    out = g.agg(_id=("_id", "first"), chunk=("w", " ".join)).reset_index()
+    return pa.table({
+        id_col: pa.Array.from_pandas(out["_id"], type=batch[id_col].type),
+        "chunk_idx": pa.array(out["ci"].to_numpy().astype("int64")),
+        "chunk": pa.array(out["chunk"], pa.string()),
+    })
+
+
+def chunk_exact_dedup(ds, id_col="doc_id", text_col="text",
+                      chunk_words: int = 10, num_buckets: int = 64):
+    """Sub-document exact dedup: fixed-word-window chunks, keep the
+    GLOBALLY FIRST occurrence of each distinct chunk (order = (id,
+    chunk_idx)) — the exact-match member of the chunk/passage dedup family
+    used on training corpora (boilerplate paragraphs, repeated headers).
+
+    Scale shape: chunks hash-bucket on the chunk TEXT (all copies land in
+    one bucket), within-batch pre-dedup shrinks the shuffle, per bucket one
+    vectorized sort + ``drop_duplicates``. Nothing doc-sized crosses the
+    shuffle except the chunks themselves (10 words each); the full text
+    column never leaves the first map stage."""
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    def chunks_with_bucket(batch: pa.Table) -> pa.Table:
+        c = chunk_words_batch(batch, id_col, text_col, chunk_words)
+        # within-batch keep-first pre-dedup (same idea as within_batch_dedup)
+        df = c.to_pandas().sort_values([id_col, "chunk_idx"], kind="mergesort")
+        df = df.drop_duplicates(subset=["chunk"])
+        out = pa.Table.from_pandas(df, preserve_index=False, schema=c.schema)
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets(out["chunk"], num_buckets)))
+
+    def keep_first(g):
+        g = g.sort_values([id_col, "chunk_idx"], kind="mergesort")
+        return g.drop_duplicates(subset=["chunk"]).drop(columns=["_bucket"])
+
+    chunked = ds.map_batches(chunks_with_bucket, batch_format="pyarrow")
+    return (coalesce_small(chunked)
+            .groupby("_bucket")
+            .map_groups(keep_first, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted fingerprint store
+
+
+def write_fingerprint_store(ds, path: str, fp_col: str = "fp"):
+    """Persist a corpus' fingerprint column as a partitioned Parquet store
+    (the artifact an INCREMENTAL ingest dedups new batches against)."""
+    ds.map_batches(lambda b: b.select([fp_col]), batch_format="pyarrow") \
+      .write_parquet(path)
+
+
+def dedup_against_store(incoming_ds, store_path: str, fp_col: str = "fp", *,
+                        fp_rate: float = 0.001, num_buckets: int = 32,
+                        max_broadcast_keys: int = 2_000_000):
+    """Incremental corpus dedup: keep incoming rows whose fingerprint is NOT
+    already in the persisted store — EXACT result at Bloom cost.
+
+    Two-phase: (1) a Bloom filter built STREAMING from the store (driver
+    holds only the bitset) screens every incoming row — Bloom-MISS rows are
+    definitely new and pass through untouched (the common case for fresh
+    crawl data: no shuffle, no store lookup); (2) only Bloom-HIT suspects
+    (true dups + the fp_rate sliver of false positives) go through the exact
+    anti-join against the store via :func:`semi_join`'s adaptive
+    broadcast/distributed paths. At 10^12 stored docs the store side streams
+    once into the bitset and once into the suspects' bucketed anti-join —
+    never into driver memory."""
+    import ray
+    import ray.data as rd
+
+    from .joins import _BloomFilter, _hash_keys_u64, semi_join
+
+    store = rd.read_parquet(store_path, columns=[fp_col])
+    n_keys = max(store.count(), 1)
+    bf = _BloomFilter(n_keys, fp_rate)
+    hashed = store.map_batches(
+        lambda b: pa.table({"h": pa.array(_hash_keys_u64(
+            b[fp_col].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow",
+    )
+    for chunk in hashed.iter_batches(batch_format="pyarrow", batch_size=65536):
+        bf.add(chunk["h"].to_numpy(zero_copy_only=False))
+    ref = ray.put(bf)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        f = ray.get(ref)
+        hit = f.contains(_hash_keys_u64(
+            batch[fp_col].to_numpy(zero_copy_only=False)))
+        return batch.append_column("_bloom_hit", pa.array(hit))
+
+    flagged = incoming_ds.map_batches(flag, batch_format="pyarrow").materialize()
+    certain_new = flagged.map_batches(
+        lambda b: b.filter(pc.invert(b["_bloom_hit"])).drop_columns(["_bloom_hit"]),
+        batch_format="pyarrow",
+    )
+    suspects = flagged.map_batches(
+        lambda b: b.filter(b["_bloom_hit"]).drop_columns(["_bloom_hit"]),
+        batch_format="pyarrow",
+    )
+    verified_new = semi_join(
+        suspects, store, fp_col, fp_col, anti=True,
+        max_broadcast_keys=max_broadcast_keys, num_buckets=num_buckets,
+    )
+    return certain_new.union(verified_new)

@@ -262,3 +262,48 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
             .materialize()
         )
     return ranks
+
+
+def adjacency_lists(triples_ds, subj_col: str = "subj", pred_col: str = "pred",
+                    obj_col: str = "obj", sep: str = "; ",
+                    num_buckets: int = 64):
+    """Adjacency-list materialization of the triple table (the north-star
+    "adjacency tables sorted by subject" shape): one row per subject with
+    its out-degree and a deterministically ordered ``pred obj`` adjacency
+    string — the layout a downstream graph consumer reads instead of
+    re-shuffling raw triples per query.
+
+    One bucketed shuffle on a hash of the subject (key-type-aware: string
+    URIs hash vectorized); per bucket a single vectorized sort +
+    ``groupby.agg`` — no per-subject UDF calls. Hub subjects are bounded by
+    their own edge count (the agg is linear in bucket rows), and the output
+    is tiny (one row per distinct subject), so skew shows up only as one
+    bucket with more input rows — at web scale raise ``num_buckets`` so the
+    largest bucket's edges fit a worker's heap.
+    """
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        out = batch.select([subj_col, pred_col, obj_col])
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets(out[subj_col], num_buckets))
+        )
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([subj_col, pred_col, obj_col], kind="mergesort")
+        entries = g[pred_col] + " " + g[obj_col]
+        grp = entries.groupby(g[subj_col].to_numpy(), sort=False)
+        adj = grp.agg(sep.join)
+        deg = grp.size()
+        return pd.DataFrame({
+            subj_col: adj.index,
+            "out_degree": deg.to_numpy().astype("int64"),
+            "adj": adj.to_numpy(),
+        })
+
+    return (
+        coalesce_small(triples_ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(build, batch_format="pandas")
+    )
