@@ -1002,6 +1002,30 @@ def q_doc_filter_pipeline(sf_dir: str):
     return ds.map_batches(funnel, batch_format="pyarrow")
 
 
+def q_doc_collocations(sf_dir: str):
+    """Corpus collocation mining: top-100 bigrams by lift (log-free PMI
+    core — one IEEE division of exact int64 products, bit-deterministic)."""
+    from cattle_ray.stages.textstats import collocation_lift
+
+    return collocation_lift(_docs(sf_dir, ["doc_id", "text"]), min_count=3, k=100)
+
+
+def q_kg_entity_resolution(sf_dir: str):
+    """Entity resolution over the KG: subjects sharing a name literal are
+    blocked together, candidate pairs form a binary tree per block, the
+    fused distributed connected-components loop resolves clusters, and each
+    subject maps to its cluster's lexicographically smallest member. The
+    oracle (min(subj) per name group) checks the WHOLE blocking→pairs→CC→
+    canonical chain end-to-end."""
+    from cattle_ray.stages.link import entity_resolution
+
+    named = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "name")).select(["subj", "obj"]),
+        batch_format="pyarrow",
+    )
+    return entity_resolution(named, "subj", "obj")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -1055,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_dedup": q_doc_chunk_dedup,
         "doc_incremental_dedup": q_doc_incremental_dedup,
         "doc_filter_pipeline": q_doc_filter_pipeline,
+        "doc_collocations": q_doc_collocations,
+        "kg_entity_resolution": q_kg_entity_resolution,
     }
 
 
@@ -1258,6 +1284,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
         "kg_pagerank": _pagerank_sql(),
+        "doc_collocations": r"""
+            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                         FROM documents WHERE trim(text) != ''),
+            t AS (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i FROM tok),
+            big AS (SELECT a.w AS w1, b.w AS w2
+                    FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY w),
+            bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                   FROM big GROUP BY 1, 2),
+            tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nt,
+                           (SELECT CAST(count(*) AS BIGINT) FROM big) AS nb)
+            SELECT w1, w2, c12,
+                   round(CAST(c12 * nt * nt AS DOUBLE)
+                         / CAST(nb * u1.c * u2.c AS DOUBLE), 6) AS lift
+            FROM bc
+            CROSS JOIN tot
+            JOIN uni u1 ON bc.w1 = u1.w
+            JOIN uni u2 ON bc.w2 = u2.w
+            WHERE c12 >= 3
+            ORDER BY lift DESC, w1, w2 LIMIT 100
+        """,
+        "kg_entity_resolution": _TRIPLE_BASE_CTE + f"""
+            SELECT subj, min(subj) OVER (PARTITION BY obj) AS canonical
+            FROM triples WHERE pred = '{EX}name'
+        """,
         "kg_adjacency": _TRIPLE_BASE_CTE + """
             SELECT subj, CAST(count(*) AS BIGINT) AS out_degree,
                    string_agg(pred || ' ' || obj, '; ' ORDER BY pred, obj) AS adj

@@ -86,6 +86,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_chunk_dedup",
         "doc_incremental_dedup",
         "doc_filter_pipeline",
+        "doc_collocations",
+        "kg_entity_resolution",
     ]
     for name in bench_queries:
         timed(name, qs[name])

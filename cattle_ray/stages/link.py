@@ -301,3 +301,104 @@ class Canonicalizer:
             new = self._apply(arr, extra)
             batch = batch.set_column(batch.column_names.index(col), col, new)
         return batch
+
+
+def entity_resolution(ds, id_col: str, block_col: str, *, num_buckets: int = 32,
+                      max_iters: int = 20, small_cc_pairs: int | None = None):
+    """Blocking-based entity resolution: rows sharing a ``block_col`` value
+    (normalized name, alias key, …) are candidate-same entities; the
+    canonical representative of each resolved cluster is its
+    lexicographically smallest ``id_col``.
+
+    Scale plan: one bucketed shuffle on the blocking key; per block the
+    candidate pairs are a BINARY TREE over the sorted member ids —
+    O(n) pairs per block instead of the O(n²) clique, with O(log n)
+    propagation depth — plus a self-pair per id so singletons survive into
+    the label table. The pair graph feeds the fused distributed
+    connected-components loop (64-bit hashed ids); labels join back to the
+    string ids, the canonical (min string id) is a component-sized
+    aggregate, and one last co-partitioned join attaches it to every member.
+    Nothing block- or cluster-sized ever lands on the driver.
+
+    Returns a Dataset ``(id_col, canonical)``. With transitive blocking
+    rules (multiple block keys per row feeding one CC) the same machinery
+    resolves chains A~B~C even when A and C share no key.
+    """
+    import pandas as pd
+
+    from .aggregates import coalesce_small, partial_count  # noqa: F401
+    from .dedup import connected_components_distributed, dedup_exact
+    from .graph import uri_ids64
+    from .joins import _key_buckets, hash_join
+
+    # size-adaptive shuffle width (same principle as pagerank/CC): tiny
+    # inputs stop paying 32-task fixed cost per wide op, large inputs keep
+    # the full fan-out
+    ds = ds.materialize()
+    eff = int(min(num_buckets, max(4, ds.count() // 50_000)))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        out = batch.select([id_col, block_col])
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets(out[block_col], eff)))
+
+    def tree_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out_a, out_b = [], []
+        for _, grp in g.groupby(block_col, sort=False):
+            ids = np.sort(grp[id_col].unique())
+            out_a.append(ids)          # self-pairs: singletons keep a label
+            out_b.append(ids)
+            if len(ids) > 1:
+                idx = np.arange(1, len(ids))
+                out_a.append(ids[idx])
+                out_b.append(ids[idx // 2])
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame({"id_a": a, "id_b": b})
+
+    pairs_str = (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(tree_pairs, batch_format="pandas")
+    ).materialize()  # consumed twice: CC pairs + the id map
+
+    pairs64 = pairs_str.map_batches(
+        lambda b: pa.table({"a": uri_ids64(b["id_a"]),
+                            "b": uri_ids64(b["id_b"])}),
+        batch_format="pyarrow")
+    id_map = dedup_exact(
+        pairs_str.map_batches(
+            lambda b: pa.table({"nid": uri_ids64(b["id_a"]), "sid": b["id_a"]}),
+            batch_format="pyarrow"),
+        ["nid"], num_buckets=eff)
+    cc_kwargs = {} if small_cc_pairs is None else {"small_cc_pairs": small_cc_pairs}
+    labels = connected_components_distributed(pairs64, max_iters=max_iters,
+                                              **cc_kwargs)
+
+    # (hash id, label) → (string id, label); consumed twice (canonical
+    # aggregate + the final join) → materialize, don't re-execute upstream
+    named = hash_join(labels, id_map, "id", "nid", num_buckets=eff).materialize()
+
+    # canonical per component = min string id (component-sized aggregate)
+    def part_min(b: pa.Table) -> pa.Table:
+        t = b.group_by(["label"]).aggregate([("sid", "min")])
+        return t.rename_columns(["label", "canonical"])
+
+    partials = named.map_batches(part_min, batch_format="pyarrow")
+    partials = partials.map_batches(
+        lambda b: b.append_column(
+            "_bucket", pa.array(_key_buckets(b["label"], 8))),
+        batch_format="pyarrow")
+
+    def finish_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("label", sort=False)["canonical"].min().reset_index()
+        return out
+
+    canon = (coalesce_small(partials, 8).groupby("_bucket")
+             .map_groups(finish_min, batch_format="pandas"))
+    out = hash_join(named, canon, "label", "label", num_buckets=eff)
+    return out.map_batches(
+        lambda b: pa.table({id_col: b["sid"], "canonical": b["canonical"]}),
+        batch_format="pyarrow")

@@ -272,3 +272,92 @@ def fingerprint_batch(batch: pa.Table, text_col="text") -> pa.Table:
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
         "rolling_hash", pa.array(np.array(rolls, dtype=np.uint64))
     )
+
+
+def bigrams_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """Adjacent word pairs per doc (whitespace tokens, matching
+    :func:`token_count_batch`). Vectorized: one explode + per-doc shift —
+    no per-doc Python."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("").str.strip()
+    toks = s.str.split()
+    e = toks.explode().dropna()
+    if e.empty:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string())})
+    nxt = e.groupby(level=0).shift(-1)
+    m = nxt.notna()
+    return pa.table({"w1": pa.array(e[m], pa.string()),
+                     "w2": pa.array(nxt[m], pa.string())})
+
+
+def collocation_lift(ds, text_col="text", min_count: int = 3, k: int = 100,
+                     num_buckets: int = 32):
+    """Corpus collocation mining: top-k bigrams by LIFT
+    ``(c12/NB) / ((c1/NT)·(c2/NT))`` — the log-free PMI core
+    (``pmi = log2(lift)`` is a trivial client-side formula; keeping the log
+    out keeps the score a single IEEE division of EXACT int64 products, so
+    the op is bit-deterministic and oracle-checkable — the
+    ``shipping_priority`` float-ulp lesson applied preemptively).
+
+    Plan: bigram/unigram counts via map-side-combined :func:`partial_count`
+    (the token explosion never crosses a shuffle un-aggregated); NT/NB are
+    distributed column sums; two co-partitioned string-key joins attach c1
+    and c2 to the (already ``min_count``-pruned) bigram table; one small
+    sort+limit. int64 product bound: safe while c12·NT² < 2^63 (NT ≈ 10^9
+    tokens with c12 ≈ 1 — far beyond the driver corpus; shard the corpus
+    before exceeding it)."""
+    from .aggregates import partial_count
+    from .joins import hash_join
+
+    uni = partial_count(
+        ds.map_batches(
+            lambda b: _tokens_batch(b, text_col), batch_format="pyarrow"),
+        ["w"],
+    ).materialize()  # consumed 3×: NT sum + both joins
+    big = partial_count(
+        ds.map_batches(lambda b: bigrams_batch(b, text_col),
+                       batch_format="pyarrow"),
+        ["w1", "w2"],
+    ).materialize()  # consumed 2×: NB sum + the join chain
+    nt = int(uni.sum("n"))
+    nb = int(big.sum("n") or 0)
+    # size-adaptive join width: the count tables are vocab-sized, usually
+    # tiny next to the corpus — don't pay 32-task fixed cost per join
+    num_buckets = int(min(num_buckets, max(4, big.count() // 50_000)))
+    pruned = big.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_count))
+                   .rename_columns(["w1", "w2", "c12"]),
+        batch_format="pyarrow")
+    u1 = uni.map_batches(lambda b: b.rename_columns(["u1", "c1"]),
+                         batch_format="pyarrow")
+    u2 = uni.map_batches(lambda b: b.rename_columns(["u2", "c2"]),
+                         batch_format="pyarrow")
+    j = hash_join(pruned, u1, "w1", "u1", num_buckets=num_buckets)
+    j = hash_join(j, u2, "w2", "u2", num_buckets=num_buckets)
+
+    def score(b: pa.Table) -> pa.Table:
+        c12 = b["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = b["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = b["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = (c12 * nt * nt).astype(np.float64)
+        den = (np.int64(nb) * c1 * c2).astype(np.float64)
+        lift = np.round(num / den, 6)
+        return pa.table({"w1": b["w1"], "w2": b["w2"],
+                         "c12": pa.array(c12), "lift": pa.array(lift)})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+             .sort(["lift", "w1", "w2"], descending=[True, False, False])
+             .limit(k))
+
+
+def _tokens_batch(batch: pa.Table, text_col="text") -> pa.Table:
+    """All whitespace tokens as one ``w`` column (Arrow-vectorized)."""
+    t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    trimmed = pc.utf8_trim_whitespace(t)
+    if isinstance(trimmed, pa.ChunkedArray):
+        trimmed = trimmed.combine_chunks()
+    trimmed = trimmed.filter(pc.not_equal(trimmed, ""))
+    flat = pc.list_flatten(pc.split_pattern_regex(trimmed, r"\s+"))
+    return pa.table({"w": flat})
