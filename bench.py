@@ -88,6 +88,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_filter_pipeline",
         "doc_collocations",
         "kg_entity_resolution",
+        "kg_triangle_count",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -307,3 +307,76 @@ def adjacency_lists(triples_ds, subj_col: str = "subj", pred_col: str = "pred",
         .groupby("_bucket")
         .map_groups(build, batch_format="pandas")
     )
+
+
+_TRI_SEP = "\x1f"
+
+
+def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
+              num_buckets: int = 32):
+    """Triangle enumeration by the degree-ordered (compact-forward)
+    algorithm — the scale-safe formulation: every edge is oriented from its
+    lower-(degree, id) endpoint, so a hub of degree d contributes
+    O(sqrt(m)) out-neighbors instead of O(d²) wedges; total wedge volume is
+    bounded by O(m^1.5) regardless of skew.
+
+    Plan: canonicalize+distinct the edge set (one bucketed shuffle); degrees
+    via map-side-combined :func:`partial_count` over the exploded endpoints;
+    two co-partitioned joins attach the degrees; the wedge build is ONE
+    self-join of the oriented edge list on its source; closure is an exact
+    adaptive semi-join of the wedge (y,z) key against the canonical edge
+    key. Returns a Dataset of (a, b, c) triangle triples — a is the
+    lowest-(degree,id) apex, b < c lexicographically. Count with
+    ``.count()``; nothing graph-sized lands on the driver.
+    """
+    from .aggregates import distinct, partial_count
+    from .joins import hash_join, semi_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        u, v = b[u_col], b[v_col]
+        t = pa.table({"u": pc.min_element_wise(u, v),
+                      "v": pc.max_element_wise(u, v)})
+        return t.filter(pc.not_equal(t["u"], t["v"]))
+
+    e = distinct(edges_ds.map_batches(canon, batch_format="pyarrow"),
+                 ["u", "v"], num_buckets=num_buckets).materialize()
+
+    ends = e.map_batches(
+        lambda b: pa.table({"node": pa.concat_arrays(
+            [b["u"].combine_chunks(), b["v"].combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = partial_count(ends, ["node"])
+    du = deg.map_batches(lambda b: b.rename_columns(["nd_u", "deg_u"]),
+                         batch_format="pyarrow")
+    dv = deg.map_batches(lambda b: b.rename_columns(["nd_v", "deg_v"]),
+                         batch_format="pyarrow")
+    j = hash_join(e, du, "u", "nd_u", num_buckets=num_buckets)
+    j = hash_join(j, dv, "v", "nd_v", num_buckets=num_buckets)
+
+    def orient(b: pa.Table) -> pa.Table:
+        u_first = pc.or_(
+            pc.less(b["deg_u"], b["deg_v"]),
+            pc.and_(pc.equal(b["deg_u"], b["deg_v"]),
+                    pc.less(b["u"], b["v"])))
+        return pa.table({"x": pc.if_else(u_first, b["u"], b["v"]),
+                         "y": pc.if_else(u_first, b["v"], b["u"])})
+
+    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+    right = oriented.map_batches(
+        lambda b: b.rename_columns(["x_r", "y_r"]), batch_format="pyarrow")
+    wedges = hash_join(oriented, right, "x", "x_r", num_buckets=num_buckets)
+
+    def wedge_key(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b["y"], b["y_r"]))  # each unordered pair once
+        return pa.table({
+            "a": t["x"], "b": t["y"], "c": t["y_r"],
+            "_k": pc.binary_join_element_wise(t["y"], t["y_r"], _TRI_SEP)})
+
+    keyed = wedges.map_batches(wedge_key, batch_format="pyarrow")
+    ekeys = e.map_batches(
+        lambda b: pa.table({"_k": pc.binary_join_element_wise(
+            b["u"], b["v"], _TRI_SEP)}),
+        batch_format="pyarrow")
+    closed = semi_join(keyed, ekeys, "_k", "_k", num_buckets=num_buckets)
+    return closed.map_batches(lambda b: b.select(["a", "b", "c"]),
+                              batch_format="pyarrow")

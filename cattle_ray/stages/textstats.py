@@ -255,22 +255,45 @@ class Decontaminator:
 def fingerprint_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Document fingerprints: md5 hex (exact identity — generalizes
     /root/reference/src/hash_folder.py:10-32) + 64-bit rolling (Rabin-Karp
-    style polynomial) hash of the token stream."""
-    texts = batch[text_col].to_pylist()
-    md5s, rolls = [], []
-    import zlib
+    style polynomial) hash of the token stream,
+    ``h = Σ v(tok_i)·B^(n-1-i) (mod 2^64)``.
 
-    B, M = 1000003, (1 << 61) - 1
-    for t in texts:
-        t = t or ""
-        md5s.append(hashlib.md5(t.encode()).hexdigest())
-        h = 0
-        # crc32 per token: process-independent (Python hash() is salted)
-        for tok in t.split():
-            h = (h * B + zlib.crc32(tok.encode())) % M
-        rolls.append(h)
+    Fully vectorized: token values from ``hash_pandas_object`` over the
+    exploded token column (process-stable, no per-token Python), B-powers by
+    one wraparound ``cumprod``, the per-doc polynomial sum by one
+    ``np.add.reduceat`` over the doc-contiguous term array — uint64
+    wraparound IS the mod. md5 stays the C-level hashlib call."""
+    import pandas as pd
+
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+
+    s = pd.Series(texts, dtype="object").fillna("").str.strip()
+    toks = s.str.split()
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    rolls = np.zeros(len(s), dtype=np.uint64)
+    flat = toks.explode().dropna()
+    if len(flat):
+        vals = pd.util.hash_pandas_object(flat, index=False).to_numpy()  # uint64
+        max_len = int(lens.max())
+        B = np.uint64(1000003)
+        bpow = np.empty(max_len, dtype=np.uint64)
+        bpow[0] = 1
+        if max_len > 1:
+            with np.errstate(over="ignore"):
+                np.cumprod(np.full(max_len - 1, B, dtype=np.uint64),
+                           out=bpow[1:])
+        # exponent of token j within its doc = len-1-pos (pos via offsets)
+        nz = lens > 0
+        starts = np.concatenate(([0], np.cumsum(lens[nz])))[:-1]
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lens[nz])
+        exp = np.repeat(lens[nz] - 1, lens[nz]) - pos
+        with np.errstate(over="ignore"):
+            terms = vals * bpow[exp]
+        sums = np.add.reduceat(terms, starts)
+        rolls[nz] = sums
     return batch.append_column("md5", pa.array(md5s, pa.string())).append_column(
-        "rolling_hash", pa.array(np.array(rolls, dtype=np.uint64))
+        "rolling_hash", pa.array(rolls)
     )
 
 

