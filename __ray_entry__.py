@@ -1026,6 +1026,18 @@ def q_kg_entity_resolution(sf_dir: str):
     return entity_resolution(named, "subj", "obj")
 
 
+def q_doc_top_terms(sf_dir: str):
+    """Keyword extraction: top-5 terms per doc by (tf DESC, df ASC, term) —
+    TF-IDF's deterministic integer core (the idf log is a client-side
+    monotone transform of df, so the ranking is identical), one bucketed
+    doc-key shuffle over the term-stats join."""
+    from cattle_ray.stages.aggregates import grouped_topk
+
+    return grouped_topk(q_doc_term_stats(sf_dir), "doc_id",
+                        ["tf", "df", "term"], [False, True, True], 5,
+                        rank_col="rank")
+
+
 def q_kg_triangle_count(sf_dir: str):
     """Graph analytics over the subject co-occurrence graph: triangle count
     via the degree-ordered (compact-forward) enumeration — wedge volume
@@ -1096,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_collocations": q_doc_collocations,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_triangle_count": q_kg_triangle_count,
+        "doc_top_terms": q_doc_top_terms,
     }
 
 
@@ -1413,6 +1426,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM tok GROUP BY 1, 2),
             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
             SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+        """,
+        "doc_top_terms": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE trim(text) != ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+            ts AS (SELECT tf.doc_id, tf.term, tf.tf, df.df
+                   FROM tf JOIN df USING (term)),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rn
+                  FROM ts)
+            SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 5
         """,
         "doc_domain_sample": """
             SELECT doc_id, source FROM (

@@ -89,6 +89,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_collocations",
         "kg_entity_resolution",
         "kg_triangle_count",
+        "doc_top_terms",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -140,3 +140,35 @@ def distinct(ds, cols, num_buckets: int = 64):
         lambda g: g.drop_duplicates(subset=cols).drop(columns=["_bucket"]),
         batch_format="pandas",
     )
+
+
+def grouped_topk(ds, key: str, order_cols, ascending, k: int,
+                 rank_col: str | None = None, num_buckets: int = 32):
+    """Per-key top-k under a MULTI-column deterministic order (generalizes
+    :func:`grouped_head`; e.g. keyword extraction: top terms per doc by
+    (tf DESC, df ASC, term) — exact integer ranks, no float scores). One
+    bucketed shuffle on the key; per bucket a single vectorized multi-key
+    sort + ``groupby.head`` (+ optional ``cumcount`` rank column) — no
+    per-key UDF calls. Hub keys cost their own row count, nothing more."""
+    from .joins import _key_buckets
+
+    order_cols = list(order_cols)
+    ascending = list(ascending)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
+
+    def head(g):
+        g = g.sort_values([key] + order_cols,
+                          ascending=[True] + ascending, kind="mergesort")
+        out = g.groupby(key, sort=False).head(k).drop(columns=["_bucket"])
+        if rank_col is not None:
+            out[rank_col] = out.groupby(key, sort=False).cumcount() + 1
+        return out
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(head, batch_format="pandas")
+    )

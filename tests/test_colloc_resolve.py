@@ -90,3 +90,23 @@ def test_entity_resolution_deep_tree_propagation(ray_session):
     assert len(got) == n
     for i in range(n):
         assert got[f"http://e/n{i:05d}"] == want_canon[f"blk{i % 3}"]
+
+
+def test_grouped_topk_multi_order_and_rank(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_topk
+
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "x": [3, 3, 9, 1, 5, 5],
+        "y": ["z", "m", "q", "q", "b", "a"],
+    })
+    out = grouped_topk(rd.from_arrow(t).repartition(3), "k",
+                       ["x", "y"], [False, True], 2,
+                       rank_col="rank").to_pandas()
+    got = out.sort_values(["k", "rank"]).reset_index(drop=True)
+    # a: x desc → 9 first; then x=3 tie → y asc 'm' before 'z'
+    assert got[["k", "x", "y", "rank"]].values.tolist() == [
+        ["a", 9, "q", 1], ["a", 3, "m", 2],
+        ["b", 5, "a", 1], ["b", 5, "b", 2]]
