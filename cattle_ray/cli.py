@@ -77,7 +77,12 @@ def cmd_pages(args):
     from .pipelines.kg import build_triples
     from .sources.triple_sink import write_triples_hash_partitioned
 
-    pages = rd.read_parquet(args.input)
+    if args.input.endswith((".jsonl", ".jsonl.gz")):
+        from .sources.jsonl import read_pages_jsonl
+
+        pages = read_pages_jsonl(args.input)
+    else:
+        pages = rd.read_parquet(args.input)
     triples = build_triples(pages, graph=args.graph or "https://example.org/graph/run")
     if args.format == "nquads":
         from .sources.nquads import write_nquads

@@ -303,26 +303,30 @@ class Canonicalizer:
         return batch
 
 
-def entity_resolution(ds, id_col: str, block_col: str, *, num_buckets: int = 32,
+def entity_resolution(ds, id_col: str, block_col, *, num_buckets: int = 32,
                       max_iters: int = 20, small_cc_pairs: int | None = None):
-    """Blocking-based entity resolution: rows sharing a ``block_col`` value
+    """Blocking-based entity resolution: rows sharing a blocking-key value
     (normalized name, alias key, …) are candidate-same entities; the
     canonical representative of each resolved cluster is its
     lexicographically smallest ``id_col``.
 
-    Scale plan: one bucketed shuffle on the blocking key; per block the
-    candidate pairs are a BINARY TREE over the sorted member ids —
+    ``block_col`` may be a single column or a LIST of columns (multi-rule
+    blocking): each rule contributes its own namespaced keys to ONE shared
+    pair graph, so transitive chains resolve — A~B via name and B~C via
+    alias puts A, B, C in one cluster even though A and C share no key.
+    Null key values block nothing (a self-pair stream keeps every id in the
+    label table regardless).
+
+    Scale plan: one bucketed shuffle on the (namespaced) blocking key; per
+    block the candidate pairs are a BINARY TREE over the sorted member ids —
     O(n) pairs per block instead of the O(n²) clique, with O(log n)
-    propagation depth — plus a self-pair per id so singletons survive into
-    the label table. The pair graph feeds the fused distributed
+    propagation depth. The pair graph feeds the fused distributed
     connected-components loop (64-bit hashed ids); labels join back to the
     string ids, the canonical (min string id) is a component-sized
     aggregate, and one last co-partitioned join attaches it to every member.
     Nothing block- or cluster-sized ever lands on the driver.
 
-    Returns a Dataset ``(id_col, canonical)``. With transitive blocking
-    rules (multiple block keys per row feeding one CC) the same machinery
-    resolves chains A~B~C even when A and C share no key.
+    Returns a Dataset ``(id_col, canonical)``.
     """
     import pandas as pd
 
@@ -331,38 +335,57 @@ def entity_resolution(ds, id_col: str, block_col: str, *, num_buckets: int = 32,
     from .graph import uri_ids64
     from .joins import _key_buckets, hash_join
 
+    block_cols = [block_col] if isinstance(block_col, str) else list(block_col)
+
     # size-adaptive shuffle width (same principle as pagerank/CC): tiny
     # inputs stop paying 32-task fixed cost per wide op, large inputs keep
     # the full fan-out
     ds = ds.materialize()
     eff = int(min(num_buckets, max(4, ds.count() // 50_000)))
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        out = batch.select([id_col, block_col])
+    def expand_keys(batch: pa.Table) -> pa.Table:
+        # one (id, rule-namespaced key) row per non-null blocking value
+        ids, keys = [], []
+        for i, c in enumerate(block_cols):
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col)
+            idc = pc.cast(batch[id_col], pa.string())
+            if isinstance(idc, pa.ChunkedArray):
+                idc = idc.combine_chunks()
+            ids.append(idc.filter(valid))
+            keys.append(pc.binary_join_element_wise(
+                f"{i}", pc.cast(col.filter(valid), pa.string()), "\x1f"))
+        out = pa.table({id_col: pa.concat_arrays(ids),
+                        "_bkey": pa.concat_arrays(keys)})
         return out.append_column(
-            "_bucket", pa.array(_key_buckets(out[block_col], eff)))
+            "_bucket", pa.array(_key_buckets(out["_bkey"], eff)))
 
-    def tree_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def tree_pairs(g: pd.DataFrame) -> pa.Table:
         import numpy as np
 
-        out_a, out_b = [], []
-        for _, grp in g.groupby(block_col, sort=False):
+        out_a, out_b = [np.array([], dtype=object)], [np.array([], dtype=object)]
+        for _, grp in g.groupby("_bkey", sort=False):
             ids = np.sort(grp[id_col].unique())
-            out_a.append(ids)          # self-pairs: singletons keep a label
-            out_b.append(ids)
             if len(ids) > 1:
                 idx = np.arange(1, len(ids))
                 out_a.append(ids[idx])
                 out_b.append(ids[idx // 2])
-        a = np.concatenate(out_a)
-        b = np.concatenate(out_b)
-        return pd.DataFrame({"id_a": a, "id_b": b})
+        return pa.table({"id_a": pa.array(np.concatenate(out_a), pa.string()),
+                         "id_b": pa.array(np.concatenate(out_b), pa.string())})
 
-    pairs_str = (
-        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+    # self-pairs keep every id (incl. all-null-key rows) in the label table
+    selfs = ds.map_batches(
+        lambda b: pa.table({"id_a": pc.cast(b[id_col], pa.string()),
+                            "id_b": pc.cast(b[id_col], pa.string())}),
+        batch_format="pyarrow")
+    tree = (
+        coalesce_small(ds.map_batches(expand_keys, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(tree_pairs, batch_format="pandas")
-    ).materialize()  # consumed twice: CC pairs + the id map
+    )
+    pairs_str = selfs.union(tree).materialize()  # consumed twice: CC + id map
 
     pairs64 = pairs_str.map_batches(
         lambda b: pa.table({"a": uri_ids64(b["id_a"]),

@@ -110,3 +110,30 @@ def test_grouped_topk_multi_order_and_rank(ray_session):
     assert got[["k", "x", "y", "rank"]].values.tolist() == [
         ["a", 9, "q", 1], ["a", 3, "m", 2],
         ["b", 5, "a", 1], ["b", 5, "b", 2]]
+
+
+def test_entity_resolution_multi_rule_transitive(ray_session):
+    """A~B share a name, B~C share an alias, D's keys are all null:
+    multi-rule blocking must put {A,B,C} in one cluster and keep D a
+    singleton."""
+    import ray.data as rd
+
+    rows = [
+        {"uri": "http://e/A", "name": "n1", "alias": None},
+        {"uri": "http://e/B", "name": "n1", "alias": "x9"},
+        {"uri": "http://e/C", "name": "n2", "alias": "x9"},
+        {"uri": "http://e/D", "name": None, "alias": None},
+        # a name value colliding with an ALIAS value must NOT link (rule
+        # namespacing): E's alias equals F's name
+        {"uri": "http://e/E", "name": None, "alias": "zz"},
+        {"uri": "http://e/F", "name": "zz", "alias": None},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = entity_resolution(ds, "uri", ["name", "alias"]).to_pandas()
+    got = dict(zip(out["uri"], out["canonical"]))
+    assert len(got) == 6
+    assert got["http://e/A"] == got["http://e/B"] == got["http://e/C"] \
+        == "http://e/A"
+    assert got["http://e/D"] == "http://e/D"
+    assert got["http://e/E"] == "http://e/E"
+    assert got["http://e/F"] == "http://e/F"

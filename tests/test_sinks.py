@@ -206,3 +206,32 @@ def test_match_triples_patterns(ray_session, tmp_path):
     d = match_triples(out, pred="http://p/type", obj="http://c/1", num_partitions=4)
     got = d.to_pandas()
     assert len(got) == 10 and set(got["obj"]) == {"http://c/1"}
+
+
+def test_pages_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL pages sink → source roundtrip: binary html, µs timestamps and
+    text survive byte-exact; parts are content-addressed (idempotent)."""
+    import ray.data as rd
+
+    from cattle_ray.pages import pages_table
+    from cattle_ray.sources.jsonl import read_pages_jsonl, write_pages_jsonl
+
+    pages = pages_table(40).select(["url", "warc_ts", "html", "text", "lang"])
+    out = str(tmp_path / "jl")
+    man = write_pages_jsonl(rd.from_arrow(pages).repartition(3), out)
+    assert man["n_rows"].sum() == 40
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".jsonl") for f in files)
+    write_pages_jsonl(rd.from_arrow(pages).repartition(3), out)
+    assert sorted(os.listdir(out)) == files  # idempotent rerun
+
+    back = (read_pages_jsonl([os.path.join(out, f) for f in files])
+            .to_pandas().sort_values("url").reset_index(drop=True))
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(back, want)
+
+    # extractor invariant holds through the roundtrip
+    from cattle_ray.stages.extract import extract_text_bytes
+    assert all(extract_text_bytes(h) == t
+               for h, t in zip(back["html"], back["text"]))
