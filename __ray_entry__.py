@@ -1026,6 +1026,37 @@ def q_kg_entity_resolution(sf_dir: str):
     return entity_resolution(named, "subj", "obj")
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered-step funnel: per user the first view, the first click
+    strictly after it, the first error after that — one bucketed user-key
+    shuffle, per-step vectorized chain inside the bucket."""
+    from cattle_ray.stages.windows import funnel
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               rows_per_block=20000)
+    return funnel(ds, ["view", "click", "error"])
+
+
+def q_events_sorted_export(sf_dir: str):
+    """Global sort materialized: range-partitioned sorted Parquet export
+    (sample-based range sort; parts are disjoint ordered ranges) + a
+    footer-stats range-pruned read-back. The oracle checks the whole
+    write→prune→read roundtrip against a plain range predicate."""
+    import tempfile
+
+    from cattle_ray.sources.sorted_sink import (
+        read_sorted_range, write_sorted_range_partitioned)
+
+    ds = _read(sf_dir, "events", ["event_id", "value"], rows_per_block=20000)
+    out = tempfile.mkdtemp(prefix="sorted_", dir="/tmp")
+    write_sorted_range_partitioned(ds, "value", out)
+    d = read_sorted_range(out, "value", 5.0, 7.5)
+    return d.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["value"], 5.0),
+                                   pc.less_equal(b["value"], 7.5))),
+        batch_format="pyarrow")
+
+
 def q_doc_top_terms(sf_dir: str):
     """Keyword extraction: top-5 terms per doc by (tf DESC, df ASC, term) —
     TF-IDF's deterministic integer core (the idf log is a client-side
@@ -1109,6 +1140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_triangle_count": q_kg_triangle_count,
         "doc_top_terms": q_doc_top_terms,
+        "events_funnel": q_events_funnel,
+        "events_sorted_export": q_events_sorted_export,
     }
 
 
@@ -1426,6 +1459,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM tok GROUP BY 1, 2),
             df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
             SELECT tf.doc_id, tf.term, tf.tf, df.df FROM tf JOIN df USING (term)
+        """,
+        "events_funnel": """
+            WITH fv AS (SELECT user_id, min(ts) AS t_view FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            fc AS (SELECT e.user_id, min(e.ts) AS t_click
+                   FROM events e JOIN fv USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > fv.t_view
+                   GROUP BY 1),
+            fe AS (SELECT e.user_id, min(e.ts) AS t_error
+                   FROM events e JOIN fc USING (user_id)
+                   WHERE e.event_type = 'error' AND e.ts > fc.t_click
+                   GROUP BY 1)
+            SELECT fv.user_id, fv.t_view, fc.t_click, fe.t_error
+            FROM fv JOIN fc USING (user_id) JOIN fe USING (user_id)
+        """,
+        "events_sorted_export": """
+            SELECT event_id, value FROM events
+            WHERE value >= 5.0 AND value <= 7.5
         """,
         "doc_top_terms": r"""
             WITH tok AS (

@@ -90,6 +90,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_entity_resolution",
         "kg_triangle_count",
         "doc_top_terms",
+        "events_funnel",
+        "events_sorted_export",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def sliding_window_expand(batch: pa.Table, *, ts: str = "ts",
@@ -76,4 +77,52 @@ def sessionize(ds, *, key: str = "user_id", ts: str = "ts",
         coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(bucket_sessions, batch_format="pandas")
+    )
+
+
+def funnel(ds, steps, *, key: str = "user_id", ts: str = "ts",
+           type_col: str = "event_type", num_buckets: int = 32):
+    """Ordered-step funnel analysis: for each key, the first time of step 1,
+    then the first step-2 event STRICTLY AFTER it, then the first step-3
+    event after that, … Keys that never complete a step drop out from that
+    step on. Returns one row per key that completed all steps, with one
+    ``t_<step>`` timestamp column per step.
+
+    One bucketed shuffle on the key (all of a key's events land in one
+    bucket — same discipline as :func:`sessionize`); per bucket the step
+    chain is a vectorized loop over STEPS (groupby-min + merge per step),
+    never over keys or rows. Step-irrelevant events are projected away
+    before the shuffle."""
+    import pandas as pd
+
+    from .joins import _key_buckets
+    from ..stages.aggregates import coalesce_small
+
+    steps = list(steps)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch[type_col], value_set=pa.array(steps))
+        return batch.select([key, ts, type_col]).filter(keep)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
+
+    def chain(g: pd.DataFrame) -> pd.DataFrame:
+        cur = (g[g[type_col] == steps[0]].groupby(key)[ts].min()
+               .reset_index(name=f"t_{steps[0]}"))
+        for s in steps[1:]:
+            prev_col = cur.columns[-1]
+            ev = g[g[type_col] == s].merge(cur[[key, prev_col]], on=key)
+            ev = ev[ev[ts] > ev[prev_col]]
+            nxt = ev.groupby(key)[ts].min().reset_index(name=f"t_{s}")
+            cur = cur.merge(nxt, on=key)
+        return cur
+
+    return (
+        coalesce_small(
+            ds.map_batches(project, batch_format="pyarrow")
+              .map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(chain, batch_format="pandas")
     )

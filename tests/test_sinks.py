@@ -235,3 +235,71 @@ def test_pages_jsonl_roundtrip(ray_session, tmp_path):
     from cattle_ray.stages.extract import extract_text_bytes
     assert all(extract_text_bytes(h) == t
                for h, t in zip(back["html"], back["text"]))
+
+
+def test_sorted_range_partitioned_export(ray_session, tmp_path):
+    """Global sort materialized: parts are disjoint ordered ranges, global
+    order = file order; range reads open only intersecting parts."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.sources.sorted_sink import (
+        read_sorted_range, write_sorted_range_partitioned)
+
+    rng = np.random.RandomState(5)
+    vals = rng.permutation(20_000).astype("int64")
+    ds = rd.from_arrow(pa.table({"value": vals, "tag": vals % 7})).repartition(8)
+    out = str(tmp_path / "sorted")
+    man = write_sorted_range_partitioned(ds, "value", out)
+    assert man["n_rows"].sum() == 20_000 and len(man) > 1
+    # disjoint, ordered ranges
+    for i in range(1, len(man)):
+        assert man["min"][i] > man["max"][i - 1]
+    # concatenating parts in name order gives the total order
+    got = []
+    for p in sorted(os.listdir(out)):
+        t = pq.read_table(os.path.join(out, p))
+        col = t["value"].to_pylist()
+        assert col == sorted(col)
+        got.extend(col)
+    assert got == sorted(vals.tolist())
+    # pruned range read
+    d = read_sorted_range(out, "value", lo=5000, hi=5999)
+    picked = d.to_pandas()
+    assert set(picked[(picked["value"] >= 5000) & (picked["value"] <= 5999)]
+               ["value"]) == set(range(5000, 6000))
+    # it opened fewer parts than exist (pruning happened)
+    assert d.input_files() and len(d.input_files()) < len(man)
+
+
+def test_funnel_steps(ray_session):
+    """view→click→error ordered funnel vs a pandas reference."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import funnel
+
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(u, t, k):
+        rows.append({"user_id": u, "ts": base + pd.Timedelta(seconds=t),
+                     "event_type": k})
+
+    # u1 completes all 3 in order; u2 clicks BEFORE viewing (no conversion
+    # past step 1); u3 views+clicks, no error; u4 never views
+    ev(1, 0, "view"); ev(1, 10, "click"); ev(1, 20, "error")
+    ev(2, 5, "click"); ev(2, 6, "view")
+    ev(3, 0, "view"); ev(3, 1, "click"); ev(3, 2, "click")
+    ev(4, 0, "click"); ev(4, 1, "error")
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+    full = funnel(ds, ["view", "click", "error"]).to_pandas()
+    assert set(full["user_id"]) == {1}
+    r = full.iloc[0]
+    assert (r["t_view"], r["t_click"], r["t_error"]) == (
+        base, base + pd.Timedelta(seconds=10), base + pd.Timedelta(seconds=20))
+
+    two = funnel(ds, ["view", "click"]).to_pandas()
+    assert set(two["user_id"]) == {1, 3}
