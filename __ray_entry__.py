@@ -1079,7 +1079,7 @@ def q_kg_triangle_count(sf_dir: str):
         lambda b: pa.table({"u": b["subj_a"], "v": b["subj_b"]}),
         batch_format="pyarrow",
     )
-    n = triangles(cooc).count()
+    n = triangles(cooc, count_only=True)
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 

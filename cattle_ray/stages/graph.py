@@ -313,7 +313,7 @@ _TRI_SEP = "\x1f"
 
 
 def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
-              num_buckets: int = 32):
+              num_buckets: int = 32, count_only: bool = False):
     """Triangle enumeration by the degree-ordered (compact-forward)
     algorithm — the scale-safe formulation: every edge is oriented from its
     lower-(degree, id) endpoint, so a hub of degree d contributes
@@ -328,6 +328,10 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
     key. Returns a Dataset of (a, b, c) triangle triples — a is the
     lowest-(degree,id) apex, b < c lexicographically. Count with
     ``.count()``; nothing graph-sized lands on the driver.
+
+    ``count_only=True`` returns the int count without materializing the
+    triple strings: only the one wedge KEY column crosses the closure
+    semi-join (drops ~3 string columns × wedge-count from the shuffle).
     """
     from .aggregates import distinct, partial_count
     from .joins import hash_join, semi_join
@@ -368,9 +372,10 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
 
     def wedge_key(b: pa.Table) -> pa.Table:
         t = b.filter(pc.less(b["y"], b["y_r"]))  # each unordered pair once
-        return pa.table({
-            "a": t["x"], "b": t["y"], "c": t["y_r"],
-            "_k": pc.binary_join_element_wise(t["y"], t["y_r"], _TRI_SEP)})
+        k = pc.binary_join_element_wise(t["y"], t["y_r"], _TRI_SEP)
+        if count_only:
+            return pa.table({"_k": k})
+        return pa.table({"a": t["x"], "b": t["y"], "c": t["y_r"], "_k": k})
 
     keyed = wedges.map_batches(wedge_key, batch_format="pyarrow")
     ekeys = e.map_batches(
@@ -378,5 +383,7 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
             b["u"], b["v"], _TRI_SEP)}),
         batch_format="pyarrow")
     closed = semi_join(keyed, ekeys, "_k", "_k", num_buckets=num_buckets)
+    if count_only:
+        return closed.count()
     return closed.map_batches(lambda b: b.select(["a", "b", "c"]),
                               batch_format="pyarrow")

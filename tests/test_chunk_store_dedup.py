@@ -166,3 +166,19 @@ def test_triangles_random_matches_reference(ray_session):
     ds = rd.from_arrow(pa.table({
         "u": [p[0] for p in pairs], "v": [p[1] for p in pairs]})).repartition(4)
     assert triangles(ds).count() == want
+
+
+def test_triangles_count_only_parity(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import triangles
+
+    rng = np.random.RandomState(4)
+    pairs = {(f"n{min(a, b)}", f"n{max(a, b)}")
+             for a, b in rng.randint(0, 40, (300, 2)) if a != b}
+    ds = rd.from_arrow(pa.table({
+        "u": [p[0] for p in pairs], "v": [p[1] for p in pairs]}))
+    full = triangles(ds).count()
+    fast = triangles(ds, count_only=True)
+    assert isinstance(fast, int) and fast == full
