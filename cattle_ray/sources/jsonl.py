@@ -47,7 +47,13 @@ def read_pages_jsonl(paths):
 def write_pages_jsonl(pages_ds, out_dir: str):
     """Pages Dataset → directory of content-addressed ``.jsonl`` part files
     (idempotent under task retries, same discipline as the N-Quads sink).
-    Returns the small per-part manifest as pandas."""
+    Returns the small per-part manifest as pandas.
+
+    Caveat shared with every content-addressed sink here: two DISTINCT
+    blocks with byte-identical payloads deduplicate to one part (set
+    semantics). Fine for pages/triples keyed by url/content; a caller
+    needing multiset semantics should make rows distinguishable (e.g. carry
+    a row id)."""
     import hashlib
     import json
     import os

@@ -15,22 +15,13 @@ from ..model import format_nquads_batch, parse_nquads_lines
 def read_nquads(paths):
     """``.nq`` / ``.nq.gz`` file(s) → quad Dataset (S6).
 
-    Gzipped parts (the S9 distributed sink form) are decompressed in the
-    read tasks via Arrow's stream codec — no driver-side inflation.
-    """
+    Gzipped parts (the S9 distributed sink form) inflate transparently in
+    the read tasks: Ray's ``read_text`` detects the codec per file from the
+    extension (``pa.Codec.detect``) — no driver-side inflation, mixed
+    plain/gz directories just work."""
     import ray.data as rd
 
-    if isinstance(paths, str):
-        paths = [paths]
-    plain = [p for p in paths if not p.endswith(".gz")]
-    gz = [p for p in paths if p.endswith(".gz")]
-    parts = []
-    if plain:
-        parts.append(rd.read_text(plain))
-    if gz:
-        parts.append(rd.read_text(
-            gz, arrow_open_stream_args={"compression": "gzip"}))
-    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    ds = rd.read_text(paths)
 
     def parse(batch: pa.Table) -> pa.Table:
         return parse_nquads_lines(batch["text"].to_pylist())

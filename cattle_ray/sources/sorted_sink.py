@@ -27,6 +27,13 @@ def write_sorted_range_partitioned(ds, sort_col: str, out_dir: str,
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
+    # wipe the previous generation: a re-export with fewer blocks must not
+    # leave stale higher-numbered parts for readers to pick up (same
+    # discipline as the MinHash sig_path sink)
+    for f in os.listdir(out_dir):
+        if (f.startswith(("part-", "raw-", ".")) and
+                f.endswith((".parquet", ".tmp"))):
+            os.remove(os.path.join(out_dir, f))
     sorted_ds = ds.sort(sort_col, descending=descending)
 
     def write_part(batch: pa.Table) -> pa.Table:
@@ -59,9 +66,17 @@ def write_sorted_range_partitioned(ds, sort_col: str, out_dir: str,
     man = man.sort_values(["min", "max"],
                           ascending=[not descending] * 2).reset_index(drop=True)
     paths = []
+    renamed: dict[str, str] = {}  # two byte-identical blocks share one raw
     for i, row in man.iterrows():
         dst = os.path.join(out_dir, f"part-{i:05d}.parquet")
-        os.replace(row["path"], dst)
+        src = row["path"]
+        if src in renamed:  # duplicate payload: copy the renamed twin
+            import shutil
+
+            shutil.copyfile(renamed[src], dst)
+        else:
+            os.replace(src, dst)
+            renamed[src] = dst
         paths.append(dst)
     man["path"] = paths
     man.insert(0, "part_idx", range(len(man)))
@@ -71,13 +86,17 @@ def write_sorted_range_partitioned(ds, sort_col: str, out_dir: str,
 def read_sorted_range(out_dir: str, sort_col: str, lo=None, hi=None):
     """Range-pruned read: open only the parts whose footer-stats
     [min, max] of ``sort_col`` intersects [lo, hi] (both bounds
-    inclusive; None = unbounded). Returns a Dataset; with no surviving
-    part, an empty Dataset with the store's schema."""
+    inclusive; None = unbounded). Returns a Dataset; with no part
+    surviving the pruning, an empty Dataset with the store's schema.
+    A store with no parts at all (empty export) raises FileNotFoundError."""
     import pyarrow.parquet as pq
     import ray.data as rd
 
     parts = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
                    if f.startswith("part-") and f.endswith(".parquet"))
+    if not parts:
+        raise FileNotFoundError(
+            f"no part-*.parquet files in {out_dir!r} (empty or missing store)")
     keep = []
     for p in parts:
         md = pq.ParquetFile(p).metadata

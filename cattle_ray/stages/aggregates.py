@@ -99,25 +99,10 @@ def top_k_counts(ds, keys, k: int = 10):
 def grouped_head(ds, key: str, order_col: str, k: int, num_buckets: int = 32):
     """Per-key head-k in deterministic ``order_col`` order (e.g. domain-
     balanced corpus sampling: cap docs per source/domain so hot domains
-    can't dominate the training mix). One bucketed shuffle; per bucket a
-    vectorized sort + ``groupby.head`` — no per-key UDF calls. Key-type-
-    aware bucketing (string domains hash)."""
-    from .joins import _key_buckets
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", pa.array(_key_buckets(batch[key], num_buckets))
-        )
-
-    def head(g):
-        g = g.sort_values([key, order_col], kind="mergesort")
-        return g.groupby(key, sort=False).head(k).drop(columns=["_bucket"])
-
-    return (
-        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
-        .groupby("_bucket")
-        .map_groups(head, batch_format="pandas")
-    )
+    can't dominate the training mix). Single-order-column special case of
+    :func:`grouped_topk`."""
+    return grouped_topk(ds, key, [order_col], [True], k,
+                        num_buckets=num_buckets)
 
 
 def distinct(ds, cols, num_buckets: int = 64):

@@ -906,18 +906,10 @@ def dedup_against_store(incoming_ds, store_path: str, fp_col: str = "fp", *,
     import ray
     import ray.data as rd
 
-    from .joins import _BloomFilter, _hash_keys_u64, semi_join
+    from .joins import _hash_keys_u64, build_bloom, semi_join
 
     store = rd.read_parquet(store_path, columns=[fp_col])
-    n_keys = max(store.count(), 1)
-    bf = _BloomFilter(n_keys, fp_rate)
-    hashed = store.map_batches(
-        lambda b: pa.table({"h": pa.array(_hash_keys_u64(
-            b[fp_col].to_numpy(zero_copy_only=False)))}),
-        batch_format="pyarrow",
-    )
-    for chunk in hashed.iter_batches(batch_format="pyarrow", batch_size=65536):
-        bf.add(chunk["h"].to_numpy(zero_copy_only=False))
+    bf = build_bloom(store, fp_col, fp_rate)
     ref = ray.put(bf)
 
     def flag(batch: pa.Table) -> pa.Table:

@@ -173,9 +173,31 @@ class _BloomFilter:
 
 
 def _hash_keys_u64(arr: np.ndarray) -> np.ndarray:
+    """64-bit key values for Bloom hashing. Object (string) arrays hash via
+    vectorized ``hash_pandas_object`` — full 64-bit entropy (the previous
+    crc32 path floored the Bloom fp-rate at n/2³² and saturated near 4B
+    keys) and no per-row Python."""
     if arr.dtype == object:
-        return np.fromiter((zlib_crc(k) for k in arr), dtype=np.uint64, count=len(arr))
+        return pd.util.hash_pandas_object(
+            pd.Series(arr, dtype="object"), index=False).to_numpy()
     return arr.astype(np.uint64)
+
+
+def build_bloom(keys_ds, col: str, fp_rate: float, n_keys: int | None = None):
+    """Streaming Bloom-filter build over a Dataset column: batches of 8-byte
+    hashes flow through the driver, only the bitset stays resident. Shared
+    by :func:`semi_join`'s approximate path and
+    :func:`cattle_ray.stages.dedup.dedup_against_store`'s prefilter."""
+    n = keys_ds.count() if n_keys is None else n_keys
+    bf = _BloomFilter(max(n, 1), fp_rate)
+    hashed = keys_ds.map_batches(
+        lambda b: pa.table({"h": pa.array(_hash_keys_u64(
+            b[col].to_numpy(zero_copy_only=False)))}),
+        batch_format="pyarrow",
+    )
+    for chunk in hashed.iter_batches(batch_format="pyarrow", batch_size=65536):
+        bf.add(chunk["h"].to_numpy(zero_copy_only=False))
+    return bf
 
 
 def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
@@ -203,17 +225,7 @@ def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
         lambda b: b.select([right_on]), batch_format="pyarrow"
     ).materialize()  # consumed twice: count() for path selection + the build
     if use_bloom:
-        n_keys = keys_sel.count()
-        bf = _BloomFilter(n_keys, fp_rate)
-        hashed = keys_sel.map_batches(
-            lambda b: pa.table({"h": pa.array(_hash_keys_u64(
-                b[right_on].to_numpy(zero_copy_only=False)))}),
-            batch_format="pyarrow",
-        )
-        # streaming build: batches of 8-byte hashes flow through the driver,
-        # only the bitset stays resident
-        for chunk in hashed.iter_batches(batch_format="pyarrow", batch_size=65536):
-            bf.add(chunk["h"].to_numpy(zero_copy_only=False))
+        bf = build_bloom(keys_sel, right_on, fp_rate)
         ref = ray.put(bf)
 
         def filt(batch: pa.Table) -> pa.Table:

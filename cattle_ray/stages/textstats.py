@@ -376,11 +376,13 @@ def collocation_lift(ds, text_col="text", min_count: int = 3, k: int = 100,
 
 
 def _tokens_batch(batch: pa.Table, text_col="text") -> pa.Table:
-    """All whitespace tokens as one ``w`` column (Arrow-vectorized)."""
-    t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
-    trimmed = pc.utf8_trim_whitespace(t)
-    if isinstance(trimmed, pa.ChunkedArray):
-        trimmed = trimmed.combine_chunks()
-    trimmed = trimmed.filter(pc.not_equal(trimmed, ""))
-    flat = pc.list_flatten(pc.split_pattern_regex(trimmed, r"\s+"))
-    return pa.table({"w": flat})
+    """All whitespace tokens as one ``w`` column — pandas ``str.split``,
+    the SAME (Unicode-whitespace) tokenizer as :func:`bigrams_batch`:
+    unigram and bigram counts must come from one token stream or the lift
+    denominator silently disagrees with the numerator (e.g. on ``\\xa0``,
+    which Arrow's RE2 ``\\s+`` does not split but Python does)."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("").str.strip()
+    e = s.str.split().explode().dropna()
+    return pa.table({"w": pa.array(e, pa.string())})

@@ -303,3 +303,38 @@ def test_funnel_steps(ray_session):
 
     two = funnel(ds, ["view", "click"]).to_pandas()
     assert set(two["user_id"]) == {1, 3}
+
+
+def test_sorted_export_reexport_wipes_stale_parts(ray_session, tmp_path):
+    """A re-export with fewer blocks must not leave stale higher-numbered
+    parts; constant-key (duplicate-payload) inputs must not crash or lose
+    rows."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.sources.sorted_sink import write_sorted_range_partitioned
+
+    out = str(tmp_path / "s")
+    big = rd.from_arrow(pa.table({
+        "value": np.random.RandomState(0).permutation(20_000).astype("int64"),
+        "tag": np.zeros(20_000, dtype="int64")})).repartition(8)
+    man1 = write_sorted_range_partitioned(big, "value", out)
+    small = rd.from_arrow(pa.table({
+        "value": np.arange(100, dtype="int64"),
+        "tag": np.zeros(100, dtype="int64")})).repartition(2)
+    man2 = write_sorted_range_partitioned(small, "value", out)
+    assert len(man2) < len(man1)
+    on_disk = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(on_disk) == len(man2)  # stale generation gone
+    total = sum(pq.read_table(os.path.join(out, f)).num_rows for f in on_disk)
+    assert total == 100
+
+    # fully constant rows (byte-identical block risk): no crash, no loss
+    const = rd.from_arrow(pa.table({
+        "value": np.full(8000, 7, dtype="int64"),
+        "tag": np.full(8000, 1, dtype="int64")})).repartition(4)
+    man3 = write_sorted_range_partitioned(const, "value", out)
+    on_disk = [f for f in os.listdir(out) if f.startswith("part-")]
+    total = sum(pq.read_table(os.path.join(out, f)).num_rows for f in on_disk)
+    assert total == 8000 and man3["n_rows"].sum() == 8000
