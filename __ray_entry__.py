@@ -1037,6 +1037,32 @@ def q_events_funnel(sf_dir: str):
     return funnel(ds, ["view", "click", "error"])
 
 
+def q_events_running_sum(sf_dir: str):
+    """Per-user running total of event value (SUM OVER (PARTITION BY user
+    ORDER BY ts, event_id)) — exact int64 cents both sides, so the window
+    primitive is bit-deterministic and oracle-checkable."""
+    from cattle_ray.stages.windows import grouped_running_sum
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20000)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        # half_towards_infinity = half-away-from-zero = DuckDB round()
+        # (Arrow defaults to half_to_even — only differs on exact .5)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"], "cents": cents})
+
+    out = grouped_running_sum(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", val="cents", out="run_cents",
+        order_tiebreak="event_id")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "run_cents"]),
+        batch_format="pyarrow")
+
+
 def q_events_sorted_export(sf_dir: str):
     """Global sort materialized: range-partitioned sorted Parquet export
     (sample-based range sort; parts are disjoint ordered ranges) + a
@@ -1142,6 +1168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q_doc_top_terms,
         "events_funnel": q_events_funnel,
         "events_sorted_export": q_events_sorted_export,
+        "events_running_sum": q_events_running_sum,
     }
 
 
@@ -1477,6 +1504,13 @@ def oracle_sql() -> dict[str, str]:
         "events_sorted_export": """
             SELECT event_id, value FROM events
             WHERE value >= 5.0 AND value <= 7.5
+        """,
+        "events_running_sum": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS BIGINT) AS run_cents
+            FROM events
         """,
         "doc_top_terms": r"""
             WITH tok AS (

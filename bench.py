@@ -92,6 +92,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_top_terms",
         "events_funnel",
         "events_sorted_export",
+        "events_running_sum",
     ]
     for name in bench_queries:
         timed(name, qs[name])

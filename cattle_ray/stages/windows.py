@@ -126,3 +126,34 @@ def funnel(ds, steps, *, key: str = "user_id", ts: str = "ts",
         .groupby("_bucket")
         .map_groups(chain, batch_format="pandas")
     )
+
+
+def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
+                        val: str = "val", out: str = "running",
+                        order_tiebreak: str | None = None,
+                        num_buckets: int = 32):
+    """Per-key running (cumulative) sum in event-time order — the
+    ``SUM(...) OVER (PARTITION BY key ORDER BY ts)`` window primitive. One
+    bucketed shuffle on the key; per bucket a single vectorized sort +
+    ``groupby.cumsum`` — no per-key UDF calls, hub keys cost their own row
+    count. Use an INTEGER value column (e.g. cents) for bit-exact results;
+    ``order_tiebreak`` breaks equal timestamps deterministically."""
+    from .joins import _key_buckets
+    from ..stages.aggregates import coalesce_small
+
+    order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
+
+    def cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        g[out] = g.groupby(key, sort=False)[val].cumsum()
+        return g.drop(columns=["_bucket"])
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(cumsum, batch_format="pandas")
+    )

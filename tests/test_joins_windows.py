@@ -192,3 +192,26 @@ def test_asof_join_forward_and_nearest(ray_session):
             direction=direction,
         ).sort_values(["u", "t"]).reset_index(drop=True)
         assert out["t2"].fillna(-1).tolist() == want["t2"].fillna(-1).tolist(), direction
+
+
+def test_grouped_running_sum(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import grouped_running_sum
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 1],
+        "ts": [base + pd.Timedelta(seconds=s) for s in [0, 10, 10, 5, 1, 20]],
+        "eid": [0, 1, 2, 3, 4, 5],
+        "v": [10, 20, 30, 7, 5, 40],
+    })
+    out = grouped_running_sum(
+        rd.from_pandas(df).repartition(3), key="user_id", ts="ts", val="v",
+        out="run", order_tiebreak="eid").to_pandas()
+    got = dict(zip(out["eid"], out["run"]))
+    # user 1 in (ts, eid) order: eid0=10, eid1=30, eid2=60, eid5=100
+    # user 2: eid4=5 (t=1) then eid3=12 (t=5)
+    assert got == {0: 10, 1: 30, 2: 60, 5: 100, 4: 5, 3: 12}
