@@ -1063,6 +1063,38 @@ def q_events_running_sum(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_inter_arrival(sf_dir: str):
+    """Per-user inter-arrival time (ts − LAG(ts)) in exact µs int64."""
+    from cattle_ray.stages.windows import grouped_lag_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"],
+               rows_per_block=20000)
+    out = grouped_lag_delta(ds, key="user_id", ts="ts", out="delta_us",
+                            order_tiebreak="event_id")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "delta_us"]),
+        batch_format="pyarrow")
+
+
+def q_events_hourly_users(sf_dir: str):
+    """Exact distinct users per hour: bucketed two-stage distinct on
+    (hour, user) then a map-side-combined count per hour — the exact
+    counterpart of the HLL approximate query."""
+    from cattle_ray.stages.aggregates import distinct, partial_count
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"], rows_per_block=20000)
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.floor_temporal(b["ts"], unit="hour"),
+                         "user_id": b["user_id"]})
+
+    pairs = distinct(ds.map_batches(add_hour, batch_format="pyarrow"),
+                     ["hour", "user_id"])
+    counts = partial_count(pairs, ["hour"])
+    return counts.map_batches(
+        lambda b: b.rename_columns(["hour", "n_users"]), batch_format="pyarrow")
+
+
 def q_events_sorted_export(sf_dir: str):
     """Global sort materialized: range-partitioned sorted Parquet export
     (sample-based range sort; parts are disjoint ordered ranges) + a
@@ -1169,6 +1201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_sorted_export": q_events_sorted_export,
         "events_running_sum": q_events_running_sum,
+        "events_inter_arrival": q_events_inter_arrival,
+        "events_hourly_users": q_events_hourly_users,
     }
 
 
@@ -1504,6 +1538,19 @@ def oracle_sql() -> dict[str, str]:
         "events_sorted_export": """
             SELECT event_id, value FROM events
             WHERE value >= 5.0 AND value <= 7.5
+        """,
+        "events_inter_arrival": """
+            SELECT event_id, user_id,
+                   CAST(date_diff('microseconds',
+                        LAG(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id), ts)
+                   AS BIGINT) AS delta_us
+            FROM events
+        """,
+        "events_hourly_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "events_running_sum": """
             SELECT event_id, user_id,

@@ -93,6 +93,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_funnel",
         "events_sorted_export",
         "events_running_sum",
+        "events_inter_arrival",
+        "events_hourly_users",
     ]
     for name in bench_queries:
         timed(name, qs[name])

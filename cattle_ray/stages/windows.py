@@ -157,3 +157,36 @@ def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
         .groupby("_bucket")
         .map_groups(cumsum, batch_format="pandas")
     )
+
+
+def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
+                      out: str = "delta_us",
+                      order_tiebreak: str | None = None,
+                      num_buckets: int = 32):
+    """Per-key inter-arrival deltas — the ``ts - LAG(ts) OVER (PARTITION BY
+    key ORDER BY ts)`` window primitive (µs int64; null for each key's
+    first event). Same one-shuffle vectorized shape as
+    :func:`grouped_running_sum`."""
+    from .joins import _key_buckets
+    from ..stages.aggregates import coalesce_small
+
+    order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        prev = g.groupby(key, sort=False)[ts].shift()
+        delta = (g[ts] - prev).dt.total_seconds() * 1_000_000
+        # float64 with NaN for each key's first event — the exact dtype a
+        # nullable-BIGINT window lands as in pandas, so oracle schemas align
+        g[out] = delta.round()
+        return g.drop(columns=["_bucket"])
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(lag, batch_format="pandas")
+    )

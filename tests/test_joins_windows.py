@@ -215,3 +215,26 @@ def test_grouped_running_sum(ray_session):
     # user 1 in (ts, eid) order: eid0=10, eid1=30, eid2=60, eid5=100
     # user 2: eid4=5 (t=1) then eid3=12 (t=5)
     assert got == {0: 10, 1: 30, 2: 60, 5: 100, 4: 5, 3: 12}
+
+
+def test_grouped_lag_delta(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import grouped_lag_delta
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 1, 2],
+        "ts": [base + pd.Timedelta(seconds=s) for s in [0, 5, 3, 12, 3]],
+        "eid": [0, 1, 2, 3, 4],
+    })
+    out = grouped_lag_delta(
+        rd.from_pandas(df).repartition(2), key="user_id", ts="ts",
+        out="d", order_tiebreak="eid").to_pandas()
+    got = dict(zip(out["eid"], out["d"]))
+    assert np.isnan(got[0]) and np.isnan(got[2])  # first events
+    assert got[1] == 5_000_000 and got[3] == 7_000_000
+    assert got[4] == 0  # tie on ts broken by eid: eid4 follows eid2
