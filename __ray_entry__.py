@@ -1026,6 +1026,22 @@ def q_kg_entity_resolution(sf_dir: str):
     return entity_resolution(named, "subj", "obj")
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed embedding clustering (SemDeDup-style primitive):
+    full-corpus Lloyd refinement with map-side partial sums — per iteration
+    the shuffle moves n_clusters rows per batch, never a vector. Rows-only:
+    iterative float algorithm with no SQL equivalent; numpy-parity and
+    layout-invariance are pytest-checked."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.similarity import kmeans_distributed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=4000)
+    _cent, assigns = kmeans_distributed(ds, n_clusters=8, iters=3)
+    sizes = partial_count(assigns, ["cluster_id"])
+    return sizes.sort("cluster_id")
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-step funnel: per user the first view, the first click
     strictly after it, the first error after that — one bucketed user-key
@@ -1203,6 +1219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": q_events_running_sum,
         "events_inter_arrival": q_events_inter_arrival,
         "events_hourly_users": q_events_hourly_users,
+        "embed_kmeans": q_embed_kmeans,
     }
 
 

@@ -95,6 +95,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_running_sum",
         "events_inter_arrival",
         "events_hourly_users",
+        "embed_kmeans",
     ]
     for name in bench_queries:
         timed(name, qs[name])

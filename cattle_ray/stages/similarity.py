@@ -225,3 +225,70 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         return g
 
     return cand.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+
+
+def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       sample_size: int = 2048, seed: int = 42):
+    """Distributed Lloyd's k-means over the FULL embedding corpus (the
+    SemDeDup-style clustering primitive: cluster-balanced sampling,
+    semantic dedup, IVF refinement all start here).
+
+    Scale shape per iteration: centroids broadcast once (``ray.put``,
+    n_clusters × dim — tiny); each batch assigns vectors with one matmul
+    and emits PARTIAL per-cluster (sum-vector, count) rows — the shuffle
+    moves n_clusters rows per batch, never a vector; the driver folds the
+    partials (n_clusters × #batches rows, sorted for deterministic float
+    summation) into the next centroid matrix. Init = numpy Lloyd on a
+    driver-side sample (same as IVF). Returns (centroids, assignments
+    Dataset with one (id, cluster_id) row per vector)."""
+    import ray
+
+    head = ds.limit(sample_size).to_pandas()
+    sample = np.stack(head[vec_col].to_numpy())
+    cent = kmeans_centroids(sample, n_clusters, iters=3, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partials(batch: pa.Table, ref=ref) -> pa.Table:
+            c = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
+            assign = (x @ c.T).argmax(axis=1)
+            rows = {"cluster_id": [], "n": [], "vsum": [], "lo": []}
+            for k in np.unique(assign):
+                m = assign == k
+                rows["cluster_id"].append(int(k))
+                rows["n"].append(int(m.sum()))
+                rows["vsum"].append(x[m].sum(axis=0).tolist())
+                rows["lo"].append(int(ids[m].min()))  # deterministic fold key
+            return pa.table({
+                "cluster_id": pa.array(rows["cluster_id"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                "lo": pa.array(rows["lo"], pa.int64()),
+            })
+
+        p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        # deterministic fold: (cluster, min-member-id) fixes the float
+        # summation order regardless of which worker finished first
+        p = p.sort_values(["cluster_id", "lo"], kind="mergesort")
+        new = cent.copy()
+        for k, grp in p.groupby("cluster_id", sort=True):
+            vs = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+            n = grp["n"].sum()
+            if n > 0:
+                new[k] = vs / n
+        cent = _unit(new)
+
+    ref = ray.put(cent)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
+        a = (x @ c.T).argmax(axis=1)
+        return pa.table({id_col: batch[id_col],
+                         "cluster_id": pa.array(a.astype(np.int64))})
+
+    return cent, ds.map_batches(assign_batch, batch_format="pyarrow")

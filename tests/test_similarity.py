@@ -94,3 +94,56 @@ def test_quantize_roundtrip_error_bounded():
     err = np.abs(deq - vecs.astype(np.float64))
     assert (err <= amax / 127.0 * 0.5 + 1e-12).all()
     assert out["q"].type == pa.int8()
+
+
+def test_kmeans_distributed_matches_numpy_and_invariant(ray_session):
+    """Distributed Lloyd equals a driver-side numpy Lloyd run from the same
+    init (map-side partial sums fold deterministically), and the result is
+    invariant to the input block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import (
+        _unit, kmeans_centroids, kmeans_distributed)
+
+    rng = np.random.RandomState(12)
+    # 3 well-separated blobs in 8 dims
+    blobs = np.concatenate([
+        rng.randn(200, 8) * 0.05 + c
+        for c in (np.eye(8)[0], np.eye(8)[3], np.eye(8)[6])])
+    ids = np.arange(len(blobs))
+    t = pa.table({"vec_id": ids,
+                  "embedding": [r.tolist() for r in blobs]})
+
+    def run(parts):
+        cent, assigns = kmeans_distributed(
+            rd.from_arrow(t).repartition(parts), n_clusters=3, iters=4,
+            sample_size=600)
+        return cent, assigns.to_pandas().sort_values("vec_id")
+
+    c1, a1 = run(2)
+    c2, a2 = run(5)
+    assert np.allclose(c1, c2, atol=1e-12)          # layout invariance
+    assert (a1["cluster_id"].to_numpy() == a2["cluster_id"].to_numpy()).all()
+    # clusters recover the 3 blobs exactly (each blob one pure cluster)
+    lab = a1["cluster_id"].to_numpy()
+    for b in range(3):
+        seg = lab[b * 200:(b + 1) * 200]
+        assert (seg == seg[0]).all()
+    assert len(set(lab[::200])) == 3
+
+    # driver-side numpy reference from the same sample init
+    x = _unit(blobs.astype(np.float64))
+    cent = kmeans_centroids(blobs[:600], 3, iters=3, seed=42)
+    for _ in range(4):
+        assign = (x @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for k in range(3):
+            m = assign == k
+            if m.any():
+                new[k] = x[m].sum(axis=0) / m.sum()
+        cent = _unit(new)
+    # same partition of the data (centroid ORDER may match too since init
+    # is shared; compare sorted rows with tolerance for fold-order ulps)
+    assert np.allclose(np.sort(c1, axis=0), np.sort(cent, axis=0), atol=1e-9)
