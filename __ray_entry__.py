@@ -1042,6 +1042,21 @@ def q_embed_kmeans(sf_dir: str):
     return sizes.sort("cluster_id")
 
 
+def q_embed_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: distributed k-means clustering, then
+    per-cluster keep-first cosine near-dup removal (all-pairs confined to
+    one cluster per group — one matmul, no Python pair loop). Rows-only:
+    iterative float clustering has no SQL equivalent; planted-dup recall
+    and layout invariance are pytest-checked."""
+    from cattle_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=4000)
+    out = semantic_dedup(ds, threshold=0.99, n_clusters=8, iters=2)
+    return out.map_batches(lambda b: b.select(["vec_id"]),
+                           batch_format="pyarrow")
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-step funnel: per user the first view, the first click
     strictly after it, the first error after that — one bucketed user-key
@@ -1220,6 +1235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_inter_arrival": q_events_inter_arrival,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
+        "embed_semantic_dedup": q_embed_semantic_dedup,
     }
 
 

@@ -96,6 +96,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_inter_arrival",
         "events_hourly_users",
         "embed_kmeans",
+        "embed_semantic_dedup",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -229,7 +229,8 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
 def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       sample_size: int = 2048, seed: int = 42):
+                       sample_size: int = 2048, seed: int = 42,
+                       keep_vec: bool = False):
     """Distributed Lloyd's k-means over the FULL embedding corpus (the
     SemDeDup-style clustering primitive: cluster-balanced sampling,
     semantic dedup, IVF refinement all start here).
@@ -288,7 +289,63 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
         c = ray.get(ref)
         x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
         a = (x @ c.T).argmax(axis=1)
-        return pa.table({id_col: batch[id_col],
-                         "cluster_id": pa.array(a.astype(np.int64))})
+        cols = {id_col: batch[id_col],
+                "cluster_id": pa.array(a.astype(np.int64))}
+        if keep_vec:  # semantic_dedup needs the vectors downstream
+            cols[vec_col] = batch[vec_col]
+        return pa.table(cols)
 
     return cent, ds.map_batches(assign_batch, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
+                   iters: int = 3, id_col: str = "vec_id",
+                   vec_col: str = "embedding", sample_size: int = 2048,
+                   num_buckets: int = 32, seed: int = 42):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster the corpus embeddings with :func:`kmeans_distributed`, then
+    WITHIN each cluster drop every vector whose cosine similarity to any
+    LOWER-id vector reaches ``threshold`` (keep-first greedy — the standard
+    near-dup policy, deterministic given ids).
+
+    Scale shape: the all-pairs similarity is confined to one cluster at a
+    time (one bucketed shuffle on cluster_id; per cluster a single matmul +
+    upper-triangle reduction — no Python pair loop). Cluster size bounds
+    the quadratic term: raise ``n_clusters`` (or sub-cluster a giant
+    cluster with a second kmeans pass) so n_c² stays in a worker's heap —
+    the same knob SemDeDup itself exposes. Returns the kept
+    (id, cluster_id) Dataset."""
+    from .joins import _key_buckets
+    from .aggregates import coalesce_small
+
+    _cent, assigns = kmeans_distributed(
+        ds, n_clusters=n_clusters, iters=iters, id_col=id_col,
+        vec_col=vec_col, sample_size=sample_size, seed=seed,
+        keep_vec=True)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch["cluster_id"], num_buckets)))
+
+    def drop_dups(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        out = []
+        for cid, grp in g.groupby("cluster_id", sort=False):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            x = _unit(np.stack(grp[vec_col].to_numpy()))
+            sims = x @ x.T
+            iu = np.triu_indices(len(grp), k=1)
+            blocked = np.zeros(len(grp), dtype=bool)
+            if len(iu[0]):
+                hit = sims[iu] >= threshold
+                # column j blocked if ANY earlier row i (i<j) is similar
+                np.logical_or.at(blocked, iu[1][hit], True)
+            out.append(grp.loc[~blocked, [id_col, "cluster_id"]])
+        return pd.concat(out) if out else g.iloc[:0][[id_col, "cluster_id"]]
+
+    return (
+        coalesce_small(assigns.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(drop_dups, batch_format="pandas")
+    )

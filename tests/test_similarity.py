@@ -147,3 +147,40 @@ def test_kmeans_distributed_matches_numpy_and_invariant(ray_session):
     # same partition of the data (centroid ORDER may match too since init
     # is shared; compare sorted rows with tolerance for fold-order ulps)
     assert np.allclose(np.sort(c1, axis=0), np.sort(cent, axis=0), atol=1e-9)
+
+
+def test_semantic_dedup_drops_planted_near_dups(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(100, 16)
+    rows, rid = [], 0
+    dup_of = {}
+    for i in range(100):
+        rows.append((rid, base[i])); rid += 1
+        if i % 5 == 0:  # plant a near-duplicate (tiny perturbation)
+            dup_of[rid] = rid - 1
+            rows.append((rid, base[i] + rng.randn(16) * 1e-4)); rid += 1
+    t = pa.table({"vec_id": [r[0] for r in rows],
+                  "embedding": [r[1].tolist() for r in rows]})
+    kept = semantic_dedup(
+        rd.from_arrow(t).repartition(4), threshold=0.99, n_clusters=4
+    ).to_pandas()
+    kept_ids = set(kept["vec_id"])
+    # every planted dup whose original shares its cluster is dropped,
+    # originals are kept
+    for d, orig in dup_of.items():
+        assert orig in kept_ids
+        assert d not in kept_ids, f"near-dup {d} of {orig} survived"
+    # random distinct vectors in 16-dim are nowhere near cos>=0.99
+    assert len(kept_ids) == 100
+
+    # layout invariance
+    kept2 = semantic_dedup(
+        rd.from_arrow(t).repartition(7), threshold=0.99, n_clusters=4
+    ).to_pandas()
+    assert set(kept2["vec_id"]) == kept_ids
