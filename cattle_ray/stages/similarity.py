@@ -245,7 +245,13 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
     Dataset with one (id, cluster_id) row per vector)."""
     import ray
 
+    # consumed iters+2 times (sample, one partials pass per iteration, the
+    # final assign) — materialize once instead of re-running the upstream
+    # read/map pipeline every pass
+    ds = ds.materialize()
     head = ds.limit(sample_size).to_pandas()
+    if head.empty:
+        raise ValueError("kmeans_distributed: input dataset is empty")
     sample = np.stack(head[vec_col].to_numpy())
     cent = kmeans_centroids(sample, n_clusters, iters=3, seed=seed)
 
@@ -253,6 +259,11 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
         ref = ray.put(cent)
 
         def partials(batch: pa.Table, ref=ref) -> pa.Table:
+            if len(batch) == 0:  # empty blocks occur after upstream filters
+                return pa.table({"cluster_id": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "vsum": pa.array([], pa.list_(pa.float64())),
+                                 "lo": pa.array([], pa.string())})
             c = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
@@ -263,12 +274,13 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
                 rows["cluster_id"].append(int(k))
                 rows["n"].append(int(m.sum()))
                 rows["vsum"].append(x[m].sum(axis=0).tolist())
-                rows["lo"].append(int(ids[m].min()))  # deterministic fold key
+                # deterministic fold key; str() keeps it id-type-generic
+                rows["lo"].append(str(ids[m].min()))
             return pa.table({
                 "cluster_id": pa.array(rows["cluster_id"], pa.int64()),
                 "n": pa.array(rows["n"], pa.int64()),
                 "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
-                "lo": pa.array(rows["lo"], pa.int64()),
+                "lo": pa.array(rows["lo"], pa.string()),
             })
 
         p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
@@ -286,6 +298,12 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
     ref = ray.put(cent)
 
     def assign_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {id_col: batch[id_col],
+                    "cluster_id": pa.array([], pa.int64())}
+            if keep_vec:
+                cols[vec_col] = batch[vec_col]
+            return pa.table(cols)
         c = ray.get(ref)
         x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
         a = (x @ c.T).argmax(axis=1)

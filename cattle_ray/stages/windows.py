@@ -128,6 +128,30 @@ def funnel(ds, steps, *, key: str = "user_id", ts: str = "ts",
     )
 
 
+def _per_key_ordered(ds, key, order, per_group_fn, num_buckets):
+    """Shared scaffold of the per-key ordered window primitives: one
+    bucketed shuffle on the key, per bucket sort by ``order`` (stable) then
+    a vectorized per-group body. A fix to bucketing/ordering lands here
+    once for running-sum and lag alike."""
+    from .joins import _key_buckets
+    from ..stages.aggregates import coalesce_small
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        g = per_group_fn(g)
+        return g.drop(columns=["_bucket"])
+
+    return (
+        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(body, batch_format="pandas")
+    )
+
+
 def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
                         val: str = "val", out: str = "running",
                         order_tiebreak: str | None = None,
@@ -138,25 +162,13 @@ def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
     ``groupby.cumsum`` — no per-key UDF calls, hub keys cost their own row
     count. Use an INTEGER value column (e.g. cents) for bit-exact results;
     ``order_tiebreak`` breaks equal timestamps deterministically."""
-    from .joins import _key_buckets
-    from ..stages.aggregates import coalesce_small
-
     order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
-
     def cumsum(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
         g[out] = g.groupby(key, sort=False)[val].cumsum()
-        return g.drop(columns=["_bucket"])
+        return g
 
-    return (
-        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
-        .groupby("_bucket")
-        .map_groups(cumsum, batch_format="pandas")
-    )
+    return _per_key_ordered(ds, key, order, cumsum, num_buckets)
 
 
 def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
@@ -164,29 +176,17 @@ def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
                       order_tiebreak: str | None = None,
                       num_buckets: int = 32):
     """Per-key inter-arrival deltas — the ``ts - LAG(ts) OVER (PARTITION BY
-    key ORDER BY ts)`` window primitive (µs int64; null for each key's
-    first event). Same one-shuffle vectorized shape as
-    :func:`grouped_running_sum`."""
-    from .joins import _key_buckets
-    from ..stages.aggregates import coalesce_small
-
+    key ORDER BY ts)`` window primitive. Deltas are computed EXACTLY as
+    integer microseconds (timedelta floor-div, no float rounding error at
+    any gap size), then land as float64-with-NaN — the dtype a
+    nullable-BIGINT SQL window takes in pandas, so oracle schemas align.
+    Same one-shuffle vectorized shape as :func:`grouped_running_sum`."""
     order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", pa.array(_key_buckets(batch[key], num_buckets)))
-
     def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, kind="mergesort")
         prev = g.groupby(key, sort=False)[ts].shift()
-        delta = (g[ts] - prev).dt.total_seconds() * 1_000_000
-        # float64 with NaN for each key's first event — the exact dtype a
-        # nullable-BIGINT window lands as in pandas, so oracle schemas align
-        g[out] = delta.round()
-        return g.drop(columns=["_bucket"])
+        delta = (g[ts] - prev) // pd.Timedelta(1, "us")  # exact int µs
+        g[out] = delta.astype("float64")
+        return g
 
-    return (
-        coalesce_small(ds.map_batches(add_bucket, batch_format="pyarrow"))
-        .groupby("_bucket")
-        .map_groups(lag, batch_format="pandas")
-    )
+    return _per_key_ordered(ds, key, order, lag, num_buckets)
