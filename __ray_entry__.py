@@ -1057,6 +1057,36 @@ def q_embed_semantic_dedup(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_doc_chunk_rebuild(sf_dir: str):
+    """Chunk-level dedup producing a USABLE corpus: kept windows are
+    reassembled per doc in order (fully-duplicated docs drop out)."""
+    from cattle_ray.stages.dedup import chunk_dedup_rebuild
+
+    return chunk_dedup_rebuild(_docs(sf_dir, ["doc_id", "text"]),
+                               chunk_words=10)
+
+
+def q_events_props_sum(sf_dir: str):
+    """F7 JSON scalar kernel over the events ``props`` column: vectorized
+    flat-JSON integer extraction (one RE2 pass) + map-side-combined
+    per-type sum/count — no per-row json.loads anywhere."""
+    from ray.data.aggregate import Sum
+
+    from cattle_ray.stages.textstats import json_int_field_batch
+
+    ds = _read(sf_dir, "events", ["event_type", "props"], rows_per_block=20000)
+
+    def part(b: pa.Table) -> pa.Table:
+        b2 = json_int_field_batch(b, "props", "k")
+        t = pa.table({"event_type": b2["event_type"], "k": b2["k"]})
+        out = t.group_by(["event_type"]).aggregate([("k", "sum"), ("k", "count")])
+        return out.rename_columns(["event_type", "psum", "pcnt"])
+
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    return partials.groupby("event_type").aggregate(
+        Sum("psum", alias_name="sum_k"), Sum("pcnt", alias_name="n_k"))
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-step funnel: per user the first view, the first click
     strictly after it, the first error after that — one bucketed user-key
@@ -1236,6 +1266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
         "embed_semantic_dedup": q_embed_semantic_dedup,
+        "doc_chunk_rebuild": q_doc_chunk_rebuild,
+        "events_props_sum": q_events_props_sum,
     }
 
 
@@ -1492,6 +1524,31 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
                   FROM ch)
             SELECT doc_id, chunk_idx, chunk FROM r WHERE rn = 1
+        """,
+        "doc_chunk_rebuild": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                       FROM documents WHERE trim(text) != ''),
+            c AS (SELECT doc_id, unnest(words) AS wd,
+                         generate_subscripts(words, 1) - 1 AS i FROM w),
+            ch AS (SELECT doc_id, i // 10 AS chunk_idx,
+                          string_agg(wd, ' ' ORDER BY i) AS chunk
+                   FROM c GROUP BY doc_id, i // 10),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+                  FROM ch)
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM r WHERE rn = 1 GROUP BY doc_id
+        """,
+        "events_props_sum": """
+            SELECT event_type,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(count(k) AS BIGINT) AS n_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type
         """,
         "doc_incremental_dedup": r"""
             WITH fp AS (

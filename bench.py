@@ -97,6 +97,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_hourly_users",
         "embed_kmeans",
         "embed_semantic_dedup",
+        "doc_chunk_rebuild",
+        "events_props_sum",
     ]
     for name in bench_queries:
         timed(name, qs[name])

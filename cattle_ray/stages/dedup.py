@@ -932,3 +932,36 @@ def dedup_against_store(incoming_ds, store_path: str, fp_col: str = "fp", *,
         max_broadcast_keys=max_broadcast_keys, num_buckets=num_buckets,
     )
     return certain_new.union(verified_new)
+
+
+def chunk_dedup_rebuild(ds, id_col="doc_id", text_col="text",
+                        chunk_words: int = 10, num_buckets: int = 64):
+    """Chunk-level dedup producing a USABLE corpus: run
+    :func:`chunk_exact_dedup`, then reassemble each doc from its kept
+    chunks in window order. Docs whose every chunk was a duplicate drop
+    out entirely. Returns (id, clean_text, n_kept).
+
+    The rebuild is one more bucketed shuffle (on the doc id this time) with
+    a vectorized sort + grouped join per bucket — same shape as the
+    adjacency materialization."""
+    from .joins import _key_buckets
+    from .aggregates import coalesce_small
+
+    kept = chunk_exact_dedup(ds, id_col, text_col, chunk_words, num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_key_buckets(batch[id_col], num_buckets)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_idx"], kind="mergesort")
+        grp = g.groupby(id_col, sort=False)["chunk"]
+        out = grp.agg(" ".join).reset_index(name="clean_text")
+        out["n_kept"] = grp.size().to_numpy().astype("int64")
+        return out
+
+    return (
+        coalesce_small(kept.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(rebuild, batch_format="pandas")
+    )

@@ -386,3 +386,20 @@ def _tokens_batch(batch: pa.Table, text_col="text") -> pa.Table:
     s = batch[text_col].to_pandas().fillna("").str.strip()
     e = s.str.split().explode().dropna()
     return pa.table({"w": pa.array(e, pa.string())})
+
+
+def json_int_field_batch(batch: pa.Table, col: str, field: str,
+                         out: str | None = None) -> pa.Table:
+    """Vectorized flat-JSON integer field extraction (the F7 JSON-parse
+    kernel for ``props``-style columns ``{"k": 69, ...}``): ONE RE2 pass
+    (``pc.extract_regex``) over the whole column, null where the field is
+    absent — no per-row ``json.loads``. Exact for flat generator-emitted
+    JSON; nested objects or quoted values need a real parser (drop a
+    per-row ``json.loads`` into the same column contract if you hit one)."""
+    import re as _re
+
+    out = out or field
+    pat = '"' + _re.escape(field) + r'":\s*(?P<v>-?\d+)'
+    ex = pc.extract_regex(pc.cast(batch[col], pa.string()), pattern=pat)
+    v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return batch.append_column(out, v)

@@ -182,3 +182,17 @@ def test_triangles_count_only_parity(ray_session):
     full = triangles(ds).count()
     fast = triangles(ds, count_only=True)
     assert isinstance(fast, int) and fast == full
+
+
+def test_chunk_dedup_rebuild(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import chunk_dedup_rebuild
+
+    ds = rd.from_arrow(_docs_tbl()).repartition(3)
+    out = chunk_dedup_rebuild(ds, chunk_words=4).to_pandas()
+    got = dict(zip(out["doc_id"], out["clean_text"]))
+    # doc1 keeps both windows; doc2 loses its dup of doc1's 2nd window;
+    # doc3 loses its dup of doc1's 1st window; doc4 (empty) drops out
+    assert got == {1: "a b c d e f g h", 2: "x y z w", 3: "q r"}
+    assert dict(zip(out["doc_id"], out["n_kept"])) == {1: 2, 2: 1, 3: 1}

@@ -149,3 +149,14 @@ def test_grouped_head_caps_per_key(ray_session):
     out = grouped_head(rd.from_pandas(df), "source", "doc_id", 3).to_pandas()
     got = out.groupby("source")["doc_id"].apply(lambda s: sorted(s)).to_dict()
     assert got == {"a": [0, 1, 2], "b": [5, 6]}
+
+
+def test_json_int_field_batch():
+    import pyarrow as pa
+
+    from cattle_ray.stages.textstats import json_int_field_batch
+
+    t = pa.table({"props": ['{"k": 69}', '{"j": 1, "k": -5}', '{}', None,
+                            '{"kk": 3}']})
+    out = json_int_field_batch(t, "props", "k")
+    assert out["k"].to_pylist() == [69, -5, None, None, None]
