@@ -272,12 +272,6 @@ def semi_join_distributed(ds, keys_ds, left_on: str, right_on: str, *,
     return unioned.groupby("_bucket").map_groups(filter_bucket, batch_format="pyarrow")
 
 
-def zlib_crc(v) -> int:
-    import zlib
-
-    return zlib.crc32(str(v).encode())
-
-
 def native_join(left_ds, right_ds, left_on: str, right_on: str,
                 how: str = "inner", num_partitions: int = 32):
     """Ray Data's built-in hash-partitioned ``Dataset.join`` (available in
