@@ -101,6 +101,32 @@ def cmd_pages(args):
     }))
 
 
+def cmd_store(args):
+    """Triple-pattern query over a partitioned store (SPARQL BGP primitive
+    from the shell): subject-bound patterns open ONE partition file;
+    unbound-subject patterns push pred/obj filters into a parallel scan.
+    Prints matching triples as N-Quads lines."""
+    _ensure_ray(args.num_cpus)
+
+    from .model import format_nquads_batch
+    from .sources.triple_sink import match_triples
+
+    got = match_triples(args.store, subj=args.subject, pred=args.predicate,
+                        obj=args.object, num_partitions=args.partitions)
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = got if isinstance(got, pa.Table) else None
+    if t is None:  # distributed scan path returns a Dataset
+        for batch in got.iter_batches(batch_format="pyarrow"):
+            for line in format_nquads_batch(batch)["line"].to_pylist():
+                print(line)
+        return
+    if t.num_rows:
+        for line in format_nquads_batch(t)["line"].to_pylist():
+            print(line)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -133,6 +159,16 @@ def main(argv=None):
     g.add_argument("--zip", action="store_true",
                    help="with --format nquads: gzip each part (.nq.gz)")
     g.set_defaults(fn=cmd_pages)
+
+    q = sub.add_parser("store", help="triple-pattern query over a "
+                                     "partitioned triple store")
+    q.add_argument("store", help="directory written by `pages` "
+                                 "(part_id=N/data.parquet layout)")
+    q.add_argument("-s", "--subject")
+    q.add_argument("-p", "--predicate")
+    q.add_argument("-o", "--object")
+    q.add_argument("--partitions", type=int, default=16)
+    q.set_defaults(fn=cmd_store)
 
     args = p.parse_args(argv)
     args.fn(args)

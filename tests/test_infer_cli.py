@@ -94,3 +94,44 @@ def test_cli_pages_nquads_format(ray_session, tmp_path):
     assert files
     line = files[0].read_text().splitlines()[0]
     assert line.endswith(" .") and line.startswith("<")
+
+
+def test_cli_store_query(tmp_path):
+    """pages → store → CLI pattern query end-to-end (subprocess)."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cattle_ray.pages import pages_table
+
+    pages = pages_table(60)
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(pages, src)
+    store = str(tmp_path / "store")
+    env = dict(__import__("os").environ, RAY_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "pages", src, store,
+         "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # unbound-subject pattern: every ex:rank triple
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "store", store,
+         "-p", "https://example.org/def/rank", "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.endswith(" .")]
+    assert lines and all("def/rank" in l for l in lines)
+
+    # subject-bound point read: take a subject from the first output line
+    subj = lines[0].split()[0].strip("<>")
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "store", store,
+         "-s", subj, "--partitions", "4"],
+        capture_output=True, text=True, cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = [l for l in r.stdout.splitlines() if l.endswith(" .")]
+    assert out and all(l.startswith(f"<{subj}>") for l in out)
