@@ -175,5 +175,63 @@ def main():
     ray.shutdown()
 
 
+def extra_graph_stress():
+    """Triangle count + entity resolution at 10-20× the sf0.1 graph
+    (run separately: python -c 'from scripts.stress_round2b import *; ...'
+    or via __main__ --graph)."""
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out = {}
+
+    def gen_edges(b):
+        ids = b["id"].astype(np.int64)
+        rng = np.random.RandomState(int(ids[0]) % 2**31)
+        # power-law-ish graph on 100k nodes: triangles exist, hubs exist
+        u = rng.zipf(1.5, len(ids)) % 100_000
+        v = rng.randint(0, 100_000, len(ids))
+        return pa.table({"u": pa.array([f"n{x}" for x in u]),
+                         "v": pa.array([f"n{x}" for x in v])})
+
+    edges = rd.range(2_000_000, override_num_blocks=64).map_batches(
+        gen_edges, batch_format="numpy").materialize()
+
+    from cattle_ray.stages.graph import triangles
+
+    t0 = time.perf_counter()
+    n = triangles(edges, count_only=True)
+    out["triangles_2m_edges_zipf"] = {
+        "sec": round(time.perf_counter() - t0, 2), "n_triangles": n}
+    print(out["triangles_2m_edges_zipf"], file=sys.stderr)
+
+    from cattle_ray.stages.link import entity_resolution
+
+    def gen_ents(b):
+        ids = b["id"].astype(np.int64)
+        return pa.table({
+            "uri": pa.array([f"http://e/{int(i):07d}" for i in ids]),
+            "name": pa.array([f"blk{int(i) % 100_000}" for i in ids]),
+        })
+
+    ents = rd.range(1_000_000, override_num_blocks=64).map_batches(
+        gen_ents, batch_format="numpy")
+    t0 = time.perf_counter()
+    resolved = entity_resolution(ents, "uri", "name").count()
+    out["entity_resolution_1m_rows_100k_blocks"] = {
+        "sec": round(time.perf_counter() - t0, 2), "rows": resolved}
+    print(out["entity_resolution_1m_rows_100k_blocks"], file=sys.stderr)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if "--graph" in sys.argv:
+        extra_graph_stress()
+    else:
+        main()
