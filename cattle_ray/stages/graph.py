@@ -121,8 +121,12 @@ def _pagerank_numpy_task(block_refs: list, iters: int, damping: float) -> pa.Tab
 
 #: below this edge count the per-round shuffle floor dominates useful work —
 #: solve on ONE worker instead (broadcast-small-side principle applied to
-#: iteration); the distributed path is the default above it
-SMALL_GRAPH_EDGES = 200_000
+#: iteration); the distributed path is the default above it. Sizing: an
+#: edge is 16 B (2M ≈ 32 MB) and the numpy solve runs 2M edges × 10 iters
+#: in ~2 s single-core vs ~8 s of distributed rounds at a quarter the size
+#: — like the CC crossover, runtime-bound (tens of millions), not
+#: memory-bound, on 100 GB-class workers
+SMALL_GRAPH_EDGES = 2_000_000
 
 
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
