@@ -103,27 +103,28 @@ def cmd_pages(args):
 
 def cmd_store(args):
     """Triple-pattern query over a partitioned store (SPARQL BGP primitive
-    from the shell): subject-bound patterns open ONE partition file;
-    unbound-subject patterns push pred/obj filters into a parallel scan.
-    Prints matching triples as N-Quads lines."""
-    _ensure_ray(args.num_cpus)
+    from the shell): subject-bound patterns open ONE partition file —
+    a purely LOCAL parquet read, no Ray session; unbound-subject patterns
+    push pred/obj filters into a parallel Ray scan. Prints matching
+    triples as N-Quads lines. The partition count comes from the store's
+    recorded ``_meta.json`` unless ``--partitions`` overrides."""
+    import pyarrow as pa
 
     from .model import format_nquads_batch
     from .sources.triple_sink import match_triples
 
+    if args.subject is None:
+        _ensure_ray(args.num_cpus)  # only the parallel scan needs Ray
     got = match_triples(args.store, subj=args.subject, pred=args.predicate,
                         obj=args.object, num_partitions=args.partitions)
-    import pyarrow as pa
-    import ray.data as rd
-
-    t = got if isinstance(got, pa.Table) else None
-    if t is None:  # distributed scan path returns a Dataset
-        for batch in got.iter_batches(batch_format="pyarrow"):
-            for line in format_nquads_batch(batch)["line"].to_pylist():
-                print(line)
-        return
-    if t.num_rows:
-        for line in format_nquads_batch(t)["line"].to_pylist():
+    batches = (got.to_batches() if isinstance(got, pa.Table)
+               else got.iter_batches(batch_format="pyarrow"))
+    for batch in batches:
+        if len(batch) == 0:
+            continue
+        if isinstance(batch, pa.RecordBatch):
+            batch = pa.Table.from_batches([batch])
+        for line in format_nquads_batch(batch)["line"].to_pylist():
             print(line)
 
 
@@ -167,7 +168,9 @@ def main(argv=None):
     q.add_argument("-s", "--subject")
     q.add_argument("-p", "--predicate")
     q.add_argument("-o", "--object")
-    q.add_argument("--partitions", type=int, default=16)
+    q.add_argument("--partitions", type=int, default=None,
+                   help="override the partition count (default: the "
+                        "store's recorded _meta.json)")
     q.set_defaults(fn=cmd_store)
 
     args = p.parse_args(argv)

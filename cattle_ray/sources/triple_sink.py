@@ -38,18 +38,41 @@ def write_triples_sorted(triples_ds, out_dir: str):
     return out_dir
 
 
-def read_triples_for_subject(out_dir: str, subj: str, num_partitions: int = 16):
+def store_num_partitions(out_dir: str) -> int:
+    """The store's write-time partition count, from its ``_meta.json``
+    (authoritative — empty partitions leave no ``part_id=`` dir, so dir
+    counting under-reports and would misroute point reads)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        return int(json.load(f)["num_partitions"])
+
+
+def read_triples_for_subject(out_dir: str, subj: str,
+                             num_partitions: int | None = None):
     """Read-side counterpart of the hash-partitioned layout: a subject lookup
     opens exactly ONE partition file (``crc32(subj) % P``) and row-filters it
     — at 100 TB this is a point read against 1/P of the data, and the
-    per-partition subject sort makes the inner scan binary-searchable."""
+    per-partition subject sort makes the inner scan binary-searchable.
+    ``num_partitions=None`` reads the store's recorded count; a missing
+    partition file means no subject hashes there → empty result."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if num_partitions is None:
+        num_partitions = store_num_partitions(out_dir)
     pid = zlib.crc32(subj.encode()) % num_partitions
     path = f"{out_dir}/part_id={pid}/data.parquet"
+    if not os.path.exists(path):  # empty partition was never written
+        any_part = glob.glob(f"{out_dir}/part_id=*/data.parquet")
+        if not any_part:
+            raise FileNotFoundError(f"no partitions in {out_dir!r}")
+        return pq.read_schema(any_part[0]).empty_table()
     tbl = pq.read_table(path)
-    import pyarrow.compute as pc
-
     return tbl.filter(pc.equal(tbl["subj"], subj))
 
 
@@ -83,12 +106,21 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
         )
 
     manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
-    return manifest.to_pandas()
+    out = manifest.to_pandas()
+    # record the partition count: readers route point reads by crc32 % P,
+    # and P cannot be inferred from the layout (empty partitions leave no dir)
+    import json
+
+    tmp = os.path.join(out_dir, "._meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"num_partitions": num_partitions}, f)
+    os.replace(tmp, os.path.join(out_dir, "_meta.json"))
+    return out
 
 
 def match_triples(out_dir: str, *, subj: str | None = None,
                   pred: str | None = None, obj: str | None = None,
-                  num_partitions: int = 16, columns=None):
+                  num_partitions: int | None = None, columns=None):
     """Triple-pattern query over the hash-partitioned store (the SPARQL BGP
     primitive). Read-level pruning by pattern shape:
 
@@ -99,7 +131,8 @@ def match_triples(out_dir: str, *, subj: str | None = None,
       column projection), returning a streaming Dataset.
 
     Returns a pyarrow Table for the subject-bound point read (small by
-    construction), else a Ray Dataset.
+    construction), else a Ray Dataset. ``num_partitions=None`` uses the
+    store's recorded count (``_meta.json``).
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
@@ -120,7 +153,10 @@ def match_triples(out_dir: str, *, subj: str | None = None,
     if obj is not None:
         e = pads.field("obj") == obj
         expr = e if expr is None else (expr & e)
-    return rd.read_parquet(out_dir, columns=columns, filter=expr)
+    import glob
+
+    parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
+    return rd.read_parquet(parts, columns=columns, filter=expr)
 
 
 def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,

@@ -313,9 +313,6 @@ def adjacency_lists(triples_ds, subj_col: str = "subj", pred_col: str = "pred",
     )
 
 
-_TRI_SEP = "\x1f"
-
-
 def _pair_key16(a: np.ndarray, b: np.ndarray) -> pa.Array:
     """Two int64 columns → one fixed_size_binary(16) key (exact pair
     equality, 16 B/row instead of two joined strings)."""
@@ -355,8 +352,10 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
                       "v": pc.max_element_wise(u, v)})
         return t.filter(pc.not_equal(t["u"], t["v"]))
 
+    # NOTE: e is consumed exactly once (by to64) — no materialize, the
+    # URI-string edge list should not stay pinned in the object store
     e = distinct(edges_ds.map_batches(canon, batch_format="pyarrow"),
-                 ["u", "v"], num_buckets=num_buckets).materialize()
+                 ["u", "v"], num_buckets=num_buckets)
 
     def to64(b: pa.Table) -> pa.Table:
         t = pa.table({"iu": uri_ids64(b["u"]), "iv": uri_ids64(b["v"])})

@@ -393,13 +393,14 @@ def json_int_field_batch(batch: pa.Table, col: str, field: str,
     """Vectorized flat-JSON integer field extraction (the F7 JSON-parse
     kernel for ``props``-style columns ``{"k": 69, ...}``): ONE RE2 pass
     (``pc.extract_regex``) over the whole column, null where the field is
-    absent — no per-row ``json.loads``. Exact for flat generator-emitted
-    JSON; nested objects or quoted values need a real parser (drop a
-    per-row ``json.loads`` into the same column contract if you hit one)."""
+    absent — no per-row ``json.loads``. The value must be a bare integer
+    terminated by ``,`` or ``}`` (floats and quoted values fall through to
+    null rather than truncating); nested objects or exotic JSON need a real
+    parser — drop a per-row ``json.loads`` into the same column contract."""
     import re as _re
 
     out = out or field
-    pat = '"' + _re.escape(field) + r'":\s*(?P<v>-?\d+)'
+    pat = '"' + _re.escape(field) + r'":\s*(?P<v>-?\d+)\s*[,}]'
     ex = pc.extract_regex(pc.cast(batch[col], pa.string()), pattern=pat)
     v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
     return batch.append_column(out, v)

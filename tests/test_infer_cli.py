@@ -110,27 +110,27 @@ def test_cli_store_query(tmp_path):
     src = str(tmp_path / "pages.parquet")
     pq.write_table(pages, src)
     store = str(tmp_path / "store")
-    env = dict(__import__("os").environ, RAY_GRAFT_CPUS="4")
+    env = dict(__import__("os").environ)
     r = subprocess.run(
-        [sys.executable, "-m", "cattle_ray.cli", "pages", src, store,
-         "--partitions", "4"],
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "pages", src, store, "--partitions", "4"],
         capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # unbound-subject pattern: every ex:rank triple
+    # unbound-subject pattern: every ex:rank triple (partition count comes
+    # from the store's _meta.json — no --partitions needed)
     r = subprocess.run(
-        [sys.executable, "-m", "cattle_ray.cli", "store", store,
-         "-p", "https://example.org/def/rank", "--partitions", "4"],
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "store", store, "-p", "https://example.org/def/rank"],
         capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     lines = [l for l in r.stdout.splitlines() if l.endswith(" .")]
     assert lines and all("def/rank" in l for l in lines)
 
-    # subject-bound point read: take a subject from the first output line
+    # subject-bound point read (local, no Ray session) via recorded meta
     subj = lines[0].split()[0].strip("<>")
     r = subprocess.run(
-        [sys.executable, "-m", "cattle_ray.cli", "store", store,
-         "-s", subj, "--partitions", "4"],
+        [sys.executable, "-m", "cattle_ray.cli", "store", store, "-s", subj],
         capture_output=True, text=True, cwd="/root/repo", env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     out = [l for l in r.stdout.splitlines() if l.endswith(" .")]

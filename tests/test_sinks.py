@@ -136,8 +136,9 @@ def test_incremental_merge(ray_session, tmp_path):
     out = str(tmp_path / "store")
     base_subjects = [f"http://s/{i}" for i in range(40)]
     write_triples_hash_partitioned(quads(base_subjects), out, num_partitions=4)
+    parts = lambda: [p for p in os.listdir(out) if p.startswith("part_id=")]
     mtimes = {p: os.path.getmtime(os.path.join(out, p, "data.parquet"))
-              for p in os.listdir(out)}
+              for p in parts()}
 
     # merge: 1 duplicate subject + 1 new one
     import time
@@ -148,7 +149,7 @@ def test_incremental_merge(ray_session, tmp_path):
 
     def read_all():
         tbls = [pq.read_table(os.path.join(out, p, "data.parquet"))
-                for p in os.listdir(out)]
+                for p in parts()]
         import pyarrow as pa
         return pa.concat_tables(tbls)
 
@@ -165,7 +166,7 @@ def test_incremental_merge(ray_session, tmp_path):
     assert man2["n_added"].sum() == 0
     assert read_all().num_rows == 41
     # per-partition sort maintained
-    for p in os.listdir(out):
+    for p in parts():
         t = pq.read_table(os.path.join(out, p, "data.parquet"))
         subs = t["subj"].to_pylist()
         assert subs == sorted(subs)
