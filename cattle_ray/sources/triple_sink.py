@@ -168,10 +168,28 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
     file, concat, exact set-dedup (RDF set semantics over the full quad row),
     re-sort, atomic-replace. Idempotent: re-merging the same batch is a
     no-op content-wise, and a killed merge leaves every partition either old
-    or fully-new (atomic rename), so reruns are safe."""
+    or fully-new (atomic rename), so reruns are safe.
+
+    ``num_partitions`` must match the store's recorded count — merging into
+    an EXISTING store validates against its ``_meta.json``; merging into a
+    fresh directory records it."""
+    import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        recorded = store_num_partitions(out_dir)
+        if recorded != num_partitions:
+            raise ValueError(
+                f"store {out_dir!r} was written with num_partitions="
+                f"{recorded}, merge requested {num_partitions} — rows would "
+                "hash to the wrong partitions")
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"num_partitions": num_partitions}, f)
+        os.replace(tmp, meta_path)
     with_part = new_triples_ds.map_batches(
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
     )

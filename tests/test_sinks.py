@@ -339,3 +339,35 @@ def test_sorted_export_reexport_wipes_stale_parts(ray_session, tmp_path):
     on_disk = [f for f in os.listdir(out) if f.startswith("part-")]
     total = sum(pq.read_table(os.path.join(out, f)).num_rows for f in on_disk)
     assert total == 8000 and man3["n_rows"].sum() == 8000
+
+
+def test_merge_validates_partition_count(ray_session, tmp_path):
+    """Merging with a wrong partition count must refuse (rows would hash to
+    wrong partitions); merging into a fresh dir records the count."""
+    import json
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cattle_ray.model import TRIPLE_SCHEMA
+    from cattle_ray.sources.triple_sink import (
+        merge_triples_hash_partitioned, write_triples_hash_partitioned)
+
+    def quads(subjects):
+        rows = [{"subj": s, "pred": "http://p", "obj": "o",
+                 "obj_is_iri": False, "obj_datatype": None, "obj_lang": None,
+                 "graph": "http://g", "src_url": None} for s in subjects]
+        return rd.from_arrow(pa.Table.from_pylist(rows, schema=TRIPLE_SCHEMA))
+
+    out = str(tmp_path / "s")
+    write_triples_hash_partitioned(quads([f"http://s/{i}" for i in range(10)]),
+                                   out, num_partitions=4)
+    with pytest.raises(ValueError, match="num_partitions"):
+        merge_triples_hash_partitioned(quads(["http://s/x"]), out,
+                                       num_partitions=8)
+    # fresh dir: merge records the count
+    fresh = str(tmp_path / "fresh")
+    merge_triples_hash_partitioned(quads(["http://s/x"]), fresh,
+                                   num_partitions=4)
+    assert json.load(open(f"{fresh}/_meta.json"))["num_partitions"] == 4
