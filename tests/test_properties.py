@@ -120,3 +120,55 @@ def test_dedup_idempotent(tt):
     both = pa.concat_tables([t1, t2])
     twos = set(zip(*[both[c].to_pylist() for c in QUAD_KEY])) if both.num_rows else set()
     assert ones == twos
+
+
+word = st.text(alphabet=string.ascii_lowercase + string.digits, min_size=1,
+               max_size=8)
+
+
+@given(st.lists(st.lists(word, max_size=40), min_size=1, max_size=8),
+       st.integers(2, 7))
+@settings(max_examples=40, deadline=None)
+def test_chunk_windows_partition_tokens(docs, k):
+    """chunk_words_batch windows PARTITION each doc's token stream: chunks
+    concatenate back to the tokens, every chunk except a doc's last has
+    exactly k words, and chunk indexes are 0..n-1 dense."""
+    from cattle_ray.stages.dedup import chunk_words_batch
+
+    batch = pa.table({"doc_id": list(range(len(docs))),
+                      "text": [" ".join(d) for d in docs]})
+    out = chunk_words_batch(batch, chunk_words=k).to_pydict()
+    per_doc = {}
+    for d, i, c in zip(out["doc_id"], out["chunk_idx"], out["chunk"]):
+        per_doc.setdefault(d, []).append((i, c))
+    for d, toks in enumerate(docs):
+        got = sorted(per_doc.get(d, []))
+        assert [i for i, _ in got] == list(range(len(got)))
+        rebuilt = [w for _, c in got for w in c.split(" ")]
+        assert rebuilt == toks
+        for j, (_, c) in enumerate(got[:-1]):
+            assert len(c.split(" ")) == k
+
+
+@given(st.dictionaries(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+    st.one_of(st.integers(-10**12, 10**12), st.floats(allow_nan=False),
+              st.text(alphabet=string.ascii_letters, max_size=5)),
+    max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_json_int_field_matches_json_loads(obj):
+    """json_int_field_batch agrees with json.loads for flat objects: the
+    extracted value equals the parsed value when it is an int, and is null
+    when the field is absent or not a bare integer."""
+    import json
+
+    from cattle_ray.stages.textstats import json_int_field_batch
+
+    s = json.dumps(obj)
+    out = json_int_field_batch(pa.table({"props": [s]}), "props", "k")
+    got = out["k"][0].as_py()
+    want = obj.get("k")
+    if isinstance(want, int) and not isinstance(want, bool):
+        assert got == want
+    else:
+        assert got is None
