@@ -1087,6 +1087,24 @@ def q_events_props_sum(sf_dir: str):
         Sum("psum", alias_name="sum_k"), Sum("pcnt", alias_name="n_k"))
 
 
+def q_doc_mixture(sf_dir: str):
+    """Training data mixture: English docs at epoch weight 2.5 (every row
+    twice + deterministically-hashed half again), non-English at 0.25 —
+    pure per-batch expansion, no shuffle, reproducible at any parallelism;
+    the md5-hex threshold mirrors exactly in SQL."""
+    import pyarrow.dataset as pads
+
+    from cattle_ray.stages.sampling import mix_corpora
+
+    en = _read(sf_dir, "documents", ["doc_id", "lang"], rows_per_block=2000,
+               filter=pads.field("lang") == "en")
+    rest = _read(sf_dir, "documents", ["doc_id", "lang"], rows_per_block=2000,
+                 filter=pads.field("lang") != "en")
+    out = mix_corpora([("en", en, 2.5), ("rest", rest, 0.25)], "doc_id")
+    return out.map_batches(lambda b: b.select(["doc_id", "src", "rep"]),
+                           batch_format="pyarrow")
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-step funnel: per user the first view, the first click
     strictly after it, the first error after that — one bucketed user-key
@@ -1268,6 +1286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_semantic_dedup": q_embed_semantic_dedup,
         "doc_chunk_rebuild": q_doc_chunk_rebuild,
         "events_props_sum": q_events_props_sum,
+        "doc_mixture": q_doc_mixture,
     }
 
 
@@ -1540,6 +1559,25 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
                    CAST(count(*) AS BIGINT) AS n_kept
             FROM r WHERE rn = 1 GROUP BY doc_id
+        """,
+        "doc_mixture": f"""
+            WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            rest AS (SELECT doc_id FROM documents WHERE lang != 'en'),
+            frac_en AS (
+              SELECT doc_id FROM en
+              WHERE substr(md5('en|' || doc_id || '|2'), 1, 12)
+                    < '{format(int(0.5 * 16**12), "012x")}'),
+            frac_rest AS (
+              SELECT doc_id FROM rest
+              WHERE substr(md5('rest|' || doc_id || '|0'), 1, 12)
+                    < '{format(int(0.25 * 16**12), "012x")}')
+            SELECT doc_id, 'en' AS src, CAST(0 AS BIGINT) AS rep FROM en
+            UNION ALL
+            SELECT doc_id, 'en', CAST(1 AS BIGINT) FROM en
+            UNION ALL
+            SELECT doc_id, 'en', CAST(2 AS BIGINT) FROM frac_en
+            UNION ALL
+            SELECT doc_id, 'rest', CAST(0 AS BIGINT) FROM frac_rest
         """,
         "events_props_sum": """
             SELECT event_type,

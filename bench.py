@@ -99,6 +99,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embed_semantic_dedup",
         "doc_chunk_rebuild",
         "events_props_sum",
+        "doc_mixture",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -1,0 +1,69 @@
+"""Deterministic corpus sampling/mixing for training-data assembly.
+
+The LLM data-mixture primitive: each source corpus gets an EPOCH WEIGHT
+(e.g. wiki×2.5, crawl×0.3) and every row's inclusion is a pure function of
+(source tag, row id, repeat index) — reproducible at any parallelism, under
+retries, and mirrorable in SQL (md5-hex threshold comparison; lowercase hex
+compares lexicographically == numerically, so no integer parsing anywhere).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _frac_keep_mask(tag: str, ids, rep: int, frac: float) -> np.ndarray:
+    """Keep row i iff md5(f"{tag}|{id}|{rep}") hex < the hex threshold of
+    ``frac`` (first 12 nibbles — 48 bits of resolution)."""
+    thresh = format(int(frac * 16**12), "012x")
+    return np.fromiter(
+        (hashlib.md5(f"{tag}|{v}|{rep}".encode()).hexdigest()[:12] < thresh
+         for v in ids),
+        dtype=bool, count=len(ids))
+
+
+def mix_corpora(sources, id_col: str):
+    """``sources`` = list of ``(tag, dataset, weight)``. Returns the union
+    Dataset with columns (id_col, src, rep): each row appears
+    ``floor(weight)`` times (rep = 0..) plus once more with probability
+    ``weight - floor(weight)`` decided by the deterministic hash.
+
+    Scale shape: pure per-batch map + Dataset.union — no shuffle, no RNG
+    state, no driver-side row handling; duplicated epochs are emitted
+    inside the batch (vectorized take). Downstream shuffling for training
+    order is the consumer's random_shuffle."""
+    parts = []
+    for tag, ds, weight in sources:
+        full, frac = int(weight), weight - int(weight)
+
+        def expand(batch: pa.Table, tag=tag, full=full, frac=frac) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            col = batch[id_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out_ids, out_rep = [], []
+            for rep in range(full):
+                out_ids.append(col)
+                out_rep.append(np.full(len(col), rep, dtype=np.int64))
+            if frac > 0:
+                m = _frac_keep_mask(tag, ids, full, frac)
+                out_ids.append(col.filter(pa.array(m)))
+                out_rep.append(np.full(int(m.sum()), full, dtype=np.int64))
+            if not out_ids:
+                return pa.table({id_col: col.slice(0, 0),
+                                 "src": pa.array([], pa.string()),
+                                 "rep": pa.array([], pa.int64())})
+            cat = pa.concat_arrays([a for a in out_ids])
+            return pa.table({
+                id_col: cat,
+                "src": pa.array([tag] * len(cat), pa.string()),
+                "rep": pa.array(np.concatenate(out_rep)),
+            })
+
+        parts.append(ds.map_batches(expand, batch_format="pyarrow"))
+    out = parts[0]
+    return out.union(*parts[1:]) if len(parts) > 1 else out

@@ -160,3 +160,35 @@ def test_json_int_field_batch():
                             '{"kk": 3}']})
     out = json_int_field_batch(t, "props", "k")
     assert out["k"].to_pylist() == [69, -5, None, None, None]
+
+
+def test_mix_corpora_weights_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.sampling import mix_corpora
+
+    a = rd.from_arrow(pa.table({"doc_id": list(range(4000))})).repartition(4)
+    b = rd.from_arrow(pa.table({"doc_id": list(range(4000))})).repartition(4)
+
+    def run():
+        out = mix_corpora([("a", a, 2.5), ("b", b, 0.3)], "doc_id").to_pandas()
+        return out
+
+    out = run()
+    na = (out["src"] == "a").sum()
+    nb = (out["src"] == "b").sum()
+    # weight 2.5 → ~10000 rows; 0.3 → ~1200 (48-bit hash, generous margin)
+    assert abs(na - 10000) < 300 and abs(nb - 1200) < 200
+    # full epochs are exact copies; rep index dense per row
+    assert (out[(out["src"] == "a") & (out["rep"] == 0)]["doc_id"].nunique()
+            == 4000)
+    assert (out[(out["src"] == "a") & (out["rep"] == 1)]["doc_id"].nunique()
+            == 4000)
+    # deterministic: identical row multiset on rerun and across layouts
+    out2 = mix_corpora([("a", a.repartition(7), 2.5),
+                        ("b", b.repartition(2), 0.3)], "doc_id").to_pandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "src", "rep"]]
+                               .itertuples(index=False)))
+    assert key(out) == key(out2)
