@@ -1105,6 +1105,16 @@ def q_doc_mixture(sf_dir: str):
                            batch_format="pyarrow")
 
 
+def q_doc_pack_sequences(sf_dir: str):
+    """Sequence packing: docs → 512-token training sequences by global
+    prefix sum in doc_id order (text dropped before the scan — only 16 B/row
+    metadata reaches the window)."""
+    from cattle_ray.stages.sampling import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), "doc_id",
+                          "text", 512)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered-step funnel: per user the first view, the first click
     strictly after it, the first error after that — one bucketed user-key
@@ -1287,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_rebuild": q_doc_chunk_rebuild,
         "events_props_sum": q_events_props_sum,
         "doc_mixture": q_doc_mixture,
+        "doc_pack_sequences": q_doc_pack_sequences,
     }
 
 
@@ -1559,6 +1570,21 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
                    CAST(count(*) AS BIGINT) AS n_kept
             FROM r WHERE rn = 1 GROUP BY doc_id
+        """,
+        "doc_pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                               AS BIGINT) END AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+                         SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+            FROM c
         """,
         "doc_mixture": f"""
             WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),

@@ -100,6 +100,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_chunk_rebuild",
         "events_props_sum",
         "doc_mixture",
+        "doc_pack_sequences",
     ]
     for name in bench_queries:
         timed(name, qs[name])

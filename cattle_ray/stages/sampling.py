@@ -67,3 +67,40 @@ def mix_corpora(sources, id_col: str):
         parts.append(ds.map_batches(expand, batch_format="pyarrow"))
     out = parts[0]
     return out.union(*parts[1:]) if len(parts) > 1 else out
+
+
+def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int,
+                   num_buckets: int = 1):
+    """Sequence packing for training: assign each doc to a fixed-token-
+    budget sequence by GLOBAL prefix sum of token counts in id order
+    (``seq_id = (cum - n) // budget`` — greedy sequential packing, docs
+    spanning a boundary start the next sequence's budget accounting, the
+    standard approximation when exact bin-packing isn't worth a shuffle).
+
+    Scale shape: the text column is dropped in the FIRST map stage — only
+    (id, n_tokens) metadata rows reach the prefix sum, which runs through
+    the same bucketed window machinery as :func:`grouped_running_sum` under
+    one constant key (a corpus-wide ordered scan is inherently sequential;
+    16 B/row of metadata keeps even 10^10 docs in the hundreds of GB —
+    shard by id range and offset the cumsums if that ever exceeds a worker).
+    Returns (id, n_tokens, seq_id)."""
+    from .textstats import token_count_batch
+    from .windows import grouped_running_sum
+
+    def count(batch: pa.Table) -> pa.Table:
+        t = token_count_batch(batch, text_col)
+        return t.select([id_col, "n_tokens"]).append_column(
+            "_one", pa.array(np.zeros(len(t), dtype=np.int64)))
+
+    meta = ds.map_batches(count, batch_format="pyarrow")
+    cum = grouped_running_sum(meta, key="_one", ts=id_col, val="n_tokens",
+                              out="_cum", num_buckets=num_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b["_cum"].to_numpy(zero_copy_only=False)
+        n = b["n_tokens"].to_numpy(zero_copy_only=False)
+        seq = (c - n) // tokens_per_seq
+        return pa.table({id_col: b[id_col], "n_tokens": b["n_tokens"],
+                         "seq_id": pa.array(seq.astype(np.int64))})
+
+    return cum.map_batches(finish, batch_format="pyarrow")

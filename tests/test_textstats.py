@@ -192,3 +192,24 @@ def test_mix_corpora_weights_and_determinism(ray_session):
     key = lambda d: sorted(map(tuple, d[["doc_id", "src", "rep"]]
                                .itertuples(index=False)))
     assert key(out) == key(out2)
+
+
+def test_pack_sequences(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.sampling import pack_sequences
+
+    texts = {0: "a " * 10, 1: "b " * 5, 2: "c " * 7, 3: "", 4: "d " * 3}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": [t.strip() for t in texts.values()]
+    })).repartition(3)
+    out = pack_sequences(ds, "doc_id", "text", tokens_per_seq=12).to_pandas()
+    got = dict(zip(out["doc_id"], out["seq_id"]))
+    # cum starts: 0,10,15,22,22 → seq = start // 12 → 0,0,1,1,1
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1}
+    # layout invariance
+    out2 = pack_sequences(rd.from_arrow(pa.table({
+        "doc_id": list(texts), "text": [t.strip() for t in texts.values()]
+    })).repartition(5), "doc_id", "text", tokens_per_seq=12).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["seq_id"])) == got
