@@ -128,6 +128,31 @@ def cmd_store(args):
             print(line)
 
 
+def cmd_curate(args):
+    """Config-driven corpus curation: documents parquet/JSONL in, kept rows
+    out as parquet, stats JSON on stdout. The rule config is a JSON file —
+    the reference's metadata-as-program surface (U1) applied to curation."""
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.sampling import curation_filter
+
+    config = json.load(open(args.config))
+    if args.input.endswith((".jsonl", ".jsonl.gz")):
+        from .sources.jsonl import read_pages_jsonl
+
+        ds = read_pages_jsonl(args.input)
+    else:
+        ds = rd.read_parquet(args.input)
+    n_in = ds.count()
+    kept = curation_filter(ds, config)
+    kept.write_parquet(args.out)
+    n_out = rd.read_parquet(args.out).count()
+    print(json.dumps({"n_in": int(n_in), "n_kept": int(n_out),
+                      "kept_frac": round(n_out / max(n_in, 1), 4),
+                      "out": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -172,6 +197,14 @@ def main(argv=None):
                    help="override the partition count (default: the "
                         "store's recorded _meta.json)")
     q.set_defaults(fn=cmd_store)
+
+    cu = sub.add_parser("curate", help="config-driven corpus curation "
+                                       "(quality/repetition/lang rules)")
+    cu.add_argument("input", help="documents parquet or .jsonl")
+    cu.add_argument("out", help="output parquet directory")
+    cu.add_argument("--config", required=True,
+                    help="JSON rule file (see stages.sampling.CURATION_RULES)")
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -104,3 +104,61 @@ def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int,
                          "seq_id": pa.array(seq.astype(np.int64))})
 
     return cum.map_batches(finish, batch_format="pyarrow")
+
+
+#: recognized curation rules and their defaults (None = rule off)
+CURATION_RULES = {
+    "langs": None,              # whitelist on the lang column
+    "min_tokens": None, "max_tokens": None,
+    "max_dup_token_frac": None, "max_top_token_frac": None,
+    "min_stop_ratio": None, "max_punct_ratio": None,
+}
+
+
+def curation_filter(ds, config: dict, text_col: str = "text",
+                    lang_col: str = "lang"):
+    """Config-driven curation funnel (the reference's metadata-as-program
+    idea, U1, applied to corpus curation): a JSON dict of thresholds turns
+    into ONE streaming pass of vectorized quality + repetition signals and
+    a combined keep-mask — no shuffle, rules off when absent. Unknown keys
+    raise (a typo'd rule silently filtering nothing is worse than an
+    error)."""
+    unknown = set(config) - set(CURATION_RULES)
+    if unknown:
+        raise ValueError(f"unknown curation rules: {sorted(unknown)}; "
+                         f"known: {sorted(CURATION_RULES)}")
+    cfg = {**CURATION_RULES, **config}
+
+    from .textstats import quality_batch, repetition_batch
+
+    def funnel(b: pa.Table) -> pa.Table:
+        q = quality_batch(b, text_col)
+        keep = pc.equal(pa.array(np.ones(len(b), dtype=bool)), True)
+        if cfg["langs"] is not None:
+            keep = pc.and_(keep, pc.is_in(
+                b[lang_col], value_set=pa.array(list(cfg["langs"]))))
+        if cfg["min_tokens"] is not None:
+            keep = pc.and_(keep, pc.greater_equal(q["q_n_tokens"],
+                                                  cfg["min_tokens"]))
+        if cfg["max_tokens"] is not None:
+            keep = pc.and_(keep, pc.less_equal(q["q_n_tokens"],
+                                               cfg["max_tokens"]))
+        if cfg["min_stop_ratio"] is not None:
+            keep = pc.and_(keep, pc.greater_equal(q["stop_ratio"],
+                                                  cfg["min_stop_ratio"]))
+        if cfg["max_punct_ratio"] is not None:
+            keep = pc.and_(keep, pc.less_equal(q["punct_ratio"],
+                                               cfg["max_punct_ratio"]))
+        if (cfg["max_dup_token_frac"] is not None
+                or cfg["max_top_token_frac"] is not None):
+            id_col = b.column_names[0]
+            r = repetition_batch(b, id_col=id_col, text_col=text_col)
+            if cfg["max_dup_token_frac"] is not None:
+                keep = pc.and_(keep, pc.less_equal(
+                    r["dup_token_frac"], cfg["max_dup_token_frac"]))
+            if cfg["max_top_token_frac"] is not None:
+                keep = pc.and_(keep, pc.less_equal(
+                    r["top_token_frac"], cfg["max_top_token_frac"]))
+        return b.filter(keep)
+
+    return ds.map_batches(funnel, batch_format="pyarrow")

@@ -135,3 +135,48 @@ def test_cli_store_query(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = [l for l in r.stdout.splitlines() if l.endswith(" .")]
     assert out and all(l.startswith(f"<{subj}>") for l in out)
+
+
+def test_cli_curate(tmp_path):
+    """curate: JSON rule config → filtered parquet + stats JSON; unknown
+    rule keys are rejected."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    cfg = {"langs": ["en", "de"], "min_tokens": 45,
+           "max_dup_token_frac": 0.58}
+    cfgp = str(tmp_path / "rules.json")
+    json.dump(cfg, open(cfgp, "w"))
+    out = str(tmp_path / "kept")
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "curate", src, out, "--config", cfgp],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    # independent reference count via DuckDB (same rules as the
+    # doc_filter_pipeline oracle)
+    want = duckdb.sql(f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(text),
+                       '\\s+')) AS tk
+                     FROM '{src}' WHERE trim(text) != ''
+                       AND lang IN ('en','de')),
+        c AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+        a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n,
+                     CAST(count(*) AS BIGINT) nd FROM c GROUP BY 1)
+        SELECT count(*) FROM a
+        WHERE n >= 45 AND 1 - CAST(nd AS DOUBLE)/n <= 0.58""").fetchone()[0]
+    assert stats["n_kept"] == want
+
+    # typo'd rule → non-zero exit with a clear error
+    json.dump({"min_tokenz": 1}, open(cfgp, "w"))
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "curate", src, str(tmp_path / "k2"), "--config", cfgp],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode != 0 and "unknown curation rules" in r.stderr
