@@ -129,25 +129,32 @@ def cmd_store(args):
 
 
 def cmd_curate(args):
-    """Config-driven corpus curation: documents parquet/JSONL in, kept rows
-    out as parquet, stats JSON on stdout. The rule config is a JSON file —
-    the reference's metadata-as-program surface (U1) applied to curation."""
+    """Config-driven corpus curation: documents parquet or FLAT JSONL in
+    (one JSON object per line with doc columns — pages-shaped JSONL goes
+    through `pages`), kept rows out as parquet, stats JSON on stdout. The
+    rule config is a JSON file — the reference's metadata-as-program
+    surface (U1) applied to curation. Input is scanned twice (count +
+    filter/write); the filter itself is one streaming vectorized pass."""
+    import os
+
     _ensure_ray(args.num_cpus)
     import ray.data as rd
 
     from .stages.sampling import curation_filter
 
     config = json.load(open(args.config))
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        print(f"output dir {args.out!r} is not empty — refusing to mix "
+              "generations", file=sys.stderr)
+        sys.exit(65)
     if args.input.endswith((".jsonl", ".jsonl.gz")):
-        from .sources.jsonl import read_pages_jsonl
-
-        ds = read_pages_jsonl(args.input)
+        ds = rd.read_json(args.input)
     else:
         ds = rd.read_parquet(args.input)
     n_in = ds.count()
-    kept = curation_filter(ds, config)
+    kept = curation_filter(ds, config).materialize()
+    n_out = kept.count()  # free on the materialized result
     kept.write_parquet(args.out)
-    n_out = rd.read_parquet(args.out).count()
     print(json.dumps({"n_in": int(n_in), "n_kept": int(n_out),
                       "kept_frac": round(n_out / max(n_in, 1), 4),
                       "out": args.out}))

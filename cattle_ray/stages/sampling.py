@@ -41,7 +41,6 @@ def mix_corpora(sources, id_col: str):
         full, frac = int(weight), weight - int(weight)
 
         def expand(batch: pa.Table, tag=tag, full=full, frac=frac) -> pa.Table:
-            ids = batch[id_col].to_pylist()
             col = batch[id_col]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -50,7 +49,7 @@ def mix_corpora(sources, id_col: str):
                 out_ids.append(col)
                 out_rep.append(np.full(len(col), rep, dtype=np.int64))
             if frac > 0:
-                m = _frac_keep_mask(tag, ids, full, frac)
+                m = _frac_keep_mask(tag, col.to_pylist(), full, frac)
                 out_ids.append(col.filter(pa.array(m)))
                 out_rep.append(np.full(int(m.sum()), full, dtype=np.int64))
             if not out_ids:
@@ -69,8 +68,7 @@ def mix_corpora(sources, id_col: str):
     return out.union(*parts[1:]) if len(parts) > 1 else out
 
 
-def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int,
-                   num_buckets: int = 1):
+def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int):
     """Sequence packing for training: assign each doc to a fixed-token-
     budget sequence by GLOBAL prefix sum of token counts in id order
     (``seq_id = (cum - n) // budget`` — greedy sequential packing, docs
@@ -80,9 +78,10 @@ def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int,
     Scale shape: the text column is dropped in the FIRST map stage — only
     (id, n_tokens) metadata rows reach the prefix sum, which runs through
     the same bucketed window machinery as :func:`grouped_running_sum` under
-    one constant key (a corpus-wide ordered scan is inherently sequential;
+    one constant key — note the constant key means ONE ordered scan task
+    by construction (a corpus-wide prefix sum is inherently sequential);
     16 B/row of metadata keeps even 10^10 docs in the hundreds of GB —
-    shard by id range and offset the cumsums if that ever exceeds a worker).
+    shard by id range and offset the cumsums if that ever exceeds a worker.
     Returns (id, n_tokens, seq_id)."""
     from .textstats import token_count_batch
     from .windows import grouped_running_sum
@@ -94,7 +93,7 @@ def pack_sequences(ds, id_col: str, text_col: str, tokens_per_seq: int,
 
     meta = ds.map_batches(count, batch_format="pyarrow")
     cum = grouped_running_sum(meta, key="_one", ts=id_col, val="n_tokens",
-                              out="_cum", num_buckets=num_buckets)
+                              out="_cum", num_buckets=1)
 
     def finish(b: pa.Table) -> pa.Table:
         c = b["_cum"].to_numpy(zero_copy_only=False)
@@ -131,9 +130,13 @@ def curation_filter(ds, config: dict, text_col: str = "text",
 
     from .textstats import quality_batch, repetition_batch
 
+    quality_on = any(cfg[k] is not None for k in
+                     ("min_tokens", "max_tokens", "min_stop_ratio",
+                      "max_punct_ratio"))
+
     def funnel(b: pa.Table) -> pa.Table:
-        q = quality_batch(b, text_col)
-        keep = pc.equal(pa.array(np.ones(len(b), dtype=bool)), True)
+        q = quality_batch(b, text_col) if quality_on else None
+        keep = pa.array(np.ones(len(b), dtype=bool))
         if cfg["langs"] is not None:
             keep = pc.and_(keep, pc.is_in(
                 b[lang_col], value_set=pa.array(list(cfg["langs"]))))

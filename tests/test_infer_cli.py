@@ -173,6 +173,27 @@ def test_cli_curate(tmp_path):
         WHERE n >= 45 AND 1 - CAST(nd AS DOUBLE)/n <= 0.58""").fetchone()[0]
     assert stats["n_kept"] == want
 
+    # flat JSONL input works too (same rules, same kept count)
+    import duckdb as _dd
+    rows = _dd.sql(f"SELECT doc_id, text, lang FROM '{src}'").df()
+    jl = str(tmp_path / "docs.jsonl")
+    rows.to_json(jl, orient="records", lines=True)
+    out_jl = str(tmp_path / "kept_jl")
+    json.dump(cfg, open(cfgp, "w"))
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "curate", jl, out_jl, "--config", cfgp],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["n_kept"] == want
+
+    # non-empty output dir → refused (no mixed generations)
+    r = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "curate", src, out, "--config", cfgp],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 65 and "not empty" in r.stderr
+
     # typo'd rule → non-zero exit with a clear error
     json.dump({"min_tokenz": 1}, open(cfgp, "w"))
     r = subprocess.run(
