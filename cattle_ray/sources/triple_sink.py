@@ -19,16 +19,28 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import zlib
+import pyarrow.compute as pc
+
+
+def subj_partition_id(subj: str, num_partitions: int) -> int:
+    """Routing hash for ONE subject — must agree with
+    :func:`add_subj_partition` (both delegate to the engine-wide
+    key-type-aware vectorized hash)."""
+    from ..stages.joins import _key_buckets
+
+    return int(_key_buckets(pa.array([subj or ""]), num_partitions)[0])
 
 
 def add_subj_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
-    subs = batch["subj"].to_pylist()
-    part = np.fromiter(
-        (zlib.crc32((s or "").encode()) % num_partitions for s in subs),
-        dtype=np.int32,
-        count=len(subs),
-    )
+    """Vectorized partition routing (was a per-row crc32 Python loop — the
+    write path's per-row hot spot at corpus scale)."""
+    from ..stages.joins import _key_buckets
+
+    col = batch["subj"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    part = _key_buckets(col, num_partitions).astype(np.int32)
     return batch.append_column("part_id", pa.array(part))
 
 
@@ -52,7 +64,7 @@ def store_num_partitions(out_dir: str) -> int:
 def read_triples_for_subject(out_dir: str, subj: str,
                              num_partitions: int | None = None):
     """Read-side counterpart of the hash-partitioned layout: a subject lookup
-    opens exactly ONE partition file (``crc32(subj) % P``) and row-filters it
+    opens exactly ONE partition file (``hash(subj) % P``) and row-filters it
     — at 100 TB this is a point read against 1/P of the data, and the
     per-partition subject sort makes the inner scan binary-searchable.
     ``num_partitions=None`` reads the store's recorded count; a missing
@@ -65,7 +77,7 @@ def read_triples_for_subject(out_dir: str, subj: str,
 
     if num_partitions is None:
         num_partitions = store_num_partitions(out_dir)
-    pid = zlib.crc32(subj.encode()) % num_partitions
+    pid = subj_partition_id(subj, num_partitions)
     path = f"{out_dir}/part_id={pid}/data.parquet"
     if not os.path.exists(path):  # empty partition was never written
         any_part = glob.glob(f"{out_dir}/part_id=*/data.parquet")
@@ -107,7 +119,7 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
 
     manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
     out = manifest.to_pandas()
-    # record the partition count: readers route point reads by crc32 % P,
+    # record the partition count: readers route point reads by hash % P,
     # and P cannot be inferred from the layout (empty partitions leave no dir)
     import json
 
@@ -124,7 +136,7 @@ def match_triples(out_dir: str, *, subj: str | None = None,
     """Triple-pattern query over the hash-partitioned store (the SPARQL BGP
     primitive). Read-level pruning by pattern shape:
 
-    - ``subj`` bound → open exactly ONE partition (``crc32(subj) % P``) and
+    - ``subj`` bound → open exactly ONE partition (``hash(subj) % P``) and
       row-filter it (the adjacency layout's point read);
     - subj unbound → a parallel ``read_parquet`` over all partitions with
       the pred/obj predicates pushed into the scan (row-group pruning +
