@@ -845,6 +845,37 @@ def q_doc_decontaminate(sf_dir: str):
     )
 
 
+def q_doc_pii_redact(sf_dir: str):
+    """PII scrubbing: ordered RE2 rules (email→phone→IP) redact the text
+    and report per-rule match counts. The synthetic corpus is PII-free, so
+    the query first injects deterministic PII as a pure function of doc_id
+    (mirrored verbatim in the oracle) — the redaction itself is what's
+    under test. Zero shuffle; streams at read speed."""
+    import pandas as pd
+
+    from cattle_ray.stages.redact import redact_batch
+
+    def inject(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ids = pd.Series(d).astype(str)
+        em = np.where(d % 7 == 0, " contact user" + ids + "@example.com", "")
+        ph = np.where(d % 11 == 0, " call 555-123-4567", "")
+        ip = np.where(d % 13 == 0, " from 192.168.1.42", "")
+        txt = pc.binary_join_element_wise(
+            batch["text"], pa.array(em), pa.array(ph), pa.array(ip), "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(inject, batch_format="pyarrow")
+        .map_batches(redact_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda b: b.select(["doc_id", "redacted", "n_email", "n_phone", "n_ip"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_kg_store_query(sf_dir: str):
     """S8/O1 end-to-end: materialize the triples into the subject-hash-
     partitioned sorted Parquet store, then answer a (?, pred, ?) pattern via
@@ -1298,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_sum": q_events_props_sum,
         "doc_mixture": q_doc_mixture,
         "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_pii_redact": q_doc_pii_redact,
     }
 
 
@@ -1393,6 +1425,39 @@ def _langid_sql() -> str:
         SELECT doc_id,
                CASE WHEN {zero} THEN 'und' {' '.join(cases)} END AS lang_pred
         FROM c
+    """
+
+
+def _pii_redact_sql() -> str:
+    """Mirror of q_doc_pii_redact, generated from the SAME ruleset
+    (cattle_ray.stages.redact.PII_RULES) so SQL and engine can't drift:
+    the injection suffixes, then one CTE per rule counting matches on the
+    text as that rule sees it and replacing in order."""
+    from cattle_ray.stages.redact import PII_RULES
+
+    sql = """
+        WITH s0 AS (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' contact user' || doc_id || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN ' from 192.168.1.42' ELSE '' END
+                 AS t
+          FROM documents)"""
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_RULES):
+        prev = ", ".join(carried) + ", " if carried else ""
+        sql += f""",
+        s{i + 1} AS (
+          SELECT doc_id, {prev}
+                 CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name},
+                 regexp_replace(t, '{pat}', '{repl}', 'g') AS t
+          FROM s{i})"""
+        carried.append(f"n_{name}")
+    return sql + f"""
+        SELECT doc_id, t AS redacted, {', '.join(carried)} FROM s{len(PII_RULES)}
     """
 
 
@@ -1891,4 +1956,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(9 + 4096 AS INTEGER) AS n_bytes
             FROM documents
         """,
+        # rules and injection mirror q_doc_pii_redact verbatim (both engines
+        # run RE2, so the exact same pattern strings apply)
+        "doc_pii_redact": _pii_redact_sql(),
     }
