@@ -876,6 +876,28 @@ def q_doc_pii_redact(sf_dir: str):
     )
 
 
+#: conjunctive search query terms (all present in the synthetic corpus)
+SEARCH_TERMS = ["spark", "join", "window"]
+
+
+def q_doc_inverted_index(sf_dir: str):
+    """Search-index build: term → (df, ascending comma-joined postings).
+    One bucketed term shuffle; per-bucket build is all Arrow C++ (sort →
+    ordered list-aggregate → binary_join)."""
+    from cattle_ray.stages.textstats import inverted_index
+
+    return inverted_index(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_search(sf_dir: str):
+    """Conjunctive term search: docs containing ALL query terms — explode
+    is filtered to the query terms before any shuffle, then one map-side-
+    combined count per doc."""
+    from cattle_ray.stages.textstats import search_all_terms
+
+    return search_all_terms(_docs(sf_dir, ["doc_id", "text"]), SEARCH_TERMS)
+
+
 def q_kg_store_query(sf_dir: str):
     """S8/O1 end-to-end: materialize the triples into the subject-hash-
     partitioned sorted Parquet store, then answer a (?, pred, ?) pattern via
@@ -1330,6 +1352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_mixture": q_doc_mixture,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_pii_redact": q_doc_pii_redact,
+        "doc_inverted_index": q_doc_inverted_index,
+        "doc_search": q_doc_search,
     }
 
 
@@ -1959,4 +1983,23 @@ def oracle_sql() -> dict[str, str]:
         # rules and injection mirror q_doc_pii_redact verbatim (both engines
         # run RE2, so the exact same pattern strings apply)
         "doc_pii_redact": _pii_redact_sql(),
+        "doc_inverted_index": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings
+            FROM dt WHERE term <> '' GROUP BY term
+        """,
+        "doc_search": r"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents)
+            SELECT doc_id FROM dt
+            WHERE term IN ('join', 'spark', 'window')
+            GROUP BY doc_id HAVING count(*) = 3
+        """,
     }

@@ -229,6 +229,66 @@ def doc_term_stats(ds, id_col="doc_id", text_col="text", num_buckets: int = 32):
     )
 
 
+def inverted_index(ds, id_col="doc_id", text_col="text", num_buckets: int = 32):
+    """Search-index construction: term → (df, postings) with postings the
+    ascending comma-joined doc ids.
+
+    Plan: explode docs to distinct (doc, term) rows (docs never straddle
+    batches, so :func:`term_counts_batch` rows are already distinct), ONE
+    bucketed term shuffle, then per bucket an all-C++ build: Arrow sort by
+    (term, id) → ``group_by(use_threads=False)`` list-aggregate (preserves
+    the sorted encounter order) → ``pc.binary_join``. No per-term Python.
+    Skew note: a stopword's postings list is O(corpus) by definition —
+    at 100 TB cap df upstream (filter hot terms before the shuffle) or
+    shard hot postings; both compose with this op unchanged."""
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    def explode(b: pa.Table) -> pa.Table:
+        out = term_counts_batch(b, id_col, text_col).select([id_col, "term"])
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets(out["term"], num_buckets)))
+
+    def build(g: pa.Table) -> pa.Table:
+        g = g.select([id_col, "term"]).sort_by(
+            [("term", "ascending"), (id_col, "ascending")])
+        agg = g.group_by("term", use_threads=False).aggregate(
+            [(id_col, "list"), (id_col, "count")])
+        postings = pc.binary_join(
+            pc.cast(agg[f"{id_col}_list"], pa.list_(pa.string())), ",")
+        return pa.table({
+            "term": agg["term"],
+            "df": pc.cast(agg[f"{id_col}_count"], pa.int64()),
+            "postings": postings,
+        })
+
+    dt = coalesce_small(ds.map_batches(explode, batch_format="pyarrow"))
+    return dt.groupby("_bucket").map_groups(build, batch_format="pyarrow")
+
+
+def search_all_terms(ds, terms, id_col="doc_id", text_col="text"):
+    """Conjunctive term search (docs containing ALL query terms): filter the
+    distinct (doc, term) explode to the query terms — O(|terms|) rows per
+    doc survive — then a map-side-combined count per doc and an
+    ``n == len(terms)`` filter. Zero joins; the only shuffle is the tiny
+    partial-count finish."""
+    from .aggregates import partial_count
+
+    terms = sorted(set(terms))
+    tset = pa.array(terms)
+
+    def explode_filter(b: pa.Table) -> pa.Table:
+        out = term_counts_batch(b, id_col, text_col).select([id_col, "term"])
+        return out.filter(pc.is_in(out["term"], value_set=tset))
+
+    hits = ds.map_batches(explode_filter, batch_format="pyarrow")
+    counts = partial_count(hits, [id_col])
+    return counts.map_batches(
+        lambda b: b.filter(pc.equal(b["n"], len(terms))).select([id_col]),
+        batch_format="pyarrow",
+    )
+
+
 class Decontaminator:
     """Benchmark decontamination: flag corpus docs containing any benchmark
     phrase as a substring. Phrases are broadcast once (``ray.put``) and the
