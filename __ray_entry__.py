@@ -898,6 +898,32 @@ def q_doc_search(sf_dir: str):
     return search_all_terms(_docs(sf_dir, ["doc_id", "text"]), SEARCH_TERMS)
 
 
+#: BFS seed for the k-hop neighborhood query (Entity0..49 all exist)
+BFS_SEED = "https://example.org/id/entity/Entity0"
+
+
+def q_kg_bfs(sf_dir: str):
+    """2-hop neighborhood of one entity in the undirected doc-row↔entity
+    graph, with exact hop distance — frontier-at-a-time BFS, two adaptive
+    semi-joins per round, no node-sized driver state."""
+    from cattle_ray.stages.graph import bfs
+
+    edges = (
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(
+            # doc-level graph: strip the #t0/rN row fragment so one doc node
+            # links all entities its rows mention (degree 3, not 1)
+            lambda b: pa.table({
+                "s": pc.replace_substring_regex(b["subj"], "#.*$", ""),
+                "o": b["obj"],
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    return bfs(edges, [BFS_SEED], hops=2)
+
+
 def q_kg_store_query(sf_dir: str):
     """S8/O1 end-to-end: materialize the triples into the subject-hash-
     partitioned sorted Parquet store, then answer a (?, pred, ?) pattern via
@@ -1354,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_redact": q_doc_pii_redact,
         "doc_inverted_index": q_doc_inverted_index,
         "doc_search": q_doc_search,
+        "kg_bfs": q_kg_bfs,
     }
 
 
@@ -2001,5 +2028,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM dt
             WHERE term IN ('join', 'spark', 'window')
             GROUP BY doc_id HAVING count(*) = 3
+        """,
+        # unrolled 2-hop BFS: per hop, neighbors of the frontier in the
+        # undirected edge set minus every earlier layer — mirrors
+        # graph.bfs round-for-round
+        "kg_bfs": _TRIPLE_BASE_CTE + f""",
+            edges AS (SELECT regexp_replace(subj, '#.*$', '') AS s, obj AS o
+                      FROM triples WHERE pred = '{EX}entity'),
+            und AS (SELECT s, o FROM edges UNION SELECT o, s FROM edges),
+            d0 AS (SELECT '{BFS_SEED}' AS node),
+            d1 AS (SELECT DISTINCT u.o AS node FROM und u
+                   JOIN d0 ON u.s = d0.node
+                   WHERE u.o NOT IN (SELECT node FROM d0)),
+            d2 AS (SELECT DISTINCT u.o AS node FROM und u
+                   JOIN d1 ON u.s = d1.node
+                   WHERE u.o NOT IN (SELECT node FROM d0
+                                     UNION SELECT node FROM d1))
+            SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+            UNION ALL SELECT node, CAST(1 AS BIGINT) FROM d1
+            UNION ALL SELECT node, CAST(2 AS BIGINT) FROM d2
         """,
     }

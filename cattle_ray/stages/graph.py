@@ -431,3 +431,66 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
         return pa.table({"a": lo, "b": mid, "c": hi})
 
     return closed.map_batches(row_sort, batch_format="pyarrow")
+
+
+def bfs(edges_ds, seeds, *, src: str = "s", dst: str = "o", hops: int = 2,
+        undirected: bool = True, num_buckets: int = 32):
+    """Multi-source BFS with exact hop distance (frontier-at-a-time).
+
+    The k-hop-neighborhood primitive behind "expand this entity" KG queries
+    and graph-local sampling. Per round exactly two adaptive semi-joins,
+    both with the frontier/visited on the KEY side (broadcast while small,
+    distributed when not — :func:`..stages.joins.semi_join` picks):
+
+    1. ``edges ⋉ frontier`` on ``src`` → neighbor candidates,
+    2. ``distinct(candidates) ▷ visited`` → the next frontier.
+
+    The frontier is materialized each round (it is the next round's join
+    input AND part of the output — re-deriving it would replay the whole
+    lineage each round), and ``visited`` stays a Dataset throughout: no
+    node-sized driver state. Seeds are a query parameter (bounded list).
+
+    Returns a Dataset ``(node, dist)`` — min hop distance, seeds at 0.
+    Rounds stop early when the frontier empties.
+    """
+    import ray.data as rd
+
+    from .aggregates import distinct
+    from .joins import semi_join
+
+    def orient(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"_s": b[src], "_o": b[dst]})
+        if not undirected:
+            return fwd
+        rev = pa.table({"_s": b[dst], "_o": b[src]})
+        return pa.concat_tables([fwd, rev])
+
+    edges = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+
+    seed_tbl = pa.table({"node": pa.array(sorted(set(seeds)), pa.string()),
+                         "dist": pa.array([0] * len(set(seeds)), pa.int64())})
+    frontier = rd.from_arrow(seed_tbl).materialize()
+    layers = [frontier]
+    visited = frontier
+
+    for k in range(1, hops + 1):
+        nbrs = semi_join(edges, frontier, "_s", "node",
+                         num_buckets=num_buckets).map_batches(
+            lambda b: pa.table({"node": b["_o"]}), batch_format="pyarrow")
+        fresh = semi_join(distinct(nbrs, ["node"], num_buckets=num_buckets),
+                          visited, "node", "node", anti=True,
+                          num_buckets=num_buckets)
+        frontier = fresh.map_batches(
+            lambda b, _k=k: b.append_column(
+                "dist", pa.array(np.full(len(b), _k), pa.int64())),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+        layers.append(frontier)
+        visited = visited.union(frontier).materialize()
+
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.union(layer)
+    return out
