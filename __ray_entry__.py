@@ -924,6 +924,31 @@ def q_kg_bfs(sf_dir: str):
     return bfs(edges, [BFS_SEED], hops=2)
 
 
+def q_kg_snapshot_diff(sf_dir: str):
+    """Replace-on-reupload as an auditable delta: two crawl generations of
+    the KG (old = docs not divisible by 5, new = docs not divisible by 7)
+    diffed exactly in one bucketed shuffle — only added/removed quads come
+    out. Mirrors the reference's dataset-replacement semantic
+    (src/cattle.py:113-146) at a scale where shipping the full new
+    generation downstream is not an option."""
+    from cattle_ray.stages.dedup import snapshot_diff
+
+    trip = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.append_column("_did", pc.cast(pc.replace_substring_regex(
+            b["subj"], r"^.*?/doc/(\d+)#.*$", r"\1"), pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()  # consumed by both snapshot filters
+    def keep_mod(m: int):
+        def f(b: pa.Table) -> pa.Table:
+            did = b["_did"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(did % m != 0))
+        return f
+
+    old = trip.map_batches(keep_mod(5), batch_format="pyarrow")
+    new = trip.map_batches(keep_mod(7), batch_format="pyarrow")
+    return snapshot_diff(old, new, QUAD_COLS)
+
+
 def q_kg_store_query(sf_dir: str):
     """S8/O1 end-to-end: materialize the triples into the subject-hash-
     partitioned sorted Parquet store, then answer a (?, pred, ?) pattern via
@@ -1381,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_inverted_index": q_doc_inverted_index,
         "doc_search": q_doc_search,
         "kg_bfs": q_kg_bfs,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
     }
 
 
@@ -2047,5 +2073,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
             UNION ALL SELECT node, CAST(1 AS BIGINT) FROM d1
             UNION ALL SELECT node, CAST(2 AS BIGINT) FROM d2
+        """,
+        "kg_snapshot_diff": _TRIPLE_BASE_CTE + r""",
+            ids AS (SELECT *, CAST(regexp_extract(subj, 'doc/(\d+)#', 1)
+                               AS BIGINT) AS did FROM triples),
+            oldt AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+                     FROM ids WHERE did % 5 != 0),
+            newt AS (SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+                     FROM ids WHERE did % 7 != 0)
+            SELECT *, 'removed' AS change
+            FROM (SELECT * FROM oldt EXCEPT SELECT * FROM newt)
+            UNION ALL
+            SELECT *, 'added' AS change
+            FROM (SELECT * FROM newt EXCEPT SELECT * FROM oldt)
         """,
     }

@@ -969,3 +969,67 @@ def chunk_dedup_rebuild(ds, id_col="doc_id", text_col="text",
         .groupby("_bucket")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+
+
+def snapshot_diff(old_ds, new_ds, cols, num_buckets: int = 64,
+                  change_col: str = "change"):
+    """Exact set-difference of two dataset generations in ONE bucketed
+    shuffle: rows only in ``old_ds`` come back tagged ``removed``, rows only
+    in ``new_ds`` tagged ``added``.
+
+    This is the reference's replace-on-reupload semantic
+    (/root/reference/src/cattle.py:113-146 — a re-upload replaces the
+    dataset's previous generation wholesale) turned into an auditable delta:
+    at 100 TB you ship the diff downstream, not the new generation.
+
+    Exactness: rows are compared on a null-sentinel join of ``cols`` (the
+    same identity key construction as :func:`add_content_hash`, but the KEY
+    string itself is compared — the 64-bit hash only routes the bucket, so
+    collisions cannot fabricate or hide a change). Set semantics per side
+    (duplicates within one snapshot collapse). Per bucket the diff is two
+    vectorized ``isin`` passes; a key's rows from both sides land in the
+    same bucket by construction.
+    """
+    cols = list(cols)
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            b = batch.select(cols)
+            parts = []
+            for c in cols:
+                arr = pc.cast(b[c], pa.string())
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                parts.append(pc.fill_null(arr, "\x00"))
+            parts.append(_SEP)
+            key = pc.binary_join_element_wise(*parts)
+            h = pd.util.hash_pandas_object(key.to_pandas(), index=False).to_numpy()
+            b = b.append_column("_key", key)
+            b = b.append_column("_side", pa.array(np.full(len(b), side, np.int8)))
+            return b.append_column(
+                "_bucket", pa.array((h % num_buckets).astype(np.int64)))
+        return f
+
+    from .aggregates import coalesce_small
+
+    unioned = coalesce_small(
+        old_ds.map_batches(prep(0), batch_format="pyarrow").union(
+            new_ds.map_batches(prep(1), batch_format="pyarrow"))
+    )
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["_side"] == 0].drop_duplicates(subset=["_key"])
+        n = g[g["_side"] == 1].drop_duplicates(subset=["_key"])
+        removed = o[~o["_key"].isin(n["_key"])].copy()
+        removed[change_col] = "removed"
+        added = n[~n["_key"].isin(o["_key"])].copy()
+        added[change_col] = "added"
+        out = pd.concat([removed, added], ignore_index=True)
+        return out.drop(columns=["_key", "_side", "_bucket"])
+
+    return unioned.groupby("_bucket").map_groups(diff_bucket,
+                                                 batch_format="pandas")
