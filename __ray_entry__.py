@@ -924,6 +924,16 @@ def q_kg_bfs(sf_dir: str):
     return bfs(edges, [BFS_SEED], hops=2)
 
 
+def q_doc_boilerplate(sf_dir: str):
+    """CCNet-style boilerplate removal: every occurrence of any 10-word
+    chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
+    content is noise in every copy), docs rebuilt from surviving chunks."""
+    from cattle_ray.stages.dedup import boilerplate_remove
+
+    return boilerplate_remove(_docs(sf_dir, ["doc_id", "text"]),
+                              min_repeats=2)
+
+
 def q_kg_snapshot_diff(sf_dir: str):
     """Replace-on-reupload as an auditable delta: two crawl generations of
     the KG (old = docs not divisible by 5, new = docs not divisible by 7)
@@ -1407,6 +1417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_search": q_doc_search,
         "kg_bfs": q_kg_bfs,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "doc_boilerplate": q_doc_boilerplate,
     }
 
 
@@ -1712,6 +1723,21 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
                    CAST(count(*) AS BIGINT) AS n_kept
             FROM r WHERE rn = 1 GROUP BY doc_id
+        """,
+        "doc_boilerplate": r"""
+            WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+                       FROM documents WHERE trim(text) != ''),
+            c AS (SELECT doc_id, unnest(words) AS wd,
+                         generate_subscripts(words, 1) - 1 AS i FROM w),
+            ch AS (SELECT doc_id, i // 10 AS chunk_idx,
+                          string_agg(wd, ' ' ORDER BY i) AS chunk
+                   FROM c GROUP BY doc_id, i // 10),
+            hot AS (SELECT chunk FROM ch GROUP BY chunk HAVING count(*) >= 2)
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_kept
+            FROM ch WHERE chunk NOT IN (SELECT chunk FROM hot)
+            GROUP BY doc_id
         """,
         "doc_pack_sequences": r"""
             WITH t AS (

@@ -938,20 +938,13 @@ def dedup_against_store(incoming_ds, store_path: str, fp_col: str = "fp", *,
     return certain_new.union(verified_new)
 
 
-def chunk_dedup_rebuild(ds, id_col="doc_id", text_col="text",
-                        chunk_words: int = 10, num_buckets: int = 64):
-    """Chunk-level dedup producing a USABLE corpus: run
-    :func:`chunk_exact_dedup`, then reassemble each doc from its kept
-    chunks in window order. Docs whose every chunk was a duplicate drop
-    out entirely. Returns (id, clean_text, n_kept).
-
-    The rebuild is one more bucketed shuffle (on the doc id this time) with
-    a vectorized sort + grouped join per bucket — same shape as the
-    adjacency materialization."""
+def rebuild_docs(kept_chunks, id_col="doc_id", num_buckets: int = 64):
+    """Reassemble docs from kept (id, chunk_idx, chunk) rows in window
+    order → (id, clean_text, n_kept). One bucketed shuffle on the doc id
+    with a vectorized sort + grouped join per bucket — same shape as the
+    adjacency materialization. Docs with zero kept chunks drop out."""
     from .joins import _key_buckets
     from .aggregates import coalesce_small
-
-    kept = chunk_exact_dedup(ds, id_col, text_col, chunk_words, num_buckets)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -965,10 +958,53 @@ def chunk_dedup_rebuild(ds, id_col="doc_id", text_col="text",
         return out
 
     return (
-        coalesce_small(kept.map_batches(add_bucket, batch_format="pyarrow"))
+        coalesce_small(kept_chunks.map_batches(add_bucket,
+                                               batch_format="pyarrow"))
         .groupby("_bucket")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+def chunk_dedup_rebuild(ds, id_col="doc_id", text_col="text",
+                        chunk_words: int = 10, num_buckets: int = 64):
+    """Chunk-level dedup producing a USABLE corpus: run
+    :func:`chunk_exact_dedup` (keep the globally-first occurrence of each
+    distinct chunk), then :func:`rebuild_docs`. Docs whose every chunk was
+    a duplicate drop out entirely. Returns (id, clean_text, n_kept)."""
+    kept = chunk_exact_dedup(ds, id_col, text_col, chunk_words, num_buckets)
+    return rebuild_docs(kept, id_col, num_buckets)
+
+
+def boilerplate_remove(ds, id_col="doc_id", text_col="text",
+                       chunk_words: int = 10, min_repeats: int = 2,
+                       num_buckets: int = 64):
+    """CCNet-style boilerplate removal: drop EVERY occurrence of any chunk
+    that appears ≥ ``min_repeats`` times corpus-wide (site menus, footers,
+    cookie banners — content repeated across pages is boilerplate by
+    definition), then reassemble the surviving chunks per doc.
+
+    Differs from :func:`chunk_exact_dedup` (which KEEPS the first copy):
+    boilerplate is noise in every copy, so the hot chunk is removed
+    outright. Plan: chunk explode (text never leaves the first map stage)
+    → map-side-combined count per chunk → hot set (count ≥ k) → adaptive
+    anti-join of chunks against the hot set → :func:`rebuild_docs`. The
+    hot set is the list of distinct boilerplate strings — orders of
+    magnitude smaller than the corpus; the anti-join broadcasts it while
+    small and goes distributed when not."""
+    from .aggregates import partial_count
+    from .joins import semi_join
+
+    chunks = ds.map_batches(
+        lambda b: chunk_words_batch(b, id_col, text_col, chunk_words),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: hot-set count + the anti-join left side
+    hot = partial_count(chunks, ["chunk"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], min_repeats)).select(["chunk"]),
+        batch_format="pyarrow",
+    )
+    kept = semi_join(chunks, hot, "chunk", "chunk", anti=True,
+                     num_buckets=num_buckets)
+    return rebuild_docs(kept, id_col, num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -236,7 +236,16 @@ def semi_join(ds, keys_ds, left_on: str, right_on: str, *, anti: bool = False,
 
         return ds.map_batches(filt, batch_format="pyarrow")
 
-    if keys_sel.count() <= max_broadcast_keys:
+    n_keys = keys_sel.count()
+    if n_keys == 0:
+        # empty key side: anti keeps everything, semi keeps nothing —
+        # (an empty Dataset also loses its schema through to_pandas, so
+        # the broadcast build below would KeyError)
+        if anti:
+            return ds
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+
+    if n_keys <= max_broadcast_keys:
         keys = pa.Table.from_pandas(keys_sel.to_pandas())[right_on].combine_chunks()
         ref = ray.put(keys)
 

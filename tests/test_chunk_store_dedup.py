@@ -196,3 +196,47 @@ def test_chunk_dedup_rebuild(ray_session):
     # doc3 loses its dup of doc1's 1st window; doc4 (empty) drops out
     assert got == {1: "a b c d e f g h", 2: "x y z w", 3: "q r"}
     assert dict(zip(out["doc_id"], out["n_kept"])) == {1: 2, 2: 1, 3: 1}
+
+
+def test_boilerplate_remove_drops_all_copies(ray_session):
+    """Every occurrence of a hot chunk goes away — including the first —
+    while unique chunks survive; fully-boilerplate docs drop out."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import boilerplate_remove
+
+    menu = "home about contact"
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            f"{menu} alpha beta gamma",
+            f"{menu} delta epsilon zeta",
+            f"{menu}",                    # only boilerplate → drops out
+            "eta theta iota",             # untouched
+        ],
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    out = {r["doc_id"]: r for r in
+           boilerplate_remove(ds, chunk_words=3, min_repeats=2).take_all()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[2]["clean_text"] == "delta epsilon zeta"
+    assert out[4]["clean_text"] == "eta theta iota"
+    assert out[1]["n_kept"] == 1
+
+
+def test_boilerplate_threshold_respected(ray_session):
+    """min_repeats=3 keeps a chunk that only appears twice."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import boilerplate_remove
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["aa bb cc", "aa bb cc"],
+    }))
+    out = boilerplate_remove(ds, chunk_words=3, min_repeats=3).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+    assert all(r["clean_text"] == "aa bb cc" for r in out)

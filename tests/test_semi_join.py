@@ -71,3 +71,22 @@ def test_distributed_string_keys(ray_session):
         {"u2": ["https://ex.org/3", "https://ex.org/7"]}))
     out = semi_join(left, keys, "url", "u2", max_broadcast_keys=0).to_pandas()
     assert sorted(out["url"]) == ["https://ex.org/3", "https://ex.org/7"]
+
+
+def test_semi_join_empty_key_side(ray_session):
+    """Empty key side: anti keeps everything, semi keeps nothing (used to
+    KeyError in the broadcast build — empty Datasets lose their schema
+    through to_pandas)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import semi_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3]}))
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    # force the empty set through a transform so the schema degrades the
+    # same way a filtered-to-nothing pipeline does
+    empty = empty.map_batches(lambda b: b, batch_format="pyarrow")
+    assert sorted(r["k"] for r in
+                  semi_join(left, empty, "k", "k", anti=True).take_all()) == [1, 2, 3]
+    assert semi_join(left, empty, "k", "k").take_all() == []
