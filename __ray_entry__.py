@@ -924,6 +924,69 @@ def q_kg_bfs(sf_dir: str):
     return bfs(edges, [BFS_SEED], hops=2)
 
 
+ENTITY_PREFIX = "https://example.org/id/entity/Entity"
+
+
+def q_kg_taxonomy_rollup(sf_dir: str):
+    """RDFS-style inference: a synthetic subclass tree over the KG's
+    entities (Entity<i> ⊑ Entity<i//2>, a pure function of the URI —
+    mirrored in SQL), its transitive closure by path doubling (⌈log₂ d⌉
+    co-partitioned self-joins), then instance counting WITH inheritance:
+    docs per entity including all docs of its descendants."""
+    import pandas as pd
+
+    from cattle_ray.stages.aggregates import distinct, partial_count
+    from cattle_ray.stages.graph import transitive_closure
+    from cattle_ray.stages.joins import hash_join
+
+    de = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(
+            lambda b: pa.table({
+                "doc": pc.replace_substring_regex(b["subj"], "#.*$", ""),
+                "ent": b["obj"],
+            }),
+            batch_format="pyarrow",
+        ),
+        ["doc", "ent"],
+    ).materialize()  # consumed twice: entity universe + the rollup join
+
+    ents = distinct(de, ["ent"])
+
+    def parent_edges(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        par_i = pc.divide(i.filter(keep), 2)  # int64 floor division
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(par_i, pa.string()), "")
+        return pa.table({"child": child, "parent": parent})
+
+    par = ents.map_batches(parent_edges, batch_format="pyarrow")
+    closure = transitive_closure(par, src="child", dst="parent")
+    ident = ents.map_batches(
+        lambda b: pa.table({"child": b["ent"], "parent": b["ent"]}),
+        batch_format="pyarrow",
+    )
+    reach = closure.union(ident)
+    pairs = hash_join(de, reach, "ent", "child").map_batches(
+        lambda b: pa.table({"doc": b["doc"], "entity": b["parent"]}),
+        batch_format="pyarrow",
+    )
+    counts = partial_count(distinct(pairs, ["doc", "entity"]), ["entity"])
+    return counts.map_batches(
+        lambda b: pa.table({"entity": b["entity"],
+                            "n_docs": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style boilerplate removal: every occurrence of any 10-word
     chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
@@ -1418,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bfs": q_kg_bfs,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "doc_boilerplate": q_doc_boilerplate,
+        "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
     }
 
 
@@ -2099,6 +2163,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
             UNION ALL SELECT node, CAST(1 AS BIGINT) FROM d1
             UNION ALL SELECT node, CAST(2 AS BIGINT) FROM d2
+        """,
+        # taxonomy closure unrolled semi-naively: a_k = paths of exactly k
+        # hops; the deepest chain 49→24→12→6→3→1→0 is 6 hops
+        "kg_taxonomy_rollup": _TRIPLE_BASE_CTE + rf""",
+            de AS (SELECT DISTINCT regexp_replace(subj, '#.*$', '') AS doc,
+                          obj AS ent
+                   FROM triples WHERE pred = '{EX}entity'),
+            ents AS (SELECT DISTINCT ent FROM de),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR) AS parent
+                    FROM ei WHERE i >= 1),
+            a1 AS (SELECT child, parent AS anc FROM par),
+            a2 AS (SELECT a1.child, p.parent AS anc FROM a1
+                   JOIN par p ON a1.anc = p.child),
+            a3 AS (SELECT a2.child, p.parent AS anc FROM a2
+                   JOIN par p ON a2.anc = p.child),
+            a4 AS (SELECT a3.child, p.parent AS anc FROM a3
+                   JOIN par p ON a3.anc = p.child),
+            a5 AS (SELECT a4.child, p.parent AS anc FROM a4
+                   JOIN par p ON a4.anc = p.child),
+            a6 AS (SELECT a5.child, p.parent AS anc FROM a5
+                   JOIN par p ON a5.anc = p.child),
+            reach AS (SELECT child, anc FROM
+                        (SELECT * FROM a1 UNION SELECT * FROM a2
+                         UNION SELECT * FROM a3 UNION SELECT * FROM a4
+                         UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+                      UNION SELECT ent, ent FROM ents),
+            pairs AS (SELECT DISTINCT de.doc, r.anc AS entity
+                      FROM de JOIN reach r ON de.ent = r.child)
+            SELECT entity, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pairs GROUP BY entity
         """,
         "kg_snapshot_diff": _TRIPLE_BASE_CTE + r""",
             ids AS (SELECT *, CAST(regexp_extract(subj, 'doc/(\d+)#', 1)

@@ -494,3 +494,75 @@ def bfs(edges_ds, seeds, *, src: str = "s", dst: str = "o", hops: int = 2,
     for layer in layers[1:]:
         out = out.union(layer)
     return out
+
+
+#: below this edge count the closure is solved in-process: one driver-side
+#: pandas doubling loop beats ~4 rounds × (join + distinct) of fixed
+#: bucketed-shuffle floor (~5 s/round at toy scale; same rationale and
+#: sizing style as SMALL_CC_PAIRS / SMALL_GRAPH_EDGES — runtime-bound,
+#: 16 B/pair). NOTE the threshold gates the INPUT edge count; the closure
+#: of a hierarchy/DAG is near-linear in it (the documented use case).
+SMALL_CLOSURE_EDGES = 2_000_000
+
+
+def _closure_local(df: "pd.DataFrame", src: str, dst: str,
+                   max_rounds: int) -> "pd.DataFrame":
+    """In-process path doubling (same algorithm as the distributed path)."""
+    r = df.drop_duplicates()
+    n = len(r)
+    for _ in range(max_rounds):
+        step = r.merge(r, left_on=dst, right_on=src, suffixes=("", "_r"))
+        new = step[[src, f"{dst}_r"]].rename(columns={f"{dst}_r": dst})
+        r = pd.concat([r, new], ignore_index=True).drop_duplicates()
+        if len(r) == n:
+            break
+        n = len(r)
+    return r
+
+
+def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
+                       max_rounds: int = 16, num_buckets: int = 32,
+                       small_edges: int = SMALL_CLOSURE_EDGES):
+    """All reachable (src, dst) pairs — the RDFS-style inference primitive
+    (subClassOf*/broader* closure over a taxonomy).
+
+    Path DOUBLING, not single-step semi-naive: round k holds every path of
+    length ≤ 2^k, so a taxonomy of depth d converges in ⌈log₂ d⌉ rounds —
+    each round exactly ONE co-partitioned self-join (R.dst ⋈ R.src) plus a
+    distributed distinct, with a count fixpoint check. The closure set R is
+    materialized per round (it is both join sides and the union input).
+
+    Intended for hierarchy/DAG-shaped relations whose closure is
+    near-linear in the input (class trees, org charts, geo containment).
+    On a dense cyclic graph the closure is Θ(n²) BY DEFINITION — use
+    :func:`connected_components_distributed` (membership, linear) or
+    :func:`bfs` (per-seed reachability) there instead. Cycles converge
+    (reachability semantics, self-pairs included for cycle members).
+    """
+    from .aggregates import distinct
+    from .joins import hash_join
+
+    import ray.data as rd
+
+    r = edges_ds.map_batches(
+        lambda b: pa.table({src: b[src], dst: b[dst]}), batch_format="pyarrow"
+    )
+    r = distinct(r, [src, dst], num_buckets=num_buckets).materialize()
+    n = r.count()
+    if n <= small_edges:
+        local = _closure_local(r.to_pandas(), src, dst, max_rounds)
+        return rd.from_pandas(local.reset_index(drop=True))
+    for _ in range(max_rounds):
+        # R ∘ R: pandas suffix rules name the right side's cols s_r/o_r
+        stepped = hash_join(r, r, dst, src, num_buckets=num_buckets)
+        new = stepped.map_batches(
+            lambda b: pa.table({src: b[src], dst: b[f"{dst}_r"]}),
+            batch_format="pyarrow",
+        )
+        r = distinct(r.union(new), [src, dst],
+                     num_buckets=num_buckets).materialize()
+        n2 = r.count()
+        if n2 == n:
+            break
+        n = n2
+    return r
