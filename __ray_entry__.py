@@ -987,6 +987,102 @@ def q_kg_taxonomy_rollup(sf_dir: str):
     )
 
 
+def q_events_user_zscore(sf_dir: str):
+    """Per-key feature standardization (z-score within user): exact int64
+    cent/cent² sums via one map-side-combined grouped aggregate, then one
+    co-partitioned join back to the events and a vectorized normalize.
+    The float math (mean/var/z) runs on identical exact integers in both
+    engines in the same expression order — deterministic hashes without a
+    global sort."""
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.joins import hash_join
+
+    def with_cents(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100 + 0.5).astype(np.int64)
+        return pa.table({
+            "event_id": b["event_id"], "user_id": b["user_id"],
+            "value": b["value"],
+            "cents": pa.array(c), "cents2": pa.array(c * c),
+        })
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"],
+               rows_per_block=20000).map_batches(with_cents,
+                                                 batch_format="pyarrow")
+    ev = ev.materialize()  # consumed twice: stats + the normalize join
+    stats = grouped_sums(ev.map_batches(
+        lambda b: b.select(["user_id", "cents", "cents2"]),
+        batch_format="pyarrow"), ["user_id"], ["cents", "cents2"])
+    joined = hash_join(
+        ev.map_batches(lambda b: b.select(["event_id", "user_id", "value"]),
+                       batch_format="pyarrow"),
+        stats, "user_id", "user_id")
+
+    def normalize(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False)
+        sc = b["sum_cents"].to_numpy(zero_copy_only=False)
+        scc = b["sum_cents2"].to_numpy(zero_copy_only=False)
+        v = b["value"].to_numpy(zero_copy_only=False)
+        eid = b["event_id"].to_numpy(zero_copy_only=False)
+        keep = n > 1
+        n, sc, scc, v, eid = n[keep], sc[keep], scc[keep], v[keep], eid[keep]
+        mean = sc / n / 100.0
+        var = (scc / 10000.0 - n * mean * mean) / (n - 1)
+        z = (v - mean) / np.sqrt(var)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "z": pc.round(pa.array(z), 4,
+                          round_mode="half_towards_infinity"),
+        })
+
+    return joined.map_batches(normalize, batch_format="pyarrow")
+
+
+def q_doc_corpus_report(sf_dir: str):
+    """Corpus report card per source/domain: doc count, total whitespace
+    tokens, total chars — one streaming pass, exact integers, one
+    map-side-combined grouped aggregate (nothing doc-sized shuffles)."""
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.textstats import token_count_batch
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        return pa.table({"source": b["source"], "toks": t["n_tokens"],
+                         "chars": pc.cast(b["n_chars"], pa.int64())})
+
+    docs = _docs(sf_dir, ["source", "text", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow")
+    out = grouped_sums(docs, ["source"], ["toks", "chars"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "n_docs": b["n"],
+            "total_tokens": b["sum_toks"],
+            "total_chars": b["sum_chars"],
+        }),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_value_hist(sf_dir: str):
+    """Fixed-width value histogram (distribution profiling): bin at the
+    read, map-side-combined count — the zero-shuffle-ish shape every
+    monitoring pass should have."""
+    from cattle_ray.stages.aggregates import partial_count
+
+    def bin_batch(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array(np.floor(v / 50.0).astype(np.int64))})
+
+    ev = _read(sf_dir, "events", ["value"], rows_per_block=20000)
+    counts = partial_count(ev.map_batches(bin_batch, batch_format="pyarrow"),
+                           ["bin"])
+    return counts.map_batches(
+        lambda b: pa.table({"bin": b["bin"], "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style boilerplate removal: every occurrence of any 10-word
     chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
@@ -1482,6 +1578,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "doc_boilerplate": q_doc_boilerplate,
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
+        "events_user_zscore": q_events_user_zscore,
+        "doc_corpus_report": q_doc_corpus_report,
+        "events_value_hist": q_events_value_hist,
     }
 
 
@@ -2163,6 +2262,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
             UNION ALL SELECT node, CAST(1 AS BIGINT) FROM d1
             UNION ALL SELECT node, CAST(2 AS BIGINT) FROM d2
+        """,
+        # mean/var/z computed from identical exact int64 cent sums in the
+        # same expression order on both sides (DuckDB / on BIGINT is float
+        # division, matching numpy true division)
+        "events_user_zscore": """
+            WITH c AS (SELECT event_id, user_id, value,
+                              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+                       FROM events),
+            s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                         sum(cents) AS sc, sum(cents * cents) AS scc
+                  FROM c GROUP BY user_id)
+            SELECT c.event_id,
+                   round((c.value - sc / n / 100.0)
+                         / sqrt((scc / 10000.0
+                                 - n * (sc / n / 100.0) * (sc / n / 100.0))
+                                / (n - 1)), 4) AS z
+            FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        "doc_corpus_report": r"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                             AS BIGINT) END) AS BIGINT) AS total_tokens,
+                   CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "events_value_hist": """
+            SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
         """,
         # taxonomy closure unrolled semi-naively: a_k = paths of exactly k
         # hops; the deepest chain 49→24→12→6→3→1→0 is 6 hops

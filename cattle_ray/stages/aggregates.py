@@ -61,6 +61,42 @@ def partial_count(ds, keys, shuffle_blocks: int = 16, num_buckets: int = 32):
     return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")
 
 
+def grouped_sums(ds, keys, sum_cols, shuffle_blocks: int = 16,
+                 num_buckets: int = 32):
+    """Multi-column grouped SUM + COUNT with map-side combine — the
+    generalization of :func:`partial_count` to several measures at once
+    (feature stats, corpus report cards). Per batch one Arrow C++
+    ``group_by`` emits partial (sum_c…, n) rows; the shuffle moves one row
+    per (key, batch); a bucketed pandas sum finishes. Sum columns should be
+    int64 (exact, order-independent — callers convert money/measures to
+    fixed-point first, the engine-wide determinism discipline).
+
+    Output columns: ``keys + [f"sum_{c}" for c in sum_cols] + ["n"]``.
+    """
+    keys = list(keys)
+    sum_cols = list(sum_cols)
+    out_names = keys + [f"sum_{c}" for c in sum_cols] + ["n"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate(
+            [(c, "sum") for c in sum_cols] + [([], "count_all")])
+        return out.rename_columns(out_names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda b: add_key_bucket(b, keys, num_buckets), batch_format="pyarrow"
+    )
+    partials = coalesce_small(partials, shuffle_blocks)
+
+    def finish(g):
+        cols = [f"sum_{c}" for c in sum_cols] + ["n"]
+        out = g.groupby(keys, sort=False)[cols].sum().reset_index()
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")
+
+
 def salted_group_count(ds, keys, salt_buckets: int = 16):
     """G2: two-stage salted aggregation — stage 1 groups on
     (keys + salt=hash(row)%k), stage 2 drops the salt. Used when the consumer

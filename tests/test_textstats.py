@@ -213,3 +213,20 @@ def test_pack_sequences(ray_session):
         "doc_id": list(texts), "text": [t.strip() for t in texts.values()]
     })).repartition(5), "doc_id", "text", tokens_per_seq=12).to_pandas()
     assert dict(zip(out2["doc_id"], out2["seq_id"])) == got
+
+
+def test_grouped_sums_exact(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    t = pa.table({
+        "k": ["a", "b", "a", "a", "b"],
+        "x": [1, 2, 3, 4, 5],
+        "y": [10, 20, 30, 40, 50],
+    })
+    out = {r["k"]: r for r in
+           grouped_sums(rd.from_arrow(t).repartition(3), ["k"],
+                        ["x", "y"]).take_all()}
+    assert out["a"] == {"k": "a", "sum_x": 8, "sum_y": 80, "n": 3}
+    assert out["b"] == {"k": "b", "sum_x": 7, "sum_y": 70, "n": 2}
