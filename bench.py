@@ -101,6 +101,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_props_sum",
         "doc_mixture",
         "doc_pack_sequences",
+        # round-2 continuation operators
+        "doc_pii_redact",
+        "doc_inverted_index",
+        "doc_search",
+        "kg_bfs",
+        "kg_snapshot_diff",
+        "doc_boilerplate",
+        "kg_taxonomy_rollup",
+        "events_user_zscore",
+        "doc_corpus_report",
+        "events_value_hist",
     ]
     for name in bench_queries:
         timed(name, qs[name])
