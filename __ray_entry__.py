@@ -1083,6 +1083,51 @@ def q_events_value_hist(sf_dir: str):
     )
 
 
+#: value-tier dimension for the range join (non-overlapping [lo, hi))
+VALUE_TIERS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"),
+               (250.0, 500.0, "high")]
+
+
+def q_events_tier_join(sf_dir: str):
+    """Non-equi range join: each event's value matched to its tier band —
+    dimension broadcast once, one vectorized searchsorted per batch, zero
+    shuffle (the shape any slowly-changing-dimension lookup should have)."""
+    import pandas as pd
+
+    from cattle_ray.stages.joins import interval_join
+
+    tiers = pd.DataFrame(VALUE_TIERS, columns=["lo", "hi", "tier"])
+    ev = _read(sf_dir, "events", ["event_id", "value"], rows_per_block=20000)
+    out = interval_join(ev, tiers, "value")
+    return out.map_batches(lambda b: b.select(["event_id", "tier"]),
+                           batch_format="pyarrow")
+
+
+def q_events_type_pivot(sf_dir: str):
+    """Pivot event_type to per-user count columns: vectorized one-hot at
+    the read + ONE map-side-combined grouped sum — the pivot costs exactly
+    what the plain count costs (no per-type pass, no wide shuffle)."""
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def onehot(b: pa.Table) -> pa.Table:
+        cols = {"user_id": b["user_id"]}
+        for t in types:
+            cols[t] = pc.cast(pc.equal(b["event_type"], t), pa.int64())
+        return pa.table(cols)
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=20000).map_batches(onehot, batch_format="pyarrow")
+    out = grouped_sums(ev, ["user_id"], types)
+    return out.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"],
+                            **{f"n_{t}": b[f"sum_{t}"] for t in types},
+                            "n_events": b["n"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style boilerplate removal: every occurrence of any 10-word
     chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
@@ -1579,6 +1624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_boilerplate": q_doc_boilerplate,
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "events_user_zscore": q_events_user_zscore,
+        "events_tier_join": q_events_tier_join,
+        "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
         "events_value_hist": q_events_value_hist,
     }
@@ -2279,6 +2326,28 @@ def oracle_sql() -> dict[str, str]:
                                  - n * (sc / n / 100.0) * (sc / n / 100.0))
                                 / (n - 1)), 4) AS z
             FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        "events_tier_join": """
+            WITH tiers(lo, hi, tier) AS (VALUES
+              (0.0, 100.0, 'low'), (100.0, 250.0, 'mid'),
+              (250.0, 500.0, 'high'))
+            SELECT event_id, tier FROM events
+            JOIN tiers ON value >= lo AND value < hi
+        """,
+        "events_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_view,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
         """,
         "doc_corpus_report": r"""
             SELECT source,

@@ -436,3 +436,53 @@ def asof_join(left_ds, right_ds, *, left_on: str, right_on: str, left_by: str,
         )
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def interval_join(ds, intervals, value_col: str, lo_col: str = "lo",
+                  hi_col: str = "hi", how: str = "inner"):
+    """Broadcast RANGE join: match each row's ``value_col`` to the single
+    sorted, non-overlapping interval ``[lo, hi)`` containing it and attach
+    that interval's payload columns (tiering, bucketing by SLA bands,
+    calendar ranges). The classic non-equi join the equi machinery can't
+    express — and precisely the case where a shuffle is WRONG: the interval
+    table is dimension-sized, so it broadcasts once (``ray.put``) and every
+    batch does one vectorized ``np.searchsorted`` (log m per row, zero
+    shuffle). ``how="left"`` keeps non-matching rows with null payload.
+
+    Intervals may be a pyarrow Table or pandas DataFrame. Overlapping
+    intervals are rejected (ValueError) — with overlap "the" containing
+    interval is ill-defined; disaggregate upstream instead.
+    """
+    import ray
+
+    if isinstance(intervals, pa.Table):
+        intervals = intervals.to_pandas()
+    iv = intervals.sort_values(lo_col, kind="mergesort").reset_index(drop=True)
+    lo = iv[lo_col].to_numpy()
+    hi = iv[hi_col].to_numpy()
+    if (hi[:-1] > lo[1:]).any() or (hi <= lo).any():
+        raise ValueError("interval_join requires non-overlapping intervals "
+                         "with lo < hi")
+    payload_cols = [c for c in iv.columns if c not in (lo_col, hi_col)]
+    payload = pa.Table.from_pandas(iv[payload_cols], preserve_index=False)
+    ref = ray.put((lo, hi, payload))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lo_a, hi_a, pay = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lo_a, v, side="right") - 1
+        ok = (idx >= 0) & (v < hi_a[np.clip(idx, 0, len(hi_a) - 1)])
+        if how == "inner":
+            batch = batch.filter(pa.array(ok))
+            idx = idx[ok]
+            take = pa.array(idx, pa.int64())
+        else:  # left: null payload where unmatched
+            take = pa.array(np.where(ok, idx, -1), pa.int64())
+            take = pc.if_else(pc.equal(take, -1),
+                              pa.array([None] * len(take), pa.int64()), take)
+        out = batch
+        for c in pay.column_names:
+            out = out.append_column(c, pc.take(pay[c], take))
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -238,3 +238,40 @@ def test_grouped_lag_delta(ray_session):
     assert np.isnan(got[0]) and np.isnan(got[2])  # first events
     assert got[1] == 5_000_000 and got[3] == 7_000_000
     assert got[4] == 0  # tie on ts broken by eid: eid4 follows eid2
+
+
+def test_interval_join_inner_and_left(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import interval_join
+
+    iv = pd.DataFrame({"lo": [0.0, 10.0], "hi": [10.0, 20.0],
+                       "tier": ["a", "b"]})
+    ds = rd.from_arrow(pa.table({"id": [1, 2, 3, 4, 5],
+                                 "v": [0.0, 9.99, 10.0, 25.0, -1.0]}))
+    inner = {r["id"]: r["tier"]
+             for r in interval_join(ds, iv, "v").take_all()}
+    # [lo, hi): lo inclusive, hi exclusive; out-of-range rows drop
+    assert inner == {1: "a", 2: "a", 3: "b"}
+    left = {r["id"]: r["tier"]
+            for r in interval_join(ds, iv, "v", how="left").take_all()}
+    assert left == {1: "a", 2: "a", 3: "b", 4: None, 5: None}
+
+
+def test_interval_join_rejects_overlap(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import interval_join
+
+    ds = rd.from_arrow(pa.table({"v": [1.0]}))
+    bad = pd.DataFrame({"lo": [0.0, 5.0], "hi": [6.0, 9.0], "t": ["x", "y"]})
+    with pytest.raises(ValueError):
+        interval_join(ds, bad, "v")
+    empty_width = pd.DataFrame({"lo": [3.0], "hi": [3.0], "t": ["x"]})
+    with pytest.raises(ValueError):
+        interval_join(ds, empty_width, "v")
