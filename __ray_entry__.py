@@ -1128,6 +1128,19 @@ def q_events_type_pivot(sf_dir: str):
     )
 
 
+def q_doc_related_pairs(sf_dir: str):
+    """Sparse similarity join: top-100 related doc pairs by Σ tf_a·tf_b
+    over shared RARE bigrams (df ≤ n_docs/50 — corpus-relative, so the
+    candidate bound holds at any scale). Exact int64 scores."""
+    import pyarrow.parquet as pq
+
+    from cattle_ray.stages.textstats import related_doc_pairs
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return related_doc_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                             max_df=n_docs // 50, k=100)
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style boilerplate removal: every occurrence of any 10-word
     chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
@@ -1625,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_taxonomy_rollup": q_kg_taxonomy_rollup,
         "events_user_zscore": q_events_user_zscore,
         "events_tier_join": q_events_tier_join,
+        "doc_related_pairs": q_doc_related_pairs,
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
         "events_value_hist": q_events_value_hist,
@@ -2326,6 +2340,26 @@ def oracle_sql() -> dict[str, str]:
                                  - n * (sc / n / 100.0) * (sc / n / 100.0))
                                 / (n - 1)), 4) AS z
             FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        "doc_related_pairs": r"""
+            WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                         FROM documents WHERE trim(text) != ''),
+            t AS (SELECT doc_id, unnest(ws) AS w,
+                         generate_subscripts(ws, 1) AS i FROM tok),
+            big AS (SELECT a.doc_id, a.w || ' ' || b.w AS bg
+                    FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+            tf AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+                   FROM big GROUP BY 1, 2),
+            rare AS (SELECT bg FROM tf GROUP BY bg
+                     HAVING count(*) <= (SELECT count(*) // 50 FROM documents)),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                         CAST(sum(a.tf * b.tf) AS BIGINT) AS score
+                  FROM tf a JOIN tf b
+                    ON a.bg = b.bg AND a.doc_id < b.doc_id
+                  WHERE a.bg IN (SELECT bg FROM rare)
+                  GROUP BY 1, 2)
+            SELECT doc_a, doc_b, score FROM p
+            ORDER BY score DESC, doc_a, doc_b LIMIT 100
         """,
         "events_tier_join": """
             WITH tiers(lo, hi, tier) AS (VALUES

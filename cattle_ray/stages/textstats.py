@@ -375,6 +375,95 @@ def bigrams_batch(batch: pa.Table, text_col="text") -> pa.Table:
                      "w2": pa.array(nxt[m], pa.string())})
 
 
+def doc_bigram_tf_batch(batch: pa.Table, id_col="doc_id",
+                        text_col="text") -> pa.Table:
+    """Per-doc bigram term frequencies (doc, bigram, tf) — the sparse
+    feature rows behind the similarity join. Vectorized: explode + per-doc
+    shift + one two-level group-size; no per-doc Python."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("").str.strip()
+    ids = batch[id_col].to_pandas()
+    e = s.str.split().explode().dropna()
+    if e.empty:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "bg": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    nxt = e.groupby(level=0).shift(-1)
+    m = nxt.notna()
+    bg = e[m].str.cat(nxt[m], sep=" ")
+    cnt = bg.groupby([bg.index, bg]).size()
+    pos = cnt.index.get_level_values(0)
+    return pa.table({
+        id_col: pa.array(ids.iloc[pos].to_numpy()),
+        "bg": pa.array(cnt.index.get_level_values(1).to_numpy(), pa.string()),
+        "tf": pa.array(cnt.to_numpy(), pa.int64()),
+    })
+
+
+def related_doc_pairs(ds, id_col="doc_id", text_col="text", max_df: int = 10,
+                      k: int = 100, num_buckets: int = 32):
+    """Sparse similarity join: top-k related document pairs scored by
+    Σ tf_a·tf_b over SHARED RARE bigrams (df ≤ ``max_df``) — the
+    inverted-index formulation of "find related docs": candidate pairs are
+    generated ONLY inside a rare term's postings, so the quadratic term is
+    bounded by max_df² per term instead of n² over the corpus (the same
+    bound TF-IDF sharding systems rely on; common terms carry no signal
+    and are exactly the ones pruned).
+
+    Plan: per-doc bigram tf rows (text never crosses a shuffle) →
+    map-side-combined df → adaptive semi-join keeps rare-term rows → one
+    bucketed term shuffle with an in-bucket vectorized merge generating
+    pair partials PRE-SUMMED per pair (map-side combine for the second,
+    pair-keyed shuffle) → grouped sum → deterministic
+    (score DESC, a, b) top-k. Exact int64 scores throughout."""
+    import pandas as pd
+
+    from .aggregates import grouped_sums, partial_count
+    from .joins import _key_buckets, semi_join
+
+    tf = ds.map_batches(
+        lambda b: doc_bigram_tf_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()  # consumed twice: df count + the rare-row filter
+    rare = partial_count(tf, ["bg"]).map_batches(
+        lambda b: b.filter(pc.less_equal(b["n"], max_df)).select(["bg"]),
+        batch_format="pyarrow",
+    )
+    rtf = semi_join(tf, rare, "bg", "bg", num_buckets=num_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_key_buckets(b["bg"], num_buckets)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        m = g.merge(g, on="bg", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        m["prod"] = m["tf_a"] * m["tf_b"]
+        out = (m.groupby([f"{id_col}_a", f"{id_col}_b"], sort=False)["prod"]
+                .sum().reset_index())
+        out.columns = ["doc_a", "doc_b", "prod"]
+        out["prod"] = out["prod"].astype("int64")
+        return out
+
+    from .aggregates import coalesce_small
+
+    partial_pairs = (
+        coalesce_small(rtf.map_batches(add_bucket, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    scored = grouped_sums(partial_pairs, ["doc_a", "doc_b"], ["prod"])
+    out = scored.map_batches(
+        lambda b: pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                            "score": b["sum_prod"]}),
+        batch_format="pyarrow",
+    )
+    return out.sort(["score", "doc_a", "doc_b"],
+                    descending=[True, False, False]).limit(k)
+
+
 def collocation_lift(ds, text_col="text", min_count: int = 3, k: int = 100,
                      num_buckets: int = 32):
     """Corpus collocation mining: top-k bigrams by LIFT

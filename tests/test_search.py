@@ -47,3 +47,38 @@ def test_search_all_terms_conjunctive(ray_session):
     # duplicate query terms don't inflate the required count
     dup = search_all_terms(_ds(2), ["apple", "apple", "cherry"])
     assert sorted(r["doc_id"] for r in dup.take_all()) == [2, 5]
+
+
+def test_related_doc_pairs_scores_and_pruning(ray_session):
+    from cattle_ray.stages.textstats import related_doc_pairs
+
+    # "x y" appears in docs 1,2 (rare, df=2) — twice in doc 1 (tf=2)
+    # "c c" appears in all 4 docs (df=4 > max_df=2) — pruned, no signal
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "x y q x y c c",   # tf(x y)=2
+            "x y r c c",       # tf(x y)=1
+            "s t c c",
+            "s t u c c",       # shares rare "s t" with doc 3
+        ],
+    })
+    ds = rd.from_arrow(docs).repartition(2)
+    out = [(r["doc_a"], r["doc_b"], r["score"])
+           for r in related_doc_pairs(ds, max_df=2, k=10).take_all()]
+    # score(1,2) = tf1*tf2 = 2; score(3,4) = 1; common "c c" contributes 0
+    assert out == [(1, 2, 2), (3, 4, 1)]
+
+
+def test_related_doc_pairs_topk_tiebreak(ray_session):
+    from cattle_ray.stages.textstats import related_doc_pairs
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b", "a b", "c d", "c d"],
+    })
+    out = [(r["doc_a"], r["doc_b"])
+           for r in related_doc_pairs(rd.from_arrow(docs), max_df=3,
+                                      k=1).take_all()]
+    # equal scores: deterministic (score DESC, doc_a, doc_b) keeps (1,2)
+    assert out == [(1, 2)]
