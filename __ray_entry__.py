@@ -1141,6 +1141,59 @@ def q_doc_related_pairs(sf_dir: str):
                              max_df=n_docs // 50, k=100)
 
 
+def q_doc_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP(source, lang)) in ONE data
+    pass: the full corpus shuffles only into the finest-level count; the
+    coarser levels re-aggregate that already-tiny result — the standard
+    rollup optimization, no second scan."""
+    from cattle_ray.stages.aggregates import partial_count
+
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    fine = partial_count(_docs(sf_dir, ["source", "lang"]),
+                         ["source", "lang"]).materialize()
+
+    def _tbl(src, lang, n) -> pa.Table:
+        return pa.table({
+            "source": pa.array(src, pa.string()),
+            "lang": pa.array(lang, pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+        })
+
+    lvl2 = fine.map_batches(
+        lambda b: _tbl(b["source"], b["lang"],
+                       pc.cast(b["n"], pa.int64())),
+        batch_format="pyarrow")
+    lvl1 = grouped_sums(fine, ["source"], ["n"]).map_batches(
+        lambda b: _tbl(b["source"], [None] * len(b), b["sum_n"]),
+        batch_format="pyarrow")
+    total = fine.sum("n")  # small aggregate — scalar by design
+    lvl0 = rd.from_arrow(_tbl([None], [None], [int(total)]))
+    return lvl2.union(lvl1).union(lvl0)
+
+
+def q_events_value_ntile(sf_dir: str):
+    """Equi-depth quantile binning: exact distributed quartile boundaries
+    (2-pass histogram selection, no global sort), broadcast once, one
+    vectorized comparison pass to bucket every event."""
+    from cattle_ray.stages.quantiles import quantile_disc
+
+    ev = _read(sf_dir, "events", ["event_id", "value"], rows_per_block=20000)
+    qd = quantile_disc(ev, "value", [0.25, 0.5, 0.75])
+    b1, b2, b3 = qd[0.25], qd[0.5], qd[0.75]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b["value"].to_numpy(zero_copy_only=False)
+        bk = np.where(v <= b1, 1, np.where(v <= b2, 2,
+                                           np.where(v <= b3, 3, 4)))
+        return pa.table({"event_id": b["event_id"],
+                         "bucket": pa.array(bk.astype(np.int64))})
+
+    return ev.map_batches(bucket, batch_format="pyarrow")
+
+
 def q_doc_boilerplate(sf_dir: str):
     """CCNet-style boilerplate removal: every occurrence of any 10-word
     chunk repeated ≥2× corpus-wide is dropped (not kept-first — repeated
@@ -1639,6 +1692,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_zscore": q_events_user_zscore,
         "events_tier_join": q_events_tier_join,
         "doc_related_pairs": q_doc_related_pairs,
+        "doc_rollup": q_doc_rollup,
+        "events_value_ntile": q_events_value_ntile,
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
         "events_value_hist": q_events_value_hist,
@@ -2340,6 +2395,20 @@ def oracle_sql() -> dict[str, str]:
                                  - n * (sc / n / 100.0) * (sc / n / 100.0))
                                 / (n - 1)), 4) AS z
             FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        "doc_rollup": """
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "events_value_ntile": """
+            WITH q AS (SELECT quantile_disc(value, [0.25, 0.5, 0.75]) AS qs
+                       FROM events)
+            SELECT event_id,
+                   CAST(CASE WHEN value <= qs[1] THEN 1
+                             WHEN value <= qs[2] THEN 2
+                             WHEN value <= qs[3] THEN 3
+                             ELSE 4 END AS BIGINT) AS bucket
+            FROM events, q
         """,
         "doc_related_pairs": r"""
             WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
