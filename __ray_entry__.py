@@ -1141,6 +1141,35 @@ def q_doc_related_pairs(sf_dir: str):
                              max_df=n_docs // 50, k=100)
 
 
+def q_kg_walks(sf_dir: str):
+    """Deterministic pseudo-random walks over the doc↔entity graph (the
+    graph-sampling stage of a DeepWalk-style embedding pipeline): 2 walks ×
+    2 steps from every entity, next-hop = plain-arithmetic rank over
+    dst-sorted neighbors — reproducible at any partitioning and mirrored
+    verbatim as SQL arithmetic."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.graph import random_walks
+
+    edges = (
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(
+            lambda b: pa.table({
+                "s": pc.replace_substring_regex(b["subj"], "#.*$", ""),
+                "o": b["obj"],
+            }),
+            batch_format="pyarrow",
+        )
+    ).materialize()  # consumed twice: both directions + the seed scan
+    und = edges.union(edges.map_batches(
+        lambda b: pa.table({"s": b["o"], "o": b["s"]}),
+        batch_format="pyarrow"))
+    seeds = distinct(
+        edges.map_batches(lambda b: pa.table({"seed": b["o"]}),
+                          batch_format="pyarrow"), ["seed"])
+    return random_walks(und, seeds, steps=2, walks_per_seed=2)
+
+
 def q_doc_rollup(sf_dir: str):
     """Multi-level aggregate (GROUP BY ROLLUP(source, lang)) in ONE data
     pass: the full corpus shuffles only into the finest-level count; the
@@ -1693,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tier_join": q_events_tier_join,
         "doc_related_pairs": q_doc_related_pairs,
         "doc_rollup": q_doc_rollup,
+        "kg_walks": q_kg_walks,
         "events_value_ntile": q_events_value_ntile,
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
@@ -2395,6 +2425,35 @@ def oracle_sql() -> dict[str, str]:
                                  - n * (sc / n / 100.0) * (sc / n / 100.0))
                                 / (n - 1)), 4) AS z
             FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        # walk-step arithmetic mirrors graph.random_walks verbatim
+        "kg_walks": _TRIPLE_BASE_CTE + rf""",
+            e0 AS (SELECT regexp_replace(subj, '#.*$', '') AS s, obj AS o
+                   FROM triples WHERE pred = '{EX}entity'),
+            und AS (SELECT s, o FROM e0 UNION ALL SELECT o, s FROM e0),
+            er AS (SELECT s, o,
+                          row_number() OVER (PARTITION BY s ORDER BY o) - 1 AS r,
+                          count(*) OVER (PARTITION BY s) AS deg FROM und),
+            seeds AS (SELECT DISTINCT o AS seed FROM e0),
+            w0 AS (SELECT seed, CAST(v.w AS BIGINT) AS w, seed AS node
+                   FROM seeds, (VALUES (0), (1)) v(w)),
+            p0 AS (SELECT seed, w, node,
+                          CAST(regexp_extract(node, '(\d+)$', 1) AS BIGINT) AS idx
+                   FROM w0),
+            w1 AS (SELECT p.seed, p.w, e.o AS node FROM p0 p
+                   JOIN er e ON e.s = p.node
+                    AND e.r = (p.w * 1000003 + 1 * 7919 + p.idx * 104729)
+                              % e.deg),
+            p1 AS (SELECT seed, w, node,
+                          CAST(regexp_extract(node, '(\d+)$', 1) AS BIGINT) AS idx
+                   FROM w1),
+            w2 AS (SELECT p.seed, p.w, e.o AS node FROM p1 p
+                   JOIN er e ON e.s = p.node
+                    AND e.r = (p.w * 1000003 + 2 * 7919 + p.idx * 104729)
+                              % e.deg)
+            SELECT seed, w, CAST(0 AS BIGINT) AS step, node FROM w0
+            UNION ALL SELECT seed, w, CAST(1 AS BIGINT), node FROM w1
+            UNION ALL SELECT seed, w, CAST(2 AS BIGINT), node FROM w2
         """,
         "doc_rollup": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs

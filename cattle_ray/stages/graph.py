@@ -566,3 +566,101 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
             break
         n = n2
     return r
+
+
+#: mixing multipliers for the deterministic walk-step choice — plain
+#: integer arithmetic so the exact same expression runs in SQL
+_WALK_A, _WALK_B, _WALK_C = 1000003, 7919, 104729
+
+
+def random_walks(edges_ds, seeds_ds, *, src: str = "s", dst: str = "o",
+                 seed_col: str = "seed", steps: int = 2,
+                 walks_per_seed: int = 2, idx_pattern: str = r"^.*?(\d+)$",
+                 num_buckets: int = 32):
+    """Deterministic pseudo-random walks — the graph-sampling stage of
+    DeepWalk/node2vec-style embedding pipelines, made reproducible and
+    oracle-checkable: at step t, walk w standing on node u moves to the
+    neighbor with rank ``(w·A + t·B + idx(u)·C) mod deg(u)`` among u's
+    ``dst``-ascending neighbors, where ``idx(u)`` is the integer extracted
+    from the node id by ``idx_pattern``. A pure function of the graph —
+    identical output at any partitioning, any retry, AND expressible as
+    plain SQL arithmetic (no RNG state, no engine-specific hash).
+
+    Per step one union-bucket shuffle co-locates walk positions with their
+    node's edges; the per-bucket choice is fully vectorized (np.unique
+    offsets + one fancy-index gather — no fan-out: a walk row never
+    materializes its node's whole neighbor list). Walks on nodes with no
+    outgoing edge end early. Like PageRank, the edge table re-travels the
+    per-step shuffle (Ray Data cannot pin a partitioning yet — same note
+    as graph.pagerank).
+
+    Returns (seed, w, step, node) trajectory rows, step 0 = the seed.
+    """
+    from .joins import _side_columns, _split_sides, _union_buckets
+
+    edges = edges_ds.map_batches(
+        lambda b: pa.table({"_es": b[src], "_eo": b[dst]}),
+        batch_format="pyarrow").materialize()
+
+    def start(b: pa.Table) -> pa.Table:
+        s = b[seed_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        n = len(s)
+        reps = pa.concat_arrays([s] * walks_per_seed)
+        ws = np.concatenate([np.full(n, k, np.int64)
+                             for k in range(walks_per_seed)])
+        return pa.table({"seed": reps, "w": pa.array(ws), "node": reps})
+
+    cur = seeds_ds.map_batches(start, batch_format="pyarrow").materialize()
+    layers = [cur.map_batches(
+        lambda b: b.append_column("step", pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow")]
+
+    for t in range(1, steps + 1):
+        with_idx = cur.map_batches(
+            lambda b: b.append_column("idx", pc.cast(
+                pc.replace_substring_regex(b["node"], idx_pattern, r"\1"),
+                pa.int64())),
+            batch_format="pyarrow")
+        lcols = _side_columns(with_idx)
+        rcols = _side_columns(edges)
+        unioned = _union_buckets(with_idx, edges, "node", "_es", num_buckets)
+
+        def step_bucket(g: pa.Table, _t=t, _l=lcols, _r=rcols) -> pd.DataFrame:
+            l, r = _split_sides(g, _l, _r)
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame({"seed": pd.Series([], dtype="object"),
+                                     "w": pd.Series([], dtype="int64"),
+                                     "node": pd.Series([], dtype="object")})
+            r = r.sort_values(["_es", "_eo"], kind="mergesort")
+            uniq, starts, cnts = np.unique(r["_es"].to_numpy(),
+                                           return_index=True,
+                                           return_counts=True)
+            nodes = l["node"].to_numpy()
+            j = np.searchsorted(uniq, nodes)
+            j_c = np.clip(j, 0, len(uniq) - 1)
+            ok = uniq[j_c] == nodes
+            l = l[ok]
+            j = j_c[ok]
+            deg = cnts[j]
+            ridx = ((l["w"].to_numpy() * _WALK_A + _t * _WALK_B
+                     + l["idx"].to_numpy() * _WALK_C) % deg)
+            nxt = r["_eo"].to_numpy()[starts[j] + ridx]
+            return pd.DataFrame({"seed": l["seed"].to_numpy(),
+                                 "w": l["w"].to_numpy(),
+                                 "node": nxt})
+
+        cur = (unioned.groupby("_bucket")
+               .map_groups(step_bucket, batch_format="pyarrow")).materialize()
+        if cur.count() == 0:
+            break  # every walk hit a dead end — nothing left to extend
+        layers.append(cur.map_batches(
+            lambda b, _t=t: b.append_column(
+                "step", pa.array(np.full(len(b), _t, np.int64))),
+            batch_format="pyarrow"))
+
+    out = layers[0]
+    for lay in layers[1:]:
+        out = out.union(lay)
+    return out

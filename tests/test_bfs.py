@@ -45,3 +45,57 @@ def test_bfs_multi_seed_and_early_exit(ray_session):
 def test_bfs_isolated_seed(ray_session):
     d = _dists(bfs(_edges([("a", "b")]), ["zzz"], hops=2))
     assert d == {"zzz": 0}
+
+
+def _walk_edges(pairs, blocks=2):
+    return _edges(pairs, blocks)
+
+
+def test_random_walks_deterministic_and_layout_invariant(ray_session):
+    import pyarrow as pa
+
+    from cattle_ray.stages.graph import random_walks
+
+    pairs = [(f"n{i}", f"n{j}") for i in range(8) for j in range(8) if i != j]
+    seeds = rd.from_arrow(pa.table({"seed": [f"n{i}" for i in range(4)]}))
+
+    def run(blocks):
+        out = random_walks(_walk_edges(pairs, blocks), seeds, steps=3,
+                           walks_per_seed=2)
+        return sorted((r["seed"], r["w"], r["step"], r["node"])
+                      for r in out.take_all())
+
+    a, b = run(1), run(4)
+    assert a == b
+    # every walk has a full trajectory: 4 seeds × 2 walks × 4 levels
+    assert len(a) == 4 * 2 * 4
+
+
+def test_random_walks_chain_choice_matches_formula(ray_session):
+    import pyarrow as pa
+
+    from cattle_ray.stages.graph import random_walks
+
+    # node n0 has neighbors [n1, n2] (dst-sorted); at step 1, walk w:
+    # r = (w*1000003 + 1*7919 + 0*104729) % 2 → w=0: 1 → n2 ; w=1: 0 → n1
+    edges = _walk_edges([("n0", "n1"), ("n0", "n2")])
+    seeds = rd.from_arrow(pa.table({"seed": ["n0"]}))
+    out = {(r["w"], r["step"]): r["node"]
+           for r in random_walks(edges, seeds, steps=1,
+                                 walks_per_seed=2).take_all()}
+    assert out[(0, 1)] == "n2"
+    assert out[(1, 1)] == "n1"
+
+
+def test_random_walks_dead_end_terminates(ray_session):
+    import pyarrow as pa
+
+    from cattle_ray.stages.graph import random_walks
+
+    # directed a→b, b has no out-edges: walk ends after step 1
+    edges = _walk_edges([("a1", "b2")])
+    seeds = rd.from_arrow(pa.table({"seed": ["a1"]}))
+    rows = sorted((r["step"], r["node"]) for r in
+                  random_walks(edges, seeds, steps=3,
+                               walks_per_seed=1).take_all())
+    assert rows == [(0, "a1"), (1, "b2")]
