@@ -1170,6 +1170,56 @@ def q_kg_walks(sf_dir: str):
     return random_walks(und, seeds, steps=2, walks_per_seed=2)
 
 
+def q_doc_heavy_terms(sf_dir: str):
+    """Approximate-locate, exact-verify heavy hitters: a merged count-min
+    sketch + per-batch local tops nominate candidates, then ONE filtered
+    map-side-combined count produces EXACT top-20 term frequencies —
+    estimates never reach the output, so the oracle is plain exact SQL."""
+    from cattle_ray.stages.sketches import heavy_hitters_exact
+    from cattle_ray.stages.textstats import _tokens_batch
+
+    toks = _docs(sf_dir, ["text"]).map_batches(
+        lambda b: _tokens_batch(b), batch_format="pyarrow")
+    out = heavy_hitters_exact(toks, "w", 20)
+    return out.map_batches(
+        lambda b: pa.table({"term": b["w"], "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+
+def q_events_profile(sf_dir: str):
+    """Column profiler (the data-quality pass every ingest runs): per
+    column null count, exact distinct, numeric min/max — one scan for the
+    null/min/max partials plus one bucketed distinct per column."""
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import distinct
+
+    cols = ["event_id", "user_id", "value", "event_type"]
+    ev = _read(sf_dir, "events", cols, rows_per_block=20000).materialize()
+
+    rows = []
+    for c in cols:
+        is_num = c != "event_type"
+        nulls = int(ev.map_batches(
+            lambda b, _c=c: pa.table(
+                {"k": pa.array([b[_c].null_count], pa.int64())}),
+            batch_format="pyarrow").sum("k"))
+        nd = int(distinct(ev.map_batches(
+            lambda b, _c=c: b.select([_c]), batch_format="pyarrow"),
+            [c]).count())
+        mn = float(ev.min(c)) if is_num else None
+        mx = float(ev.max(c)) if is_num else None
+        rows.append((c, nulls, nd, mn, mx))
+    return pa.table({
+        "column": pa.array([r[0] for r in rows], pa.string()),
+        "n_nulls": pa.array([r[1] for r in rows], pa.int64()),
+        "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+        "min_v": pa.array([r[3] for r in rows], pa.float64()),
+        "max_v": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 def q_doc_rollup(sf_dir: str):
     """Multi-level aggregate (GROUP BY ROLLUP(source, lang)) in ONE data
     pass: the full corpus shuffles only into the finest-level count; the
@@ -1723,6 +1773,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_related_pairs": q_doc_related_pairs,
         "doc_rollup": q_doc_rollup,
         "kg_walks": q_kg_walks,
+        "doc_heavy_terms": q_doc_heavy_terms,
+        "events_profile": q_events_profile,
         "events_value_ntile": q_events_value_ntile,
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
@@ -2425,6 +2477,32 @@ def oracle_sql() -> dict[str, str]:
                                  - n * (sc / n / 100.0) * (sc / n / 100.0))
                                 / (n - 1)), 4) AS z
             FROM c JOIN s USING (user_id) WHERE n > 1
+        """,
+        "doc_heavy_terms": r"""
+            WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+                       FROM documents WHERE trim(text) != '')
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "events_profile": """
+            SELECT 'event_id' AS column,
+                   CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_v,
+                   CAST(max(event_id) AS DOUBLE) AS max_v FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+                   CAST(count(DISTINCT user_id) AS BIGINT),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+                   CAST(count(DISTINCT value) AS BIGINT),
+                   min(value), max(value) FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+                   CAST(count(DISTINCT event_type) AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
         """,
         # walk-step arithmetic mirrors graph.random_walks verbatim
         "kg_walks": _TRIPLE_BASE_CTE + rf""",

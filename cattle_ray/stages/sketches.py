@@ -65,3 +65,115 @@ def approx_distinct(ds, col: str, p: int = 14) -> int:
         for buf in chunk["regs"].to_pylist():
             np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
     return int(round(_hll_estimate(merged, p)))
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+
+
+def _mix64(h: np.ndarray, seed: int) -> np.ndarray:
+    """Seeded 64-bit finalizer (splitmix-style) over pre-hashed keys —
+    depth-many independent hash rows from ONE base hash pass."""
+    x = h.astype(np.uint64) ^ np.uint64((seed * 0x9E3779B97F4A7C15) & (2**64 - 1))
+    x ^= x >> np.uint64(33)
+    with np.errstate(over="ignore"):
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _base_hash(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
+
+
+def cms_partial(batch: pa.Table, col: str, width: int = 8192,
+                depth: int = 4) -> pa.Table:
+    """One batch → one row holding this batch's depth×width count matrix.
+    Fully vectorized (``np.add.at`` per depth row); int64 counts."""
+    h = _base_hash(batch[col])
+    m = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix64(h, d + 1) % np.uint64(width)).astype(np.int64)
+        np.add.at(m[d], idx, 1)
+    return pa.table({"cms": pa.array([m.tobytes()], pa.binary())})
+
+
+def cms_merge(ds, col: str, width: int = 8192, depth: int = 4) -> np.ndarray:
+    """Streaming CMS build: per-block matrices sum elementwise on the
+    driver — driver memory is ONE depth×width matrix (a few 100 KB),
+    zero shuffle, mergeable across corpora by the same elementwise sum."""
+    partials = ds.map_batches(lambda b: cms_partial(b, col, width, depth),
+                              batch_format="pyarrow")
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for chunk in partials.iter_batches(batch_format="pyarrow", batch_size=64):
+        for buf in chunk["cms"].to_pylist():
+            merged += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+    return merged
+
+
+def cms_estimate(matrix: np.ndarray, values) -> np.ndarray:
+    """Point estimates (min over depth rows) for an array of values —
+    overestimates only, error ≤ 2N/width with prob 1−(1/2)^depth."""
+    depth, width = matrix.shape
+    h = _base_hash(pa.array(list(values)))
+    ests = np.empty((depth, len(h)), dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix64(h, d + 1) % np.uint64(width)).astype(np.int64)
+        ests[d] = matrix[d, idx]
+    return ests.min(axis=0)
+
+
+def heavy_hitters_exact(ds, col: str, k: int, *, width: int = 8192,
+                        depth: int = 4, candidate_factor: int = 4,
+                        num_buckets: int = 32):
+    """Top-k most frequent values with EXACT final counts at sketch cost:
+
+    1. one streaming pass builds a merged CMS (bounded driver memory) AND
+       per-batch local top-m candidate values (m = candidate_factor·k —
+       a true heavy hitter is a local heavy hitter in at least one batch
+       unless adversarially spread; the verify step makes any miss a
+       visible rank gap, not a silently wrong count);
+    2. candidates are pruned by CMS estimate (overestimates only — never
+       prunes a true heavy hitter below rank m);
+    3. the pruned candidate set (≤ m values, broadcast) gets EXACT counts
+       via one map-side-combined filtered count; final (n DESC, value)
+       top-k is exact.
+
+    The pattern: sketches locate, exact aggregation verifies — estimates
+    never appear in the output. Returns a Dataset (value, n)."""
+    import ray
+
+    from .aggregates import partial_count
+
+    m_cand = candidate_factor * k
+    ds = ds.materialize()  # consumed twice: sketch+candidates, exact verify
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([col]).aggregate([([], "count_all")])
+        t = t.rename_columns([col, "n"])
+        idx = np.argsort(t["n"].to_numpy(zero_copy_only=False))[::-1][:m_cand]
+        return t.take(idx).select([col])
+
+    cand = set()
+    for chunk in ds.map_batches(local_top, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow", batch_size=4096):
+        cand.update(chunk[col].to_pylist())
+    cand = sorted(cand)
+    sk = cms_merge(ds, col, width, depth)
+    est = cms_estimate(sk, cand)
+    order = np.lexsort((np.array(cand, dtype=object), -est))[:m_cand]
+    kept = pa.array([cand[i] for i in order])
+    ref = ray.put(kept)
+
+    def keep_cand(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[col], value_set=ray.get(ref)))
+
+    exact = partial_count(ds.map_batches(keep_cand, batch_format="pyarrow"),
+                          [col])
+    out = exact.map_batches(
+        lambda b: b.rename_columns([col, "n"]), batch_format="pyarrow")
+    return out.sort(["n", col], descending=[True, False]).limit(k)

@@ -117,3 +117,46 @@ def test_grouped_quantile_matches_numpy(ray_session):
         rank = min(max(math.ceil(q * len(vals)) - 1, 0), len(vals) - 1)
         assert grp["value"].iloc[0] == vals[rank], (k, q)
     assert len(out) == 20 * 2
+
+
+def test_cms_overestimates_only_and_mergeable(ray_session):
+    """CMS point estimates are >= true counts (never under), within the
+    2N/width bound for the heavy keys, and block-layout invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import cms_estimate, cms_merge
+
+    rng = np.random.RandomState(7)
+    # zipf-skewed keys: a few heavy, long tail
+    keys = rng.zipf(1.5, 20_000) % 5000
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}))
+    true = pd.Series(keys).value_counts()
+    sk = cms_merge(ds.repartition(6), "k", width=4096, depth=4)
+    probe = true.index[:50].to_numpy()
+    est = cms_estimate(sk, probe)
+    assert (est >= true.loc[probe].to_numpy()).all()  # overestimate only
+    # error bound: eps = 2N/width with high probability
+    assert (est - true.loc[probe].to_numpy() <= 2 * len(keys) / 4096 + 1).all()
+    sk2 = cms_merge(ds.repartition(2), "k", width=4096, depth=4)
+    assert (sk == sk2).all()  # mergeable: elementwise-sum invariant
+
+
+def test_heavy_hitters_exact_counts(ray_session):
+    """heavy_hitters_exact returns the EXACT top-k (values and counts match
+    a pandas groupby), regardless of sketch noise, at any partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(3)
+    words = [f"w{z}" for z in rng.zipf(1.3, 30_000) % 800]
+    ds = rd.from_pandas(pd.DataFrame({"w": words})).repartition(7)
+    out = heavy_hitters_exact(ds, "w", 15).to_pandas()
+    vc = pd.Series(words).value_counts()
+    exp = (pd.DataFrame({"w": vc.index, "n": vc.to_numpy()})
+           .sort_values(["n", "w"], ascending=[False, True]).head(15)
+           .reset_index(drop=True))
+    assert list(out["w"]) == list(exp["w"])
+    assert list(out["n"]) == list(exp["n"])
