@@ -1088,6 +1088,31 @@ VALUE_TIERS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"),
                (250.0, 500.0, "high")]
 
 
+def q_events_orders_outer(sf_dir: str):
+    """FULL OUTER join of per-user event counts vs per-customer URGENT
+    order counts — both sides aggregated to one row per key BEFORE the
+    join (the shuffle moves counts, not raw facts), then one pure-Arrow
+    co-partitioned full outer: unmatched users on either side survive
+    with a typed-null count, int64 ids never coerce to float."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.joins import full_outer_join
+
+    ev = partial_count(
+        _read(sf_dir, "events", ["user_id"], rows_per_block=20000),
+        ["user_id"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "n_events"]),
+        batch_format="pyarrow")
+    urg = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"],
+                rows_per_block=20000).map_batches(
+        lambda b: b.filter(
+            pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"]),
+        batch_format="pyarrow")
+    od = partial_count(urg, ["o_custkey"]).map_batches(
+        lambda b: b.rename_columns(["user_id", "n_orders"]),
+        batch_format="pyarrow")
+    return full_outer_join(ev, od, "user_id", "user_id")
+
+
 def q_events_tier_join(sf_dir: str):
     """Non-equi range join: each event's value matched to its tier band —
     dimension broadcast once, one vectorized searchsorted per batch, zero
@@ -1775,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": q_kg_walks,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
+        "events_orders_outer": q_events_orders_outer,
         "events_value_ntile": q_events_value_ntile,
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
@@ -2483,6 +2509,17 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents WHERE trim(text) != '')
             SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "events_orders_outer": """
+            WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY user_id),
+                 o AS (SELECT o_custkey AS user_id,
+                              CAST(count(*) AS BIGINT) AS n_orders
+                       FROM orders WHERE o_orderpriority = '1-URGENT'
+                       GROUP BY o_custkey)
+            SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+                   e.n_events, o.n_orders
+            FROM e FULL JOIN o ON e.user_id = o.user_id
         """,
         "events_profile": """
             SELECT 'event_id' AS column,

@@ -317,6 +317,35 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def full_outer_join(left_ds, right_ds, left_on: str, right_on: str,
+                    num_buckets: int = 32):
+    """Co-partitioned FULL OUTER equi join — the join type the pandas-merge
+    path can't do safely: unmatched rows on EITHER side would null-pad int64
+    columns through pandas and corrupt 64-bit ids (see :func:`_split_sides`).
+    Here each bucket joins with ``pyarrow.Table.join("full outer")`` — pure
+    Arrow end to end, unmatched rows carry typed nulls, int64 stays int64.
+
+    Same single union-bucket shuffle as :func:`hash_join`; a key hashes to
+    one bucket on both sides, so per-bucket full outer composes to the
+    global full outer (a row unmatched in its bucket is unmatched globally).
+    With ``left_on == right_on`` the key column is coalesced (Arrow
+    ``coalesce_keys``); with distinct names both key columns appear, each
+    null on the side that didn't match. Right-side name collisions get the
+    ``_r`` suffix."""
+    left_cols, _ = _side_columns(left_ds)
+    right_cols, _ = _side_columns(right_ds)
+    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        l = g.filter(pc.equal(g["_side"], 0)).select(left_cols).combine_chunks()
+        r = g.filter(pc.equal(g["_side"], 1)).select(right_cols).combine_chunks()
+        return l.join(r, keys=[left_on], right_keys=[right_on],
+                      join_type="full outer", right_suffix="_r",
+                      coalesce_keys=True).combine_chunks()
+
+    return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
 def _join_out_schema(left_ds, right_ds, left_on: str, right_on: str,
                      how: str) -> pa.Schema:
     """Output schema of a pandas-suffix-rule equi join (left unsuffixed,

@@ -275,3 +275,45 @@ def test_interval_join_rejects_overlap(ray_session):
     empty_width = pd.DataFrame({"lo": [3.0], "hi": [3.0], "t": ["x"]})
     with pytest.raises(ValueError):
         interval_join(ds, empty_width, "v")
+
+
+def test_full_outer_join_matches_pandas(ray_session):
+    """Full outer vs pandas outer merge on overlapping + disjoint keys;
+    typed nulls on the unmatched side; layout-invariant."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import full_outer_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 4], "a": [10, 20, 30, 40]})
+    r = pd.DataFrame({"k": [3, 4, 5, 6], "b": [300, 400, 500, 600]})
+    out = full_outer_join(
+        rd.from_pandas(l).repartition(3), rd.from_pandas(r).repartition(2),
+        "k", "k", num_buckets=4).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = l.merge(r, on="k", how="outer").sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == list(exp["k"])
+    assert out["a"].tolist()[:4] == [10, 20, 30, 40]
+    assert out["a"].isna().tolist() == [False] * 4 + [True] * 2
+    assert out["b"].isna().tolist() == [True] * 2 + [False] * 4
+
+
+def test_full_outer_join_preserves_large_int64(ray_session):
+    """The reason this op exists: int64 ids above 2^53 survive exactly even
+    when the other side is unmatched (pandas outer merge would corrupt them
+    via float64 null-padding)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import full_outer_join
+
+    big = 2**62 + 12345678901
+    l = rd.from_arrow(pa.table({"k": pa.array([big, big + 1], pa.int64()),
+                                "payload": pa.array([big + 7, big + 8], pa.int64())}))
+    r = rd.from_arrow(pa.table({"k": pa.array([big + 1, big + 2], pa.int64()),
+                                "w": pa.array([1, 2], pa.int64())}))
+    out = full_outer_join(l, r, "k", "k", num_buckets=2).to_pandas()
+    assert set(out["k"]) == {big, big + 1, big + 2}  # exact, not float-rounded
+    assert str(out["k"].dtype) == "int64"
+    row = out[out["k"] == big].iloc[0]
+    assert row["payload"] == big + 7 and pd.isna(row["w"])
