@@ -1195,6 +1195,56 @@ def q_kg_walks(sf_dir: str):
     return random_walks(und, seeds, steps=2, walks_per_seed=2)
 
 
+def q_kg_kcore(sf_dir: str):
+    """2-core of the doc↔entity graph (dense-community extraction /
+    pendant pruning before embedding training): distributed peeling —
+    per round one map-side-combined degree count + two adaptive
+    semi-joins, early exit at the fixpoint. Oracle: the same peeling
+    unrolled as SQL levels (extra levels past convergence are no-ops)."""
+    from cattle_ray.stages.graph import kcore
+
+    edges = (
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(
+            lambda b: pa.table({
+                "s": pc.replace_substring_regex(b["subj"], "#.*$", ""),
+                "o": b["obj"],
+            }),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    und = edges.union(edges.map_batches(
+        lambda b: pa.table({"s": b["o"], "o": b["s"]}),
+        batch_format="pyarrow"))
+    return kcore(und, 2, src="s", dst="o")
+
+
+_KCORE_LEVELS = 12
+
+
+def _kcore_oracle_sql(k: int, levels: int = _KCORE_LEVELS) -> str:
+    """Peeling unrolled: level i filters e{i} to edges whose BOTH endpoints
+    have degree >= k in e{i}; converged levels pass through unchanged."""
+    parts = [f"""
+            e0 AS MATERIALIZED (SELECT DISTINCT s, o FROM (
+                SELECT regexp_replace(subj, '#.*$', '') AS s, obj AS o
+                FROM triples WHERE pred = '{EX}entity'
+                UNION ALL
+                SELECT obj AS s, regexp_replace(subj, '#.*$', '') AS o
+                FROM triples WHERE pred = '{EX}entity'))"""]
+    for i in range(levels):
+        parts.append(f"""
+            k{i} AS MATERIALIZED (SELECT s FROM e{i} GROUP BY s
+                                  HAVING count(*) >= {k}),
+            e{i + 1} AS MATERIALIZED (SELECT e.s, e.o FROM e{i} e
+                         JOIN k{i} a ON e.s = a.s
+                         JOIN k{i} b ON e.o = b.s)""")
+    return (_TRIPLE_BASE_CTE + "," + ",".join(parts) + f"""
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e{levels} GROUP BY s""")
+
+
 def q_doc_heavy_terms(sf_dir: str):
     """Approximate-locate, exact-verify heavy hitters: a merged count-min
     sketch + per-batch local tops nominate candidates, then ONE filtered
@@ -1798,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_related_pairs": q_doc_related_pairs,
         "doc_rollup": q_doc_rollup,
         "kg_walks": q_kg_walks,
+        "kg_kcore": q_kg_kcore,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
         "events_orders_outer": q_events_orders_outer,
@@ -2542,6 +2593,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM events
         """,
         # walk-step arithmetic mirrors graph.random_walks verbatim
+        "kg_kcore": _kcore_oracle_sql(2),
         "kg_walks": _TRIPLE_BASE_CTE + rf""",
             e0 AS (SELECT regexp_replace(subj, '#.*$', '') AS s, obj AS o
                    FROM triples WHERE pred = '{EX}entity'),

@@ -664,3 +664,68 @@ def random_walks(edges_ds, seeds_ds, *, src: str = "s", dst: str = "o",
     for lay in layers[1:]:
         out = out.union(lay)
     return out
+
+
+def kcore(edges_ds, k: int, *, src: str = "s", dst: str = "o",
+          max_rounds: int = 30, num_buckets: int = 32):
+    """k-core decomposition by distributed peeling: repeatedly drop nodes
+    whose (current) degree is below ``k`` until a fixpoint — the classic
+    maximal-subgraph-with-min-degree-k computation (dense-community
+    extraction / graph cleaning before embedding training).
+
+    Input is the SYMMETRIZED neighbor list of an undirected graph (each
+    edge present in both directions; duplicates deduped here). Per round:
+
+    - one map-side-combined degree count (:func:`~.aggregates.partial_count`
+      — shuffle moves (node, partial) rows, never the edge list);
+    - survivors (degree ≥ k) filter BOTH endpoint columns via the adaptive
+      :func:`~.joins.semi_join` (broadcast ``pc.is_in`` while the survivor
+      set is small, distributed bucketed anti/semi machinery when not);
+    - the shrunken edge list is materialized so round r+1 reads blocks,
+      not a replay of rounds 1..r (same per-round discipline as
+      :func:`pagerank` / :func:`transitive_closure`).
+
+    Rounds needed = peeling depth of the graph (typically ≤ ~10 even on
+    web graphs — each round strips a whole "onion layer", not one node).
+    Early exit when the survivor count stops shrinking. Returns
+    (node, deg) for every node of the k-core; empty if none survives.
+    """
+    from .aggregates import distinct, partial_count
+    from .joins import semi_join
+
+    edges = distinct(
+        edges_ds.map_batches(lambda b: b.select([src, dst]),
+                             batch_format="pyarrow"),
+        [src, dst], num_buckets=num_buckets).materialize()
+
+    prev_nodes = None
+    for _ in range(max_rounds):
+        deg = partial_count(edges, [src], num_buckets=num_buckets)
+        keep = deg.filter(expr=f"n >= {int(k)}").map_batches(
+            lambda b: b.select([src]), batch_format="pyarrow").materialize()
+        n_keep = keep.count()
+        if n_keep == 0:
+            import ray.data as rd
+
+            node_t = _to_arrow_t(edges.schema(), src)
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], node_t),
+                "deg": pa.array([], pa.int64())}))
+        if prev_nodes is not None and n_keep == prev_nodes:
+            break  # fixpoint: nobody dropped, degrees can't change
+        prev_nodes = n_keep
+        edges = semi_join(edges, keep, src, src, num_buckets=num_buckets)
+        edges = semi_join(edges, keep, dst, src,
+                          num_buckets=num_buckets).materialize()
+    deg = partial_count(edges, [src], num_buckets=num_buckets)
+    return deg.map_batches(
+        lambda b: pa.table({"node": b[src],
+                            "deg": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _to_arrow_t(schema, name: str):
+    for n, t in zip(schema.names, schema.types):
+        if n == name:
+            return t if isinstance(t, pa.DataType) else pa.string()
+    raise KeyError(name)

@@ -112,3 +112,69 @@ def test_uri_ids64_no_collisions_past_2_16():
     uris = pa.array([f"https://example.org/id/entity/Entity{i}" for i in range(n)])
     ids = uri_ids64(uris).to_pylist()
     assert len(set(ids)) == n
+
+
+def _sym(pairs):
+    out = set()
+    for a, b in pairs:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+def _kcore_ref(pairs, k):
+    """Sequential peeling reference."""
+    adj = {}
+    for a, b in _sym(pairs):
+        adj.setdefault(a, set()).add(b)
+    changed = True
+    while changed:
+        changed = False
+        for n in [n for n, nb in adj.items() if len(nb) < k]:
+            for m in adj.pop(n):
+                adj[m].discard(n)
+            changed = True
+    return {n: len(nb) for n, nb in adj.items() if nb}
+
+
+def test_kcore_peels_to_reference(ray_session):
+    """Chain + pendant + clique graph: 2-core strips the chain layer by
+    layer (multi-round peeling), 3-core keeps only the 4-clique; both match
+    a sequential peeling reference; string node ids exercise the key-type-
+    aware shuffle path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import kcore
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+              ("c", "d")]
+    cycle = [("p", "q"), ("q", "r"), ("r", "p"), ("p", "a")]
+    chain = [("d", "x1"), ("x1", "x2"), ("x2", "x3")]
+    pairs = clique + cycle + chain
+    und = pd.DataFrame(_sym(pairs), columns=["s", "o"])
+    ds = rd.from_pandas(und).repartition(4)
+    for k in (2, 3):
+        got = {r["node"]: r["deg"] for r in kcore(ds, k).take_all()}
+        assert got == _kcore_ref(pairs, k), k
+
+
+def test_kcore_random_graph_and_empty(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import kcore
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 60, 400)
+    b = rng.randint(0, 60, 400)
+    pairs = [(int(x), int(y)) for x, y in zip(a, b) if x != y]
+    und = pd.DataFrame(_sym(pairs), columns=["s", "o"])
+    ds = rd.from_pandas(und).repartition(5)
+    got = {r["node"]: r["deg"] for r in kcore(ds, 8).take_all()}
+    assert got == _kcore_ref(pairs, 8)
+    # k above max degree: empty result with stable (node, deg) schema
+    empty = kcore(ds, 10_000)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"node", "deg"}
