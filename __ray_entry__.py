@@ -1088,6 +1088,29 @@ VALUE_TIERS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"),
                (250.0, 500.0, "high")]
 
 
+def q_events_dominant_type(sf_dir: str):
+    """Grouped mode: each user's most frequent event type (deterministic
+    tie-break) — one map-side-combined count, then a per-key argmax over
+    the tiny count table. The mode costs what the count costs."""
+    from cattle_ray.stages.aggregates import grouped_mode
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               rows_per_block=20000)
+    return grouped_mode(ev, "user_id", "event_type")
+
+
+def q_events_latest(sf_dir: str):
+    """Latest row per key (recrawl/upsert semantics — a url crawled many
+    times keeps its newest capture; here: each user's most recent event).
+    Map-side local argmax thins every batch to one row per key BEFORE the
+    shuffle, so payload columns never amplify."""
+    from cattle_ray.stages.dedup import latest_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20000)
+    return latest_by_key(ev, "user_id", "ts", tie_cols=("event_id",))
+
+
 def q_events_orders_outer(sf_dir: str):
     """FULL OUTER join of per-user event counts vs per-customer URGENT
     order counts — both sides aggregated to one row per key BEFORE the
@@ -1851,6 +1874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
+        "events_dominant_type": q_events_dominant_type,
+        "events_latest": q_events_latest,
         "events_orders_outer": q_events_orders_outer,
         "events_value_ntile": q_events_value_ntile,
         "events_type_pivot": q_events_type_pivot,
@@ -2560,6 +2585,23 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents WHERE trim(text) != '')
             SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "events_dominant_type": """
+            WITH c AS (SELECT user_id, event_type,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id, event_type),
+                 r AS (SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk FROM c)
+            SELECT user_id, event_type, n FROM r WHERE rk = 1
+        """,
+        "events_latest": """
+            WITH r AS (SELECT event_id, ts, user_id, value,
+                              row_number() OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id) AS rk
+                       FROM events)
+            SELECT event_id, ts, user_id, value FROM r WHERE rk = 1
         """,
         "events_orders_outer": """
             WITH e AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events

@@ -83,6 +83,13 @@ def cmd_pages(args):
         pages = read_pages_jsonl(args.input)
     else:
         pages = rd.read_parquet(args.input)
+    if getattr(args, "latest_per_url", False):
+        # recrawl upsert: many captures of a url → keep the newest by
+        # warc_ts BEFORE extraction (map-side argmax thins each batch to
+        # one row per url, so html payloads don't amplify in the shuffle)
+        from .stages.dedup import latest_by_key
+
+        pages = latest_by_key(pages, "url", "warc_ts")
     triples = build_triples(pages, graph=args.graph or "https://example.org/graph/run")
     if args.format == "nquads":
         from .sources.nquads import write_nquads
@@ -186,6 +193,9 @@ def main(argv=None):
     g.add_argument("out")
     g.add_argument("--graph")
     g.add_argument("--partitions", type=int, default=16)
+    g.add_argument("--latest-per-url", action="store_true",
+                   help="keep only the newest capture of each url "
+                        "(recrawl upsert by warc_ts) before extraction")
     g.add_argument("--format", choices=["parquet", "nquads"], default="parquet",
                    help="parquet = subject-partitioned sorted tables; "
                         "nquads = distributed line-format .nq part files")

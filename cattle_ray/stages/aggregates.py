@@ -193,3 +193,15 @@ def grouped_topk(ds, key: str, order_cols, ascending, k: int,
         .groupby("_bucket")
         .map_groups(head, batch_format="pandas")
     )
+
+
+def grouped_mode(ds, key: str, value_col: str, num_buckets: int = 32):
+    """Most frequent value per key (grouped mode) with a deterministic
+    tie-break (higher count first, then value ascending): ONE map-side-
+    combined count — the shuffle moves (key, value, partial) rows, never
+    the facts — then a per-key argmax over that tiny count table via
+    :func:`grouped_topk` (k=1). The mode costs what the count costs.
+    Output columns: (key, value_col, n)."""
+    counts = partial_count(ds, [key, value_col], num_buckets=num_buckets)
+    return grouped_topk(counts, key, ["n", value_col], [False, True], 1,
+                        num_buckets=num_buckets)

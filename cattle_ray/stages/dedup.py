@@ -1069,3 +1069,32 @@ def snapshot_diff(old_ds, new_ds, cols, num_buckets: int = 64,
 
     return unioned.groupby("_bucket").map_groups(diff_bucket,
                                                  batch_format="pandas")
+
+
+def latest_by_key(ds, key: str, ts_col: str, tie_cols=(),
+                  num_buckets: int = 64):
+    """Keep the NEWEST row per key — recrawl upsert semantics: a url
+    crawled many times keeps only its latest capture (the reference's
+    replace-on-reupload, `src/cattle.py:113-146`, as a corpus-wide op).
+
+    Scale shape: a map-side local argmax runs first, so each BATCH forwards
+    at most one row per key and the bucketed shuffle moves ~one row per
+    (key, batch) — a url recrawled 100× within a batch ships once, and
+    payload columns (html) never amplify. The per-bucket finish is the same
+    vectorized sort + ``groupby.head(1)``, no per-key UDF calls.
+
+    Determinism: rows are ordered by (``ts_col`` DESC, *``tie_cols`` ASC);
+    pass tie columns (e.g. a content hash) if equal-timestamp recrawls are
+    possible, else the pick among exact ties follows input order."""
+    order = [ts_col] + list(tie_cols)
+    asc = [False] + [True] * len(tie_cols)
+
+    def local_latest(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([key] + order, ascending=[True] + asc,
+                          kind="mergesort")
+        return g.groupby(key, sort=False).head(1)
+
+    from .aggregates import grouped_topk
+
+    thinned = ds.map_batches(local_latest, batch_format="pandas")
+    return grouped_topk(thinned, key, order, asc, 1, num_buckets=num_buckets)

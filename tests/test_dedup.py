@@ -157,3 +157,40 @@ def test_minhash_sig_persistence_parity(ray_session, tmp_path):
     assert len(mem) >= 3
     import os
     assert any(f.endswith(".parquet") for f in os.listdir(tmp_path / "sigs"))
+
+
+def test_latest_by_key_keeps_newest_per_key(ray_session):
+    """Recrawl upsert: duplicated urls keep the max-ts capture; ts ties
+    break deterministically on tie_cols; layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import latest_by_key
+
+    df = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u2", "u2", "u3", "u4", "u4"],
+        "warc_ts": [5, 9, 3, 3, 1, 7, 2, 2],
+        "body": ["a", "b", "c", "d", "e", "f", "g", "h"],
+    })
+    for parts in (1, 4):
+        out = latest_by_key(rd.from_pandas(df).repartition(parts),
+                            "url", "warc_ts", tie_cols=("body",)).to_pandas()
+        got = dict(zip(out["url"], out["body"]))
+        # u2: ts tie 3/3 → smaller body "c"; u4: tie 2/2 → "g"
+        assert got == {"u1": "b", "u2": "c", "u3": "f", "u4": "g"}, parts
+
+
+def test_grouped_mode_deterministic_tiebreak(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_mode
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 2, 2, 3],
+        "v": ["x", "y", "x", "a", "b", "b", "a", "z"],
+    })
+    out = grouped_mode(rd.from_pandas(df).repartition(3), "k", "v").to_pandas()
+    got = {r.k: (r.v, r.n) for r in out.itertuples()}
+    # k=2 ties a:2 b:2 → value-ascending tie-break picks "a"
+    assert got == {1: ("x", 2), 2: ("a", 2), 3: ("z", 1)}

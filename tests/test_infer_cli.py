@@ -201,3 +201,69 @@ def test_cli_curate(tmp_path):
          "curate", src, str(tmp_path / "k2"), "--config", cfgp],
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode != 0 and "unknown curation rules" in r.stderr
+
+
+def test_cli_pages_latest_per_url(tmp_path):
+    """--latest-per-url: a url recrawled at a later warc_ts contributes
+    only its newest capture's triples (recrawl upsert before extraction)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cattle_ray.pages import pages_table
+
+    import datetime
+
+    pages = pages_table(40)
+    # recrawl page 0 (2 embedded tables): same url, LATER ts, the html of
+    # page 4 (1 table) — the upserted run must emit page-4-shaped triples
+    # under url 0 and drop the stale capture's #table1 rows
+    donor = 4
+    cols = {}
+    for name in pages.schema.names:
+        if name == "url":
+            cols[name] = pages[name][:1]
+        elif name == "warc_ts":
+            later = pages[name][0].as_py() + datetime.timedelta(days=1)
+            cols[name] = pa.array([later], pages[name].type)
+        else:
+            cols[name] = pages[name][donor:donor + 1]
+    recrawl = pa.Table.from_arrays(
+        [cols[n].combine_chunks() if isinstance(cols[n], pa.ChunkedArray)
+         else cols[n] for n in pages.schema.names], schema=pages.schema)
+    both = pa.concat_tables([pages, recrawl])
+    src = str(tmp_path / "pages.parquet")
+    pq.write_table(both, src)
+    env = dict(__import__("os").environ)
+
+    def run(out, *flags):
+        r = subprocess.run(
+            [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+             "pages", src, str(tmp_path / out), "--partitions", "2", *flags],
+            capture_output=True, text=True, cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.splitlines()[-1])
+
+    plain = run("t_plain")
+    latest = run("t_latest", "--latest-per-url")
+    # the upserted run drops the stale capture's triples
+    assert latest["n_triples"] < plain["n_triples"]
+
+    import duckdb
+
+    base = pages["url"][0].as_py()
+    con = duckdb.connect()
+
+    def subjects(store):
+        return {r[0] for r in con.execute(
+            f"SELECT DISTINCT subj FROM parquet_scan("
+            f"'{tmp_path}/{store}/part_id=*/*.parquet') "
+            f"WHERE subj LIKE '{base}#%'").fetchall()}
+
+    got = subjects("t_latest")
+    assert got  # newest capture still contributes triples for that url
+    assert not any("#table1" in s for s in got)  # stale 2nd table gone
+    assert any("#table1" in s for s in subjects("t_plain"))
