@@ -366,6 +366,19 @@ def q_embed_quantize(sf_dir: str):
     return ds.map_batches(quantize_embeddings_batch, batch_format="pyarrow")
 
 
+def q_embed_pca(sf_dir: str):
+    """Distributed PCA (rows-only: eigendecomposition isn't SQL): fit from
+    one streaming pass of mergeable (n, Σx, XᵀX) moment partials — driver
+    holds one d×d matrix however large the corpus — then a broadcast
+    projection onto the top-4 components, rounded for layout stability."""
+    from cattle_ray.stages.similarity import pca_fit, pca_transform
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"],
+               rows_per_block=1000).materialize()  # fit + transform passes
+    mean, comps, _ = pca_fit(ds, 4)
+    return pca_transform(ds, mean, comps)
+
+
 def q_events_hourly(sf_dir: str):
     """Windowed aggregate: tumbling 1h per user (count + rounded sum)."""
     import ray.data as rd
@@ -1086,6 +1099,39 @@ def q_events_value_hist(sf_dir: str):
 #: value-tier dimension for the range join (non-overlapping [lo, hi))
 VALUE_TIERS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"),
                (250.0, 500.0, "high")]
+
+
+def q_events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix — the composition every product-analytics
+    pipeline runs: cohort(user) = day of first event (ONE map-side-combined
+    grouped min over day partials), cohort joined back onto the user's
+    active days with the co-partitioned join (the cohort table is
+    user-sized — at scale it shuffles, never broadcasts), then distinct +
+    count per (cohort_day, active day). Facts cross exactly two bucketed
+    shuffles; the raw event rows never do (days are pre-distincted per
+    batch inside grouped_min's partial and the distinct's local pass)."""
+    from cattle_ray.stages.aggregates import distinct, grouped_minmax, partial_count
+    from cattle_ray.stages.joins import hash_join
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())  # epoch micros
+        return pa.table({"user_id": b["user_id"],
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    days = distinct(
+        _read(sf_dir, "events", ["ts", "user_id"], rows_per_block=20000)
+        .map_batches(to_day, batch_format="pyarrow"),
+        ["user_id", "day"]).materialize()  # consumed twice: cohort + join
+    cohort = grouped_minmax(days, ["user_id"], "day", "min").map_batches(
+        lambda b: b.rename_columns(["user_id", "cohort_day"]),
+        batch_format="pyarrow")
+    joined = hash_join(days, cohort, "user_id", "user_id")
+    out = partial_count(joined, ["cohort_day", "day"])
+    return out.map_batches(
+        lambda b: pa.table({"cohort_day": pc.cast(b["cohort_day"], pa.int64()),
+                            "day": pc.cast(b["day"], pa.int64()),
+                            "n_users": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_events_dominant_type(sf_dir: str):
@@ -1834,6 +1880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": q_doc_repetition,
         "doc_domain_sample": q_doc_domain_sample,
         "doc_decontaminate": q_doc_decontaminate,
+        "embed_pca": q_embed_pca,
         "embed_quantize": q_embed_quantize,
         "doc_term_stats": q_doc_term_stats,
         "kg_graph_stats": q_kg_graph_stats,
@@ -1874,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
+        "events_cohort_retention": q_events_cohort_retention,
         "events_dominant_type": q_events_dominant_type,
         "events_latest": q_events_latest,
         "events_orders_outer": q_events_orders_outer,
@@ -2585,6 +2633,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents WHERE trim(text) != '')
             SELECT term, CAST(count(*) AS BIGINT) AS n FROM t
             GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "events_cohort_retention": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+                 c AS (SELECT user_id, min(day) AS cohort_day
+                       FROM d GROUP BY user_id)
+            SELECT c.cohort_day, d.day, CAST(count(*) AS BIGINT) AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY c.cohort_day, d.day
         """,
         "events_dominant_type": """
             WITH c AS (SELECT user_id, event_type,

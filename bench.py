@@ -112,6 +112,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_zscore",
         "doc_corpus_report",
         "events_value_hist",
+        # second-continuation operators
+        "events_value_ntile",
+        "events_type_pivot",
+        "doc_related_pairs",
+        "doc_rollup",
+        "kg_walks",
+        "doc_heavy_terms",
+        "events_profile",
+        "events_orders_outer",
+        "kg_kcore",
+        "events_dominant_type",
+        "events_latest",
+        "events_cohort_retention",
+        "embed_pca",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -85,11 +85,17 @@ def cmd_pages(args):
         pages = rd.read_parquet(args.input)
     if getattr(args, "latest_per_url", False):
         # recrawl upsert: many captures of a url → keep the newest by
-        # warc_ts BEFORE extraction (map-side argmax thins each batch to
-        # one row per url, so html payloads don't amplify in the shuffle)
-        from .stages.dedup import latest_by_key
+        # warc_ts BEFORE extraction. Winners are decided over projected
+        # (url, ts, hash) columns; html never enters a shuffle. The content
+        # hash breaks exact warc_ts ties so exactly one capture survives.
+        from .stages.dedup import add_content_hash, latest_by_key
 
-        pages = latest_by_key(pages, "url", "warc_ts")
+        pages = pages.map_batches(
+            lambda b: add_content_hash(b, ["html"], "_h"),
+            batch_format="pyarrow")
+        pages = latest_by_key(pages, "url", "warc_ts", tie_cols=("_h",))
+        pages = pages.map_batches(lambda b: b.drop_columns(["_h"]),
+                                  batch_format="pyarrow")
     triples = build_triples(pages, graph=args.graph or "https://example.org/graph/run")
     if args.format == "nquads":
         from .sources.nquads import write_nquads

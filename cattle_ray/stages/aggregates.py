@@ -205,3 +205,28 @@ def grouped_mode(ds, key: str, value_col: str, num_buckets: int = 32):
     counts = partial_count(ds, [key, value_col], num_buckets=num_buckets)
     return grouped_topk(counts, key, ["n", value_col], [False, True], 1,
                         num_buckets=num_buckets)
+
+
+def grouped_minmax(ds, keys, col: str, agg: str = "min",
+                   shuffle_blocks: int = 16, num_buckets: int = 32):
+    """Grouped MIN or MAX with map-side combine (the partial_count pattern
+    for an idempotent reduce): per batch one Arrow C++ group_by emits one
+    (keys, partial) row, the shuffle moves partials, a bucketed pandas
+    min/max finishes. Output columns: keys + [col]."""
+    assert agg in ("min", "max")
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(keys).aggregate([(col, agg)])
+        return out.rename_columns(keys + [col])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda b: add_key_bucket(b, keys, num_buckets), batch_format="pyarrow"
+    )
+    partials = coalesce_small(partials, shuffle_blocks)
+
+    def finish(g):
+        f = getattr(g.groupby(keys, sort=False)[col], agg)
+        return f().reset_index()
+
+    return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")

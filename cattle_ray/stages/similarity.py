@@ -367,3 +367,88 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
         .groupby("_bucket")
         .map_groups(drop_dups, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (embedding whitening / dimensionality reduction)
+
+
+def pca_fit(ds, n_components: int, vec_col: str = "embedding"):
+    """Fit PCA over an embedding corpus in ONE streaming pass: each batch
+    emits its (n, Σx, ΣxᵀX) moment partials — a d-vector and a d×d matrix,
+    a few KB regardless of batch size — and the driver sums them (the same
+    bounded-driver-memory merge as the CMS/HLL sketches; moments are exactly
+    mergeable, so the result is corpus-order independent up to float
+    summation ulps). The d×d covariance eigendecomposition runs on the
+    driver (d ≤ a few thousand — never corpus-sized work).
+
+    Sign convention: each component's largest-|loading| coordinate is made
+    positive, so components are deterministic across BLAS builds/runs.
+
+    Returns ``(mean [d], components [n_components×d], explained_ratio)``.
+    """
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
+            "xtx": pa.array([(x.T @ x).tobytes()], pa.binary()),
+        })
+
+    n_tot, s, xtx = 0, None, None
+    parts = ds.map_batches(moments, batch_format="pyarrow")
+    for chunk in parts.iter_batches(batch_format="pyarrow", batch_size=64):
+        for i in range(len(chunk)):
+            n_tot += chunk["n"][i].as_py()
+            sv = np.frombuffer(chunk["s"][i].as_py(), dtype=np.float64)
+            xv = np.frombuffer(chunk["xtx"][i].as_py(), dtype=np.float64)
+            s = sv if s is None else s + sv
+            xtx = xv if xtx is None else xtx + xv
+    if n_tot < 2:
+        raise ValueError("pca_fit needs at least 2 vectors")
+    d = len(s)
+    mean = s / n_tot
+    cov = (xtx.reshape(d, d) - n_tot * np.outer(mean, mean)) / (n_tot - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # k×d
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    ratio = evals[order] / max(evals.sum(), 1e-300)
+    return mean, comps, ratio
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  round_to: int | None = 6):
+    """Project every vector onto the fitted components — model broadcast
+    ONCE (``ray.put``), one numpy matmul per batch. Emits EXPLODED rows
+    (id, dim [1-based], value) — scalar columns, scan-friendly. ``round_to``
+    quantizes the projection so output is stable across batch layouts."""
+    import ray
+
+    ref = ray.put((np.asarray(mean), np.asarray(components)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        m, c = ray.get(ref)
+        k = c.shape[0]
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "value": pa.array([], pa.float64())})
+        x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        p = (x - m) @ c.T
+        if round_to is not None:
+            p = np.round(p, round_to)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, k)),
+            "dim": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+            "value": pa.array(p.reshape(-1), pa.float64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -194,3 +194,21 @@ def test_grouped_mode_deterministic_tiebreak(ray_session):
     got = {r.k: (r.v, r.n) for r in out.itertuples()}
     # k=2 ties a:2 b:2 → value-ascending tie-break picks "a"
     assert got == {1: ("x", 2), 2: ("a", 2), 3: ("z", 1)}
+
+
+def test_grouped_minmax_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_minmax
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"k": rng.randint(0, 40, 500),
+                       "v": rng.randint(-1000, 1000, 500)})
+    ds = rd.from_pandas(df).repartition(6)
+    for agg, ref in (("min", df.groupby("k")["v"].min()),
+                     ("max", df.groupby("k")["v"].max())):
+        out = grouped_minmax(ds, ["k"], "v", agg).to_pandas()
+        got = dict(zip(out["k"], out["v"]))
+        assert got == ref.to_dict(), agg

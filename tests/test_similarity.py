@@ -184,3 +184,44 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
         rd.from_arrow(t).repartition(7), threshold=0.99, n_clusters=4
     ).to_pandas()
     assert set(kept2["vec_id"]) == kept_ids
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    """Streaming-moment PCA == full-matrix numpy PCA (same sign convention);
+    projections match to float tolerance; mergeable partials make the fit
+    layout-insensitive (1e-9 across repartitions)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import pca_fit, pca_transform
+
+    rng = np.random.RandomState(4)
+    # anisotropic cloud: clear principal directions
+    base = rng.randn(400, 8) @ np.diag([5, 3, 2, 1, .5, .3, .2, .1])
+    df = pd.DataFrame({"vec_id": np.arange(400),
+                       "embedding": [r.astype(np.float32) for r in base]})
+    ds = rd.from_pandas(df).repartition(5)
+    mean, comps, ratio = pca_fit(ds, 3)
+
+    x = np.stack(df["embedding"]).astype(np.float64)
+    ref_mean = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    ref = evec[:, order].T
+    flip = np.sign(ref[np.arange(3), np.abs(ref).argmax(axis=1)])
+    ref = ref * flip[:, None]
+
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-7)
+    assert ratio[0] > ratio[1] > ratio[2] > 0
+
+    mean2, comps2, _ = pca_fit(ds.repartition(2), 3)
+    assert np.allclose(comps, comps2, atol=1e-9)
+
+    out = pca_transform(ds, mean, comps).to_pandas()
+    assert len(out) == 400 * 3
+    got = out[out["vec_id"] == 7].sort_values("dim")["value"].to_numpy()
+    want = np.round((x[7] - ref_mean) @ ref.T, 6)
+    assert np.allclose(got, want, atol=1e-5)
