@@ -283,6 +283,25 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical normalization fingerprint (the identity used by
+    normalized exact dedup): NFC + lower + whitespace collapse + trim,
+    all Arrow C++/RE2 kernels mirrored verbatim in SQL, then md5."""
+    import hashlib
+
+    from cattle_ray.stages.textstats import normalize_text_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        b = normalize_text_batch(b)
+        md5s = [hashlib.md5((t or "").encode()).hexdigest()
+                for t in b["norm"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "norm_md5": pa.array(md5s, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language-ID (oracle: per-language stopword counts inlined
     in SQL, argmax with profile-order tie-break)."""
@@ -1494,6 +1513,18 @@ def q_events_users_approx(sf_dir: str):
                                               pa.int64())})
 
 
+def q_events_reach_by_type(sf_dir: str):
+    """Grouped HLL — approx distinct users PER event type (the per-domain
+    reach query at 10^12 rows): the shuffle moves one 4 KB register blob
+    per (type, block), never a row. Rows-only by design (the estimate has
+    no SQL equal); accuracy pytest-asserted at 5%."""
+    from cattle_ray.stages.sketches import approx_distinct_by_key
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"],
+               rows_per_block=20000)
+    return approx_distinct_by_key(ds, "event_type", "user_id")
+
+
 def q_events_user_quantiles(sf_dir: str):
     """Per-user exact median + p90 of event values (grouped quantiles)."""
     from cattle_ray.stages.quantiles import grouped_quantile_disc
@@ -1852,6 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_normalize": q_doc_normalize,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1921,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
+        "events_reach_by_type": q_events_reach_by_type,
         "events_cohort_retention": q_events_cohort_retention,
         "events_dominant_type": q_events_dominant_type,
         "events_latest": q_events_latest,
@@ -2146,6 +2179,12 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_normalize": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\s+', ' ', 'g'))) AS norm_md5
+            FROM documents
+        """,
         "doc_langid": _langid_sql(),
         "doc_repetition": r"""
             WITH tok AS (

@@ -126,6 +126,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_latest",
         "events_cohort_retention",
         "embed_pca",
+        "events_reach_by_type",
+        "doc_normalize",
     ]
     for name in bench_queries:
         timed(name, qs[name])

@@ -177,3 +177,66 @@ def heavy_hitters_exact(ds, col: str, k: int, *, width: int = 8192,
     out = exact.map_batches(
         lambda b: b.rename_columns([col, "n"]), batch_format="pyarrow")
     return out.sort(["n", col], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Grouped HyperLogLog (approx distinct per key)
+
+
+def hll_partial_by_key(batch: pa.Table, key: str, col: str,
+                       p: int = 12) -> pa.Table:
+    """One batch → one row PER DISTINCT KEY holding that key's 2^p HLL
+    registers. Fully vectorized: one hash pass, pandas factorize for key
+    codes, ONE ``np.maximum.at`` into a (n_keys, m) register matrix."""
+    m = 1 << p
+    col_a = batch[col]
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    h = pd.util.hash_pandas_object(col_a.to_pandas(), index=False).to_numpy()
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    suffix = h & np.uint64((1 << (64 - p)) - 1)
+    rank = ((64 - p) - _bit_length64(suffix) + 1).astype(np.uint8)
+    keys = batch[key]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    codes, uniques = pd.factorize(keys.to_pandas(), use_na_sentinel=False)
+    mat = np.zeros((len(uniques), m), dtype=np.uint8)
+    np.maximum.at(mat, (codes, idx), rank)
+    return pa.table({
+        key: pa.array(uniques, keys.type),
+        "regs": pa.array([mat[i].tobytes() for i in range(len(uniques))],
+                         pa.binary()),
+    })
+
+
+def approx_distinct_by_key(ds, key: str, col: str, p: int = 12,
+                           num_buckets: int = 32):
+    """Per-key HLL distinct estimate (reach per domain / users per type at
+    10^12 rows): the shuffle moves one 2^p-byte register blob per
+    (key, block) — independent of row count — and a bucketed groupby merges
+    blobs by elementwise max. Register memory is 2^p bytes per distinct key
+    per block: sized for low-to-mid key cardinality (types, domains,
+    languages); for millions of keys lower ``p`` or use exact
+    :func:`~.aggregates.distinct` + count. Error ≈ 1.04/√2^p (~1.6% at
+    p=12). Output: (key, approx_n:int64), deterministic (seed-fixed hash,
+    max-merge is order-free)."""
+    from .aggregates import add_key_bucket, coalesce_small
+
+    partials = ds.map_batches(lambda b: hll_partial_by_key(b, key, col, p),
+                              batch_format="pyarrow")
+    partials = partials.map_batches(
+        lambda b: add_key_bucket(b, [key], num_buckets),
+        batch_format="pyarrow")
+    partials = coalesce_small(partials)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_n = [], []
+        for k_val, grp in g.groupby(key, sort=False):
+            mat = np.stack([np.frombuffer(b, dtype=np.uint8)
+                            for b in grp["regs"]])
+            merged = mat.max(axis=0)
+            out_k.append(k_val)
+            out_n.append(int(round(_hll_estimate(merged, p))))
+        return pd.DataFrame({key: out_k, "approx_n": np.array(out_n, np.int64)})
+
+    return partials.groupby("_bucket").map_groups(merge, batch_format="pandas")

@@ -553,3 +553,38 @@ def json_int_field_batch(batch: pa.Table, col: str, field: str,
     ex = pc.extract_regex(pc.cast(batch[col], pa.string()), pattern=pat)
     v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
     return batch.append_column(out, v)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm") -> pa.Table:
+    """Canonical text normalization before dedup/fingerprinting: Unicode
+    NFC, lowercase, whitespace runs collapsed to one space, trimmed. The
+    kernel chain mirrors verbatim in SQL (nfc_normalize/lower/
+    regexp_replace/trim), so normalized-identity queries oracle-check.
+
+    NFC: pyarrow's ``utf8_normalize`` does NOT compose decomposed
+    sequences (verified on 16.1: ``e+U+0301`` stays decomposed, while
+    DuckDB/CPython compose to ``é``), so composition uses CPython's
+    ``unicodedata`` — behind a vectorized pure-ASCII prefilter (the T4
+    canonicalizer pattern): ASCII rows, the overwhelming share of a web
+    corpus, never leave Arrow; only non-ASCII rows pay the Python call."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    t = pc.cast(t, pa.string())
+    # pure-ASCII ⇔ byte length == codepoint count; null rows need no work
+    ascii_mask = pc.fill_null(
+        pc.equal(pc.binary_length(t), pc.utf8_length(t)), True)
+    na_idx = np.flatnonzero(
+        np.invert(ascii_mask.to_numpy(zero_copy_only=False)))
+    if na_idx.size:
+        import unicodedata
+
+        vals = t.to_pandas().to_numpy(dtype=object)
+        for i in na_idx:
+            vals[i] = unicodedata.normalize("NFC", vals[i])
+        t = pa.array(vals, pa.string())
+    t = pc.utf8_lower(t)
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim(t, " ")  # ASCII-space trim == SQL trim() exactly
+    return batch.append_column(out_col, t)

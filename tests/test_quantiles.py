@@ -160,3 +160,30 @@ def test_heavy_hitters_exact_counts(ray_session):
            .reset_index(drop=True))
     assert list(out["w"]) == list(exp["w"])
     assert list(out["n"]) == list(exp["n"])
+
+
+def test_grouped_hll_within_tolerance_and_layout_invariant(ray_session):
+    """Per-key HLL estimates within 5% of exact per-key distincts at p=12
+    (rse ~1.6%), identical across block layouts (max-merge is order-free)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import approx_distinct_by_key
+
+    rng = np.random.RandomState(9)
+    n = 60_000
+    df = pd.DataFrame({
+        "g": np.array(["a", "b", "c"])[rng.randint(0, 3, n)],
+        "u": rng.randint(0, 20_000, n),
+    })
+    # skew: group c sees only a narrow user range
+    df.loc[df["g"] == "c", "u"] %= 500
+    exact = df.groupby("g")["u"].nunique()
+    ds = rd.from_pandas(df)
+    got = {r["g"]: r["approx_n"]
+           for r in approx_distinct_by_key(ds.repartition(8), "g", "u").take_all()}
+    for g, e in exact.items():
+        assert abs(got[g] - e) / e < 0.05, (g, got[g], e)
+    got2 = {r["g"]: r["approx_n"]
+            for r in approx_distinct_by_key(ds.repartition(3), "g", "u").take_all()}
+    assert got == got2

@@ -230,3 +230,16 @@ def test_grouped_sums_exact(ray_session):
                         ["x", "y"]).take_all()}
     assert out["a"] == {"k": "a", "sum_x": 8, "sum_y": 80, "n": 3}
     assert out["b"] == {"k": "b", "sum_x": 7, "sum_y": 70, "n": 2}
+
+
+def test_normalize_text_batch_unicode(ray_session):
+    import pyarrow as pa
+
+    from cattle_ray.stages.textstats import normalize_text_batch
+
+    # decomposed e+combining-acute must NFC-fold to the composed \u00e9
+    decomposed = "Cafe\u0301   du  Monde"
+    out = normalize_text_batch(pa.table({"text": [
+        decomposed, "  A\tB\nC  ", "", "\u00c0\u00c9\u00ce"]}))
+    assert out["norm"].to_pylist() == [
+        "caf\u00e9 du monde", "a b c", "", "\u00e0\u00e9\u00ee"]
