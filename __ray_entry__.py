@@ -283,6 +283,16 @@ def q_doc_fingerprint(sf_dir: str):
     )
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact-substring dedup metric (Lee et al. 2022 shape): per doc, the
+    fraction of its sliding 5-word windows that occur >=2 times
+    corpus-wide. One gram census + adaptive semi-join back; text never
+    shuffles. Oracle mirrors the window explode with list slicing."""
+    from cattle_ray.stages.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def q_doc_normalize(sf_dir: str):
     """Canonical normalization fingerprint (the identity used by
     normalized exact dedup): NFC + lower + whitespace collapse + trim,
@@ -1513,6 +1523,20 @@ def q_events_users_approx(sf_dir: str):
                                               pa.int64())})
 
 
+def q_events_quantiles_approx(sf_dir: str):
+    """DDSketch-style mergeable quantiles (rows-only: approximate by
+    design, 1% relative-error guarantee pytest-asserted): one streaming
+    pass, sparse log-bucket partials sum-merge on the driver, zero
+    shuffle — the 10^12-row complement to the exact two-pass path."""
+    from cattle_ray.stages.sketches import dd_quantiles
+
+    ds = _read(sf_dir, "events", ["value"], rows_per_block=20000)
+    qs = [0.25, 0.5, 0.9, 0.99]
+    est = dd_quantiles(ds, "value", qs)
+    return pa.table({"q": pa.array(qs, pa.float64()),
+                     "est": pa.array([est[q] for q in qs], pa.float64())})
+
+
 def q_events_reach_by_type(sf_dir: str):
     """Grouped HLL — approx distinct users PER event type (the per-domain
     reach query at 10^12 rows): the shuffle moves one 4 KB register blob
@@ -1883,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_count": q_doc_token_count,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_dup_spans": q_doc_dup_spans,
         "doc_normalize": q_doc_normalize,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -1953,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": q_kg_kcore,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
+        "events_quantiles_approx": q_events_quantiles_approx,
         "events_reach_by_type": q_events_reach_by_type,
         "events_cohort_retention": q_events_cohort_retention,
         "events_dominant_type": q_events_dominant_type,
@@ -2179,6 +2205,26 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "doc_dup_spans": r"""
+            WITH t AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents WHERE trim(text) != ''),
+                 u AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 4)) AS i
+                       FROM t WHERE len(toks) >= 5),
+                 g AS (SELECT doc_id,
+                              array_to_string(toks[i:i+4], ' ') AS gram
+                       FROM u),
+                 dup AS (SELECT gram FROM g GROUP BY gram
+                         HAVING count(*) >= 2)
+            SELECT g.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(dup.gram) AS BIGINT) AS n_dup,
+                   round(CAST(count(dup.gram) AS DOUBLE) / count(*), 6)
+                       AS dup_frac
+            FROM g LEFT JOIN dup ON g.gram = dup.gram
+            GROUP BY g.doc_id
+        """,
         "doc_normalize": r"""
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(nfc_normalize(text)),

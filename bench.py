@@ -128,6 +128,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embed_pca",
         "events_reach_by_type",
         "doc_normalize",
+        "doc_dup_spans",
+        "events_quantiles_approx",
     ]
     for name in bench_queries:
         timed(name, qs[name])

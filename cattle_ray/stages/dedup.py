@@ -1128,3 +1128,58 @@ def latest_by_key(ds, key: str, ts_col: str, tie_cols=(),
     kept = semi_join(ds_id, win_ids, "_lk", "_lk", num_buckets=num_buckets)
     return kept.map_batches(lambda b: b.drop_columns(["_lk"]),
                             batch_format="pyarrow")
+
+
+def dup_span_stats(ds, k: int = 10, id_col: str = "doc_id",
+                   text_col: str = "text", min_count: int = 2,
+                   num_buckets: int = 64):
+    """Per-doc duplicated-span coverage — the exact-substring dedup metric
+    (Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" shape): the fraction of a doc's sliding k-word windows that
+    occur ≥ ``min_count`` times corpus-wide. High coverage ⇒ the doc is
+    largely built from text that exists elsewhere (mirrors, templates,
+    quotations) and is a dedup/downweight candidate.
+
+    Scale shape: grams explode 1:1 with tokens (sliding, not chunked — the
+    k× blowup is in bytes per row, not rows); the corpus-wide gram census
+    is ONE map-side-combined count; duplicated grams filter back onto the
+    per-doc gram stream through the adaptive semi-join; both per-doc
+    counts are map-side-combined and meet in a pure-Arrow full outer join.
+    Text payloads never shuffle — only (id, gram) rows do. Returns
+    (id, n_grams, n_dup, dup_frac)."""
+    from .aggregates import partial_count
+    from .joins import full_outer_join, semi_join
+    from .textstats import doc_kgram_batch
+
+    grams = ds.map_batches(
+        lambda b: doc_kgram_batch(b, k, id_col, text_col),
+        batch_format="pyarrow").materialize()  # census + dup-filter passes
+    census = partial_count(
+        grams.map_batches(lambda b: b.select(["gram"]),
+                          batch_format="pyarrow"),
+        ["gram"], num_buckets=num_buckets)
+    dup = census.filter(expr=f"n >= {int(min_count)}").map_batches(
+        lambda b: b.select(["gram"]), batch_format="pyarrow")
+    totals = partial_count(grams, [id_col], num_buckets=num_buckets)
+    dup_grams = semi_join(grams, dup, "gram", "gram",
+                          num_buckets=num_buckets)
+    dups = partial_count(dup_grams, [id_col], num_buckets=num_buckets)
+    dups = dups.map_batches(
+        lambda b: b.rename_columns([id_col, "n_dup"]), batch_format="pyarrow")
+    totals = totals.map_batches(
+        lambda b: b.rename_columns([id_col, "n_grams"]),
+        batch_format="pyarrow")
+    j = full_outer_join(totals, dups, id_col, id_col,
+                        num_buckets=num_buckets)
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = pc.fill_null(b["n_dup"], 0)
+        frac = pc.round(pc.divide(pc.cast(nd, pa.float64()),
+                                  pc.cast(b["n_grams"], pa.float64())),
+                        ndigits=6)
+        return pa.table({id_col: b[id_col],
+                         "n_grams": pc.cast(b["n_grams"], pa.int64()),
+                         "n_dup": pc.cast(nd, pa.int64()),
+                         "dup_frac": frac})
+
+    return j.map_batches(finish, batch_format="pyarrow")

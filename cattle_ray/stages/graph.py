@@ -725,7 +725,14 @@ def kcore(edges_ds, k: int, *, src: str = "s", dst: str = "o",
 
 
 def _to_arrow_t(schema, name: str):
+    """Arrow type of a schema column — pandas-block schemas carry numpy
+    dtypes, which must convert (not default to string)."""
     for n, t in zip(schema.names, schema.types):
         if n == name:
-            return t if isinstance(t, pa.DataType) else pa.string()
+            if isinstance(t, pa.DataType):
+                return t
+            try:
+                return pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                return pa.string()
     raise KeyError(name)

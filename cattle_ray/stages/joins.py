@@ -328,10 +328,10 @@ def full_outer_join(left_ds, right_ds, left_on: str, right_on: str,
     Same single union-bucket shuffle as :func:`hash_join`; a key hashes to
     one bucket on both sides, so per-bucket full outer composes to the
     global full outer (a row unmatched in its bucket is unmatched globally).
-    With ``left_on == right_on`` the key column is coalesced (Arrow
-    ``coalesce_keys``); with distinct names both key columns appear, each
-    null on the side that didn't match. Right-side name collisions get the
-    ``_r`` suffix."""
+    The key columns coalesce into ONE output column named after
+    ``left_on`` (Arrow ``coalesce_keys``) — non-null for every row
+    whichever side matched. Right-side name collisions get the ``_r``
+    suffix."""
     left_cols, _ = _side_columns(left_ds)
     right_cols, _ = _side_columns(right_ds)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)

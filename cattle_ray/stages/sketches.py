@@ -240,3 +240,74 @@ def approx_distinct_by_key(ds, key: str, col: str, p: int = 12,
         return pd.DataFrame({key: out_k, "approx_n": np.array(out_n, np.int64)})
 
     return partials.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable quantiles (relative-error guarantee)
+
+
+def dd_partial(batch: pa.Table, col: str, alpha: float = 0.01,
+               min_pos: float = 1e-9) -> pa.Table:
+    """One batch → sparse (bucket, count) rows of a DDSketch-style
+    log-bucket histogram: bucket(v) = ceil(log_γ v) with γ = (1+α)/(1−α),
+    so any quantile reconstructs within relative error α. Three zones:
+    negatives mirror positives (bucket < 0 offset), |v| < min_pos → bucket
+    0. Fully vectorized; exactly mergeable by summing counts per bucket."""
+    gamma = (1 + alpha) / (1 - alpha)
+    v = batch[col]
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+    x = x[~np.isnan(x)]
+    buckets = np.zeros(len(x), dtype=np.int64)
+    lg = np.log(gamma)
+    OFF = 1 << 40  # separates the negative mirror from the positive zone
+    pos = x >= min_pos
+    neg = x <= -min_pos
+    buckets[pos] = np.ceil(np.log(x[pos]) / lg).astype(np.int64) + 1
+    buckets[neg] = -(np.ceil(np.log(-x[neg]) / lg).astype(np.int64) + 1) - OFF
+    # near-zero zone stays bucket 0
+    ub, cnt = np.unique(buckets, return_counts=True)
+    return pa.table({"bucket": pa.array(ub, pa.int64()),
+                     "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def dd_quantiles(ds, col: str, qs, alpha: float = 0.01,
+                 min_pos: float = 1e-9):
+    """Mergeable one-pass approximate quantiles (α relative error — the
+    10^12-row complement to the exact two-pass :mod:`quantiles`): per-batch
+    sparse log-bucket histograms stream to the driver and merge by
+    bucket-count sum — driver memory is the distinct-bucket count (a few
+    hundred), zero shuffle, deterministic at any partitioning (bucketing
+    is a pure function of the value). Returns {q: estimate}; each estimate
+    is the γ-midpoint of the bucket holding the q-th rank."""
+    gamma = (1 + alpha) / (1 - alpha)
+    OFF = 1 << 40
+    parts = ds.map_batches(lambda b: dd_partial(b, col, alpha, min_pos),
+                           batch_format="pyarrow")
+    acc: dict[int, int] = {}
+    for chunk in parts.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for b, n in zip(chunk["bucket"].to_pylist(), chunk["n"].to_pylist()):
+            acc[b] = acc.get(b, 0) + n
+    if not acc:
+        return {float(q): float("nan") for q in qs}
+    buckets = np.array(sorted(acc), dtype=np.int64)
+    counts = np.array([acc[int(b)] for b in buckets], dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+
+    def value_of(b: int) -> float:
+        if b == 0:
+            return 0.0
+        if b < -OFF // 2:  # negative mirror
+            k = -(b + OFF) - 1
+            return -2 * gamma ** k / (1 + gamma)
+        k = b - 1
+        return 2 * gamma ** k / (1 + gamma)
+
+    out = {}
+    for q in qs:
+        rank = min(max(int(np.ceil(q * total)), 1), total)
+        i = int(np.searchsorted(cum, rank))
+        out[float(q)] = float(value_of(int(buckets[i])))
+    return out

@@ -588,3 +588,29 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
     t = pc.replace_substring_regex(t, r"\s+", " ")
     t = pc.utf8_trim(t, " ")  # ASCII-space trim == SQL trim() exactly
     return batch.append_column(out_col, t)
+
+
+def doc_kgram_batch(batch: pa.Table, k: int, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Every SLIDING k-word window per doc as (doc_id, gram) rows — the
+    substrate of exact-substring dedup metrics (Lee et al. 2022 style).
+    Vectorized: one explode, k−1 C-level per-doc shifts, one masked
+    string join; no per-doc Python. Docs shorter than k emit nothing."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("").str.strip()
+    ids = batch[id_col].to_pandas()
+    e = s.str.split().explode().dropna()
+    if e.empty:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "gram": pa.array([], pa.string())})
+    cols = [e]
+    g = e.groupby(level=0)
+    for j in range(1, k):
+        cols.append(g.shift(-j))
+    m = cols[-1].notna()  # window fits ⇔ the furthest shift exists
+    joined = cols[0][m].str.cat([c[m] for c in cols[1:]], sep=" ")
+    return pa.table({
+        id_col: pa.array(ids.loc[joined.index], batch[id_col].type),
+        "gram": pa.array(joined, pa.string()),
+    })

@@ -212,3 +212,28 @@ def test_grouped_minmax_matches_pandas(ray_session):
         out = grouped_minmax(ds, ["k"], "v", agg).to_pandas()
         got = dict(zip(out["k"], out["v"]))
         assert got == ref.to_dict(), agg
+
+
+def test_dup_span_stats_planted_overlap(ray_session):
+    """Two docs share one exact 5-word span; a third is unique: shared
+    windows (and only those) count as duplicated, fraction = dup/total."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import dup_span_stats
+
+    shared = "the quick brown fox jumps"
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [f"alpha beta {shared} gamma",
+                 f"{shared} delta epsilon zeta",
+                 "one two three four five six"],
+    })
+    out = dup_span_stats(rd.from_pandas(df).repartition(3), k=5).to_pandas()
+    got = {r.doc_id: (r.n_grams, r.n_dup, r.dup_frac) for r in out.itertuples()}
+    # doc1: 8 tokens → 4 windows, 1 is the shared span ("the quick brown
+    # fox jumps" occurs at alignment [2..6]); doc2: likewise 4 windows,
+    # 1 shared; doc3: 2 windows, none shared
+    assert got[1] == (4, 1, 0.25)
+    assert got[2] == (4, 1, 0.25)
+    assert got[3] == (2, 0, 0.0)

@@ -187,3 +187,26 @@ def test_grouped_hll_within_tolerance_and_layout_invariant(ray_session):
     got2 = {r["g"]: r["approx_n"]
             for r in approx_distinct_by_key(ds.repartition(3), "g", "u").take_all()}
     assert got == got2
+
+
+def test_dd_quantiles_relative_error_and_merge_invariance(ray_session):
+    """DDSketch-style quantiles within the alpha relative-error guarantee
+    on a lognormal (heavy-tailed) sample including negatives; identical
+    across block layouts (pure-function bucketing + sum-merge)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import dd_quantiles
+
+    rng = np.random.RandomState(2)
+    vals = np.concatenate([np.exp(rng.randn(40_000) * 2),
+                           -np.exp(rng.randn(10_000))])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    qs = [0.01, 0.25, 0.5, 0.9, 0.99]
+    got = dd_quantiles(ds.repartition(8), "v", qs, alpha=0.01)
+    exact = np.quantile(vals, qs)
+    for q, e in zip(qs, exact):
+        rel = abs(got[q] - e) / abs(e)
+        assert rel < 0.011, (q, got[q], e, rel)
+    got2 = dd_quantiles(ds.repartition(3), "v", qs, alpha=0.01)
+    assert got == got2
