@@ -303,8 +303,8 @@ def q_doc_normalize(sf_dir: str):
 
     def f(b: pa.Table) -> pa.Table:
         b = normalize_text_batch(b)
-        md5s = [hashlib.md5((t or "").encode()).hexdigest()
-                for t in b["norm"].to_pylist()]
+        md5s = [None if t is None else hashlib.md5(t.encode()).hexdigest()
+                for t in b["norm"].to_pylist()]  # md5(NULL) IS NULL, as SQL
         return pa.table({"doc_id": b["doc_id"],
                          "norm_md5": pa.array(md5s, pa.string())})
 
@@ -1318,7 +1318,9 @@ def q_kg_kcore(sf_dir: str):
     return kcore(und, 2, src="s", dst="o")
 
 
-_KCORE_LEVELS = 12
+#: must cover the test graph's peeling depth (engine runs to its true
+#: fixpoint; converged extra SQL levels are no-ops, so headroom is cheap)
+_KCORE_LEVELS = 16
 
 
 def _kcore_oracle_sql(k: int, levels: int = _KCORE_LEVELS) -> str:
@@ -1379,8 +1381,9 @@ def q_events_profile(sf_dir: str):
                 {"k": pa.array([b[_c].null_count], pa.int64())}),
             batch_format="pyarrow").sum("k"))
         nd = int(distinct(ev.map_batches(
-            lambda b, _c=c: b.select([_c]), batch_format="pyarrow"),
-            [c]).count())
+            lambda b, _c=c: b.select([_c]).filter(pc.is_valid(b[_c])),
+            batch_format="pyarrow"),
+            [c]).count())  # NULL excluded, = SQL count(DISTINCT)
         mn = float(ev.min(c)) if is_num else None
         mx = float(ev.max(c)) if is_num else None
         rows.append((c, nulls, nd, mn, mx))

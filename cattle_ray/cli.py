@@ -87,7 +87,10 @@ def cmd_pages(args):
         # recrawl upsert: many captures of a url → keep the newest by
         # warc_ts BEFORE extraction. Winners are decided over projected
         # (url, ts, hash) columns; html never enters a shuffle. The content
-        # hash breaks exact warc_ts ties so exactly one capture survives.
+        # hash breaks same-ts ties between DIFFERING captures; byte-
+        # identical twins (same url+ts+content, e.g. a re-uploaded dump)
+        # all pass the filter but collapse at the triple dedup (D2) below,
+        # so the OUTPUT carries no duplicates either way.
         from .stages.dedup import add_content_hash, latest_by_key
 
         pages = pages.map_batches(

@@ -699,6 +699,7 @@ def kcore(edges_ds, k: int, *, src: str = "s", dst: str = "o",
         [src, dst], num_buckets=num_buckets).materialize()
 
     prev_nodes = None
+    deg = None
     for _ in range(max_rounds):
         deg = partial_count(edges, [src], num_buckets=num_buckets)
         keep = deg.filter(expr=f"n >= {int(k)}").map_batches(
@@ -712,16 +713,22 @@ def kcore(edges_ds, k: int, *, src: str = "s", dst: str = "o",
                 "node": pa.array([], node_t),
                 "deg": pa.array([], pa.int64())}))
         if prev_nodes is not None and n_keep == prev_nodes:
-            break  # fixpoint: nobody dropped, degrees can't change
+            # fixpoint: every surviving node kept its edges this round, so
+            # this round's deg IS the k-core degree table (all rows ≥ k —
+            # equality of the keep counts forces it) — no extra pass
+            return deg.map_batches(
+                lambda b: pa.table({"node": b[src],
+                                    "deg": pc.cast(b["n"], pa.int64())}),
+                batch_format="pyarrow")
         prev_nodes = n_keep
         edges = semi_join(edges, keep, src, src, num_buckets=num_buckets)
         edges = semi_join(edges, keep, dst, src,
                           num_buckets=num_buckets).materialize()
-    deg = partial_count(edges, [src], num_buckets=num_buckets)
-    return deg.map_batches(
-        lambda b: pa.table({"node": b[src],
-                            "deg": pc.cast(b["n"], pa.int64())}),
-        batch_format="pyarrow")
+    raise ValueError(
+        f"kcore did not reach a fixpoint within max_rounds={max_rounds} "
+        f"(graph peeling depth exceeds it — e.g. a long path peels two "
+        f"nodes per round); raise max_rounds. Returning the intermediate "
+        f"subgraph would silently include nodes below degree {k}.")
 
 
 def _to_arrow_t(schema, name: str):

@@ -389,6 +389,10 @@ def pca_fit(ds, n_components: int, vec_col: str = "embedding"):
     """
 
     def moments(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty blocks occur after upstream filters
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "xtx": pa.array([], pa.binary())})
         x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
         return pa.table({
             "n": pa.array([x.shape[0]], pa.int64()),
@@ -435,8 +439,8 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
     def project(batch: pa.Table) -> pa.Table:
         m, c = ray.get(ref)
         k = c.shape[0]
-        if len(batch) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+        if len(batch) == 0:  # typed by the batch's OWN id column
+            return pa.table({id_col: pa.array([], batch[id_col].type),
                              "dim": pa.array([], pa.int64()),
                              "value": pa.array([], pa.float64())})
         x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)

@@ -127,19 +127,23 @@ def cms_estimate(matrix: np.ndarray, values) -> np.ndarray:
 
 def heavy_hitters_exact(ds, col: str, k: int, *, width: int = 8192,
                         depth: int = 4, candidate_factor: int = 4,
+                        verify_all_max: int = 100_000,
                         num_buckets: int = 32):
     """Top-k most frequent values with EXACT final counts at sketch cost:
 
-    1. one streaming pass builds a merged CMS (bounded driver memory) AND
-       per-batch local top-m candidate values (m = candidate_factor·k —
-       a true heavy hitter is a local heavy hitter in at least one batch
-       unless adversarially spread; the verify step makes any miss a
-       visible rank gap, not a silently wrong count);
-    2. candidates are pruned by CMS estimate (overestimates only — never
-       prunes a true heavy hitter below rank m);
-    3. the pruned candidate set (≤ m values, broadcast) gets EXACT counts
-       via one map-side-combined filtered count; final (n DESC, value)
-       top-k is exact.
+    1. one streaming pass builds per-batch local top-m candidate values
+       (m = candidate_factor·k — a true heavy hitter is a local heavy
+       hitter in at least one batch unless adversarially spread across
+       batches) and, if needed, a merged CMS (bounded driver memory);
+    2. candidate handling: when the candidate union is ≤
+       ``verify_all_max``, EVERY candidate gets an exact count — no sketch
+       pruning, no eviction risk. Only above that does the CMS prune to
+       m (CMS overestimates, so a true heavy hitter is dropped only if
+       > m−k other candidates' estimates are inflated past it — possible
+       on near-flat distributions, which by definition have no meaningful
+       heavy hitters; a tighter bound needs a larger ``width``);
+    3. the kept candidate set (broadcast) gets EXACT counts via one
+       map-side-combined filtered count; final (n DESC, value) top-k.
 
     The pattern: sketches locate, exact aggregation verifies — estimates
     never appear in the output. Returns a Dataset (value, n)."""
@@ -161,10 +165,13 @@ def heavy_hitters_exact(ds, col: str, k: int, *, width: int = 8192,
                    .iter_batches(batch_format="pyarrow", batch_size=4096):
         cand.update(chunk[col].to_pylist())
     cand = sorted(cand)
-    sk = cms_merge(ds, col, width, depth)
-    est = cms_estimate(sk, cand)
-    order = np.lexsort((np.array(cand, dtype=object), -est))[:m_cand]
-    kept = pa.array([cand[i] for i in order])
+    if len(cand) <= verify_all_max:
+        kept = pa.array(cand)  # exact-count everything nominated
+    else:
+        sk = cms_merge(ds, col, width, depth)
+        est = cms_estimate(sk, cand)
+        order = np.lexsort((np.array(cand, dtype=object), -est))[:m_cand]
+        kept = pa.array([cand[i] for i in order])
     ref = ray.put(kept)
 
     def keep_cand(batch: pa.Table) -> pa.Table:
@@ -249,27 +256,37 @@ def approx_distinct_by_key(ds, key: str, col: str, p: int = 12,
 def dd_partial(batch: pa.Table, col: str, alpha: float = 0.01,
                min_pos: float = 1e-9) -> pa.Table:
     """One batch → sparse (bucket, count) rows of a DDSketch-style
-    log-bucket histogram: bucket(v) = ceil(log_γ v) with γ = (1+α)/(1−α),
-    so any quantile reconstructs within relative error α. Three zones:
-    negatives mirror positives (bucket < 0 offset), |v| < min_pos → bucket
-    0. Fully vectorized; exactly mergeable by summing counts per bucket."""
+    log-bucket histogram: log index b(v) = ceil(log_γ v) with
+    γ = (1+α)/(1−α), so any quantile reconstructs within relative error α.
+    Zones are kept collision-free by a 4k+r encoding — pos → 4b+1,
+    neg mirror → 4b+3, |v| < min_pos → 0 — because the log index itself
+    ranges over ALL integers (b ≤ 0 for v < 1), so it cannot double as the
+    zone tag. Fully vectorized; exactly mergeable by summing counts."""
     gamma = (1 + alpha) / (1 - alpha)
     v = batch[col]
     if isinstance(v, pa.ChunkedArray):
         v = v.combine_chunks()
     x = v.to_numpy(zero_copy_only=False).astype(np.float64)
     x = x[~np.isnan(x)]
-    buckets = np.zeros(len(x), dtype=np.int64)
+    enc = np.zeros(len(x), dtype=np.int64)
     lg = np.log(gamma)
-    OFF = 1 << 40  # separates the negative mirror from the positive zone
     pos = x >= min_pos
     neg = x <= -min_pos
-    buckets[pos] = np.ceil(np.log(x[pos]) / lg).astype(np.int64) + 1
-    buckets[neg] = -(np.ceil(np.log(-x[neg]) / lg).astype(np.int64) + 1) - OFF
-    # near-zero zone stays bucket 0
-    ub, cnt = np.unique(buckets, return_counts=True)
+    enc[pos] = 4 * np.ceil(np.log(x[pos]) / lg).astype(np.int64) + 1
+    enc[neg] = 4 * np.ceil(np.log(-x[neg]) / lg).astype(np.int64) + 3
+    ub, cnt = np.unique(enc, return_counts=True)
     return pa.table({"bucket": pa.array(ub, pa.int64()),
                      "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+
+def _dd_value(enc: int, gamma: float) -> float:
+    """Decode a 4k+r bucket to its γ-midpoint representative value."""
+    r = enc % 4
+    if r == 0:
+        return 0.0
+    b = (enc - r) // 4
+    mid = 2 * gamma ** b / (1 + gamma)  # midpoint of (γ^(b−1), γ^b]
+    return mid if r == 1 else -mid
 
 
 def dd_quantiles(ds, col: str, qs, alpha: float = 0.01,
@@ -279,10 +296,10 @@ def dd_quantiles(ds, col: str, qs, alpha: float = 0.01,
     sparse log-bucket histograms stream to the driver and merge by
     bucket-count sum — driver memory is the distinct-bucket count (a few
     hundred), zero shuffle, deterministic at any partitioning (bucketing
-    is a pure function of the value). Returns {q: estimate}; each estimate
-    is the γ-midpoint of the bucket holding the q-th rank."""
+    is a pure function of the value). Buckets are ordered by their DECODED
+    value (the 4k+r encoding is not value-ordered). Returns {q: estimate};
+    each estimate is the γ-midpoint of the bucket holding the q-th rank."""
     gamma = (1 + alpha) / (1 - alpha)
-    OFF = 1 << 40
     parts = ds.map_batches(lambda b: dd_partial(b, col, alpha, min_pos),
                            batch_format="pyarrow")
     acc: dict[int, int] = {}
@@ -291,23 +308,14 @@ def dd_quantiles(ds, col: str, qs, alpha: float = 0.01,
             acc[b] = acc.get(b, 0) + n
     if not acc:
         return {float(q): float("nan") for q in qs}
-    buckets = np.array(sorted(acc), dtype=np.int64)
-    counts = np.array([acc[int(b)] for b in buckets], dtype=np.int64)
+    vals = np.array([_dd_value(b, gamma) for b in acc], dtype=np.float64)
+    counts = np.array(list(acc.values()), dtype=np.int64)
+    order = np.argsort(vals)
+    vals, counts = vals[order], counts[order]
     cum = np.cumsum(counts)
     total = int(cum[-1])
-
-    def value_of(b: int) -> float:
-        if b == 0:
-            return 0.0
-        if b < -OFF // 2:  # negative mirror
-            k = -(b + OFF) - 1
-            return -2 * gamma ** k / (1 + gamma)
-        k = b - 1
-        return 2 * gamma ** k / (1 + gamma)
-
     out = {}
     for q in qs:
         rank = min(max(int(np.ceil(q * total)), 1), total)
-        i = int(np.searchsorted(cum, rank))
-        out[float(q)] = float(value_of(int(buckets[i])))
+        out[float(q)] = float(vals[int(np.searchsorted(cum, rank))])
     return out

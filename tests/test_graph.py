@@ -178,3 +178,21 @@ def test_kcore_random_graph_and_empty(ray_session):
     empty = kcore(ds, 10_000)
     assert empty.count() == 0
     assert set(empty.schema().names) == {"node", "deg"}
+
+
+def test_kcore_raises_when_rounds_exhausted(ray_session):
+    """A 14-node path peels 2 endpoints per round (depth 7): max_rounds=3
+    must raise instead of silently returning a non-2-core."""
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import kcore
+
+    pairs = [(i, i + 1) for i in range(13)]
+    und = pd.DataFrame(_sym(pairs), columns=["s", "o"])
+    ds = rd.from_pandas(und)
+    with pytest.raises(ValueError, match="max_rounds"):
+        kcore(ds, 2, max_rounds=3)
+    # with enough rounds the same graph converges (2-core of a path: empty)
+    assert kcore(ds, 2, max_rounds=10).count() == 0

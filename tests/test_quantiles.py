@@ -210,3 +210,26 @@ def test_dd_quantiles_relative_error_and_merge_invariance(ray_session):
         assert rel < 0.011, (q, got[q], e, rel)
     got2 = dd_quantiles(ds.repartition(3), "v", qs, alpha=0.01)
     assert got == got2
+
+
+def test_dd_quantiles_subunit_and_zero_zones(ray_session):
+    """Regression: positive values just below 1 (log bucket ≤ 0) must NOT
+    collide with the near-zero zone — a corpus concentrated at 0.97 has
+    median ~0.97, not 0.0 — and mixed zero/sub-unit data orders correctly."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import dd_quantiles
+
+    ds = rd.from_pandas(pd.DataFrame({"v": [0.97] * 1000}))
+    got = dd_quantiles(ds, "v", [0.5], alpha=0.01)
+    assert abs(got[0.5] - 0.97) / 0.97 < 0.011
+
+    mixed = np.concatenate([np.zeros(100), np.full(100, 0.5),
+                            np.full(100, -0.25), np.full(100, 2.0)])
+    ds2 = rd.from_pandas(pd.DataFrame({"v": mixed}))
+    g = dd_quantiles(ds2.repartition(4), "v", [0.2, 0.45, 0.7, 0.95], alpha=0.01)
+    assert abs(g[0.2] + 0.25) < 0.01      # -0.25 zone
+    assert g[0.45] == 0.0                 # zeros
+    assert abs(g[0.7] - 0.5) < 0.01       # sub-unit positives AFTER zero
+    assert abs(g[0.95] - 2.0) < 0.03
