@@ -1163,6 +1163,43 @@ def q_events_cohort_retention(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_day_over_day(sf_dir: str):
+    """Day-over-day per-user spend delta — a COMPOSITE-key self-join:
+    daily (user, day) cent sums (one map-side-combined grouped_sums pass)
+    joined to themselves on (user_id, day) = (user_id, day+1). The value
+    tuple hashes to one bucket, so the composite join costs exactly one
+    union shuffle of the already-aggregated daily rows."""
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.joins import hash_join
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"user_id": b["user_id"],
+                         "day": pc.divide(us, 86_400_000_000),
+                         "cents": cents})
+
+    daily = grouped_sums(
+        _read(sf_dir, "events", ["ts", "user_id", "value"],
+              rows_per_block=20000).map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "day"], ["cents"]).materialize()  # both join sides
+    shifted = daily.map_batches(
+        lambda b: pa.table({"uu": b["user_id"],
+                            "day_next": pc.add(pc.cast(b["day"], pa.int64()), 1),
+                            "prev_cents": b["sum_cents"]}),
+        batch_format="pyarrow")
+    j = hash_join(daily, shifted, ["user_id", "day"], ["uu", "day_next"])
+    return j.map_batches(
+        lambda b: pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": pc.cast(b["day"], pa.int64()),
+            "cents": pc.cast(b["sum_cents"], pa.int64()),
+            "prev_cents": pc.cast(b["prev_cents"], pa.int64()),
+            "delta_cents": pc.subtract(pc.cast(b["sum_cents"], pa.int64()),
+                                       pc.cast(b["prev_cents"], pa.int64())),
+        }), batch_format="pyarrow")
+
+
 def q_events_dominant_type(sf_dir: str):
     """Grouped mode: each user's most frequent event type (deterministic
     tie-break) — one map-side-combined count, then a per-key argmax over
@@ -1984,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles_approx": q_events_quantiles_approx,
         "events_reach_by_type": q_events_reach_by_type,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_day_over_day": q_events_day_over_day,
         "events_dominant_type": q_events_dominant_type,
         "events_latest": q_events_latest,
         "events_orders_outer": q_events_orders_outer,
@@ -2731,6 +2769,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cohort_day, d.day, CAST(count(*) AS BIGINT) AS n_users
             FROM d JOIN c USING (user_id)
             GROUP BY c.cohort_day, d.day
+        """,
+        "events_day_over_day": """
+            WITH d AS (SELECT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                              SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+                       FROM events GROUP BY user_id, day)
+            SELECT a.user_id, a.day, a.cents, b.cents AS prev_cents,
+                   a.cents - b.cents AS delta_cents
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.day = b.day + 1
         """,
         "events_dominant_type": """
             WITH c AS (SELECT user_id, event_type,

@@ -130,6 +130,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_normalize",
         "doc_dup_spans",
         "events_quantiles_approx",
+        "events_day_over_day",
     ]
     for name in bench_queries:
         timed(name, qs[name])

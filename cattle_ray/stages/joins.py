@@ -42,14 +42,32 @@ def _key_buckets(col, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _with_bucket_and_tag(ds, key: str, tag: int, num_buckets: int,
+def _as_keys(key) -> list:
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _key_buckets_multi(batch: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
+    """Composite-key shuffle bucket: single keys keep the type-aware fast
+    path; multi-column keys hash the VALUE TUPLE via one
+    ``hash_pandas_object`` over the selected sub-frame (name-independent,
+    value+position dependent — verified — so differently-named key lists
+    on the two sides still co-bucket)."""
+    if len(keys) == 1:
+        return _key_buckets(batch[keys[0]], num_buckets)
+    h = pd.util.hash_pandas_object(
+        batch.select(keys).to_pandas(), index=False).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _with_bucket_and_tag(ds, key, tag: int, num_buckets: int,
                          combined: "pa.Schema"):
     """Pad this side's batches to the COMBINED schema (other side's columns
     as typed nulls) — Ray's union does not rectangularize differing schemas,
     so we make both sides schema-identical before it."""
+    keys = _as_keys(key)
 
     def f(batch: pa.Table) -> pa.Table:
-        bucket = _key_buckets(batch[key], num_buckets)
+        bucket = _key_buckets_multi(batch, keys, num_buckets)
         n = len(batch)
         arrays = []
         for field in combined:
@@ -294,14 +312,16 @@ def native_join(left_ds, right_ds, left_on: str, right_on: str,
                      num_buckets=num_partitions)
 
 
-def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner",
+def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
               num_buckets: int = 32):
-    """Co-partitioned equi join. Column collisions follow pandas suffix rules
-    (left unsuffixed, right ``_r``). Output blocks carry an EXPLICIT Arrow
-    schema (pandas merge results otherwise degrade bytes/str columns to
-    ``object`` dtype, which breaks schema propagation into chained joins);
-    with ``how="left"`` the right side's integer columns become float64
-    (NaN for unmatched rows)."""
+    """Co-partitioned equi join; ``left_on``/``right_on`` may be a single
+    column or a LIST (composite key — the value tuple hashes to one bucket,
+    so all machinery below is unchanged). Column collisions follow pandas
+    suffix rules (left unsuffixed, right ``_r``). Output blocks carry an
+    EXPLICIT Arrow schema (pandas merge results otherwise degrade bytes/str
+    columns to ``object`` dtype, which breaks schema propagation into
+    chained joins); with ``how="left"`` the right side's integer columns
+    become float64 (NaN for unmatched rows)."""
     left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
     out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, how)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
@@ -317,7 +337,7 @@ def hash_join(left_ds, right_ds, left_on: str, right_on: str, how: str = "inner"
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
-def full_outer_join(left_ds, right_ds, left_on: str, right_on: str,
+def full_outer_join(left_ds, right_ds, left_on, right_on,
                     num_buckets: int = 32):
     """Co-partitioned FULL OUTER equi join — the join type the pandas-merge
     path can't do safely: unmatched rows on EITHER side would null-pad int64
@@ -334,22 +354,25 @@ def full_outer_join(left_ds, right_ds, left_on: str, right_on: str,
     suffix."""
     left_cols, _ = _side_columns(left_ds)
     right_cols, _ = _side_columns(right_ds)
+    lkeys, rkeys = _as_keys(left_on), _as_keys(right_on)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         l = g.filter(pc.equal(g["_side"], 0)).select(left_cols).combine_chunks()
         r = g.filter(pc.equal(g["_side"], 1)).select(right_cols).combine_chunks()
-        return l.join(r, keys=[left_on], right_keys=[right_on],
+        return l.join(r, keys=lkeys, right_keys=rkeys,
                       join_type="full outer", right_suffix="_r",
                       coalesce_keys=True).combine_chunks()
 
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
-def _join_out_schema(left_ds, right_ds, left_on: str, right_on: str,
+def _join_out_schema(left_ds, right_ds, left_on, right_on,
                      how: str) -> pa.Schema:
     """Output schema of a pandas-suffix-rule equi join (left unsuffixed,
     right ``_r``; equal-named keys merge; left-join ints become float64)."""
+    lkeys, rkeys = _as_keys(left_on), _as_keys(right_on)
+    merged_right = {r for l, r in zip(lkeys, rkeys) if l == r}
     l_schema = pa.schema(
         [pa.field(n, _to_arrow_type(t)) for n, t in
          zip(left_ds.schema().names, left_ds.schema().types)]
@@ -361,7 +384,7 @@ def _join_out_schema(left_ds, right_ds, left_on: str, right_on: str,
     out_fields = list(l_schema)
     left_names = set(l_schema.names)
     for f in r_schema:
-        if f.name == right_on and right_on == left_on:
+        if f.name in merged_right:
             continue  # pandas merges equal-named keys into one column
         t = f.type
         if how == "left" and pa.types.is_integer(t):

@@ -317,3 +317,32 @@ def test_full_outer_join_preserves_large_int64(ray_session):
     assert str(out["k"].dtype) == "int64"
     row = out[out["k"] == big].iloc[0]
     assert row["payload"] == big + 7 and pd.isna(row["w"])
+
+
+def test_hash_join_composite_key(ray_session):
+    """Multi-column equi join (value-tuple bucketing): matches pandas on a
+    2-col key with differently-named right-side columns; full outer on a
+    composite key keeps unmatched rows from both sides."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import full_outer_join, hash_join
+
+    l = pd.DataFrame({"u": [1, 1, 2, 2], "d": ["a", "b", "a", "b"],
+                      "x": [10, 11, 12, 13]})
+    r = pd.DataFrame({"uu": [1, 2, 2, 3], "dd": ["a", "a", "z", "a"],
+                      "y": [100, 101, 102, 103]})
+    out = hash_join(rd.from_pandas(l).repartition(3),
+                    rd.from_pandas(r).repartition(2),
+                    ["u", "d"], ["uu", "dd"], num_buckets=4).to_pandas()
+    exp = l.merge(r, left_on=["u", "d"], right_on=["uu", "dd"])
+    assert sorted(zip(out["u"], out["d"], out["y"])) == \
+        sorted(zip(exp["u"], exp["d"], exp["y"]))
+
+    fo = full_outer_join(
+        rd.from_pandas(l[["u", "d", "x"]]).repartition(2),
+        rd.from_pandas(l[["u", "d", "x"]].assign(x=lambda t: t.x * 2)
+                       .iloc[2:]).repartition(2),
+        ["u", "d"], ["u", "d"], num_buckets=4).to_pandas()
+    assert len(fo) == 4  # rows 0,1 unmatched-left; 2,3 matched
+    assert fo["x_r"].notna().sum() == 2
