@@ -1401,29 +1401,53 @@ def q_doc_heavy_terms(sf_dir: str):
 
 def q_events_profile(sf_dir: str):
     """Column profiler (the data-quality pass every ingest runs): per
-    column null count, exact distinct, numeric min/max — one scan for the
-    null/min/max partials plus one bucketed distinct per column."""
-    import ray.data as rd
-
+    column null count, exact distinct, numeric min/max. The null/min/max
+    partials for ALL columns come from ONE fused scan (one tiny partial
+    row per (column, block) — previously 3 jobs per column), plus one
+    bucketed distinct per column (those are genuine shuffles each)."""
     from cattle_ray.stages.aggregates import distinct
 
     cols = ["event_id", "user_id", "value", "event_type"]
+    num_cols = ["event_id", "user_id", "value"]
     ev = _read(sf_dir, "events", cols, rows_per_block=20000).materialize()
+
+    def partials(b: pa.Table) -> pa.Table:
+        names, nulls, mns, mxs = [], [], [], []
+        for c in cols:
+            names.append(c)
+            nulls.append(b[c].null_count)
+            if c in num_cols and len(b) - b[c].null_count > 0:
+                mm = pc.min_max(b[c]).as_py()
+                mns.append(float(mm["min"]))
+                mxs.append(float(mm["max"]))
+            else:
+                mns.append(None)
+                mxs.append(None)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "nulls": pa.array(nulls, pa.int64()),
+                         "mn": pa.array(mns, pa.float64()),
+                         "mx": pa.array(mxs, pa.float64())})
+
+    agg: dict[str, list] = {c: [0, None, None] for c in cols}
+    for chunk in ev.map_batches(partials, batch_format="pyarrow") \
+                   .iter_batches(batch_format="pyarrow", batch_size=4096):
+        for c, nn, mn, mx in zip(chunk["column"].to_pylist(),
+                                 chunk["nulls"].to_pylist(),
+                                 chunk["mn"].to_pylist(),
+                                 chunk["mx"].to_pylist()):
+            a = agg[c]
+            a[0] += nn
+            if mn is not None:
+                a[1] = mn if a[1] is None else min(a[1], mn)
+                a[2] = mx if a[2] is None else max(a[2], mx)
 
     rows = []
     for c in cols:
-        is_num = c != "event_type"
-        nulls = int(ev.map_batches(
-            lambda b, _c=c: pa.table(
-                {"k": pa.array([b[_c].null_count], pa.int64())}),
-            batch_format="pyarrow").sum("k"))
         nd = int(distinct(ev.map_batches(
             lambda b, _c=c: b.select([_c]).filter(pc.is_valid(b[_c])),
             batch_format="pyarrow"),
             [c]).count())  # NULL excluded, = SQL count(DISTINCT)
-        mn = float(ev.min(c)) if is_num else None
-        mx = float(ev.max(c)) if is_num else None
-        rows.append((c, nulls, nd, mn, mx))
+        rows.append((c, agg[c][0], nd, agg[c][1], agg[c][2]))
     return pa.table({
         "column": pa.array([r[0] for r in rows], pa.string()),
         "n_nulls": pa.array([r[1] for r in rows], pa.int64()),
