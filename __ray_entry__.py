@@ -1601,6 +1601,17 @@ def q_events_quantiles_approx(sf_dir: str):
                      "est": pa.array([est[q] for q in qs], pa.float64())})
 
 
+def q_events_user_quantiles_approx(sf_dir: str):
+    """Grouped DDSketch quantiles (rows-only, 1%-relative-error pytest-
+    asserted): per-user p50/p90 of event values WITHOUT a per-key sort —
+    sparse histogram rows shuffle once through the map-side-combined sum,
+    never the values."""
+    from cattle_ray.stages.sketches import dd_quantiles_by_key
+
+    ds = _read(sf_dir, "events", ["user_id", "value"], rows_per_block=20000)
+    return dd_quantiles_by_key(ds, "user_id", "value", [0.5, 0.9])
+
+
 def q_events_reach_by_type(sf_dir: str):
     """Grouped HLL — approx distinct users PER event type (the per-domain
     reach query at 10^12 rows): the shuffle moves one 4 KB register blob
@@ -2044,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": q_events_profile,
         "events_quantiles_approx": q_events_quantiles_approx,
         "events_reach_by_type": q_events_reach_by_type,
+        "events_user_quantiles_approx": q_events_user_quantiles_approx,
         "events_cohort_retention": q_events_cohort_retention,
         "events_day_over_day": q_events_day_over_day,
         "events_dominant_type": q_events_dominant_type,

@@ -131,6 +131,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_dup_spans",
         "events_quantiles_approx",
         "events_day_over_day",
+        "events_user_quantiles_approx",
     ]
     for name in bench_queries:
         timed(name, qs[name])

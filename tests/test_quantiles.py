@@ -233,3 +233,31 @@ def test_dd_quantiles_subunit_and_zero_zones(ray_session):
     assert g[0.45] == 0.0                 # zeros
     assert abs(g[0.7] - 0.5) < 0.01       # sub-unit positives AFTER zero
     assert abs(g[0.95] - 2.0) < 0.03
+
+
+def test_dd_quantiles_by_key_tolerance(ray_session):
+    """Per-key DDSketch quantiles within alpha relative error of exact
+    per-key numpy quantiles; layout-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.sketches import dd_quantiles_by_key
+
+    rng = np.random.RandomState(6)
+    n = 30_000
+    df = pd.DataFrame({"g": rng.randint(0, 4, n)})
+    df["v"] = np.exp(rng.randn(n) * (1 + df["g"] * 0.5))
+    ds = rd.from_pandas(df)
+    out = dd_quantiles_by_key(ds.repartition(6), "g", "v",
+                              [0.5, 0.9], alpha=0.01).to_pandas()
+    for g in range(4):
+        sub = df[df["g"] == g]["v"].to_numpy()
+        for q in (0.5, 0.9):
+            got = out[(out["g"] == g) & (out["q"] == q)]["est"].iloc[0]
+            exact = np.quantile(sub, q)
+            assert abs(got - exact) / exact < 0.011, (g, q, got, exact)
+    out2 = dd_quantiles_by_key(ds.repartition(2), "g", "v",
+                               [0.5, 0.9], alpha=0.01).to_pandas()
+    m = out.sort_values(["g", "q"]).reset_index(drop=True)
+    m2 = out2.sort_values(["g", "q"]).reset_index(drop=True)
+    assert (m["est"] == m2["est"]).all()
