@@ -293,6 +293,32 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def q_doc_bpe_vocab(sf_dir: str):
+    """BPE tokenizer training (rows-only: iterative merge loop, no SQL):
+    distributed word-frequency census (the only corpus-sized pass), then
+    the textbook frequency-weighted merge loop on the vocab-bounded table.
+    Returns the ranked merge table — the trained tokenizer."""
+    from cattle_ray.stages.textstats import bpe_train
+
+    merges = bpe_train(_docs(sf_dir, ["text"]), n_merges=50)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([a for a, _ in merges], pa.string()),
+        "right": pa.array([b for _, b in merges], pa.string()),
+    })
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Corpus-trained bigram fluency score (CCNet-style LM quality signal)
+    with EXACT integer arithmetic — floor-scaled conditional probabilities
+    summed per doc, so no float log-prob order flake and the oracle is
+    plain integer SQL. Count tables broadcast once; scoring is one
+    vectorized index_in gather per batch."""
+    from cattle_ray.stages.textstats import lm_score
+
+    return lm_score(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_doc_normalize(sf_dir: str):
     """Canonical normalization fingerprint (the identity used by
     normalized exact dedup): NFC + lower + whitespace collapse + trim,
@@ -1983,6 +2009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_dup_spans": q_doc_dup_spans,
+        "doc_bpe_vocab": q_doc_bpe_vocab,
+        "doc_lm_score": q_doc_lm_score,
         "doc_normalize": q_doc_normalize,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
@@ -2301,6 +2329,23 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_frac
             FROM g LEFT JOIN dup ON g.gram = dup.gram
             GROUP BY g.doc_id
+        """,
+        "doc_lm_score": r"""
+            WITH s AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents WHERE trim(text) != ''),
+                 u AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 1)) AS i
+                       FROM s WHERE len(toks) >= 2),
+                 big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                         FROM u),
+                 c2 AS (SELECT w1, w2, count(*) AS c FROM big
+                        GROUP BY w1, w2),
+                 c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1)
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(SUM((c2.c * 1000000) // c1.c) AS BIGINT) AS score
+            FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+            GROUP BY b.doc_id
         """,
         "doc_normalize": r"""
             SELECT doc_id,

@@ -132,6 +132,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_quantiles_approx",
         "events_day_over_day",
         "events_user_quantiles_approx",
+        "doc_lm_score",
+        "doc_bpe_vocab",
     ]
     for name in bench_queries:
         timed(name, qs[name])

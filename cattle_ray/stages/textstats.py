@@ -614,3 +614,191 @@ def doc_kgram_batch(batch: pa.Table, k: int, id_col: str = "doc_id",
         id_col: pa.array(ids.loc[joined.index], batch[id_col].type),
         "gram": pa.array(joined, pa.string()),
     })
+
+
+def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
+             scale: int = 1_000_000, num_buckets: int = 32):
+    """Corpus-trained bigram fluency score (the CCNet-style LM quality
+    signal with EXACT arithmetic): per doc, the sum of scaled conditional
+    bigram probabilities ⌊c(w1,w2)·scale / c(w1,·)⌋ over its adjacent word
+    pairs — integer floor-division of corpus-wide counts, so the score is
+    bit-exact at any partitioning and mirrors verbatim in SQL (no float
+    log-prob summation-order flake).
+
+    Scale shape: bigram + context counts are each ONE map-side-combined
+    count; the count tables are vocab-bounded and broadcast once
+    (``ray.put``) — the guide's small-side lookup pattern — and every doc
+    scores in one vectorized ``index_in`` + gather per batch. Output:
+    (id, n_bigrams, score) with score = Σ p_q (int64).
+    """
+    import ray
+
+    from .aggregates import partial_count
+
+    def doc_bigrams(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = b[text_col].to_pandas().fillna("").str.strip()
+        ids = b[id_col].to_pandas()
+        e = s.str.split().explode().dropna()
+        if e.empty:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        nxt = e.groupby(level=0).shift(-1)
+        m = nxt.notna()
+        return pa.table({
+            id_col: pa.array(ids.loc[e[m].index], b[id_col].type),
+            "w1": pa.array(e[m], pa.string()),
+            "w2": pa.array(nxt[m], pa.string()),
+        })
+
+    big = ds.map_batches(doc_bigrams, batch_format="pyarrow").materialize()
+    c2 = partial_count(
+        big.map_batches(lambda b: b.select(["w1", "w2"]),
+                        batch_format="pyarrow"),
+        ["w1", "w2"], num_buckets=num_buckets)
+    c1 = partial_count(
+        big.map_batches(lambda b: b.select(["w1"]), batch_format="pyarrow"),
+        ["w1"], num_buckets=num_buckets)
+
+    # vocab-bounded broadcast lookup tables (join-free scoring)
+    c2_tbl = pa.concat_tables(
+        [pa.Table.from_pandas(bb, preserve_index=False)
+         for bb in c2.iter_batches(batch_format="pandas", batch_size=65536)])
+    key2 = pc.binary_join_element_wise(c2_tbl["w1"].combine_chunks(),
+                                       c2_tbl["w2"].combine_chunks(), "\x1f")
+    c1_tbl = pa.concat_tables(
+        [pa.Table.from_pandas(bb, preserve_index=False)
+         for bb in c1.iter_batches(batch_format="pandas", batch_size=65536)])
+    ref = ray.put((key2, c2_tbl["n"].combine_chunks().cast(pa.int64()),
+                   c1_tbl["w1"].combine_chunks(),
+                   c1_tbl["n"].combine_chunks().cast(pa.int64())))
+
+    def score(b: pa.Table) -> pa.Table:
+        k2, n2, k1, n1 = ray.get(ref)
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], b[id_col].type),
+                             "pq": pa.array([], pa.int64())})
+        pair = pc.binary_join_element_wise(b["w1"].combine_chunks(),
+                                           b["w2"].combine_chunks(), "\x1f")
+        cb = pc.take(n2, pc.index_in(pair, value_set=k2))
+        cu = pc.take(n1, pc.index_in(b["w1"], value_set=k1))
+        cbv = cb.to_numpy(zero_copy_only=False).astype(np.int64)
+        cuv = cu.to_numpy(zero_copy_only=False).astype(np.int64)
+        pq = (cbv * scale) // cuv  # exact int floor-div, both engines
+        return pa.table({id_col: b[id_col], "pq": pa.array(pq, pa.int64())})
+
+    from .aggregates import grouped_sums
+
+    scored = big.map_batches(score, batch_format="pyarrow")
+    out = grouped_sums(scored, [id_col], ["pq"], num_buckets=num_buckets)
+    return out.map_batches(
+        lambda b: pa.table({id_col: b[id_col],
+                            "n_bigrams": pc.cast(b["n"], pa.int64()),
+                            "score": pc.cast(b["sum_pq"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 100,
+              min_word_count: int = 1, num_buckets: int = 32):
+    """BPE vocabulary training (Sennrich et al. 2016) at corpus scale: the
+    distributed stage is the WORD-FREQUENCY census — one map-side-combined
+    count, the only corpus-sized pass — and the merge loop runs on that
+    vocab-bounded table exactly as the textbook algorithm does (pair counts
+    are weighted by word frequency; the raw corpus is never rescanned).
+    Driver memory is the distinct-word table; bound it at web scale with
+    ``min_word_count`` (rare words contribute negligible pair mass).
+
+    Deterministic: merge choice is (count DESC, pair ASC); ties cannot
+    depend on partitioning because the census is exact. Words are char
+    sequences with a ``</w>`` end marker. Returns ``merges`` — the ranked
+    list of (left, right) symbol pairs."""
+    from collections import Counter
+
+    from .aggregates import partial_count
+
+    def words(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = b[text_col].to_pandas().fillna("").str.strip()
+        e = s.str.split().explode().dropna()
+        return pa.table({"w": pa.array(e, pa.string())})
+
+    census = partial_count(ds.map_batches(words, batch_format="pyarrow"),
+                           ["w"], num_buckets=num_buckets)
+    freq = {}
+    for chunk in census.iter_batches(batch_format="pyarrow",
+                                     batch_size=65536):
+        for w, n in zip(chunk["w"].to_pylist(), chunk["n"].to_pylist()):
+            if n >= min_word_count:
+                freq[tuple(w) + ("</w>",)] = n
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, n in freq.items():
+            for j in range(len(sym) - 1):
+                pairs[(sym[j], sym[j + 1])] += n
+        if not pairs:
+            break
+        # (count DESC, pair ASC): string tuples compare lexicographically
+        bp = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(bp)
+        merged = bp[0] + bp[1]
+        out = {}
+        for sym, n in freq.items():
+            if bp[0] not in sym:
+                out[sym] = out.get(sym, 0) + n
+                continue
+            res, j = [], 0
+            while j < len(sym):
+                if j < len(sym) - 1 and sym[j] == bp[0] and sym[j + 1] == bp[1]:
+                    res.append(merged)
+                    j += 2
+                else:
+                    res.append(sym[j])
+                    j += 1
+            t = tuple(res)
+            out[t] = out.get(t, 0) + n
+        freq = out
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list:
+    """Encode one word with trained merges (greedy lowest-rank-first —
+    the standard BPE apply). ``ranks`` maps (left, right) → merge rank."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_j = None, None
+        for j in range(len(sym) - 1):
+            r = ranks.get((sym[j], sym[j + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_j = r, j
+        if best_j is None:
+            break
+        sym[best_j:best_j + 2] = [sym[best_j] + sym[best_j + 1]]
+    return sym
+
+
+def bpe_counter_factory(merges):
+    """Factory for :class:`TokenCounter`: a real trained-BPE token counter
+    (vocab built once per actor in ``__init__`` via the factory; per-word
+    results memoized across the actor's lifetime)."""
+    def make():
+        ranks = {p: i for i, p in enumerate(merges)}
+        cache: dict = {}
+
+        def count(text: str) -> int:
+            total = 0
+            for w in text.split():
+                c = cache.get(w)
+                if c is None:
+                    c = len(bpe_encode_word(w, ranks))
+                    cache[w] = c
+                total += c
+            return total
+
+        return count
+
+    return make

@@ -243,3 +243,40 @@ def test_normalize_text_batch_unicode(ray_session):
         decomposed, "  A\tB\nC  ", "", "\u00c0\u00c9\u00ce"]}))
     assert out["norm"].to_pylist() == [
         "caf\u00e9 du monde", "a b c", "", "\u00e0\u00e9\u00ee"]
+
+
+def test_bpe_train_textbook_example(ray_session):
+    """Sennrich's classic corpus: first merges must follow exact weighted
+    pair counts (hand-checkable), encoding applies them greedily, and the
+    result is identical at any partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import (bpe_counter_factory,
+                                             bpe_encode_word, bpe_train)
+
+    corpus = ["low low low low low", "lower lower", "newest newest newest",
+              "newest newest newest", "widest widest widest"]
+    ds = rd.from_pandas(pd.DataFrame({"text": corpus}))
+    merges = bpe_train(ds.repartition(3), n_merges=10)
+    # pair counts: ('e','s') appears in newest(6)+widest(3)=9 — the top
+    # first merge; then ('es','t') 9, then ('est','</w>') 9 ...
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t")
+    assert merges[2] == ("est", "</w>")
+    merges2 = bpe_train(ds.repartition(1), n_merges=10)
+    assert merges == merges2
+
+    # frequent words fully merge with 10 rounds; partial ranks show the
+    # greedy application order
+    ranks3 = {p: i for i, p in enumerate(merges[:3])}
+    assert bpe_encode_word("newest", ranks3)[-1] == "est</w>"
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("newest", ranks) == ["newest</w>"]
+    # unseen word still roundtrips losslessly through whatever merges apply
+    assert "".join(bpe_encode_word("lowest", ranks)).replace("</w>", "") == "lowest"
+
+    count = bpe_counter_factory(merges)()
+    n = count("newest widest")
+    assert n == len(bpe_encode_word("newest", ranks)) + \
+        len(bpe_encode_word("widest", ranks))
