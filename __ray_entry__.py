@@ -1226,6 +1226,44 @@ def q_events_day_over_day(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_rolling_active(sf_dir: str):
+    """Rolling 7-day active users (WAU) per day — the sliding-window
+    DISTINCT that plain windowed aggregation can't do: the user-day table
+    (already distinct, tiny vs the event stream) vectorized-explodes each
+    row into the 7 window-end days it contributes to, one distinct dedupes
+    the overlap, one map-side-combined count finishes. Events never cross
+    a shuffle; only user-days do (×7)."""
+    from cattle_ray.stages.aggregates import distinct, partial_count
+
+    def to_day(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        return pa.table({"user_id": b["user_id"],
+                         "day": pc.divide(us, 86_400_000_000)})
+
+    days = distinct(
+        _read(sf_dir, "events", ["ts", "user_id"], rows_per_block=20000)
+        .map_batches(to_day, batch_format="pyarrow"),
+        ["user_id", "day"]).materialize()  # bounds + expand passes
+    lo, hi = int(days.min("day")), int(days.max("day"))
+
+    def expand(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        d = b["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.tile(np.arange(7, dtype=np.int64), len(u))
+        return pa.table({"user_id": pa.array(np.repeat(u, 7)),
+                         "wday": pa.array(np.repeat(d, 7) + off)})
+
+    act = distinct(days.map_batches(expand, batch_format="pyarrow"),
+                   ["user_id", "wday"])
+    counts = partial_count(act, ["wday"])
+    return counts.map_batches(
+        lambda b: pa.table({"day": pc.cast(b["wday"], pa.int64()),
+                            "active_users": pc.cast(b["n"], pa.int64())})
+        .filter(pc.and_(pc.greater_equal(pc.cast(b["wday"], pa.int64()), lo),
+                        pc.less_equal(pc.cast(b["wday"], pa.int64()), hi))),
+        batch_format="pyarrow")
+
+
 def q_events_dominant_type(sf_dir: str):
     """Grouped mode: each user's most frequent event type (deterministic
     tie-break) — one map-side-combined count, then a per-key argmax over
@@ -2086,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_quantiles_approx": q_events_user_quantiles_approx,
         "events_cohort_retention": q_events_cohort_retention,
         "events_day_over_day": q_events_day_over_day,
+        "events_rolling_active": q_events_rolling_active,
         "events_dominant_type": q_events_dominant_type,
         "events_latest": q_events_latest,
         "events_orders_outer": q_events_orders_outer,
@@ -2860,6 +2899,17 @@ def oracle_sql() -> dict[str, str]:
                    a.cents - b.cents AS delta_cents
             FROM d a JOIN d b
               ON a.user_id = b.user_id AND a.day = b.day + 1
+        """,
+        "events_rolling_active": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+                       FROM events),
+                 e AS (SELECT user_id, day + o.off AS wday FROM d,
+                       (SELECT unnest(generate_series(0, 6)) AS off) o),
+                 a AS (SELECT DISTINCT user_id, wday FROM e),
+                 b AS (SELECT min(day) AS lo, max(day) AS hi FROM d)
+            SELECT wday AS day, CAST(count(*) AS BIGINT) AS active_users
+            FROM a, b WHERE wday BETWEEN lo AND hi GROUP BY wday
         """,
         "events_dominant_type": """
             WITH c AS (SELECT user_id, event_type,

@@ -134,6 +134,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_user_quantiles_approx",
         "doc_lm_score",
         "doc_bpe_vocab",
+        "events_rolling_active",
     ]
     for name in bench_queries:
         timed(name, qs[name])

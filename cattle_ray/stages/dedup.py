@@ -1161,14 +1161,26 @@ def dup_span_stats(ds, k: int = 10, id_col: str = "doc_id",
     dup = census.filter(expr=f"n >= {int(min_count)}").map_batches(
         lambda b: b.select(["gram"]), batch_format="pyarrow")
     totals = partial_count(grams, [id_col], num_buckets=num_buckets)
+    totals = totals.map_batches(
+        lambda b: b.rename_columns([id_col, "n_grams"]),
+        batch_format="pyarrow")
+    dup = dup.materialize()
+    if dup.count() == 0:
+        # nothing repeats corpus-wide: every doc's coverage is 0 — an
+        # empty count stream has no schema, so short-circuit before the
+        # join instead of crashing on it
+        return totals.map_batches(
+            lambda b: pa.table({
+                id_col: b[id_col],
+                "n_grams": pc.cast(b["n_grams"], pa.int64()),
+                "n_dup": pa.array([0] * len(b), pa.int64()),
+                "dup_frac": pa.array([0.0] * len(b), pa.float64())}),
+            batch_format="pyarrow")
     dup_grams = semi_join(grams, dup, "gram", "gram",
                           num_buckets=num_buckets)
     dups = partial_count(dup_grams, [id_col], num_buckets=num_buckets)
     dups = dups.map_batches(
         lambda b: b.rename_columns([id_col, "n_dup"]), batch_format="pyarrow")
-    totals = totals.map_batches(
-        lambda b: b.rename_columns([id_col, "n_grams"]),
-        batch_format="pyarrow")
     j = full_outer_join(totals, dups, id_col, id_col,
                         num_buckets=num_buckets)
 

@@ -237,3 +237,19 @@ def test_dup_span_stats_planted_overlap(ray_session):
     assert got[1] == (4, 1, 0.25)
     assert got[2] == (4, 1, 0.25)
     assert got[3] == (2, 0, 0.0)
+
+
+def test_dup_span_stats_no_duplicates_anywhere(ray_session):
+    """Corpus where no k-gram repeats: every doc reports 0 coverage (the
+    empty-dup-census short-circuit, which used to crash on a schema-less
+    empty join side)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import dup_span_stats
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["a b c d e f", "q r s t u v"]})
+    out = dup_span_stats(rd.from_pandas(df).repartition(2), k=5).to_pandas()
+    assert sorted(out["n_grams"]) == [2, 2]
+    assert (out["n_dup"] == 0).all() and (out["dup_frac"] == 0.0).all()
