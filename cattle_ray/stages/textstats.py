@@ -617,7 +617,8 @@ def doc_kgram_batch(batch: pa.Table, k: int, id_col: str = "doc_id",
 
 
 def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
-             scale: int = 1_000_000, num_buckets: int = 32):
+             scale: int = 1_000_000, broadcast_max: int = 5_000_000,
+             num_buckets: int = 32):
     """Corpus-trained bigram fluency score (the CCNet-style LM quality
     signal with EXACT arithmetic): per doc, the sum of scaled conditional
     bigram probabilities ⌊c(w1,w2)·scale / c(w1,·)⌋ over its adjacent word
@@ -662,6 +663,13 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
         big.map_batches(lambda b: b.select(["w1"]), batch_format="pyarrow"),
         ["w1"], num_buckets=num_buckets)
 
+    c2 = c2.materialize()
+    if c2.count() > broadcast_max:
+        # bigram table too big to broadcast: score through TWO composite
+        # co-partitioned joins instead (the counts join the pair stream;
+        # nothing driver-sized anywhere). Same exact arithmetic.
+        return _lm_score_joined(big, c2, c1, id_col, scale, num_buckets)
+
     # vocab-bounded broadcast lookup tables (join-free scoring)
     c2_tbl = pa.concat_tables(
         [pa.Table.from_pandas(bb, preserve_index=False)
@@ -675,23 +683,36 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
                    c1_tbl["w1"].combine_chunks(),
                    c1_tbl["n"].combine_chunks().cast(pa.int64())))
 
-    def score(b: pa.Table) -> pa.Table:
-        k2, n2, k1, n1 = ray.get(ref)
-        if len(b) == 0:
-            return pa.table({id_col: pa.array([], b[id_col].type),
-                             "pq": pa.array([], pa.int64())})
-        pair = pc.binary_join_element_wise(b["w1"].combine_chunks(),
-                                           b["w2"].combine_chunks(), "\x1f")
-        cb = pc.take(n2, pc.index_in(pair, value_set=k2))
-        cu = pc.take(n1, pc.index_in(b["w1"], value_set=k1))
-        cbv = cb.to_numpy(zero_copy_only=False).astype(np.int64)
-        cuv = cu.to_numpy(zero_copy_only=False).astype(np.int64)
-        pq = (cbv * scale) // cuv  # exact int floor-div, both engines
-        return pa.table({id_col: b[id_col], "pq": pa.array(pq, pa.int64())})
+    class Scorer:
+        """Actor-pool lookup stage: the bigram table can hold millions of
+        keys, and ``pc.index_in`` would rebuild its hash table PER BATCH —
+        here the pandas Index hashtable is built once per actor in
+        ``__init__`` and ``get_indexer`` reuses it every batch."""
+
+        def __init__(self):
+            import pandas as pd
+
+            k2, n2, k1, n1 = ray.get(ref)
+            self.idx2 = pd.Index(k2.to_pandas())
+            self.n2 = n2.to_numpy(zero_copy_only=False).astype(np.int64)
+            self.idx1 = pd.Index(k1.to_pandas())
+            self.n1 = n1.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return pa.table({id_col: pa.array([], b[id_col].type),
+                                 "pq": pa.array([], pa.int64())})
+            pair = pc.binary_join_element_wise(
+                b["w1"].combine_chunks(), b["w2"].combine_chunks(), "\x1f")
+            cb = self.n2[self.idx2.get_indexer(pair.to_pandas())]
+            cu = self.n1[self.idx1.get_indexer(b["w1"].to_pandas())]
+            pq = (cb * scale) // cu  # exact int floor-div, both engines
+            return pa.table({id_col: b[id_col],
+                             "pq": pa.array(pq, pa.int64())})
 
     from .aggregates import grouped_sums
 
-    scored = big.map_batches(score, batch_format="pyarrow")
+    scored = big.map_batches(Scorer, batch_format="pyarrow", concurrency=8)
     out = grouped_sums(scored, [id_col], ["pq"], num_buckets=num_buckets)
     return out.map_batches(
         lambda b: pa.table({id_col: b[id_col],
@@ -802,3 +823,36 @@ def bpe_counter_factory(merges):
         return count
 
     return make
+
+
+def _lm_score_joined(big, c2, c1, id_col: str, scale: int,
+                     num_buckets: int):
+    """The larger-than-broadcast path of :func:`lm_score`: per-pair counts
+    arrive by a composite (w1, w2) co-partitioned join, context counts by a
+    w1 join; the floor-div and the per-doc sum are unchanged, so both paths
+    produce identical scores (parametrized in tests)."""
+    from .aggregates import grouped_sums
+    from .joins import hash_join
+
+    c2r = c2.map_batches(
+        lambda b: b.rename_columns(["p1", "p2", "c_pair"]),
+        batch_format="pyarrow")
+    c1r = c1.map_batches(
+        lambda b: b.rename_columns(["u1", "c_ctx"]), batch_format="pyarrow")
+    j = hash_join(big, c2r, ["w1", "w2"], ["p1", "p2"],
+                  num_buckets=num_buckets)
+    j = hash_join(j, c1r, "w1", "u1", num_buckets=num_buckets)
+
+    def pq(b: pa.Table) -> pa.Table:
+        cb = b["c_pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu = b["c_ctx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "pq": pa.array((cb * scale) // cu, pa.int64())})
+
+    scored = j.map_batches(pq, batch_format="pyarrow")
+    out = grouped_sums(scored, [id_col], ["pq"], num_buckets=num_buckets)
+    return out.map_batches(
+        lambda b: pa.table({id_col: b[id_col],
+                            "n_bigrams": pc.cast(b["n"], pa.int64()),
+                            "score": pc.cast(b["sum_pq"], pa.int64())}),
+        batch_format="pyarrow")

@@ -280,3 +280,24 @@ def test_bpe_train_textbook_example(ray_session):
     n = count("newest widest")
     assert n == len(bpe_encode_word("newest", ranks)) + \
         len(bpe_encode_word("widest", ranks))
+
+
+def test_lm_score_broadcast_and_join_paths_agree(ray_session):
+    """Both lm_score execution paths (vocab broadcast vs composite
+    co-partitioned joins) produce identical exact-integer scores."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import lm_score
+
+    rng = np.random.RandomState(8)
+    vocab = [f"t{i}" for i in range(30)]
+    docs = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(60), "text": docs})
+                        ).repartition(4)
+    a = lm_score(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = lm_score(ds, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (a["score"] == b["score"]).all()
+    assert (a["n_bigrams"] == b["n_bigrams"]).all()
