@@ -1446,6 +1446,60 @@ def _kcore_oracle_sql(k: int, levels: int = _KCORE_LEVELS) -> str:
             FROM e{levels} GROUP BY s""")
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-style corrupted triples): each (doc, entity) positive gets 2
+    corrupted objects chosen by plain-arithmetic rank over the SORTED
+    entity universe — a pure function of the graph (identical at any
+    partitioning/retry) that mirrors verbatim as SQL arithmetic, exactly
+    like kg_walks. True-object collisions shift to the next entity (the
+    standard rejection step, also mirrored). Entity list is
+    dimension-sized and broadcast once; at web scale swap the gather for
+    a co-partitioned join on the rank."""
+    import ray
+
+    from cattle_ray.stages.aggregates import distinct
+
+    P1, P2, P3 = 1000003, 7919, 104729
+    pos = q_kg_csvw_triples(sf_dir).filter(
+        expr=f"pred == '{EX}entity'").map_batches(
+        lambda b: b.select(["subj", "obj"]), batch_format="pyarrow"
+    ).materialize()  # entity universe + corruption passes
+    ents = distinct(pos.map_batches(lambda b: b.select(["obj"]),
+                                    batch_format="pyarrow"), ["obj"])
+    ent_sorted = pa.array(sorted(
+        r["obj"] for r in ents.take_all()), pa.string())
+    n_ent = len(ent_sorted)
+    ref = ray.put(ent_sorted)
+
+    def corrupt(b: pa.Table) -> pa.Table:
+        ent = ray.get(ref)
+        if len(b) == 0:
+            return pa.table({"subj": pa.array([], pa.string()),
+                             "obj": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64()),
+                             "neg_obj": pa.array([], pa.string())})
+        ds_ = pc.extract_regex(b["subj"], r"(?P<d>\d+)$")
+        do_ = pc.extract_regex(b["obj"], r"(?P<d>\d+)$")
+        idx_s = pc.cast(pc.struct_field(ds_, "d"), pa.int64())             .to_numpy(zero_copy_only=False)
+        idx_o = pc.cast(pc.struct_field(do_, "d"), pa.int64())             .to_numpy(zero_copy_only=False)
+        subj = b["subj"].combine_chunks()
+        obj = b["obj"].combine_chunks()
+        outs = []
+        for k in (0, 1):
+            rank = (idx_s * P1 + idx_o * P2 + k * P3) % n_ent
+            e1 = pc.take(ent, pa.array(rank))
+            e2 = pc.take(ent, pa.array((rank + 1) % n_ent))
+            neg = pc.if_else(pc.equal(e1, obj), e2, e1)
+            outs.append(pa.table({
+                "subj": subj, "obj": obj,
+                "k": pa.array(np.full(len(b), k, np.int64)),
+                "neg_obj": neg}))
+        return pa.concat_tables(outs)
+
+    return pos.map_batches(corrupt, batch_format="pyarrow")
+
+
 def q_doc_heavy_terms(sf_dir: str):
     """Approximate-locate, exact-verify heavy hitters: a merged count-min
     sketch + per-batch local tops nominate candidates, then ONE filtered
@@ -2117,6 +2171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rollup": q_doc_rollup,
         "kg_walks": q_kg_walks,
         "kg_kcore": q_kg_kcore,
+        "kg_negative_samples": q_kg_negative_samples,
         "doc_heavy_terms": q_doc_heavy_terms,
         "events_profile": q_events_profile,
         "events_quantiles_approx": q_events_quantiles_approx,
@@ -2961,6 +3016,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         # walk-step arithmetic mirrors graph.random_walks verbatim
         "kg_kcore": _kcore_oracle_sql(2),
+        "kg_negative_samples": _TRIPLE_BASE_CTE + rf"""
+            , e0 AS (SELECT subj, obj FROM triples
+                     WHERE pred = '{EX}entity'),
+            ents AS (SELECT obj AS ent,
+                            row_number() OVER (ORDER BY obj) - 1 AS r
+                     FROM (SELECT DISTINCT obj FROM e0)),
+            nn AS (SELECT count(*) AS c FROM ents),
+            pos AS (SELECT subj, obj,
+                           CAST(regexp_extract(subj, '(\d+)$', 1)
+                                AS BIGINT) AS idx_s,
+                           CAST(regexp_extract(obj, '(\d+)$', 1)
+                                AS BIGINT) AS idx_o
+                    FROM e0),
+            cand AS (SELECT p.subj, p.obj, CAST(v.k AS BIGINT) AS k,
+                            (p.idx_s * 1000003 + p.idx_o * 7919
+                             + v.k * 104729) % nn.c AS rank, nn.c AS c
+                     FROM pos p, (VALUES (0), (1)) v(k), nn)
+            SELECT cand.subj, cand.obj, cand.k,
+                   CASE WHEN e1.ent = cand.obj THEN e2.ent
+                        ELSE e1.ent END AS neg_obj
+            FROM cand
+            JOIN ents e1 ON e1.r = cand.rank
+            JOIN ents e2 ON e2.r = (cand.rank + 1) % cand.c
+        """,
         "kg_walks": _TRIPLE_BASE_CTE + rf""",
             e0 AS (SELECT regexp_replace(subj, '#.*$', '') AS s, obj AS o
                    FROM triples WHERE pred = '{EX}entity'),

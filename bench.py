@@ -135,6 +135,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_lm_score",
         "doc_bpe_vocab",
         "events_rolling_active",
+        "kg_negative_samples",
     ]
     for name in bench_queries:
         timed(name, qs[name])
