@@ -108,6 +108,22 @@ def cmd_pages(args):
                           "n_triples": int(man["n_lines"].sum()),
                           "parts": len(man), "out": args.out}))
         return
+    if getattr(args, "merge", False):
+        # incremental generation: merge this crawl's triples into the
+        # existing store, rewriting ONLY the partitions the new subjects
+        # hash into (set semantics per partition, atomic replace,
+        # idempotent on rerun)
+        from .sources.triple_sink import merge_triples_hash_partitioned
+
+        manifest = merge_triples_hash_partitioned(
+            triples, args.out, num_partitions=args.partitions)
+        print(json.dumps({
+            "merged_partitions": len(manifest),
+            "n_added": int(manifest["n_added"].sum()),
+            "n_total_touched": int(manifest["n_total"].sum()),
+            "out": args.out,
+        }))
+        return
     manifest = write_triples_hash_partitioned(triples, args.out,
                                               num_partitions=args.partitions)
     print(json.dumps({
@@ -202,6 +218,10 @@ def main(argv=None):
     g.add_argument("out")
     g.add_argument("--graph")
     g.add_argument("--partitions", type=int, default=16)
+    g.add_argument("--merge", action="store_true",
+                   help="merge triples into an existing partitioned store "
+                        "(incremental crawl generation; touches only "
+                        "affected partitions)")
     g.add_argument("--latest-per-url", action="store_true",
                    help="keep only the newest capture of each url "
                         "(recrawl upsert by warc_ts) before extraction")

@@ -219,8 +219,31 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
             old = pq.read_table(dst)
             n_old = old.num_rows
             g = pa.concat_tables([old, g.cast(old.schema)])
-        # set semantics: one group_by over ALL columns = distinct rows
-        g = g.group_by(g.column_names).aggregate([]).sort_by(
+        # set semantics on the QUAD IDENTITY (everything except lineage):
+        # the same fact extracted from two crawl generations' different
+        # pages must collapse exactly as the one-shot D2 dedup collapses
+        # it — src_url is provenance, not identity; keep min(src_url) as
+        # the deterministic representative
+        # PYARROW 16.1 HAZARD (reproduced + bisected here): multi-key
+        # hash group_by with a bit-packed BOOL key ordered before NULLABLE
+        # string keys mis-encodes rows — byte-identical quads land in
+        # different groups (59 rows → 32 "unique" vs the true 27; pandas,
+        # DuckDB and a bool→int64 cast all agree on 27). Casting bool keys
+        # to int64 for the dedup (and back for the file) sidesteps it.
+        orig_schema = g.schema
+        safe = pa.schema([
+            pa.field(f.name, pa.int64() if pa.types.is_boolean(f.type)
+                     else f.type) for f in orig_schema])
+        g = g.cast(safe)
+        names = list(g.column_names)
+        if "src_url" in names:
+            quad_cols = [c for c in names if c != "src_url"]
+            g = g.group_by(quad_cols).aggregate([("src_url", "min")])
+            g = g.rename_columns(quad_cols + ["src_url"]).select(names)
+        else:
+            g = g.group_by(names).aggregate([])
+        g = g.select(names).cast(orig_schema)
+        g = g.sort_by(
             [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
         )
         tmp = os.path.join(pdir, ".data.parquet.tmp")

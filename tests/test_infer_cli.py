@@ -267,3 +267,49 @@ def test_cli_pages_latest_per_url(tmp_path):
     assert got  # newest capture still contributes triples for that url
     assert not any("#table1" in s for s in got)  # stale 2nd table gone
     assert any("#table1" in s for s in subjects("t_plain"))
+
+
+def test_cli_pages_merge_incremental(tmp_path):
+    """pages → pages --merge: a second crawl generation merges into the
+    existing store (set semantics — re-merging the same input adds 0)."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from cattle_ray.pages import pages_table
+
+    src1 = str(tmp_path / "gen1.parquet")
+    src2 = str(tmp_path / "gen2.parquet")
+    all_pages = pages_table(40)
+    pq.write_table(all_pages.slice(0, 25), src1)
+    pq.write_table(all_pages.slice(25, 15), src2)
+    store = str(tmp_path / "store")
+    env = dict(__import__("os").environ)
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+             "pages", *argv, "--partitions", "4"],
+            capture_output=True, text=True, cwd="/root/repo", env=env)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.splitlines()[-1])
+
+    first = run(src1, store)
+    merged = run(src2, store, "--merge")
+    assert merged["n_added"] > 0
+    # the merged store equals a one-shot build over ALL pages
+    full = str(tmp_path / "full")
+    pq.write_table(all_pages, str(tmp_path / "all.parquet"))
+    run(str(tmp_path / "all.parquet"), full)
+    con = duckdb.connect()
+    a = con.execute(f"SELECT count(*) FROM parquet_scan("
+                    f"'{store}/part_id=*/*.parquet')").fetchone()[0]
+    b = con.execute(f"SELECT count(*) FROM parquet_scan("
+                    f"'{full}/part_id=*/*.parquet')").fetchone()[0]
+    assert a == b == first["n_triples"] + merged["n_added"]
+    # idempotent: re-merging generation 2 adds nothing
+    again = run(src2, store, "--merge")
+    assert again["n_added"] == 0

@@ -371,3 +371,47 @@ def test_merge_validates_partition_count(ray_session, tmp_path):
     merge_triples_hash_partitioned(quads(["http://s/x"]), fresh,
                                    num_partitions=4)
     assert json.load(open(f"{fresh}/_meta.json"))["num_partitions"] == 4
+
+
+def test_merge_dedup_immune_to_arrow_boolkey_groupby_bug(ray_session, tmp_path):
+    """pyarrow 16.1 hash group_by mis-groups when a bit-packed BOOL key
+    precedes nullable string keys (synthesized: 120 rows with 60 distinct
+    → Arrow reports 88). The store merge dedups through an int64 cast, so
+    re-merging identical quads must stay idempotent even on bool+nullable
+    schemas. This test pins the workaround; if it ever fails after a
+    pyarrow upgrade, the cast in merge_group may be removable."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import merge_triples_hash_partitioned
+
+    n = 60
+    t = pa.table({
+        "subj": [f"https://e/s{i % 10}" for i in range(n)],
+        "pred": [f"https://e/p{i % 3}" for i in range(n)],
+        "obj": [f"o{i % 7}" for i in range(n)],
+        "obj_is_iri": pa.array([bool(i % 2) for i in range(n)], pa.bool_()),
+        "obj_datatype": pa.array([None if i % 5 else "x" for i in range(n)],
+                                 pa.string()),
+        "obj_lang": pa.array([None] * n, pa.string()),
+        "graph": ["g"] * n,
+        "src_url": [f"https://site{i}" for i in range(n)],
+    })
+    # confirm the raw hazard exists on this data shape (informational —
+    # a fixed pyarrow would make both numbers equal)
+    doubled = pa.concat_tables([t, t]).combine_chunks()
+    raw = doubled.group_by(
+        [c for c in t.column_names if c != "src_url"]).aggregate([]).num_rows
+    true_distinct = len(
+        doubled.to_pandas().drop_duplicates(
+            subset=[c for c in t.column_names if c != "src_url"]))
+
+    store = str(tmp_path / "bstore")
+    m1 = merge_triples_hash_partitioned(rd.from_arrow(t), store,
+                                        num_partitions=2)
+    assert int(m1["n_total"].sum()) == true_distinct
+    m2 = merge_triples_hash_partitioned(rd.from_arrow(t), store,
+                                        num_partitions=2)
+    assert int(m2["n_added"].sum()) == 0, (
+        f"merge not idempotent: arrow raw group gave {raw} vs true "
+        f"{true_distinct} — bool-key workaround regressed")
