@@ -293,6 +293,52 @@ def q_doc_dup_spans(sf_dir: str):
     return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def q_doc_word_cooc(sf_dir: str):
+    """Windowed word co-occurrence counts (the word2vec/GloVe training
+    statistic): unordered pairs within a ±3 token window, top-100 by
+    (count DESC, pair). Vectorized: per offset one C-level per-doc shift
+    (no position self-join), pairs canonicalized (a<=b) before ONE
+    map-side-combined count; the shuffle moves (pair, partial) rows."""
+    from cattle_ray.stages.aggregates import grouped_topk, partial_count
+
+    W = 3
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s_ = b["text"].to_pandas().fillna("").str.strip()
+        e = s_.str.split().explode().dropna()
+        if e.empty:
+            return pa.table({"wa": pa.array([], pa.string()),
+                             "wb": pa.array([], pa.string())})
+        g = e.groupby(level=0)
+        was, wbs = [], []
+        for off in range(1, W + 1):
+            nxt = g.shift(-off)
+            m = nxt.notna()
+            a = e[m]
+            bb = nxt[m]
+            lo = np.minimum(a.to_numpy(dtype=object), bb.to_numpy(dtype=object))
+            hi = np.maximum(a.to_numpy(dtype=object), bb.to_numpy(dtype=object))
+            was.append(lo)
+            wbs.append(hi)
+        return pa.table({"wa": pa.array(np.concatenate(was), pa.string()),
+                         "wb": pa.array(np.concatenate(wbs), pa.string())})
+
+    cnt = partial_count(
+        _docs(sf_dir, ["text"]).map_batches(pairs, batch_format="pyarrow"),
+        ["wa", "wb"])
+    cnt = cnt.map_batches(
+        lambda b: b.append_column("k", pa.array(np.zeros(len(b), np.int64))),
+        batch_format="pyarrow")
+    top = grouped_topk(cnt, "k", ["n", "wa", "wb"], [False, True, True], 100)
+    return top.map_batches(
+        lambda b: pa.table({"wa": pa.array(b["wa"], pa.string()),
+                            "wb": pa.array(b["wb"], pa.string()),
+                            "n": pa.array(b["n"], pa.int64())}),
+        batch_format="pandas")
+
+
 def q_doc_bpe_vocab(sf_dir: str):
     """BPE tokenizer training (rows-only: iterative merge loop, no SQL):
     distributed word-frequency census (the only corpus-sized pass), then
@@ -2102,6 +2148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_dup_spans": q_doc_dup_spans,
         "doc_bpe_vocab": q_doc_bpe_vocab,
+        "doc_word_cooc": q_doc_word_cooc,
         "doc_lm_score": q_doc_lm_score,
         "doc_normalize": q_doc_normalize,
         "doc_langid": q_doc_langid,
@@ -2423,6 +2470,21 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_frac
             FROM g LEFT JOIN dup ON g.gram = dup.gram
             GROUP BY g.doc_id
+        """,
+        "doc_word_cooc": r"""
+            WITH s AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents WHERE trim(text) != ''),
+                 u AS (SELECT doc_id, toks, len(toks) AS L,
+                              unnest(generate_series(1, len(toks) - 1)) AS i
+                       FROM s WHERE len(toks) >= 2),
+                 pr AS (SELECT least(toks[i], toks[i + o.off]) AS wa,
+                               greatest(toks[i], toks[i + o.off]) AS wb
+                        FROM u, (SELECT unnest(generate_series(1, 3)) AS off) o
+                        WHERE i + o.off <= L)
+            SELECT wa, wb, CAST(count(*) AS BIGINT) AS n
+            FROM pr GROUP BY wa, wb
+            ORDER BY n DESC, wa, wb LIMIT 100
         """,
         "doc_lm_score": r"""
             WITH s AS (SELECT doc_id,

@@ -136,6 +136,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_bpe_vocab",
         "events_rolling_active",
         "kg_negative_samples",
+        "doc_word_cooc",
     ]
     for name in bench_queries:
         timed(name, qs[name])
