@@ -299,7 +299,7 @@ def q_doc_word_cooc(sf_dir: str):
     (count DESC, pair). Vectorized: per offset one C-level per-doc shift
     (no position self-join), pairs canonicalized (a<=b) before ONE
     map-side-combined count; the shuffle moves (pair, partial) rows."""
-    from cattle_ray.stages.aggregates import grouped_topk, partial_count
+    from cattle_ray.stages.aggregates import top_k_counts
 
     W = 3
 
@@ -325,13 +325,9 @@ def q_doc_word_cooc(sf_dir: str):
         return pa.table({"wa": pa.array(np.concatenate(was), pa.string()),
                          "wb": pa.array(np.concatenate(wbs), pa.string())})
 
-    cnt = partial_count(
+    top = top_k_counts(
         _docs(sf_dir, ["text"]).map_batches(pairs, batch_format="pyarrow"),
-        ["wa", "wb"])
-    cnt = cnt.map_batches(
-        lambda b: b.append_column("k", pa.array(np.zeros(len(b), np.int64))),
-        batch_format="pyarrow")
-    top = grouped_topk(cnt, "k", ["n", "wa", "wb"], [False, True, True], 100)
+        ["wa", "wb"], 100)
     return top.map_batches(
         lambda b: pa.table({"wa": pa.array(b["wa"], pa.string()),
                             "wb": pa.array(b["wb"], pa.string()),
@@ -1246,7 +1242,11 @@ def q_events_day_over_day(sf_dir: str):
 
     def prep(b: pa.Table) -> pa.Table:
         us = pc.cast(b["ts"], pa.int64())
-        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        # half_towards_infinity = DuckDB round() (Arrow defaults to
+        # half_to_even — only differs on exact .5 products)
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
         return pa.table({"user_id": b["user_id"],
                          "day": pc.divide(us, 86_400_000_000),
                          "cents": cents})

@@ -239,7 +239,7 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         if "src_url" in names:
             quad_cols = [c for c in names if c != "src_url"]
             g = g.group_by(quad_cols).aggregate([("src_url", "min")])
-            g = g.rename_columns(quad_cols + ["src_url"]).select(names)
+            g = g.rename_columns(quad_cols + ["src_url"])
         else:
             g = g.group_by(names).aggregate([])
         g = g.select(names).cast(orig_schema)
@@ -256,4 +256,15 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
 
     manifest = with_part.groupby("part_id").map_groups(merge_group,
                                                        batch_format="pyarrow")
-    return manifest.to_pandas()
+    out = manifest.to_pandas()
+    if len(out) == 0:
+        # empty delta (steady-state recrawl with nothing new): an empty
+        # Dataset loses its schema through to_pandas — rebuild the
+        # manifest columns so callers can still sum n_added etc.
+        import pandas as pd
+
+        out = pd.DataFrame({"part_id": pd.Series([], dtype="int64"),
+                            "n_total": pd.Series([], dtype="int64"),
+                            "n_added": pd.Series([], dtype="int64"),
+                            "path": pd.Series([], dtype="object")})
+    return out

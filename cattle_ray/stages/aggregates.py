@@ -54,7 +54,11 @@ def partial_count(ds, keys, shuffle_blocks: int = 16, num_buckets: int = 32):
     partials = coalesce_small(partials, shuffle_blocks)
 
     def finish(g):
-        out = g.groupby(keys, sort=False)["partial_n"].sum().reset_index(name="n")
+        # dropna=False: SQL GROUP BY reports the NULL group; the Arrow
+        # partials kept it, so silently discarding it here would both
+        # waste the shuffle and diverge from every oracle
+        out = g.groupby(keys, sort=False, dropna=False)["partial_n"] \
+            .sum().reset_index(name="n")
         out["n"] = out["n"].astype("int64")
         return out
 
@@ -89,7 +93,7 @@ def grouped_sums(ds, keys, sum_cols, shuffle_blocks: int = 16,
 
     def finish(g):
         cols = [f"sum_{c}" for c in sum_cols] + ["n"]
-        out = g.groupby(keys, sort=False)[cols].sum().reset_index()
+        out = g.groupby(keys, sort=False, dropna=False)[cols].sum().reset_index()
         for c in cols:
             out[c] = out[c].astype("int64")
         return out
@@ -183,9 +187,11 @@ def grouped_topk(ds, key: str, order_cols, ascending, k: int,
     def head(g):
         g = g.sort_values([key] + order_cols,
                           ascending=[True] + ascending, kind="mergesort")
-        out = g.groupby(key, sort=False).head(k).drop(columns=["_bucket"])
+        out = g.groupby(key, sort=False, dropna=False).head(k) \
+            .drop(columns=["_bucket"])
         if rank_col is not None:
-            out[rank_col] = out.groupby(key, sort=False).cumcount() + 1
+            out[rank_col] = out.groupby(key, sort=False,
+                                        dropna=False).cumcount() + 1
         return out
 
     return (
@@ -226,7 +232,7 @@ def grouped_minmax(ds, keys, col: str, agg: str = "min",
     partials = coalesce_small(partials, shuffle_blocks)
 
     def finish(g):
-        f = getattr(g.groupby(keys, sort=False)[col], agg)
+        f = getattr(g.groupby(keys, sort=False, dropna=False)[col], agg)
         return f().reset_index()
 
     return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")

@@ -238,7 +238,7 @@ def approx_distinct_by_key(ds, key: str, col: str, p: int = 12,
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         out_k, out_n = [], []
-        for k_val, grp in g.groupby(key, sort=False):
+        for k_val, grp in g.groupby(key, sort=False, dropna=False):
             mat = np.stack([np.frombuffer(b, dtype=np.uint8)
                             for b in grp["regs"]])
             merged = mat.max(axis=0)
@@ -377,7 +377,7 @@ def dd_quantiles_by_key(ds, key: str, col: str, qs, alpha: float = 0.01,
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         out_k, out_q, out_e = [], [], []
-        for k_val, grp in g.groupby(key, sort=False):
+        for k_val, grp in g.groupby(key, sort=False, dropna=False):
             vals = np.array([_dd_value(int(b), gamma) for b in grp["bucket"]])
             counts = grp["n"].to_numpy(dtype=np.int64)
             order = np.argsort(vals)

@@ -664,47 +664,70 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
         ["w1"], num_buckets=num_buckets)
 
     c2 = c2.materialize()
-    if c2.count() > broadcast_max:
+    n_pairs = c2.count()
+    if n_pairs == 0:
+        # corpus with no bigrams at all (every doc < 2 tokens): empty
+        # count streams lose their schema, so return a typed empty result
+        # instead of crashing in concat (same class as dup_span_stats'
+        # empty-census guard)
+        import ray.data as rd
+
+        from .joins import _to_arrow_type
+
+        sch = ds.schema()
+        id_t = _to_arrow_type(dict(zip(sch.names, sch.types))[id_col])
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], id_t),
+            "n_bigrams": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+    if n_pairs > broadcast_max:
         # bigram table too big to broadcast: score through TWO composite
         # co-partitioned joins instead (the counts join the pair stream;
         # nothing driver-sized anywhere). Same exact arithmetic.
         return _lm_score_joined(big, c2, c1, id_col, scale, num_buckets)
 
     # vocab-bounded broadcast lookup tables (join-free scoring)
-    c2_tbl = pa.concat_tables(
-        [pa.Table.from_pandas(bb, preserve_index=False)
-         for bb in c2.iter_batches(batch_format="pandas", batch_size=65536)])
-    key2 = pc.binary_join_element_wise(c2_tbl["w1"].combine_chunks(),
-                                       c2_tbl["w2"].combine_chunks(), "\x1f")
-    c1_tbl = pa.concat_tables(
-        [pa.Table.from_pandas(bb, preserve_index=False)
-         for bb in c1.iter_batches(batch_format="pandas", batch_size=65536)])
-    ref = ray.put((key2, c2_tbl["n"].combine_chunks().cast(pa.int64()),
+    def collect(dset) -> pa.Table:
+        return pa.concat_tables(
+            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in dset.iter_batches(batch_format="pyarrow",
+                                        batch_size=65536)])
+
+    c2_tbl = collect(c2)
+    c1_tbl = collect(c1)
+    ref = ray.put((c2_tbl["w1"].combine_chunks(),
+                   c2_tbl["w2"].combine_chunks(),
+                   c2_tbl["n"].combine_chunks().cast(pa.int64()),
                    c1_tbl["w1"].combine_chunks(),
                    c1_tbl["n"].combine_chunks().cast(pa.int64())))
 
     class Scorer:
         """Actor-pool lookup stage: the bigram table can hold millions of
         keys, and ``pc.index_in`` would rebuild its hash table PER BATCH —
-        here the pandas Index hashtable is built once per actor in
-        ``__init__`` and ``get_indexer`` reuses it every batch."""
+        here the pandas index hashtables are built once per actor in
+        ``__init__`` and ``get_indexer`` reuses them every batch. The pair
+        key is a MultiIndex over (w1, w2) — no separator string, so tokens
+        containing any byte (even 0x1F) can never alias another pair."""
 
         def __init__(self):
             import pandas as pd
 
-            k2, n2, k1, n1 = ray.get(ref)
-            self.idx2 = pd.Index(k2.to_pandas())
+            w1, w2, n2, k1, n1 = ray.get(ref)
+            self.idx2 = pd.MultiIndex.from_arrays(
+                [w1.to_pandas(), w2.to_pandas()])
             self.n2 = n2.to_numpy(zero_copy_only=False).astype(np.int64)
             self.idx1 = pd.Index(k1.to_pandas())
             self.n1 = n1.to_numpy(zero_copy_only=False).astype(np.int64)
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+
             if len(b) == 0:
                 return pa.table({id_col: pa.array([], b[id_col].type),
                                  "pq": pa.array([], pa.int64())})
-            pair = pc.binary_join_element_wise(
-                b["w1"].combine_chunks(), b["w2"].combine_chunks(), "\x1f")
-            cb = self.n2[self.idx2.get_indexer(pair.to_pandas())]
+            q = pd.MultiIndex.from_arrays(
+                [b["w1"].to_pandas(), b["w2"].to_pandas()])
+            cb = self.n2[self.idx2.get_indexer(q)]
             cu = self.n1[self.idx1.get_indexer(b["w1"].to_pandas())]
             pq = (cb * scale) // cu  # exact int floor-div, both engines
             return pa.table({id_col: b[id_col],
@@ -755,23 +778,40 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 100,
             if n >= min_word_count:
                 freq[tuple(w) + ("</w>",)] = n
 
+    # incremental pair bookkeeping (Sennrich's learn_bpe shape): pair
+    # stats are built ONCE; each merge touches only the words that contain
+    # the merged pair (found via the pair→words index) — per iteration
+    # cost is the affected-word mass, not the whole vocab
+    from collections import defaultdict
+
+    pairs: Counter = Counter()
+    where: dict = defaultdict(set)
+
+    def account(sym, n, sign):
+        for j in range(len(sym) - 1):
+            p = (sym[j], sym[j + 1])
+            pairs[p] += sign * n
+            if sign > 0:
+                where[p].add(sym)
+
+    for sym, n in freq.items():
+        account(sym, n, 1)
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        pairs: Counter = Counter()
-        for sym, n in freq.items():
-            for j in range(len(sym) - 1):
-                pairs[(sym[j], sym[j + 1])] += n
-        if not pairs:
-            break
         # (count DESC, pair ASC): string tuples compare lexicographically
-        bp = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        best = min(((p, c) for p, c in pairs.items() if c > 0),
+                   key=lambda kv: (-kv[1], kv[0]), default=None)
+        if best is None:
+            break
+        bp = best[0]
         merges.append(bp)
         merged = bp[0] + bp[1]
-        out = {}
-        for sym, n in freq.items():
-            if bp[0] not in sym:
-                out[sym] = out.get(sym, 0) + n
-                continue
+        for sym in list(where.get(bp, ())):
+            n = freq.pop(sym, None)
+            if n is None:
+                continue  # stale index entry: word already rewritten
+            account(sym, n, -1)
             res, j = [], 0
             while j < len(sym):
                 if j < len(sym) - 1 and sym[j] == bp[0] and sym[j + 1] == bp[1]:
@@ -781,8 +821,11 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 100,
                     res.append(sym[j])
                     j += 1
             t = tuple(res)
-            out[t] = out.get(t, 0) + n
-        freq = out
+            freq[t] = freq.get(t, 0) + n
+            account(t, n, 1)  # only the newly-arrived mass; any existing
+            # occurrences of t were accounted when t was first created
+        where.pop(bp, None)
+        pairs.pop(bp, None)
     return merges
 
 

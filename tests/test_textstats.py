@@ -301,3 +301,53 @@ def test_lm_score_broadcast_and_join_paths_agree(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert (a["score"] == b["score"]).all()
     assert (a["n_bigrams"] == b["n_bigrams"]).all()
+
+
+def test_bpe_incremental_bookkeeping_matches_naive(ray_session):
+    """The incremental pair-stats loop must pick the EXACT same merge
+    sequence as a naive full-recount reference on a random corpus (the
+    bookkeeping is exact, not approximate)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import bpe_train
+
+    rng = np.random.RandomState(13)
+    words = ["".join(rng.choice(list("abcd"), rng.randint(2, 7)))
+             for _ in range(300)]
+    docs = [" ".join(rng.choice(words, 20)) for _ in range(50)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    merges = bpe_train(ds, n_merges=40)
+
+    # naive reference: full pair recount every iteration
+    from collections import Counter
+    freq = {}
+    for d in docs:
+        for w in d.split():
+            k = tuple(w) + ("</w>",)
+            freq[k] = freq.get(k, 0) + 1
+    ref = []
+    for _ in range(40):
+        pairs = Counter()
+        for sym, n in freq.items():
+            for j in range(len(sym) - 1):
+                pairs[(sym[j], sym[j + 1])] += n
+        pairs = {p: c for p, c in pairs.items() if c > 0}
+        if not pairs:
+            break
+        bp = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append(bp)
+        merged = bp[0] + bp[1]
+        out = {}
+        for sym, n in freq.items():
+            res, j = [], 0
+            while j < len(sym):
+                if j < len(sym) - 1 and sym[j] == bp[0] and sym[j + 1] == bp[1]:
+                    res.append(merged); j += 2
+                else:
+                    res.append(sym[j]); j += 1
+            t = tuple(res)
+            out[t] = out.get(t, 0) + n
+        freq = out
+    assert merges == ref
