@@ -253,3 +253,29 @@ def test_dup_span_stats_no_duplicates_anywhere(ray_session):
     out = dup_span_stats(rd.from_pandas(df).repartition(2), k=5).to_pandas()
     assert sorted(out["n_grams"]) == [2, 2]
     assert (out["n_dup"] == 0).all() and (out["dup_frac"] == 0.0).all()
+
+
+def test_partial_count_reports_null_group(ray_session):
+    """SQL GROUP BY reports the NULL group — the engine's count/sum/minmax
+    finishes must too (regression: pandas dropna used to silently discard
+    rows whose key is null after they'd already paid the shuffle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import (grouped_minmax, grouped_sums,
+                                              partial_count)
+
+    df = pd.DataFrame({"k": ["a", None, "a", None, "b"],
+                       "v": [1, 2, 3, 4, 5]})
+    ds = rd.from_pandas(df).repartition(2)
+    def norm(k):
+        return None if (k is None or (isinstance(k, float) and k != k)) else k
+
+    pc_ = {norm(r["k"]): r["n"] for r in partial_count(ds, ["k"]).take_all()}
+    assert pc_ == {"a": 2, None: 2, "b": 1}
+    gs = {norm(r["k"]): r["sum_v"]
+          for r in grouped_sums(ds, ["k"], ["v"]).take_all()}
+    assert gs == {"a": 4, None: 6, "b": 5}
+    mm = {norm(r["k"]): r["v"]
+          for r in grouped_minmax(ds, ["k"], "v", "max").take_all()}
+    assert mm == {"a": 3, None: 4, "b": 5}
