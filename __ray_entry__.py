@@ -380,6 +380,16 @@ def q_doc_normalize(sf_dir: str):
         f, batch_format="pyarrow")
 
 
+def q_doc_sentence_stats(sf_dir: str):
+    """Sentence segmentation stats (readability/chunking inputs): split on
+    ``[.!?]+`` runs, count non-blank sentences + words per sentence — one
+    stateless vectorized pass, zero shuffle, streams at read speed."""
+    from cattle_ray.stages.textstats import sentence_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sentence_stats_batch, batch_format="pyarrow")
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language-ID (oracle: per-language stopword counts inlined
     in SQL, argmax with profile-order tie-break)."""
@@ -388,6 +398,43 @@ def q_doc_langid(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=2
     ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+def q_doc_editdist_pairs(sf_dir: str):
+    """Edit-distance near-dup pairs (short noisy text): token-count-band
+    blocking, exact byte-Levenshtein over 40-char prefixes verified by a
+    pair-axis-vectorized DP. Oracle = the same blocking self-join with
+    DuckDB's levenshtein()."""
+    from cattle_ray.stages.dedup import editdist_neardup_pairs
+
+    return editdist_neardup_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doc_lm_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus split: per-doc LM fluency
+    (exact-integer bigram score, length-normalized by integer division)
+    tertiled by the exact distributed quantile op — the canonical
+    perplexity-bucket curation step, end to end with zero float
+    summation."""
+    from cattle_ray.stages.quantiles import quantile_disc
+    from cattle_ray.stages.textstats import lm_score
+
+    scores = lm_score(_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "norm_score": pc.divide(b["score"], b["n_bigrams"]),
+        }), batch_format="pyarrow").materialize()  # quantile pass + bucket pass
+    qd = quantile_disc(scores, "norm_score", [1.0 / 3, 2.0 / 3])
+    b1, b2 = qd[1.0 / 3], qd[2.0 / 3]
+
+    def bucket(b: pa.Table) -> pa.Table:
+        v = b["norm_score"].to_numpy(zero_copy_only=False)
+        lab = np.where(v <= b1, "tail", np.where(v <= b2, "middle", "head"))
+        return pa.table({"doc_id": b["doc_id"],
+                         "norm_score": pc.cast(b["norm_score"], pa.int64()),
+                         "bucket": pa.array(lab.tolist(), pa.string())})
+
+    return scores.map_batches(bucket, batch_format="pyarrow")
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -823,6 +870,74 @@ def q_shipping_priority(sf_dir: str):
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped 4-way join: lineitem ⋈ orders ⋈ customer ⋈ nation,
+    revenue per nation. The scale discipline: revenue partials are
+    pre-aggregated BEFORE each join so every shuffle moves one small row
+    per key, not fact rows — lineitem collapses to per-order sums (~4×),
+    the order⋈customer result collapses to per-customer sums before the
+    customer join, and the 25-row nation dim is a broadcast lookup, never
+    a shuffle. Revenue is exact int64 fixed-point (1e-4 dollars) until ONE
+    final division — deterministic at any partial order."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               rows_per_block=100000)
+
+    def rev(b: pa.Table) -> pa.Table:
+        # half_towards_infinity = DuckDB round() (positive prices)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"), pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_e4": pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                                     dpct)),
+        })
+
+    per_order = grouped_sums(li.map_batches(rev, batch_format="pyarrow"),
+                             ["l_orderkey"], ["rev_e4"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=50000)
+    j1 = hash_join(per_order, orders, "l_orderkey", "o_orderkey")
+    per_cust = grouped_sums(
+        j1.map_batches(lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                           "rev_e4": b["sum_rev_e4"]}),
+                       batch_format="pyarrow"),
+        ["o_custkey"], ["rev_e4"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(per_cust, cust, "o_custkey", "c_custkey")
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).combine_chunks()
+    nat_ref = ray.put(nat)
+
+    def add_name(b: pa.Table) -> pa.Table:
+        lk = ray.get(nat_ref)
+        idx = pc.index_in(pc.cast(b["c_nationkey"], pa.int32()),
+                          value_set=lk["n_nationkey"].chunk(0))
+        return pa.table({"n_name": pc.take(lk["n_name"].chunk(0), idx),
+                         "rev_e4": b["sum_rev_e4"]})
+
+    per_nat = grouped_sums(j2.map_batches(add_name, batch_format="pyarrow"),
+                           ["n_name"], ["rev_e4"])
+    return per_nat.map_batches(
+        lambda b: pa.table({
+            "n_name": b["n_name"],
+            "n_customers": pc.cast(b["n"], pa.int64()),
+            # single exact-int64 / constant division — bit-identical to the
+            # oracle's BIGINT / 10000.0, no float summation anywhere
+            "revenue": pc.divide(pc.cast(b["sum_rev_e4"], pa.float64()),
+                                 pa.scalar(10000.0)),
+        }), batch_format="pyarrow")
 
 
 def q_events_sliding_window(sf_dir: str):
@@ -1272,6 +1387,153 @@ def q_events_day_over_day(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def q_events_user_paths(sf_dir: str):
+    """Behavioral-sequence assembly: each user's full event-type path in
+    exact temporal order (the training-sequence layout for behavior
+    models). One bucketed user shuffle; per bucket a single vectorized
+    sort + groupby-join — no per-user UDF calls. Path length is bounded by
+    per-user event count (document skew: a bot user with 10^6 events makes
+    a long string, not a hot shuffle key — the bucket carries its rows
+    either way)."""
+    from cattle_ray.stages.aggregates import coalesce_small
+
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"],
+               rows_per_block=20000)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("_bucket", pa.array(k % 32))
+
+    def build(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        path = grp["event_type"].agg(",".join)
+        return pd.DataFrame({
+            "user_id": path.index.to_numpy().astype("int64"),
+            "n_events": grp.size().to_numpy().astype("int64"),
+            "path": path.to_numpy(),
+        })
+
+    return (coalesce_small(ev.map_batches(add_bucket, batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(build, batch_format="pandas"))
+
+
+def q_events_value_mad(sf_dir: str):
+    """Robust dispersion: exact median + median-absolute-deviation via TWO
+    passes of the distributed histogram-selection quantile (no global
+    sort, no float summation — both statistics are actual data elements)."""
+    from cattle_ray.stages.quantiles import quantile_disc
+
+    ev = _read(sf_dir, "events", ["value"], rows_per_block=20000)
+    med = quantile_disc(ev, "value", [0.5])[0.5]
+    dev = ev.map_batches(
+        lambda b: pa.table({"ad": pc.abs(pc.subtract(b["value"],
+                                                     pa.scalar(med)))}),
+        batch_format="pyarrow")
+    mad = quantile_disc(dev, "ad", [0.5])[0.5]
+    return pa.table({"median": pa.array([med], pa.float64()),
+                     "mad": pa.array([mad], pa.float64())})
+
+
+def q_doc_length_rank(sf_dir: str):
+    """Global percent_rank() WITHOUT a global sort: token-count domain is
+    bounded small ints, so one map-side-combined count per length + a
+    driver cumsum gives every doc's exact strict-rank via one broadcast
+    searchsorted — the window function as a cumulative histogram."""
+    import ray
+
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.textstats import token_count_batch
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens"]).materialize()  # counts pass + rank pass
+    cnt = partial_count(toks, ["n_tokens"]).to_pandas()  # ≤ one row/length
+    cnt = cnt.sort_values("n_tokens")
+    lengths = cnt["n_tokens"].to_numpy().astype(np.int64)
+    before = np.concatenate(([0], np.cumsum(cnt["n"].to_numpy())[:-1]))
+    n_total = int(cnt["n"].sum())
+    ref = ray.put((lengths, before.astype(np.int64)))
+
+    def rank(b: pa.Table) -> pa.Table:
+        ln, bf = ray.get(ref)
+        v = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lt = bf[np.searchsorted(ln, v)]
+        pr = (lt.astype(np.float64) / (n_total - 1)) if n_total > 1 \
+            else np.zeros(len(v))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(v),
+                         "pct_rank": pa.array(pr)})
+
+    return toks.map_batches(rank, batch_format="pyarrow")
+
+
+def q_events_gapfill(sf_dir: str):
+    """Time-series densify/resample: daily event counts with missing days
+    zero-filled across the observed [min, max] span. The corpus-sized work
+    is ONE map-side-combined count; the day spine is calendar-bounded
+    (rows = days, independent of corpus size), so the fill itself runs on
+    the collected count table — bounded by construction, not by data."""
+    from cattle_ray.stages.aggregates import partial_count
+
+    ev = _read(sf_dir, "events", ["ts"], rows_per_block=20000)
+    days = ev.map_batches(
+        lambda b: pa.table({"day": pc.cast(
+            pc.divide(pc.cast(b["ts"], pa.int64()), 86_400_000_000),
+            pa.int64())}),
+        batch_format="pyarrow")
+    cnt = partial_count(days, ["day"]).to_pandas()  # ≤ one row per day
+    lo, hi = int(cnt["day"].min()), int(cnt["day"].max())
+    spine = np.arange(lo, hi + 1, dtype=np.int64)
+    filled = np.zeros(len(spine), dtype=np.int64)
+    filled[cnt["day"].to_numpy().astype(np.int64) - lo] = \
+        cnt["n"].to_numpy().astype(np.int64)
+    return pa.table({"day": pa.array(spine), "n": pa.array(filled)})
+
+
+def q_lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation (quantity vs discount-pct per return
+    flag) from EXACT integer moment sums — one grouped_sums pass carries
+    (Σx, Σy, Σxy, Σx², Σy², n) per group, the driver evaluates the final
+    float expression in the same IEEE operation order as the oracle SQL
+    (sqrt/division of exact ints — bit-identical, no partial-order flake)."""
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_discount"],
+               rows_per_block=100000)
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                             round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"l_returnflag": b["l_returnflag"], "x": x, "y": y,
+                         "xy": pc.multiply(x, y), "x2": pc.multiply(x, x),
+                         "y2": pc.multiply(y, y)})
+
+    g = grouped_sums(li.map_batches(moments, batch_format="pyarrow"),
+                     ["l_returnflag"], ["x", "y", "xy", "x2", "y2"])
+
+    def corr(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = b["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy = b["sum_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sxy = b["sum_xy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx2 = b["sum_x2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sy2 = b["sum_y2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        num = n * sxy - sx * sy
+        d1 = n * sx2 - sx * sx
+        d2 = n * sy2 - sy * sy
+        c = num.astype(np.float64) / (np.sqrt(d1.astype(np.float64))
+                                      * np.sqrt(d2.astype(np.float64)))
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "n": pa.array(n), "corr_qd": pa.array(c)})
+
+    return g.map_batches(corr, batch_format="pyarrow")
+
+
 def q_events_rolling_active(sf_dir: str):
     """Rolling 7-day active users (WAU) per day — the sliding-window
     DISTINCT that plain windowed aggregation can't do: the user-day table
@@ -1308,6 +1570,60 @@ def q_events_rolling_active(sf_dir: str):
         .filter(pc.and_(pc.greater_equal(pc.cast(b["wday"], pa.int64()), lo),
                         pc.less_equal(pc.cast(b["wday"], pa.int64()), hi))),
         batch_format="pyarrow")
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, dow) in ONE corpus pass: the event stream
+    shuffles only into the finest-level (type, dow) sums; all three coarser
+    grouping sets re-aggregate that already-tiny table (the rollup
+    optimization generalized to the full cube). Day-of-week is pure
+    epoch arithmetic — identical on both sides, no calendar functions."""
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    import ray.data as rd
+
+    def prep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        dow = pc.add(pc.divide(us, 86_400_000_000), 4)  # 1970-01-01 = Thu
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_type": b["event_type"],
+                         "dow": pc.cast(pc.subtract(
+                             dow, pc.multiply(pc.divide(dow, 7), 7)),
+                             pa.int64()),
+                         "cents": cents})
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"],
+               rows_per_block=20000)
+    fine = grouped_sums(ev.map_batches(prep, batch_format="pyarrow"),
+                        ["event_type", "dow"], ["cents"])
+    base = fine.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "dow": pc.cast(b["dow"], pa.int64()),
+                            "cents": pc.cast(b["sum_cents"], pa.int64()),
+                            "n_ev": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow").materialize()  # tiny; consumed 4×
+
+    def tbl(et, dow, n, s) -> pa.Table:
+        return pa.table({"event_type": pa.array(et, pa.string()),
+                         "dow": pa.array(dow, pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "sum_cents": pa.array(s, pa.int64())})
+
+    lvl_td = base.map_batches(
+        lambda b: tbl(b["event_type"], b["dow"], b["n_ev"], b["cents"]),
+        batch_format="pyarrow")
+    lvl_t = grouped_sums(base, ["event_type"], ["cents", "n_ev"]).map_batches(
+        lambda b: tbl(b["event_type"], [None] * len(b), b["sum_n_ev"],
+                      b["sum_cents"]), batch_format="pyarrow")
+    lvl_d = grouped_sums(base, ["dow"], ["cents", "n_ev"]).map_batches(
+        lambda b: tbl([None] * len(b), pc.cast(b["dow"], pa.int64()),
+                      b["sum_n_ev"], b["sum_cents"]),
+        batch_format="pyarrow")
+    lvl_0 = rd.from_arrow(tbl([None], [None], [int(base.sum("n_ev"))],
+                              [int(base.sum("cents"))]))
+    return lvl_td.union(lvl_t).union(lvl_d).union(lvl_0)
 
 
 def q_events_dominant_type(sf_dir: str):
@@ -2151,6 +2467,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_word_cooc": q_doc_word_cooc,
         "doc_lm_score": q_doc_lm_score,
         "doc_normalize": q_doc_normalize,
+        "doc_sentence_stats": q_doc_sentence_stats,
+        "doc_editdist_pairs": q_doc_editdist_pairs,
+        "doc_lm_buckets": q_doc_lm_buckets,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2162,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "events_asof_orders": q_events_asof_orders,
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
+        "revenue_by_nation": q_revenue_by_nation,
         "lineitem_part_join": q_lineitem_part_join,
         "users_without_orders": q_users_without_orders,
         "shipping_priority": q_shipping_priority,
@@ -2225,6 +2545,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_reach_by_type": q_events_reach_by_type,
         "events_user_quantiles_approx": q_events_user_quantiles_approx,
         "events_cohort_retention": q_events_cohort_retention,
+        "events_cube": q_events_cube,
+        "events_gapfill": q_events_gapfill,
+        "events_user_paths": q_events_user_paths,
+        "events_value_mad": q_events_value_mad,
+        "doc_length_rank": q_doc_length_rank,
+        "lineitem_corr": q_lineitem_corr,
         "events_day_over_day": q_events_day_over_day,
         "events_rolling_active": q_events_rolling_active,
         "events_dominant_type": q_events_dominant_type,
@@ -2508,6 +2834,54 @@ def oracle_sql() -> dict[str, str]:
                    md5(trim(regexp_replace(lower(nfc_normalize(text)),
                                            '\s+', ' ', 'g'))) AS norm_md5
             FROM documents
+        """,
+        "doc_sentence_stats": r"""
+            WITH s AS (SELECT doc_id, list_filter(list_transform(
+                regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+                x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                x -> x <> '') AS sents FROM documents),
+            w AS (SELECT doc_id, list_transform(sents,
+                x -> len(regexp_split_to_array(x, '\s+'))) AS ws FROM s)
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_sentences,
+                   CAST(coalesce(list_sum(ws), 0) AS BIGINT) AS n_words,
+                   CAST(coalesce(list_max(ws), 0) AS BIGINT)
+                       AS max_sentence_words
+            FROM w
+        """,
+        "doc_editdist_pairs": r"""
+            WITH t AS (SELECT doc_id, left(text, 40) AS p,
+                len(string_split_regex(trim(text), '\s+')) // 16 AS band
+                FROM documents WHERE trim(coalesce(text, '')) <> '')
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+            FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.p, b.p) <= 5
+        """,
+        "doc_lm_buckets": r"""
+            WITH s AS (SELECT doc_id,
+                              string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents WHERE trim(text) != ''),
+                 u AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 1)) AS i
+                       FROM s WHERE len(toks) >= 2),
+                 big AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                         FROM u),
+                 c2 AS (SELECT w1, w2, count(*) AS c FROM big
+                        GROUP BY w1, w2),
+                 c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+                 sc AS (SELECT b.doc_id,
+                            CAST(SUM((c2.c * 1000000) // c1.c) AS BIGINT)
+                                // CAST(count(*) AS BIGINT) AS norm_score
+                        FROM big b JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                        GROUP BY b.doc_id),
+                 q AS (SELECT quantile_disc(norm_score, [1.0/3, 2.0/3]) AS qs
+                       FROM sc)
+            SELECT doc_id, norm_score,
+                   CASE WHEN norm_score <= qs[1] THEN 'tail'
+                        WHEN norm_score <= qs[2] THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM sc, q
         """,
         "doc_langid": _langid_sql(),
         "doc_repetition": r"""
@@ -2842,6 +3216,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber, l_partkey, p_name
             FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
+        "revenue_by_nation": """
+            -- revenue in exact 1e-4-dollar int64 units until one final
+            -- division (engine mirrors bit-for-bit; no float summation)
+            SELECT n_name,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "users_without_orders": """
             SELECT DISTINCT user_id FROM events
             WHERE user_id NOT IN (SELECT o_custkey FROM orders WHERE o_custkey < 10)
@@ -3133,6 +3521,67 @@ def oracle_sql() -> dict[str, str]:
         "doc_rollup": """
             SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
             FROM documents GROUP BY ROLLUP(source, lang)
+        """,
+        "events_cube": """
+            WITH e AS (SELECT event_type,
+                   CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT)
+                       AS dow,
+                   CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+            SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_cents
+            FROM e GROUP BY CUBE(event_type, dow)
+        """,
+        "events_gapfill": """
+            WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                           AS day FROM events),
+            c AS (SELECT day, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY day),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+            s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b)
+            SELECT s.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM s LEFT JOIN c USING (day)
+        """,
+        "events_user_paths": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   string_agg(event_type, ','
+                              ORDER BY ts, event_id) AS path
+            FROM events GROUP BY user_id
+        """,
+        "events_value_mad": """
+            WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
+            d AS (SELECT abs(value - med) AS ad FROM events, m)
+            SELECT (SELECT med FROM m) AS median,
+                   quantile_disc(ad, 0.5) AS mad FROM d
+        """,
+        "doc_length_rank": r"""
+            WITH t AS (SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS BIGINT) END AS n_tokens
+                   FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(percent_rank() OVER (ORDER BY n_tokens) AS DOUBLE)
+                       AS pct_rank
+            FROM t
+        """,
+        "lineitem_corr": """
+            -- exact integer moments; final float expression mirrors the
+            -- engine's IEEE op order exactly (sqrt+divide of exact ints)
+            WITH m AS (SELECT l_returnflag,
+                   CAST(round(l_quantity) AS BIGINT) AS x,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+                   FROM lineitem),
+            g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sx2,
+                   CAST(sum(y * y) AS BIGINT) AS sy2
+                   FROM m GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr_qd
+            FROM g
         """,
         "events_value_ntile": """
             WITH q AS (SELECT quantile_disc(value, [0.25, 0.5, 0.75]) AS qs

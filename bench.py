@@ -137,6 +137,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_rolling_active",
         "kg_negative_samples",
         "doc_word_cooc",
+        # third-continuation operators
+        "doc_sentence_stats",
+        "revenue_by_nation",
+        "events_cube",
+        "events_gapfill",
+        "lineitem_corr",
+        "doc_editdist_pairs",
+        "doc_lm_buckets",
     ]
     for name in bench_queries:
         timed(name, qs[name])

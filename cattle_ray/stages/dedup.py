@@ -1195,3 +1195,113 @@ def dup_span_stats(ds, k: int = 10, id_col: str = "doc_id",
                          "dup_frac": frac})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (short noisy text: titles, OCR lines)
+
+
+def _levenshtein_pairs(sa: list, sb: list) -> np.ndarray:
+    """Exact Levenshtein over UTF-8 BYTES (DuckDB ``levenshtein``
+    semantics), vectorized across the PAIR axis: pairs are grouped by
+    (len_a, len_b) so the DP dims are exact, then each of the
+    ``len_a × len_b`` DP cells is one C-level numpy op over every pair in
+    the group at once — no per-pair Python DP."""
+    enc_a = [s.encode("utf-8") for s in sa]
+    enc_b = [s.encode("utf-8") for s in sb]
+    out = np.zeros(len(sa), dtype=np.int64)
+    groups: dict = {}
+    for i, (a, b) in enumerate(zip(enc_a, enc_b)):
+        groups.setdefault((len(a), len(b)), []).append(i)
+    for (la, lb), idx in groups.items():
+        if la == 0 or lb == 0:
+            out[idx] = max(la, lb)
+            continue
+        ix = np.asarray(idx)
+        A = np.frombuffer(b"".join(enc_a[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), la)
+        B = np.frombuffer(b"".join(enc_b[i] for i in idx),
+                          dtype=np.uint8).reshape(len(idx), lb)
+        prev = np.broadcast_to(np.arange(lb + 1, dtype=np.int64),
+                               (len(idx), lb + 1)).copy()
+        cur = np.empty_like(prev)
+        for i in range(1, la + 1):
+            cur[:, 0] = i
+            ai = A[:, i - 1]
+            for j in range(1, lb + 1):
+                cost = (ai != B[:, j - 1]).astype(np.int64)
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1,
+                           out=cur[:, j])
+                np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+            prev, cur = cur, prev
+        out[ix] = prev[:, lb]
+    return out
+
+
+def editdist_neardup_pairs(ds, id_col="doc_id", text_col="text",
+                           prefix_len: int = 40, max_dist: int = 5,
+                           band_tokens: int = 16, num_buckets: int = 32):
+    """Edit-distance near-dup pairs — the dedup family member for SHORT
+    noisy text (titles, OCR lines, product names) where token-set Jaccard
+    misfires on reorderings and MinHash shingles are too coarse.
+
+    Blocking: docs sharing a whitespace-token-count band
+    (``n_tokens // band_tokens``) are candidates; within a band every pair
+    verifies exact Levenshtein over the first ``prefix_len`` CHARACTERS
+    (SQL ``left()``), distance counted over UTF-8 BYTES (DuckDB
+    ``levenshtein`` semantics — verified byte-based). The verify kernel is
+    vectorized across the pair axis (:func:`_levenshtein_pairs`).
+
+    Scale note: cost is quadratic in the largest band. Length bands are a
+    coarse key — at corpus scale compose a second blocking key (first
+    token, simhash band) the same way; the band loop below is agnostic to
+    what the band tuple contains.
+    """
+    import pyarrow.compute as pc
+
+    from .aggregates import coalesce_small
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        trimmed = pc.utf8_trim_whitespace(t)
+        keep = pc.not_equal(trimmed, "")
+        b = batch.filter(keep)
+        t = pc.utf8_trim_whitespace(pc.cast(b[text_col], pa.string()))
+        ntok = pc.list_value_length(pc.split_pattern_regex(t, r"\s+"))
+        band = pc.divide(pc.cast(ntok, pa.int64()), band_tokens)
+        return pa.table({
+            "id": b[id_col],
+            "prefix": pc.utf8_slice_codeunits(pc.cast(b[text_col], pa.string()),
+                                              0, prefix_len),
+            "band": band,
+            "_bucket": pc.subtract(band, pc.multiply(
+                pc.divide(band, num_buckets), num_buckets)),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out, d_out = [], [], []
+        for _, grp in g.groupby("band", sort=False):
+            grp = grp.drop_duplicates(subset=["id"]).sort_values(
+                "id", kind="mergesort")
+            n = len(grp)
+            if n < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            pref = grp["prefix"].to_numpy()
+            ai, bi = np.triu_indices(n, 1)
+            d = _levenshtein_pairs(list(pref[ai]), list(pref[bi]))
+            keep = d <= max_dist
+            a_out.append(ids[ai[keep]])
+            b_out.append(ids[bi[keep]])
+            d_out.append(d[keep])
+        if not a_out:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_a": np.concatenate(a_out),
+                             "doc_b": np.concatenate(b_out),
+                             "dist": np.concatenate(d_out)})
+
+    return coalesce_small(
+        ds.map_batches(prep, batch_format="pyarrow")
+    ).groupby("_bucket").map_groups(pairs, batch_format="pandas")

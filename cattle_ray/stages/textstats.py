@@ -899,3 +899,39 @@ def _lm_score_joined(big, c2, c1, id_col: str, scale: int,
                             "n_bigrams": pc.cast(b["n"], pa.int64()),
                             "score": pc.cast(b["sum_pq"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def sentence_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                         text_col: str = "text") -> pa.Table:
+    """Sentence segmentation stats, fully vectorized (zero Python per row):
+    sentences are the non-blank segments after splitting on ``[.!?]+`` runs
+    (RE2 — identical semantics to DuckDB's ``regexp_split_to_array``);
+    blank-after-trim segments (e.g. after a trailing period) don't count.
+    Per doc: ``n_sentences``, total ``n_words`` across sentences, and
+    ``max_sentence_words`` — the inputs to readability / chunking rules.
+
+    Trim charset is the explicit ``" \\t\\n\\r"`` (SQL ``trim(x, ...)``
+    default strips spaces only — the oracle passes the same charset).
+    """
+    t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+    sent_lists = pc.split_pattern_regex(t, r"[.!?]+")
+    parent = pc.list_parent_indices(sent_lists).to_numpy(zero_copy_only=False)
+    trimmed = pc.utf8_trim(pc.list_flatten(sent_lists), " \t\n\r")
+    nonblank = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    words = pc.list_value_length(
+        pc.split_pattern_regex(trimmed, r"\s+")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+    n = len(batch)
+    p_nb, w_nb = parent[nonblank], words[nonblank]
+    n_sent = np.bincount(p_nb, minlength=n).astype(np.int64)
+    # word counts are small ints — float64 bincount sums are exact
+    n_words = np.bincount(p_nb, weights=w_nb, minlength=n).astype(np.int64)
+    mx = np.zeros(n, dtype=np.int64)
+    np.maximum.at(mx, p_nb, w_nb)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_sentences": pa.array(n_sent),
+        "n_words": pa.array(n_words),
+        "max_sentence_words": pa.array(mx),
+    })

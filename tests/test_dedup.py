@@ -279,3 +279,52 @@ def test_partial_count_reports_null_group(ray_session):
     mm = {norm(r["k"]): r["v"]
           for r in grouped_minmax(ds, ["k"], "v", "max").take_all()}
     assert mm == {"a": 3, None: 4, "b": 5}
+
+
+def test_levenshtein_pairs_matches_duckdb_bytes():
+    """Pair-axis-vectorized DP must equal DuckDB's (byte-based) levenshtein
+    on random unicode pairs, including empty strings."""
+    import random
+    import string
+
+    import duckdb
+
+    from cattle_ray.stages.dedup import _levenshtein_pairs
+
+    random.seed(11)
+    sa, sb = [], []
+    for _ in range(200):
+        a = "".join(random.choices(string.ascii_lowercase + " üé",
+                                   k=random.randint(0, 12)))
+        b = (a[:max(0, len(a) - 2)] + "zz") if random.random() < 0.5 else \
+            "".join(random.choices(string.ascii_lowercase,
+                                   k=random.randint(0, 12)))
+        sa.append(a)
+        sb.append(b)
+    eng = list(_levenshtein_pairs(sa, sb))
+    con = duckdb.connect()
+    ora = [con.sql("select levenshtein(?, ?)", params=[x, y]).fetchone()[0]
+           for x, y in zip(sa, sb)]
+    assert eng == ora
+
+
+def test_editdist_neardup_planted(ray_session):
+    """A planted 2-char-edit twin is found; unrelated docs of a different
+    length band are never compared (no pair emitted)."""
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import editdist_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    twin = base[:-2] + "xy"                      # same band, dist ≤ 2 in 40c
+    other = "word " * 40                         # different length band
+    ds = rd.from_items([
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": twin},
+        {"doc_id": 3, "text": other.strip()},
+        {"doc_id": 4, "text": ""},              # filtered out
+    ])
+    out = editdist_neardup_pairs(ds, max_dist=5).to_pandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)

@@ -351,3 +351,33 @@ def test_bpe_incremental_bookkeeping_matches_naive(ray_session):
             out[t] = out.get(t, 0) + n
         freq = out
     assert merges == ref
+
+
+def test_sentence_stats_matches_duckdb():
+    """Edge cases: empty, null, no punctuation, punctuation runs, trailing
+    punctuation, multi-space — engine kernel must agree with the oracle's
+    regexp_split_to_array/list_transform formulation exactly."""
+    import duckdb
+    import pandas as pd
+
+    from cattle_ray.stages.textstats import sentence_stats_batch
+
+    docs = ["Hello world. How are you? Fine!", "", "no punctuation here",
+            "a.  b!!c?", "  trailing. ", None, "one.two.three.", "x",
+            "A b c d. E f.", "tabs\tand\nnewlines. ok!"]
+    b = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    eng = sentence_stats_batch(b).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    ora = duckdb.sql(r"""
+        WITH s AS (SELECT doc_id, list_filter(list_transform(
+            regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+            x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+            x -> x <> '') AS sents FROM b),
+        w AS (SELECT doc_id, list_transform(sents,
+            x -> len(regexp_split_to_array(x, '\s+'))) AS ws FROM s)
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_sentences,
+               CAST(coalesce(list_sum(ws), 0) AS BIGINT) AS n_words,
+               CAST(coalesce(list_max(ws), 0) AS BIGINT) AS max_sentence_words
+        FROM w ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(eng, ora)
