@@ -974,6 +974,41 @@ def q_events_sliding_window(sf_dir: str):
     )
 
 
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the doc→entity bipartite edges (docs
+    citing many entities = hubs; entities cited by many strong hubs =
+    authorities). Oracle: 3 iterations unrolled in SQL; both sides round
+    to 6 decimals (iteration reorders float partial sums at 1e-16 —
+    see q_kg_pagerank)."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.graph import hits, uri_ids64
+    from cattle_ray.stages.joins import hash_join
+
+    ent = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity")),
+        batch_format="pyarrow").materialize()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": uri_ids64(b["subj"]),
+                         "dst": uri_ids64(b["obj"])})
+
+    def to_map(b: pa.Table) -> pa.Table:
+        uris = pa.concat_arrays([b["subj"].combine_chunks(),
+                                 b["obj"].combine_chunks()])
+        ids = pa.concat_arrays([uri_ids64(b["subj"]), uri_ids64(b["obj"])])
+        return pa.table({"nid": ids, "uri": uris})
+
+    scores = hits(ent.map_batches(to_edges, batch_format="pyarrow"), iters=3)
+    id_map = distinct(ent.map_batches(to_map, batch_format="pyarrow"),
+                      ["nid", "uri"], num_buckets=8)
+    joined = hash_join(scores, id_map, "node", "nid", num_buckets=8)
+    return joined.map_batches(
+        lambda b: pa.table({"node": b["uri"],
+                            "auth": pc.round(b["auth"], 6),
+                            "hub": pc.round(b["hub"], 6)}),
+        batch_format="pyarrow")
+
+
 def q_kg_pagerank(sf_dir: str):
     """Entity importance: PageRank power iteration over the doc→entity
     bipartite edges of the materialized triples. Oracle: the 5-iteration
@@ -2486,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_without_orders": q_users_without_orders,
         "shipping_priority": q_shipping_priority,
         "events_sliding_window": q_events_sliding_window,
+        "kg_hits": q_kg_hits,
         "kg_pagerank": q_kg_pagerank,
         "doc_corpus_dedup": q_doc_corpus_dedup,
         "events_top_users": q_events_top_users,
@@ -2627,6 +2663,38 @@ def _pagerank_sql(iters: int = 5) -> str:
             r0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes CROSS JOIN cnt)
             {ctes}
         SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS mirroring cattle_ray.stages.graph.hits: init 1.0,
+    per half-round sum over edges then L1-normalize; round 6."""
+    ctes = ""
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+            ap{k} AS (SELECT e.o AS node, sum(h.score) AS s FROM edges e
+                      JOIN {prev_h} h ON h.node = e.s GROUP BY e.o),
+            at{k} AS (SELECT sum(s) AS t FROM ap{k}),
+            a{k} AS (SELECT n.node, coalesce(p.s, 0) / at{k}.t AS score
+                     FROM nodes n CROSS JOIN at{k}
+                     LEFT JOIN ap{k} p ON p.node = n.node),
+            hp{k} AS (SELECT e.s AS node, sum(a.score) AS s FROM edges e
+                      JOIN a{k} a ON a.node = e.o GROUP BY e.s),
+            ht{k} AS (SELECT sum(s) AS t FROM hp{k}),
+            h{k} AS (SELECT n.node, coalesce(p.s, 0) / ht{k}.t AS score
+                     FROM nodes n CROSS JOIN ht{k}
+                     LEFT JOIN hp{k} p ON p.node = n.node)"""
+        prev_h = f"h{k}"
+    return _TRIPLE_BASE_CTE + f""",
+            edges AS (SELECT subj AS s, obj AS o FROM triples
+                      WHERE pred = '{EX}entity'),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
+            h0 AS (SELECT node, 1.0 AS score FROM nodes)
+            {ctes}
+        SELECT a.node, round(a.score, 6) AS auth, round(h.score, 6) AS hub
+        FROM a{iters} a JOIN h{iters} h USING (node)
     """
 
 
@@ -2901,6 +2969,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
         """,
+        "kg_hits": _hits_sql(),
         "kg_pagerank": _pagerank_sql(),
         "doc_collocations": r"""
             WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws

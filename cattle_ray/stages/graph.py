@@ -268,6 +268,150 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
     return ranks
 
 
+_HITS_EMPTY = pa.schema([("node", pa.int64()), ("auth", pa.float64()),
+                         ("hub", pa.float64())])
+
+
+def _hits_numpy_task(block_refs: list, iters: int) -> pa.Table:
+    """Single-worker HITS solve (same math as the distributed rounds,
+    vectorized bincount) for graphs below the shuffle-floor crossover."""
+    t = gather_block_refs(block_refs, _PR_EMPTY)
+    if t.num_rows == 0:
+        return _HITS_EMPTY.empty_table()
+    src = t["src"].to_numpy(zero_copy_only=False)
+    dst = t["dst"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s_idx, d_idx = inv[: len(src)], inv[len(src):]
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.ones(n)
+    for _ in range(iters):
+        a = np.bincount(d_idx, weights=h[s_idx], minlength=n)
+        a = a / a.sum()
+        h = np.bincount(s_idx, weights=a[d_idx], minlength=n)
+        h = h / h.sum()
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "auth": pa.array(a), "hub": pa.array(h)})
+
+
+def hits(edges_ds, *, iters: int = 3, num_buckets: int | None = None,
+         small_graph_edges: int = SMALL_GRAPH_EDGES):
+    """HITS hubs & authorities over an edge Dataset (src:int64, dst:int64)
+    → Dataset (node, auth, hub); L1-normalized each half-round.
+
+    Same execution discipline as :func:`pagerank`: size-adaptive (one
+    remote numpy task under the crossover — iteration on a small graph is
+    shuffle-floor-bound, not compute-bound), else distributed rounds where
+    the edge table is padded + bucketed ONCE per direction (by src for the
+    auth half-round, by dst for the hub half-round) and each half-round's
+    first shuffle fuses the score join with a partial per-target reduce, so
+    the second shuffle moves node-sized partials, not edge-sized
+    contributions. Only the two-column score table moves per round.
+    """
+    import ray
+
+    from .aggregates import coalesce_small
+
+    edges = edges_ds.map_batches(
+        lambda t: pa.table(
+            {"src": t["src"].combine_chunks().cast(pa.int64()),
+             "dst": t["dst"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        import ray.data as rd
+
+        task = ray.remote(num_cpus=1)(_hits_numpy_task)
+        out = ray.get(task.remote(list(edges.to_arrow_refs()), iters))
+        return rd.from_arrow(out)
+    if num_buckets is None:
+        num_buckets = int(min(64, max(8, n_edges // 100_000)))
+
+    from .dedup import dedup_exact
+
+    nodes_tbl = edges.map_batches(
+        lambda t: pa.table({"node": pc.unique(pa.concat_arrays(
+            [t["src"].combine_chunks(), t["dst"].combine_chunks()]))}),
+        batch_format="pyarrow")
+    nodes = dedup_exact(nodes_tbl, ["node"]).map_batches(
+        lambda t: pa.table({"node": t["node"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    # padded + bucketed ONCE per direction, reused every round
+    e_by_src = coalesce_small(
+        _pad_bucket_tag(edges, _S1_SCHEMA, "src", 0, num_buckets), 16
+    ).materialize()
+    e_by_dst = coalesce_small(
+        _pad_bucket_tag(edges, _S1_SCHEMA, "dst", 0, num_buckets), 16
+    ).materialize()
+    nodes_pre = coalesce_small(
+        _pad_bucket_tag(nodes, _S2_SCHEMA, "node", 0, num_buckets), 8
+    ).materialize()
+
+    def init_scores(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"],
+                         "rank": pa.array(np.ones(len(t)))})
+
+    def half_round(scores, e_pre, join_key: str, out_key: str):
+        """scores(node, rank) joined onto edges via ``join_key``, partial-
+        summed per ``out_key``; returns (partials, total)."""
+
+        def stage1(g: pa.Table) -> pd.DataFrame:
+            e = g.filter(pc.equal(g["_side"], 0)).select(
+                ["src", "dst"]).to_pandas()
+            r = g.filter(pc.equal(g["_side"], 1)).select(
+                ["node", "rank"]).to_pandas()
+            m = e.merge(r, left_on=join_key, right_on="node", how="inner")
+            if m.empty:
+                return pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                     "in_sum": pd.Series(dtype="float64")})
+            out = (pd.DataFrame({"node": m[out_key].to_numpy(),
+                                 "in_sum": m["rank"].to_numpy()})
+                   .groupby("node", sort=False)["in_sum"].sum().reset_index())
+            out["node"] = out["node"].astype("int64")
+            return out
+
+        scores_tag = coalesce_small(
+            _pad_bucket_tag(scores, _S1_SCHEMA, "node", 1, num_buckets), 8)
+        partials = (e_pre.union(scores_tag).groupby("_bucket")
+                    .map_groups(stage1, batch_format="pyarrow").materialize())
+        total = partials.sum("in_sum") or 1.0
+
+        def stage2(g: pa.Table, total=total) -> pd.DataFrame:
+            nod = g.filter(pc.equal(g["_side"], 0)).select(["node"]).to_pandas()
+            p = g.filter(pc.equal(g["_side"], 1)).select(
+                ["node", "in_sum"]).to_pandas()
+            s = p.groupby("node", sort=False)["in_sum"].sum()
+            in_sum = nod["node"].map(s).fillna(0.0).to_numpy()
+            return pd.DataFrame({"node": nod["node"].to_numpy(),
+                                 "rank": in_sum / total})
+
+        partials_tag = coalesce_small(
+            _pad_bucket_tag(partials, _S2_SCHEMA, "node", 1, num_buckets), 8)
+        return (nodes_pre.union(partials_tag).groupby("_bucket")
+                .map_groups(stage2, batch_format="pyarrow").materialize())
+
+    hub = nodes.map_batches(init_scores, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = half_round(hub, e_by_src, "src", "dst")
+        hub = half_round(auth, e_by_dst, "dst", "src")
+
+    from .joins import hash_join
+
+    j = hash_join(
+        auth.map_batches(lambda t: t.rename_columns(["anode", "auth"]),
+                         batch_format="pyarrow"),
+        hub.map_batches(lambda t: t.rename_columns(["hnode", "hub"]),
+                        batch_format="pyarrow"),
+        "anode", "hnode", num_buckets=8)
+    return j.map_batches(
+        lambda t: pa.table({"node": t["anode"].combine_chunks().cast(pa.int64()),
+                            "auth": t["auth"], "hub": t["hub"]}),
+        batch_format="pyarrow")
+
+
 def adjacency_lists(triples_ds, subj_col: str = "subj", pred_col: str = "pred",
                     obj_col: str = "obj", sep: str = "; ",
                     num_buckets: int = 64):

@@ -196,3 +196,46 @@ def test_kcore_raises_when_rounds_exhausted(ray_session):
         kcore(ds, 2, max_rounds=3)
     # with enough rounds the same graph converges (2-core of a path: empty)
     assert kcore(ds, 2, max_rounds=10).count() == 0
+
+
+def _numpy_hits(edges, iters=3):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    a, h = np.ones(n), np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, d in edges:
+            a[idx[d]] += h[idx[s]]
+        a = a / a.sum()
+        h = np.zeros(n)
+        for s, d in edges:
+            h[idx[s]] += a[idx[d]]
+        h = h / h.sum()
+    return {v: (a[idx[v]], h[idx[v]]) for v in nodes}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (3, 1), (3, 4)],
+        [(1, 2), (1, 3), (1, 4), (5, 1), (2, 4)],
+    ],
+)
+@pytest.mark.parametrize("small_graph_edges", [0, 10**6])
+def test_hits_matches_numpy(ray_session, edges, small_graph_edges):
+    """Both HITS paths (distributed half-rounds and the single-worker
+    solve) must match the dense reference to 1e-9."""
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import hits
+
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = hits(rd.from_pandas(df), iters=3,
+               small_graph_edges=small_graph_edges).to_pandas()
+    got = {r.node: (r.auth, r.hub) for r in out.itertuples()}
+    want = _numpy_hits(edges, iters=3)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) < 1e-9
+        assert abs(got[v][1] - want[v][1]) < 1e-9
