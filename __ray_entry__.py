@@ -2155,6 +2155,27 @@ def q_doc_term_stats(sf_dir: str):
     return doc_term_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_doc_tfidf(sf_dir: str):
+    """True TF-IDF product ranking (not the lexicographic (tf, df) order of
+    doc_top_terms): score = tf × ((10⁶·N) // df) — idf as an integer-scaled
+    reciprocal-df, monotone in 1/df, exact int64 end to end, so the product
+    ranking is deterministic and the oracle is plain integer SQL (no float
+    log). One co-partitioned tf⋈df join + one bucketed per-doc top-k."""
+    from cattle_ray.stages.aggregates import grouped_topk
+
+    n = _docs(sf_dir, ["doc_id"]).count()
+    scored = q_doc_term_stats(sf_dir).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "term": b["term"],
+            "score": pc.multiply(
+                pc.cast(b["tf"], pa.int64()),
+                pc.divide(pa.scalar(1_000_000 * n, pa.int64()),
+                          pc.cast(b["df"], pa.int64()))),
+        }), batch_format="pyarrow")
+    return grouped_topk(scored, "doc_id", ["score", "term"], [False, True],
+                        5, rank_col="rank")
+
+
 def q_multimodal_decode(sf_dir: str):
     """Multimodal plumbing: deterministic binary image column → actor-pool
     decode → typed metadata (payload parse is real; codec is the CRIM stub)."""
@@ -2404,6 +2425,77 @@ def q_events_running_sum(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_moving_avg(sf_dir: str):
+    """Per-user 3-row moving average of spend (AVG OVER ... ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW) via cumsum-diff — exact int64 window sums +
+    counts, the average as their one float division, mirrored bit-for-bit
+    (never SQL AVG(): its internal accumulator isn't spec'd)."""
+    from cattle_ray.stages.windows import grouped_moving_avg
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"],
+               rows_per_block=20000)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"event_id": b["event_id"], "ts": b["ts"],
+                         "user_id": b["user_id"], "cents": cents})
+
+    out = grouped_moving_avg(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", val="cents", window=3,
+        order_tiebreak="event_id")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "win_sum", "win_n",
+                            "mov_avg"]), batch_format="pyarrow")
+
+
+def q_kg_degree_distribution(sf_dir: str):
+    """Count-of-counts: the out-degree histogram of the KG (the power-law
+    diagnostic) — two chained map-side-combined counts; the corpus shuffles
+    once into per-subject degrees, degrees shuffle once into the tiny
+    histogram."""
+    from cattle_ray.stages.aggregates import partial_count
+
+    deg = partial_count(q_kg_csvw_triples(sf_dir), ["subj"])
+    hist = partial_count(deg.map_batches(
+        lambda b: pa.table({"degree": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow"), ["degree"])
+    return hist.map_batches(
+        lambda b: pa.table({"degree": pc.cast(b["degree"], pa.int64()),
+                            "n_subjects": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_events_anomaly(sf_dir: str):
+    """Hourly-volume anomaly scores: per-hour counts z-scored against the
+    corpus of hours (exact integer count sums; mean/std/z evaluated in the
+    identical float op order both sides), flagging |z| > 3. The hour table
+    is calendar-bounded — the corpus-sized work is ONE count."""
+    from cattle_ray.stages.aggregates import partial_count
+
+    ev = _read(sf_dir, "events", ["ts"], rows_per_block=20000)
+    hours = ev.map_batches(
+        lambda b: pa.table({"hour": pc.cast(pc.divide(
+            pc.cast(b["ts"], pa.int64()), 3_600_000_000), pa.int64())}),
+        batch_format="pyarrow")
+    cnt = partial_count(hours, ["hour"]).to_pandas()  # ≤ one row per hour
+    n = cnt["n"].to_numpy().astype(np.int64)
+    h = len(cnt)
+    s, s2 = int(n.sum()), int((n * n).sum())
+    mean = float(s) / h
+    var = float(h * s2 - s * s) / (float(h) * float(h))
+    std = np.sqrt(var)
+    z = (n.astype(np.float64) - mean) / std
+    keep = np.abs(z) > 3.0
+    return pa.table({
+        "hour": pa.array(cnt["hour"].to_numpy().astype(np.int64)[keep]),
+        "n": pa.array(n[keep]),
+        "z": pa.array(z[keep]),
+    })
+
+
 def q_events_inter_arrival(sf_dir: str):
     """Per-user inter-arrival time (ts − LAG(ts)) in exact µs int64."""
     from cattle_ray.stages.windows import grouped_lag_delta
@@ -2550,6 +2642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_triangle_count": q_kg_triangle_count,
         "doc_top_terms": q_doc_top_terms,
+        "doc_tfidf": q_doc_tfidf,
         "events_funnel": q_events_funnel,
         "events_sorted_export": q_events_sorted_export,
         "events_running_sum": q_events_running_sum,
@@ -2585,6 +2678,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill": q_events_gapfill,
         "events_user_paths": q_events_user_paths,
         "events_value_mad": q_events_value_mad,
+        "events_moving_avg": q_events_moving_avg,
+        "events_anomaly": q_events_anomaly,
+        "kg_degree_distribution": q_kg_degree_distribution,
         "doc_length_rank": q_doc_length_rank,
         "lineitem_corr": q_lineitem_corr,
         "events_day_over_day": q_events_day_over_day,
@@ -2919,11 +3015,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_editdist_pairs": r"""
             WITH t AS (SELECT doc_id, left(text, 40) AS p,
-                len(string_split_regex(trim(text), '\s+')) // 16 AS band
+                len(string_split_regex(trim(text), '\s+')) // 16 AS band,
+                string_split_regex(trim(text), '\s+')[1] AS tok0
                 FROM documents WHERE trim(coalesce(text, '')) <> '')
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
-            FROM t a JOIN t b ON a.band = b.band AND a.doc_id < b.doc_id
+            FROM t a JOIN t b ON a.band = b.band AND a.tok0 = b.tok0
+                             AND a.doc_id < b.doc_id
             WHERE levenshtein(a.p, b.p) <= 5
         """,
         "doc_lm_buckets": r"""
@@ -2968,6 +3066,12 @@ def oracle_sql() -> dict[str, str]:
             FROM agg
             UNION ALL
             SELECT doc_id, 0, 0, 0.0, 0.0 FROM documents WHERE trim(text) = ''
+        """,
+        "kg_degree_distribution": _TRIPLE_BASE_CTE + """
+            , dgr AS (SELECT subj, CAST(count(*) AS BIGINT) AS degree
+                      FROM triples GROUP BY subj)
+            SELECT degree, CAST(count(*) AS BIGINT) AS n_subjects
+            FROM dgr GROUP BY degree
         """,
         "kg_hits": _hits_sql(),
         "kg_pagerank": _pagerank_sql(),
@@ -3191,6 +3295,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY 1
         """,
+        "events_moving_avg": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                   CAST(round(value * 100.0) AS BIGINT) AS cents FROM events)
+            SELECT event_id, user_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS win_sum,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+                   CAST(SUM(cents) OVER w AS DOUBLE) / (COUNT(*) OVER w)
+                       AS mov_avg
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "events_anomaly": """
+            WITH c AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                           AS hour, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS h,
+                          CAST(sum(n) AS BIGINT) AS s,
+                          CAST(sum(n * n) AS BIGINT) AS s2 FROM c),
+            zz AS (SELECT hour, n,
+                       (CAST(n AS DOUBLE) - CAST(s AS DOUBLE) / h)
+                       / sqrt(CAST(h * s2 - s * s AS DOUBLE)
+                              / (CAST(h AS DOUBLE) * CAST(h AS DOUBLE)))
+                           AS z
+                   FROM c, st)
+            SELECT hour, n, z FROM zz WHERE abs(z) > 3.0
+        """,
         "events_running_sum": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) OVER
@@ -3211,6 +3341,25 @@ def oracle_sql() -> dict[str, str]:
                     (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rn
                   FROM ts)
             SELECT doc_id, term, tf, df, CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 5
+        """,
+        "doc_tfidf": r"""
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE trim(text) != ''),
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term,
+                          tf.tf * ((1000000 * nn.n) // df.df) AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN nn),
+            r AS (SELECT *, row_number() OVER
+                    (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+                  FROM sc)
+            SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+                   CAST(rn AS BIGINT) AS rank
             FROM r WHERE rn <= 5
         """,
         "doc_domain_sample": """

@@ -1245,17 +1245,20 @@ def editdist_neardup_pairs(ds, id_col="doc_id", text_col="text",
     noisy text (titles, OCR lines, product names) where token-set Jaccard
     misfires on reorderings and MinHash shingles are too coarse.
 
-    Blocking: docs sharing a whitespace-token-count band
-    (``n_tokens // band_tokens``) are candidates; within a band every pair
-    verifies exact Levenshtein over the first ``prefix_len`` CHARACTERS
-    (SQL ``left()``), distance counted over UTF-8 BYTES (DuckDB
+    Blocking: docs sharing BOTH a whitespace-token-count band
+    (``n_tokens // band_tokens``) AND their first token are candidates
+    (near-identical titles/lines share their first word; a length band
+    alone goes quadratic on any length-homogeneous corpus — measured 114 s
+    for 5k docs vs 1–2 s with the composite key). Within a block every
+    pair verifies exact Levenshtein over the first ``prefix_len``
+    CHARACTERS (SQL ``left()``), distance counted over UTF-8 BYTES (DuckDB
     ``levenshtein`` semantics — verified byte-based). The verify kernel is
     vectorized across the pair axis (:func:`_levenshtein_pairs`).
 
-    Scale note: cost is quadratic in the largest band. Length bands are a
-    coarse key — at corpus scale compose a second blocking key (first
-    token, simhash band) the same way; the band loop below is agnostic to
-    what the band tuple contains.
+    Scale note: cost is quadratic in the largest (band, first-token)
+    block — a stopword-led corpus ("the …") needs a stronger key (first
+    two tokens, simhash band); the block loop below is agnostic to what
+    the block tuple contains.
     """
     import pyarrow.compute as pc
 
@@ -1267,20 +1270,24 @@ def editdist_neardup_pairs(ds, id_col="doc_id", text_col="text",
         keep = pc.not_equal(trimmed, "")
         b = batch.filter(keep)
         t = pc.utf8_trim_whitespace(pc.cast(b[text_col], pa.string()))
-        ntok = pc.list_value_length(pc.split_pattern_regex(t, r"\s+"))
+        toks = pc.split_pattern_regex(t, r"\s+")
+        ntok = pc.list_value_length(toks)
         band = pc.divide(pc.cast(ntok, pa.int64()), band_tokens)
+        tok0 = pc.list_element(toks, 0)
+        from .joins import _key_buckets
+
         return pa.table({
             "id": b[id_col],
             "prefix": pc.utf8_slice_codeunits(pc.cast(b[text_col], pa.string()),
                                               0, prefix_len),
             "band": band,
-            "_bucket": pc.subtract(band, pc.multiply(
-                pc.divide(band, num_buckets), num_buckets)),
+            "tok0": tok0,
+            "_bucket": pa.array(_key_buckets(tok0, num_buckets)),
         })
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out, d_out = [], [], []
-        for _, grp in g.groupby("band", sort=False):
+        for _, grp in g.groupby(["band", "tok0"], sort=False):
             grp = grp.drop_duplicates(subset=["id"]).sort_values(
                 "id", kind="mergesort")
             n = len(grp)

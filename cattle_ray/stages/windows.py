@@ -171,6 +171,36 @@ def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
     return _per_key_ordered(ds, key, order, cumsum, num_buckets)
 
 
+def grouped_moving_avg(ds, *, key: str = "user_id", ts: str = "ts",
+                       val: str = "val", window: int = 3,
+                       order_tiebreak: str | None = None,
+                       num_buckets: int = 32):
+    """Per-key moving average over the last ``window`` rows in event-time
+    order — ``AVG(...) OVER (PARTITION BY key ORDER BY ts ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)`` — via cumsum-diff: one vectorized
+    sort + groupby.cumsum + shift per bucket, no per-row window loop.
+
+    Emits exact int64 ``win_sum``/``win_n`` plus ``mov_avg`` as their ONE
+    float division (mirrors ``CAST(SUM(..) OVER w AS DOUBLE) / COUNT(*)
+    OVER w`` bit-for-bit — never SQL AVG(), whose internal accumulator
+    isn't spec'd). Value column must be integer (cents discipline)."""
+    order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def mov(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby(key, sort=False)
+        c = grp[val].cumsum()
+        c_prev = c.groupby(g[key].to_numpy(), sort=False).shift(
+            window).fillna(0).astype("int64")
+        rn = grp.cumcount() + 1
+        g["win_sum"] = (c - c_prev).astype("int64")
+        g["win_n"] = rn.clip(upper=window).astype("int64")
+        g["mov_avg"] = g["win_sum"].to_numpy().astype("float64") \
+            / g["win_n"].to_numpy()
+        return g
+
+    return _per_key_ordered(ds, key, order, mov, num_buckets)
+
+
 def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
                       out: str = "delta_us",
                       order_tiebreak: str | None = None,
