@@ -239,3 +239,38 @@ def test_hits_matches_numpy(ray_session, edges, small_graph_edges):
     for v in want:
         assert abs(got[v][0] - want[v][0]) < 1e-9
         assert abs(got[v][1] - want[v][1]) < 1e-9
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    """Kill-and-resume equivalence: 3 rounds checkpointed, then a second
+    call with iters=6 must resume from round 3 (not recompute 1-3) and
+    match the uninterrupted 6-round run to 1e-12."""
+    import os
+
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(5)
+    edges = pd.DataFrame({
+        "src": rng.randint(0, 200, 3000).astype("int64"),
+        "dst": rng.randint(0, 200, 3000).astype("int64"),
+    })
+    ds = lambda: rd.from_pandas(edges).repartition(4)  # noqa: E731
+
+    want = pagerank(ds(), iters=6, small_graph_edges=0).to_pandas()
+
+    ck = str(tmp_path / "pr_ck")
+    os.makedirs(ck)
+    pagerank(ds(), iters=3, small_graph_edges=0, checkpoint_dir=ck)
+    assert os.path.exists(os.path.join(ck, "round_3", "_DONE"))
+    assert not os.path.exists(os.path.join(ck, "round_4"))
+
+    got = pagerank(ds(), iters=6, small_graph_edges=0,
+                   checkpoint_dir=ck).to_pandas()
+    assert os.path.exists(os.path.join(ck, "round_6", "_DONE"))
+    w = dict(zip(want["node"], want["rank"]))
+    g = dict(zip(got["node"], got["rank"]))
+    assert set(w) == set(g)
+    for k in w:
+        assert abs(w[k] - g[k]) < 1e-12

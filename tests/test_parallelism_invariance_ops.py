@@ -116,3 +116,35 @@ def test_triangles_invariant(ray_session):
              for a, b in rng.randint(0, 50, (500, 2)) if a != b}
     t = pa.table({"u": [p[0] for p in pairs], "v": [p[1] for p in pairs]})
     _invariant(lambda p: rd.from_arrow(t).repartition(p), triangles)
+
+
+def test_editdist_pairs_invariant(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import editdist_neardup_pairs
+
+    t = _docs()
+    rows = _invariant(
+        lambda p: rd.from_arrow(t).repartition(p),
+        lambda ds: editdist_neardup_pairs(ds, max_dist=8, band_tokens=8))
+    assert rows  # planted w0..w9 prefixes share band+tok0 → pairs exist
+
+
+def test_moving_avg_invariant(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import grouped_moving_avg
+
+    rng = np.random.RandomState(4)
+    n = 2000
+    t = pa.table({
+        "user_id": rng.randint(0, 37, n).astype(np.int64),
+        "ts": rng.randint(0, 10**6, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "cents": rng.randint(-500, 500, n).astype(np.int64),
+    })
+    _invariant(
+        lambda p: rd.from_arrow(t).repartition(p),
+        lambda ds: grouped_moving_avg(ds, key="user_id", ts="ts",
+                                      val="cents", window=4,
+                                      order_tiebreak="event_id"))
