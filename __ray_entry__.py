@@ -390,6 +390,39 @@ def q_doc_sentence_stats(sf_dir: str):
         sentence_stats_batch, batch_format="pyarrow")
 
 
+def q_doc_readability(sf_dir: str):
+    """Flesch-style reading ease from exact integer counts: sentences +
+    words from the sentence kernel, syllables ≈ vowel-group runs (the
+    classic approximation, one RE2 count-matches pass). The score's float
+    expression is evaluated in the identical op order both sides; docs
+    with no sentences are excluded (division) on both sides."""
+    from cattle_ray.stages.textstats import sentence_stats_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        s = sentence_stats_batch(b)
+        syl = pc.cast(pc.count_substring_regex(
+            pc.fill_null(pc.cast(b["text"], pa.string()), ""),
+            "[aeiouyAEIOUY]+"), pa.int64())
+        t = pa.table({"doc_id": s["doc_id"],
+                      "n_sentences": s["n_sentences"],
+                      "n_words": s["n_words"], "syllables": syl})
+        t = t.filter(pc.and_(pc.greater(t["n_sentences"], 0),
+                             pc.greater(t["n_words"], 0)))
+        w = t["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sent = t["n_sentences"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sy = t["syllables"].to_numpy(zero_copy_only=False).astype(np.float64)
+        score = 206.835 - 1.015 * (w / sent) - 84.6 * (sy / w)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_sentences": t["n_sentences"],
+                         "n_words": t["n_words"],
+                         "syllables": t["syllables"],
+                         "flesch": pa.array(score)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow")
+
+
 def q_doc_langid(sf_dir: str):
     """Heuristic language-ID (oracle: per-language stopword counts inlined
     in SQL, argmax with profile-order tie-break)."""
@@ -870,6 +903,34 @@ def q_shipping_priority(sf_dir: str):
         .groupby("_bucket")
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def q_lineitem_basket_pairs(sf_dir: str):
+    """Market-basket pair mining (association-rule support counts): top-20
+    part pairs co-purchased in the same order. Distinct (order, part)
+    first (a part twice in one order is one basket item), pairs generated
+    INSIDE the order's join group (~k²/2 per order, never corpus²), one
+    map-side-combined count, exact top-20 by (support DESC, pair) through
+    the distributed sort."""
+    from cattle_ray.stages.aggregates import distinct, top_k_counts
+    from cattle_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"],
+               rows_per_block=100000)
+    p = distinct(li, ["l_orderkey", "l_partkey"]).materialize()  # both sides
+    right = p.map_batches(
+        lambda b: pa.table({"ok2": b["l_orderkey"], "pb": b["l_partkey"]}),
+        batch_format="pyarrow")
+    pairs = hash_join(p, right, "l_orderkey", "ok2").map_batches(
+        lambda b: b.filter(pc.less(b["l_partkey"], b["pb"])).select(
+            ["l_partkey", "pb"]).rename_columns(["pa_", "pb"]),
+        batch_format="pyarrow")
+    top = top_k_counts(pairs, ["pa_", "pb"], k=20)
+    return top.map_batches(
+        lambda b: pa.table({"pa": pc.cast(b["pa_"], pa.int64()),
+                            "pb": pc.cast(b["pb"], pa.int64()),
+                            "support": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
 
 
 def q_revenue_by_nation(sf_dir: str):
@@ -2595,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": q_doc_lm_score,
         "doc_normalize": q_doc_normalize,
         "doc_sentence_stats": q_doc_sentence_stats,
+        "doc_readability": q_doc_readability,
         "doc_editdist_pairs": q_doc_editdist_pairs,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_langid": q_doc_langid,
@@ -2609,6 +2671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "orders_customer_hashjoin": q_orders_customer_hashjoin,
         "revenue_by_nation": q_revenue_by_nation,
+        "lineitem_basket_pairs": q_lineitem_basket_pairs,
         "lineitem_part_join": q_lineitem_part_join,
         "users_without_orders": q_users_without_orders,
         "shipping_priority": q_shipping_priority,
@@ -3012,6 +3075,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(list_max(ws), 0) AS BIGINT)
                        AS max_sentence_words
             FROM w
+        """,
+        "doc_readability": r"""
+            WITH s AS (SELECT doc_id, list_filter(list_transform(
+                regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+                x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                x -> x <> '') AS sents,
+                CAST(len(regexp_extract_all(coalesce(text, ''),
+                    '[aeiouyAEIOUY]+')) AS BIGINT) AS syllables
+                FROM documents),
+            w AS (SELECT doc_id, syllables,
+                CAST(len(sents) AS BIGINT) AS n_sentences,
+                CAST(coalesce(list_sum(list_transform(sents,
+                    x -> len(regexp_split_to_array(x, '\s+')))), 0)
+                    AS BIGINT) AS n_words
+                FROM s)
+            SELECT doc_id, n_sentences, n_words, syllables,
+                   206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                           - 84.6 * (CAST(syllables AS DOUBLE) / n_words)
+                       AS flesch
+            FROM w WHERE n_sentences > 0 AND n_words > 0
         """,
         "doc_editdist_pairs": r"""
             WITH t AS (SELECT doc_id, left(text, 40) AS p,
@@ -3433,6 +3516,16 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_part_join": """
             SELECT l_orderkey, l_linenumber, l_partkey, p_name
             FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "lineitem_basket_pairs": """
+            WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+                   FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                    AND a.l_partkey < b.l_partkey),
+            c AS (SELECT pa, pb, CAST(count(*) AS BIGINT) AS support
+                  FROM pr GROUP BY 1, 2)
+            SELECT pa, pb, support FROM c
+            ORDER BY support DESC, pa, pb LIMIT 20
         """,
         "revenue_by_nation": """
             -- revenue in exact 1e-4-dollar int64 units until one final

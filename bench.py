@@ -160,6 +160,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_moving_avg",
         "events_anomaly",
         "kg_degree_distribution",
+        "lineitem_basket_pairs",
+        "doc_readability",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
