@@ -1486,34 +1486,13 @@ def q_events_day_over_day(sf_dir: str):
 def q_events_user_paths(sf_dir: str):
     """Behavioral-sequence assembly: each user's full event-type path in
     exact temporal order (the training-sequence layout for behavior
-    models). One bucketed user shuffle; per bucket a single vectorized
-    sort + groupby-join — no per-user UDF calls. Path length is bounded by
-    per-user event count (document skew: a bot user with 10^6 events makes
-    a long string, not a hot shuffle key — the bucket carries its rows
-    either way)."""
-    from cattle_ray.stages.aggregates import coalesce_small
-
-    import pandas as pd
+    models) — :func:`cattle_ray.stages.windows.ordered_paths`."""
+    from cattle_ray.stages.windows import ordered_paths
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"],
                rows_per_block=20000)
-
-    def add_bucket(b: pa.Table) -> pa.Table:
-        k = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column("_bucket", pa.array(k % 32))
-
-    def build(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        grp = g.groupby("user_id", sort=False)
-        path = grp["event_type"].agg(",".join)
-        return pd.DataFrame({
-            "user_id": path.index.to_numpy().astype("int64"),
-            "n_events": grp.size().to_numpy().astype("int64"),
-            "path": path.to_numpy(),
-        })
-
-    return (coalesce_small(ev.map_batches(add_bucket, batch_format="pyarrow"))
-            .groupby("_bucket").map_groups(build, batch_format="pandas"))
+    return ordered_paths(ev, key="user_id", ts="ts", val="event_type",
+                         order_tiebreak="event_id")
 
 
 def q_events_value_mad(sf_dir: str):
@@ -1581,6 +1560,9 @@ def q_events_gapfill(sf_dir: str):
             pa.int64())}),
         batch_format="pyarrow")
     cnt = partial_count(days, ["day"]).to_pandas()  # ≤ one row per day
+    if cnt.empty:  # oracle's generate_series over NULL bounds → no rows
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
     lo, hi = int(cnt["day"].min()), int(cnt["day"].max())
     spine = np.arange(lo, hi + 1, dtype=np.int64)
     filled = np.zeros(len(spine), dtype=np.int64)
@@ -1602,7 +1584,10 @@ def q_lineitem_corr(sf_dir: str):
                rows_per_block=100000)
 
     def moments(b: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(b["l_quantity"]), pa.int64())
+        # explicit half-away rounding = DuckDB round() (Arrow defaults to
+        # banker's — a 2.5 quantity would corrupt every moment sum)
+        x = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"), pa.int64())
         y = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
                              round_mode="half_towards_infinity"), pa.int64())
         return pa.table({"l_returnflag": b["l_returnflag"], "x": x, "y": y,
@@ -1717,8 +1702,13 @@ def q_events_cube(sf_dir: str):
         lambda b: tbl([None] * len(b), pc.cast(b["dow"], pa.int64()),
                       b["sum_n_ev"], b["sum_cents"]),
         batch_format="pyarrow")
-    lvl_0 = rd.from_arrow(tbl([None], [None], [int(base.sum("n_ev"))],
-                              [int(base.sum("cents"))]))
+    tot_n = base.sum("n_ev")
+    tot_c = base.sum("cents")
+    # empty input: SQL CUBE still emits the () grouping-set row with
+    # count 0 and a NULL sum — mirror it (Dataset.sum returns None)
+    lvl_0 = rd.from_arrow(tbl(
+        [None], [None], [int(tot_n) if tot_n is not None else 0],
+        [int(tot_c) if tot_c is not None else None]))
     return lvl_td.union(lvl_t).union(lvl_d).union(lvl_0)
 
 
@@ -2542,6 +2532,10 @@ def q_events_anomaly(sf_dir: str):
             pc.cast(b["ts"], pa.int64()), 3_600_000_000), pa.int64())}),
         batch_format="pyarrow")
     cnt = partial_count(hours, ["hour"]).to_pandas()  # ≤ one row per hour
+    if cnt.empty:  # no hours → no population to z-score against
+        return pa.table({"hour": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "z": pa.array([], pa.float64())})
     n = cnt["n"].to_numpy().astype(np.int64)
     h = len(cnt)
     s, s2 = int(n.sum()), int((n * n).sum())
@@ -3097,10 +3091,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE n_sentences > 0 AND n_words > 0
         """,
         "doc_editdist_pairs": r"""
-            WITH t AS (SELECT doc_id, left(text, 40) AS p,
-                len(string_split_regex(trim(text), '\s+')) // 16 AS band,
-                string_split_regex(trim(text), '\s+')[1] AS tok0
-                FROM documents WHERE trim(coalesce(text, '')) <> '')
+            WITH cs AS (SELECT ' ' || chr(9) || chr(10) || chr(13) AS c),
+            t AS (SELECT doc_id, left(text, 40) AS p,
+                len(string_split_regex(trim(text, c), '\s+')) // 16 AS band,
+                string_split_regex(trim(text, c), '\s+')[1] AS tok0
+                FROM documents, cs
+                WHERE trim(coalesce(text, ''), c) <> '')
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
             FROM t a JOIN t b ON a.band = b.band AND a.tok0 = b.tok0

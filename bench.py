@@ -231,6 +231,13 @@ def run_scaling_job(num_cpus: int, n_pages: int) -> dict:
         )
         n_triples = ds.count()
         dt = min(dt, time.perf_counter() - t0)
+        # drop run 1's blocks BEFORE run 2 times itself — holding the full
+        # triple dataset through the second run is exactly the accumulated
+        # object-store pressure the min-of-2 protocol is trying to denoise
+        del ds
+        import gc
+
+        gc.collect()
     ray.shutdown()
     return {
         "metric": "scaling_job_sec", "value": round(dt, 3), "unit": "sec",

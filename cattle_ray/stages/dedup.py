@@ -1265,11 +1265,14 @@ def editdist_neardup_pairs(ds, id_col="doc_id", text_col="text",
     from .aggregates import coalesce_small
 
     def prep(batch: pa.Table) -> pa.Table:
+        # explicit trim charset: SQL trim() strips SPACES only, so the
+        # oracle passes the same ' \t\n\r' set — a tab-padded doc must
+        # land in the same (band, tok0) block on both sides
         t = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
-        trimmed = pc.utf8_trim_whitespace(t)
+        trimmed = pc.utf8_trim(t, " \t\n\r")
         keep = pc.not_equal(trimmed, "")
         b = batch.filter(keep)
-        t = pc.utf8_trim_whitespace(pc.cast(b[text_col], pa.string()))
+        t = pc.utf8_trim(pc.cast(b[text_col], pa.string()), " \t\n\r")
         toks = pc.split_pattern_regex(t, r"\s+")
         ntok = pc.list_value_length(toks)
         band = pc.divide(pc.cast(ntok, pa.int64()), band_tokens)

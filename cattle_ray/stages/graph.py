@@ -254,6 +254,11 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
             if d.startswith("round_")
             and os.path.exists(os.path.join(checkpoint_dir, d, "_DONE"))
         ) if os.path.isdir(checkpoint_dir) else []
+        if done and done[-1] > iters:
+            raise ValueError(
+                f"checkpoint_dir has round_{done[-1]} but only {iters} "
+                "iterations were requested — returning over-iterated ranks "
+                "silently would be wrong; use a fresh checkpoint_dir")
         if done:
             start_round = done[-1]
             ranks = rd.read_parquet(
@@ -302,6 +307,13 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
 
             d = os.path.join(checkpoint_dir, f"round_{round_k + 1}")
             if not os.path.exists(os.path.join(d, "_DONE")):
+                if os.path.isdir(d):
+                    # stale files from a crashed write: write_parquet only
+                    # ADDS uuid-named parts — a polluted dir then marked
+                    # _DONE would resume with duplicated rank rows
+                    import shutil
+
+                    shutil.rmtree(d)
                 ranks.map_batches(
                     lambda t: t.select(["node", "rank"]),
                     batch_format="pyarrow").write_parquet(d)

@@ -171,6 +171,41 @@ def grouped_running_sum(ds, *, key: str = "user_id", ts: str = "ts",
     return _per_key_ordered(ds, key, order, cumsum, num_buckets)
 
 
+def ordered_paths(ds, *, key: str = "user_id", ts: str = "ts",
+                  val: str = "event_type", sep: str = ",",
+                  order_tiebreak: str | None = None,
+                  num_buckets: int = 32):
+    """Per-key sequence assembly: each key's ``val`` values concatenated in
+    exact (ts, tiebreak) order — ``string_agg(val, sep ORDER BY ts, tb)``,
+    the training-sequence layout for behavior models. One bucketed key
+    shuffle (:func:`..joins._key_buckets` — type-aware, negative-safe);
+    per bucket a single vectorized sort + groupby-join, no per-key UDFs.
+    Path length is bounded by per-key row count: a bot key makes a long
+    string, not a hot shuffle key."""
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_key_buckets(b[key], num_buckets)))
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        path = grp[val].agg(sep.join)
+        return pd.DataFrame({
+            key: path.index.to_numpy(),
+            "n_events": grp.size().to_numpy().astype("int64"),
+            "path": path.to_numpy(),
+        })
+
+    return (coalesce_small(ds.map_batches(add_bucket,
+                                          batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(build, batch_format="pandas"))
+
+
 def grouped_moving_avg(ds, *, key: str = "user_id", ts: str = "ts",
                        val: str = "val", window: int = 3,
                        order_tiebreak: str | None = None,

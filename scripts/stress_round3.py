@@ -72,9 +72,7 @@ def main():
     # --- ordered sequence assembly: 5M events over 100k users — the
     # bucketed sort+join must be linear in bucket rows, no per-key UDFs
     def user_paths_5m():
-        from cattle_ray.stages.aggregates import coalesce_small
-
-        import pandas as pd
+        from cattle_ray.stages.windows import ordered_paths
 
         rng = np.random.RandomState(2)
         n = 5_000_000
@@ -85,24 +83,9 @@ def main():
             "event_type": np.array(["view", "click", "buy", "share"])[
                 rng.randint(0, 4, n)],
         })
-        ds = rd.from_arrow(t).repartition(64)
-
-        def add_bucket(b: pa.Table) -> pa.Table:
-            k = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return b.append_column("_bucket", pa.array(k % 32))
-
-        def build(g: "pd.DataFrame") -> "pd.DataFrame":
-            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-            grp = g.groupby("user_id", sort=False)
-            path = grp["event_type"].agg(",".join)
-            return pd.DataFrame({
-                "user_id": path.index.to_numpy().astype("int64"),
-                "n_events": grp.size().to_numpy().astype("int64"),
-                "path": path.to_numpy()})
-
-        res = (coalesce_small(ds.map_batches(add_bucket,
-                                             batch_format="pyarrow"), 32)
-               .groupby("_bucket").map_groups(build, batch_format="pandas"))
+        res = ordered_paths(rd.from_arrow(t).repartition(64),
+                            key="user_id", ts="ts", val="event_type",
+                            order_tiebreak="event_id")
         return {"users": res.count()}
 
     timed("hits_3m_distributed", hits_3m)

@@ -49,10 +49,13 @@ def test_dedup_identical_under_injected_task_failures(ray_session):
                 # death is, via lineage re-execution)
             return b
 
-        ds = rd.from_arrow(t).repartition(8).map_batches(
-            flaky, batch_format="pyarrow")
-        out = dedup_exact(ds, ["k", "v"]).to_pandas()
-        ray.kill(gate)
+        try:
+            ds = rd.from_arrow(t).repartition(8).map_batches(
+                flaky, batch_format="pyarrow")
+            out = dedup_exact(ds, ["k", "v"]).to_pandas()
+        finally:
+            ray.kill(gate)  # detached actors outlive their creator — a
+            # leak here makes any rerun die on the name collision
         return sorted(map(tuple, out.itertuples(index=False)))
 
     clean = run(0)
