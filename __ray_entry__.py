@@ -390,6 +390,36 @@ def q_doc_sentence_stats(sf_dir: str):
         sentence_stats_batch, batch_format="pyarrow")
 
 
+def q_doc_training_export(sf_dir: str):
+    """The curation funnel end to end as ONE SQL-checkable pipeline — what
+    a user actually runs to produce training data: language pushdown AT
+    THE READ → canonical normalization → normalized exact dedup (min-id
+    representative) → Gopher repetition thresholds → greedy fixed-budget
+    sequence packing. Every stage is the engine's production operator;
+    text crosses exactly one shuffle (the dedup), the packer sees only
+    16 B/row metadata."""
+    from cattle_ray.stages.dedup import dedup_exact
+    from cattle_ray.stages.sampling import pack_sequences
+    from cattle_ray.stages.textstats import (normalize_text_batch,
+                                             repetition_batch)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 rows_per_block=500,
+                 filter=(pc.field("lang").isin(["en", "de"])))
+    normed = docs.map_batches(normalize_text_batch, batch_format="pyarrow")
+    kept = dedup_exact(normed, ["norm"], keep_col="doc_id")
+
+    def qual(b: pa.Table) -> pa.Table:
+        r = repetition_batch(b)
+        n = r["rep_n_tokens"].to_numpy(zero_copy_only=False)
+        dup = r["dup_token_frac"].to_numpy(zero_copy_only=False)
+        return b.select(["doc_id", "text"]).filter(
+            pa.array((n >= 45) & (dup <= 0.58)))
+
+    filt = kept.map_batches(qual, batch_format="pyarrow")
+    return pack_sequences(filt, "doc_id", "text", 512)
+
+
 def q_doc_readability(sf_dir: str):
     """Flesch-style reading ease from exact integer counts: sentences +
     words from the sentence kernel, syllables ≈ vowel-group runs (the
@@ -1493,6 +1523,47 @@ def q_events_user_paths(sf_dir: str):
                rows_per_block=20000)
     return ordered_paths(ev, key="user_id", ts="ts", val="event_type",
                          order_tiebreak="event_id")
+
+
+def q_events_time_window(sf_dir: str):
+    """Per-user trailing ONE-HOUR spend window — the time-RANGE window
+    (``SUM OVER (... RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW)``) the ROWS-window family can't express. Peer rows collapse
+    map-side so one row per (user, ts) crosses the single key shuffle;
+    window edges from one vectorized merge-count per bucket; all sums
+    exact int64 cents."""
+    from cattle_ray.stages.windows import grouped_time_window
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"],
+               rows_per_block=20000)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["value"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"ts": b["ts"], "user_id": b["user_id"],
+                         "cents": cents})
+
+    return grouped_time_window(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        key="user_id", ts="ts", val="cents", window_us=3_600_000_000)
+
+
+def q_events_frequent_paths(sf_dir: str):
+    """Frequent-sequence mining: the top-20 3-step event-type journeys
+    across all users (funnel discovery) — per-user ordered trigrams built
+    by Arrow joins over shifted slices inside one bucketed key shuffle,
+    then a map-side-combined count and the deterministic distributed
+    (count, seq) top-k. Pair volume is sum of per-user path lengths,
+    never corpus²."""
+    from cattle_ray.stages.aggregates import top_k_counts
+    from cattle_ray.stages.windows import sequence_ngrams
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"],
+               rows_per_block=20000)
+    seqs = sequence_ngrams(ev, key="user_id", ts="ts", val="event_type",
+                           n=3, sep=">", order_tiebreak="event_id")
+    return top_k_counts(seqs, ["seq"], k=20)
 
 
 def q_events_value_mad(sf_dir: str):
@@ -2651,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": q_doc_normalize,
         "doc_sentence_stats": q_doc_sentence_stats,
         "doc_readability": q_doc_readability,
+        "doc_training_export": q_doc_training_export,
         "doc_editdist_pairs": q_doc_editdist_pairs,
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_langid": q_doc_langid,
@@ -2703,6 +2775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "events_sorted_export": q_events_sorted_export,
         "events_running_sum": q_events_running_sum,
+        "events_time_window": q_events_time_window,
+        "events_frequent_paths": q_events_frequent_paths,
         "events_inter_arrival": q_events_inter_arrival,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
@@ -3070,6 +3144,30 @@ def oracle_sql() -> dict[str, str]:
                        AS max_sentence_words
             FROM w
         """,
+        "doc_training_export": r"""
+            WITH nrm AS (SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(nfc_normalize(text)),
+                                           '\s+', ' ', 'g'))) AS nmd5
+                   FROM documents WHERE lang IN ('en', 'de')),
+            keep1 AS (SELECT min(doc_id) AS doc_id FROM nrm GROUP BY nmd5),
+            d AS (SELECT n.doc_id, n.text FROM nrm n
+                  JOIN keep1 k USING (doc_id)),
+            tok AS (SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tk
+                    FROM d WHERE trim(text) != ''),
+            cnts AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS nd
+                    FROM cnts GROUP BY 1),
+            q AS (SELECT doc_id, n FROM agg
+                  WHERE n >= 45 AND 1 - CAST(nd AS DOUBLE) / n <= 0.58),
+            c AS (SELECT doc_id, n AS n_tokens,
+                         SUM(n) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+            SELECT doc_id, n_tokens,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+            FROM c
+        """,
         "doc_readability": r"""
             WITH s AS (SELECT doc_id, list_filter(list_transform(
                 regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
@@ -3406,6 +3504,30 @@ def oracle_sql() -> dict[str, str]:
                      (PARTITION BY user_id ORDER BY ts, event_id)
                    AS BIGINT) AS run_cents
             FROM events
+        """,
+        "events_time_window": """
+            WITH cents AS (SELECT user_id, ts,
+                   CAST(round(value * 100.0) AS BIGINT) AS c FROM events),
+            g AS (SELECT user_id, ts, CAST(sum(c) AS BIGINT) AS v,
+                         CAST(count(*) AS BIGINT) AS n_rows
+                  FROM cents GROUP BY 1, 2)
+            SELECT user_id, ts, v, n_rows,
+                   CAST(SUM(v) OVER win AS BIGINT) AS win_sum,
+                   CAST(SUM(n_rows) OVER win AS BIGINT) AS win_rows,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS win_ts
+            FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "events_frequent_paths": """
+            WITH o AS (SELECT user_id, event_type,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+                   FROM events WINDOW w AS
+                     (PARTITION BY user_id ORDER BY ts, event_id)),
+            t AS (SELECT event_type || '>' || e2 || '>' || e3 AS seq
+                  FROM o WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+            SELECT seq, CAST(count(*) AS BIGINT) AS n
+            FROM t GROUP BY 1 ORDER BY n DESC, seq LIMIT 20
         """,
         "doc_top_terms": r"""
             WITH tok AS (

@@ -162,6 +162,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_degree_distribution",
         "lineitem_basket_pairs",
         "doc_readability",
+        "doc_training_export",
+        "events_time_window",
+        "events_frequent_paths",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -236,6 +236,124 @@ def grouped_moving_avg(ds, *, key: str = "user_id", ts: str = "ts",
     return _per_key_ordered(ds, key, order, mov, num_buckets)
 
 
+def grouped_time_window(ds, *, key: str = "user_id", ts: str = "ts",
+                        val: str = "val", window_us: int,
+                        num_buckets: int = 32):
+    """Per-key trailing TIME-RANGE window — ``SUM/COUNT OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW)`` —
+    the time-based counterpart of :func:`grouped_moving_avg`'s ROWS window.
+
+    Output granularity is one row per (key, ts): SQL's RANGE frame gives
+    every peer row (same key+ts) the identical window value, so peers are
+    collapsed FIRST — partial (key, ts) sums map-side in Arrow (the shuffle
+    moves one row per (key, ts, batch), never events), the collapse
+    finishing inside the single bucketed key shuffle. Window edges come
+    from ONE vectorized merge-count per bucket (lexsort of data values
+    against ``t - window`` queries + cumsum — no per-key searchsorted
+    loop, no per-row Python); sums are exact int64 (cents discipline).
+
+    Output columns: ``key, ts, v`` (collapsed sum at this ts), ``n_rows``
+    (peer count), ``win_sum``, ``win_rows``, ``win_ts`` (distinct ts in
+    the frame) — all exact int64.
+    """
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by([key, ts]).aggregate([(val, "sum"),
+                                               ([], "count_all")])
+        out = out.rename_columns([key, ts, "pv", "pn"])
+        return out.append_column(
+            "_bucket", pa.array(_key_buckets(out[key], num_buckets)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.groupby([key, ts], sort=False, dropna=False)[["pv", "pn"]]
+             .sum().reset_index())
+        g = g.sort_values([key, ts], kind="mergesort", ignore_index=True)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key: g[key], ts: g[ts],
+                                 "v": pd.Series([], dtype="int64"),
+                                 "n_rows": pd.Series([], dtype="int64"),
+                                 "win_sum": pd.Series([], dtype="int64"),
+                                 "win_rows": pd.Series([], dtype="int64"),
+                                 "win_ts": pd.Series([], dtype="int64")})
+        codes = pd.factorize(g[key], use_na_sentinel=False)[0]  # contiguous
+        t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["pv"].to_numpy().astype(np.int64)
+        pn = g["pn"].to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        gs = np.repeat(starts, counts)  # group-start index per row
+        csum_v = np.cumsum(v)
+        csum_n = np.cumsum(pn)
+        # merge-count: within each group, lw[i] = #data rows with t < t_i-w.
+        # Queries (flag 0) sort BEFORE equal data (flag 1), so an event at
+        # exactly t_i - w stays INSIDE the frame (SQL's closed lower bound).
+        K = np.concatenate([codes, codes])
+        V = np.concatenate([t, t - np.int64(window_us)])
+        F = np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)])
+        order = np.lexsort((F, V, K))
+        cd = np.cumsum(F[order])
+        inv = np.empty(2 * n, np.int64)
+        inv[order] = np.arange(2 * n)
+        lw = cd[inv[n:]] - gs  # in-group count of data strictly before q
+        prev_idx = gs + lw - 1
+        safe = np.maximum(prev_idx, 0)
+        prev_v = np.where(prev_idx >= 0, csum_v[safe], 0)
+        prev_n = np.where(prev_idx >= 0, csum_n[safe], 0)
+        idx = np.arange(n)
+        return pd.DataFrame({
+            key: g[key], ts: g[ts], "v": v, "n_rows": pn,
+            "win_sum": (csum_v - prev_v).astype("int64"),
+            "win_rows": (csum_n - prev_n).astype("int64"),
+            "win_ts": (idx - gs - lw + 1).astype("int64"),
+        })
+
+    return (coalesce_small(ds.map_batches(partial, batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(body, batch_format="pandas"))
+
+
+def sequence_ngrams(ds, *, key: str = "user_id", ts: str = "ts",
+                    val: str = "event_type", n: int = 3, sep: str = ">",
+                    order_tiebreak: str | None = None,
+                    num_buckets: int = 32):
+    """Per-key ordered n-gram sequences (path mining): every run of ``n``
+    consecutive ``val`` values in exact (ts, tiebreak) order within one
+    key — the "common user journeys" primitive behind funnel discovery
+    and behavior-model vocabularies. One bucketed key shuffle; per bucket
+    a single sort, the n-gram join built by Arrow
+    ``binary_join_element_wise`` over shifted array slices (no per-row
+    Python), cross-key windows masked out vectorized. Emits one ``seq``
+    row per n-gram occurrence; compose with ``partial_count``/
+    ``top_k_counts`` for frequent-sequence mining."""
+    from .aggregates import coalesce_small
+    from .joins import _key_buckets
+
+    order = [key, ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_key_buckets(b[key], num_buckets)))
+
+    def grams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort", ignore_index=True)
+        m = len(g)
+        if m < n:
+            return pd.DataFrame({"seq": pd.Series([], dtype="object")})
+        u = pd.factorize(g[key], use_na_sentinel=False)[0]
+        # a window [i, i+n) is valid iff all n rows share the key
+        mask = u[: m - n + 1] == u[n - 1:]
+        vals = pa.array(g[val].astype(str).to_numpy())
+        parts = [vals.slice(j, m - n + 1) for j in range(n)]
+        seq = pc.binary_join_element_wise(*parts, sep)
+        return pd.DataFrame({"seq": seq.to_pandas()[mask]})
+
+    return (coalesce_small(ds.map_batches(add_bucket,
+                                          batch_format="pyarrow"))
+            .groupby("_bucket").map_groups(grams, batch_format="pandas"))
+
+
 def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
                       out: str = "delta_us",
                       order_tiebreak: str | None = None,

@@ -346,3 +346,53 @@ def test_hash_join_composite_key(ray_session):
         ["u", "d"], ["u", "d"], num_buckets=4).to_pandas()
     assert len(fo) == 4  # rows 0,1 unmatched-left; 2,3 matched
     assert fo["x_r"].notna().sum() == 2
+
+
+def test_grouped_time_window_range_semantics(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import grouped_time_window
+
+    base = pd.Timestamp("2024-01-01")
+    # user 1: t=0 (two peer rows), t=10 (exactly at the closed lower bound
+    # of t=20's 10s window), t=20, t=31 (t=20 falls outside: 31-10=21>20)
+    # user 2: one event
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 1, 2],
+        "ts": [base + pd.Timedelta(seconds=s) for s in [0, 0, 10, 20, 31, 5]],
+        "v": [3, 4, 10, 100, 1000, 7],
+    })
+    out = grouped_time_window(
+        rd.from_pandas(df).repartition(3), key="user_id", ts="ts", val="v",
+        window_us=10_000_000).to_pandas()
+    got = {(u, t.second): (ws, wr, wt) for u, t, ws, wr, wt in zip(
+        out["user_id"], out["ts"], out["win_sum"], out["win_rows"],
+        out["win_ts"])}
+    assert got[(1, 0)] == (7, 2, 1)       # peers collapse, both inside
+    assert got[(1, 10)] == (17, 3, 2)     # closed bound: t=0 included
+    assert got[(1, 20)] == (110, 2, 2)    # t=10 at exact bound included
+    assert got[(1, 31)] == (1000, 1, 1)   # t=20 is 11s back -> excluded
+    assert got[(2, 5)] == (7, 1, 1)
+    assert len(out) == 5  # one row per (user, ts)
+
+
+def test_sequence_ngrams_trigrams(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import sequence_ngrams
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": ["a", "a", "a", "a", "b", "b", "c", "c", "c"],
+        "ts": [base + pd.Timedelta(seconds=s)
+               for s in [0, 1, 2, 3, 0, 1, 0, 0, 1]],
+        "eid": [0, 1, 2, 3, 4, 5, 6, 7, 8],
+        "et": ["x", "y", "z", "w", "x", "y", "q", "p", "r"],
+    })
+    out = sequence_ngrams(
+        rd.from_pandas(df).repartition(4), key="user_id", ts="ts", val="et",
+        n=3, order_tiebreak="eid").to_pandas()
+    # user a: x>y>z, y>z>w; user b too short; user c ts-tie broken by eid
+    assert sorted(out["seq"]) == ["q>p>r", "x>y>z", "y>z>w"]

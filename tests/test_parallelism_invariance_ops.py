@@ -148,3 +148,29 @@ def test_moving_avg_invariant(ray_session):
         lambda ds: grouped_moving_avg(ds, key="user_id", ts="ts",
                                       val="cents", window=4,
                                       order_tiebreak="event_id"))
+
+
+def test_time_window_and_ngrams_invariant(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.windows import grouped_time_window, sequence_ngrams
+
+    rng = np.random.RandomState(11)
+    n = 3000
+    base = pd.Timestamp("2024-01-01")
+    t = pa.table({
+        "event_id": list(range(n)),
+        "user_id": rng.randint(0, 40, n).tolist(),
+        "ts": [base + pd.Timedelta(seconds=int(s))
+               for s in rng.randint(0, 5000, n)],  # dense -> many exact ties
+        "v": rng.randint(-50, 500, n).astype("int64").tolist(),
+        "et": [f"e{i}" for i in rng.randint(0, 6, n)],
+    })
+    _invariant(lambda p: rd.from_arrow(t).repartition(p),
+               lambda ds: grouped_time_window(
+                   ds, key="user_id", ts="ts", val="v",
+                   window_us=60_000_000))
+    _invariant(lambda p: rd.from_arrow(t).repartition(p),
+               lambda ds: sequence_ngrams(
+                   ds, key="user_id", ts="ts", val="et", n=3,
+                   order_tiebreak="event_id"))
