@@ -1831,6 +1831,62 @@ def q_events_orders_outer(sf_dir: str):
     return full_outer_join(ev, od, "user_id", "user_id")
 
 
+def q_customer_360(sf_dir: str):
+    """Customer-360 rollup: every customer joined to their order count /
+    order revenue AND their event count in ONE shuffle — a 3-way cogroup
+    over the shared custkey=user_id partitioning key instead of two
+    chained hash joins (two all-to-alls). Both fact sides pre-aggregate
+    map-side (the shuffle moves one partial row per key per batch, never
+    facts); partials finish inside the cogroup bucket; revenue stays
+    exact int64 cents."""
+    from cattle_ray.stages.joins import cogroup_left
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 rows_per_block=5000)
+
+    def orders_partial(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "pc": cents})
+        out = t.group_by(["o_custkey"]).aggregate([("pc", "sum"),
+                                                   ([], "count_all")])
+        return out.rename_columns(["o_custkey", "p_cents", "p_n"])
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"],
+                   rows_per_block=20000).map_batches(
+        orders_partial, batch_format="pyarrow")
+
+    def orders_finish(df):
+        out = df.groupby("o_custkey", sort=False)[["p_cents", "p_n"]] \
+            .sum().reset_index()
+        return out.rename(columns={"p_cents": "order_cents",
+                                   "p_n": "n_orders"})
+
+    def events_partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["user_id"]).aggregate([([], "count_all")])
+        return out.rename_columns(["user_id", "p_ev"])
+
+    events = _read(sf_dir, "events", ["user_id"],
+                   rows_per_block=20000).map_batches(
+        events_partial, batch_format="pyarrow")
+
+    def events_finish(df):
+        out = df.groupby("user_id", sort=False)[["p_ev"]].sum().reset_index()
+        return out.rename(columns={"p_ev": "n_events"})
+
+    def coalesce0(df):
+        for c in ["n_orders", "order_cents", "n_events"]:
+            df[c] = df[c].fillna(0).astype("int64")
+        return df
+
+    return cogroup_left(
+        [(cust, "c_custkey", None),
+         (orders, "o_custkey", orders_finish),
+         (events, "user_id", events_finish)],
+        post_fn=coalesce0)
+
+
 def q_events_tier_join(sf_dir: str):
     """Non-equi range join: each event's value matched to its tier band —
     dimension broadcast once, one vectorized searchsorted per batch, zero
@@ -2776,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sorted_export": q_events_sorted_export,
         "events_running_sum": q_events_running_sum,
         "events_time_window": q_events_time_window,
+        "customer_360": q_customer_360,
         "events_frequent_paths": q_events_frequent_paths,
         "events_inter_arrival": q_events_inter_arrival,
         "events_hourly_users": q_events_hourly_users,
@@ -3517,6 +3574,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER win AS BIGINT) AS win_ts
             FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "customer_360": """
+            WITH oa AS (SELECT o_custkey,
+                   CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                        AS BIGINT) AS order_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+                   FROM orders GROUP BY 1),
+            ea AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1)
+            SELECT c_custkey, c_mktsegment,
+                   COALESCE(order_cents, 0) AS order_cents,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_events, 0) AS n_events
+            FROM customer
+            LEFT JOIN oa ON c_custkey = oa.o_custkey
+            LEFT JOIN ea ON c_custkey = ea.user_id
         """,
         "events_frequent_paths": """
             WITH o AS (SELECT user_id, event_type,

@@ -165,6 +165,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_training_export",
         "events_time_window",
         "events_frequent_paths",
+        "customer_360",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -521,7 +521,8 @@ def _pair_key16(a: np.ndarray, b: np.ndarray) -> pa.Array:
 
 
 def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
-              num_buckets: int = 32, count_only: bool = False):
+              num_buckets: int = 32, count_only: bool = False,
+              deg_broadcast_max: int = 5_000_000):
     """Triangle enumeration by the degree-ordered (compact-forward)
     algorithm — the scale-safe formulation: every edge is oriented from its
     lower-(degree, id) endpoint, so a hub of degree d contributes
@@ -534,8 +535,13 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
     and the wedge closure key is a 16-byte binary instead of two joined
     URIs; collision expectation n²/2⁶⁵ — negligible below ~10⁹ nodes, same
     caveat as PageRank). Degrees via map-side-combined
-    :func:`partial_count`; the wedge build is ONE self-join of the oriented
-    edge list on its source; closure is an exact adaptive semi-join.
+    :func:`partial_count`, then attached ADAPTIVELY: a node census at or
+    under ``deg_broadcast_max`` (16 B/node — 5M ≈ 80 MB) broadcasts once
+    and both endpoints' degrees come from two vectorized searchsorted
+    gathers map-side (no edge-table shuffle at all); above it the two
+    co-partitioned degree joins run. The wedge build is ONE self-join of
+    the oriented edge list on its source; closure is an exact adaptive
+    semi-join.
 
     Returns a Dataset of (a, b, c) triples, each row sorted a < b < c in
     the original value order; ``count_only=True`` returns the int count and
@@ -567,27 +573,65 @@ def triangles(edges_ds, u_col: str = "u", v_col: str = "v",
         lambda b: pa.table({"node": pa.concat_arrays(
             [b["iu"].combine_chunks(), b["iv"].combine_chunks()])}),
         batch_format="pyarrow")
-    deg = partial_count(ends, ["node"])
-    du = deg.map_batches(lambda b: b.rename_columns(["nd_u", "deg_u"]),
-                         batch_format="pyarrow")
-    dv = deg.map_batches(lambda b: b.rename_columns(["nd_v", "deg_v"]),
-                         batch_format="pyarrow")
-    j = hash_join(e64, du, "iu", "nd_u", num_buckets=num_buckets)
-    j = hash_join(j, dv, "iv", "nd_v", num_buckets=num_buckets)
+    # deg is consumed twice on either path (or counted + gathered) —
+    # materialize the node-sized table once instead of recomputing the
+    # degree census per consumer
+    deg = partial_count(ends, ["node"]).materialize()
 
-    def orient(b: pa.Table) -> pa.Table:
-        u_first = pc.or_(
-            pc.less(b["deg_u"], b["deg_v"]),
-            pc.and_(pc.equal(b["deg_u"], b["deg_v"]),
-                    pc.less(b["iu"], b["iv"])))
-        t = pa.table({"x": pc.if_else(u_first, b["iu"], b["iv"]),
-                      "y": pc.if_else(u_first, b["iv"], b["iu"])})
-        if not count_only:
-            t = (t.append_column("xs", pc.if_else(u_first, b["u"], b["v"]))
-                  .append_column("ys", pc.if_else(u_first, b["v"], b["u"])))
-        return t
+    if deg.count() <= deg_broadcast_max:
+        # degrees are a node-sized (int64, int64) table — 16 B/node —
+        # broadcast once (ray.put, zero-copy numpy in every task) and
+        # attach both endpoints' degrees map-side with two vectorized
+        # searchsorted gathers: the two edge-table degree shuffles vanish
+        import ray as _ray
+        dd = deg.to_pandas()
+        k = dd["node"].to_numpy().astype(np.int64)
+        nv = dd["n"].to_numpy().astype(np.int64)
+        o = np.argsort(k, kind="mergesort")
+        deg_ref = _ray.put((k[o], nv[o]))
 
-    oriented = j.map_batches(orient, batch_format="pyarrow").materialize()
+        def orient(b: pa.Table) -> pa.Table:
+            keys, degs = _ray.get(deg_ref)  # local zero-copy read
+            iu = b["iu"].to_numpy(zero_copy_only=False)
+            iv = b["iv"].to_numpy(zero_copy_only=False)
+            du_ = degs[np.searchsorted(keys, iu)]
+            dv_ = degs[np.searchsorted(keys, iv)]
+            u_first = pa.array((du_ < dv_) | ((du_ == dv_) & (iu < iv)))
+            t = pa.table({"x": pc.if_else(u_first, b["iu"], b["iv"]),
+                          "y": pc.if_else(u_first, b["iv"], b["iu"])})
+            if not count_only:
+                t = (t.append_column(
+                        "xs", pc.if_else(u_first, b["u"], b["v"]))
+                      .append_column(
+                        "ys", pc.if_else(u_first, b["v"], b["u"])))
+            return t
+
+        oriented = e64.map_batches(orient,
+                                   batch_format="pyarrow").materialize()
+    else:
+        du = deg.map_batches(lambda b: b.rename_columns(["nd_u", "deg_u"]),
+                             batch_format="pyarrow")
+        dv = deg.map_batches(lambda b: b.rename_columns(["nd_v", "deg_v"]),
+                             batch_format="pyarrow")
+        j = hash_join(e64, du, "iu", "nd_u", num_buckets=num_buckets)
+        j = hash_join(j, dv, "iv", "nd_v", num_buckets=num_buckets)
+
+        def orient(b: pa.Table) -> pa.Table:
+            u_first = pc.or_(
+                pc.less(b["deg_u"], b["deg_v"]),
+                pc.and_(pc.equal(b["deg_u"], b["deg_v"]),
+                        pc.less(b["iu"], b["iv"])))
+            t = pa.table({"x": pc.if_else(u_first, b["iu"], b["iv"]),
+                          "y": pc.if_else(u_first, b["iv"], b["iu"])})
+            if not count_only:
+                t = (t.append_column(
+                        "xs", pc.if_else(u_first, b["u"], b["v"]))
+                      .append_column(
+                        "ys", pc.if_else(u_first, b["v"], b["u"])))
+            return t
+
+        oriented = j.map_batches(orient,
+                                 batch_format="pyarrow").materialize()
     rcols = {"x": "x_r", "y": "y_r"} if count_only else \
         {"x": "x_r", "y": "y_r", "xs": "xs_r", "ys": "ys_r"}
     right = oriented.map_batches(

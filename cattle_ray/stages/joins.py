@@ -337,6 +337,76 @@ def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
     return unioned.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def cogroup_left(sides, num_buckets: int = 32, post_fn=None):
+    """K-way co-grouped LEFT join in ONE shuffle. Chaining N-1
+    ``hash_join`` calls pays N-1 all-to-all exchanges over the SAME key;
+    here every side is bucketed by its key and tagged into a single union
+    Dataset, so all sides co-locate in one exchange — the "pick ONE
+    partitioning key and reuse it across stages" discipline as an
+    operator.
+
+    ``sides`` = list of ``(ds, key, finish_fn | None)``. Side 0 is the
+    dimension side kept in full (left-join semantics); each later side
+    attaches its non-key columns (its key column is dropped after the
+    merge when named differently; overlapping non-key names must be
+    pre-renamed). ``finish_fn`` (pandas df → df), when given, collapses a
+    side's MAP-SIDE PARTIALS inside the bucket (e.g. summing partial
+    aggregates) — the partial-agg + cogroup combo means fact tables cross
+    the shuffle as one row per (key, batch), never as facts. ``post_fn``
+    runs on each bucket's merged frame (e.g. COALESCE fills), so output
+    blocks leave with uniform dtypes. Keys on later sides should be
+    unique after ``finish_fn`` (attachment semantics); unmatched left
+    rows keep NaN attachments unless ``post_fn`` fills them."""
+    from .aggregates import coalesce_small
+
+    # combined schema across all sides (pairwise union of fields)
+    fields, seen = [], {}
+    for ds, _k, _f in sides:
+        s = ds.schema()
+        for n, t in zip(s.names, s.types):
+            t = _to_arrow_type(t)
+            if n not in seen:
+                seen[n] = t
+                fields.append(pa.field(n, t))
+            elif seen[n] != t:
+                raise ValueError(
+                    f"cogroup sides share column {n!r} with different "
+                    f"types; rename first")
+    combined = pa.schema(fields)
+
+    side_cols = [_side_columns(ds) for ds, _k, _f in sides]
+    tagged = [_with_bucket_and_tag(ds, k, i, num_buckets, combined)
+              for i, (ds, k, _f) in enumerate(sides)]
+    unioned = tagged[0]
+    for t in tagged[1:]:
+        unioned = unioned.union(t)
+    unioned = coalesce_small(unioned)
+
+    keys = [_as_keys(k) for _ds, k, _f in sides]
+    finishes = [f for _ds, _k, f in sides]
+
+    def merge_bucket(g: pa.Table) -> pd.DataFrame:
+        # Arrow-side split per side BEFORE pandas (64-bit key safety,
+        # same rule as _split_sides)
+        frames = []
+        for i, (cols, _dt) in enumerate(side_cols):
+            df = g.filter(pc.equal(g["_side"], i)).select(cols).to_pandas()
+            if finishes[i] is not None:
+                df = finishes[i](df)
+            frames.append(df)
+        out = frames[0]
+        for i in range(1, len(frames)):
+            out = out.merge(frames[i], left_on=keys[0], right_on=keys[i],
+                            how="left", suffixes=("", f"_s{i}"))
+            for kc in keys[i]:
+                if kc not in keys[0] and kc in out.columns:
+                    out = out.drop(columns=[kc])
+        return post_fn(out) if post_fn is not None else out
+
+    return unioned.groupby("_bucket").map_groups(
+        merge_bucket, batch_format="pyarrow")
+
+
 def full_outer_join(left_ds, right_ds, left_on, right_on,
                     num_buckets: int = 32):
     """Co-partitioned FULL OUTER equi join — the join type the pandas-merge

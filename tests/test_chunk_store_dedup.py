@@ -240,3 +240,21 @@ def test_boilerplate_threshold_respected(ray_session):
     out = boilerplate_remove(ds, chunk_words=3, min_repeats=3).take_all()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
     assert all(r["clean_text"] == "aa bb cc" for r in out)
+
+
+def test_triangles_degree_paths_parity(ray_session):
+    """Broadcast-degree fast path vs the co-partitioned degree-join scale
+    path must count identically (deg_broadcast_max=0 forces the joins)."""
+    import numpy as np
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import triangles
+
+    rng = np.random.RandomState(7)
+    pairs = {(f"n{min(a, b)}", f"n{max(a, b)}")
+             for a, b in rng.randint(0, 35, (250, 2)) if a != b}
+    ds = rd.from_arrow(pa.table({
+        "u": [p[0] for p in pairs], "v": [p[1] for p in pairs]}))
+    fast = triangles(ds, count_only=True)
+    slow = triangles(ds, count_only=True, deg_broadcast_max=0)
+    assert fast == slow > 0

@@ -396,3 +396,34 @@ def test_sequence_ngrams_trigrams(ray_session):
         n=3, order_tiebreak="eid").to_pandas()
     # user a: x>y>z, y>z>w; user b too short; user c ts-tie broken by eid
     assert sorted(out["seq"]) == ["q>p>r", "x>y>z", "y>z>w"]
+
+
+def test_cogroup_left_three_way(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import cogroup_left
+
+    dim = pd.DataFrame({"k": [1, 2, 3, 4], "name": list("abcd")})
+    # side 1 arrives as PARTIALS (two rows for k=1) that the finish sums
+    s1 = pd.DataFrame({"kk": [1, 1, 2], "pn": [5, 7, 3]})
+    s2 = pd.DataFrame({"u": [2, 3], "m": [30, 40]})
+
+    def fin1(df):
+        return df.groupby("kk", sort=False)[["pn"]].sum().reset_index() \
+            .rename(columns={"pn": "total"})
+
+    def fill(df):
+        for c in ["total", "m"]:
+            df[c] = df[c].fillna(0).astype("int64")
+        return df
+
+    out = cogroup_left(
+        [(rd.from_pandas(dim).repartition(3), "k", None),
+         (rd.from_pandas(s1).repartition(2), "kk", fin1),
+         (rd.from_pandas(s2).repartition(2), "u", None)],
+        num_buckets=4, post_fn=fill).to_pandas()
+    got = {r.k: (r.name, r.total, r.m) for r in out.itertuples()}
+    assert got == {1: ("a", 12, 0), 2: ("b", 3, 30),
+                   3: ("c", 0, 40), 4: ("d", 0, 0)}
+    assert set(out.columns) == {"k", "name", "total", "m"}
