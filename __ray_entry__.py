@@ -1249,6 +1249,18 @@ def q_doc_search(sf_dir: str):
     return search_all_terms(_docs(sf_dir, ["doc_id", "text"]), SEARCH_TERMS)
 
 
+def q_doc_bm25(sf_dir: str):
+    """BM25 ranked search (k1=1.2, b=0.75): top-20 docs for a 3-term query
+    — the ranking layer over doc_search's boolean retrieval. One streaming
+    pass builds (dl, tf…), constants come from tiny per-batch partials,
+    the score is one mirrored float64 expression over exact ints, and the
+    only shuffle is the final 20-row sort."""
+    from cattle_ray.stages.textstats import bm25_rank
+
+    return bm25_rank(_docs(sf_dir, ["doc_id", "text"]),
+                     ["hash", "join", "filter"], k=20)
+
+
 #: BFS seed for the k-hop neighborhood query (Entity0..49 all exist)
 BFS_SEED = "https://example.org/id/entity/Entity0"
 
@@ -2833,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_sum": q_events_running_sum,
         "events_time_window": q_events_time_window,
         "customer_360": q_customer_360,
+        "doc_bm25": q_doc_bm25,
         "events_frequent_paths": q_events_frequent_paths,
         "events_inter_arrival": q_events_inter_arrival,
         "events_hourly_users": q_events_hourly_users,
@@ -3574,6 +3587,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER win AS BIGINT) AS win_ts
             FROM g WINDOW win AS (PARTITION BY user_id ORDER BY ts
               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "doc_bm25": r"""
+            WITH tok AS (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS t
+                   FROM documents WHERE trim(text) != ''),
+            d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+                    CAST(count(*) FILTER (t = 'hash') AS BIGINT) AS tf1,
+                    CAST(count(*) FILTER (t = 'join') AS BIGINT) AS tf2,
+                    CAST(count(*) FILTER (t = 'filter') AS BIGINT) AS tf3
+                  FROM tok GROUP BY 1),
+            c AS (SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+                (SELECT CAST(sum(dl) AS BIGINT) FROM d) AS n_tok,
+                (SELECT CAST(count(*) FILTER (tf1 > 0) AS BIGINT) FROM d)
+                    AS df1,
+                (SELECT CAST(count(*) FILTER (tf2 > 0) AS BIGINT) FROM d)
+                    AS df2,
+                (SELECT CAST(count(*) FILTER (tf3 > 0) AS BIGINT) FROM d)
+                    AS df3),
+            s AS (SELECT doc_id,
+                ((n_docs - df1 + 0.5e0) / (df1 + 0.5e0))
+                  * ((tf1 * (1.2e0 + 1.0e0)) / (tf1 + 1.2e0
+                      * ((1.0e0 - 0.75e0) + 0.75e0 * (CAST(dl AS DOUBLE)
+                          / (CAST(n_tok AS DOUBLE) / n_docs)))))
+              + ((n_docs - df2 + 0.5e0) / (df2 + 0.5e0))
+                  * ((tf2 * (1.2e0 + 1.0e0)) / (tf2 + 1.2e0
+                      * ((1.0e0 - 0.75e0) + 0.75e0 * (CAST(dl AS DOUBLE)
+                          / (CAST(n_tok AS DOUBLE) / n_docs)))))
+              + ((n_docs - df3 + 0.5e0) / (df3 + 0.5e0))
+                  * ((tf3 * (1.2e0 + 1.0e0)) / (tf3 + 1.2e0
+                      * ((1.0e0 - 0.75e0) + 0.75e0 * (CAST(dl AS DOUBLE)
+                          / (CAST(n_tok AS DOUBLE) / n_docs)))))
+                AS score
+                FROM d, c)
+            SELECT doc_id, score FROM s WHERE score > 0.0e0
+            ORDER BY score DESC, doc_id LIMIT 20
         """,
         "customer_360": """
             WITH oa AS (SELECT o_custkey,

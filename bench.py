@@ -166,6 +166,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_time_window",
         "events_frequent_paths",
         "customer_360",
+        "doc_bm25",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -203,6 +203,83 @@ def term_counts_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.T
     })
 
 
+def bm25_tf_batch(batch: pa.Table, terms, id_col="doc_id",
+                  text_col="text") -> pa.Table:
+    """Per-doc BM25 ingredients for a FIXED query-term list: doc length
+    ``dl`` (whitespace tokens) plus ``tf1..tfK`` — one vectorized explode
+    per batch, one grouped size per term, zero shuffle."""
+    import pandas as pd
+
+    s = batch[text_col].to_pandas().fillna("")
+    toks = s.str.split()
+    dl = toks.str.len().fillna(0).to_numpy().astype(np.int64)
+    cols = {id_col: batch[id_col], "dl": pa.array(dl)}
+    ex = toks.explode().dropna()
+    for j, t in enumerate(terms):
+        arr = np.zeros(len(s), dtype=np.int64)
+        hit = ex[ex == t]
+        if len(hit):
+            cnt = hit.groupby(level=0).size()
+            arr[cnt.index.to_numpy()] = cnt.to_numpy()
+        cols[f"tf{j + 1}"] = pa.array(arr)
+    return pa.table(cols)
+
+
+def bm25_rank(ds, terms, id_col="doc_id", text_col="text",
+              k1: float = 1.2, b: float = 0.75, k: int = 20):
+    """BM25 ranked search over the corpus for a fixed term list — the
+    ranking layer on top of :func:`inverted_index`'s boolean retrieval.
+
+    Execution: ONE streaming pass builds the per-doc (dl, tf…) table
+    (text is dropped immediately — the materialized stats table is
+    ~(2+K)·8 B/doc); corpus constants (N, total tokens, per-term df)
+    come from one tiny partial row per batch summed on the driver; the
+    score map is pure vectorized float64; top-k via the distributed
+    (score DESC, id) sort. No shuffle anywhere before the final k-row
+    sort — BM25 is embarrassingly parallel given the broadcast constants.
+
+    Determinism: every input to the score is an exact int64; the score is
+    ONE float64 expression evaluated in fixed term order with fixed
+    association, so it mirrors op-for-op in SQL (the oracle writes the
+    same literals as ``e0`` doubles to dodge DECIMAL arithmetic).
+    """
+    tfm = ds.map_batches(
+        lambda bt: bm25_tf_batch(bt, terms, id_col, text_col),
+        batch_format="pyarrow").materialize()
+    n_docs = tfm.count()
+    tf_names = [f"tf{j + 1}" for j in range(len(terms))]
+
+    def partial(bt: pa.Table) -> pa.Table:
+        out = {"n_tok": pa.array(
+            [int(pc.sum(bt["dl"]).as_py() or 0)], pa.int64())}
+        for name in tf_names:
+            out["d" + name] = pa.array(
+                [int(pc.sum(pc.cast(pc.greater(bt[name], 0),
+                                    pa.int64())).as_py() or 0)], pa.int64())
+        return pa.table(out)
+
+    sums = tfm.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n_tok = int(sums["n_tok"])
+    dfs = [int(sums["d" + name]) for name in tf_names]
+    avgdl = n_tok / n_docs
+    idfs = [(n_docs - dfj + 0.5) / (dfj + 0.5) for dfj in dfs]
+
+    def score(bt: pa.Table) -> pa.Table:
+        dl = bt["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = k1 * ((1.0 - b) + b * (dl / avgdl))
+        sc = np.zeros(len(bt), dtype=np.float64)
+        for j, name in enumerate(tf_names):
+            tf = bt[name].to_numpy(zero_copy_only=False)
+            sc = sc + idfs[j] * ((tf * (k1 + 1.0)) / (tf + den))
+        keep = sc > 0.0
+        out = pa.table({id_col: bt[id_col], "score": pa.array(sc)})
+        return out.filter(pa.array(keep))
+
+    scored = tfm.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(k)
+
+
 def doc_term_stats(ds, id_col="doc_id", text_col="text", num_buckets: int = 32):
     """TF/DF corpus statistics — the exact-integer building block of TF-IDF
     keyword extraction (score = tf·ln(N/df) is a trivial client-side formula;

@@ -381,3 +381,35 @@ def test_sentence_stats_matches_duckdb():
                CAST(coalesce(list_max(ws), 0) AS BIGINT) AS max_sentence_words
         FROM w ORDER BY doc_id""").df()
     pd.testing.assert_frame_equal(eng, ora)
+
+
+def test_bm25_rank_orders_and_scores(ray_session):
+    """BM25 ranking against a hand-checkable corpus: a short doc dense in
+    the query term outranks a long doc mentioning it once; docs without
+    any query term are excluded; scores match the textbook formula."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import bm25_rank
+
+    docs = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["cat cat cat dog",                       # dense in 'cat'
+                 "cat " + "filler " * 40,                 # one hit, long
+                 "bird only here",                        # no hit
+                 "dog dog"],                              # 'dog' only
+    })
+    out = bm25_rank(rd.from_arrow(docs).repartition(2), ["cat", "dog"],
+                    k=10).to_pandas()
+    assert out["doc_id"].tolist()[0] == 1          # best: dense short doc
+    assert 3 not in set(out["doc_id"])             # zero-score excluded
+    assert len(out) == 3
+    # textbook recompute for doc 4 ('dog' tf=2, dl=2)
+    n_docs, n_tok = 4, 4 + 41 + 3 + 2
+    avgdl = n_tok / n_docs
+    df_dog = 2
+    idf = (n_docs - df_dog + 0.5) / (df_dog + 0.5)
+    den = 1.2 * ((1.0 - 0.75) + 0.75 * (2 / avgdl))
+    want = idf * ((2 * 2.2) / (2 + den))
+    got = float(out.loc[out["doc_id"] == 4, "score"].iloc[0])
+    assert abs(got - want) < 1e-12
