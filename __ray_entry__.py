@@ -2382,6 +2382,230 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def q_kg_link_graph(sf_dir: str):
+    """Web-link-graph construction — the link-analysis precursor every
+    crawled-corpus KG needs: parse ``<a href>`` anchors out of raw page html
+    (per-doc precompiled-regex scan, same M6 extraction family) and rank
+    pages by in-degree. The wide html payload never leaves the extraction
+    kernel; only (src, dst) url pairs feed the map-side-combined count, and
+    the shuffle moves one row per (dst, batch). Oracle: link targets are the
+    fixture's pure doc_id arithmetic (pages.doc_link_dsts), re-derived in SQL
+    with a lateral generate_series."""
+    from cattle_ray.stages.aggregates import top_k_counts
+    from cattle_ray.stages.extract import extract_links_batch
+
+    links = _pages(sf_dir).map_batches(extract_links_batch,
+                                       batch_format="pyarrow")
+    top = top_k_counts(links, ["dst"], k=20)
+    return top.map_batches(
+        lambda b: pa.table({"dst": b["dst"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_lineitem_avg_qty(sf_dir: str):
+    """TPC-H-Q17-shaped correlated-aggregate filter: total revenue of line
+    items whose quantity is below 20% of their part's average quantity —
+    the "join a fact table against its own per-group aggregate" pattern.
+    Scale discipline: ONE shuffle. Quantity has a small integer domain, so
+    map-side partials group by (partkey, qty-value) — at most |qty domain|
+    rows per partkey per batch cross the exchange, never line items. The
+    bucket finish collapses partials, forms each part's (sum_qty, n) from
+    the same collapsed rows (Σ q·n / Σ n), applies the avg filter as exact
+    integer cross-multiplication (q < 0.2·sq/n ⇔ 5·q·n < sq — no float
+    threshold), and emits ONE partial-total row per bucket. Result =
+    sum(price)/7.0 as the single mirrored float division."""
+    import pandas as pd
+
+    from cattle_ray.stages.aggregates import add_key_bucket, coalesce_small
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"],
+               rows_per_block=100000)
+
+    def prep(b: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        t = pa.table({"l_partkey": b["l_partkey"], "q": q, "pc_": cents})
+        out = t.group_by(["l_partkey", "q"]).aggregate(
+            [("pc_", "sum"), ([], "count_all")])
+        return out.rename_columns(["l_partkey", "q", "pcs", "pn"])
+
+    partials = li.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda b: add_key_bucket(b, ["l_partkey"], 32),
+        batch_format="pyarrow")
+    partials = coalesce_small(partials, 16)
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        t = g.groupby(["l_partkey", "q"], sort=False)[["pcs", "pn"]] \
+            .sum().reset_index()
+        per_part = t.assign(qn=t["q"] * t["pn"]) \
+            .groupby("l_partkey", sort=False)[["qn", "pn"]].sum()
+        sq = per_part["qn"].reindex(t["l_partkey"]).to_numpy()
+        n = per_part["pn"].reindex(t["l_partkey"]).to_numpy()
+        keep = 5 * t["q"].to_numpy() * n < sq
+        return pd.DataFrame({"pt": [int(t.loc[keep, "pcs"].sum())]})
+
+    parts = partials.groupby("_bucket").map_groups(finish,
+                                                   batch_format="pandas")
+    total = parts.sum("pt") or 0
+    return pd.DataFrame({"avg_yearly": [total / 700.0]})
+
+
+def q_kg_link_prediction(sf_dir: str):
+    """Link prediction over the doc→entity mention graph: top-20 entity
+    pairs by Jaccard similarity of their neighbor (document) sets — the
+    common-neighbors family of KG-completion scores. Neighbor sets come
+    from the distinct (doc, entity) edges of the materialized triples;
+    common counts are generated INSIDE each doc's join group (~k²/2 per
+    doc, never |entities|²) and combined map-side; per-entity degrees are
+    a vocabulary-bounded census broadcast once (the same adaptive pattern
+    as triangles — above the broadcast bound, attach degrees with the
+    co-partitioned join instead). Jaccard = c/(da+db−c): exact int64
+    inputs, ONE float division mirrored op-for-op in SQL."""
+    import ray
+
+    from cattle_ray.stages.aggregates import distinct, partial_count
+    from cattle_ray.stages.joins import hash_join
+
+    def doc_ent(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["pred"], EX + "entity"))
+        # neighbor-set key is the PAGE, not the per-table-row subject:
+        # strip the '#t0/rN' fragment so one doc's entities co-occur
+        doc = pc.replace_substring_regex(t["subj"], "#.*$", "")
+        return pa.table({"subj": doc, "obj": t["obj"]})
+
+    ent = q_kg_csvw_triples(sf_dir).map_batches(doc_ent,
+                                                batch_format="pyarrow")
+    edges = distinct(ent, ["subj", "obj"]).materialize()  # consumed twice
+
+    # per-entity degree census: |entity vocabulary| rows (bounded by the
+    # alias dictionary, not the corpus) — broadcast once via ray.put
+    deg = partial_count(edges, ["obj"]).to_pandas()
+    deg_ref = ray.put((deg["obj"].to_numpy(), deg["n"].to_numpy()))
+
+    right = edges.map_batches(
+        lambda b: pa.table({"subj_b": b["subj"], "eb": b["obj"]}),
+        batch_format="pyarrow")
+    pairs = hash_join(edges, right, "subj", "subj_b").map_batches(
+        lambda b: b.filter(pc.less(b["obj"], b["eb"]))
+        .select(["obj", "eb"]).rename_columns(["ea", "eb"]),
+        batch_format="pyarrow")
+    common = partial_count(pairs, ["ea", "eb"])
+
+    def score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ents, degs = ray.get(deg_ref)
+        order = np.argsort(ents)
+        se, sd = ents[order], degs[order]
+        c = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        da = sd[np.searchsorted(se, b["ea"].to_numpy(zero_copy_only=False))]
+        db = sd[np.searchsorted(se, b["eb"].to_numpy(zero_copy_only=False))]
+        union = da + db - c
+        return pa.table({
+            "ea": b["ea"], "eb": b["eb"],
+            "common": pa.array(c),
+            "jac": pa.array(c.astype(np.float64) / union.astype(np.float64)),
+        })
+
+    scored = common.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["jac", "ea", "eb"],
+                       descending=[True, False, False]).limit(20)
+
+
+def q_kg_web_pagerank(sf_dir: str):
+    """The web-centrality composition end to end: raw html → anchor
+    extraction → PageRank over the REAL extracted page→page link graph
+    (not the mention graph — this is the classic crawl ranking loop).
+    Same execution discipline as kg_pagerank: vectorized 64-bit node ids,
+    size-adaptive solve, ranks joined back to urls so the output is
+    hash-scheme-independent. Oracle: the 5-iteration power method unrolled
+    in SQL over the arithmetic-derived link edges; both sides round to 6
+    decimals (float partial-sum order differs at the 1e-16 level)."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.extract import extract_links_batch
+    from cattle_ray.stages.graph import pagerank, uri_ids64
+    from cattle_ray.stages.joins import hash_join
+
+    links = _pages(sf_dir).map_batches(extract_links_batch,
+                                       batch_format="pyarrow").materialize()
+    edges = links.map_batches(
+        lambda b: pa.table({"src": uri_ids64(b["src"]),
+                            "dst": uri_ids64(b["dst"])}),
+        batch_format="pyarrow")
+
+    def to_map(b: pa.Table) -> pa.Table:
+        uris = pa.concat_arrays([b["src"].combine_chunks(),
+                                 b["dst"].combine_chunks()])
+        ids = pa.concat_arrays([uri_ids64(b["src"]), uri_ids64(b["dst"])])
+        return pa.table({"nid": ids, "uri": uris})
+
+    ranks = pagerank(edges, iters=5)
+    id_map = distinct(links.map_batches(to_map, batch_format="pyarrow"),
+                      ["nid", "uri"], num_buckets=8)
+    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=8)
+    return joined.map_batches(
+        lambda b: pa.table({"node": b["uri"], "rank": pc.round(b["rank"], 6)}),
+        batch_format="pyarrow")
+
+
+def q_kg_dead_links(sf_dir: str):
+    """Dead-link detection (crawl hygiene): anchors whose target page is
+    not in the crawlable ('en') corpus, ranked by how many pages point at
+    them — the anti-join of the extracted link stream against a
+    corpus-derived key set (adaptive broadcast/distributed path inside
+    semi_join). Only (src, dst) url pairs move; html never shuffles."""
+    from cattle_ray.pages import DOC_URL_PREFIX
+    from cattle_ray.stages.aggregates import top_k_counts
+    from cattle_ray.stages.extract import extract_links_batch
+    from cattle_ray.stages.joins import semi_join
+
+    links = _pages(sf_dir).map_batches(extract_links_batch,
+                                       batch_format="pyarrow")
+    # lang predicate pushed to the READ (row-group pruning) — only the
+    # crawlable subset's ids ever leave storage
+    live = _read(sf_dir, "documents", ["doc_id"], rows_per_block=20000,
+                 filter=(pc.field("lang") == "en")).map_batches(
+        lambda b: pa.table({"url": pc.binary_join_element_wise(
+            DOC_URL_PREFIX, pc.cast(b["doc_id"], pa.string()), "")}),
+        batch_format="pyarrow")
+    dead = semi_join(links, live, "dst", "url", anti=True)
+    top = top_k_counts(dead, ["dst"], k=20)
+    return top.map_batches(
+        lambda b: pa.table({"dst": b["dst"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_orders_priority_exists(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: order count per priority class,
+    counting only orders with at least one deeply-discounted line item.
+    The key side (distinct discounted orderkeys) is built with the
+    l_discount predicate pushed to the READ (row-group pruning), collapsed
+    to distinct keys map-side, then orders flow through the adaptive
+    semi-join (broadcast under the cap, distributed bucketed above) and
+    one map-side-combined count per priority finishes. Exact integers
+    everywhere — no float in the result."""
+    from cattle_ray.stages.aggregates import distinct, partial_count
+    from cattle_ray.stages.joins import semi_join
+
+    disc = _read(sf_dir, "lineitem", ["l_orderkey"], rows_per_block=100000,
+                 filter=(pc.field("l_discount") >= 0.05))
+    keys = distinct(disc, ["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                   rows_per_block=50000)
+    hit = semi_join(orders, keys, "o_orderkey", "l_orderkey")
+    counts = partial_count(hit, ["o_orderpriority"])
+    return counts.map_batches(
+        lambda b: pa.table({"o_orderpriority": b["o_orderpriority"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow").sort("o_orderpriority")
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     return q_kg_pipeline("/root/testdata/sf0.001")
@@ -2893,6 +3117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": q_events_type_pivot,
         "doc_corpus_report": q_doc_corpus_report,
         "events_value_hist": q_events_value_hist,
+        "kg_link_graph": q_kg_link_graph,
+        "kg_link_prediction": q_kg_link_prediction,
+        "lineitem_avg_qty": q_lineitem_avg_qty,
+        "kg_web_pagerank": q_kg_web_pagerank,
+        "kg_dead_links": q_kg_dead_links,
+        "orders_priority_exists": q_orders_priority_exists,
     }
 
 
@@ -2926,12 +3156,14 @@ WITH r AS (SELECT range AS r FROM range(1, 4)),
 _STOPLIST_SQL = "('the','and','of','to','a','in','is','it','that','for')"
 
 
-def _pagerank_sql(iters: int = 5) -> str:
+def _pagerank_sql(iters: int = 5, graph_cte: str | None = None) -> str:
     """Unrolled PageRank power method, mirroring cattle_ray.stages.graph:
     init 1/n; per round non_dangling = Σ_edges rank(src)/deg(src),
     base = (1−d)/n + d·(1−non_dangling)/n, rank = base + d·in_sum.
     Both sides round to 6 decimals (float partial-sum order differs at the
-    1e-16 level across engines; see q_kg_pagerank)."""
+    1e-16 level across engines; see q_kg_pagerank). ``graph_cte`` = a full
+    WITH-prefix ending in an ``edges(s, o)`` CTE; default is the triple
+    fixture's doc→entity edges."""
     ctes = ""
     prev = "r0"
     for k in range(1, iters + 1):
@@ -2949,9 +3181,11 @@ def _pagerank_sql(iters: int = 5) -> str:
                      FROM nodes n CROSS JOIN cnt CROSS JOIN nd{k}
                      LEFT JOIN ins{k} i ON i.node = n.node)"""
         prev = f"r{k}"
-    return _TRIPLE_BASE_CTE + f""",
+    if graph_cte is None:
+        graph_cte = _TRIPLE_BASE_CTE + f""",
             edges AS (SELECT subj AS s, obj AS o FROM triples
-                      WHERE pred = '{EX}entity'),
+                      WHERE pred = '{EX}entity')"""
+    return graph_cte + f""",
             nodes AS (SELECT DISTINCT node FROM
                       (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
             cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
@@ -2961,6 +3195,20 @@ def _pagerank_sql(iters: int = 5) -> str:
             {ctes}
         SELECT node, round(rank, 6) AS rank FROM {prev}
     """
+
+
+#: the fixture link graph (pages.doc_link_dsts arithmetic) as an edges CTE
+_LINK_EDGES_CTE = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+     js AS (SELECT range AS j FROM range(1, 4)),
+     edges AS (
+       SELECT 'https://example.org/doc/' || d.doc_id AS s,
+              'https://example.org/doc/' ||
+              ((d.doc_id + 1 +
+                ((d.doc_id * 2654435761 + j.j * 40503) % (nn.c - 1)))
+               % nn.c) AS o
+       FROM documents d CROSS JOIN nn CROSS JOIN js j
+       WHERE j.j <= d.doc_id % 4)"""
 
 
 def _hits_sql(iters: int = 3) -> str:
@@ -4245,5 +4493,64 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT *, 'added' AS change
             FROM (SELECT * FROM newt EXCEPT SELECT * FROM oldt)
+        """,
+        # outlink targets re-derived from the fixture's doc_id arithmetic
+        # (cattle_ray.pages.doc_link_dsts, _LINK_EDGES_CTE)
+        "kg_link_graph": _LINK_EDGES_CTE + """
+            SELECT o AS dst, count(*) AS n FROM edges
+            GROUP BY o ORDER BY n DESC, dst LIMIT 20
+        """,
+        # Jaccard of neighbor (doc) sets over the entity edges; the one
+        # float op is the final division over exact BIGINT inputs,
+        # mirrored in the Ray kernel op-for-op
+        "kg_link_prediction": _TRIPLE_BASE_CTE + """,
+            ents AS (SELECT DISTINCT regexp_replace(subj, '#.*$', '') AS doc,
+                            obj AS ent FROM triples
+                     WHERE pred = 'https://example.org/def/entity'),
+            deg AS (SELECT ent, count(*) AS d FROM ents GROUP BY ent),
+            pairs AS (SELECT a.ent AS ea, b.ent AS eb,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM ents a JOIN ents b
+                        ON a.doc = b.doc AND a.ent < b.ent
+                      GROUP BY a.ent, b.ent)
+            SELECT p.ea, p.eb, p.c AS common,
+                   CAST(p.c AS DOUBLE) /
+                   CAST(da.d + db.d - p.c AS DOUBLE) AS jac
+            FROM pairs p
+            JOIN deg da ON da.ent = p.ea
+            JOIN deg db ON db.ent = p.eb
+            ORDER BY jac DESC, p.ea, p.eb LIMIT 20
+        """,
+        # PageRank over the arithmetic-derived link graph; same 6-decimal
+        # rounding envelope as kg_pagerank
+        "kg_web_pagerank": _pagerank_sql(5, graph_cte=_LINK_EDGES_CTE),
+        "kg_dead_links": _LINK_EDGES_CTE + """
+            SELECT o AS dst, count(*) AS n FROM edges
+            WHERE o NOT IN (
+              SELECT 'https://example.org/doc/' || doc_id
+              FROM documents WHERE lang = 'en')
+            GROUP BY o ORDER BY n DESC, dst LIMIT 20
+        """,
+        "orders_priority_exists": """
+            SELECT o_orderpriority, count(*) AS n
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_discount >= 0.05)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # q < 0.2·avg as exact integer cross-multiplication (5·q·n < sq);
+        # fixed-point cents summed exactly, ONE mirrored float division
+        "lineitem_avg_qty": """
+            WITH li AS (SELECT l_partkey,
+                               CAST(round(l_quantity) AS BIGINT) AS q,
+                               CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) AS pcents
+                        FROM lineitem),
+            agg AS (SELECT l_partkey, sum(q) AS sq, count(*) AS n
+                    FROM li GROUP BY l_partkey)
+            SELECT coalesce(sum(li.pcents), 0) / 700.0e0 AS avg_yearly
+            FROM li JOIN agg ON li.l_partkey = agg.l_partkey
+            WHERE 5 * li.q * agg.n < agg.sq
         """,
     }

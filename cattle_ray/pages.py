@@ -152,6 +152,23 @@ def doc_url(doc_id: int) -> str:
     return f"{DOC_URL_PREFIX}{doc_id}"
 
 
+def doc_link_dsts(doc_id: int, n_docs: int) -> list[int]:
+    """Deterministic outlink targets for a page — the web-link-graph fixture.
+
+    ``doc_id % 4`` outlinks; the j-th target is a Knuth-hash spread over the
+    OTHER ``n_docs - 1`` ids (``+1 .. +n-1`` offsets from src, so self-links
+    are impossible by construction). Pure int64 arithmetic, SQL-mirrorable:
+    ``(src + 1 + ((src*2654435761 + j*40503) % (n-1))) % n``. Products stay
+    well under 2^63 for any corpus below ~3.5e9 docs (the fixture scales)."""
+    if n_docs < 2:
+        return []
+    return [
+        (doc_id + 1 + ((doc_id * 2654435761 + j * 40503) % (n_docs - 1)))
+        % n_docs
+        for j in range(1, doc_id % 4 + 1)
+    ]
+
+
 def doc_table(doc_id: int) -> dict:
     rows = []
     for r in range(1, 4):
@@ -161,21 +178,30 @@ def doc_table(doc_id: int) -> dict:
     return {"headers": ["rank", "name", "score"], "rows": rows}
 
 
-def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
+def pages_from_documents_batch(batch: pa.Table, n_docs: int | None = None) -> pa.Table:
     """documents(doc_id, text, lang, …) → pages(url, warc_ts, html, text, lang).
 
     Pure per-row derivation: url/warc_ts are doc_id arithmetic; html is the
     fixture renderer over the document's own text plus (for doc_id%4==0) a
-    deterministic embedded table.
+    deterministic embedded table, plus (when ``n_docs`` is given) the
+    :func:`doc_link_dsts` anchor nav — invisible to the ``<p>``/``<table>``
+    extractors, parsed only by ``extract_links_batch``.
     """
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
+
+    def links(i):
+        if n_docs is None:
+            return None
+        return [doc_url(d) for d in doc_link_dsts(i, n_docs)]
+
     out = {
         "url": [doc_url(i) for i in ids],
         "warc_ts": [1704067200_000000 + i * 1_000_000 for i in ids],
         "html": [
-            render_html(t or "", [doc_table(i)] if i % 4 == 0 else [], title=f"T{i}")
+            render_html(t or "", [doc_table(i)] if i % 4 == 0 else [],
+                        title=f"T{i}", links=links(i))
             for i, t in zip(ids, texts)
         ],
         "text": texts,
@@ -211,4 +237,6 @@ def pages_from_documents(sf_dir: str, rows_per_block: int = 500):
     blocks = max(2, min(nrows // rows_per_block + 1, 4 * cpus))
     ds = rd.read_parquet(path, columns=["doc_id", "text", "lang"],
                          override_num_blocks=blocks)
-    return ds.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    return ds.map_batches(pages_from_documents_batch,
+                          fn_kwargs={"n_docs": nrows},
+                          batch_format="pyarrow")

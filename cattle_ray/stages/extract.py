@@ -25,6 +25,7 @@ import re
 import pyarrow as pa
 
 _P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+_A_RE = re.compile(rb'<a href="(.*?)"', re.S)
 _TABLE_RE = re.compile(rb"<table>(.*?)</table>", re.S)
 _TR_RE = re.compile(rb"<tr>(.*?)</tr>", re.S)
 _CELL_RE = re.compile(rb"<t[hd]>(.*?)</t[hd]>", re.S)
@@ -84,9 +85,37 @@ def extract_batch(batch: pa.Table, *, tables: bool = True, drop_html: bool = Tru
     return pa.table(cols)
 
 
-def render_html(text: str, tables: list[dict] | None = None, title: str = "") -> bytes:
+def extract_links_batch(batch: pa.Table, *, url_col: str = "url",
+                        html_col: str = "html") -> pa.Table:
+    """map_batches kernel: hyperlink extraction — the web-graph construction
+    primitive. Each page row explodes into ``(src, dst)`` edge rows, one per
+    ``<a href>`` anchor (entity-unescaped, document order; pages with no
+    anchors contribute no rows). Like :func:`extract_batch`, parsing is a
+    per-doc precompiled-regex scan (documents are independent → stateless
+    tasks); the wide ``html`` payload never leaves the kernel — only the
+    two url columns flow to the downstream degree/pagerank aggregations."""
+    html_arr = batch[html_col]
+    if isinstance(html_arr, pa.ChunkedArray):
+        html_arr = html_arr.combine_chunks()
+    srcs_in = batch[url_col].to_pylist()
+    src_out: list[str] = []
+    dst_out: list[str] = []
+    for src, h in zip(srcs_in, html_arr.to_pylist()):
+        if h is None:
+            continue
+        for m in _A_RE.findall(h):
+            src_out.append(src)
+            dst_out.append(_html.unescape(m.decode("utf-8")))
+    return pa.table({"src": pa.array(src_out, pa.string()),
+                     "dst": pa.array(dst_out, pa.string())})
+
+
+def render_html(text: str, tables: list[dict] | None = None, title: str = "",
+                links: list[str] | None = None) -> bytes:
     """The fixture renderer (FIXTURES.md §1): html is generated FROM text and
-    tables; ``extract_*`` above are its exact inverse."""
+    tables; ``extract_*`` above are its exact inverse. ``links`` render as a
+    trailing ``<nav>`` anchor block — outside every ``<p>``/``<table>``, so
+    text/table extraction is unaffected byte-for-byte."""
     parts = [f"<html><head><title>{_html.escape(title)}</title></head><body>"]
     for line in text.split("\n"):
         parts.append(f"<p>{_html.escape(line)}</p>")
@@ -99,5 +128,12 @@ def render_html(text: str, tables: list[dict] | None = None, title: str = "") ->
         for row in t.get("rows", []):
             parts.append("<tr>" + "".join(f"<td>{_html.escape(c)}</td>" for c in row) + "</tr>")
         parts.append("</table>")
+    if links:
+        parts.append(
+            "<nav>"
+            + "".join(f'<a href="{_html.escape(u, quote=True)}">l</a>'
+                      for u in links)
+            + "</nav>"
+        )
     parts.append("</body></html>")
     return "".join(parts).encode("utf-8")

@@ -150,27 +150,62 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
+def _doc_token_codes(batch: pa.Table, text_col: str):
+    """Shared all-C++ tokenization core: whitespace-split every doc and
+    dictionary-encode the flat token stream ONCE. Returns
+    ``(n, parent, codes, dictionary)`` — per-doc token counts (int64),
+    the doc index of every token, its int code, and the code→string
+    dictionary. Replaces the pandas ``str.split().explode().groupby``
+    chain, which loops Python per row and hashes object strings
+    (measured 8-10× slower on a 14M-token batch stream)."""
+    t = pc.cast(batch[text_col], pa.string())
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(t, ""))
+    toks = pc.utf8_split_whitespace(trimmed)
+    n = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # a fully-empty doc splits to [''] — mask that one phantom token
+    empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+    n[empty] = 0
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    if len(flat) == 0:
+        return n, parent, np.empty(0, np.int64), pa.array([], pa.string())
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    enc = flat.dictionary_encode()
+    idx = enc.indices
+    if isinstance(idx, pa.ChunkedArray):
+        idx = idx.combine_chunks()
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary
+    if not keep.all():
+        codes, parent = codes[keep], parent[keep]
+    return n, parent, codes, dictionary
+
+
 def repetition_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
     """Gopher-style repetition signals (quality filter for training corpora):
     duplicate-token fraction (1 − distinct/total) and top-token fraction
-    (most frequent token's share). Fully vectorized: one explode, one
-    (doc, token) group-size, two per-doc reductions — no per-doc Python.
+    (most frequent token's share). All-C++/numpy: one Arrow split +
+    dictionary-encode, then per-(doc, token) counts from one integer
+    ``np.unique`` — no per-doc Python, no object-string hashing.
     A doc with high dup_token_frac / top_token_frac is boilerplate or
     degenerate repetition and gets filtered before training."""
-    import pandas as pd
-
-    s = batch[text_col].to_pandas().fillna("")
-    toks = s.str.split()
-    n = toks.map(len).to_numpy(dtype=np.int64)
-    ex = toks.explode().dropna()
-    if ex.empty:
-        n_dist = np.zeros(len(s), dtype=np.int64)
-        top = np.zeros(len(s), dtype=np.int64)
+    n, parent, codes, dictionary = _doc_token_codes(batch, text_col)
+    nb = len(batch)
+    if len(codes) == 0:
+        n_dist = np.zeros(nb, dtype=np.int64)
+        top = np.zeros(nb, dtype=np.int64)
     else:
-        cnts = ex.groupby([ex.index, ex]).size()
-        per_doc = cnts.groupby(level=0)
-        n_dist = per_doc.size().reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
-        top = per_doc.max().reindex(s.index, fill_value=0).to_numpy(dtype=np.int64)
+        combined = parent * np.int64(len(dictionary)) + codes
+        uniq, counts = np.unique(combined, return_counts=True)
+        up = uniq // np.int64(len(dictionary))
+        n_dist = np.bincount(up, minlength=nb).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, up[1:] != up[:-1]])
+        top = np.zeros(nb, dtype=np.int64)
+        top[up[starts]] = np.maximum.reduceat(counts, starts)
     safe = np.maximum(n, 1).astype(np.float64)
     dup_frac = np.where(n > 0, 1.0 - n_dist / safe, 0.0)
     top_frac = np.where(n > 0, top / safe, 0.0)
@@ -183,44 +218,48 @@ def repetition_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Ta
 
 
 def term_counts_batch(batch: pa.Table, id_col="doc_id", text_col="text") -> pa.Table:
-    """Explode docs into (doc_id, term, tf) rows — per-doc term frequencies,
-    fully vectorized (one explode + one two-level group-size)."""
-    import pandas as pd
-
-    s = batch[text_col].to_pandas().fillna("")
-    ids = batch[id_col].to_pandas()
-    ex = s.str.split().explode().dropna()
-    if ex.empty:
-        return pa.table({id_col: pa.array([], batch[id_col].type),
+    """Explode docs into (doc_id, term, tf) rows — per-doc term
+    frequencies from the shared :func:`_doc_token_codes` core: one Arrow
+    split + dictionary-encode, per-(doc, token) counts via one integer
+    ``np.unique``, term strings gathered back from the dictionary."""
+    n, parent, codes, dictionary = _doc_token_codes(batch, text_col)
+    ids_col = batch[id_col]
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    if len(codes) == 0:
+        return pa.table({id_col: pa.array([], ids_col.type),
                          "term": pa.array([], pa.string()),
                          "tf": pa.array([], pa.int64())})
-    cnt = ex.groupby([ex.index, ex]).size()
-    pos = cnt.index.get_level_values(0)
+    combined = parent * np.int64(len(dictionary)) + codes
+    uniq, counts = np.unique(combined, return_counts=True)
+    up = uniq // np.int64(len(dictionary))
+    uc = uniq % np.int64(len(dictionary))
     return pa.table({
-        id_col: pa.array(ids.iloc[pos].to_numpy()),
-        "term": pa.array(cnt.index.get_level_values(1).to_numpy(), pa.string()),
-        "tf": pa.array(cnt.to_numpy(), pa.int64()),
+        id_col: ids_col.take(pa.array(up)),
+        "term": pc.cast(dictionary.take(pa.array(uc)), pa.string()),
+        "tf": pa.array(counts.astype(np.int64)),
     })
 
 
 def bm25_tf_batch(batch: pa.Table, terms, id_col="doc_id",
                   text_col="text") -> pa.Table:
     """Per-doc BM25 ingredients for a FIXED query-term list: doc length
-    ``dl`` (whitespace tokens) plus ``tf1..tfK`` — one vectorized explode
-    per batch, one grouped size per term, zero shuffle."""
-    import pandas as pd
-
-    s = batch[text_col].to_pandas().fillna("")
-    toks = s.str.split()
-    dl = toks.str.len().fillna(0).to_numpy().astype(np.int64)
-    cols = {id_col: batch[id_col], "dl": pa.array(dl)}
-    ex = toks.explode().dropna()
-    for j, t in enumerate(terms):
-        arr = np.zeros(len(s), dtype=np.int64)
-        hit = ex[ex == t]
-        if len(hit):
-            cnt = hit.groupby(level=0).size()
-            arr[cnt.index.to_numpy()] = cnt.to_numpy()
+    ``dl`` (whitespace tokens) plus ``tf1..tfK`` — the shared
+    :func:`_doc_token_codes` core (one Arrow split + dictionary-encode),
+    then one boolean mask + bincount per query term. Zero shuffle."""
+    n, parent, codes, dictionary = _doc_token_codes(batch, text_col)
+    nb = len(batch)
+    cols = {id_col: batch[id_col], "dl": pa.array(n)}
+    tcodes = pc.index_in(pa.array(list(terms), pa.string()),
+                         value_set=pc.cast(dictionary, pa.string()))
+    for j, _t in enumerate(terms):
+        tc = tcodes[j].as_py()
+        arr = np.zeros(nb, dtype=np.int64)
+        if tc is not None and len(codes):
+            m = codes == tc
+            if m.any():
+                arr = np.bincount(parent[m],
+                                  minlength=nb).astype(np.int64)
         cols[f"tf{j + 1}"] = pa.array(arr)
     return pa.table(cols)
 

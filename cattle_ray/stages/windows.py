@@ -279,7 +279,11 @@ def grouped_time_window(ds, *, key: str = "user_id", ts: str = "ts",
                                  "win_rows": pd.Series([], dtype="int64"),
                                  "win_ts": pd.Series([], dtype="int64")})
         codes = pd.factorize(g[key], use_na_sentinel=False)[0]  # contiguous
-        t = g[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tv = g[ts].to_numpy()
+        if np.issubdtype(tv.dtype, np.datetime64):
+            t = tv.astype("datetime64[us]").astype(np.int64)
+        else:  # integer event-time: window_us is in the same unit
+            t = tv.astype(np.int64)
         v = g["pv"].to_numpy().astype(np.int64)
         pn = g["pn"].to_numpy().astype(np.int64)
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])

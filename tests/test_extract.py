@@ -52,3 +52,43 @@ def test_empty_and_null_html():
     batch = pa.table({"html": pa.array([b"", None], pa.binary()), "url": ["a", "b"]})
     out = extract_batch(batch)
     assert out["text"].to_pylist() == ["", None]
+
+
+def test_links_roundtrip_and_invisibility():
+    """Anchor nav block: extract_links_batch recovers hrefs exactly
+    (entity-unescaped, document order); text/table extraction stays
+    byte-identical with or without links."""
+    from cattle_ray.stages.extract import extract_links_batch
+
+    text = "line one\nline & two"
+    urls = ["https://x.org/a?b=1&c=2", "https://x.org/é"]
+    html = render_html(text, [{"headers": ["h"], "rows": [["v"]]}],
+                       links=urls)
+    plain = render_html(text, [{"headers": ["h"], "rows": [["v"]]}])
+    assert extract_text_bytes(html) == extract_text_bytes(plain) == text
+    assert extract_tables_bytes(html) == extract_tables_bytes(plain)
+
+    batch = pa.table({"url": ["https://src"], "html": [html]})
+    links = extract_links_batch(batch)
+    assert links["src"].to_pylist() == ["https://src"] * 2
+    assert links["dst"].to_pylist() == urls
+
+    # a page with no anchors contributes zero edge rows; null html skipped
+    none_batch = pa.table(
+        {"url": ["u1", "u2"],
+         "html": pa.array([plain, None], pa.binary())})
+    assert len(extract_links_batch(none_batch)) == 0
+
+
+def test_doc_link_dsts_fixture_properties():
+    """Link fixture arithmetic: out-degree == doc_id % 4, never a
+    self-link, targets in range, degenerate corpora are linkless."""
+    from cattle_ray.pages import doc_link_dsts
+
+    n = 97
+    for i in range(60):
+        dsts = doc_link_dsts(i, n)
+        assert len(dsts) == i % 4
+        assert all(0 <= d < n and d != i for d in dsts)
+    assert doc_link_dsts(3, 1) == []
+    assert doc_link_dsts(3, 0) == []
