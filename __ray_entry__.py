@@ -2581,6 +2581,23 @@ def q_kg_dead_links(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_communities(sf_dir: str):
+    """Community detection: 3 rounds of synchronous label propagation over
+    the (undirected) doc↔entity mention graph — every node takes its
+    neighbors' most frequent label, ties to the smallest. Deterministic by
+    construction (count argmax with a total tie order), so the full
+    (node, label) table oracle-checks against the SQL unroll."""
+    from cattle_ray.stages.graph import label_propagation
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["pred"], EX + "entity"))
+        return pa.table({"s": t["subj"], "o": t["obj"]})
+
+    edges = q_kg_csvw_triples(sf_dir).map_batches(to_edges,
+                                                  batch_format="pyarrow")
+    return label_propagation(edges, iters=3)
+
+
 def q_orders_priority_exists(sf_dir: str):
     """TPC-H-Q4-shaped EXISTS semi-join: order count per priority class,
     counting only orders with at least one deeply-discounted line item.
@@ -3123,6 +3140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_web_pagerank": q_kg_web_pagerank,
         "kg_dead_links": q_kg_dead_links,
         "orders_priority_exists": q_orders_priority_exists,
+        "kg_communities": q_kg_communities,
     }
 
 
@@ -3194,6 +3212,34 @@ def _pagerank_sql(iters: int = 5, graph_cte: str | None = None) -> str:
             r0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes CROSS JOIN cnt)
             {ctes}
         SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation, mirroring
+    cattle_ray.stages.graph.label_propagation: l0 = own id; per round every
+    node takes the mode of its neighbors' labels, ties to the smallest
+    label (row_number over c DESC, label ASC). Exact — no floats."""
+    ctes = ""
+    prev = "l0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+            c{k} AS (SELECT u.s AS node, l.label, count(*) AS c
+                     FROM und u JOIN {prev} l ON l.node = u.o
+                     GROUP BY u.s, l.label),
+            l{k} AS (SELECT node, label FROM (
+                       SELECT node, label,
+                              row_number() OVER (PARTITION BY node
+                                ORDER BY c DESC, label) AS rn
+                       FROM c{k}) WHERE rn = 1)"""
+        prev = f"l{k}"
+    return _TRIPLE_BASE_CTE + f""",
+            e AS (SELECT DISTINCT subj AS s, obj AS o FROM triples
+                  WHERE pred = '{EX}entity'),
+            und AS (SELECT s, o FROM e UNION SELECT o AS s, s AS o FROM e),
+            l0 AS (SELECT DISTINCT s AS node, s AS label FROM und)
+            {ctes}
+        SELECT node, label FROM {prev}
     """
 
 
@@ -4524,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
         # PageRank over the arithmetic-derived link graph; same 6-decimal
         # rounding envelope as kg_pagerank
         "kg_web_pagerank": _pagerank_sql(5, graph_cte=_LINK_EDGES_CTE),
+        "kg_communities": _lpa_sql(3),
         "kg_dead_links": _LINK_EDGES_CTE + """
             SELECT o AS dst, count(*) AS n FROM edges
             WHERE o NOT IN (

@@ -985,3 +985,102 @@ def _to_arrow_t(schema, name: str):
             except (pa.ArrowNotImplementedError, TypeError):
                 return pa.string()
     raise KeyError(name)
+
+
+def label_propagation(edges_ds, *, iters: int = 3,
+                      node_broadcast_max: int = 2_000_000,
+                      num_buckets: int | None = None):
+    """Synchronous label-propagation community detection over an UNDIRECTED
+    graph: edges Dataset ``(s, o)`` → Dataset ``(node, label)``.
+
+    Semantics (deterministic — a pure function of the edge set and
+    ``iters`` at any parallelism/retry): labels start as the node's own id;
+    each round EVERY node simultaneously takes the most frequent label
+    among its neighbors, ties broken by the smallest label
+    (:func:`~.aggregates.grouped_mode`'s total order). Multi-edges collapse
+    first (distinct symmetrized edge set) so neighbor votes are
+    well-defined.
+
+    Execution per round: attach the current node→label map to the edge
+    list — node census ≤ ``node_broadcast_max`` broadcasts the map once
+    via ``ray.put`` and gathers labels map-side through one vectorized
+    pandas-Index lookup (the label table is node-sized strings, so the
+    default bound is tighter than the triangles 16 B/node census); above
+    the bound, the co-partitioned :func:`~.joins.hash_join` runs. Either
+    way the round finishes with ONE map-side-combined (node, label) count
+    whose bucket finish takes the per-node argmax — after the one-time
+    symmetrize/dedup, only node-sized tables move per round. The label
+    table is materialized per round (pagerank's discipline: round k+1
+    reads blocks, not a replay of rounds 1..k).
+    """
+    import ray as _ray
+
+    from .aggregates import add_key_bucket, coalesce_small, distinct
+    from .joins import hash_join
+
+    def symm(b: pa.Table) -> pa.Table:
+        s = b["s"].combine_chunks() if isinstance(b["s"], pa.ChunkedArray) else b["s"]
+        o = b["o"].combine_chunks() if isinstance(b["o"], pa.ChunkedArray) else b["o"]
+        return pa.table({"s": pa.concat_arrays([s, o]),
+                         "o": pa.concat_arrays([o, s])})
+
+    und = distinct(edges_ds.map_batches(symm, batch_format="pyarrow"),
+                   ["s", "o"], num_buckets=num_buckets or 32).materialize()
+    if num_buckets is None:
+        # pagerank's auto-scaling rationale: every shuffle launches tasks
+        # per bucket, so a toy graph shouldn't pay 32-bucket fixed
+        # overhead per round; big graphs need buckets that fit a worker
+        num_buckets = int(max(4, min(32, und.count() // 50_000 + 4)))
+
+    labels = distinct(
+        und.map_batches(lambda b: pa.table({"node": b["s"]}),
+                        batch_format="pyarrow"),
+        ["node"], num_buckets=num_buckets,
+    ).map_batches(lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+                  batch_format="pyarrow").materialize()
+    n_nodes = labels.count()
+
+    for _ in range(iters):
+        if n_nodes <= node_broadcast_max:
+            ldf = labels.to_pandas()
+            idx = pd.Index(ldf["node"])
+            ref = _ray.put((idx, ldf["label"].to_numpy()))
+
+            def attach(b: pa.Table, ref=ref) -> pa.Table:
+                idx_, lab_ = _ray.get(ref)  # local zero-copy read
+                pos = idx_.get_indexer(pd.Index(b["o"].to_pandas()))
+                return pa.table({"s": b["s"],
+                                 "label": pa.array(lab_[pos], pa.string())})
+
+            neigh = und.map_batches(attach, batch_format="pyarrow")
+        else:
+            neigh = hash_join(und, labels, "o", "node",
+                              num_buckets=num_buckets).map_batches(
+                lambda b: pa.table({"s": b["s"], "label": b["label"]}),
+                batch_format="pyarrow")
+        # fused mode round: ONE bucketed shuffle — map-side (s, label)
+        # partial counts, bucket by s (a node's votes land together), the
+        # finish collapses partials AND takes the per-node argmax
+        # (count DESC, label ASC) in the same pandas pass. grouped_mode
+        # would do this in two shuffles (count, then topk).
+        def vote_partial(b: pa.Table) -> pa.Table:
+            out = b.group_by(["s", "label"]).aggregate([([], "count_all")])
+            return out.rename_columns(["s", "label", "pn"])
+
+        partials = neigh.map_batches(vote_partial, batch_format="pyarrow") \
+            .map_batches(lambda b: add_key_bucket(b, ["s"], num_buckets),
+                         batch_format="pyarrow")
+        partials = coalesce_small(partials, 16)
+
+        def vote_finish(g: pd.DataFrame) -> pd.DataFrame:
+            t = g.groupby(["s", "label"], sort=False)["pn"].sum() \
+                .reset_index()
+            t = t.sort_values(["s", "pn", "label"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            out = t.drop_duplicates("s", keep="first")[["s", "label"]]
+            return out.rename(columns={"s": "node"})
+
+        labels = partials.groupby("_bucket").map_groups(
+            vote_finish, batch_format="pandas").materialize()
+    return labels

@@ -274,3 +274,49 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
     assert set(w) == set(g)
     for k in w:
         assert abs(w[k] - g[k]) < 1e-12
+
+
+def test_label_propagation_two_triangles(ray_session):
+    """Synchronous LPA on two triangles joined by a bridge: hand-unrolled
+    3 rounds — {a,b,c} converge to label 'a', {x,y,z} to 'c' (the bridge
+    pulls c's round-2 label into the right triangle). Also pins: broadcast
+    and co-partitioned-join paths agree, and the result is
+    parallelism-invariant."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import label_propagation
+
+    edges = pd.DataFrame({
+        "s": ["a", "b", "a", "x", "y", "x", "c"],
+        "o": ["b", "c", "c", "y", "z", "z", "x"],
+    })
+    want = {"a": "a", "b": "a", "c": "a", "x": "c", "y": "c", "z": "c"}
+
+    for blocks in (1, 3):
+        for bmax in (2_000_000, 0):  # broadcast path vs join path
+            got = label_propagation(
+                rd.from_pandas(edges).repartition(blocks), iters=3,
+                node_broadcast_max=bmax).to_pandas()
+            assert dict(zip(got["node"], got["label"])) == want
+
+
+def test_label_propagation_multi_edge_collapses(ray_session):
+    """Duplicate and reversed edge rows are ONE undirected edge — votes
+    are per neighbor, not per edge row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import label_propagation
+
+    # star: center m with leaves p, q; q—m listed 3× and both directions.
+    # Round 1: m ← min(p, q) = p; leaves ← m. Round 2: m ← m (both leaves
+    # vote m), leaves ← p. Round 3: m ← p, leaves ← m... with duplicate
+    # edges NOT collapsed, q's votes would dominate m's mode instead.
+    edges = pd.DataFrame({
+        "s": ["m", "m", "q", "m"],
+        "o": ["p", "q", "m", "q"],
+    })
+    got = label_propagation(rd.from_pandas(edges), iters=1).to_pandas()
+    assert dict(zip(got["node"], got["label"])) == \
+        {"m": "p", "p": "m", "q": "m"}
