@@ -2581,6 +2581,54 @@ def q_kg_dead_links(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_embed_label_centroids(sf_dir: str):
+    """Per-label exact centroids over the int8-QUANTIZED embedding corpus —
+    the class-prototype statistic (nearest-centroid classification, drift
+    monitoring), oracle-checkable because quantization makes every vector
+    component an exact integer (same arithmetic as embed_quantize:
+    f32→f64 exact casts, scale = 127/max|x|, floor(x·scale + 0.5)).
+    Partial per batch: per-label (Σq, n) — one (label, dim) row per label
+    per batch crosses the shuffle, never vectors; centroid = Σq/n is the
+    ONE mirrored float division over exact int64 sums."""
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"],
+               rows_per_block=1000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table({"label": pa.array([], pa.int64()),
+                          "dim": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        vecs = np.stack(b["embedding"].to_pylist()).astype(np.float64)
+        amax = np.maximum(np.abs(vecs).max(axis=1), 1e-30)
+        q = np.floor(vecs * (127.0 / amax)[:, None] + 0.5).astype(np.int64)
+        labs = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, inv = np.unique(labs, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ul), d), np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ul, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ul))),
+            "s": pa.array(sums.reshape(-1)),
+            "c": pa.array(np.repeat(cnt, d)),
+        })
+
+    agg = grouped_sums(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["label", "dim"], ["s", "c"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "label": b["label"], "dim": b["dim"],
+            "centroid": pc.divide(pc.cast(b["sum_s"], pa.float64()),
+                                  pc.cast(b["sum_c"], pa.float64()))}),
+        batch_format="pyarrow")
+
+
 def q_kg_communities(sf_dir: str):
     """Community detection: 3 rounds of synchronous label propagation over
     the (undirected) doc↔entity mention graph — every node takes its
@@ -3141,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dead_links": q_kg_dead_links,
         "orders_priority_exists": q_orders_priority_exists,
         "kg_communities": q_kg_communities,
+        "embed_label_centroids": q_embed_label_centroids,
     }
 
 
@@ -4571,6 +4620,23 @@ def oracle_sql() -> dict[str, str]:
         # rounding envelope as kg_pagerank
         "kg_web_pagerank": _pagerank_sql(5, graph_cte=_LINK_EDGES_CTE),
         "kg_communities": _lpa_sql(3),
+        # identical quantize arithmetic to embed_quantize; centroid =
+        # CAST(sum) AS DOUBLE / count — the one mirrored float division
+        "embed_label_centroids": """
+            WITH e AS (
+              SELECT label, embedding,
+                     127.0 / greatest(list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+              FROM embeddings),
+            x AS (
+              SELECT label, scale, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM e)
+            SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+                   CAST(sum(CAST(floor(CAST(v AS DOUBLE) * scale + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / count(*) AS centroid
+            FROM x GROUP BY label, i
+        """,
         "kg_dead_links": _LINK_EDGES_CTE + """
             SELECT o AS dst, count(*) AS n FROM edges
             WHERE o NOT IN (

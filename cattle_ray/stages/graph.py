@@ -1046,11 +1046,15 @@ def label_propagation(edges_ds, *, iters: int = 3,
             idx = pd.Index(ldf["node"])
             ref = _ray.put((idx, ldf["label"].to_numpy()))
 
-            def attach(b: pa.Table, ref=ref) -> pa.Table:
+            lab_np = ldf["label"].to_numpy()
+            lab_type = (pa.string() if lab_np.dtype == object
+                        else pa.from_numpy_dtype(lab_np.dtype))
+
+            def attach(b: pa.Table, ref=ref, lt=lab_type) -> pa.Table:
                 idx_, lab_ = _ray.get(ref)  # local zero-copy read
                 pos = idx_.get_indexer(pd.Index(b["o"].to_pandas()))
                 return pa.table({"s": b["s"],
-                                 "label": pa.array(lab_[pos], pa.string())})
+                                 "label": pa.array(lab_[pos], lt)})
 
             neigh = und.map_batches(attach, batch_format="pyarrow")
         else:

@@ -320,3 +320,23 @@ def test_label_propagation_multi_edge_collapses(ray_session):
     got = label_propagation(rd.from_pandas(edges), iters=1).to_pandas()
     assert dict(zip(got["node"], got["label"])) == \
         {"m": "p", "p": "m", "q": "m"}
+
+
+def test_label_propagation_int64_keys(ray_session):
+    """Node ids need not be strings — int64 graphs take the same paths
+    (regression: the broadcast attach once hardcoded pa.string())."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import label_propagation
+
+    m = {"a": 10, "b": 11, "c": 12, "x": 20, "y": 21, "z": 22}
+    edges = pd.DataFrame({
+        "s": [m[v] for v in ["a", "b", "a", "x", "y", "x", "c"]],
+        "o": [m[v] for v in ["b", "c", "c", "y", "z", "z", "x"]],
+    })
+    for bmax in (2_000_000, 0):
+        got = label_propagation(rd.from_pandas(edges), iters=3,
+                                node_broadcast_max=bmax).to_pandas()
+        assert dict(zip(got["node"], got["label"])) == \
+            {10: 10, 11: 10, 12: 10, 20: 12, 21: 12, 22: 12}
