@@ -2602,7 +2602,9 @@ def q_embed_label_centroids(sf_dir: str):
                           "c": pa.array([], pa.int64())})
         if len(b) == 0:
             return empty
-        vecs = np.stack(b["embedding"].to_pylist()).astype(np.float64)
+        from cattle_ray.stages.similarity import vec_matrix
+
+        vecs = vec_matrix(b["embedding"])
         amax = np.maximum(np.abs(vecs).max(axis=1), 1e-30)
         q = np.floor(vecs * (127.0 / amax)[:, None] + 0.5).astype(np.int64)
         labs = b["label"].to_numpy(zero_copy_only=False).astype(np.int64)

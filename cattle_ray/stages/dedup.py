@@ -769,8 +769,10 @@ def embedding_neardup_pairs(ds, id_col="vec_id", vec_col="embedding",
                             threshold=0.95, num_planes=12, seed=42):
     """Random-hyperplane LSH: bucket = sign-bits of V·H (one groupby), then
     exact cosine within bucket. ``num_planes`` trades recall for bucket size."""
+    from .similarity import vec_matrix
+
     def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vec_matrix(batch[vec_col])
         dim = vecs.shape[1]
         planes = rng_planes(dim, num_planes, seed)
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)

@@ -26,6 +26,39 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def vec_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<float>`` column → ``(n, d)`` numpy matrix WITHOUT the
+    ``to_pylist()`` Python-object detour (one Python float object per
+    component — the dominant cost of every embedding kernel at corpus
+    scale). For the common case — no nulls, rectangular lists — the child
+    values buffer is reshaped directly (zero-copy until the dtype cast);
+    ragged or null-containing columns fall back to the object path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+            or pa.types.is_fixed_size_list(col.type)):
+        # Ray's ArrowTensorArray extension (numpy-column batches land as
+        # tensors) and friends: to_numpy yields the (n, d) matrix directly
+        arr = col.to_numpy(zero_copy_only=False)
+        if arr.dtype == object:
+            return np.stack(arr).astype(dtype)
+        return np.asarray(arr, dtype=dtype)
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, d).astype(dtype, copy=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) and widths[0] > 0 and (widths == widths[0]).all():
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, int(widths[0])).astype(dtype, copy=False)
+    return np.stack(col.to_pylist()).astype(dtype)
+
+
 def quantize_embeddings_batch(batch: pa.Table, id_col: str = "vec_id",
                               vec_col: str = "embedding") -> pa.Table:
     """Symmetric per-vector int8 quantization (4× storage cut for a 100-TB
@@ -38,7 +71,7 @@ def quantize_embeddings_batch(batch: pa.Table, id_col: str = "vec_id",
         return pa.table({id_col: pa.array([], pa.int64()),
                          "dim": pa.array([], pa.int64()),
                          "q": pa.array([], pa.int8())})
-    vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+    vecs = vec_matrix(batch[vec_col])
     n, d = vecs.shape
     amax = np.maximum(np.abs(vecs).max(axis=1), 1e-30)
     scale = 127.0 / amax
@@ -68,7 +101,7 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
             return pa.table({"query_id": pa.array([], pa.int32()),
                              "vec_id": pa.array([], pa.int64()),
                              "sim": pa.array([], pa.float64())})
-        vecs = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        vecs = vec_matrix(batch[vec_col])
         ids = np.asarray(batch[id_col].to_pylist())
         sims = _unit(vecs) @ q.T  # (n, Q)
         kk = min(k, len(ids))
@@ -134,7 +167,7 @@ def ivf_build(ds, out_dir: str, n_clusters: int = 16, sample_size: int = 2048,
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cent_ref)
-        vecs = _unit(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        vecs = _unit(vec_matrix(batch[vec_col]))
         a = (vecs @ c.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("centroid_id", pa.array(a))
 
@@ -194,7 +227,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         c = ray.get(cent_ref)
         q = ray.get(q_ref)
         allow = ray.get(allowed_ref)
-        vecs = _unit(np.stack(batch[vec_col].to_pylist()).astype(np.float64))
+        vecs = _unit(vec_matrix(batch[vec_col]))
         ids = np.asarray(batch[id_col].to_pylist())
         assign = (vecs @ c.T).argmax(axis=1)
         out_q, out_id, out_sim = [], [], []
@@ -266,7 +299,7 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
                                  "lo": pa.array([], pa.string())})
             c = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
+            x = _unit(vec_matrix(batch[vec_col]))
             assign = (x @ c.T).argmax(axis=1)
             rows = {"cluster_id": [], "n": [], "vsum": [], "lo": []}
             for k in np.unique(assign):
@@ -305,7 +338,7 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
                 cols[vec_col] = batch[vec_col]
             return pa.table(cols)
         c = ray.get(ref)
-        x = _unit(np.stack(batch[vec_col].to_pandas().to_numpy()))
+        x = _unit(vec_matrix(batch[vec_col]))
         a = (x @ c.T).argmax(axis=1)
         cols = {id_col: batch[id_col],
                 "cluster_id": pa.array(a.astype(np.int64))}
@@ -393,7 +426,7 @@ def pca_fit(ds, n_components: int, vec_col: str = "embedding"):
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.binary()),
                              "xtx": pa.array([], pa.binary())})
-        x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        x = vec_matrix(batch[vec_col])
         return pa.table({
             "n": pa.array([x.shape[0]], pa.int64()),
             "s": pa.array([x.sum(axis=0).tobytes()], pa.binary()),
@@ -443,7 +476,7 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray,
             return pa.table({id_col: pa.array([], batch[id_col].type),
                              "dim": pa.array([], pa.int64()),
                              "value": pa.array([], pa.float64())})
-        x = np.stack(batch[vec_col].to_pylist()).astype(np.float64)
+        x = vec_matrix(batch[vec_col])
         p = (x - m) @ c.T
         if round_to is not None:
             p = np.round(p, round_to)
