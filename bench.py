@@ -167,6 +167,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_frequent_paths",
         "customer_360",
         "doc_bm25",
+        # fourth-continuation operators (web-link-graph family + friends)
+        "kg_link_graph",
+        "kg_web_pagerank",
+        "kg_dead_links",
+        "kg_link_prediction",
+        "kg_communities",
+        "lineitem_avg_qty",
+        "orders_priority_exists",
+        "embed_label_centroids",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

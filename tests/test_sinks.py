@@ -415,3 +415,50 @@ def test_merge_dedup_immune_to_arrow_boolkey_groupby_bug(ray_session, tmp_path):
     assert int(m2["n_added"].sum()) == 0, (
         f"merge not idempotent: arrow raw group gave {raw} vs true "
         f"{true_distinct} — bool-key workaround regressed")
+
+
+def test_orc_roundtrip_and_pruning(ray_session, tmp_path):
+    """Distributed ORC sink → source roundtrip: same rows back at any
+    stripe/block layout; column pruning returns only requested columns;
+    rerun of identical input is idempotent (content-addressed parts)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.sources.orc_source import read_orc, write_orc
+
+    df = pd.DataFrame({
+        "k": list(range(500)),
+        "v": [f"s{i % 7}" for i in range(500)],
+    })
+    out = str(tmp_path / "orc")
+    n_parts = write_orc(rd.from_pandas(df).repartition(4), out)
+    assert n_parts >= 1
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("part-") and n.endswith(".orc") for n in names)
+
+    back = read_orc(out).to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, df)
+
+    # column pruning: only the requested column comes back
+    just_k = read_orc(out, columns=["k"]).to_pandas()
+    assert list(just_k.columns) == ["k"]
+    assert sorted(just_k["k"]) == list(range(500))
+
+    # idempotent rerun: identical blocks → identical content-addressed
+    # names, no duplicate parts
+    write_orc(rd.from_pandas(df).repartition(4), out)
+    assert sorted(os.listdir(out)) == names
+
+    # multi-stripe single file still fans out: one block per stripe
+    import pyarrow as pa
+    import pyarrow.orc as orc
+
+    big = pa.table({"x": list(range(100_000))})
+    p = str(tmp_path / "one.orc")
+    orc.write_table(big, p, stripe_size=64 * 1024)
+    f = orc.ORCFile(p)
+    ds = read_orc(p)
+    if f.nstripes > 1:
+        assert ds.count() == 100_000
