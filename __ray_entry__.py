@@ -2526,30 +2526,11 @@ def q_kg_web_pagerank(sf_dir: str):
     hash-scheme-independent. Oracle: the 5-iteration power method unrolled
     in SQL over the arithmetic-derived link edges; both sides round to 6
     decimals (float partial-sum order differs at the 1e-16 level)."""
-    from cattle_ray.stages.aggregates import distinct
-    from cattle_ray.stages.extract import extract_links_batch
-    from cattle_ray.stages.graph import pagerank, uri_ids64
-    from cattle_ray.stages.joins import hash_join
+    from cattle_ray.pipelines.web import rank_pages
 
-    links = _pages(sf_dir).map_batches(extract_links_batch,
-                                       batch_format="pyarrow").materialize()
-    edges = links.map_batches(
-        lambda b: pa.table({"src": uri_ids64(b["src"]),
-                            "dst": uri_ids64(b["dst"])}),
-        batch_format="pyarrow")
-
-    def to_map(b: pa.Table) -> pa.Table:
-        uris = pa.concat_arrays([b["src"].combine_chunks(),
-                                 b["dst"].combine_chunks()])
-        ids = pa.concat_arrays([uri_ids64(b["src"]), uri_ids64(b["dst"])])
-        return pa.table({"nid": ids, "uri": uris})
-
-    ranks = pagerank(edges, iters=5)
-    id_map = distinct(links.map_batches(to_map, batch_format="pyarrow"),
-                      ["nid", "uri"], num_buckets=8)
-    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=8)
-    return joined.map_batches(
-        lambda b: pa.table({"node": b["uri"], "rank": pc.round(b["rank"], 6)}),
+    ranked = rank_pages(_pages(sf_dir), iters=5)
+    return ranked.map_batches(
+        lambda b: pa.table({"node": b["url"], "rank": pc.round(b["rank"], 6)}),
         batch_format="pyarrow")
 
 

@@ -133,6 +133,33 @@ def cmd_pages(args):
     }))
 
 
+def cmd_webrank(args):
+    """pages → extracted link graph → PageRank → globally rank-sorted
+    range-partitioned parquet (part-00000 holds the top pages; readers
+    prune parts by rank range from footer stats)."""
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.web import rank_pages
+    from .sources.sorted_sink import write_sorted_range_partitioned
+
+    if args.input.endswith((".jsonl", ".jsonl.gz")):
+        from .sources.jsonl import read_pages_jsonl
+
+        pages = read_pages_jsonl(args.input)
+    else:
+        pages = rd.read_parquet(args.input)
+    ranked = rank_pages(pages, iters=args.iters)
+    man = write_sorted_range_partitioned(ranked, "rank", args.out,
+                                         descending=True)
+    print(json.dumps({
+        "pages_ranked": int(man["n_rows"].sum()),
+        "parts": len(man),
+        "iters": args.iters,
+        "out": args.out,
+    }))
+
+
 def cmd_store(args):
     """Triple-pattern query over a partitioned store (SPARQL BGP primitive
     from the shell): subject-bound patterns open ONE partition file —
@@ -243,6 +270,13 @@ def main(argv=None):
                    help="override the partition count (default: the "
                         "store's recorded _meta.json)")
     q.set_defaults(fn=cmd_store)
+
+    w = sub.add_parser("webrank", help="pages → link graph → PageRank → "
+                                       "rank-sorted parquet")
+    w.add_argument("input", help="pages parquet or .jsonl")
+    w.add_argument("out", help="output directory (range-partitioned parts)")
+    w.add_argument("--iters", type=int, default=10)
+    w.set_defaults(fn=cmd_webrank)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")

@@ -313,3 +313,48 @@ def test_cli_pages_merge_incremental(tmp_path):
     # idempotent: re-merging generation 2 adds nothing
     again = run(src2, store, "--merge")
     assert again["n_added"] == 0
+
+
+def test_cli_webrank(tmp_path):
+    """pages with anchors → link graph → PageRank → rank-sorted
+    range-partitioned parquet, end to end through the CLI (subprocess)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cattle_ray.pages import pages_from_documents_batch
+
+    n = 60
+    docs = pa.table({
+        "doc_id": list(range(n)),
+        "text": [f"body {i}" for i in range(n)],
+        "lang": ["en"] * n,
+    })
+    pq.write_table(pages_from_documents_batch(docs, n_docs=n),
+                   str(tmp_path / "p.parquet"))
+    out = subprocess.run(
+        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+         "webrank", str(tmp_path / "p.parquet"), str(tmp_path / "ranked"),
+         "--iters", "3"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    rep = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["pages_ranked"] > 0 and rep["parts"] >= 1
+
+    import glob
+
+    parts = sorted(glob.glob(str(tmp_path / "ranked" / "part-*.parquet")))
+    assert parts
+    ranks, urls = [], []
+    for f in parts:
+        t = pq.read_table(f)
+        ranks.extend(t["rank"].to_pylist())
+        urls.extend(t["url"].to_pylist())
+    # globally sorted descending across parts; ranks sum to ~1
+    assert ranks == sorted(ranks, reverse=True)
+    assert abs(sum(ranks) - 1.0) < 1e-6
+    assert len(set(urls)) == len(urls) == rep["pages_ranked"]
