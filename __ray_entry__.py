@@ -2612,6 +2612,60 @@ def q_embed_label_centroids(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_lineitem_q6_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped forecast scan: revenue delta from discounted small
+    orders — the pure filter+sum whose entire cost should be the READ.
+    Both predicates push into the parquet scan (row-group pruning); the
+    per-batch kernel reduces to one exact int64 partial per block
+    (price·discount in 1e-4-dollar fixed point), and the driver sees only
+    those partials. ONE final mirrored float division."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_discount"],
+               rows_per_block=100000,
+               filter=((pc.field("l_discount") >= 0.05)
+                       & (pc.field("l_discount") <= 0.07)
+                       & (pc.field("l_quantity") < 24)))
+
+    def part(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        e4 = pc.sum(pc.multiply(cents, dpct))
+        return pa.table({"pe4": pa.array(
+            [e4.as_py() if e4.is_valid else 0], pa.int64())})
+
+    total = li.map_batches(part, batch_format="pyarrow").sum("pe4") or 0
+    return pd.DataFrame({"revenue": [total / 10000.0]})
+
+
+def q_kg_reciprocal_links(sf_dir: str):
+    """Mutual-link detection (the reciprocity signal link-spam and
+    community analyses start from): page pairs that link to EACH OTHER.
+    One composite-key self-join of the distinct edge set against its
+    reversal — both sides are (src, dst) url pairs, the join key is the
+    value tuple, and the a<b filter keeps each mutual pair once."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.extract import extract_links_batch
+    from cattle_ray.stages.joins import hash_join
+
+    links = distinct(
+        _pages(sf_dir).map_batches(extract_links_batch,
+                                   batch_format="pyarrow"),
+        ["src", "dst"]).materialize()  # consumed as both sides
+    rev = links.map_batches(
+        lambda b: pa.table({"r_src": b["dst"], "r_dst": b["src"]}),
+        batch_format="pyarrow")
+    j = hash_join(links, rev, ["src", "dst"], ["r_src", "r_dst"])
+    return j.map_batches(
+        lambda b: pa.table({"a": b["src"], "b": b["dst"]}).filter(
+            pc.less(b["src"], b["dst"]).combine_chunks()),
+        batch_format="pyarrow")
+
+
 def q_kg_communities(sf_dir: str):
     """Community detection: 3 rounds of synchronous label propagation over
     the (undirected) doc↔entity mention graph — every node takes its
@@ -3173,6 +3227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_exists": q_orders_priority_exists,
         "kg_communities": q_kg_communities,
         "embed_label_centroids": q_embed_label_centroids,
+        "lineitem_q6_revenue": q_lineitem_q6_revenue,
+        "kg_reciprocal_links": q_kg_reciprocal_links,
     }
 
 
@@ -4603,6 +4659,20 @@ def oracle_sql() -> dict[str, str]:
         # rounding envelope as kg_pagerank
         "kg_web_pagerank": _pagerank_sql(5, graph_cte=_LINK_EDGES_CTE),
         "kg_communities": _lpa_sql(3),
+        "lineitem_q6_revenue": """
+            SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * CAST(round(l_discount * 100) AS BIGINT)), 0)
+                   / 10000.0e0 AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "kg_reciprocal_links": _LINK_EDGES_CTE + """,
+            dd AS (SELECT DISTINCT s, o FROM edges)
+            SELECT d1.s AS a, d1.o AS b
+            FROM dd d1 JOIN dd d2 ON d1.s = d2.o AND d1.o = d2.s
+            WHERE d1.s < d1.o
+        """,
         # identical quantize arithmetic to embed_quantize; centroid =
         # CAST(sum) AS DOUBLE / count — the one mirrored float division
         "embed_label_centroids": """

@@ -176,6 +176,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "lineitem_avg_qty",
         "orders_priority_exists",
         "embed_label_centroids",
+        "lineitem_q6_revenue",
+        "kg_reciprocal_links",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
