@@ -49,6 +49,10 @@ MENTION_ALIASES = ["spark", "join", "window", "hash", "stream", "customer"]
 
 GRAPH = "https://example.org/graph/ci"
 
+#: kg_link_prediction degree-census broadcast bound (rows); above it the
+#: two co-partitioned degree joins run instead (tests pin path parity)
+LINKPRED_DEG_BROADCAST_MAX = 5_000_000
+
 QUAD_COLS = ["subj", "pred", "obj", "obj_is_iri", "obj_datatype", "obj_lang"]
 
 
@@ -2482,11 +2486,6 @@ def q_kg_link_prediction(sf_dir: str):
                                                 batch_format="pyarrow")
     edges = distinct(ent, ["subj", "obj"]).materialize()  # consumed twice
 
-    # per-entity degree census: |entity vocabulary| rows (bounded by the
-    # alias dictionary, not the corpus) — broadcast once via ray.put
-    deg = partial_count(edges, ["obj"]).to_pandas()
-    deg_ref = ray.put((deg["obj"].to_numpy(), deg["n"].to_numpy()))
-
     right = edges.map_batches(
         lambda b: pa.table({"subj_b": b["subj"], "eb": b["obj"]}),
         batch_format="pyarrow")
@@ -2496,23 +2495,62 @@ def q_kg_link_prediction(sf_dir: str):
         batch_format="pyarrow")
     common = partial_count(pairs, ["ea", "eb"])
 
-    def score(b: pa.Table) -> pa.Table:
-        import numpy as np
+    # per-entity degree census: usually |entity vocabulary| rows (bounded
+    # by the alias dictionary, not the corpus) → broadcast once via
+    # ray.put; above the bound, attach both degrees with two
+    # co-partitioned joins instead (same adaptive pattern as triangles)
+    deg_ds = partial_count(edges, ["obj"]).materialize()
+    if deg_ds.count() <= LINKPRED_DEG_BROADCAST_MAX:
+        deg = deg_ds.to_pandas()
+        deg_ref = ray.put((deg["obj"].to_numpy(), deg["n"].to_numpy()))
 
-        ents, degs = ray.get(deg_ref)
-        order = np.argsort(ents)
-        se, sd = ents[order], degs[order]
-        c = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
-        da = sd[np.searchsorted(se, b["ea"].to_numpy(zero_copy_only=False))]
-        db = sd[np.searchsorted(se, b["eb"].to_numpy(zero_copy_only=False))]
-        union = da + db - c
-        return pa.table({
-            "ea": b["ea"], "eb": b["eb"],
-            "common": pa.array(c),
-            "jac": pa.array(c.astype(np.float64) / union.astype(np.float64)),
-        })
+        def score(b: pa.Table) -> pa.Table:
+            import numpy as np
 
-    scored = common.map_batches(score, batch_format="pyarrow")
+            ents, degs = ray.get(deg_ref)
+            order = np.argsort(ents)
+            se, sd = ents[order], degs[order]
+            c = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
+            da = sd[np.searchsorted(se,
+                                    b["ea"].to_numpy(zero_copy_only=False))]
+            db = sd[np.searchsorted(se,
+                                    b["eb"].to_numpy(zero_copy_only=False))]
+            union = da + db - c
+            return pa.table({
+                "ea": b["ea"], "eb": b["eb"],
+                "common": pa.array(c),
+                "jac": pa.array(c.astype(np.float64)
+                                / union.astype(np.float64)),
+            })
+
+        scored = common.map_batches(score, batch_format="pyarrow")
+    else:
+        da_ds = deg_ds.map_batches(
+            lambda b: pa.table({"ent_a": b["obj"],
+                                "da": pc.cast(b["n"], pa.int64())}),
+            batch_format="pyarrow")
+        db_ds = deg_ds.map_batches(
+            lambda b: pa.table({"ent_b": b["obj"],
+                                "db": pc.cast(b["n"], pa.int64())}),
+            batch_format="pyarrow")
+        j = hash_join(hash_join(common, da_ds, "ea", "ent_a"),
+                      db_ds, "eb", "ent_b")
+
+        def score_joined(b: pa.Table) -> pa.Table:
+            import numpy as np
+
+            c = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
+            da = b["da"].to_numpy(zero_copy_only=False)
+            db = b["db"].to_numpy(zero_copy_only=False)
+            union = da + db - c
+            return pa.table({
+                "ea": b["ea"], "eb": b["eb"],
+                "common": pa.array(c),
+                "jac": pa.array(c.astype(np.float64)
+                                / union.astype(np.float64)),
+            })
+
+        scored = j.map_batches(score_joined, batch_format="pyarrow")
     return scored.sort(["jac", "ea", "eb"],
                        descending=[True, False, False]).limit(20)
 
@@ -2663,6 +2701,43 @@ def q_kg_reciprocal_links(sf_dir: str):
     return j.map_batches(
         lambda b: pa.table({"a": b["src"], "b": b["dst"]}).filter(
             pc.less(b["src"], b["dst"]).combine_chunks()),
+        batch_format="pyarrow")
+
+
+def q_doc_compression(sf_dir: str):
+    """Per-doc zlib compression ratio (rows-only: zlib isn't SQL — the
+    kernel is deterministic and pytest-pinned with planted repetitive vs
+    random docs). One streaming pass, no shuffle."""
+    from cattle_ray.stages.textstats import compression_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow")
+
+
+def q_kg_path2_counts(sf_dir: str):
+    """2-hop path counts over the extracted link graph (the A(G)² /
+    co-citation precursor): for each (a, c) page pair, how many distinct
+    intermediate pages b carry a→b→c. ONE co-partitioned self-join of the
+    distinct edge set on the hop node, one map-side-combined count, exact
+    top-20 by (paths DESC, a, c)."""
+    from cattle_ray.stages.aggregates import distinct, top_k_counts
+    from cattle_ray.stages.extract import extract_links_batch
+    from cattle_ray.stages.joins import hash_join
+
+    links = distinct(
+        _pages(sf_dir).map_batches(extract_links_batch,
+                                   batch_format="pyarrow"),
+        ["src", "dst"]).materialize()  # both sides of the self-join
+    right = links.map_batches(
+        lambda b: pa.table({"mid": b["src"], "c": b["dst"]}),
+        batch_format="pyarrow")
+    hops = hash_join(links, right, "dst", "mid").map_batches(
+        lambda b: pa.table({"a": b["src"], "c": b["c"]}),
+        batch_format="pyarrow")
+    top = top_k_counts(hops, ["a", "c"], k=20)
+    return top.map_batches(
+        lambda b: pa.table({"a": b["a"], "c": b["c"],
+                            "paths": pc.cast(b["n"], pa.int64())}),
         batch_format="pyarrow")
 
 
@@ -3229,6 +3304,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_label_centroids": q_embed_label_centroids,
         "lineitem_q6_revenue": q_lineitem_q6_revenue,
         "kg_reciprocal_links": q_kg_reciprocal_links,
+        "kg_path2_counts": q_kg_path2_counts,
+        "doc_compression": q_doc_compression,
     }
 
 
@@ -4672,6 +4749,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT d1.s AS a, d1.o AS b
             FROM dd d1 JOIN dd d2 ON d1.s = d2.o AND d1.o = d2.s
             WHERE d1.s < d1.o
+        """,
+        "kg_path2_counts": _LINK_EDGES_CTE + """,
+            dd AS (SELECT DISTINCT s, o FROM edges)
+            SELECT e1.s AS a, e2.o AS c, count(*) AS paths
+            FROM dd e1 JOIN dd e2 ON e1.o = e2.s
+            GROUP BY e1.s, e2.o
+            ORDER BY paths DESC, a, c LIMIT 20
         """,
         # identical quantize arithmetic to embed_quantize; centroid =
         # CAST(sum) AS DOUBLE / count — the one mirrored float division

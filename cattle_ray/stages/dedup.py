@@ -29,6 +29,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .exchange import hash_exchange
+
 _SEP = "\x1f"
 
 # ---------------------------------------------------------------------------
@@ -61,14 +63,17 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
     """D2: hash-partitioned exact dedup. ``keep_col`` (e.g. an id) selects the
     minimum-valued row per duplicate group for determinism; otherwise first.
 
-    Shuffle discipline: the groupby key is a LOW-CARDINALITY bucket
-    (``_chash % num_buckets``), not the content hash itself — ``map_groups``
-    calls its UDF once per group, so grouping on the raw hash would mean one
-    Python/pandas call per distinct row (measured 15s for 16k groups);
-    per-bucket the dedup is one vectorized ``drop_duplicates``. Buckets are
-    uniform by construction (hash of content); scale ``num_buckets`` with the
-    corpus so a bucket fits a worker's heap. Dedup compares FULL column
-    values within bucket, so 64-bit hash collisions (expected at 10^12 rows)
+    Shuffle discipline: rows co-locate by a LOW-CARDINALITY bucket
+    (``_chash % num_buckets``) through :func:`~.exchange.hash_exchange` —
+    a manual partition exchange in raw Ray tasks. (The previous
+    ``groupby(_bucket).map_groups`` rode Ray's SORT-based shuffle, which
+    funneled the 2M-page flagship's whole 6.9M-row triple table through
+    one SortMap task — 230 s of CPU and the measured scaling bottleneck;
+    bucketed rows need co-location, not order.) Per bucket the dedup is
+    one vectorized ``drop_duplicates``. Buckets are uniform by
+    construction (hash of content); scale ``num_buckets`` with the corpus
+    so a bucket fits a worker's heap. Dedup compares FULL column values
+    within bucket, so 64-bit hash collisions (expected at 10^12 rows)
     cannot drop distinct rows.
     """
     cols = list(cols)
@@ -82,17 +87,21 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
             g = g.sort_values(keep_col, kind="mergesort")
         return g.drop_duplicates(subset=cols).drop(columns=["_chash", "_bucket"])
 
-    from .aggregates import coalesce_small
-
-    return (
-        coalesce_small(
-            ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
-            .map_batches(within_batch_dedup, batch_format="pyarrow")
-            .map_batches(add_bucket, batch_format="pyarrow")
-        )
-        .groupby("_bucket")
-        .map_groups(finish, batch_format="pandas")
+    prepared = (
+        ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
+        .map_batches(within_batch_dedup, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
     )
+
+    def finish_table(t: pa.Table) -> pa.Table:
+        target = pa.schema([f for f in t.schema
+                            if f.name not in ("_chash", "_bucket")])
+        if len(t) == 0:
+            return target.empty_table()
+        df = finish(t.to_pandas())
+        return pa.Table.from_pandas(df, schema=target, preserve_index=False)
+
+    return hash_exchange(prepared, "_bucket", finish_table, num_buckets)
 
 
 # ---------------------------------------------------------------------------

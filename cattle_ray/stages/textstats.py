@@ -29,6 +29,34 @@ _STOPWORDS_EN = LANG_PROFILES["en"]
 _BPE_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
 
 
+def compression_ratio_batch(batch: pa.Table, id_col="doc_id",
+                            text_col="text", level: int = 6) -> pa.Table:
+    """Per-doc zlib compression ratio — the classic cheap redundancy signal
+    (CCNet/Gopher family): boilerplate and degenerate repetition compress
+    far below ~0.4× while natural prose sits near 0.5-0.7×. Deterministic
+    (zlib output is a pure function of bytes and level, identical at any
+    partitioning or retry) but not SQL-expressible → rows-only query with
+    pytest planted-truth coverage. The per-doc loop is irreducible (zlib is
+    per-document), but each call is C; emits ``comp_ratio`` (float64,
+    compressed/raw, 0 for empty docs) and ``raw_bytes``."""
+    import zlib
+
+    t = pc.cast(batch[text_col], pa.string())
+    texts = pc.fill_null(t, "").to_pylist()
+    raw = np.empty(len(texts), np.int64)
+    comp = np.empty(len(texts), np.int64)
+    for i, s in enumerate(texts):
+        b = s.encode("utf-8")
+        raw[i] = len(b)
+        comp[i] = len(zlib.compress(b, level))
+    ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+    return pa.table({
+        id_col: batch[id_col],
+        "raw_bytes": pa.array(raw),
+        "comp_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
 def token_count_batch(batch: pa.Table, text_col="text") -> pa.Table:
     """Whitespace token count — fully vectorized (split + list length)."""
     t = pc.cast(batch[text_col], pa.string())

@@ -413,3 +413,28 @@ def test_bm25_rank_orders_and_scores(ray_session):
     want = idf * ((2 * 2.2) / (2 + den))
     got = float(out.loc[out["doc_id"] == 4, "score"].iloc[0])
     assert abs(got - want) < 1e-12
+
+
+def test_compression_ratio_planted():
+    """Planted truth: a highly repetitive doc compresses far below a
+    high-entropy doc; empty/null docs yield ratio 0; deterministic
+    across calls."""
+    import random
+
+    import pyarrow as pa
+
+    from cattle_ray.stages.textstats import compression_ratio_batch
+
+    rng = random.Random(7)
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnop")
+                             for _ in range(8)) for _ in range(200))
+    boiler = "click here to subscribe now " * 60
+    b = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": [noisy, boiler, "", None]})
+    out = compression_ratio_batch(b)
+    r = dict(zip(out["doc_id"].to_pylist(), out["comp_ratio"].to_pylist()))
+    assert r[2] < 0.1 < 0.4 < r[1] < 1.0   # boilerplate ≪ noisy prose
+    assert r[3] == 0.0 and r[4] == 0.0
+    assert out["raw_bytes"].to_pylist()[2:] == [0, 0]
+    out2 = compression_ratio_batch(b)
+    assert out.equals(out2)
