@@ -2502,14 +2502,14 @@ def q_kg_link_prediction(sf_dir: str):
     deg_ds = partial_count(edges, ["obj"]).materialize()
     if deg_ds.count() <= LINKPRED_DEG_BROADCAST_MAX:
         deg = deg_ds.to_pandas()
-        deg_ref = ray.put((deg["obj"].to_numpy(), deg["n"].to_numpy()))
+        ents_np = deg["obj"].to_numpy()
+        order = np.argsort(ents_np)  # sort the census ONCE, before put
+        deg_ref = ray.put((ents_np[order], deg["n"].to_numpy()[order]))
 
         def score(b: pa.Table) -> pa.Table:
             import numpy as np
 
-            ents, degs = ray.get(deg_ref)
-            order = np.argsort(ents)
-            se, sd = ents[order], degs[order]
+            se, sd = ray.get(deg_ref)
             c = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
             da = sd[np.searchsorted(se,
                                     b["ea"].to_numpy(zero_copy_only=False))]

@@ -178,6 +178,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "embed_label_centroids",
         "lineitem_q6_revenue",
         "kg_reciprocal_links",
+        "kg_path2_counts",
+        "doc_compression",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

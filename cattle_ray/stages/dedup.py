@@ -51,9 +51,17 @@ def add_content_hash(batch: pa.Table, cols, out_col: str = "_chash") -> pa.Table
     return batch.append_column(out_col, pa.array(h.astype(np.uint64), pa.uint64()))
 
 
-def within_batch_dedup(batch: pa.Table, hash_col: str = "_chash") -> pa.Table:
-    """Local pre-dedup before the shuffle (keeps first occurrence)."""
+def within_batch_dedup(batch: pa.Table, hash_col: str = "_chash",
+                       keep_col: str | None = None) -> pa.Table:
+    """Local pre-dedup before the shuffle. With ``keep_col`` the LOCAL
+    minimum-keep_col row survives per hash — required so the global
+    min-representative contract holds at ANY block layout (keeping the
+    first occurrence would let a non-min row eliminate the true min
+    inside its own batch before the finish's keep_col sort ever runs;
+    regression-pinned with a descending-id batch)."""
     df = batch.to_pandas()
+    if keep_col is not None:
+        df = df.sort_values(keep_col, kind="mergesort")
     return pa.Table.from_pandas(
         df.drop_duplicates(subset=[hash_col]), preserve_index=False
     ).cast(batch.schema)
@@ -89,7 +97,8 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
 
     prepared = (
         ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
-        .map_batches(within_batch_dedup, batch_format="pyarrow")
+        .map_batches(within_batch_dedup, fn_kwargs={"keep_col": keep_col},
+                     batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")
     )
 

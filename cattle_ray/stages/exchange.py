@@ -49,7 +49,16 @@ def hash_exchange(ds, bucket_col: str, finish_fn, num_buckets: int,
             if meta.num_rows is None or meta.num_rows > 0:
                 block_refs.append(br)
     if not block_refs:
-        return mat  # wholly empty input: typed empty dataset
+        # wholly empty input: still deliver the FINISHED schema (the input
+        # schema carries caller-internal columns like dedup's
+        # _chash/_bucket that finish_fn strips) — run finish_fn on an
+        # empty table of the input schema when one exists
+        schema = mat.schema()
+        base = schema if isinstance(schema, pa.Schema) else \
+            getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema) and bucket_col in base.names:
+            return rd.from_arrow(finish_fn(base.empty_table()))
+        return mat
 
     @ray.remote
     def split(block):
@@ -57,6 +66,12 @@ def hash_exchange(ds, bucket_col: str, finish_fn, num_buckets: int,
         if not isinstance(t, pa.Table):  # pandas block from upstream
             t = pa.Table.from_pandas(t, preserve_index=False)
         bk = t[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bk) and (bk.min() < 0 or bk.max() >= num_buckets):
+            # loud crash beats silent row loss: a bucket value outside
+            # [0, num_buckets) would fall outside every slice below
+            raise ValueError(
+                f"{bucket_col} outside [0, {num_buckets}): "
+                f"[{bk.min()}, {bk.max()}]")
         order = np.argsort(bk, kind="stable")
         srt = t.take(pa.array(order))
         bounds = np.searchsorted(bk[order], np.arange(num_buckets + 1))

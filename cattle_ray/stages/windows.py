@@ -280,10 +280,10 @@ def grouped_time_window(ds, *, key: str = "user_id", ts: str = "ts",
                                  "win_ts": pd.Series([], dtype="int64")})
         codes = pd.factorize(g[key], use_na_sentinel=False)[0]  # contiguous
         tv = g[ts].to_numpy()
-        if np.issubdtype(tv.dtype, np.datetime64):
+        if np.issubdtype(tv.dtype, np.integer):
+            t = tv.astype(np.int64)  # integer event-time: window_us unit
+        else:  # datetime64 OR object-dtype datetimes (e.g. tz-aware)
             t = tv.astype("datetime64[us]").astype(np.int64)
-        else:  # integer event-time: window_us is in the same unit
-            t = tv.astype(np.int64)
         v = g["pv"].to_numpy().astype(np.int64)
         pn = g["pn"].to_numpy().astype(np.int64)
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])

@@ -328,3 +328,44 @@ def test_editdist_neardup_planted(ray_session):
     pairs = set(zip(out["doc_a"], out["doc_b"]))
     assert (1, 2) in pairs
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_dedup_exact_keep_col_min_within_batch(ray_session):
+    """keep_col contract: the MINIMUM-id row survives even when the dup
+    pair lands in ONE batch with the min listed second (the local
+    pre-dedup used to keep first occurrence, making the representative
+    block-layout-dependent)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import dedup_exact
+
+    df = pd.DataFrame({"doc_id": [5, 2, 9], "norm": ["same", "same", "x"]})
+    out = dedup_exact(rd.from_pandas(df).repartition(1), ["norm"],
+                      keep_col="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == [2, 9]
+
+    # and the representative is layout-invariant
+    for blocks in (1, 3):
+        o = dedup_exact(rd.from_pandas(df).repartition(blocks), ["norm"],
+                        keep_col="doc_id").to_pandas()
+        assert sorted(o["doc_id"]) == [2, 9]
+
+
+def test_dedup_exact_empty_input_schema(ray_session):
+    """A wholly-empty input yields an EMPTY result in the finished schema
+    — no leaked _chash/_bucket helper columns."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.dedup import dedup_exact
+
+    df = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                       "norm": pd.Series([], dtype="object")})
+    out = dedup_exact(rd.from_pandas(df), ["norm"], keep_col="doc_id")
+    t = out.to_pandas()
+    assert len(t) == 0
+    # Ray reports NO schema for a wholly-empty pandas-backed dataset, so
+    # the exact finished schema is unrecoverable — the contract here is
+    # that the internal helper columns never leak
+    assert not {"_chash", "_bucket"} & set(t.columns)
