@@ -3169,6 +3169,222 @@ def q_kg_triangle_count(sf_dir: str):
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 
+def q_kg_property_table(sf_dir: str):
+    """KG property-table materialization — the wide "entity table" feature
+    consumers want instead of the long triple store: one row per subject,
+    one column per predicate (SQL ``max(CASE WHEN pred=… THEN obj END)``).
+    ONE shuffle: each batch collapses to ≤1 wide partial row per subject
+    map-side (:func:`grouped_pivot`), so wide partials cross the exchange,
+    never triples."""
+    from cattle_ray.stages.aggregates import grouped_pivot
+
+    cats = {"v_rank": EX + "rank", "v_name": EX + "name",
+            "v_entity": EX + "entity", "v_score": EX + "score"}
+    wide = grouped_pivot(q_kg_csvw_triples(sf_dir), "subj", "pred", "obj",
+                         cats)
+    return wide.map_batches(
+        lambda b: b.select(["subj", "v_rank", "v_name", "v_entity",
+                            "v_score"]),
+        batch_format="pyarrow")
+
+
+def q_kg_pattern_join(sf_dir: str):
+    """Basic-graph-pattern matching (the SPARQL join shape
+    ``?s ex:rank "1" . ?s ex:entity ?e``): two predicate-filtered triple
+    streams co-partitioned on subject, then a map-side-combined count per
+    bound entity. Pattern selectivity applies BEFORE the shuffle, so the
+    exchange moves only matching pattern rows — the discipline that makes
+    BGP evaluation affordable over a 10^12-triple store."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.joins import hash_join
+
+    t = q_kg_csvw_triples(sf_dir).materialize()  # two pattern scans
+    rank1 = t.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["pred"], EX + "rank"),
+                                   pc.equal(b["obj"], "1")))
+                   .select(["subj"]),
+        batch_format="pyarrow")
+    ent = t.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity"))
+                   .select(["subj", "obj"]),
+        batch_format="pyarrow")
+    j = hash_join(rank1, ent, "subj", "subj")
+    counts = partial_count(j, ["obj"])
+    return counts.map_batches(
+        lambda b: pa.table({"entity": b["obj"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_kg_validate(sf_dir: str):
+    """SHACL-style KG validation: per-constraint violation counts over the
+    triple stream. The four row-local rules (object-is-IRI, value domain,
+    numeric range, name format) are vectorized masks needing ZERO shuffle —
+    each block emits one 4-row int64 partial; the graph-level completeness
+    rule (every subject carries all 4 predicates) is a distinct +
+    map-side-combined count. Violation counts, not violating rows, travel."""
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import (distinct, grouped_sums,
+                                              partial_count)
+
+    t = q_kg_csvw_triples(sf_dir).materialize()  # rules + completeness
+    p_rank, p_name, p_ent, p_score = (
+        EX + p for p in ("rank", "name", "entity", "score"))
+
+    def rule_partials(b: pa.Table) -> pa.Table:
+        pred, obj = b["pred"], b["obj"]
+
+        def cnt(mask) -> int:
+            s = pc.sum(mask)
+            return s.as_py() or 0
+
+        ent_m = pc.equal(pred, p_ent)
+        v_iri = cnt(pc.and_(ent_m, pc.invert(b["obj_is_iri"])))
+        rank_m = pc.equal(pred, p_rank)
+        v_rank = cnt(pc.and_(rank_m, pc.invert(
+            pc.is_in(obj, value_set=pa.array(["1", "2", "3"])))))
+        score_m = pc.equal(pred, p_score)
+        # only score objects are numeric; neutralize the rest before cast
+        nums = pc.cast(pc.if_else(score_m, obj, pa.scalar("0")), pa.int64())
+        v_score = cnt(pc.and_(score_m, pc.greater_equal(nums, 500)))
+        name_m = pc.equal(pred, p_name)
+        v_name = cnt(pc.and_(name_m, pc.ends_with(obj, pattern="7")))
+        return pa.table({
+            "rule": pa.array(["entity_is_iri", "rank_in_domain",
+                              "score_below_500", "name_no_7_suffix"]),
+            "viol": pa.array([v_iri, v_rank, v_score, v_name], pa.int64()),
+        })
+
+    rules = grouped_sums(
+        t.map_batches(rule_partials, batch_format="pyarrow"),
+        ["rule"], ["viol"])
+    rules = rules.map_batches(
+        lambda b: pa.table({"rule": b["rule"],
+                            "violations": pc.cast(b["sum_viol"], pa.int64())}),
+        batch_format="pyarrow")
+
+    per_subj = partial_count(distinct(t, ["subj", "pred"]), ["subj"])
+    n_incomplete = per_subj.map_batches(
+        lambda b: pa.table({"c": pa.array(
+            [b.filter(pc.less(b["n"], 4)).num_rows], pa.int64())}),
+        batch_format="pyarrow").sum("c") or 0
+    comp = rd.from_arrow(pa.table({
+        "rule": pa.array(["subject_complete"]),
+        "violations": pa.array([int(n_incomplete)], pa.int64())}))
+    return rules.union(comp)
+
+
+def q_customer_order_dist(sf_dir: str):
+    """TPC-H-Q13-shaped distribution: how many customers placed k orders,
+    INCLUDING the zero-order group (the left join no inner join can give).
+    Orders collapse to per-customer counts map-side, the left join moves
+    one count row per customer, and the distribution is a second
+    map-side-combined count over the small (customer, k) table."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.joins import hash_join
+
+    per_cust = partial_count(
+        _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000),
+        ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    j = hash_join(cust, per_cust, "c_custkey", "o_custkey", how="left")
+
+    def k_orders(b: pa.Table) -> pa.Table:
+        # unmatched customers carry float64 NaN out of the left join;
+        # counts are far below 2^53, so the round-trip is exact
+        n = pc.cast(pc.coalesce(b["n"], pa.scalar(0.0)), pa.int64())
+        return pa.table({"c_orders": n})
+
+    dist = partial_count(j.map_batches(k_orders, batch_format="pyarrow"),
+                         ["c_orders"])
+    return dist.map_batches(
+        lambda b: pa.table({"c_orders": b["c_orders"],
+                            "custdist": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promo share: % of 1995-09 revenue from PROMO-type
+    parts. The date predicate pushes into the parquet scan (row-group
+    pruning); the part dimension broadcasts ONCE (``ray.put`` of a sorted
+    partkey array + promo bitmap, one searchsorted gather per batch — no
+    shuffle for a dimension join); each block leaves as two int64 partials
+    and the single percentage division is mirrored op-for-op in SQL."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"],
+               rows_per_block=100000,
+               filter=((pc.field("l_shipdate")
+                        >= datetime.datetime(1995, 9, 1))
+                       & (pc.field("l_shipdate")
+                          < datetime.datetime(1995, 10, 1))))
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], promo[order]))
+
+    def partials(b: pa.Table) -> pa.Table:
+        pk_s, promo_s = ray.get(ref)
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()), dpct)).to_numpy()
+        pos = np.searchsorted(pk_s, b["l_partkey"].to_numpy())
+        is_promo = promo_s[pos]
+        return pa.table({"pe4": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                         "te4": pa.array([int(rev.sum())], pa.int64())})
+
+    agg = li.map_batches(partials, batch_format="pyarrow").materialize()
+    p = agg.sum("pe4") or 0
+    tt = agg.sum("te4") or 0
+    # mirrored: (100.0 * CAST(p AS DOUBLE)) / CAST(t AS DOUBLE)
+    return pd.DataFrame({"promo_revenue": [(100.0 * float(p)) / float(tt)]})
+
+
+def q_large_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume orders: orders whose total quantity
+    exceeds 200, joined back to their customer. Lineitem collapses to one
+    exact int64 per-order sum map-side; only qualifying keys (a few %)
+    enter the order join."""
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+               rows_per_block=100000)
+    q = li.map_batches(
+        lambda b: pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "q": pc.cast(pc.round(b["l_quantity"],
+                                  round_mode="half_towards_infinity"),
+                         pa.int64())}),
+        batch_format="pyarrow")
+    per_order = grouped_sums(q, ["l_orderkey"], ["q"])
+    big = per_order.map_batches(
+        lambda b: b.filter(pc.greater(b["sum_q"], 200))
+                   .select(["l_orderkey", "sum_q"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=50000)
+    j = hash_join(big, orders, "l_orderkey", "o_orderkey")
+    return j.map_batches(
+        lambda b: pa.table({"o_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"],
+                            "total_qty": pc.cast(b["sum_q"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3306,6 +3522,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocal_links": q_kg_reciprocal_links,
         "kg_path2_counts": q_kg_path2_counts,
         "doc_compression": q_doc_compression,
+        "kg_property_table": q_kg_property_table,
+        "kg_pattern_join": q_kg_pattern_join,
+        "kg_validate": q_kg_validate,
+        "customer_order_dist": q_customer_order_dist,
+        "promo_revenue": q_promo_revenue,
+        "large_orders": q_large_orders,
     }
 
 
@@ -4802,5 +5024,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(sum(li.pcents), 0) / 700.0e0 AS avg_yearly
             FROM li JOIN agg ON li.l_partkey = agg.l_partkey
             WHERE 5 * li.q * agg.n < agg.sq
+        """,
+        "kg_property_table": _TRIPLE_BASE_CTE + f"""
+            SELECT subj,
+                   max(CASE WHEN pred = '{EX}rank' THEN obj END) AS v_rank,
+                   max(CASE WHEN pred = '{EX}name' THEN obj END) AS v_name,
+                   max(CASE WHEN pred = '{EX}entity' THEN obj END) AS v_entity,
+                   max(CASE WHEN pred = '{EX}score' THEN obj END) AS v_score
+            FROM triples GROUP BY subj
+        """,
+        "kg_pattern_join": _TRIPLE_BASE_CTE + f""",
+            r1 AS (SELECT subj FROM triples
+                   WHERE pred = '{EX}rank' AND obj = '1'),
+            e AS (SELECT subj, obj FROM triples
+                  WHERE pred = '{EX}entity')
+            SELECT e.obj AS entity, count(*) AS n
+            FROM r1 JOIN e USING (subj) GROUP BY e.obj
+        """,
+        "kg_validate": _TRIPLE_BASE_CTE + f"""
+            SELECT 'entity_is_iri' AS rule, count(*) AS violations
+            FROM triples WHERE pred = '{EX}entity' AND NOT obj_is_iri
+            UNION ALL
+            SELECT 'rank_in_domain', count(*) FROM triples
+            WHERE pred = '{EX}rank' AND obj NOT IN ('1', '2', '3')
+            UNION ALL
+            SELECT 'score_below_500', count(*) FROM triples
+            WHERE pred = '{EX}score' AND CAST(obj AS BIGINT) >= 500
+            UNION ALL
+            SELECT 'name_no_7_suffix', count(*) FROM triples
+            WHERE pred = '{EX}name' AND obj LIKE '%7'
+            UNION ALL
+            SELECT 'subject_complete', count(*) FROM (
+              SELECT subj FROM (SELECT DISTINCT subj, pred FROM triples)
+              GROUP BY subj HAVING count(*) < 4)
+        """,
+        "customer_order_dist": """
+            WITH oc AS (SELECT o_custkey, count(*) AS n
+                        FROM orders GROUP BY o_custkey)
+            SELECT coalesce(oc.n, 0) AS c_orders, count(*) AS custdist
+            FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+            GROUP BY coalesce(oc.n, 0)
+        """,
+        # mirrored float ops: (100.0 * CAST(p AS DOUBLE)) / CAST(t AS DOUBLE)
+        "promo_revenue": """
+            WITH li AS (SELECT l_partkey,
+                               CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                               AS rev_e4
+                        FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+                          AND l_shipdate < TIMESTAMP '1995-10-01')
+            SELECT (100.0e0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                            THEN rev_e4 ELSE 0 END) AS DOUBLE))
+                   / CAST(sum(rev_e4) AS DOUBLE) AS promo_revenue
+            FROM li JOIN part ON l_partkey = p_partkey
+        """,
+        "large_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS total_qty
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey, o_custkey
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
         """,
     }

@@ -180,6 +180,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_reciprocal_links",
         "kg_path2_counts",
         "doc_compression",
+        # fifth-continuation operators (KG query layer + TPC-H shapes)
+        "kg_property_table",
+        "kg_pattern_join",
+        "kg_validate",
+        "customer_order_dist",
+        "promo_revenue",
+        "large_orders",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

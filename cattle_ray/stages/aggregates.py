@@ -236,3 +236,50 @@ def grouped_minmax(ds, keys, col: str, agg: str = "min",
         return f().reset_index()
 
     return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")
+
+
+def grouped_pivot(ds, key: str, pred_col: str, val_col: str,
+                  categories: dict[str, str], shuffle_blocks: int = 16,
+                  num_buckets: int = 32):
+    """Pivot long (key, pred, value) rows into ONE wide row per key — the
+    KG property-table materialization (triple store → entity table), SQL
+    ``max(CASE WHEN pred = c THEN value END)`` per category.
+
+    ``categories`` maps output column name → predicate value. Per batch,
+    each category becomes a masked value column (``if_else`` keeps Arrow
+    vectorized; rows with other predicates turn null) and one Arrow C++
+    ``group_by(key).max`` collapses the batch to ≤1 wide partial row per
+    key — so the single shuffle moves wide partials, never triples. A
+    bucketed pandas ``max`` finishes: when (key, pred) is unique (the
+    property-table case) max IS the value; duplicate predicates tie-break
+    deterministically and SQL-mirrorably. Keys missing a category emit a
+    typed null, matching the SQL CASE."""
+    import pyarrow.compute as pc
+
+    names = list(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {key: batch[key]}
+        for name in names:
+            cols[name] = pc.if_else(
+                pc.equal(batch[pred_col], categories[name]),
+                batch[val_col], pa.scalar(None, batch[val_col].type))
+        t = pa.table(cols)
+        out = t.group_by([key]).aggregate([(n, "max") for n in names])
+        return out.rename_columns([key] + names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda b: add_key_bucket(b, [key], num_buckets), batch_format="pyarrow"
+    )
+    partials = coalesce_small(partials, shuffle_blocks)
+
+    def finish(g: pa.Table) -> pa.Table:
+        # Arrow finish: pandas object-max raises on str/NaN mixes (a key
+        # missing a category in one partial but not another); Arrow max
+        # skips nulls with the value type preserved. Single key column →
+        # no bool-before-string group_by hazard.
+        out = g.drop_columns(["_bucket"]).group_by([key]).aggregate(
+            [(n, "max") for n in names])
+        return out.rename_columns([key] + names)
+
+    return partials.groupby("_bucket").map_groups(finish, batch_format="pyarrow")
