@@ -3385,6 +3385,70 @@ def q_large_orders(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_cooccurrence(sf_dir: str):
+    """Temporal co-occurrence matrix (the banded range self-join): for each
+    ordered pair of event types, how often a user fires type_b within 15
+    minutes AFTER type_a. A naive per-user equi self-join cross-products
+    each user's whole history; :func:`range_join_banded` bands both sides
+    into 15-minute buckets so a join group holds one (user, window) slice —
+    bounded by per-user traffic per window, never per-user history."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.joins import range_join_banded
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               rows_per_block=20000)
+    left = ev.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                            "type_a": b["event_type"]}),
+        batch_format="pyarrow")
+    right = ev.map_batches(
+        lambda b: pa.table({"user_id": b["user_id"], "ts": b["ts"],
+                            "type_b": b["event_type"]}),
+        batch_format="pyarrow")
+    w_us = 15 * 60 * 1_000_000
+    pairs = range_join_banded(left, right, left_key="user_id",
+                              right_key="user_id", left_ts="ts",
+                              right_ts="ts", lo=0, hi=w_us)
+    counts = partial_count(pairs, ["type_a", "type_b"])
+    return counts.map_batches(
+        lambda b: pa.table({"type_a": b["type_a"], "type_b": b["type_b"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_kg_store_join(sf_dir: str):
+    """Write→join roundtrip of the co-partitioned store layout: the entity
+    pattern and the score pattern materialize into TWO subject-hash-
+    partitioned stores (same partition count), then
+    :func:`join_stores_copartitioned` joins them partition-locally with
+    ZERO shuffle — partition pinning across jobs, recovered from the
+    storage layout (column pruning pushed into each partition read). The
+    oracle checks the whole write→copart-join→select roundtrip."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        join_stores_copartitioned, write_triples_hash_partitioned)
+
+    t = q_kg_csvw_triples(sf_dir).materialize()  # feeds both stores
+    ent = t.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity")),
+        batch_format="pyarrow")
+    sco = t.map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "score")),
+        batch_format="pyarrow")
+    da = tempfile.mkdtemp(prefix="kg_store_ent_", dir="/tmp")
+    db = tempfile.mkdtemp(prefix="kg_store_sco_", dir="/tmp")
+    write_triples_hash_partitioned(ent, da, num_partitions=8)
+    write_triples_hash_partitioned(sco, db, num_partitions=8)
+    j = join_stores_copartitioned(da, db, key="subj",
+                                  columns_a=["subj", "obj"],
+                                  columns_b=["subj", "obj"])
+    return j.map_batches(
+        lambda b: pa.table({"subj": b["subj"], "entity": b["obj"],
+                            "score": b["obj_b"]}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3528,6 +3592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_dist": q_customer_order_dist,
         "promo_revenue": q_promo_revenue,
         "large_orders": q_large_orders,
+        "events_cooccurrence": q_events_cooccurrence,
+        "kg_store_join": q_kg_store_join,
     }
 
 
@@ -5086,5 +5152,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
+        """,
+        "kg_store_join": _TRIPLE_BASE_CTE + f""",
+            e AS (SELECT subj, obj FROM triples
+                  WHERE pred = '{EX}entity'),
+            s AS (SELECT subj, obj FROM triples
+                  WHERE pred = '{EX}score')
+            SELECT e.subj, e.obj AS entity, s.obj AS score
+            FROM e JOIN s USING (subj)
+        """,
+        # bounds mirror range_join_banded's (lo, hi]: strictly after, ≤ 15min
+        "events_cooccurrence": """
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS n
+            FROM events a JOIN events b
+              ON b.user_id = a.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 15 MINUTE
+            GROUP BY a.event_type, b.event_type
         """,
     }

@@ -187,6 +187,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "customer_order_dist",
         "promo_revenue",
         "large_orders",
+        "events_cooccurrence",
+        "kg_store_join",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

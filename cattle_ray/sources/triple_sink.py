@@ -268,3 +268,53 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                             "n_added": pd.Series([], dtype="int64"),
                             "path": pd.Series([], dtype="object")})
     return out
+
+
+def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
+                              columns_a=None, columns_b=None,
+                              right_suffix: str = "_b"):
+    """ZERO-SHUFFLE join of two hash-partitioned stores on their partition
+    key: partition i of store A can only match partition i of store B
+    (both were routed by the same key-type-aware hash at write time), so
+    the join runs as one partition-local Arrow join task per partition —
+    no exchange, no driver data. This is the "partition pinning" Ray Data
+    can't express across stages (ROADMAP known-limitation #2), recovered
+    from the STORAGE layout instead: write once partitioned, join any
+    number of downstream times for free.
+
+    Requires both stores' recorded ``num_partitions`` to match (their
+    ``_meta.json``) — a mismatch means rows hash to different partitions
+    and the partition-local join would silently drop matches, so it
+    raises. Inner join; a partition missing on either side (no key hashed
+    there at write time) contributes no rows. Column name collisions on
+    the B side get ``right_suffix``. Returns a streaming Ray Dataset built
+    from per-partition join results (lineage covers task retries)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    pa_n = store_num_partitions(dir_a)
+    pb_n = store_num_partitions(dir_b)
+    if pa_n != pb_n:
+        raise ValueError(
+            f"co-partitioned join needs equal partition counts: "
+            f"{dir_a!r} has {pa_n}, {dir_b!r} has {pb_n}")
+
+    @ray.remote
+    def join_part(pid: int) -> pa.Table:
+        fa = f"{dir_a}/part_id={pid}/data.parquet"
+        fb = f"{dir_b}/part_id={pid}/data.parquet"
+        ta = pq.read_table(fa, columns=columns_a)
+        tb = pq.read_table(fb, columns=columns_b)
+        return ta.join(tb, keys=[key], join_type="inner",
+                       right_suffix=right_suffix).combine_chunks()
+
+    pids = [i for i in range(pa_n)
+            if os.path.exists(f"{dir_a}/part_id={i}/data.parquet")
+            and os.path.exists(f"{dir_b}/part_id={i}/data.parquet")]
+    if not pids:
+        raise FileNotFoundError(
+            f"no overlapping partitions between {dir_a!r} and {dir_b!r}")
+    return rd.from_arrow_refs([join_part.remote(i) for i in pids])

@@ -608,3 +608,57 @@ def interval_join(ds, intervals, value_col: str, lo_col: str = "lo",
         return out
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def range_join_banded(left_ds, right_ds, *, left_key: str, right_key: str,
+                      left_ts: str, right_ts: str, lo: int, hi: int,
+                      num_buckets: int = 32):
+    """Per-key temporal RANGE join: pair (l, r) matches when keys are equal
+    and ``r[right_ts] - l[left_ts] ∈ (lo, hi]`` (int64 time units, ``0 ≤ lo
+    < hi``) — event attribution, temporal co-occurrence, "followed within
+    w" joins. A plain per-key equi join would cross-product every key's
+    full history; here both sides band into width-``hi`` time buckets so a
+    join group holds ONE (key, band) slice: the left row banded at
+    ``⌊ts/hi⌋`` and ``⌊ts/hi⌋+1`` (a candidate at distance ≤ hi lands in
+    one of the two), the right row at ``⌊ts/hi⌋`` only — each true pair
+    meets in EXACTLY one band (the right band is a function of the right
+    row), so no post-dedup. The exact range predicate filters inside the
+    bucket. Group size is bounded by per-key traffic per ``hi``-window,
+    never per-key history — skew-safe at corpus scale.
+
+    Right columns keep their names (``_r`` suffix on collision, pandas
+    rules via :func:`hash_join`'s machinery). Returns matching pairs only
+    (inner)."""
+    if not (0 <= lo < hi):
+        raise ValueError(f"range_join_banded needs 0 <= lo < hi, "
+                         f"got ({lo}, {hi})")
+
+    def band_left(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[left_ts], pa.int64())
+        wk = pc.divide(ts, pa.scalar(hi, pa.int64()))
+        b = b.set_column(b.schema.get_field_index(left_ts), left_ts, ts)
+        lower = b.append_column("_wk", wk)
+        upper = b.append_column(
+            "_wk", pc.add(wk, pa.scalar(1, pa.int64())))
+        return pa.concat_tables([lower, upper])
+
+    def band_right(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[right_ts], pa.int64())
+        b = b.set_column(b.schema.get_field_index(right_ts), right_ts, ts)
+        return b.append_column(
+            "_wk", pc.divide(ts, pa.scalar(hi, pa.int64())))
+
+    lb = left_ds.map_batches(band_left, batch_format="pyarrow")
+    rb = right_ds.map_batches(band_right, batch_format="pyarrow")
+    joined = hash_join(lb, rb, [left_key, "_wk"], [right_key, "_wk"],
+                       num_buckets=num_buckets)
+    rts = right_ts if right_ts != left_ts else f"{right_ts}_r"
+
+    def exact(b: pa.Table) -> pa.Table:
+        delta = pc.subtract(b[rts], b[left_ts])
+        keep = pc.and_(pc.greater(delta, pa.scalar(lo, pa.int64())),
+                       pc.less_equal(delta, pa.scalar(hi, pa.int64())))
+        return b.filter(keep).drop_columns(
+            [c for c in ("_wk", "_wk_r") if c in b.column_names])
+
+    return joined.map_batches(exact, batch_format="pyarrow")
