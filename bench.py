@@ -189,6 +189,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "large_orders",
         "events_cooccurrence",
         "kg_store_join",
+        "kg_scc",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

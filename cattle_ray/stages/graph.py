@@ -1088,3 +1088,256 @@ def label_propagation(edges_ds, *, iters: int = 3,
         labels = partials.groupby("_bucket").map_groups(
             vote_finish, batch_format="pandas").materialize()
     return labels
+
+
+def _scc_local(df: "pd.DataFrame", src: str, dst: str) -> pa.Table:
+    """Iterative Tarjan over an in-memory edge list (the small-graph
+    crossover path, one remote task). SCC label = MAX member id (matches
+    the distributed coloring path, whose class roots are max-reaching
+    ids). Emits every node that appears in an edge."""
+    adj: dict = {}
+    nodes: set = set()
+    for u, v in zip(df[src].to_numpy(), df[dst].to_numpy()):
+        u, v = int(u), int(v)
+        adj.setdefault(u, []).append(v)
+        nodes.add(u)
+        nodes.add(v)
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    out_id: list = []
+    out_scc: list = []
+    counter = 0
+    for s0 in nodes:
+        if s0 in index:
+            continue
+        work = [(s0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stk.append(v)
+                onstk.add(v)
+            advanced = False
+            nbrs = adj.get(v, ())
+            i = pi
+            while i < len(nbrs):
+                w = nbrs[i]
+                i += 1
+                if w not in index:
+                    work[-1] = (v, i)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                label = max(comp)
+                out_id.extend(comp)
+                out_scc.extend([label] * len(comp))
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+    return pa.table({"node": pa.array(out_id, pa.int64()),
+                     "scc": pa.array(out_scc, pa.int64())})
+
+
+def _scc_small_task(refs: list) -> pa.Table:
+    t = gather_block_refs(refs, pa.schema([("u", pa.int64()),
+                                           ("v", pa.int64())]))
+    return _scc_local(t.to_pandas(), "u", "v")
+
+
+def _dir_max_fixpoint(edges_ds, labels_ds, num_buckets: int,
+                      max_iters: int = 200):
+    """Directed max-label propagation to fixpoint: per iteration
+    ``label(v) = max(label(v), max_{u→v} label(u))`` over int64 edges
+    ``(u, v)``. The same fused two-shuffle plan as distributed CC: stage 1
+    joins labels onto edge SOURCES and reduces a PARTIAL per-dst max inside
+    the bucket (node-sized partials cross the second shuffle, never
+    edge-sized candidates); stage 2 folds partials onto own labels. The
+    padded bucketed edge table is built ONCE. Monotone nondecreasing ⇒ the
+    label-sum fixpoint test terminates in ≤ diameter iterations."""
+    from .aggregates import coalesce_small
+
+    s1_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                           ("id", pa.int64()), ("label", pa.int64())])
+    s2_schema = pa.schema([("id", pa.int64()), ("label", pa.int64())])
+    edges_pre = coalesce_small(
+        _pad_bucket_tag(edges_ds, s1_schema, "u", 0, num_buckets), 16
+    ).materialize()
+    labels = labels_ds.materialize()
+
+    def stage1(g: pa.Table) -> pd.DataFrame:
+        e = g.filter(pc.equal(g["_side"], 0)).select(["u", "v"]).to_pandas()
+        l = g.filter(pc.equal(g["_side"], 1)).select(["id", "label"]).to_pandas()
+        m = e.merge(l, left_on="u", right_on="id", how="inner")
+        if m.empty:
+            return pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                 "label": pd.Series(dtype="int64")})
+        out = (m[["v", "label"]].groupby("v", sort=False)["label"].max()
+               .reset_index().rename(columns={"v": "id"}))
+        return out.astype({"id": "int64", "label": "int64"})
+
+    def stage2(g: pa.Table) -> pd.DataFrame:
+        df = g.select(["id", "label"]).to_pandas()
+        out = df.groupby("id", sort=False)["label"].max().reset_index()
+        return out.astype({"id": "int64", "label": "int64"})
+
+    for _ in range(max_iters):
+        labels_tag = coalesce_small(
+            _pad_bucket_tag(labels, s1_schema, "id", 1, num_buckets), 8)
+        partials = (edges_pre.union(labels_tag).groupby("_bucket")
+                    .map_groups(stage1, batch_format="pyarrow"))
+        own = _pad_bucket_tag(labels, s2_schema, "id", 0, num_buckets)
+        par = _pad_bucket_tag(partials, s2_schema, "id", 1, num_buckets)
+        new_labels = (coalesce_small(own.union(par), 8).groupby("_bucket")
+                      .map_groups(stage2, batch_format="pyarrow")
+                      .materialize())
+        old_sum, new_sum = labels.sum("label"), new_labels.sum("label")
+        labels = new_labels
+        if old_sum == new_sum:
+            return labels
+    raise RuntimeError(f"_dir_max_fixpoint did not converge in {max_iters} "
+                       "iterations — diameter exceeds the bound")
+
+
+def scc(edges_ds, *, src: str = "s", dst: str = "o", max_rounds: int = 30,
+        small_graph_edges: int = SMALL_GRAPH_EDGES,
+        num_buckets: int | None = None):
+    """Strongly connected components of a DIRECTED int64 graph — the web
+    bowtie decomposition (Broder et al. 2000). Returns a Dataset
+    ``(node, scc)`` with scc = MAX member id, covering every node that
+    appears in an edge. Deterministic at any partitioning/retry.
+
+    Size-adaptive like pagerank/CC: at or under ``small_graph_edges``
+    (16 B/edge, runtime-bound) one remote iterative-Tarjan task solves it;
+    above, the FW-BW **coloring** algorithm (Orzan 2004; Slota et al.
+    2014) runs distributed, each round:
+
+    1. **Color** (forward max-label fixpoint): color(v) = max id that
+       reaches v. Every color class is closed under "on a path from the
+       root into the class" (proof: a path vertex w with color d > c would
+       give v color ≥ d, contradiction) — so step 2 may restrict to
+       intra-class edges.
+    2. **Backward root-reach inside the class**: seed label = id at class
+       roots (color == id), propagate over REVERSED intra-class edges to
+       fixpoint; a node ends labeled c iff it reaches its root within the
+       class ⟺ it is in SCC(root).
+    3. Emit labeled nodes, anti-join their edges away, recurse on the rest.
+
+    Each round settles at least every class root; web-shaped graphs settle
+    the giant SCC + the DAG fringe in round 1 and finish in a handful of
+    rounds (adversarial chains of descending ids degrade toward O(n) —
+    ``max_rounds`` raises rather than returning a partial answer).
+    Isolated singleton chains that lose all edges mid-algorithm are
+    back-filled as singleton SCCs at the end."""
+    import ray
+    import ray.data as rd
+
+    from .aggregates import distinct
+    from .joins import hash_join, semi_join
+
+    edges64 = distinct(edges_ds.map_batches(
+        lambda t: pa.table({"u": t[src].combine_chunks().cast(pa.int64()),
+                            "v": t[dst].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow"), ["u", "v"]).materialize()
+
+    n_edges = edges64.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "scc": pa.array([], pa.int64())}))
+    if n_edges <= small_graph_edges:
+        task = ray.remote(num_cpus=1)(_scc_small_task)
+        return rd.from_arrow(ray.get(task.remote(
+            list(edges64.to_arrow_refs()))))
+
+    if num_buckets is None:
+        num_buckets = int(min(64, max(8, n_edges // 100_000)))
+
+    def node_census(es):
+        return distinct(es.map_batches(
+            lambda t: pa.table({"id": pa.concat_arrays(
+                [t["u"].combine_chunks(), t["v"].combine_chunks()])}),
+            batch_format="pyarrow"), ["id"])
+
+    all_nodes = node_census(edges64).materialize()
+    remaining = edges64
+    assigned_parts = []
+
+    for _ in range(max_rounds):
+        if remaining.count() == 0:
+            break
+        # 1. forward coloring
+        init = node_census(remaining).map_batches(
+            lambda t: pa.table({"id": t["id"], "label": t["id"]}),
+            batch_format="pyarrow")
+        colors = _dir_max_fixpoint(remaining, init, num_buckets)
+        # 2. intra-class edge filter (two co-partitioned joins, ONCE per
+        # round, not per fixpoint iteration)
+        cu = hash_join(remaining, colors.map_batches(
+            lambda t: pa.table({"cid": t["id"], "cu": t["label"]}),
+            batch_format="pyarrow"), "u", "cid", num_buckets=num_buckets)
+        cuv = hash_join(cu, colors.map_batches(
+            lambda t: pa.table({"cid": t["id"], "cv": t["label"]}),
+            batch_format="pyarrow"), "v", "cid", num_buckets=num_buckets)
+        e_cls = cuv.map_batches(
+            lambda t: t.filter(pc.equal(t["cu"], t["cv"]))
+                       .select(["u", "v"]),
+            batch_format="pyarrow")
+        # reversed intra-class edges: root-reach flows dst→src
+        e_rev = e_cls.map_batches(
+            lambda t: pa.table({"u": t["v"], "v": t["u"]}),
+            batch_format="pyarrow").materialize()
+        # 3. backward root-reach: seed = id at roots, 0 elsewhere; the
+        # only value a class can propagate is its own root id, so a
+        # non-zero fixpoint label IS the scc id
+        seeds = colors.map_batches(
+            lambda t: pa.table({
+                "id": t["id"],
+                "label": pc.if_else(pc.equal(t["id"], t["label"]),
+                                    t["id"], pa.scalar(0, pa.int64()))}),
+            batch_format="pyarrow")
+        reach = _dir_max_fixpoint(e_rev, seeds, num_buckets)
+        members = reach.map_batches(
+            lambda t: t.filter(pc.greater(t["label"], 0)),
+            batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"node": t["id"], "scc": t["label"]}),
+            batch_format="pyarrow").materialize()
+        assigned_parts.append(members)
+        done_ids = members.map_batches(
+            lambda t: pa.table({"done": t["node"]}), batch_format="pyarrow")
+        remaining = semi_join(
+            semi_join(remaining, done_ids, "u", "done", anti=True,
+                      num_buckets=num_buckets),
+            done_ids, "v", "done", anti=True,
+            num_buckets=num_buckets).materialize()
+    else:
+        if remaining.count() > 0:
+            raise RuntimeError(
+                f"scc did not settle in {max_rounds} rounds — descending-id "
+                "chain? raise max_rounds")
+
+    assigned = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        assigned = assigned.union(p)
+    assigned = assigned.materialize()
+    leftovers = semi_join(
+        all_nodes, assigned.map_batches(
+            lambda t: pa.table({"done": t["node"]}), batch_format="pyarrow"),
+        "id", "done", anti=True, num_buckets=num_buckets).map_batches(
+        lambda t: pa.table({"node": t["id"], "scc": t["id"]}),
+        batch_format="pyarrow")
+    return assigned.union(leftovers)
