@@ -3482,6 +3482,37 @@ def q_kg_scc(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_doc_url_normalize(sf_dir: str):
+    """URL canonicalization (the crawl-frontier/dedup-key primitive):
+    syntactic variants of the same page URL — scheme/host case, default
+    ports, fragments, tracking params, param order, trailing slashes —
+    collapse to one canonical form BEFORE any url-keyed dedup or upsert.
+    Messy inputs are synthesized deterministically from doc_id (three
+    variant shapes), so the oracle states the expected canonical form as
+    plain SQL arithmetic while the Ray side exercises the REAL kernel
+    (vectorized head/path ops; per-row query rewrite only on rows that
+    HAVE a query string)."""
+    import pandas as pd
+
+    from cattle_ray.stages.urls import normalize_url_batch
+
+    def messy(df: "pd.DataFrame") -> "pd.DataFrame":
+        i = df["doc_id"]
+        r = i % 3
+        s = i.astype(str)
+        u = np.where(
+            r == 0, "HTTPS://Example.ORG:443/Doc/" + s,
+            np.where(r == 1, "http://example.org:80/doc/" + s + "/#frag",
+                     "https://example.org/doc/" + s
+                     + "?utm_source=x&b=2&a=1"))
+        return pd.DataFrame({"doc_id": i, "url": u})
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(messy, batch_format="pandas")
+    return ds.map_batches(
+        lambda b: normalize_url_batch(b).select(["doc_id", "url_norm"]),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3628,6 +3659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cooccurrence": q_events_cooccurrence,
         "kg_store_join": q_kg_store_join,
         "kg_scc": q_kg_scc,
+        "doc_url_normalize": q_doc_url_normalize,
     }
 
 
@@ -5194,6 +5226,17 @@ def oracle_sql() -> dict[str, str]:
                   WHERE pred = '{EX}score')
             SELECT e.subj, e.obj AS entity, s.obj AS score
             FROM e JOIN s USING (subj)
+        """,
+        # the oracle states the EXPECTED canonical form by arithmetic (the
+        # kg_negative_samples convention); the Ray side runs the real kernel
+        "doc_url_normalize": """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'https://example.org/Doc/' || doc_id
+                     WHEN 1 THEN 'http://example.org/doc/' || doc_id
+                     ELSE 'https://example.org/doc/' || doc_id || '?a=1&b=2'
+                   END AS url_norm
+            FROM documents
         """,
         # bounds mirror range_join_banded's (lo, hi]: strictly after, ≤ 15min
         "events_cooccurrence": """

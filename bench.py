@@ -190,6 +190,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "events_cooccurrence",
         "kg_store_join",
         "kg_scc",
+        "doc_url_normalize",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

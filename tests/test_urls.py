@@ -1,0 +1,52 @@
+"""URL canonicalization kernel."""
+
+import pandas as pd
+import pyarrow as pa
+
+CASES = {
+    # scheme/host case + default https port
+    "HTTPS://Example.ORG:443/Doc/5": "https://example.org/Doc/5",
+    # default http port + fragment + trailing slash
+    "http://example.org:80/doc/7/#frag": "http://example.org/doc/7",
+    # tracking param dropped, survivors sorted
+    "https://example.org/doc/8?utm_source=x&b=2&a=1":
+        "https://example.org/doc/8?a=1&b=2",
+    # bare authority gains the root path
+    "https://example.org": "https://example.org/",
+    # NON-default port survives
+    "https://example.org:8443/x": "https://example.org:8443/x",
+    # all-tracking query drops the '?' entirely
+    "http://a.b/p?utm_a=1&fbclid=2": "http://a.b/p",
+    # non-absolute rows pass through untouched
+    "relative/path": "relative/path",
+    # only TRAILING slashes collapse; path case preserved
+    "https://H.O/a//b///": "https://h.o/a//b",
+    "FTP://X.Y/Z": "ftp://x.y/Z",
+    # root stays root
+    "https://e.o/": "https://e.o/",
+}
+
+
+def test_normalize_url_series():
+    from cattle_ray.stages.urls import normalize_url_series
+
+    out = normalize_url_series(pd.Series(list(CASES)))
+    assert list(out) == list(CASES.values())
+
+
+def test_normalize_url_batch_nulls_and_schema():
+    from cattle_ray.stages.urls import normalize_url_batch
+
+    t = pa.table({"url": pa.array(["https://A.B:443/x", None], pa.string())})
+    out = normalize_url_batch(t)
+    assert out.column_names == ["url", "url_norm"]
+    assert out["url_norm"].to_pylist() == ["https://a.b/x", None]
+
+
+def test_normalize_idempotent():
+    """Canonical forms are fixpoints — normalizing twice changes nothing."""
+    from cattle_ray.stages.urls import normalize_url_series
+
+    once = normalize_url_series(pd.Series(list(CASES)))
+    twice = normalize_url_series(once)
+    assert list(once) == list(twice)
