@@ -3513,6 +3513,133 @@ def q_doc_url_normalize(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_supplier_value(sf_dir: str):
+    """TPC-H-Q15-shaped top suppliers by revenue: lineitem collapses to one
+    exact int64 fixed-point partial per (supplier, batch) map-side, the
+    supplier dimension broadcasts once (``ray.put`` + vectorized
+    ``index_in`` gather — dimension joins never shuffle), and the final
+    total order (revenue DESC, s_suppkey) sorts a supplier-sized table.
+    ONE mirrored float division at the very end."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from cattle_ray.stages.aggregates import grouped_sums
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount"],
+               rows_per_block=100000)
+
+    def rev(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        return pa.table({
+            "l_suppkey": b["l_suppkey"],
+            "rev_e4": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), dpct))})
+
+    per_supp = grouped_sums(li.map_batches(rev, batch_format="pyarrow"),
+                            ["l_suppkey"], ["rev_e4"])
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).combine_chunks()
+    supp_ref = ray.put(supp)
+
+    def add_name(b: pa.Table) -> pa.Table:
+        lk = ray.get(supp_ref)
+        idx = pc.index_in(b["l_suppkey"], value_set=lk["s_suppkey"].chunk(0))
+        return pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "s_name": pc.take(lk["s_name"].chunk(0), idx),
+            "revenue": pc.divide(pc.cast(b["sum_rev_e4"], pa.float64()),
+                                 pa.scalar(10000.0))})
+
+    named = per_supp.map_batches(add_name, batch_format="pyarrow")
+    return named.sort(["revenue", "s_suppkey"],
+                      descending=[True, False]).limit(20)
+
+
+def q_cheapest_part_by_brand(sf_dir: str):
+    """TPC-H-Q2-shaped grouped argmin with the whole row kept: per brand,
+    the single cheapest part (price ASC, partkey ASC tie-break) — the
+    min-within-group join expressed as grouped_topk(k=1), so only
+    projected rows cross the one bucketed shuffle. Prices pass through
+    untouched (no arithmetic → bit-identical to the oracle's doubles)."""
+    from cattle_ray.stages.aggregates import grouped_topk
+
+    parts = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"],
+                  rows_per_block=50000)
+    top = grouped_topk(parts, "p_brand", ["p_retailprice", "p_partkey"],
+                       [True, True], 1)
+    return top.map_batches(
+        lambda b: b.select(["p_brand", "p_partkey", "p_retailprice"]),
+        batch_format="pyarrow")
+
+
+#: kg_ppr teleport set — two entity URIs (query parameter, broadcast once)
+PPR_SEEDS = ("https://example.org/id/entity/Entity7",
+             "https://example.org/id/entity/Entity13")
+
+
+def q_kg_ppr(sf_dir: str):
+    """Personalized PageRank — related-entity scoring: teleports land
+    uniformly on a 2-seed entity set instead of 1/n, so rank(v) measures
+    proximity to the seeds over the doc→entity graph (the recommendation
+    primitive on a KG). Same execution discipline as kg_pagerank
+    (vectorized 64-bit ids, size-adaptive solve, ranks joined back to
+    URIs); oracle = the 5-iteration personalized power method unrolled in
+    SQL, both sides rounded to 6 decimals."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.graph import pagerank, uri_ids64
+    from cattle_ray.stages.joins import hash_join
+
+    ent = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], EX + "entity")),
+        batch_format="pyarrow").materialize()
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": uri_ids64(b["subj"]),
+                         "dst": uri_ids64(b["obj"])})
+
+    def to_map(b: pa.Table) -> pa.Table:
+        uris = pa.concat_arrays([b["subj"].combine_chunks(),
+                                 b["obj"].combine_chunks()])
+        ids = pa.concat_arrays([uri_ids64(b["subj"]), uri_ids64(b["obj"])])
+        return pa.table({"nid": ids, "uri": uris})
+
+    seeds = uri_ids64(pa.array(list(PPR_SEEDS), pa.string())).to_pylist()
+    ranks = pagerank(ent.map_batches(to_edges, batch_format="pyarrow"),
+                     iters=5, seeds=seeds)
+    id_map = distinct(ent.map_batches(to_map, batch_format="pyarrow"),
+                      ["nid", "uri"], num_buckets=8)
+    joined = hash_join(ranks, id_map, "node", "nid", num_buckets=8)
+    return joined.map_batches(
+        lambda b: pa.table({"node": b["uri"],
+                            "rank": pc.round(b["rank"], 6)}),
+        batch_format="pyarrow")
+
+
+def q_kg_store_describe(sf_dir: str):
+    """DESCRIBE-style point read: all triples of ONE subject out of the
+    hash-partitioned store — opens exactly one partition file (hash(subj)
+    % P routing, 1/P of the data at any corpus size) and row-filters it;
+    the per-partition subject sort keeps the inner scan tight. The oracle
+    checks the whole write→route→point-read roundtrip."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        match_triples, write_triples_hash_partitioned)
+
+    out_dir = tempfile.mkdtemp(prefix="kg_store_desc_", dir="/tmp")
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8)
+    subj = "https://example.org/doc/0#t0/r1"
+    t = match_triples(out_dir, subj=subj)  # pyarrow Table (point read)
+    return t.select(QUAD_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3660,6 +3787,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_store_join": q_kg_store_join,
         "kg_scc": q_kg_scc,
         "doc_url_normalize": q_doc_url_normalize,
+        "supplier_value": q_supplier_value,
+        "cheapest_part_by_brand": q_cheapest_part_by_brand,
+        "kg_ppr": q_kg_ppr,
+        "kg_store_describe": q_kg_store_describe,
     }
 
 
@@ -3729,6 +3860,49 @@ def _pagerank_sql(iters: int = 5, graph_cte: str | None = None) -> str:
             deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg
                     FROM edges GROUP BY s),
             r0 AS (SELECT node, 1.0/cnt.n AS rank FROM nodes CROSS JOIN cnt)
+            {ctes}
+        SELECT node, round(rank, 6) AS rank FROM {prev}
+    """
+
+
+def _ppr_sql(seed_list_sql: str, iters: int = 5) -> str:
+    """Unrolled PERSONALIZED PageRank mirroring ``pagerank(seeds=...)``:
+    p(v) = 1/k over the seed nodes present in the graph, r0 = p, per round
+    coef = (1−d) + d·(1−nd) and rank = coef·p + d·in_sum — the same float
+    expression order as stage2/the numpy task; both sides round to 6
+    decimals (same ulp argument as kg_pagerank). Graph = the triple
+    fixture's doc→entity edges."""
+    ctes = ""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes += f""",
+            nd{k} AS (SELECT coalesce(sum(r.rank / dg.deg), 0) AS nd
+                      FROM edges e JOIN deg dg ON e.s = dg.s
+                      JOIN {prev} r ON r.node = e.s),
+            ins{k} AS (SELECT e.o AS node, sum(r.rank / dg.deg) AS in_sum
+                       FROM edges e JOIN deg dg ON e.s = dg.s
+                       JOIN {prev} r ON r.node = e.s
+                       GROUP BY e.o),
+            r{k} AS (SELECT n.node,
+                            ((1 - 0.85) + 0.85*(1 - nd{k}.nd)) * n.p
+                            + 0.85*coalesce(i.in_sum, 0) AS rank
+                     FROM pn n CROSS JOIN nd{k}
+                     LEFT JOIN ins{k} i ON i.node = n.node)"""
+        prev = f"r{k}"
+    return _TRIPLE_BASE_CTE + f""",
+            edges AS (SELECT subj AS s, obj AS o FROM triples
+                      WHERE pred = '{EX}entity'),
+            nodes AS (SELECT DISTINCT node FROM
+                      (SELECT s AS node FROM edges UNION SELECT o FROM edges)),
+            ks AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM nodes
+                   WHERE node IN {seed_list_sql}),
+            deg AS (SELECT s, CAST(count(*) AS DOUBLE) AS deg
+                    FROM edges GROUP BY s),
+            pn AS (SELECT node,
+                          CASE WHEN node IN {seed_list_sql}
+                               THEN 1.0/ks.k ELSE 0.0 END AS p
+                   FROM nodes CROSS JOIN ks),
+            r0 AS (SELECT node, p AS rank FROM pn)
             {ctes}
         SELECT node, round(rank, 6) AS rank FROM {prev}
     """
@@ -4135,6 +4309,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_hits": _hits_sql(),
         "kg_pagerank": _pagerank_sql(),
+        "kg_ppr": _ppr_sql(
+            "('" + "', '".join(PPR_SEEDS) + "')"),
         "doc_collocations": r"""
             WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
                          FROM documents WHERE trim(text) != ''),
@@ -5219,6 +5395,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
         """,
+        "kg_store_describe": _TRIPLE_BASE_CTE + """
+            SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+            FROM triples WHERE subj = 'https://example.org/doc/0#t0/r1'
+        """,
         "kg_store_join": _TRIPLE_BASE_CTE + f""",
             e AS (SELECT subj, obj FROM triples
                   WHERE pred = '{EX}entity'),
@@ -5226,6 +5406,26 @@ def oracle_sql() -> dict[str, str]:
                   WHERE pred = '{EX}score')
             SELECT e.subj, e.obj AS entity, s.obj AS score
             FROM e JOIN s USING (subj)
+        """,
+        "supplier_value": """
+            WITH r AS (SELECT l_suppkey,
+                              CAST(sum(CAST(round(l_extendedprice * 100)
+                                            AS BIGINT)
+                                       * (100 - CAST(round(l_discount * 100)
+                                                     AS BIGINT)))
+                                   AS BIGINT) AS rev_e4
+                       FROM lineitem GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+                   CAST(rev_e4 AS DOUBLE) / 10000.0e0 AS revenue
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            ORDER BY revenue DESC, s_suppkey LIMIT 20
+        """,
+        "cheapest_part_by_brand": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (PARTITION BY p_brand
+                       ORDER BY p_retailprice, p_partkey) AS rn
+              FROM part) WHERE rn = 1
         """,
         # the oracle states the EXPECTED canonical form by arithmetic (the
         # kg_negative_samples convention); the Ray side runs the real kernel

@@ -191,6 +191,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_store_join",
         "kg_scc",
         "doc_url_normalize",
+        "supplier_value",
+        "cheapest_part_by_brand",
+        "kg_ppr",
+        "kg_store_describe",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -96,10 +96,15 @@ def gather_block_refs(block_refs: list, empty_schema: pa.Schema) -> pa.Table:
 _PR_EMPTY = pa.schema([("node", pa.int64()), ("rank", pa.float64())])
 
 
-def _pagerank_numpy_task(block_refs: list, iters: int, damping: float) -> pa.Table:
+def _pagerank_numpy_task(block_refs: list, iters: int, damping: float,
+                         seeds: np.ndarray | None = None) -> pa.Table:
     """Single-worker exact solve for graphs below the distributed-overhead
     crossover (same math as the distributed rounds; vectorized bincount).
-    Receives the edge BLOCK REFS (zero-copy reads from the object store)."""
+    Receives the edge BLOCK REFS (zero-copy reads from the object store).
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport distribution
+    concentrates uniformly on the seed nodes (restricted to seeds present
+    in the graph) instead of 1/n — rank(v) measures v's proximity to the
+    seed set (recommendation / related-entity scoring)."""
     t = gather_block_refs(block_refs, _PR_EMPTY)
     if t.num_rows == 0:
         return _PR_EMPTY.empty_table()
@@ -109,12 +114,22 @@ def _pagerank_numpy_task(block_refs: list, iters: int, damping: float) -> pa.Tab
     s_idx, d_idx = inv[: len(src)], inv[len(src):]
     n = len(nodes)
     deg = np.bincount(s_idx, minlength=n).astype(np.float64)
-    r = np.full(n, 1.0 / n)
+    if seeds is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        in_graph = np.isin(nodes, seeds)
+        k = int(in_graph.sum())
+        if k == 0:
+            raise ValueError("personalized pagerank: no seed appears in "
+                             "the graph")
+        p = np.where(in_graph, 1.0 / k, 0.0)
+    r = p.copy()
     for _ in range(iters):
         contrib = r[s_idx] / deg[s_idx]
         non_dangling = contrib.sum()
-        base = (1 - damping) / n + damping * (1.0 - non_dangling) / n
-        r = base + damping * np.bincount(d_idx, weights=contrib, minlength=n)
+        coef = (1 - damping) + damping * (1.0 - non_dangling)
+        r = coef * p + damping * np.bincount(d_idx, weights=contrib,
+                                             minlength=n)
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank": pa.array(r, pa.float64())})
 
@@ -132,8 +147,17 @@ SMALL_GRAPH_EDGES = 2_000_000
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
              num_buckets: int | None = None,
              small_graph_edges: int = SMALL_GRAPH_EDGES,
-             checkpoint_dir: str | None = None):
+             checkpoint_dir: str | None = None,
+             seeds=None):
     """edges Dataset (src:int64, dst:int64) → Dataset (node, rank).
+
+    ``seeds`` (iterable of int64 node ids) switches to PERSONALIZED
+    PageRank: teleports land uniformly on the seed set instead of 1/n, so
+    rank(v) scores proximity to the seeds (related-entity /
+    recommendation queries). Seeds are a QUERY parameter — dimension-sized
+    by definition — broadcast once; seeds absent from the graph are
+    ignored (all absent raises). Identical math on both the numpy and
+    distributed paths (parity-tested).
 
     Ranks sum to ~1.0 (dangling mass redistributed uniformly). Deterministic
     at any parallelism: every reduction is a sum of fixed values.
@@ -167,12 +191,18 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         ),
         batch_format="pyarrow",
     ).materialize()
+    seeds_arr = None
+    if seeds is not None:
+        seeds_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if len(seeds_arr) == 0:
+            raise ValueError("personalized pagerank: empty seed list")
     n_edges = edges.count()
     if n_edges <= small_graph_edges:
         import ray.data as rd
 
         task = ray.remote(num_cpus=1)(_pagerank_numpy_task)
-        out = ray.get(task.remote(list(edges.to_arrow_refs()), iters, damping))
+        out = ray.get(task.remote(list(edges.to_arrow_refs()), iters, damping,
+                                  seeds_arr))
         return rd.from_arrow(out)
     if num_buckets is None:
         num_buckets = int(min(64, max(8, n_edges // 100_000)))
@@ -216,12 +246,34 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         _pad_bucket_tag(nodes, _S2_SCHEMA, "node", 0, num_buckets), 8
     ).materialize()
 
-    ranks = nodes.map_batches(
-        lambda t: pa.table(
-            {"node": t["node"], "rank": pa.array(np.full(len(t), 1.0 / n_nodes))}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    if seeds_arr is None:
+        p_ref, inv_k = None, None
+
+        def init_ranks(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(np.full(len(t), 1.0 / n_nodes))})
+    else:
+        # teleport vector: uniform over the seeds PRESENT in the graph —
+        # seed list is query-sized, broadcast once, membership via
+        # vectorized sorted-array searchsorted/isin
+        p_ref = ray.put(seeds_arr)
+        k_in = nodes.map_batches(
+            lambda t: pa.table({"k": pa.array(
+                [int(np.isin(t["node"].to_numpy(zero_copy_only=False),
+                             seeds_arr).sum())], pa.int64())}),
+            batch_format="pyarrow").sum("k") or 0
+        if k_in == 0:
+            raise ValueError("personalized pagerank: no seed appears in "
+                             "the graph")
+        inv_k = 1.0 / k_in
+
+        def init_ranks(t: pa.Table, _ref=p_ref, _ik=inv_k) -> pa.Table:
+            s = ray.get(_ref)
+            m = np.isin(t["node"].to_numpy(zero_copy_only=False), s)
+            return pa.table({"node": t["node"],
+                             "rank": pa.array(np.where(m, _ik, 0.0))})
+
+    ranks = nodes.map_batches(init_ranks, batch_format="pyarrow").materialize()
 
     def stage1(g: pa.Table) -> pd.DataFrame:
         """Fused per-bucket: join ranks onto edges by src, contribute
@@ -281,16 +333,23 @@ def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
         )
         # non-dangling mass = Σ_edges rank(src)/deg(src); dangling = 1 − it
         non_dangling = partials.sum("in_sum") or 0.0
-        base = (1 - damping) / n_nodes + damping * (1.0 - non_dangling) / n_nodes
+        # uniform teleport: base(v) = coef/n ∀v; personalized: coef·p(v)
+        coef = (1 - damping) + damping * (1.0 - non_dangling)
+        base = coef / n_nodes
 
-        def stage2(g: pa.Table, base=base) -> pd.DataFrame:
+        def stage2(g: pa.Table, base=base, coef=coef) -> pd.DataFrame:
             nod = g.filter(pc.equal(g["_side"], 0)).select(["node"]).to_pandas()
             p = g.filter(pc.equal(g["_side"], 1)).select(["node", "in_sum"]).to_pandas()
             s = p.groupby("node", sort=False)["in_sum"].sum()
             in_sum = nod["node"].map(s).fillna(0.0).to_numpy()
+            if p_ref is None:
+                base_v = base
+            else:
+                m = np.isin(nod["node"].to_numpy(), ray.get(p_ref))
+                base_v = coef * np.where(m, inv_k, 0.0)
             return pd.DataFrame({
                 "node": nod["node"].to_numpy(),
-                "rank": base + damping * in_sum,
+                "rank": base_v + damping * in_sum,
             })
 
         partials_tag = coalesce_small(

@@ -340,3 +340,61 @@ def test_label_propagation_int64_keys(ray_session):
                                 node_broadcast_max=bmax).to_pandas()
         assert dict(zip(got["node"], got["label"])) == \
             {10: 10, 11: 10, 12: 10, 20: 12, 21: 12, 22: 12}
+
+
+def _numpy_ppr(edges, seeds, damping=0.85, iters=8):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    deg = np.zeros(N)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    in_graph = [s for s in seeds if s in idx]
+    p = np.zeros(N)
+    for s in in_graph:
+        p[idx[s]] = 1.0 / len(in_graph)
+    r = p.copy()
+    for _ in range(iters):
+        non_dangling = r[deg > 0].sum()
+        coef = (1 - damping) + damping * (1.0 - non_dangling)
+        new = coef * p
+        for s, d in edges:
+            new[idx[d]] += damping * r[idx[s]] / deg[idx[s]]
+        r = new
+    return {v: r[idx[v]] for v in nodes}
+
+
+@pytest.mark.parametrize("small_graph_edges", [0, 10**6])
+def test_personalized_pagerank_matches_numpy(ray_session, small_graph_edges):
+    """Seeded teleport on both execution paths vs the dense reference;
+    non-seed sinks get mass only through walks FROM the seeds."""
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1), (4, 5), (6, 1)]
+    seeds = [1, 99]  # 99 absent from the graph → ignored
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = pagerank(rd.from_pandas(df), iters=8, seeds=seeds,
+                   small_graph_edges=small_graph_edges).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+    want = _numpy_ppr(edges, seeds)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # proximity semantics: the seed outranks the far sink
+    assert got[1] > got[4]
+
+
+@pytest.mark.parametrize("small_graph_edges", [0, 10**6])
+def test_personalized_pagerank_all_seeds_absent(ray_session,
+                                                small_graph_edges):
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import pagerank
+
+    df = pd.DataFrame([(1, 2)], columns=["src", "dst"])
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(rd.from_pandas(df), iters=2, seeds=[42],
+                 small_graph_edges=small_graph_edges)
