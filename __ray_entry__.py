@@ -3640,6 +3640,111 @@ def q_kg_store_describe(sf_dir: str):
     return t.select(QUAD_COLS)
 
 
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H-Q10-shaped lost-revenue report: top-20 customers by revenue
+    from RETURNED line items. The returnflag predicate pushes into the
+    parquet scan (only 'R' rows leave storage); lineitem collapses to
+    per-order exact-cent partials map-side; the customer dimension
+    broadcasts once. Final total order (revenue DESC, custkey) over a
+    customer-sized table."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from cattle_ray.stages.aggregates import grouped_sums
+    from cattle_ray.stages.joins import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"],
+               rows_per_block=100000,
+               filter=(pc.field("l_returnflag") == "R"))
+
+    def rev(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "rev_e4": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), dpct))})
+
+    per_order = grouped_sums(li.map_batches(rev, batch_format="pyarrow"),
+                             ["l_orderkey"], ["rev_e4"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   rows_per_block=50000)
+    j = hash_join(per_order, orders, "l_orderkey", "o_orderkey")
+    per_cust = grouped_sums(
+        j.map_batches(lambda b: pa.table({"o_custkey": b["o_custkey"],
+                                          "rev_e4": b["sum_rev_e4"]}),
+                      batch_format="pyarrow"),
+        ["o_custkey"], ["rev_e4"])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"]).combine_chunks()
+    cust_ref = ray.put(cust)
+
+    def add_name(b: pa.Table) -> pa.Table:
+        lk = ray.get(cust_ref)
+        idx = pc.index_in(b["o_custkey"], value_set=lk["c_custkey"].chunk(0))
+        return pa.table({
+            "c_custkey": b["o_custkey"],
+            "c_name": pc.take(lk["c_name"].chunk(0), idx),
+            "revenue": pc.divide(pc.cast(b["sum_rev_e4"], pa.float64()),
+                                 pa.scalar(10000.0))})
+
+    named = per_cust.map_batches(add_name, batch_format="pyarrow")
+    return named.sort(["revenue", "c_custkey"],
+                      descending=[True, False]).limit(20)
+
+
+def q_discounted_brand_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate scan: revenue over OR-ed
+    (brand, size-range, quantity-range) arms. The part attributes
+    broadcast once (sorted partkey + brand/size arrays, one searchsorted
+    gather per batch); each block evaluates the whole disjunction
+    vectorized and leaves as ONE int64 partial — a scan query whose cost
+    is the read, like Q6, but with a dimension-dependent predicate."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+               rows_per_block=100000)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    brand = part["p_brand"].to_pandas().to_numpy()[order]
+    size = part["p_size"].to_numpy()[order]
+    ref = ray.put((pk[order], brand, size))
+
+    def partials(b: pa.Table) -> pa.Table:
+        pk_s, brand_s, size_s = ray.get(ref)
+        pos = np.searchsorted(pk_s, b["l_partkey"].to_numpy())
+        br, sz = brand_s[pos], size_s[pos]
+        q = pc.cast(pc.round(b["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy()
+        keep = (((br == "Brand#1") & (sz <= 10) & (q >= 1) & (q <= 15))
+                | ((br == "Brand#2") & (sz <= 20) & (q >= 10) & (q <= 25))
+                | ((br == "Brand#3") & (sz <= 30) & (q >= 20) & (q <= 35)))
+        cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(b["l_discount"], 100.0),
+                                round_mode="half_towards_infinity"),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(
+            pa.scalar(100, pa.int64()), dpct)).to_numpy()
+        return pa.table({"pe4": pa.array([int(rev[keep].sum())], pa.int64())})
+
+    total = li.map_batches(partials, batch_format="pyarrow").sum("pe4") or 0
+    return pd.DataFrame({"revenue": [total / 10000.0]})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3791,6 +3896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_part_by_brand": q_cheapest_part_by_brand,
         "kg_ppr": q_kg_ppr,
         "kg_store_describe": q_kg_store_describe,
+        "returned_item_revenue": q_returned_item_revenue,
+        "discounted_brand_revenue": q_discounted_brand_revenue,
     }
 
 
@@ -5406,6 +5513,33 @@ def oracle_sql() -> dict[str, str]:
                   WHERE pred = '{EX}score')
             SELECT e.subj, e.obj AS entity, s.obj AS score
             FROM e JOIN s USING (subj)
+        """,
+        "returned_item_revenue": """
+            WITH r AS (SELECT o_custkey,
+                              CAST(sum(CAST(round(l_extendedprice * 100)
+                                            AS BIGINT)
+                                       * (100 - CAST(round(l_discount * 100)
+                                                     AS BIGINT)))
+                                   AS BIGINT) AS rev_e4
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       WHERE l_returnflag = 'R'
+                       GROUP BY o_custkey)
+            SELECT c_custkey, c_name,
+                   CAST(rev_e4 AS DOUBLE) / 10000.0e0 AS revenue
+            FROM r JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "discounted_brand_revenue": """
+            SELECT coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+                   / 10000.0e0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND round(l_quantity) BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND round(l_quantity) BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND p_size <= 30
+                   AND round(l_quantity) BETWEEN 20 AND 35)
         """,
         "supplier_value": """
             WITH r AS (SELECT l_suppkey,

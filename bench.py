@@ -195,6 +195,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "cheapest_part_by_brand",
         "kg_ppr",
         "kg_store_describe",
+        "returned_item_revenue",
+        "discounted_brand_revenue",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
