@@ -3745,6 +3745,33 @@ def q_discounted_brand_revenue(sf_dir: str):
     return pd.DataFrame({"revenue": [total / 10000.0]})
 
 
+def q_doc_classifier_score(sf_dir: str):
+    """Model-scoring seam (fastText/DCLM-style quality classifier): a
+    linear model over hashed token n-grams scores every document — the
+    model is built once, broadcast via ray.put, loaded once per ACTOR in
+    __init__, and batches score fully vectorized (hash → bincount →
+    dot). Rows-only: feature hashing has no SQL mirror; exact-score
+    recompute and planted-truth ordering are pytest-pinned
+    (test_classify.py). A real trained model drops into the same seam as
+    (weights, bias)."""
+    import ray
+
+    from cattle_ray.stages.classify import LinearScorer, build_wordlist_model
+
+    model = build_wordlist_model(
+        1 << 18,
+        positive={"science": 2.0, "data": 1.0, "join": 1.0, "window": 1.0},
+        negative={"click": 2.0, "buy": 1.5}, bias=0.0)
+    ref = ray.put(model)
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LinearScorer, fn_constructor_kwargs=dict(model_ref=ref),
+        batch_format="pyarrow", concurrency=2)
+    return scored.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "score": pc.round(b["score"], 9)}),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3898,6 +3925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_store_describe": q_kg_store_describe,
         "returned_item_revenue": q_returned_item_revenue,
         "discounted_brand_revenue": q_discounted_brand_revenue,
+        "doc_classifier_score": q_doc_classifier_score,
     }
 
 

@@ -197,6 +197,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_store_describe",
         "returned_item_revenue",
         "discounted_brand_revenue",
+        "doc_classifier_score",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
