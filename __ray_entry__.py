@@ -3772,6 +3772,22 @@ def q_doc_classifier_score(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_property_roundtrip(sf_dir: str):
+    """Pivot→unpivot roundtrip: the wide property table explodes back into
+    (subj, pred, obj) long rows — UNPIVOT as a stateless zero-shuffle
+    Arrow kernel (non-null cells only). The oracle is the ORIGINAL triple
+    pattern set, so the roundtrip identity itself is what's checked."""
+    from cattle_ray.stages.aggregates import grouped_pivot, unpivot_batch
+
+    cats = {"v_rank": EX + "rank", "v_name": EX + "name",
+            "v_entity": EX + "entity", "v_score": EX + "score"}
+    wide = grouped_pivot(q_kg_csvw_triples(sf_dir), "subj", "pred", "obj",
+                         cats)
+    return wide.map_batches(
+        lambda b: unpivot_batch(b, "subj", cats),
+        batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3926,6 +3942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": q_returned_item_revenue,
         "discounted_brand_revenue": q_discounted_brand_revenue,
         "doc_classifier_score": q_doc_classifier_score,
+        "kg_property_roundtrip": q_kg_property_roundtrip,
     }
 
 
@@ -5475,6 +5492,9 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN pred = '{EX}entity' THEN obj END) AS v_entity,
                    max(CASE WHEN pred = '{EX}score' THEN obj END) AS v_score
             FROM triples GROUP BY subj
+        """,
+        "kg_property_roundtrip": _TRIPLE_BASE_CTE + """
+            SELECT subj, pred, obj FROM triples
         """,
         "kg_pattern_join": _TRIPLE_BASE_CTE + f""",
             r1 AS (SELECT subj FROM triples

@@ -198,6 +198,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "returned_item_revenue",
         "discounted_brand_revenue",
         "doc_classifier_score",
+        "kg_property_roundtrip",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -283,3 +283,30 @@ def grouped_pivot(ds, key: str, pred_col: str, val_col: str,
         return out.rename_columns([key] + names)
 
     return partials.groupby("_bucket").map_groups(finish, batch_format="pyarrow")
+
+
+def unpivot_batch(batch: pa.Table, key: str, value_cols: dict[str, str],
+                  pred_col: str = "pred", val_col: str = "obj") -> pa.Table:
+    """Inverse of :func:`grouped_pivot` — wide→long (UNPIVOT): each wide
+    row explodes into one (key, pred, value) row per NON-NULL category
+    column. Stateless zero-shuffle map kernel, pure Arrow (concat of
+    per-column slices — no per-row Python). ``value_cols`` maps wide
+    column name → emitted predicate value."""
+    import pyarrow.compute as pc
+
+    keys_out, preds_out, vals_out = [], [], []
+    for col, pred in value_cols.items():
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mask = pc.is_valid(arr)
+        k = batch[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        keys_out.append(k.filter(mask))
+        n = int(pc.sum(mask).as_py() or 0)
+        preds_out.append(pa.array([pred] * n, pa.string()))
+        vals_out.append(arr.filter(mask))
+    return pa.table({key: pa.concat_arrays(keys_out),
+                     pred_col: pa.concat_arrays(preds_out),
+                     val_col: pa.concat_arrays(vals_out)})

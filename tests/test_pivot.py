@@ -64,3 +64,21 @@ def test_grouped_pivot_schema_is_typed(ray_session):
     # key 1 has no "b" pred → null, not "nan" string
     row = out.set_index("k").loc[1]
     assert row["a_v"] == "x" and pd.isna(row["b_v"])
+
+
+def test_unpivot_roundtrip_and_nulls(ray_session):
+    """unpivot(pivot(x)) == x on non-null cells; null cells emit nothing."""
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import grouped_pivot, unpivot_batch
+
+    df = pd.DataFrame({"k": [1, 1, 2], "p": ["a", "b", "a"],
+                       "v": ["x", "y", "z"]})
+    cats = {"a_v": "a", "b_v": "b"}
+    wide = grouped_pivot(rd.from_pandas(df).repartition(2), "k", "p", "v",
+                         cats)
+    long = wide.map_batches(
+        lambda b: unpivot_batch(b, "k", cats, pred_col="p", val_col="v"),
+        batch_format="pyarrow").to_pandas()
+    got = set(map(tuple, long[["k", "p", "v"]].itertuples(index=False)))
+    assert got == {(1, "a", "x"), (1, "b", "y"), (2, "a", "z")}
