@@ -84,13 +84,15 @@ class LinearScorer:
 
         texts = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
         s = texts.to_pandas()
+        s.index = pd.RangeIndex(len(s))
         toks = s.str.findall(_TOKEN_RE)
         lens = toks.str.len().to_numpy().astype(np.int64)
-        flat = pd.Series([t for row in toks for t in row])
+        # explode keeps the doc position as the index — no Python flatten
+        flat = toks.explode().dropna()
         scores = np.full(len(s), self.b, np.float64)
         if len(flat):
             buckets = hash_tokens(flat) % self.dim
-            doc_ids = np.repeat(np.arange(len(s)), lens)
+            doc_ids = flat.index.to_numpy(dtype=np.int64)
             contrib = self.w[buckets]
             sums = np.bincount(doc_ids, weights=contrib, minlength=len(s))
             scores = self.b + sums / np.maximum(lens, 1)

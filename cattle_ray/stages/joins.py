@@ -664,9 +664,18 @@ def range_join_banded(left_ds, right_ds, *, left_key: str, right_key: str,
         raise ValueError(f"range_join_banded needs 0 <= lo < hi, "
                          f"got ({lo}, {hi})")
 
+    def _floor_band(ts: pa.Array) -> pa.Array:
+        # FLOOR division, not Arrow's truncating int divide — a negative
+        # timestamp (pre-epoch) truncates toward zero and lands one band
+        # high, silently missing cross-epoch pairs
+        v = ts.to_numpy(zero_copy_only=False)
+        return pa.array(np.floor_divide(v, hi), pa.int64())
+
     def band_left(b: pa.Table) -> pa.Table:
         ts = pc.cast(b[left_ts], pa.int64())
-        wk = pc.divide(ts, pa.scalar(hi, pa.int64()))
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        wk = _floor_band(ts)
         b = b.set_column(b.schema.get_field_index(left_ts), left_ts, ts)
         lower = b.append_column("_wk", wk)
         upper = b.append_column(
@@ -675,9 +684,10 @@ def range_join_banded(left_ds, right_ds, *, left_key: str, right_key: str,
 
     def band_right(b: pa.Table) -> pa.Table:
         ts = pc.cast(b[right_ts], pa.int64())
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
         b = b.set_column(b.schema.get_field_index(right_ts), right_ts, ts)
-        return b.append_column(
-            "_wk", pc.divide(ts, pa.scalar(hi, pa.int64())))
+        return b.append_column("_wk", _floor_band(ts))
 
     lb = left_ds.map_batches(band_left, batch_format="pyarrow")
     rb = right_ds.map_batches(band_right, batch_format="pyarrow")

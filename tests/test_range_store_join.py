@@ -131,3 +131,20 @@ def test_join_stores_copartitioned_rejects_mismatch(ray_session, tmp_path):
     write_triples_hash_partitioned(rd.from_arrow(t), db, num_partitions=4)
     with pytest.raises(ValueError, match="partition counts"):
         join_stores_copartitioned(da, db)
+
+
+def test_range_join_banded_negative_timestamps(ray_session):
+    """Pre-epoch (negative) timestamps must band by FLOOR division — a
+    truncating divide puts ts=-50 (band -1) in band 0 and misses the
+    cross-epoch pair."""
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import range_join_banded
+
+    left = pd.DataFrame({"u": [1], "ts": [-50], "tag": ["a"]})
+    right = pd.DataFrame({"u": [1], "ts": [40], "rtag": ["b"]})
+    out = range_join_banded(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_key="u", right_key="u", left_ts="ts", right_ts="ts",
+        lo=0, hi=100).to_pandas()
+    assert list(zip(out["tag"], out["rtag"])) == [("a", "b")]
