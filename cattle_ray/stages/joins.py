@@ -659,17 +659,25 @@ def range_join_banded(left_ds, right_ds, *, left_key: str, right_key: str,
 
     Right columns keep their names (``_r`` suffix on collision, pandas
     rules via :func:`hash_join`'s machinery). Returns matching pairs only
-    (inner)."""
-    if not (0 <= lo < hi):
-        raise ValueError(f"range_join_banded needs 0 <= lo < hi, "
+    (inner).
+
+    ``lo < 0`` (a window straddling zero, e.g. ``(-w, w]`` = "within w
+    either way") widens the band to ``W = max(hi, -lo)`` and emits the
+    left row into THREE bands (w−1, w, w+1): any pair with |Δ| ≤ W has
+    band distance ∈ {−1, 0, +1}, and the right row still sits in exactly
+    one band, so each true pair still meets exactly once."""
+    if not (lo < hi and hi > 0):
+        raise ValueError(f"range_join_banded needs lo < hi and hi > 0, "
                          f"got ({lo}, {hi})")
+    band_w = max(hi, -lo)
+    left_bands = (0, 1) if lo >= 0 else (-1, 0, 1)
 
     def _floor_band(ts: pa.Array) -> pa.Array:
         # FLOOR division, not Arrow's truncating int divide — a negative
         # timestamp (pre-epoch) truncates toward zero and lands one band
         # high, silently missing cross-epoch pairs
         v = ts.to_numpy(zero_copy_only=False)
-        return pa.array(np.floor_divide(v, hi), pa.int64())
+        return pa.array(np.floor_divide(v, band_w), pa.int64())
 
     def band_left(b: pa.Table) -> pa.Table:
         ts = pc.cast(b[left_ts], pa.int64())
@@ -677,10 +685,10 @@ def range_join_banded(left_ds, right_ds, *, left_key: str, right_key: str,
             ts = ts.combine_chunks()
         wk = _floor_band(ts)
         b = b.set_column(b.schema.get_field_index(left_ts), left_ts, ts)
-        lower = b.append_column("_wk", wk)
-        upper = b.append_column(
-            "_wk", pc.add(wk, pa.scalar(1, pa.int64())))
-        return pa.concat_tables([lower, upper])
+        return pa.concat_tables([
+            b.append_column("_wk", pc.add(wk, pa.scalar(d, pa.int64())))
+            for d in left_bands
+        ])
 
     def band_right(b: pa.Table) -> pa.Table:
         ts = pc.cast(b[right_ts], pa.int64())

@@ -148,3 +148,37 @@ def test_range_join_banded_negative_timestamps(ray_session):
         left_key="u", right_key="u", left_ts="ts", right_ts="ts",
         lo=0, hi=100).to_pandas()
     assert list(zip(out["tag"], out["rtag"])) == [("a", "b")]
+
+
+def test_range_join_banded_straddling_window(ray_session):
+    """lo < 0 ('within w either way'): 3-band emit finds pairs on BOTH
+    sides of the left row, exactly once each, vs the quadratic reference."""
+    import numpy as np
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import range_join_banded
+
+    rng = np.random.RandomState(11)
+    n = 200
+    df = pd.DataFrame({"u": rng.randint(0, 6, n),
+                       "ts": rng.randint(-1000, 1000, n).astype("int64"),
+                       "i": np.arange(n)})
+    lo, hi = -150, 150
+    m = df.merge(df, on="u", suffixes=("_a", "_b"))
+    d = m["ts_b"] - m["ts_a"]
+    ref = set(zip(m.loc[(d > lo) & (d <= hi), "i_a"],
+                  m.loc[(d > lo) & (d <= hi), "i_b"]))
+
+    ds = rd.from_pandas(df).repartition(4)
+    left = ds.map_batches(
+        lambda b: pa.table({"u": b["u"], "ts": b["ts"], "i_a": b["i"]}),
+        batch_format="pyarrow")
+    right = ds.map_batches(
+        lambda b: pa.table({"u": b["u"], "ts": b["ts"], "i_b": b["i"]}),
+        batch_format="pyarrow")
+    out = range_join_banded(left, right, left_key="u", right_key="u",
+                            left_ts="ts", right_ts="ts",
+                            lo=lo, hi=hi).to_pandas()
+    got = list(zip(out["i_a"], out["i_b"]))
+    assert len(got) == len(set(got)) == len(ref)
+    assert set(got) == ref
