@@ -3788,6 +3788,25 @@ def q_kg_property_roundtrip(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_obj_lookup(sf_dir: str):
+    """(?, ?, o) point read via the OBJECT-routed secondary index: the
+    triple set also materializes hash-partitioned by object, so a
+    reverse lookup ("which subjects say anything with value o?") opens
+    exactly ONE partition file — 1/P of the index at any scale — instead
+    of scanning every subject partition. The oracle checks the whole
+    write→route→read roundtrip of the secondary index."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        match_triples, write_triples_hash_partitioned)
+
+    out_dir = tempfile.mkdtemp(prefix="kg_obj_idx_", dir="/tmp")
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8, key="obj")
+    t = match_triples(out_dir, obj="Entity7")  # point read (obj-routed)
+    return t.select(QUAD_COLS)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3943,6 +3962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_brand_revenue": q_discounted_brand_revenue,
         "doc_classifier_score": q_doc_classifier_score,
         "kg_property_roundtrip": q_kg_property_roundtrip,
+        "kg_obj_lookup": q_kg_obj_lookup,
     }
 
 
@@ -5549,6 +5569,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
+        """,
+        "kg_obj_lookup": _TRIPLE_BASE_CTE + """
+            SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+            FROM triples WHERE obj = 'Entity7'
         """,
         "kg_store_describe": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang

@@ -199,6 +199,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "discounted_brand_revenue",
         "doc_classifier_score",
         "kg_property_roundtrip",
+        "kg_obj_lookup",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

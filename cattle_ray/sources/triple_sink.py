@@ -31,12 +31,15 @@ def subj_partition_id(subj: str, num_partitions: int) -> int:
     return int(_key_buckets(pa.array([subj or ""]), num_partitions)[0])
 
 
-def add_subj_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+def add_subj_partition(batch: pa.Table, num_partitions: int,
+                       key: str = "subj") -> pa.Table:
     """Vectorized partition routing (was a per-row crc32 Python loop — the
-    write path's per-row hot spot at corpus scale)."""
+    write path's per-row hot spot at corpus scale). ``key`` selects the
+    routing column — ``subj`` for the primary adjacency layout, ``obj``
+    for the secondary (?, ?, o) index."""
     from ..stages.joins import _key_buckets
 
-    col = batch["subj"]
+    col = batch[key]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
@@ -75,9 +78,33 @@ def read_triples_for_subject(out_dir: str, subj: str,
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    return read_triples_for_key(out_dir, subj, key="subj",
+                                num_partitions=num_partitions)
+
+
+def read_triples_for_key(out_dir: str, value: str, *, key: str | None = None,
+                         num_partitions: int | None = None):
+    """Point read by the store's routing column: opens exactly ONE
+    partition file (``hash(value) % P``) and row-filters it. ``key=None``
+    uses the store's recorded routing key; passing a key that doesn't
+    match the store's raises — routing by the wrong column would silently
+    return an empty/partial result."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    recorded = store_key(out_dir)
+    if key is None:
+        key = recorded
+    elif key != recorded:
+        raise ValueError(
+            f"store {out_dir!r} is routed by {recorded!r}, not {key!r} — "
+            "a point read on the wrong column would miss rows")
     if num_partitions is None:
         num_partitions = store_num_partitions(out_dir)
-    pid = subj_partition_id(subj, num_partitions)
+    pid = subj_partition_id(value, num_partitions)
     path = f"{out_dir}/part_id={pid}/data.parquet"
     if not os.path.exists(path):  # empty partition was never written
         any_part = glob.glob(f"{out_dir}/part_id=*/data.parquet")
@@ -85,18 +112,26 @@ def read_triples_for_subject(out_dir: str, subj: str,
             raise FileNotFoundError(f"no partitions in {out_dir!r}")
         return pq.read_schema(any_part[0]).empty_table()
     tbl = pq.read_table(path)
-    return tbl.filter(pc.equal(tbl["subj"], subj))
+    return tbl.filter(pc.equal(tbl[key], value))
 
 
-def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int = 16):
-    """Hash-partition by subj, per-partition subject sort, one Parquet dir per
-    partition (resumable unit). Returns the written partition manifest."""
+def write_triples_hash_partitioned(triples_ds, out_dir: str,
+                                   num_partitions: int = 16,
+                                   key: str = "subj"):
+    """Hash-partition by ``key`` (default subj — the adjacency layout;
+    ``obj`` writes the secondary (?, ?, o) index), per-partition sort with
+    the routing key leading, one Parquet dir per partition (resumable
+    unit). The routing key and P are recorded in ``_meta.json`` —
+    readers route point reads by them, and neither can be inferred from
+    the layout. Returns the written partition manifest."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     with_part = triples_ds.map_batches(
-        lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
+        lambda b: add_subj_partition(b, num_partitions, key),
+        batch_format="pyarrow"
     )
+    sort_keys = [key] + [c for c in ("subj", "pred", "obj") if c != key]
 
     def write_group(g: pa.Table) -> pa.Table:
         # pure-Arrow path: zero pandas round-trip on the full triple payload
@@ -104,7 +139,7 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
 
         pid = int(g["part_id"][0].as_py())
         g = g.drop_columns(["part_id"]).sort_by(
-            [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
+            [(c, "ascending") for c in sort_keys]
         )
         pdir = os.path.join(out_dir, f"part_id={pid}")
         os.makedirs(pdir, exist_ok=True)
@@ -125,9 +160,19 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str, num_partitions: int
 
     tmp = os.path.join(out_dir, "._meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"num_partitions": num_partitions}, f)
+        json.dump({"num_partitions": num_partitions, "key": key}, f)
     os.replace(tmp, os.path.join(out_dir, "_meta.json"))
     return out
+
+
+def store_key(out_dir: str) -> str:
+    """The store's write-time routing column (``_meta.json``; stores
+    written before the key was recorded are subject-routed)."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        return json.load(f).get("key", "subj")
 
 
 def match_triples(out_dir: str, *, subj: str | None = None,
@@ -142,29 +187,34 @@ def match_triples(out_dir: str, *, subj: str | None = None,
       the pred/obj predicates pushed into the scan (row-group pruning +
       column projection), returning a streaming Dataset.
 
-    Returns a pyarrow Table for the subject-bound point read (small by
+    When the store is OBJECT-routed (a secondary ``key="obj"`` index),
+    the obj-bound pattern takes the point read instead and subj becomes a
+    post-filter — so a (?, ?, o) lookup costs 1/P of the data too.
+
+    Returns a pyarrow Table for a routing-key-bound point read (small by
     construction), else a Ray Dataset. ``num_partitions=None`` uses the
     store's recorded count (``_meta.json``).
     """
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
 
-    if subj is not None:
-        tbl = read_triples_for_subject(out_dir, subj, num_partitions)
-        if pred is not None:
-            tbl = tbl.filter(pc.equal(tbl["pred"], pred))
-        if obj is not None:
-            tbl = tbl.filter(pc.equal(tbl["obj"], obj))
+    route = store_key(out_dir)
+    bound = {"subj": subj, "pred": pred, "obj": obj}
+    if bound.get(route) is not None:
+        tbl = read_triples_for_key(out_dir, bound[route], key=route,
+                                   num_partitions=num_partitions)
+        for col, v in bound.items():
+            if v is not None and col != route:
+                tbl = tbl.filter(pc.equal(tbl[col], v))
         return tbl.select(columns) if columns else tbl
 
     import ray.data as rd
 
     expr = None
-    if pred is not None:
-        expr = pads.field("pred") == pred
-    if obj is not None:
-        e = pads.field("obj") == obj
-        expr = e if expr is None else (expr & e)
+    for col, v in bound.items():
+        if v is not None:
+            e = pads.field(col) == v
+            expr = e if expr is None else (expr & e)
     import glob
 
     parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
@@ -197,10 +247,16 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                 f"store {out_dir!r} was written with num_partitions="
                 f"{recorded}, merge requested {num_partitions} — rows would "
                 "hash to the wrong partitions")
+        rk = store_key(out_dir)
+        if rk != "subj":
+            raise ValueError(
+                f"store {out_dir!r} is routed by {rk!r}; merge routes by "
+                "subj — rows would land in the wrong partitions. Rebuild "
+                "the secondary index from the merged primary instead.")
     else:
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"num_partitions": num_partitions}, f)
+            json.dump({"num_partitions": num_partitions, "key": "subj"}, f)
         os.replace(tmp, meta_path)
     with_part = new_triples_ds.map_batches(
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
@@ -301,6 +357,13 @@ def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
         raise ValueError(
             f"co-partitioned join needs equal partition counts: "
             f"{dir_a!r} has {pa_n}, {dir_b!r} has {pb_n}")
+    for d in (dir_a, dir_b):
+        rk = store_key(d)
+        if rk != key:
+            raise ValueError(
+                f"store {d!r} is routed by {rk!r} but the join key is "
+                f"{key!r} — partition-local joins on a non-routing column "
+                "would silently drop matches")
 
     @ray.remote
     def join_part(pid: int) -> pa.Table:

@@ -182,3 +182,33 @@ def test_range_join_banded_straddling_window(ray_session):
     got = list(zip(out["i_a"], out["i_b"]))
     assert len(got) == len(set(got)) == len(ref)
     assert set(got) == ref
+
+
+def test_obj_routed_store_point_read(ray_session, tmp_path):
+    """Object-routed secondary index: the obj-bound pattern takes a
+    one-partition point read; subj-bound against the same store raises
+    (wrong routing column would miss rows); copart join validates keys."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        join_stores_copartitioned, match_triples, read_triples_for_key,
+        store_key, write_triples_hash_partitioned)
+
+    t = _quads([f"s{i}" for i in range(30)], "p:x",
+               [f"o{i % 5}" for i in range(30)])
+    d = str(tmp_path / "objidx")
+    write_triples_hash_partitioned(rd.from_arrow(t), d, num_partitions=8,
+                                   key="obj")
+    assert store_key(d) == "obj"
+    got = match_triples(d, obj="o3")
+    assert isinstance(got, pa.Table)
+    assert sorted(got["subj"].to_pylist()) == sorted(
+        f"s{i}" for i in range(30) if i % 5 == 3)
+    # wrong routing column raises instead of silently missing rows
+    with pytest.raises(ValueError, match="routed by"):
+        read_triples_for_key(d, "s1", key="subj")
+    # copart join on subj against an obj-routed store refuses
+    ds2 = str(tmp_path / "subjstore")
+    write_triples_hash_partitioned(rd.from_arrow(t), ds2, num_partitions=8)
+    with pytest.raises(ValueError, match="routing"):
+        join_stores_copartitioned(ds2, d, key="subj")
