@@ -3807,6 +3807,23 @@ def q_kg_obj_lookup(sf_dir: str):
     return t.select(QUAD_COLS)
 
 
+def q_kg_bgp_chain(sf_dir: str):
+    """Generic BGP evaluation (the SPARQL SELECT core): a 3-pattern graph
+    pattern — ``?s rank "2" . ?s entity ?e . ?s score ?v`` — planned by
+    :func:`~cattle_ray.stages.bgp.evaluate_bgp`: per-pattern constant
+    filters BEFORE any shuffle, then one co-partitioned join per pattern
+    on the shared variables. The hand-written kg_pattern_join shape,
+    generalized to arbitrary patterns."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    out = evaluate_bgp(q_kg_csvw_triples(sf_dir), [
+        ("?s", EX + "rank", "2"),
+        ("?s", EX + "entity", "?e"),
+        ("?s", EX + "score", "?v"),
+    ])
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_extract_text": q_kg_extract_text,
@@ -3963,6 +3980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier_score": q_doc_classifier_score,
         "kg_property_roundtrip": q_kg_property_roundtrip,
         "kg_obj_lookup": q_kg_obj_lookup,
+        "kg_bgp_chain": q_kg_bgp_chain,
     }
 
 
@@ -5569,6 +5587,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
+        """,
+        "kg_bgp_chain": _TRIPLE_BASE_CTE + f""",
+            rk AS (SELECT subj FROM triples
+                   WHERE pred = '{EX}rank' AND obj = '2'),
+            en AS (SELECT subj, obj FROM triples
+                   WHERE pred = '{EX}entity'),
+            sc AS (SELECT subj, obj FROM triples
+                   WHERE pred = '{EX}score')
+            SELECT rk.subj AS s, en.obj AS e, sc.obj AS v
+            FROM rk JOIN en USING (subj) JOIN sc USING (subj)
         """,
         "kg_obj_lookup": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang

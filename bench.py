@@ -200,6 +200,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_classifier_score",
         "kg_property_roundtrip",
         "kg_obj_lookup",
+        "kg_bgp_chain",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

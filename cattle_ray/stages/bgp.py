@@ -1,0 +1,102 @@
+"""Basic-graph-pattern evaluation — the SPARQL SELECT core over the
+triple Dataset.
+
+A BGP is a list of ``(s, p, o)`` patterns whose terms are either constant
+strings or variables (``"?name"``); the answer is one row per variable
+binding satisfying EVERY pattern. This generalizes the hand-written
+pattern queries (kg_pattern_join) into a small planner with the engine's
+shuffle discipline baked in:
+
+- each pattern's constants filter the triple stream BEFORE anything
+  shuffles (pattern selectivity is the whole game at 10^12 triples), and
+  only its variable columns survive the projection;
+- patterns fold left-to-right through co-partitioned equi joins on ALL
+  variables shared with the accumulated bindings (a composite key —
+  ONE exchange per pattern, the same-key discipline as
+  :func:`~.joins.cogroup_left`);
+- a pattern sharing NO variable with the accumulated bindings would be a
+  cartesian product — a corpus-scale bug, not a feature — and raises
+  (reorder the patterns so each connects);
+- a variable repeated WITHIN a pattern (``?x p ?x``) becomes an equality
+  filter before projection.
+
+The input triple Dataset is materialized once when more than one pattern
+consumes it. For store-backed evaluation, feed per-pattern
+``match_triples(store, pred=…)`` streams instead — the same fold applies.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_POS = ("subj", "pred", "obj")
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def pattern_bindings(triples_ds, pattern):
+    """One pattern → Dataset of its variable bindings (constants filtered
+    out map-side, variable columns projected and renamed)."""
+    terms = list(pattern)
+    if len(terms) != 3:
+        raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
+    out_vars: list[str] = []
+    for col, term in zip(_POS, terms):
+        if _is_var(term) and term[1:] not in out_vars:
+            out_vars.append(term[1:])
+    if not out_vars:
+        raise ValueError(f"pattern {pattern!r} binds no variable")
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = None
+        for col, term in zip(_POS, terms):
+            if not _is_var(term):
+                c = pc.equal(b[col], term)
+                mask = c if mask is None else pc.and_(mask, c)
+        # repeated variable inside the pattern = equality constraint
+        seen: dict[str, str] = {}
+        for col, term in zip(_POS, terms):
+            if _is_var(term):
+                if term in seen:
+                    c = pc.equal(b[col], b[seen[term]])
+                    mask = c if mask is None else pc.and_(mask, c)
+                else:
+                    seen[term] = col
+        if mask is not None:
+            b = b.filter(mask)
+        return pa.table({term[1:]: b[col] for term, col in
+                         ((t, c) for c, t in zip(_POS, terms)
+                          if _is_var(t))})
+
+    return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
+
+
+def evaluate_bgp(triples_ds, patterns, *, num_buckets: int = 32):
+    """Evaluate a basic graph pattern; returns a Dataset with one column
+    per variable (no ``?`` prefix), one row per satisfying binding
+    (bag semantics, like SPARQL without DISTINCT)."""
+    from .joins import hash_join
+
+    if not patterns:
+        raise ValueError("empty BGP")
+    if len(patterns) > 1:
+        triples_ds = triples_ds.materialize()  # one scan per pattern
+
+    acc, bound = pattern_bindings(triples_ds, patterns[0])
+    bound = list(bound)
+    for pattern in patterns[1:]:
+        stream, pvars = pattern_bindings(triples_ds, pattern)
+        shared = [v for v in pvars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"pattern {pattern!r} shares no variable with the bindings "
+                f"so far ({bound}) — a cartesian product at corpus scale; "
+                "reorder the patterns so each connects")
+        acc = hash_join(acc, stream, shared, shared,
+                        num_buckets=num_buckets)
+        bound += [v for v in pvars if v not in bound]
+    return acc.map_batches(lambda b: b.select(bound),
+                           batch_format="pyarrow")

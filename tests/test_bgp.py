@@ -1,0 +1,80 @@
+"""BGP evaluator — planning rules and binding semantics."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _triples(rows):
+    s, p, o = zip(*rows)
+    return pa.table({"subj": list(s), "pred": list(p), "obj": list(o)})
+
+
+ROWS = [
+    ("a", "type", "Doc"), ("b", "type", "Doc"), ("c", "type", "Page"),
+    ("a", "about", "E1"), ("b", "about", "E2"), ("c", "about", "E1"),
+    ("E1", "in", "X"), ("E2", "in", "Y"),
+    ("loop", "self", "loop"),
+]
+
+
+def _eval(patterns, parts=3):
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(parts)
+    return evaluate_bgp(ds, patterns).to_pandas()
+
+
+def test_two_pattern_join(ray_session):
+    out = _eval([("?d", "type", "Doc"), ("?d", "about", "?e")])
+    got = set(zip(out["d"], out["e"]))
+    assert got == {("a", "E1"), ("b", "E2")}
+
+
+def test_three_pattern_chain(ray_session):
+    """Chained variables across three patterns: doc → entity → region."""
+    out = _eval([("?d", "type", "Doc"), ("?d", "about", "?e"),
+                 ("?e", "in", "?r")])
+    got = set(zip(out["d"], out["e"], out["r"]))
+    assert got == {("a", "E1", "X"), ("b", "E2", "Y")}
+    assert list(out.columns) == ["d", "e", "r"]
+
+
+def test_object_to_subject_join(ray_session):
+    """The join variable may appear in different POSITIONS per pattern."""
+    out = _eval([("?e", "in", "X"), ("?d", "about", "?e")])
+    got = set(zip(out["e"], out["d"]))
+    assert got == {("E1", "a"), ("E1", "c")}
+
+
+def test_repeated_variable_within_pattern(ray_session):
+    out = _eval([("?x", "self", "?x")])
+    assert list(out["x"]) == ["loop"]
+
+
+def test_disconnected_pattern_raises(ray_session):
+    with pytest.raises(ValueError, match="cartesian"):
+        _eval([("?d", "type", "Doc"), ("?e", "in", "X")])
+
+
+def test_no_variable_pattern_raises(ray_session):
+    with pytest.raises(ValueError, match="binds no variable"):
+        _eval([("a", "type", "Doc")])
+
+
+def test_bag_semantics_and_partitions(ray_session):
+    """Duplicate satisfying rows multiply (SPARQL bag semantics), at any
+    partitioning."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = ROWS + [("a", "about", "E1")]  # duplicate edge
+    for parts in (1, 4):
+        ds = rd.from_arrow(_triples(rows)).repartition(parts)
+        out = evaluate_bgp(
+            ds, [("?d", "type", "Doc"), ("?d", "about", "?e")]).to_pandas()
+        assert sorted(zip(out["d"], out["e"])) == [
+            ("a", "E1"), ("a", "E1"), ("b", "E2")]
