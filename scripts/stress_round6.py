@@ -202,6 +202,72 @@ def main():
 
     timed("url_normalize_2M", setup_urls)
 
+    # --- BGP: 3-pattern chain over 9M triples --------------------------
+    def setup_bgp():
+        n_subj = 3_000_000
+        rng = np.random.RandomState(5)
+        subj = np.char.add("s", np.arange(n_subj).astype("U8"))
+        parts = [
+            pa.table({"subj": pa.array(subj),
+                      "pred": pa.array(["rank"] * n_subj),
+                      "obj": pa.array((np.arange(n_subj) % 5)
+                                      .astype("U2"))}),
+            pa.table({"subj": pa.array(subj),
+                      "pred": pa.array(["entity"] * n_subj),
+                      "obj": pa.array(np.char.add(
+                          "E", rng.randint(0, 50_000,
+                                           n_subj).astype("U6")))}),
+            pa.table({"subj": pa.array(subj),
+                      "pred": pa.array(["score"] * n_subj),
+                      "obj": pa.array(rng.randint(0, 1000, n_subj)
+                                      .astype("U4"))}),
+        ]
+        ds = rd.from_arrow(pa.concat_tables(parts)) \
+            .repartition(48).materialize()
+
+        def run():
+            from cattle_ray.stages.bgp import evaluate_bgp
+
+            out = evaluate_bgp(ds, [("?s", "rank", "2"),
+                                    ("?s", "entity", "?e"),
+                                    ("?s", "score", "?v")])
+            return {"bindings": int(out.count())}
+
+        return run
+
+    timed("bgp_3pattern_9M_triples", setup_bgp)
+
+    # --- classifier scoring: 1M docs through the actor pool -------------
+    def setup_classifier():
+        import ray as _ray
+
+        from cattle_ray.stages.classify import build_wordlist_model
+
+        n = 1_000_000
+        words = np.array(["science", "click", "alpha", "beta", "gamma",
+                          "proof", "buy", "delta"])
+        rng = np.random.RandomState(2)
+        texts = np.char.add(
+            np.char.add(words[rng.randint(0, 8, n)], " "),
+            np.char.add(words[rng.randint(0, 8, n)],
+                        np.char.add(" ", words[rng.randint(0, 8, n)])))
+        ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())})) \
+            .repartition(32).materialize()
+        ref = _ray.put(build_wordlist_model(
+            1 << 18, positive={"science": 2.0}, negative={"click": 1.0}))
+
+        def run():
+            from cattle_ray.stages.classify import LinearScorer
+
+            out = ds.map_batches(
+                LinearScorer, fn_constructor_kwargs=dict(model_ref=ref),
+                batch_format="pyarrow", concurrency=16)
+            return {"rows": int(out.count())}
+
+        return run
+
+    timed("classifier_score_1M_docs", setup_classifier)
+
     print(json.dumps(out))
     ray.shutdown()
 
