@@ -187,6 +187,22 @@ def cmd_store(args):
             print(line)
 
 
+def cmd_validate(args):
+    """Constraint-rule violation counts over a partitioned triple store:
+    rules JSON in (the metadata-as-program surface applied to graph QA),
+    one {rule: violations} JSON object out. Row-local rules cost one
+    zero-shuffle streaming pass over the store's parallel scan."""
+    _ensure_ray(args.num_cpus)
+    from .sources.triple_sink import match_triples
+    from .stages.validate import validate_triples
+
+    rules = json.load(open(args.rules))
+    ds = match_triples(args.store, num_partitions=args.partitions)
+    out = validate_triples(ds, rules)
+    print(json.dumps(dict(zip(out["rule"].to_pylist(),
+                              out["violations"].to_pylist()))))
+
+
 def cmd_curate(args):
     """Config-driven corpus curation: documents parquet or FLAT JSONL in
     (one JSON object per line with doc columns — pages-shaped JSONL goes
@@ -277,6 +293,13 @@ def main(argv=None):
     w.add_argument("out", help="output directory (range-partitioned parts)")
     w.add_argument("--iters", type=int, default=10)
     w.set_defaults(fn=cmd_webrank)
+
+    va = sub.add_parser("validate", help="constraint-rule violation counts "
+                                         "over a partitioned triple store")
+    va.add_argument("store")
+    va.add_argument("rules", help="JSON rule list (stages/validate.py)")
+    va.add_argument("--partitions", type=int, default=None)
+    va.set_defaults(fn=cmd_validate)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")
