@@ -74,21 +74,13 @@ def pattern_bindings(triples_ds, pattern):
     return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
 
 
-def evaluate_bgp(triples_ds, patterns, *, num_buckets: int = 32):
-    """Evaluate a basic graph pattern; returns a Dataset with one column
-    per variable (no ``?`` prefix), one row per satisfying binding
-    (bag semantics, like SPARQL without DISTINCT)."""
+def _fold_bindings(streams, num_buckets: int):
+    """Join per-pattern binding streams left-to-right on shared variables."""
     from .joins import hash_join
 
-    if not patterns:
-        raise ValueError("empty BGP")
-    if len(patterns) > 1:
-        triples_ds = triples_ds.materialize()  # one scan per pattern
-
-    acc, bound = pattern_bindings(triples_ds, patterns[0])
-    bound = list(bound)
-    for pattern in patterns[1:]:
-        stream, pvars = pattern_bindings(triples_ds, pattern)
+    (acc, bound0), rest = streams[0], streams[1:]
+    bound = list(bound0)
+    for stream, pvars, pattern in rest:
         shared = [v for v in pvars if v in bound]
         if not shared:
             raise ValueError(
@@ -100,3 +92,46 @@ def evaluate_bgp(triples_ds, patterns, *, num_buckets: int = 32):
         bound += [v for v in pvars if v not in bound]
     return acc.map_batches(lambda b: b.select(bound),
                            batch_format="pyarrow")
+
+
+def evaluate_bgp(triples_ds, patterns, *, num_buckets: int = 32):
+    """Evaluate a basic graph pattern; returns a Dataset with one column
+    per variable (no ``?`` prefix), one row per satisfying binding
+    (bag semantics, like SPARQL without DISTINCT)."""
+    if not patterns:
+        raise ValueError("empty BGP")
+    if len(patterns) > 1:
+        triples_ds = triples_ds.materialize()  # one scan per pattern
+
+    first = pattern_bindings(triples_ds, patterns[0])
+    streams = [first] + [
+        (*pattern_bindings(triples_ds, p), p) for p in patterns[1:]]
+    return _fold_bindings(streams, num_buckets)
+
+
+def evaluate_bgp_store(store_dir: str, patterns, *, num_buckets: int = 32):
+    """BGP over a hash-partitioned triple STORE with read-level pruning
+    per pattern: each pattern's constants push into its own scan
+    (pred/obj parquet row-group filters; a pattern binding the store's
+    routing key collapses to a ONE-partition point read), so a selective
+    pattern never reads the store's full width — the storage-layer
+    complement of :func:`evaluate_bgp`'s in-stream filters."""
+    import ray.data as rd
+
+    from ..sources.triple_sink import match_triples
+
+    if not patterns:
+        raise ValueError("empty BGP")
+
+    def stream_for(pattern):
+        consts = {col: t for col, t in zip(_POS, pattern)
+                  if not _is_var(t)}
+        got = match_triples(store_dir, **consts)
+        if isinstance(got, pa.Table):  # point read → tiny in-memory side
+            got = rd.from_arrow(got)
+        return got
+
+    first = pattern_bindings(stream_for(patterns[0]), patterns[0])
+    streams = [first] + [
+        (*pattern_bindings(stream_for(p), p), p) for p in patterns[1:]]
+    return _fold_bindings(streams, num_buckets)

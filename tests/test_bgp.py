@@ -78,3 +78,30 @@ def test_bag_semantics_and_partitions(ray_session):
             ds, [("?d", "type", "Doc"), ("?d", "about", "?e")]).to_pandas()
         assert sorted(zip(out["d"], out["e"])) == [
             ("a", "E1"), ("a", "E1"), ("b", "E2")]
+
+
+def test_bgp_store_matches_in_memory(ray_session, tmp_path):
+    """Store-backed BGP (read-pruned per-pattern scans, point read on the
+    routing key) returns the same bindings as the in-memory evaluation."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    full = _triples(ROWS)
+    quads = full.append_column(
+        "obj_is_iri", pa.array([False] * full.num_rows)).append_column(
+        "obj_datatype", pa.array([None] * full.num_rows, pa.string())
+    ).append_column("obj_lang", pa.array([None] * full.num_rows, pa.string()))
+    store = str(tmp_path / "bgpstore")
+    write_triples_hash_partitioned(rd.from_arrow(quads), store,
+                                   num_partitions=4)
+    patterns = [("a", "about", "?e"),      # subj-bound → point read
+                ("?d", "about", "?e"),     # pred-bound scan
+                ("?e", "in", "?r")]
+    got = evaluate_bgp_store(store, patterns).to_pandas()
+    want = evaluate_bgp(rd.from_arrow(_triples(ROWS)), patterns).to_pandas()
+    key = sorted(got.columns)
+    assert sorted(map(tuple, got[key].itertuples(index=False))) == \
+        sorted(map(tuple, want[key].itertuples(index=False)))
+    assert len(got) > 0
