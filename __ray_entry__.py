@@ -3816,12 +3816,33 @@ def q_kg_bgp_chain(sf_dir: str):
     generalized to arbitrary patterns."""
     from cattle_ray.stages.bgp import evaluate_bgp
 
-    out = evaluate_bgp(q_kg_csvw_triples(sf_dir), [
+    return evaluate_bgp(q_kg_csvw_triples(sf_dir), [
         ("?s", EX + "rank", "2"),
         ("?s", EX + "entity", "?e"),
         ("?s", EX + "score", "?v"),
-    ])
-    return out
+    ], num_buckets=8)  # pattern streams are selective; right-size the joins
+
+
+def q_kg_bgp_store(sf_dir: str):
+    """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
+    PARTITIONED STORE with per-pattern read pruning
+    (:func:`~cattle_ray.stages.bgp.evaluate_bgp_store`): each pattern's
+    constants push into its own parquet scan, so the rank pattern reads
+    only rank row groups. The oracle checks the whole
+    write→prune→match→join roundtrip."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    out_dir = tempfile.mkdtemp(prefix="kg_bgp_store_", dir="/tmp")
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8)
+    return evaluate_bgp_store(out_dir, [
+        ("?s", EX + "rank", "2"),
+        ("?s", EX + "entity", "?e"),
+        ("?s", EX + "score", "?v"),
+    ], num_buckets=8)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -3981,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_roundtrip": q_kg_property_roundtrip,
         "kg_obj_lookup": q_kg_obj_lookup,
         "kg_bgp_chain": q_kg_bgp_chain,
+        "kg_bgp_store": q_kg_bgp_store,
     }
 
 
@@ -4234,6 +4256,13 @@ def _pii_redact_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the store-backed BGP answers the SAME pattern set as the in-memory one
+    d = _oracle_sql_base()
+    d["kg_bgp_store"] = d["kg_bgp_chain"]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     mention_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{w}' AS alias, "
         f"CAST(len(regexp_extract_all(text, '\\b{w}\\b')) AS BIGINT) AS n "

@@ -201,6 +201,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_property_roundtrip",
         "kg_obj_lookup",
         "kg_bgp_chain",
+        "kg_bgp_store",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
