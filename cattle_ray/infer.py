@@ -50,12 +50,37 @@ def infer_column(values: list[str]) -> dict:
     return {"datatype": "xsd:string"}
 
 
+def sniff_encoding(raw: bytes) -> str:
+    """BOM + UTF-8-validity encoding heuristic (the reference's build path
+    ships ``chardet``, ``/root/reference/src/requirements.txt:2``; this
+    container has no chardet, and for the CSV shapes that matter the
+    decision tree is deterministic): a BOM wins outright; else bytes that
+    decode as strict UTF-8 are UTF-8 (ASCII is a subset); else latin-1 —
+    the classic single-byte fallback that maps every byte, so ``build``
+    never crashes on legacy-encoded files (the metadata records the choice
+    and the convert-path reader honors it, ``csv_source.py``)."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if raw.startswith(b"\xff\xfe"):
+        return "utf-16"
+    if raw.startswith(b"\xfe\xff"):
+        return "utf-16"
+    try:
+        raw.decode("utf-8", errors="strict")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"
+
+
 def infer_metadata(csv_path: str, base: str | None = None, sample_lines: int = 100) -> dict:
     import csv as _csv
     import os
 
     base = base or f"https://example.org/{os.path.basename(csv_path)}"
-    with open(csv_path, encoding="utf-8") as f:
+    with open(csv_path, "rb") as fb:
+        raw = fb.read(1 << 20)  # 1 MB head is plenty for a dialect sniff
+    encoding = sniff_encoding(raw)
+    with open(csv_path, encoding=encoding) as f:
         head = [next(f, "") for _ in range(sample_lines)]
     head = [ln for ln in head if ln]
     delim = sniff_delimiter(head)
@@ -69,7 +94,7 @@ def infer_metadata(csv_path: str, base: str | None = None, sample_lines: int = 1
         columns.append(spec)
     return {
         "@id": base,
-        "dialect": {"delimiter": delim, "quoteChar": '"', "encoding": "utf-8"},
+        "dialect": {"delimiter": delim, "quoteChar": '"', "encoding": encoding},
         "aboutUrl": f"{base}/row/{{_row}}",
         "tableSchema": {"columns": columns},
     }

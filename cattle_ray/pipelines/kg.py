@@ -160,6 +160,6 @@ def csv_to_nquads(csv_path: str, metadata: dict, graph: str):
         CsvwConvert,
         fn_constructor_kwargs=dict(template=metadata, graph=graph),
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     return triples, nquads_lines(triples)

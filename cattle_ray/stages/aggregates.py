@@ -266,7 +266,11 @@ def grouped_pivot(ds, key: str, pred_col: str, val_col: str,
                 batch[val_col], pa.scalar(None, batch[val_col].type))
         t = pa.table(cols)
         out = t.group_by([key]).aggregate([(n, "max") for n in names])
-        return out.rename_columns([key] + names)
+        # rebuild BY NAME — pyarrow's group_by column order (key first vs
+        # aggregates first) has flipped across releases; a positional
+        # rename would silently swap key and value columns on a bump
+        return pa.table({key: out[key],
+                         **{n: out[f"{n}_max"] for n in names}})
 
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         lambda b: add_key_bucket(b, [key], num_buckets), batch_format="pyarrow"
@@ -280,7 +284,8 @@ def grouped_pivot(ds, key: str, pred_col: str, val_col: str,
         # no bool-before-string group_by hazard.
         out = g.drop_columns(["_bucket"]).group_by([key]).aggregate(
             [(n, "max") for n in names])
-        return out.rename_columns([key] + names)
+        return pa.table({key: out[key],  # by-name rebuild, see partial()
+                         **{n: out[f"{n}_max"] for n in names}})
 
     return partials.groupby("_bucket").map_groups(finish, batch_format="pyarrow")
 

@@ -20,6 +20,12 @@ shuffle discipline baked in:
 - a variable repeated WITHIN a pattern (``?x p ?x``) becomes an equality
   filter before projection.
 
+- ``OPTIONAL`` pattern groups left-join onto the required bindings
+  (unmatched rows carry NULL — mirrors a SQL LEFT JOIN one-to-one);
+- ``FILTER`` constraints are vectorized pyarrow predicates over the final
+  bindings; comparing an unbound OPTIONAL variable drops the row (SPARQL
+  error-is-false ≙ SQL WHERE over the mirroring LEFT JOIN).
+
 The input triple Dataset is materialized once when more than one pattern
 consumes it. For store-backed evaluation, feed per-pattern
 ``match_triples(store, pred=…)`` streams instead — the same fold applies.
@@ -75,7 +81,8 @@ def pattern_bindings(triples_ds, pattern):
 
 
 def _fold_bindings(streams, num_buckets: int):
-    """Join per-pattern binding streams left-to-right on shared variables."""
+    """Join per-pattern binding streams left-to-right on shared variables.
+    Returns ``(acc_dataset, bound_vars)``."""
     from .joins import hash_join
 
     (acc, bound0), rest = streams[0], streams[1:]
@@ -90,32 +97,113 @@ def _fold_bindings(streams, num_buckets: int):
         acc = hash_join(acc, stream, shared, shared,
                         num_buckets=num_buckets)
         bound += [v for v in pvars if v not in bound]
-    return acc.map_batches(lambda b: b.select(bound),
-                           batch_format="pyarrow")
+    return acc, bound
 
 
-def evaluate_bgp(triples_ds, patterns, *, num_buckets: int = 32):
+#: FILTER comparators — vectorized pyarrow kernels; a comparison against a
+#: NULL optional binding yields null and the row drops (SQL WHERE / SPARQL
+#: error-is-false semantics)
+_FILTER_OPS = {
+    "=": pc.equal, "!=": pc.not_equal,
+    "<": pc.less, "<=": pc.less_equal,
+    ">": pc.greater, ">=": pc.greater_equal,
+}
+
+
+def _apply_filters(ds, filters):
+    """``filters`` = list of ``(?var, op, value)`` with op in
+    ``= != < <= > >= contains bound`` and value a constant, another
+    ``?var``, or (for ``bound``) True/False. All vectorized; conjunctive."""
+    if not filters:
+        return ds
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = None
+        for var, op, val in filters:
+            col = b[var[1:] if _is_var(var) else var]
+            if op == "contains":
+                c = pc.match_substring(col, val)
+            elif op == "bound":
+                c = pc.is_valid(col) if val else pc.is_null(col)
+            elif op in _FILTER_OPS:
+                rhs = b[val[1:]] if _is_var(val) else val
+                c = _FILTER_OPS[op](col, rhs)
+            else:
+                raise ValueError(f"unknown FILTER op {op!r}")
+            mask = c if mask is None else pc.and_(mask, c)
+        return b.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _attach_optionals(acc, bound, optional_groups, streams_for, num_buckets):
+    """Left-join each OPTIONAL pattern group onto the required bindings.
+    A group is itself a small BGP (folded with the same discipline); its
+    bindings attach on the variables shared with ``bound`` — unmatched
+    rows keep NULL for the group's new variables (SPARQL OPTIONAL)."""
+    from .joins import hash_join
+
+    for group in optional_groups or []:
+        group = [group] if isinstance(group, tuple) else list(group)
+        gstreams = [(*streams_for(p), p) for p in group]
+        g_acc, g_vars = _fold_bindings(
+            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        shared = [v for v in g_vars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"OPTIONAL group {group!r} shares no variable with the "
+                f"required bindings ({bound})")
+        g_acc = g_acc.map_batches(
+            lambda b, cols=tuple(g_vars): b.select(list(cols)),
+            batch_format="pyarrow")
+        acc = hash_join(acc, g_acc, shared, shared, how="left",
+                        num_buckets=num_buckets)
+        bound += [v for v in g_vars if v not in bound]
+    return acc, bound
+
+
+def evaluate_bgp(triples_ds, patterns, *, optional=None, filters=None,
+                 num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
-    (bag semantics, like SPARQL without DISTINCT)."""
+    (bag semantics, like SPARQL without DISTINCT).
+
+    ``optional``: list of OPTIONAL pattern groups (each a list of
+    patterns, or a single pattern tuple) left-joined onto the required
+    bindings — unmatched rows carry NULL for the group's variables.
+    ``filters``: list of ``(?var, op, value)`` FILTER constraints
+    (see :func:`_apply_filters`) applied after all joins — a comparison
+    on an unbound OPTIONAL variable drops the row, exactly like SQL WHERE
+    over the mirroring LEFT JOIN."""
     if not patterns:
         raise ValueError("empty BGP")
-    if len(patterns) > 1:
+    n_scans = len(patterns) + sum(
+        1 if isinstance(g, tuple) else len(g) for g in (optional or []))
+    if n_scans > 1:
         triples_ds = triples_ds.materialize()  # one scan per pattern
 
     first = pattern_bindings(triples_ds, patterns[0])
     streams = [first] + [
         (*pattern_bindings(triples_ds, p), p) for p in patterns[1:]]
-    return _fold_bindings(streams, num_buckets)
+    acc, bound = _fold_bindings(streams, num_buckets)
+    acc, bound = _attach_optionals(
+        acc, bound, optional,
+        lambda p: pattern_bindings(triples_ds, p), num_buckets)
+    acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
+                          batch_format="pyarrow")
+    return _apply_filters(acc, filters)
 
 
-def evaluate_bgp_store(store_dir: str, patterns, *, num_buckets: int = 32):
+def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
+                       filters=None, num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
     routing key collapses to a ONE-partition point read), so a selective
     pattern never reads the store's full width — the storage-layer
-    complement of :func:`evaluate_bgp`'s in-stream filters."""
+    complement of :func:`evaluate_bgp`'s in-stream filters. ``optional``
+    and ``filters`` as in :func:`evaluate_bgp` (OPTIONAL patterns get the
+    same pruned scans)."""
     import ray.data as rd
 
     from ..sources.triple_sink import match_triples
@@ -134,4 +222,10 @@ def evaluate_bgp_store(store_dir: str, patterns, *, num_buckets: int = 32):
     first = pattern_bindings(stream_for(patterns[0]), patterns[0])
     streams = [first] + [
         (*pattern_bindings(stream_for(p), p), p) for p in patterns[1:]]
-    return _fold_bindings(streams, num_buckets)
+    acc, bound = _fold_bindings(streams, num_buckets)
+    acc, bound = _attach_optionals(
+        acc, bound, optional,
+        lambda p: pattern_bindings(stream_for(p), p), num_buckets)
+    acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
+                          batch_format="pyarrow")
+    return _apply_filters(acc, filters)

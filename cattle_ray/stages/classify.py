@@ -111,7 +111,11 @@ def classifier_filter(ds, model_ref, threshold: float, *,
     scored = ds.map_batches(
         LinearScorer,
         fn_constructor_kwargs=dict(model_ref=model_ref, text_col=text_col),
-        batch_format="pyarrow", concurrency=concurrency)
+        batch_format="pyarrow",
+        # autoscaling pool: a fixed-size pool can pin every CPU and starve
+        # the upstream read / downstream filter (see lm_score's Scorer)
+        concurrency=(1, concurrency) if isinstance(concurrency, int)
+        else concurrency)
     return scored.map_batches(
         lambda b: b.filter(pc.greater_equal(b["score"],
                                             threshold)).drop_columns(

@@ -171,7 +171,15 @@ def convert_batch(
 
     if not chunks:
         return TRIPLE_SCHEMA.empty_table()
-    return pa.concat_tables(chunks)
+    out = pa.concat_tables(chunks)
+    # {{ }} expression templates render NULL to signal "skip this triple"
+    # (COW conditional-skip); drop any triple with a null term
+    valid = pc.and_(pc.and_(pc.is_valid(out["subj"]),
+                            pc.is_valid(out["pred"])),
+                    pc.is_valid(out["obj"]))
+    if not pc.all(valid).as_py():
+        out = out.filter(valid)
+    return out
 
 
 def _emit_collection(

@@ -319,7 +319,11 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
     sigs = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col, ngram=ngram),
-        batch_format="pyarrow", concurrency=concurrency,
+        batch_format="pyarrow",
+        # autoscaling pool: a fixed-size pool can pin every CPU and starve
+        # the upstream read / downstream shuffle (see lm_score's Scorer)
+        concurrency=(1, concurrency) if isinstance(concurrency, int)
+        else concurrency,
     )
     if sig_path is not None:
         import os
@@ -394,6 +398,48 @@ def minhash_dedup_pairs(ds, id_col="doc_id", text_col="text", threshold=0.8, ngr
         return _verify_pairs_batch(batch, sa, sb, threshold)
 
     return withs.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_verified_pairs(ds, id_col="doc_id", text_col="text",
+                           threshold=0.9, ngram=1, est_margin=0.15,
+                           num_buckets=64, **kw):
+    """MinHash+LSH candidates, then EXACT n-gram Jaccard verification —
+    the checkable face of MinHash dedup: given the text, the output is a
+    pure function (no signature noise in the result), so it mirrors
+    one-to-one in SQL (all pairs with true Jaccard ≥ threshold) and joins
+    the hash-checked oracle family, unlike the estimate-only
+    :func:`minhash_dedup_pairs`.
+
+    The LSH candidate filter runs at ``threshold - est_margin``: the
+    128-hash estimator's binomial noise (σ ≈ 0.027 at j ≈ 0.9) would
+    otherwise drop truly-above-threshold pairs; with the margin, a miss
+    needs a 5σ+ estimate deviation AND banding recall failure (≈1e-15 at
+    r=4, b=32) — deterministic in practice. Exact Jaccard is then
+    recomputed ONLY over the candidate sub-corpus (semi-join of docs to
+    candidate ids — the quadratic token join touches near-dup docs only,
+    never the corpus), and pairs keep iff true jaccard ≥ threshold.
+    Output: (a, b, intersection, jaccard), a < b."""
+    from .aggregates import distinct
+    from .joins import hash_join, semi_join
+
+    cand = minhash_dedup_pairs(
+        ds, id_col=id_col, text_col=text_col,
+        threshold=max(0.0, threshold - est_margin), ngram=ngram,
+        num_buckets=num_buckets, **kw).materialize()
+    ids = distinct(cand.map_batches(
+        lambda t: pa.table({"id": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])}),
+        batch_format="pyarrow"), ["id"])
+    sub = semi_join(ds, ids, id_col, "id", num_buckets=num_buckets)
+    exact = jaccard_pairs(sub, id_col=id_col, text_col=text_col, n=ngram,
+                          min_jaccard=threshold, num_buckets=num_buckets)
+    # verified-candidate semantics: keep exact pairs that WERE candidates
+    j = hash_join(exact, cand.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow"),
+        ["a", "b"], ["a", "b"], num_buckets=num_buckets)
+    return j.map_batches(
+        lambda t: t.select(["a", "b", "intersection", "jaccard"]),
+        batch_format="pyarrow")
 
 
 _CC_EMPTY = pa.schema([("id", pa.int64()), ("label", pa.int64())])

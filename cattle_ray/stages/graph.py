@@ -143,6 +143,11 @@ def _pagerank_numpy_task(block_refs: list, iters: int, damping: float,
 #: memory-bound, on 100 GB-class workers
 SMALL_GRAPH_EDGES = 2_000_000
 
+# "no seed" marker for scc's backward root-reach — must not collide with a
+# real node id (node ids span the full int64 range: hashed uris). Guarded
+# with an explicit raise in scc() rather than silently mislabeling.
+_SCC_SENTINEL = -(2 ** 63)
+
 
 def pagerank(edges_ds, *, damping: float = 0.85, iters: int = 10,
              num_buckets: int | None = None,
@@ -1333,6 +1338,9 @@ def scc(edges_ds, *, src: str = "s", dst: str = "o", max_rounds: int = 30,
             batch_format="pyarrow"), ["id"])
 
     all_nodes = node_census(edges64).materialize()
+    if all_nodes.min("id") == _SCC_SENTINEL:  # 2^-64 hash event, loud > wrong
+        raise ValueError("scc: a node id equals INT64_MIN, the reserved "
+                         "root-reach sentinel — remap that id")
     remaining = edges64
     assigned_parts = []
 
@@ -1360,18 +1368,23 @@ def scc(edges_ds, *, src: str = "s", dst: str = "o", max_rounds: int = 30,
         e_rev = e_cls.map_batches(
             lambda t: pa.table({"u": t["v"], "v": t["u"]}),
             batch_format="pyarrow").materialize()
-        # 3. backward root-reach: seed = id at roots, 0 elsewhere; the
-        # only value a class can propagate is its own root id, so a
-        # non-zero fixpoint label IS the scc id
+        # 3. backward root-reach: seed = id at roots, INT64_MIN elsewhere
+        # (NOT 0 — node ids are arbitrary int64, e.g. uri hashes, so half
+        # of real roots are non-positive and a 0 sentinel would never let
+        # them settle). Max-propagation floors non-reached nodes at the
+        # sentinel; the only value a class can propagate is its own root
+        # id, so any non-sentinel fixpoint label IS the scc id.
         seeds = colors.map_batches(
             lambda t: pa.table({
                 "id": t["id"],
                 "label": pc.if_else(pc.equal(t["id"], t["label"]),
-                                    t["id"], pa.scalar(0, pa.int64()))}),
+                                    t["id"],
+                                    pa.scalar(_SCC_SENTINEL, pa.int64()))}),
             batch_format="pyarrow")
         reach = _dir_max_fixpoint(e_rev, seeds, num_buckets)
         members = reach.map_batches(
-            lambda t: t.filter(pc.greater(t["label"], 0)),
+            lambda t: t.filter(pc.not_equal(
+                t["label"], pa.scalar(_SCC_SENTINEL, pa.int64()))),
             batch_format="pyarrow").map_batches(
             lambda t: pa.table({"node": t["id"], "scc": t["label"]}),
             batch_format="pyarrow").materialize()

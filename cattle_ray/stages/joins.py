@@ -321,7 +321,17 @@ def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
     EXPLICIT Arrow schema (pandas merge results otherwise degrade bytes/str
     columns to ``object`` dtype, which breaks schema propagation into
     chained joins); with ``how="left"`` the right side's integer columns
-    become float64 (NaN for unmatched rows)."""
+    become float64 (NaN for unmatched rows).
+
+    NULL-key contract (SQL semantics, uniform across BOTH execution
+    paths): a NULL join key never matches anything. Inner joins drop
+    null-keyed rows from both sides; ``how="left"``/``"right"`` drop them
+    from the probe side only, so preserved-side rows with null keys come
+    out unmatched (exactly like DuckDB). Without the explicit filter the
+    pandas fallback would match NaN↔NaN, making results depend on which
+    execution path the key-name shape selects. For SQL-correct FULL outer
+    semantics use :func:`full_outer_join` (``how="outer"`` here inherits
+    pandas NaN-matching)."""
     left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
     out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, how)
     unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
@@ -357,7 +367,29 @@ def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
         return unioned.groupby("_bucket").map_groups(
             join_bucket, batch_format="pyarrow")
 
+    import functools
+
+    # which sides get their null-keyed rows dropped (docstring contract)
+    drop_left_nulls = how in ("inner", "right")
+    drop_right_nulls = how in ("inner", "left")
+
     def join_bucket(g: pa.Table) -> pa.Table:
+        # filter null keys IN ARROW, before _split_sides' to_pandas — a
+        # genuinely-null int64 key column would otherwise land in pandas
+        # as float64 and corrupt ids above 2^53
+        side = g["_side"]
+        keep = None
+        if drop_left_nulls:
+            lvalid = functools.reduce(
+                pc.and_, [pc.is_valid(g[k]) for k in lkeys])
+            keep = pc.or_(pc.not_equal(side, 0), lvalid)
+        if drop_right_nulls:
+            rvalid = functools.reduce(
+                pc.and_, [pc.is_valid(g[k]) for k in rkeys])
+            rkeep = pc.or_(pc.not_equal(side, 1), rvalid)
+            keep = rkeep if keep is None else pc.and_(keep, rkeep)
+        if keep is not None:
+            g = g.filter(keep)
         l, r = _split_sides(g, left_side, right_side)
         out = l.merge(r, left_on=left_on, right_on=right_on, how=how,
                       suffixes=("", "_r"))

@@ -263,7 +263,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
                        id_col: str = "vec_id", vec_col: str = "embedding",
                        sample_size: int = 2048, seed: int = 42,
-                       keep_vec: bool = False):
+                       keep_vec: bool = False, spill_dir: str | None = None):
     """Distributed Lloyd's k-means over the FULL embedding corpus (the
     SemDeDup-style clustering primitive: cluster-balanced sampling,
     semantic dedup, IVF refinement all start here).
@@ -275,13 +275,28 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
     partials (n_clusters × #batches rows, sorted for deterministic float
     summation) into the next centroid matrix. Init = numpy Lloyd on a
     driver-side sample (same as IVF). Returns (centroids, assignments
-    Dataset with one (id, cluster_id) row per vector)."""
-    import ray
+    Dataset with one (id, cluster_id) row per vector).
 
-    # consumed iters+2 times (sample, one partials pass per iteration, the
-    # final assign) — materialize once instead of re-running the upstream
-    # read/map pipeline every pass
-    ds = ds.materialize()
+    The input is consumed iters+2 times (sample, one partials pass per
+    iteration, the final assign). Rather than ``materialize()`` — which
+    would pin the whole corpus in the object store / spill files for the
+    run's duration — the (id, vec) PROJECTION is written to Parquet once
+    (``spill_dir``, default a fresh dir under the system tmp) and each
+    pass lazily re-reads it, the same storage-backed pattern as
+    :func:`ivf_build`. The spill dir is NOT auto-deleted: the returned
+    assignment Dataset reads from it lazily; pass ``spill_dir`` to place
+    (and later clean) it explicitly."""
+    import tempfile
+
+    import ray
+    import ray.data as rd
+
+    if spill_dir is None:
+        spill_dir = tempfile.mkdtemp(prefix="cattle_kmeans_")
+    ds.map_batches(
+        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+    ).write_parquet(spill_dir)
+    ds = rd.read_parquet(spill_dir)
     head = ds.limit(sample_size).to_pandas()
     if head.empty:
         raise ValueError("kmeans_distributed: input dataset is empty")
@@ -352,7 +367,8 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
 def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
                    iters: int = 3, id_col: str = "vec_id",
                    vec_col: str = "embedding", sample_size: int = 2048,
-                   num_buckets: int = 32, seed: int = 42):
+                   num_buckets: int = 32, seed: int = 42,
+                   spill_dir: str | None = None):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
     cluster the corpus embeddings with :func:`kmeans_distributed`, then
     WITHIN each cluster drop every vector whose cosine similarity to any
@@ -372,7 +388,7 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,
     _cent, assigns = kmeans_distributed(
         ds, n_clusters=n_clusters, iters=iters, id_col=id_col,
         vec_col=vec_col, sample_size=sample_size, seed=seed,
-        keep_vec=True)
+        keep_vec=True, spill_dir=spill_dir)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(

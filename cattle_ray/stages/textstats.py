@@ -760,8 +760,15 @@ def doc_kgram_batch(batch: pa.Table, k: int, id_col: str = "doc_id",
     })
 
 
+#: default ceiling on the broadcast bigram table (rows). ~40 B/row of
+#: Arrow strings+int64 → ≈200 MB in every scorer actor at the cap; above
+#: it lm_score falls back to co-partitioned joins (no broadcast at all).
+LM_BROADCAST_MAX = 5_000_000
+
+
 def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
-             scale: int = 1_000_000, broadcast_max: int = 5_000_000,
+             scale: int = 1_000_000, broadcast_max: int = LM_BROADCAST_MAX,
+             min_count: int = 1, top_v: int | None = None,
              num_buckets: int = 32):
     """Corpus-trained bigram fluency score (the CCNet-style LM quality
     signal with EXACT arithmetic): per doc, the sum of scaled conditional
@@ -770,11 +777,25 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
     bit-exact at any partitioning and mirrors verbatim in SQL (no float
     log-prob summation-order flake).
 
-    Scale shape: bigram + context counts are each ONE map-side-combined
-    count; the count tables are vocab-bounded and broadcast once
+    Scale shape: ONE corpus-sized map-side-combined bigram count (context
+    counts c(w1,·) fold from the pair table — no second corpus pass, and
+    the bigram stream itself is never materialized); the count tables are
+    vocab-bounded and broadcast once
     (``ray.put``) — the guide's small-side lookup pattern — and every doc
     scores in one vectorized ``index_in`` + gather per batch. Output:
     (id, n_bigrams, score) with score = Σ p_q (int64).
+
+    The bigram table grows with the corpus (~4M distinct pairs at 100k web
+    docs, unbounded beyond); two knobs bound the broadcast bytes at scale:
+    ``min_count`` drops pairs seen fewer times (a pruned pair scores 0 —
+    its true conditional probability is ≤ min_count/c(w1) ≈ the noise
+    floor), and ``top_v`` keeps only the most frequent pairs (ties broken
+    by (w1, w2) — deterministic). Context counts c(w1,·) stay EXACT so
+    surviving pairs score identically. Pruning applies on BOTH execution
+    paths, so broadcast and join mode agree at any setting; SQL mirrors it
+    as ``HAVING count(*) >= min_count`` / a top-V CTE. Above
+    ``broadcast_max`` SURVIVING pairs, scoring switches to co-partitioned
+    joins (nothing broadcast at all).
     """
     import ray
 
@@ -798,16 +819,23 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
             "w2": pa.array(nxt[m], pa.string()),
         })
 
-    big = ds.map_batches(doc_bigrams, batch_format="pyarrow").materialize()
+    # the bigram stream is CORPUS-sized — never materialized (that would
+    # pin it in the object store); it's recomputed for the scoring pass
+    big = ds.map_batches(doc_bigrams, batch_format="pyarrow")
     c2 = partial_count(
         big.map_batches(lambda b: b.select(["w1", "w2"]),
                         batch_format="pyarrow"),
         ["w1", "w2"], num_buckets=num_buckets)
-    c1 = partial_count(
-        big.map_batches(lambda b: b.select(["w1"]), batch_format="pyarrow"),
-        ["w1"], num_buckets=num_buckets)
-
     c2 = c2.materialize()
+    # context counts derive from the (much smaller) pair table: c(w1,·) =
+    # Σ_w2 c(w1,w2) — saves a second corpus-sized census pass. Derived
+    # BEFORE any pruning so surviving pairs keep their exact denominator.
+    from .aggregates import grouped_sums as _gs
+
+    c1 = _gs(c2, ["w1"], ["n"], num_buckets=num_buckets).map_batches(
+        lambda b: pa.table({"w1": b["w1"],
+                            "n": pc.cast(b["sum_n"], pa.int64())}),
+        batch_format="pyarrow").materialize()
     n_pairs = c2.count()
     if n_pairs == 0:
         # corpus with no bigrams at all (every doc < 2 tokens): empty
@@ -824,21 +852,36 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: pa.array([], id_t),
             "n_bigrams": pa.array([], pa.int64()),
             "score": pa.array([], pa.int64())}))
-    if n_pairs > broadcast_max:
-        # bigram table too big to broadcast: score through TWO composite
-        # co-partitioned joins instead (the counts join the pair stream;
-        # nothing driver-sized anywhere). Same exact arithmetic.
+    # ---- broadcast-bounding prunes (docstring: pruned pairs score 0) ----
+    if min_count > 1:
+        c2 = c2.map_batches(
+            lambda b: b.filter(pc.greater_equal(
+                pc.cast(b["n"], pa.int64()),
+                pa.scalar(min_count, pa.int64()))),
+            batch_format="pyarrow").materialize()
+    if top_v is not None and c2.count() > top_v:
+        c2 = (c2.sort(["n", "w1", "w2"], descending=[True, False, False])
+              .limit(top_v).materialize())
+
+    if c2.count() > broadcast_max:
+        # bigram table too big to broadcast even after pruning: score
+        # through TWO composite co-partitioned joins instead (the counts
+        # join the pair stream; nothing driver-sized anywhere). Same
+        # arithmetic — pruned pairs left-join to a 0 count.
         return _lm_score_joined(big, c2, c1, id_col, scale, num_buckets)
 
     # vocab-bounded broadcast lookup tables (join-free scoring)
-    def collect(dset) -> pa.Table:
-        return pa.concat_tables(
-            [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-             for b in dset.iter_batches(batch_format="pyarrow",
-                                        batch_size=65536)])
+    def collect(dset, schema: pa.Schema) -> pa.Table:
+        tbls = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                for b in dset.iter_batches(batch_format="pyarrow",
+                                           batch_size=65536)]
+        return pa.concat_tables(tbls) if tbls else schema.empty_table()
 
-    c2_tbl = collect(c2)
-    c1_tbl = collect(c1)
+    c2_tbl = collect(c2, pa.schema([("w1", pa.string()),
+                                    ("w2", pa.string()),
+                                    ("n", pa.int64())]))
+    c1_tbl = collect(c1, pa.schema([("w1", pa.string()),
+                                    ("n", pa.int64())]))
     ref = ray.put((c2_tbl["w1"].combine_chunks(),
                    c2_tbl["w2"].combine_chunks(),
                    c2_tbl["n"].combine_chunks().cast(pa.int64()),
@@ -871,7 +914,11 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
                                  "pq": pa.array([], pa.int64())})
             q = pd.MultiIndex.from_arrays(
                 [b["w1"].to_pandas(), b["w2"].to_pandas()])
-            cb = self.n2[self.idx2.get_indexer(q)]
+            idx = self.idx2.get_indexer(q)
+            # -1 = pair pruned from the broadcast table → scores 0
+            cb = np.where(idx >= 0,
+                          self.n2[np.maximum(idx, 0)]
+                          if len(self.n2) else 0, 0)
             cu = self.n1[self.idx1.get_indexer(b["w1"].to_pandas())]
             pq = (cb * scale) // cu  # exact int floor-div, both engines
             return pa.table({id_col: b[id_col],
@@ -879,7 +926,13 @@ def lm_score(ds, id_col: str = "doc_id", text_col: str = "text",
 
     from .aggregates import grouped_sums
 
-    scored = big.map_batches(Scorer, batch_format="pyarrow", concurrency=8)
+    # AUTOSCALING pool (1, 8), never a fixed int: a fixed-size pool grabs
+    # one CPU per actor up front, and with a lazy upstream + the grouped
+    # sum's all-to-all downstream it can pin EVERY cpu and deadlock the
+    # streaming executor (reproduced at num_cpus=8; the tuple form scales
+    # up only when spare resources exist)
+    scored = big.map_batches(Scorer, batch_format="pyarrow",
+                             concurrency=(1, 8))
     out = grouped_sums(scored, [id_col], ["pq"], num_buckets=num_buckets)
     return out.map_batches(
         lambda b: pa.table({id_col: b[id_col],
@@ -1015,9 +1068,11 @@ def bpe_counter_factory(merges):
 def _lm_score_joined(big, c2, c1, id_col: str, scale: int,
                      num_buckets: int):
     """The larger-than-broadcast path of :func:`lm_score`: per-pair counts
-    arrive by a composite (w1, w2) co-partitioned join, context counts by a
-    w1 join; the floor-div and the per-doc sum are unchanged, so both paths
-    produce identical scores (parametrized in tests)."""
+    arrive by a composite (w1, w2) co-partitioned LEFT join (left so that
+    pairs pruned by min_count/top_v stay in the stream and score 0 — the
+    same row census as the broadcast path), context counts by a w1 join;
+    the floor-div and the per-doc sum are unchanged, so both paths produce
+    identical scores (parametrized in tests)."""
     from .aggregates import grouped_sums
     from .joins import hash_join
 
@@ -1026,12 +1081,16 @@ def _lm_score_joined(big, c2, c1, id_col: str, scale: int,
         batch_format="pyarrow")
     c1r = c1.map_batches(
         lambda b: b.rename_columns(["u1", "c_ctx"]), batch_format="pyarrow")
-    j = hash_join(big, c2r, ["w1", "w2"], ["p1", "p2"],
+    j = hash_join(big, c2r, ["w1", "w2"], ["p1", "p2"], how="left",
                   num_buckets=num_buckets)
     j = hash_join(j, c1r, "w1", "u1", num_buckets=num_buckets)
 
     def pq(b: pa.Table) -> pa.Table:
-        cb = b["c_pair"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # unmatched (pruned) pairs arrive as null OR NaN (the left join's
+        # pandas path floats the right ints) → count 0; counts ≪ 2^53 so
+        # the float round-trip is exact
+        cb_f = b["c_pair"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = np.nan_to_num(cb_f, nan=0.0).astype(np.int64)
         cu = b["c_ctx"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({id_col: b[id_col],
                          "pq": pa.array((cb * scale) // cu, pa.int64())})

@@ -15,9 +15,11 @@ handled with vectorized pandas string ops; query-string rewriting
 that HAVE a query string (the doc_normalize ASCII-prefilter discipline —
 the overwhelming majority of crawl URLs skip it vectorized).
 
-Scope (documented, tested): absolute http(s) URLs. Userinfo, IDN and
-percent-encoding normalization are out of scope — rows that don't match
-the absolute-URL shape pass through unchanged.
+Scope (documented, tested): absolute http(s) URLs with plain reg-name
+hosts. Rows that don't match the absolute-URL shape — and rows whose
+authority carries userinfo or an IPv6 literal (case-sensitive
+credentials, bracketed hosts) — pass through UNCHANGED; IDN and
+percent-encoding normalization are out of scope.
 """
 
 from __future__ import annotations
@@ -50,6 +52,11 @@ def normalize_url_series(s: pd.Series) -> pd.Series:
     ext = s.str.extract(_HEAD_RE)
     head, tail = ext[0], ext[1]
     bad = head.isna()  # not an absolute http(s)-style URL → pass through
+    # authorities with userinfo ('@' — case-sensitive credentials must not
+    # be lowercased) or an IPv6 literal ('[' — breaks the default-port
+    # regex's host class) take the same pass-through as bad rows rather
+    # than an inconsistent half-normalization (documented scope)
+    bad |= head.str.contains(r"://[^/?#]*[@\[]", regex=True, na=False)
 
     head = head.fillna("")
     tail = tail.fillna("")

@@ -25,6 +25,7 @@ values containing reserved characters and only those round-trip through
 
 from __future__ import annotations
 
+import ast
 import re
 from dataclasses import dataclass, field
 from urllib.parse import quote
@@ -35,6 +36,7 @@ import pyarrow.compute as pc
 from .model import XSD
 
 _PLACEHOLDER_RE = re.compile(r"\{([^{}]+)\}")
+_EXPR_RE = re.compile(r"\{\{(.+?)\}\}", re.DOTALL)
 # Characters safe inside an IRI path/query segment substitution (RFC 3986/3987
 # unreserved + sub-delims commonly kept by csv2rdf implementations).
 _IRI_SAFE = "-._~!$&'()*+,;=:@"
@@ -80,6 +82,87 @@ def iri_encode_array(arr: pa.Array) -> pa.Array:
     return pa.array(out, pa.string())
 
 
+class SafeExpr:
+    """A COW-style ``{{ }}`` template expression, compiled once on the
+    driver and evaluated per row (expressions are the documented
+    NON-vectorized slow path — the common ``{column}`` forms stay on the
+    pyarrow kernels).
+
+    The expression language is a whitelisted Python subset validated by AST
+    walk before compilation: literals, column names (plus ``_row``),
+    arithmetic/comparison/boolean operators, the conditional
+    ``X if COND else Y``, ``in``/``not in``, subscripts/slices, calls to a
+    small builtin set (``str int float len abs min max round``) and to
+    non-underscore string methods (``lower/upper/strip/replace/zfill/…``).
+    Anything else — attributes starting with ``_`` (dunder sandbox
+    escapes), lambdas, comprehensions, assignments, imports — is rejected
+    at compile time with the offending node named. An expression
+    evaluating to ``None`` (e.g. ``x if cond else None``) renders the whole
+    template NULL for that row → the triple is skipped (the COW
+    conditional-skip idiom); runtime errors (bad int cast, index error)
+    also yield NULL rather than poisoning the batch."""
+
+    _BUILTINS = {"str": str, "int": int, "float": float, "len": len,
+                 "abs": abs, "min": min, "max": max, "round": round}
+    _METHODS = frozenset(
+        "lower upper strip lstrip rstrip title capitalize swapcase replace "
+        "zfill startswith endswith split rsplit join ljust rjust find rfind "
+        "removeprefix removesuffix format count index isdigit isalpha "
+        "isalnum isspace".split())
+    _NODES = (
+        ast.Expression, ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.IfExp,
+        ast.Compare, ast.Call, ast.Name, ast.Load, ast.Constant,
+        ast.Subscript, ast.Slice, ast.Attribute, ast.Tuple, ast.List,
+        ast.And, ast.Or, ast.Not, ast.USub, ast.UAdd,
+        ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+        ast.Eq, ast.NotEq, ast.Lt, ast.LtE, ast.Gt, ast.GtE,
+        ast.In, ast.NotIn, ast.Is, ast.IsNot,
+    )
+
+    def __init__(self, source: str):
+        self.source = source
+        try:
+            tree = ast.parse(source.strip(), mode="eval")
+        except SyntaxError as e:
+            raise ValueError(
+                f"invalid {{{{ }}}} template expression {source!r}: {e}")
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if not isinstance(node, self._NODES):
+                raise ValueError(
+                    f"{{{{ }}}} expression {source!r}: "
+                    f"{type(node).__name__} is not allowed")
+            if isinstance(node, ast.Attribute):
+                if node.attr.startswith("_") or node.attr not in self._METHODS:
+                    raise ValueError(
+                        f"{{{{ }}}} expression {source!r}: method "
+                        f".{node.attr} is not allowed")
+            if isinstance(node, ast.Name):
+                if node.id.startswith("_") and node.id != "_row":
+                    raise ValueError(
+                        f"{{{{ }}}} expression {source!r}: name "
+                        f"{node.id!r} is not allowed")
+                if node.id not in self._BUILTINS:
+                    names.add(node.id)
+        self.names = frozenset(names)
+        self._code = compile(tree, f"<template {source!r}>", "eval")
+
+    def __call__(self, row: dict):
+        env = dict(self._BUILTINS)
+        env.update(row)
+        try:
+            return eval(self._code, {"__builtins__": {}}, env)  # noqa: S307
+        except Exception:
+            return None  # bad cast / index on one row → null, not a crash
+
+    # dataclass-frozen CompiledTemplate holds these in tuples
+    def __hash__(self):
+        return hash(self.source)
+
+    def __eq__(self, other):
+        return isinstance(other, SafeExpr) and other.source == self.source
+
+
 @dataclass(frozen=True)
 class CompiledTemplate:
     """A URI/value template precompiled into alternating literal and column
@@ -93,21 +176,37 @@ class CompiledTemplate:
     def compile(tmpl: str) -> "CompiledTemplate":
         segs: list = []
         cols: list[str] = []
+
+        def compile_plain(chunk: str):
+            pos = 0
+            for m in _PLACEHOLDER_RE.finditer(chunk):
+                if m.start() > pos:
+                    segs.append(chunk[pos : m.start()])
+                name = m.group(1)
+                segs.append(("col", name))
+                cols.append(name)
+                pos = m.end()
+            if pos < len(chunk):
+                segs.append(chunk[pos:])
+
+        # {{ expr }} segments first (the inner braces would confuse the
+        # single-brace placeholder scan), plain {column} scan between them
         pos = 0
-        for m in _PLACEHOLDER_RE.finditer(tmpl):
+        for m in _EXPR_RE.finditer(tmpl):
             if m.start() > pos:
-                segs.append(tmpl[pos : m.start()])
-            name = m.group(1)
-            segs.append(("col", name))
-            cols.append(name)
+                compile_plain(tmpl[pos : m.start()])
+            expr = SafeExpr(m.group(1))
+            segs.append(("expr", expr))
+            cols.extend(n for n in expr.names if n != "_row")
             pos = m.end()
         if pos < len(tmpl):
-            segs.append(tmpl[pos:])
+            compile_plain(tmpl[pos:])
         return CompiledTemplate(tmpl, tuple(segs), tuple(cols))
 
     @property
     def is_constant(self) -> bool:
-        return not self.columns
+        return not self.columns and all(
+            isinstance(s, str) for s in self.segments)
 
     def render(self, batch: pa.Table, *, encode: bool = True, n: int | None = None) -> pa.Array:
         """Vectorized render over a batch → string array of length len(batch).
@@ -122,6 +221,26 @@ class CompiledTemplate:
         for seg in self.segments:
             if isinstance(seg, str):
                 parts.append(seg)
+            elif seg[0] == "expr":
+                expr: SafeExpr = seg[1]
+                missing = [n for n in expr.names
+                           if n not in batch.column_names]
+                if missing:
+                    raise KeyError(
+                        f"template {self.source!r} references missing "
+                        f"column(s) {missing!r}")
+                series = {n: batch[n].to_pylist() for n in expr.names}
+                vals = [expr({n: s[i] for n, s in series.items()})
+                        for i in range(n)]
+                col = pa.array(
+                    [None if v is None else str(v) for v in vals],
+                    pa.string())
+                if encode:
+                    col = iri_encode_array(col)
+                # None result stays NULL: it propagates through the join
+                # (emit_null) so the whole rendered value is null → the
+                # conversion skips the triple (COW conditional-skip)
+                parts.append(col)
             else:
                 name = seg[1]
                 if name not in batch.column_names:

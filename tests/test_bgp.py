@@ -105,3 +105,66 @@ def test_bgp_store_matches_in_memory(ray_session, tmp_path):
     assert sorted(map(tuple, got[key].itertuples(index=False))) == \
         sorted(map(tuple, want[key].itertuples(index=False)))
     assert len(got) > 0
+
+
+def test_optional_left_join_nulls(ray_session):
+    """OPTIONAL attaches matched bindings and leaves NULL where the group
+    has no solution — one-to-one with a SQL LEFT JOIN."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    out = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        optional=[[("?e", "in", "?where")]]).to_pandas()
+    got = {(d, e): w for d, e, w in zip(out["d"], out["e"], out["where"])}
+    assert got[("a", "E1")] == "X"
+    assert got[("b", "E2")] == "Y"
+    # multi-pattern optional group + a row with no group solution
+    rows = ROWS + [("d1", "type", "Doc")]  # d1 has no 'about' → NULL w
+    ds2 = rd.from_arrow(_triples(rows)).repartition(3)
+    out2 = evaluate_bgp(
+        ds2, [("?d", "type", "?t")],
+        optional=[[("?d", "about", "?e"), ("?e", "in", "?w")]]).to_pandas()
+    by_d = dict(zip(out2["d"], out2["w"]))
+    assert by_d["a"] == "X" and by_d["b"] == "Y" and by_d["c"] == "X"
+    assert pd.isna(by_d["d1"])
+
+
+def test_optional_filter_semantics(ray_session):
+    """FILTER over an OPTIONAL variable drops NULL rows (SQL WHERE over
+    the LEFT JOIN); 'bound' keeps/drops by matchedness; constant and
+    var-var comparisons work."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = ROWS + [("d1", "type", "Doc")]  # d1 has no 'about'
+    ds = rd.from_arrow(_triples(rows)).repartition(2)
+    base = dict(patterns=[("?d", "type", "?t")],
+                optional=[[("?d", "about", "?e")]])
+    # comparison on optional var: NULL rows drop
+    out = evaluate_bgp(ds, base["patterns"], optional=base["optional"],
+                       filters=[("?e", "=", "E1")]).to_pandas()
+    assert set(out["d"]) == {"a", "c"}
+    # bound=False keeps only the unmatched rows
+    out2 = evaluate_bgp(ds, base["patterns"], optional=base["optional"],
+                        filters=[("?e", "bound", False)]).to_pandas()
+    assert set(out2["d"]) == {"d1"}
+    # contains + var-var comparison
+    out3 = evaluate_bgp(
+        ds, [("?d", "about", "?e"), ("?e", "in", "?w")],
+        filters=[("?e", "contains", "E"), ("?d", "!=", "?w")]).to_pandas()
+    assert len(out3) == 3  # all (a,E1,X),(b,E2,Y),(c,E1,X) pass
+
+
+def test_optional_disconnected_raises(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS))
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        evaluate_bgp(ds, [("?d", "type", "Doc")],
+                     optional=[[("?x", "in", "?y")]]).to_pandas()

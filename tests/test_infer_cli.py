@@ -40,6 +40,29 @@ def test_infer_then_convert_roundtrips(ray_session, tmp_path):
     assert back.num_rows == 8 * 3
 
 
+def test_infer_latin1_builds_and_converts(ray_session, tmp_path):
+    """Encoding sniff (BOM/UTF-8-validity heuristic — no chardet in this
+    container): a latin-1 CSV builds (was: hardcoded utf-8 → UnicodeDecodeError)
+    and converts end-to-end with the sniffed encoding honored at the read."""
+    from cattle_ray.infer import sniff_encoding
+    from cattle_ray.pipelines.kg import csv_to_nquads
+
+    assert sniff_encoding(b"\xef\xbb\xbfa,b\n") == "utf-8-sig"
+    assert sniff_encoding("plain,ascii\n".encode()) == "utf-8"
+    assert sniff_encoding("a,café\n".encode("utf-8")) == "utf-8"
+    assert sniff_encoding("a,café\n".encode("latin-1")) == "latin-1"
+
+    csv = tmp_path / "lat.csv"
+    csv.write_bytes("name,city\nana,münchen\nbéa,københavn\n"
+                    .encode("latin-1"))
+    meta = infer_metadata(str(csv))
+    assert meta["dialect"]["encoding"] == "latin-1"
+    triples, lines = csv_to_nquads(str(csv), meta, "https://g/run")
+    nq = "\n".join(lines.to_pandas()["line"])
+    assert "münchen" in nq and "københavn" in nq
+    assert parse_nquads_lines(nq.splitlines()).num_rows == 4
+
+
 def test_cli_build_and_convert(ray_session, tmp_path):
     from cattle_ray.cli import main
 

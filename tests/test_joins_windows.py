@@ -348,6 +348,48 @@ def test_hash_join_composite_key(ray_session):
     assert fo["x_r"].notna().sum() == 2
 
 
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    """NULL join keys never match, on EVERY execution path: the Arrow
+    inner fast path (all-equal or all-distinct key names), the pandas
+    fallback (mixed-name composite keys), and how='left' (regression:
+    the pandas path used to match NaN↔NaN, so the same inner join
+    returned different rows depending only on column naming)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.joins import hash_join
+
+    l = pa.table({"k": pa.array([1, None, 2, None], pa.int64()),
+                  "d": ["a", "a", "b", "b"],
+                  "x": [10, 11, 12, 13]})
+    r = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                  "d": ["a", "a", "b"],
+                  "y": [100, 101, 102]})
+
+    # Arrow fast path: same-named single key
+    out = hash_join(rd.from_arrow(l).repartition(2),
+                    rd.from_arrow(r).repartition(2), "k", "k",
+                    num_buckets=4).to_pandas()
+    assert list(zip(out["x"], out["y"])) == [(10, 100)]
+
+    # pandas fallback: composite key mixing an equal and a differing name
+    r2 = r.rename_columns(["k", "dd", "y"])
+    out2 = hash_join(rd.from_arrow(l).repartition(2),
+                     rd.from_arrow(r2).repartition(2),
+                     ["k", "d"], ["k", "dd"], num_buckets=4).to_pandas()
+    assert list(zip(out2["x"], out2["y"])) == [(10, 100)]
+
+    # left join: null-keyed left rows survive UNMATCHED (SQL), never
+    # paired with the right side's null-keyed row
+    out3 = hash_join(rd.from_arrow(l).repartition(2),
+                     rd.from_arrow(r2).repartition(2),
+                     "k", "k", how="left", num_buckets=4).to_pandas()
+    assert len(out3) == 4
+    matched = out3[out3["y"].notna()]
+    assert list(zip(matched["x"], matched["y"].astype(int))) == [(10, 100)]
+    assert out3[out3["k"].isna()]["y"].isna().all()
+
+
 def test_grouped_time_window_range_semantics(ray_session):
     import pandas as pd
     import ray.data as rd

@@ -73,6 +73,33 @@ def test_scc_giant_cycle_plus_dag(ray_session):
         assert comps[single] == {single}
 
 
+@pytest.mark.parametrize("force_distributed", [False, True])
+def test_scc_negative_ids(ray_session, force_distributed):
+    """Real node ids are int64 URI hashes — about half are NEGATIVE. The
+    distributed backward root-reach must settle classes whose root id is
+    <= 0 (regression: a 0 'no-seed' sentinel left them unsettled until
+    max_rounds exhausted)."""
+    from cattle_ray.stages.graph import _scc_local
+
+    # shift the handcrafted graph so every id is negative, plus a cycle
+    # whose root (max id) is exactly 0 and one huge-magnitude pair
+    shift = -1000
+    edges = [(a + shift, b + shift) for a, b in HAND_EDGES]
+    edges += [(0, -5), (-5, 0)]                      # root id == 0
+    big = 2 ** 62
+    edges += [(-big, big - 7), (big - 7, -big)]      # |id| near 2^63
+    ref_t = _scc_local(pd.DataFrame(edges, columns=["s", "o"]), "s", "o")
+    ref = dict(zip(ref_t["node"].to_pylist(), ref_t["scc"].to_pylist()))
+
+    kw = {"small_graph_edges": 0, "max_rounds": 40} if force_distributed \
+        else {}
+    out, comps = _run(edges, **kw)
+    got = dict(zip(out["node"], out["scc"]))
+    assert got == ref
+    assert comps[0] == {0, -5}
+    assert comps[big - 7] == {-big, big - 7}
+
+
 def test_scc_empty_and_local_reference(ray_session):
     import ray.data as rd
 

@@ -186,6 +186,46 @@ def test_semantic_dedup_drops_planted_near_dups(ray_session):
     assert set(kept2["vec_id"]) == kept_ids
 
 
+def test_kmeans_never_materializes_corpus(ray_session, tmp_path, monkeypatch):
+    """Scale guard: kmeans/semantic-dedup must not pin the embedding corpus
+    in the object store — the multi-pass input is spilled to Parquet once
+    and lazily re-read per iteration. Enforced by patching
+    Dataset.materialize to raise (the round-2 implementation called it on
+    the full corpus)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.similarity import kmeans_distributed, semantic_dedup
+
+    real = rd.Dataset.materialize
+
+    def boom(self, *a, **kw):
+        # write_parquet materializes its tiny WRITE-RECEIPT dataset
+        # internally — that's not a corpus pin; everything else is
+        if type(self._logical_plan.dag).__name__ == "Write":
+            return real(self, *a, **kw)
+        raise AssertionError("materialize() called on the embedding corpus")
+
+    monkeypatch.setattr(rd.Dataset, "materialize", boom)
+
+    rng = np.random.RandomState(9)
+    vecs = rng.randn(300, 8)
+    t = pa.table({"vec_id": np.arange(300),
+                  "embedding": [r.tolist() for r in vecs]})
+    cent, assigns = kmeans_distributed(
+        rd.from_arrow(t).repartition(3), n_clusters=3, iters=2,
+        sample_size=300, spill_dir=str(tmp_path / "km"))
+    out = assigns.to_pandas()
+    assert len(out) == 300 and cent.shape == (3, 8)
+
+    kept = semantic_dedup(
+        rd.from_arrow(t).repartition(3), threshold=0.999, n_clusters=3,
+        iters=2, sample_size=300,
+        spill_dir=str(tmp_path / "sd")).to_pandas()
+    assert len(kept) == 300  # random gaussians: nothing near cos>=0.999
+
+
 def test_pca_matches_numpy_reference(ray_session):
     """Streaming-moment PCA == full-matrix numpy PCA (same sign convention);
     projections match to float tolerance; mergeable partials make the fit

@@ -198,3 +198,100 @@ def test_collection_bnodes_distinct_per_row():
     # two distinct heads hang off the shared subject
     heads = [r["obj"] for r in rows if r["pred"] == "https://ex.org/def/tags"]
     assert len(set(heads)) == 2
+
+
+# ---------------------------------------------------------------------------
+# COW-style {{ }} expression templates (VERDICT r2 "Missing #1")
+
+
+def test_expr_string_ops_and_interleave():
+    t = CompiledTemplate.compile(
+        "https://ex.org/{kind}/{{ name.lower().replace(' ', '-') }}/r{_row}")
+    assert set(t.columns) >= {"kind", "name"}
+    batch = pa.table({"kind": ["p", "p"], "name": ["Ada Lovelace", "Bob"],
+                      "_row": [1, 2]})
+    out = t.render(batch).to_pylist()
+    assert out == ["https://ex.org/p/ada-lovelace/r1",
+                   "https://ex.org/p/bob/r2"]
+
+
+def test_expr_conditional_and_arithmetic():
+    t = CompiledTemplate.compile(
+        "https://ex.org/{{ 'even' if int(n) % 2 == 0 else 'odd' }}/"
+        "{{ int(n) * 10 }}")
+    batch = pa.table({"n": ["1", "2"]})
+    assert t.render(batch).to_pylist() == [
+        "https://ex.org/odd/10", "https://ex.org/even/20"]
+
+
+def test_expr_none_skips_whole_template():
+    """Expression returning None → NULL render (conditional skip), and the
+    conversion drops those triples."""
+    from cattle_ray.stages.convert import convert_batch
+
+    t = CompiledTemplate.compile(
+        "https://ex.org/{{ code if code != 'NA' else None }}")
+    batch = pa.table({"code": ["BE", "NA", "FR"]})
+    assert t.render(batch).to_pylist() == [
+        "https://ex.org/BE", None, "https://ex.org/FR"]
+
+    meta = {
+        "@id": "https://ex.org/t",
+        "tableSchema": {"columns": [
+            {"name": "code",
+             "valueUrl": "https://ex.org/c/{{ code if code != 'NA' else None }}",
+             "propertyUrl": "https://ex.org/def/code"},
+        ]},
+    }
+    out = convert_batch(batch.append_column("_row", pa.array([1, 2, 3])),
+                        MappingTemplate.from_dict(meta), graph="https://g")
+    objs = out["obj"].to_pylist()
+    assert objs == ["https://ex.org/c/BE", "https://ex.org/c/FR"]
+
+
+def test_expr_runtime_error_yields_null_not_crash():
+    t = CompiledTemplate.compile("https://ex.org/{{ int(v) }}")
+    batch = pa.table({"v": ["3", "boom"]})
+    assert t.render(batch).to_pylist() == ["https://ex.org/3", None]
+
+
+def test_expr_constant_expression_evaluates():
+    t = CompiledTemplate.compile("https://ex.org/{{ 1 + 2 }}")
+    assert not t.is_constant
+    assert t.render(pa.table({"x": ["a", "b"]})).to_pylist() == [
+        "https://ex.org/3"] * 2
+
+
+def test_expr_iri_encoding_applies():
+    t = CompiledTemplate.compile("https://ex.org/{{ name.upper() }}")
+    batch = pa.table({"name": ["a b"]})
+    assert t.render(batch).to_pylist() == ["https://ex.org/A%20B"]
+
+
+def test_expr_rejects_unsafe():
+    for bad in [
+        "__import__('os')",                 # name starting with _
+        "name.__class__",                   # dunder attribute
+        "(lambda: 1)()",                    # lambda
+        "[x for x in name]",                # comprehension
+        "open('/etc/passwd')",              # unknown callable name is a
+                                            # column ref, but calling a
+                                            # string fails safe → still
+                                            # rejected via Attribute rule?
+    ]:
+        if bad == "open('/etc/passwd')":
+            # 'open' parses as a column name; compile succeeds but eval of
+            # a missing column raises KeyError at render — never reaches
+            # the real builtin (empty __builtins__)
+            t = CompiledTemplate.compile("x{{ open('/e') }}")
+            with pytest.raises(KeyError):
+                t.render(pa.table({"y": ["1"]}))
+            continue
+        with pytest.raises(ValueError):
+            CompiledTemplate.compile("x{{ %s }}" % bad)
+
+
+def test_expr_missing_column_raises():
+    t = CompiledTemplate.compile("x{{ nope.lower() }}")
+    with pytest.raises(KeyError):
+        t.render(pa.table({"y": ["1"]}))

@@ -303,6 +303,62 @@ def test_lm_score_broadcast_and_join_paths_agree(ray_session):
     assert (a["n_bigrams"] == b["n_bigrams"]).all()
 
 
+def test_lm_score_broadcast_cap_prunes(ray_session):
+    """min_count / top_v bound the broadcast table; pruned pairs score 0
+    while surviving pairs keep their EXACT conditional (context counts
+    stay unpruned) — verified against a pandas reference, on BOTH
+    execution paths, plus the degenerate everything-pruned case."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cattle_ray.stages.textstats import lm_score
+
+    rng = np.random.RandomState(17)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, 20)) for _ in range(40)]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(40), "text": docs})
+                        ).repartition(3)
+
+    # pandas reference with the same prune semantics
+    pairs, ctx = {}, {}
+    per_doc = []
+    for d in docs:
+        w = d.split()
+        per_doc.append(list(zip(w, w[1:])))
+        for p in per_doc[-1]:
+            pairs[p] = pairs.get(p, 0) + 1
+            ctx[p[0]] = ctx.get(p[0], 0) + 1
+    MIN = 3
+    kept = {p: c for p, c in pairs.items() if c >= MIN}
+
+    def ref_score(doc_pairs):
+        return sum((kept.get(p, 0) * 1_000_000) // ctx[p[0]]
+                   for p in doc_pairs)
+
+    want = [ref_score(dp) for dp in per_doc]
+    for bmax in (5_000_000, 0):  # broadcast path, then join path
+        got = lm_score(ds, min_count=MIN, broadcast_max=bmax).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert list(got["score"]) == want, f"broadcast_max={bmax}"
+        assert list(got["n_bigrams"]) == [len(dp) for dp in per_doc]
+
+    # top_v keeps exactly the v most frequent pairs (deterministic ties)
+    V = 5
+    order = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    kept = dict(order)
+    want_v = [ref_score(dp) for dp in per_doc]
+    got_v = lm_score(ds, top_v=V).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got_v["score"]) == want_v
+
+    # prune-to-empty: every doc still reported, all scores 0
+    kept = {}
+    got0 = lm_score(ds, min_count=10**9).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(got0) == 40 and (got0["score"] == 0).all()
+
+
 def test_bpe_incremental_bookkeeping_matches_naive(ray_session):
     """The incremental pair-stats loop must pick the EXACT same merge
     sequence as a naive full-recount reference on a random corpus (the
