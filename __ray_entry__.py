@@ -538,7 +538,10 @@ def q_doc_minhash_verified(sf_dir: str):
 
     sub = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda b: b.filter(pc.less(b["doc_id"], 100)), batch_format="pyarrow")
-    return minhash_verified_pairs(sub, threshold=0.9, ngram=1)
+    # 100-doc subset: 8 shuffle buckets, not the corpus-scale 64 — the
+    # verify path chains ~6 bucketed stages and fixed per-bucket task
+    # overhead dominated (35 s → ~8 s at sf0.1)
+    return minhash_verified_pairs(sub, threshold=0.9, ngram=1, num_buckets=8)
 
 
 def q_doc_simhash_pairs(sf_dir: str):
@@ -3872,6 +3875,39 @@ def q_kg_bgp_optional(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_bgp_minus(sf_dir: str):
+    """BGP MINUS (SPARQL negation): score values that coincide with NO
+    rank value — the exact complement of kg_bgp_optional's matched rows,
+    mirrored in SQL as NOT EXISTS. Composite-key-capable anti join
+    (distinct minus keys + left join + null-marker filter)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "score", "?v")],
+        minus=[[("?s2", EX + "rank", "?v")]],
+        num_buckets=8)
+
+
+def q_kg_construct(sf_dir: str):
+    """SPARQL CONSTRUCT — the tier's namesake operation as a first-class
+    operator: bindings of ``?s entity ?e`` instantiate two templates,
+    the inverse edge ``(?e, mentionedIn, ?s)`` and a constant-type triple
+    ``(?e, type, Entity)`` — new graph rows built from query results,
+    fully vectorized, NULL bindings skipped."""
+    from cattle_ray.stages.bgp import construct_triples, evaluate_bgp
+
+    bindings = evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e")],
+        num_buckets=8)
+    return construct_triples(bindings, [
+        ("?e", EX + "mentionedIn", "?s"),
+        ("?e", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         EX + "Entity"),
+    ])
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -4053,6 +4089,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_obj_lookup": q_kg_obj_lookup,
         "kg_bgp_chain": q_kg_bgp_chain,
         "kg_bgp_optional": q_kg_bgp_optional,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_construct": q_kg_construct,
         "kg_bgp_store": q_kg_bgp_store,
     }
 
@@ -5681,6 +5719,21 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderkey, o_custkey
             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200
+        """,
+        "kg_bgp_minus": _TRIPLE_BASE_CTE + f""",
+            req AS (SELECT subj AS s, obj AS v FROM triples
+                    WHERE pred = '{EX}score')
+            SELECT r.s, r.v FROM req r
+            WHERE NOT EXISTS (SELECT 1 FROM triples t
+                              WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_construct": _TRIPLE_BASE_CTE + f""",
+            b AS (SELECT subj AS s, obj AS e FROM triples
+                  WHERE pred = '{EX}entity')
+            SELECT e AS subj, '{EX}mentionedIn' AS pred, s AS obj FROM b
+            UNION ALL
+            SELECT e, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+                   '{EX}Entity' FROM b
         """,
         "kg_bgp_optional": _TRIPLE_BASE_CTE + f""",
             req AS (SELECT subj AS s, obj AS v FROM triples

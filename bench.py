@@ -202,6 +202,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_obj_lookup",
         "kg_bgp_chain",
         "kg_bgp_store",
+        # round-3 operators
+        "kg_bgp_optional",
+        "kg_bgp_minus",
+        "kg_construct",
+        "doc_minhash_verified",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -12,7 +12,7 @@
 from __future__ import annotations
 
 import pyarrow as pa
-
+import pyarrow.compute as pc
 
 
 def _partial(batch: pa.Table, keys: list[str]) -> pa.Table:
@@ -30,14 +30,42 @@ def coalesce_small(ds, target_blocks: int = 16):
     return ds.repartition(target_blocks)
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (public-domain constant mix) —
+    uniform uint64 → uint64, no pandas detour."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = x + np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def add_key_bucket(batch: pa.Table, keys, num_buckets: int) -> pa.Table:
-    """Low-cardinality shuffle bucket from a hash of the key columns
-    (vectorized ``hash_pandas_object``)."""
+    """Low-cardinality shuffle bucket from a hash of the key columns.
+    Buckets only ROUTE rows (grouping re-keys inside the bucket), so the
+    hash needs uniformity + determinism, not injectivity: a single integer
+    key takes the numpy splitmix64 fast path (nulls route with 0 — they
+    still co-locate); anything else falls back to the vectorized
+    ``hash_pandas_object``."""
+    import numpy as np
     import pandas as pd
 
-    h = pd.util.hash_pandas_object(
-        batch.select(list(keys)).to_pandas(), index=False
-    ).to_numpy()
+    keys = list(keys)
+    if len(keys) == 1 and pa.types.is_integer(batch[keys[0]].type):
+        col = batch[keys[0]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+        h = _splitmix64(v.astype(np.uint64))
+    else:
+        h = pd.util.hash_pandas_object(
+            batch.select(keys).to_pandas(), index=False
+        ).to_numpy()
     return batch.append_column("_bucket", pa.array((h % num_buckets).astype("int64")))
 
 

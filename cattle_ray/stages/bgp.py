@@ -162,8 +162,82 @@ def _attach_optionals(acc, bound, optional_groups, streams_for, num_buckets):
     return acc, bound
 
 
-def evaluate_bgp(triples_ds, patterns, *, optional=None, filters=None,
-                 num_buckets: int = 32):
+def _apply_minus(acc, bound, minus_groups, streams_for, num_buckets):
+    """SPARQL MINUS / FILTER NOT EXISTS: drop required bindings for which
+    the group has a solution agreeing on the shared variables. One
+    co-partitioned LEFT join per group against the group's DISTINCT
+    shared-var keys + a null-marker filter — an anti join that supports
+    COMPOSITE shared keys (semi_join is single-column)."""
+    from .aggregates import distinct
+    from .joins import hash_join
+
+    for group in minus_groups or []:
+        group = [group] if isinstance(group, tuple) else list(group)
+        gstreams = [(*streams_for(p), p) for p in group]
+        g_acc, g_vars = _fold_bindings(
+            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        shared = [v for v in g_vars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"MINUS group {group!r} shares no variable with the "
+                f"required bindings ({bound}) — it would remove nothing "
+                "(SPARQL disjoint-domain MINUS) or everything")
+        keys = distinct(g_acc.map_batches(
+            lambda b, cols=tuple(shared): b.select(list(cols)),
+            batch_format="pyarrow"), shared)
+        # string marker: unmatched rows come back ARROW-NULL on the
+        # pandas left-join path (a numeric marker would surface as NaN)
+        marked = keys.map_batches(
+            lambda b: b.append_column(
+                "_m", pa.array(["1"] * len(b), pa.string())),
+            batch_format="pyarrow")
+        j = hash_join(acc, marked, shared, shared, how="left",
+                      num_buckets=num_buckets)
+        acc = j.map_batches(
+            lambda b, cols=tuple(bound): b.filter(
+                pc.is_null(b["_m"])).select(list(cols)),
+            batch_format="pyarrow")
+    return acc
+
+
+def construct_triples(bindings_ds, templates):
+    """SPARQL CONSTRUCT: each binding row instantiates every template
+    ``(s, p, o)`` — terms are ``?var`` references into the binding columns
+    or constants — emitting one (subj, pred, obj) row per (row, template).
+    Fully vectorized (column gather or constant broadcast per term; one
+    concat per batch); rows where any referenced variable is NULL (an
+    OPTIONAL non-match) are skipped, per the SPARql construct contract."""
+    templates = [tuple(t) for t in templates]
+    for t in templates:
+        if len(t) != 3:
+            raise ValueError(f"CONSTRUCT template must be (s, p, o): {t!r}")
+
+    def f(b: pa.Table) -> pa.Table:
+        n = len(b)
+        outs = []
+        for tmpl in templates:
+            cols = []
+            valid = None
+            for term in tmpl:
+                if _is_var(term):
+                    col = b[term[1:]]
+                    if isinstance(col, pa.ChunkedArray):
+                        col = col.combine_chunks()
+                    col = pc.cast(col, pa.string())
+                    v = pc.is_valid(col)
+                    valid = v if valid is None else pc.and_(valid, v)
+                    cols.append(col)
+                else:
+                    cols.append(pa.array([term] * n, pa.string()))
+            t = pa.table({"subj": cols[0], "pred": cols[1], "obj": cols[2]})
+            outs.append(t if valid is None else t.filter(valid))
+        return pa.concat_tables(outs)
+
+    return bindings_ds.map_batches(f, batch_format="pyarrow")
+
+
+def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
+                 filters=None, num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
     (bag semantics, like SPARQL without DISTINCT).
@@ -171,14 +245,20 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, filters=None,
     ``optional``: list of OPTIONAL pattern groups (each a list of
     patterns, or a single pattern tuple) left-joined onto the required
     bindings — unmatched rows carry NULL for the group's variables.
+    ``minus``: list of MINUS / NOT-EXISTS groups — required bindings whose
+    shared variables agree with ANY group solution are dropped.
     ``filters``: list of ``(?var, op, value)`` FILTER constraints
     (see :func:`_apply_filters`) applied after all joins — a comparison
     on an unbound OPTIONAL variable drops the row, exactly like SQL WHERE
     over the mirroring LEFT JOIN."""
     if not patterns:
         raise ValueError("empty BGP")
-    n_scans = len(patterns) + sum(
-        1 if isinstance(g, tuple) else len(g) for g in (optional or []))
+
+    def group_size(groups):
+        return sum(1 if isinstance(g, tuple) else len(g)
+                   for g in (groups or []))
+
+    n_scans = len(patterns) + group_size(optional) + group_size(minus)
     if n_scans > 1:
         triples_ds = triples_ds.materialize()  # one scan per pattern
 
@@ -186,6 +266,9 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, filters=None,
     streams = [first] + [
         (*pattern_bindings(triples_ds, p), p) for p in patterns[1:]]
     acc, bound = _fold_bindings(streams, num_buckets)
+    acc = _apply_minus(acc, bound, minus,
+                       lambda p: pattern_bindings(triples_ds, p),
+                       num_buckets)
     acc, bound = _attach_optionals(
         acc, bound, optional,
         lambda p: pattern_bindings(triples_ds, p), num_buckets)
@@ -195,7 +278,7 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, filters=None,
 
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
-                       filters=None, num_buckets: int = 32):
+                       minus=None, filters=None, num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
@@ -223,6 +306,9 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     streams = [first] + [
         (*pattern_bindings(stream_for(p), p), p) for p in patterns[1:]]
     acc, bound = _fold_bindings(streams, num_buckets)
+    acc = _apply_minus(acc, bound, minus,
+                       lambda p: pattern_bindings(stream_for(p), p),
+                       num_buckets)
     acc, bound = _attach_optionals(
         acc, bound, optional,
         lambda p: pattern_bindings(stream_for(p), p), num_buckets)

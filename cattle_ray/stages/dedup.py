@@ -58,13 +58,29 @@ def within_batch_dedup(batch: pa.Table, hash_col: str = "_chash",
     min-representative contract holds at ANY block layout (keeping the
     first occurrence would let a non-min row eliminate the true min
     inside its own batch before the finish's keep_col sort ever runs;
-    regression-pinned with a descending-id batch)."""
-    df = batch.to_pandas()
-    if keep_col is not None:
-        df = df.sort_values(keep_col, kind="mergesort")
-    return pa.Table.from_pandas(
-        df.drop_duplicates(subset=[hash_col]), preserve_index=False
-    ).cast(batch.schema)
+    regression-pinned with a descending-id batch).
+
+    Pure numpy over the already-computed hash column — the previous
+    full-batch ``to_pandas()`` + ``drop_duplicates`` converted every
+    triple payload per batch on the flagship hot path (measured ~3×
+    slower at 1M rows); survivors are ``take``-n from the Arrow batch in
+    original row order, payloads untouched. ``keep_col`` values must be
+    non-null (they're ids by contract)."""
+    h = batch[hash_col].to_numpy(zero_copy_only=False)
+    if keep_col is None:
+        _, first = np.unique(h, return_index=True)
+        if len(first) == len(h):
+            return batch
+        first.sort()
+        return batch.take(pa.array(first))
+    keep = batch[keep_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(keep, kind="stable")  # ties → earliest row wins
+    _, first = np.unique(h[order], return_index=True)
+    sel = order[first]
+    if len(sel) == len(h):
+        return batch
+    sel.sort()
+    return batch.take(pa.array(sel))
 
 
 def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
@@ -779,8 +795,6 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", n=1, min_jaccard=0.0,
     partial pair counts → one small final sum → jaccard from carried sizes.
     Quadratic in per-token doc frequency: intended for bounded subsets /
     verification, not the full corpus (use MinHash there)."""
-    from ray.data.aggregate import Max, Sum
-
     toks = ds.map_batches(
         lambda b: token_set_batch(b, id_col, text_col, n, num_buckets),
         batch_format="pyarrow",
@@ -803,26 +817,33 @@ def jaccard_pairs(ds, id_col="doc_id", text_col="text", n=1, min_jaccard=0.0,
         )
         return out.rename(columns={"id_x": "a", "id_y": "b", "sz_x": "sa", "sz_y": "sb"})
 
-    from .aggregates import coalesce_small
+    from .aggregates import add_key_bucket, coalesce_small
 
     partials = coalesce_small(toks).groupby("_bucket").map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    agg = coalesce_small(partials, 8).groupby(["a", "b"]).aggregate(
-        Sum("cnt", alias_name="intersection"),
-        Max("sa", alias_name="sa"),
-        Max("sb", alias_name="sb"),
-    )
+    # bucketed pandas finish, NOT Ray's sort-based groupby aggregate —
+    # the native Aggregate paid ~10 s of sort-shuffle overhead on a
+    # 77-doc verify subset (the engine-wide partial_count lesson applies
+    # to pair keys too)
+    bucketed = coalesce_small(
+        partials.map_batches(
+            lambda b: add_key_bucket(b, ["a", "b"], num_buckets),
+            batch_format="pyarrow"), 8)
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        inter = batch["intersection"].to_numpy(dtype=np.float64)
-        sa = batch["sa"].to_numpy(dtype=np.float64)
-        sb = batch["sb"].to_numpy(dtype=np.float64)
-        batch = batch[["a", "b", "intersection"]].copy()
-        batch["jaccard"] = inter / (sa + sb - inter)
-        return batch[batch["jaccard"] >= min_jaccard]
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["a", "b"], sort=False)
+               .agg(intersection=("cnt", "sum"), sa=("sa", "max"),
+                    sb=("sb", "max")).reset_index())
+        inter = out["intersection"].to_numpy(dtype=np.float64)
+        sa = out["sa"].to_numpy(dtype=np.float64)
+        sb = out["sb"].to_numpy(dtype=np.float64)
+        out = out[["a", "b", "intersection"]].copy()
+        out["jaccard"] = inter / (sa + sb - inter)
+        return out[out["jaccard"] >= min_jaccard]
 
-    return agg.map_batches(finish, batch_format="pandas")
+    return bucketed.groupby("_bucket").map_groups(
+        finish, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -145,11 +145,36 @@ def decode_fake_audio(buf: bytes) -> dict:
     }
 
 
+def decode_wav(buf: bytes) -> dict:
+    """REAL audio decode through the stdlib ``wave`` module (RIFF/WAV, the
+    one codec every Python ships): proves the backend seam with a
+    non-double decoder — same contract as ``torchaudio.info``
+    (n_samples / sample_rate / duration_s / n_bytes)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        n = w.getnframes()
+        sr = w.getframerate()
+    return {
+        "n_samples": int(n),
+        "sample_rate": int(sr),
+        "duration_s": n / float(sr),
+        "n_bytes": len(buf),
+    }
+
+
 class AudioFeaturizer:
     """Actor-pool audio stage: ``audio:binary`` → duration/rate metadata +
     deterministic fake feature frames (one row per 1-second window — the
-    flat-map shape a real fbank/MFCC extractor has). ``backend="torchaudio"``
-    is the marked seam for a real decoder."""
+    flat-map shape a real fbank/MFCC extractor has).
+
+    Backends: ``"wav"`` decodes REAL RIFF/WAV bytes via the stdlib
+    ``wave`` module (a genuine end-to-end decode, no double);
+    ``"fake"`` decodes the deterministic CRAU test payloads; any callable
+    with the same contract (what ``torchaudio.info`` returns) plugs a real
+    codec in — ``backend="torchaudio"`` stays the marked seam for
+    environments that ship it."""
 
     def __init__(self, backend="fake", frame_dim: int = 4):
         # seam contract: Callable[[bytes], dict] with
@@ -158,6 +183,8 @@ class AudioFeaturizer:
             self._decode = backend
         elif backend == "fake":
             self._decode = decode_fake_audio
+        elif backend == "wav":
+            self._decode = decode_wav
         else:
             raise NotImplementedError(
                 "audio codecs not available in this environment; pass a "

@@ -168,3 +168,54 @@ def test_optional_disconnected_raises(ray_session):
     with pytest.raises(ValueError, match="OPTIONAL"):
         evaluate_bgp(ds, [("?d", "type", "Doc")],
                      optional=[[("?x", "in", "?y")]]).to_pandas()
+
+
+def test_minus_drops_agreeing_rows(ray_session):
+    """MINUS removes bindings whose shared vars agree with any group
+    solution (NOT EXISTS); disjoint groups raise; composite shared keys."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    out = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        minus=[[("?e", "in", "?w")]]).to_pandas()
+    assert len(out) == 0  # every about-target has an 'in' triple
+
+    out2 = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        minus=[[("?e", "in", "X")]]).to_pandas()
+    assert set(zip(out2["d"], out2["e"])) == {("b", "E2")}  # E1→X removed
+
+    # composite shared key: minus on BOTH (?d, ?e)
+    out3 = evaluate_bgp(
+        ds, [("?d", "about", "?e"), ("?d", "type", "?t")],
+        minus=[[("?d", "type", "Doc"), ("?d", "about", "?e")]]).to_pandas()
+    assert set(out3["d"]) == {"c"}
+
+    with pytest.raises(ValueError, match="MINUS"):
+        evaluate_bgp(ds, [("?d", "type", "Doc")],
+                     minus=[[("?x", "in", "?y")]]).to_pandas()
+
+
+def test_construct_templates(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import construct_triples, evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(2)
+    b = evaluate_bgp(ds, [("?d", "type", "?t")],
+                     optional=[[("?d", "about", "?e")]])
+    out = construct_triples(b, [
+        ("?e", "mentionedIn", "?d"),
+        ("?d", "a", "Thing"),
+    ]).to_pandas()
+    # every ?e-referencing template row requires a non-null ?e
+    m = out[out["pred"] == "mentionedIn"]
+    assert set(zip(m["subj"], m["obj"])) == {
+        ("E1", "a"), ("E2", "b"), ("E1", "c")}
+    # constant template emits for every binding row (a, b, c)
+    ty = out[out["pred"] == "a"]
+    assert sorted(ty["subj"]) == ["a", "b", "c"]
+    assert set(ty["obj"]) == {"Thing"}

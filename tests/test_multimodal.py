@@ -134,3 +134,53 @@ def test_audio_featurizer_real_backend_double(ray_session):
         batch_format="pyarrow", concurrency=1,
     ).to_pandas()
     assert sorted(out["frame_idx"]) == [0, 1]  # duration 2.0s → 2 frames
+
+
+def test_audio_wav_backend_decodes_real_bytes(ray_session):
+    """The seam proven with a REAL decoder: stdlib `wave` bytes (an actual
+    RIFF/WAV file synthesized in-test) decode through the actor pool —
+    frame count equals the true duration, features deterministic."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.multimodal import AudioFeaturizer, decode_wav
+
+    def make_wav(seconds: float, sr: int = 8000) -> bytes:
+        n = int(seconds * sr)
+        t = np.arange(n) / sr
+        pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+        bio = io.BytesIO()
+        with wave_mod.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(pcm.tobytes())
+        return bio.getvalue()
+
+    b3, b1 = make_wav(3.0), make_wav(1.25)
+    meta = decode_wav(b3)
+    assert meta["n_samples"] == 24000 and meta["sample_rate"] == 8000
+    assert abs(meta["duration_s"] - 3.0) < 1e-9
+
+    ds = rd.from_arrow(pa.table({
+        "clip_id": pa.array([1, 2], pa.int64()),
+        "audio": pa.array([b3, b1], pa.binary()),
+    }))
+    out = ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs=dict(backend="wav"),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    assert sorted(out[out["clip_id"] == 1]["frame_idx"]) == [0, 1, 2]
+    assert sorted(out[out["clip_id"] == 2]["frame_idx"]) == [0]
+    # deterministic: same bytes → same features
+    out2 = ds.map_batches(
+        AudioFeaturizer, fn_constructor_kwargs=dict(backend="wav"),
+        batch_format="pyarrow", concurrency=1,
+    ).to_pandas()
+    a = sorted(map(tuple, out["features"]))
+    b = sorted(map(tuple, out2["features"]))
+    assert a == b
