@@ -812,6 +812,27 @@ def q_events_asof_orders(sf_dir: str):
     )
 
 
+def q_events_attribution(sf_dir: str):
+    """First-touch-style attribution: each purchase matched to the user's
+    most recent prior (or simultaneous) click — a SELF as-of join on the
+    event stream, the marketing-attribution / conversion-path primitive.
+    Output carries the click's timestamp only, so equal-ts click ties
+    cannot make the result nondeterministic."""
+    from cattle_ray.stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+               rows_per_block=20000)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: pa.table({"c_user": b["user_id"], "click_ts": b["ts"]}),
+        batch_format="pyarrow")
+    out = asof_join(purchases, clicks, left_on="ts", right_on="click_ts",
+                    left_by="user_id", right_by="c_user")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts", "click_ts"]),
+        batch_format="pyarrow")
+
+
 def q_orders_customer_hashjoin(sf_dir: str):
     """Co-partitioned large-large hash join (J2): orders ⋈ customer."""
     from cattle_ray.stages.joins import hash_join
@@ -3136,6 +3157,20 @@ def q_events_inter_arrival(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_window_dedup(sf_dir: str):
+    """Event-stream duplicate suppression: keep an event iff the previous
+    event of the same (user, type) is absent or > 30 min older — LAG
+    semantics, SQL-mirrorable one-to-one (double-fired tracker hygiene)."""
+    from cattle_ray.stages.windows import grouped_window_dedup
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+               rows_per_block=20000)
+    out = grouped_window_dedup(ev, window="30min")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type", "ts"]),
+        batch_format="pyarrow")
+
+
 def q_events_hourly_users(sf_dir: str):
     """Exact distinct users per hour: bucketed two-stage distinct on
     (hour, user) then a map-side-combined count per hour — the exact
@@ -3908,6 +3943,23 @@ def q_kg_construct(sf_dir: str):
     ])
 
 
+def q_kg_bgp_agg(sf_dir: str):
+    """Aggregation over BGP bindings (SPARQL ``SELECT ?e (COUNT(*) AS ?n)
+    … GROUP BY ?e``): the query layer composes with the engine's
+    map-side-combined counts — bindings stream straight into
+    partial_count, no driver collection."""
+    from cattle_ray.stages.aggregates import partial_count
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    bindings = evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e"), ("?s", EX + "rank", "?r")],
+        num_buckets=8)
+    return partial_count(bindings.map_batches(
+        lambda b: b.select(["e", "r"]), batch_format="pyarrow"),
+        ["e", "r"], num_buckets=8)
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -4011,6 +4063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bm25": q_doc_bm25,
         "events_frequent_paths": q_events_frequent_paths,
         "events_inter_arrival": q_events_inter_arrival,
+        "events_window_dedup": q_events_window_dedup,
+        "events_attribution": q_events_attribution,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
         "embed_semantic_dedup": q_embed_semantic_dedup,
@@ -4091,6 +4145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_construct": q_kg_construct,
+        "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_store": q_kg_bgp_store,
     }
 
@@ -4826,6 +4881,15 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT event_id, value FROM events
             WHERE value >= 5.0 AND value <= 7.5
         """,
+        "events_window_dedup": """
+            WITH x AS (
+              SELECT event_id, user_id, event_type, ts,
+                     LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS pts
+              FROM events)
+            SELECT event_id, user_id, event_type, ts FROM x
+            WHERE pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+        """,
         "events_inter_arrival": """
             SELECT event_id, user_id,
                    CAST(date_diff('microseconds',
@@ -5054,6 +5118,12 @@ def _oracle_sql_base() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end,
                    CAST(count(*) AS BIGINT) AS n
             FROM y GROUP BY user_id, sid
+        """,
+        "events_attribution": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "events_asof_orders": """
             SELECT e.event_id, e.user_id, e.ts, o.o_orderdate
@@ -5726,6 +5796,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_bgp_agg": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT e, r, CAST(count(*) AS BIGINT) AS n
+            FROM en JOIN rk USING (subj) GROUP BY e, r
         """,
         "kg_construct": _TRIPLE_BASE_CTE + f""",
             b AS (SELECT subj AS s, obj AS e FROM triples

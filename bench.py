@@ -207,6 +207,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_bgp_minus",
         "kg_construct",
         "doc_minhash_verified",
+        "events_window_dedup",
+        "events_attribution",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

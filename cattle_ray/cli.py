@@ -160,6 +160,25 @@ def cmd_webrank(args):
     }))
 
 
+def cmd_compact(args):
+    """Store maintenance from the shell: re-layout a grown (or re-keyed)
+    store; prints the new manifest as one JSON line."""
+    import json as _json
+
+    from .sources.triple_sink import compact_store, store_key, \
+        store_num_partitions
+
+    _ensure_ray(args.num_cpus)
+    m = compact_store(args.store, num_partitions=args.partitions,
+                      key=args.key)
+    print(_json.dumps({
+        "partitions": int(store_num_partitions(args.store)),
+        "key": store_key(args.store),
+        "n_triples": int(m["n_triples"].sum()),
+        "out": args.store,
+    }))
+
+
 def cmd_store(args):
     """Triple-pattern query over a partitioned store (SPARQL BGP primitive
     from the shell): subject-bound patterns open ONE partition file —
@@ -286,6 +305,15 @@ def main(argv=None):
                    help="override the partition count (default: the "
                         "store's recorded _meta.json)")
     q.set_defaults(fn=cmd_store)
+
+    cp = sub.add_parser("compact", help="rebuild a partitioned store at a "
+                                        "new partition count / routing key")
+    cp.add_argument("store")
+    cp.add_argument("--partitions", type=int, default=None,
+                    help="new partition count (default: keep)")
+    cp.add_argument("--key", default=None, choices=["subj", "obj", "pred"],
+                    help="new routing key (default: keep)")
+    cp.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("webrank", help="pages → link graph → PageRank → "
                                        "rank-sorted parquet")

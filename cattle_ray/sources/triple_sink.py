@@ -381,3 +381,57 @@ def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
         raise FileNotFoundError(
             f"no overlapping partitions between {dir_a!r} and {dir_b!r}")
     return rd.from_arrow_refs([join_part.remote(i) for i in pids])
+
+
+def compact_store(store_dir: str, num_partitions: int | None = None,
+                  key: str | None = None):
+    """Rebuild a hash-partitioned store at a new partition count and/or a
+    new routing key — the maintenance op the ROADMAP flagged: partition
+    counts are chosen at write time, and a store that grew 100× (or a
+    workload that flipped from subject to object lookups) needs a
+    re-layout without re-running the pipeline that produced it.
+
+    The rebuild is one streaming read → route → per-partition sorted
+    write into a sibling temp dir (the exact write path of
+    :func:`write_triples_hash_partitioned`, so the result IS a normal
+    store: `_meta.json`, point reads, co-partitioned joins all work).
+    The swap is rename-based: old store → ``.old``, new → live, old
+    removed — crash in the window leaves either the old or the new store
+    plus debris dirs, never a half-mixed layout. Returns the new
+    partition manifest (one row per written partition)."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    meta_path = os.path.join(store_dir, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    new_p = num_partitions or meta["num_partitions"]
+    new_key = key or meta.get("key", "subj")
+
+    parts = sorted(glob.glob(f"{store_dir}/part_id=*/data.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no partitions under {store_dir!r}")
+    # read_parquet resurrects the hive dir name as a part_id column —
+    # drop it, the rewrite derives fresh routing
+    ds = rd.read_parquet(parts).map_batches(
+        lambda b: b.drop_columns(["part_id"])
+        if "part_id" in b.column_names else b,
+        batch_format="pyarrow")
+
+    tmp_dir = store_dir.rstrip("/") + ".compact.tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)  # debris from a crashed earlier compaction
+    manifest = write_triples_hash_partitioned(
+        ds, tmp_dir, num_partitions=new_p, key=new_key)
+
+    old_dir = store_dir.rstrip("/") + ".old"
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(store_dir, old_dir)
+    os.rename(tmp_dir, store_dir)
+    shutil.rmtree(old_dir)
+    return manifest

@@ -100,6 +100,50 @@ def _fold_bindings(streams, num_buckets: int):
     return acc, bound
 
 
+def order_patterns(patterns):
+    """Greedy selectivity ordering: start from the pattern with the MOST
+    constants (constants filter before anything shuffles, so they are the
+    selectivity signal available without statistics), then repeatedly take
+    the CONNECTED pattern with the most constants. Inner joins commute
+    under bag semantics, so any connected order is equivalent — this one
+    keeps the accumulated binding set small early. Patterns that cannot
+    connect in ANY order fall out at the end and raise in the fold, same
+    as before. Ties break by original position (deterministic plans)."""
+    rem = [(i, p) for i, p in enumerate(patterns)]
+
+    def score(p):
+        return sum(0 if _is_var(t) else 1 for t in p)
+
+    def pvars(p):
+        return {t[1:] for t in p if _is_var(t)}
+
+    first = max(rem, key=lambda ip: (score(ip[1]), -ip[0]))
+    ordered = [first[1]]
+    rem.remove(first)
+    bound = pvars(first[1])
+    while rem:
+        conn = [ip for ip in rem if pvars(ip[1]) & bound]
+        if not conn:
+            ordered.extend(p for _i, p in rem)  # fold raises with context
+            break
+        nxt = max(conn, key=lambda ip: (score(ip[1]), -ip[0]))
+        ordered.append(nxt[1])
+        rem.remove(nxt)
+        bound |= pvars(nxt[1])
+    return ordered
+
+
+def _display_vars(patterns):
+    """Output column order = first appearance in the USER's pattern order,
+    independent of the join order the planner picks."""
+    out: list[str] = []
+    for p in patterns:
+        for t in p:
+            if _is_var(t) and t[1:] not in out:
+                out.append(t[1:])
+    return out
+
+
 #: FILTER comparators — vectorized pyarrow kernels; a comparison against a
 #: NULL optional binding yields null and the row drops (SQL WHERE / SPARQL
 #: error-is-false semantics)
@@ -237,7 +281,8 @@ def construct_triples(bindings_ds, templates):
 
 
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
-                 filters=None, num_buckets: int = 32):
+                 filters=None, reorder: bool = True,
+                 num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
     (bag semantics, like SPARQL without DISTINCT).
@@ -262,13 +307,16 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     if n_scans > 1:
         triples_ds = triples_ds.materialize()  # one scan per pattern
 
-    first = pattern_bindings(triples_ds, patterns[0])
+    display = _display_vars(patterns)
+    plan = order_patterns(patterns) if reorder else list(patterns)
+    first = pattern_bindings(triples_ds, plan[0])
     streams = [first] + [
-        (*pattern_bindings(triples_ds, p), p) for p in patterns[1:]]
+        (*pattern_bindings(triples_ds, p), p) for p in plan[1:]]
     acc, bound = _fold_bindings(streams, num_buckets)
     acc = _apply_minus(acc, bound, minus,
                        lambda p: pattern_bindings(triples_ds, p),
                        num_buckets)
+    bound = display + [v for v in bound if v not in display]
     acc, bound = _attach_optionals(
         acc, bound, optional,
         lambda p: pattern_bindings(triples_ds, p), num_buckets)
@@ -278,7 +326,8 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
 
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
-                       minus=None, filters=None, num_buckets: int = 32):
+                       minus=None, filters=None, reorder: bool = True,
+                       num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
@@ -302,13 +351,16 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
             got = rd.from_arrow(got)
         return got
 
-    first = pattern_bindings(stream_for(patterns[0]), patterns[0])
+    display = _display_vars(patterns)
+    plan = order_patterns(patterns) if reorder else list(patterns)
+    first = pattern_bindings(stream_for(plan[0]), plan[0])
     streams = [first] + [
-        (*pattern_bindings(stream_for(p), p), p) for p in patterns[1:]]
+        (*pattern_bindings(stream_for(p), p), p) for p in plan[1:]]
     acc, bound = _fold_bindings(streams, num_buckets)
     acc = _apply_minus(acc, bound, minus,
                        lambda p: pattern_bindings(stream_for(p), p),
                        num_buckets)
+    bound = display + [v for v in bound if v not in display]
     acc, bound = _attach_optionals(
         acc, bound, optional,
         lambda p: pattern_bindings(stream_for(p), p), num_buckets)

@@ -46,16 +46,53 @@ def _as_keys(key) -> list:
     return [key] if isinstance(key, str) else list(key)
 
 
+_HASH_NULL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant schedule)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _col_hash64(col) -> np.ndarray:
+    """Per-column 64-bit hash that is stable under NULL-driven dtype
+    promotion: an int64 Arrow column converts to float64 pandas when the
+    batch happens to contain a null, so hashing the ``to_pandas`` frame
+    directly gives the SAME key different buckets in different batches
+    (1 hashes as int64 in one batch, as 1.0 float64 in another) — rows
+    that should co-locate silently miss the join. Integers/bools hash
+    from their int64 values (null-filled, then the mask overwrites);
+    everything else through ``hash_pandas_object`` per column (dtype
+    stable for string/float/binary); nulls always map to one constant."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+        v = pc.cast(col.fill_null(0), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(v.view(np.uint64))
+    else:
+        h = pd.util.hash_pandas_object(
+            col.to_pandas(), index=False).to_numpy().astype(np.uint64)
+    if nulls.any():
+        h = np.where(nulls, _HASH_NULL, h)
+    return h
+
+
 def _key_buckets_multi(batch: pa.Table, keys: list, num_buckets: int) -> np.ndarray:
     """Composite-key shuffle bucket: single keys keep the type-aware fast
-    path; multi-column keys hash the VALUE TUPLE via one
-    ``hash_pandas_object`` over the selected sub-frame (name-independent,
-    value+position dependent — verified — so differently-named key lists
-    on the two sides still co-bucket)."""
+    path; multi-column keys combine per-column :func:`_col_hash64` hashes
+    positionally (name-independent, value+position dependent — so
+    differently-named key lists on the two sides still co-bucket, and a
+    batch-local null in one column cannot re-bucket other rows)."""
     if len(keys) == 1:
         return _key_buckets(batch[keys[0]], num_buckets)
-    h = pd.util.hash_pandas_object(
-        batch.select(keys).to_pandas(), index=False).to_numpy()
+    h = _col_hash64(batch[keys[0]])
+    for k in keys[1:]:
+        h = _splitmix64(h * np.uint64(0x100000001B3) + _col_hash64(batch[k]))
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 

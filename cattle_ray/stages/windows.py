@@ -358,6 +358,32 @@ def sequence_ngrams(ds, *, key: str = "user_id", ts: str = "ts",
             .groupby("_bucket").map_groups(grams, batch_format="pandas"))
 
 
+def grouped_window_dedup(ds, *, key: str = "user_id",
+                         subkey: str | None = "event_type", ts: str = "ts",
+                         window: "pd.Timedelta | str" = "30min",
+                         order_tiebreak: str | None = "event_id",
+                         num_buckets: int = 32):
+    """Window-based duplicate suppression — the event-stream hygiene op
+    (double-fired trackers, retried webhooks): keep a row iff the
+    previous event of the same ``(key, subkey)`` in ts order is absent or
+    STRICTLY more than ``window`` older. LAG semantics (each row compares
+    to its immediate predecessor, kept or not), which mirrors one-to-one
+    as ``lag(ts) OVER (PARTITION BY key, subkey ORDER BY ts, tiebreak)``
+    in SQL — the sequential "last KEPT" variant is deliberately not the
+    default (it has no closed-form SQL mirror). One bucketed shuffle on
+    ``key``; all of a key's rows co-locate, the subkey split is local."""
+    w = pd.Timedelta(window)
+    grp = [key] + ([subkey] if subkey else [])
+    order = grp + [ts] + ([order_tiebreak] if order_tiebreak else [])
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        prev = g.groupby(grp, sort=False)[ts].shift()
+        keep = prev.isna() | ((g[ts] - prev) > w)
+        return g[keep]
+
+    return _per_key_ordered(ds, key, order, body, num_buckets)
+
+
 def grouped_lag_delta(ds, *, key: str = "user_id", ts: str = "ts",
                       out: str = "delta_us",
                       order_tiebreak: str | None = None,

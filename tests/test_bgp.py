@@ -219,3 +219,31 @@ def test_construct_templates(ray_session):
     ty = out[out["pred"] == "a"]
     assert sorted(ty["subj"]) == ["a", "b", "c"]
     assert set(ty["obj"]) == {"Thing"}
+
+
+def test_reorder_connects_and_preserves_columns(ray_session):
+    """The greedy selectivity planner picks a CONNECTED join order (an
+    order the user wrote as disconnected evaluates fine), results match
+    the hand-connected order, and output columns stay in user order."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp, order_patterns
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    pats = [("?e", "in", "X"), ("?d", "type", "Doc"), ("?d", "about", "?e")]
+    out = evaluate_bgp(ds, pats).to_pandas()
+    assert list(out.columns) == ["e", "d", "t"] or \
+        list(out.columns) == ["e", "d"]  # t only if bound
+    want = evaluate_bgp(
+        ds, [("?e", "in", "X"), ("?d", "about", "?e"),
+             ("?d", "type", "Doc")]).to_pandas()
+    assert sorted(zip(out["e"], out["d"])) == sorted(zip(want["e"], want["d"]))
+    assert sorted(zip(out["e"], out["d"])) == [("E1", "a")]
+
+    # reorder=False keeps the old strict left-to-right contract
+    with pytest.raises(ValueError, match="cartesian"):
+        evaluate_bgp(ds, pats, reorder=False).to_pandas()
+
+    # planner determinism: constants-first, ties by position
+    plan = order_patterns(pats)
+    assert plan[0] == ("?e", "in", "X")

@@ -462,3 +462,41 @@ def test_orc_roundtrip_and_pruning(ray_session, tmp_path):
     ds = read_orc(p)
     if f.nstripes > 1:
         assert ds.count() == 100_000
+
+
+def test_compact_store_repartitions_and_rekeys(triples_ds, tmp_path):
+    """compact_store rebuilds the layout: new partition count (same rows,
+    same point-read results, _meta updated), then a re-key to obj gives
+    obj-routed point reads; debris dirs are cleaned up."""
+    from cattle_ray.sources.triple_sink import (
+        compact_store, match_triples, read_triples_for_key, store_key,
+        store_num_partitions, write_triples_hash_partitioned)
+
+    out = str(tmp_path / "store")
+    write_triples_hash_partitioned(triples_ds, out, num_partitions=8)
+    before = match_triples(out, subj="http://s3")
+    assert before.num_rows > 0
+
+    m = compact_store(out, num_partitions=3)
+    assert store_num_partitions(out) == 3
+    assert m["n_triples"].sum() == 50
+    after = match_triples(out, subj="http://s3")
+    key = ["subj", "pred", "obj"]
+    assert sorted(zip(*[before[c].to_pylist() for c in key])) == \
+        sorted(zip(*[after[c].to_pylist() for c in key]))
+    assert not os.path.isdir(out + ".old")
+    assert not os.path.isdir(out + ".compact.tmp")
+
+    # re-key to the secondary-index layout: obj-bound point reads route
+    compact_store(out, key="obj")
+    assert store_key(out) == "obj"
+    got = read_triples_for_key(out, "o7", key="obj")
+    assert set(got["obj"].to_pylist()) == {"o7"}
+    # full census intact through both rebuilds
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    n = sum(_pq.read_table(p).num_rows
+            for p in glob.glob(f"{out}/part_id=*/data.parquet"))
+    assert n == 50
