@@ -2324,6 +2324,33 @@ def q_kg_store_query(sf_dir: str):
     return d.map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
 
 
+def q_kg_store_timetravel(sf_dir: str):
+    """Generation-aware store time travel end to end: three tracked
+    mutations (merge the non-rank triples → gen 1, merge the rank triples
+    → gen 2, DELETE the entity triples → gen 3), then read AS OF
+    generation 1 — the partition-local replay must both subtract the
+    gen-2 adds and resurrect the gen-3 deletes, reproducing exactly the
+    non-rank triple set. Oracle-checkable because the snapshot is a pure
+    function of the base tables."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        delete_triples, merge_triples_hash_partitioned, read_store_asof)
+
+    out_dir = tempfile.mkdtemp(prefix="kg_tt_", dir="/tmp")
+    triples = q_kg_csvw_triples(sf_dir)
+    rank_p, ent_p = EX + "rank", EX + "entity"
+    merge_triples_hash_partitioned(
+        triples.filter(expr=f"pred != '{rank_p}'"), out_dir,
+        num_partitions=8, track_generations=True)
+    merge_triples_hash_partitioned(
+        triples.filter(expr=f"pred == '{rank_p}'"), out_dir,
+        num_partitions=8, track_generations=True)
+    delete_triples(out_dir, pred=ent_p)
+    d = read_store_asof(out_dir, 1)
+    return d.map_batches(lambda b: b.select(QUAD_COLS), batch_format="pyarrow")
+
+
 def q_kg_graph_stats(sf_dir: str):
     """G3 graph summary: triple count + exact distinct subjects/preds/objs
     of the materialized KG (bucketed distinct, no driver-side sets)."""
@@ -4147,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": q_kg_construct,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_store": q_kg_bgp_store,
+        "kg_store_timetravel": q_kg_store_timetravel,
     }
 
 
@@ -5796,6 +5824,9 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_store_timetravel": _TRIPLE_BASE_CTE + f"""
+            SELECT * FROM triples WHERE pred <> '{EX}rank'
         """,
         "kg_bgp_agg": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

@@ -170,7 +170,7 @@ def cmd_compact(args):
 
     _ensure_ray(args.num_cpus)
     m = compact_store(args.store, num_partitions=args.partitions,
-                      key=args.key)
+                      key=args.key, drop_history=args.drop_history)
     print(_json.dumps({
         "partitions": int(store_num_partitions(args.store)),
         "key": store_key(args.store),
@@ -189,12 +189,31 @@ def cmd_store(args):
     import pyarrow as pa
 
     from .model import format_nquads_batch
-    from .sources.triple_sink import match_triples
+    from .sources.triple_sink import match_triples, read_store_asof
 
-    if args.subject is None:
-        _ensure_ray(args.num_cpus)  # only the parallel scan needs Ray
-    got = match_triples(args.store, subj=args.subject, pred=args.predicate,
-                        obj=args.object, num_partitions=args.partitions)
+    if args.subject is None or args.asof is not None:
+        _ensure_ray(args.num_cpus)  # the parallel scan / replay needs Ray
+    if args.asof is not None:
+        # time travel: replay the generation deltas, then pattern-filter
+        got = read_store_asof(args.store, args.asof)
+        bound = {k: v for k, v in (("subj", args.subject),
+                                   ("pred", args.predicate),
+                                   ("obj", args.object)) if v is not None}
+        if bound:
+            import pyarrow.compute as _pc
+
+            def _flt(b, bound=bound):
+                m = None
+                for col, v in bound.items():
+                    e = _pc.fill_null(_pc.equal(b[col], v), False)
+                    m = e if m is None else _pc.and_(m, e)
+                return b.filter(m)
+
+            got = got.map_batches(_flt, batch_format="pyarrow")
+    else:
+        got = match_triples(args.store, subj=args.subject,
+                            pred=args.predicate, obj=args.object,
+                            num_partitions=args.partitions)
     batches = (got.to_batches() if isinstance(got, pa.Table)
                else got.iter_batches(batch_format="pyarrow"))
     for batch in batches:
@@ -304,6 +323,9 @@ def main(argv=None):
     q.add_argument("--partitions", type=int, default=None,
                    help="override the partition count (default: the "
                         "store's recorded _meta.json)")
+    q.add_argument("--asof", type=int, default=None,
+                   help="time travel: answer as of this generation "
+                        "(tracked merges/deletes; default: live)")
     q.set_defaults(fn=cmd_store)
 
     cp = sub.add_parser("compact", help="rebuild a partitioned store at a "
@@ -313,6 +335,9 @@ def main(argv=None):
                     help="new partition count (default: keep)")
     cp.add_argument("--key", default=None, choices=["subj", "obj", "pred"],
                     help="new routing key (default: keep)")
+    cp.add_argument("--drop-history", action="store_true",
+                    help="allow compacting a store with tracked "
+                         "generations (time travel resets)")
     cp.set_defaults(fn=cmd_compact)
 
     w = sub.add_parser("webrank", help="pages → link graph → PageRank → "

@@ -175,6 +175,53 @@ def store_key(out_dir: str) -> str:
         return json.load(f).get("key", "subj")
 
 
+def _load_meta(out_dir: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_meta.json")) as f:
+        return json.load(f)
+
+
+def _save_meta(out_dir: str, meta: dict) -> None:
+    import json
+    import os
+
+    tmp = os.path.join(out_dir, "._meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "_meta.json"))
+
+
+def store_generation(out_dir: str) -> int:
+    """The store's current generation (0 for stores that never had a
+    tracked mutation — all pre-generation content IS generation 0)."""
+    return int(_load_meta(out_dir).get("generation", 0))
+
+
+def store_generations(out_dir: str) -> list:
+    """Mutation history: one ``{gen, op, added, removed}`` entry per
+    tracked merge/delete, oldest first."""
+    return list(_load_meta(out_dir).get("history", []))
+
+
+def _row_diff(a: "pa.Table | None", b: "pa.Table | None") -> "pa.Table":
+    """Set difference a − b on FULL-row identity (nulls compare equal —
+    two rows that are byte-identical including their null obj_lang are
+    the same row; pandas merge's NaN↔NaN matching is exactly the
+    semantics wanted here, unlike in a SQL join)."""
+    if a is None or a.num_rows == 0:
+        return a if a is not None else b.schema.empty_table()
+    if b is None or b.num_rows == 0:
+        return a
+    cols = list(a.column_names)
+    da = a.to_pandas().drop_duplicates()
+    db = b.select(cols).to_pandas().drop_duplicates()
+    m = da.merge(db, on=cols, how="left", indicator=True)
+    out = m[m["_merge"] == "left_only"][cols]
+    return pa.Table.from_pandas(out, schema=a.schema, preserve_index=False)
+
+
 def match_triples(out_dir: str, *, subj: str | None = None,
                   pred: str | None = None, obj: str | None = None,
                   num_partitions: int | None = None, columns=None):
@@ -222,7 +269,8 @@ def match_triples(out_dir: str, *, subj: str | None = None,
 
 
 def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
-                                   num_partitions: int = 16):
+                                   num_partitions: int = 16,
+                                   track_generations: bool = False):
     """Incremental KG update: merge a NEW batch of triples into an existing
     hash-partitioned store, touching ONLY the partitions the new subjects
     hash into (a day's crawl delta rewrites its affected partitions, not the
@@ -231,6 +279,19 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
     re-sort, atomic-replace. Idempotent: re-merging the same batch is a
     no-op content-wise, and a killed merge leaves every partition either old
     or fully-new (atomic rename), so reruns are safe.
+
+    ``track_generations=True`` makes the merge a GENERATION: each touched
+    partition also records its exact full-row delta under
+    ``part_id=N/gen=G/{added,removed}.parquet`` (removed is non-empty when
+    the min-src_url representative of an existing quad changes), and the
+    store's ``_meta.json`` generation counter bumps once at the end —
+    :func:`read_store_asof` replays these deltas backwards for time
+    travel. Delta files are only written when non-empty, so a crashed
+    tracked merge re-run converges (already-applied partitions diff to
+    empty and leave the crashed attempt's correct delta in place). A
+    store whose generation is > 0 REFUSES untracked merges — silently
+    mutating data out from under the recorded history would corrupt
+    every older snapshot.
 
     ``num_partitions`` must match the store's recorded count — merging into
     an EXISTING store validates against its ``_meta.json``; merging into a
@@ -253,11 +314,17 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                 f"store {out_dir!r} is routed by {rk!r}; merge routes by "
                 "subj — rows would land in the wrong partitions. Rebuild "
                 "the secondary index from the merged primary instead.")
+        if not track_generations and store_generation(out_dir) > 0:
+            raise ValueError(
+                f"store {out_dir!r} has tracked generations; an untracked "
+                "merge would mutate data out from under the history and "
+                "corrupt every older snapshot — pass track_generations=True")
     else:
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"num_partitions": num_partitions, "key": "subj"}, f)
         os.replace(tmp, meta_path)
+    gen = store_generation(out_dir) + 1 if track_generations else None
     with_part = new_triples_ds.map_batches(
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
     )
@@ -271,6 +338,7 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         os.makedirs(pdir, exist_ok=True)
         dst = os.path.join(pdir, "data.parquet")
         n_old = 0
+        old = None
         if os.path.exists(dst):
             old = pq.read_table(dst)
             n_old = old.num_rows
@@ -302,12 +370,26 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         g = g.sort_by(
             [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")]
         )
+        n_d_add = n_d_rm = 0
+        if gen is not None:
+            d_add, d_rm = _row_diff(g, old), _row_diff(old, g)
+            n_d_add, n_d_rm = d_add.num_rows, d_rm.num_rows
+            gdir = os.path.join(pdir, f"gen={gen}")
+            for name, t in (("added", d_add), ("removed", d_rm)):
+                if t.num_rows:
+                    os.makedirs(gdir, exist_ok=True)
+                    dtmp = os.path.join(gdir, f".{name}.parquet.tmp")
+                    pq.write_table(t, dtmp)
+                    os.replace(dtmp, os.path.join(gdir, f"{name}.parquet"))
         tmp = os.path.join(pdir, ".data.parquet.tmp")
         pq.write_table(g, tmp)
         os.replace(tmp, dst)
         return pa.table(
             {"part_id": pa.array([pid]), "n_total": pa.array([g.num_rows]),
-             "n_added": pa.array([g.num_rows - n_old]), "path": pa.array([dst])}
+             "n_added": pa.array([g.num_rows - n_old]),
+             "n_gen_added": pa.array([n_d_add]),
+             "n_gen_removed": pa.array([n_d_rm]),
+             "path": pa.array([dst])}
         )
 
     manifest = with_part.groupby("part_id").map_groups(merge_group,
@@ -322,8 +404,143 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         out = pd.DataFrame({"part_id": pd.Series([], dtype="int64"),
                             "n_total": pd.Series([], dtype="int64"),
                             "n_added": pd.Series([], dtype="int64"),
+                            "n_gen_added": pd.Series([], dtype="int64"),
+                            "n_gen_removed": pd.Series([], dtype="int64"),
                             "path": pd.Series([], dtype="object")})
+    if gen is not None:
+        meta = _load_meta(out_dir)
+        meta["generation"] = gen
+        meta.setdefault("history", []).append({
+            "gen": gen, "op": "merge",
+            "added": int(out["n_gen_added"].sum()),
+            "removed": int(out["n_gen_removed"].sum())})
+        _save_meta(out_dir, meta)
     return out
+
+
+def delete_triples(out_dir: str, *, subj: str | None = None,
+                   pred: str | None = None, obj: str | None = None):
+    """Tracked DELETE over the partitioned store (retractions are a real
+    web-KG operation — takedowns, GDPR erasure, revoked facts): remove
+    every triple matching the bound constants, rewriting only affected
+    partitions (a pattern binding the store's ROUTING key touches exactly
+    one partition; otherwise all). Always a generation: each touched
+    partition records its removed rows under ``part_id=N/gen=G/`` and the
+    meta generation bumps once — :func:`read_store_asof` can resurrect
+    any pre-delete snapshot. Returns a small pandas manifest (one row per
+    partition that actually lost rows). At least one constant must bind."""
+    import glob
+    import os
+
+    import ray
+
+    bound = {k: v for k, v in
+             {"subj": subj, "pred": pred, "obj": obj}.items() if v is not None}
+    if not bound:
+        raise ValueError("delete_triples with no bound constant would drop "
+                         "the whole store — do that with shutil instead")
+    route = store_key(out_dir)
+    gen = store_generation(out_dir) + 1
+    if route in bound:
+        pid = subj_partition_id(bound[route], store_num_partitions(out_dir))
+        pdirs = [os.path.join(out_dir, f"part_id={pid}")]
+        pdirs = [p for p in pdirs if os.path.isdir(p)]
+    else:
+        pdirs = sorted(glob.glob(f"{out_dir}/part_id=*"))
+
+    @ray.remote
+    def del_part(pdir: str):
+        import pyarrow.parquet as pq
+
+        dst = os.path.join(pdir, "data.parquet")
+        t = pq.read_table(dst)
+        mask = None
+        for col, v in bound.items():
+            e = pc.equal(t[col], v)
+            mask = e if mask is None else pc.and_(mask, e)
+        mask = pc.fill_null(mask, False)
+        n_rm = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        if n_rm == 0:
+            return None
+        removed = t.filter(mask)
+        kept = t.filter(pc.invert(mask))
+        gdir = os.path.join(pdir, f"gen={gen}")
+        os.makedirs(gdir, exist_ok=True)
+        dtmp = os.path.join(gdir, ".removed.parquet.tmp")
+        pq.write_table(removed, dtmp)
+        os.replace(dtmp, os.path.join(gdir, "removed.parquet"))
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(kept, tmp)
+        os.replace(tmp, dst)
+        return {"part_id": int(pdir.rsplit("=", 1)[1]), "n_removed": n_rm,
+                "n_total": kept.num_rows}
+
+    rows = [r for r in ray.get([del_part.remote(p) for p in pdirs])
+            if r is not None]
+    out = pd.DataFrame(rows, columns=["part_id", "n_removed", "n_total"])
+    meta = _load_meta(out_dir)
+    meta["generation"] = gen
+    meta.setdefault("history", []).append({
+        "gen": gen, "op": "delete", "added": 0,
+        "removed": int(out["n_removed"].sum()) if len(out) else 0})
+    _save_meta(out_dir, meta)
+    return out
+
+
+def read_store_asof(out_dir: str, generation: int | None = None):
+    """Time travel: the store's content AS OF ``generation`` as a Ray
+    Dataset. Replay is PARTITION-LOCAL (zero shuffle): each partition task
+    starts from the live file and walks its generation deltas backwards —
+    current minus ``gen=g/added`` plus ``gen=g/removed`` for every
+    ``g > generation`` — so the cost is proportional to the deltas
+    crossed, not to store size × generations, and a 1/P-of-the-data
+    partition replays independently of every other. ``generation=None``
+    (or the current generation) streams the live store directly.
+    Full-row identity, nulls compare equal (matching the delta writer);
+    output is re-sorted per partition like the live layout."""
+    import glob
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cur = store_generation(out_dir)
+    parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no partitions in {out_dir!r}")
+    if generation is None or generation >= cur:
+        if generation is not None and generation > cur:
+            raise ValueError(f"store {out_dir!r} is at generation {cur}, "
+                             f"asked for {generation}")
+        return rd.read_parquet(parts)
+    if generation < 0:
+        raise ValueError(f"generation must be >= 0, got {generation}")
+
+    @ray.remote
+    def replay(data_path: str):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(data_path)
+        cols = list(t.column_names)
+        df = t.to_pandas()
+        pdir = os.path.dirname(data_path)
+        for g in range(cur, generation, -1):
+            gdir = os.path.join(pdir, f"gen={g}")
+            ap = os.path.join(gdir, "added.parquet")
+            rp = os.path.join(gdir, "removed.parquet")
+            if os.path.exists(ap):
+                ad = pq.read_table(ap).to_pandas().drop_duplicates()
+                m = df.merge(ad[cols], on=cols, how="left", indicator=True)
+                df = m[m["_merge"] == "left_only"][cols]
+            if os.path.exists(rp):
+                rm = pq.read_table(rp).to_pandas()
+                df = pd.concat([df, rm[cols]], ignore_index=True)
+                df = df.drop_duplicates()
+        sort_cols = [c for c in ("subj", "pred", "obj") if c in cols]
+        df = df.sort_values(sort_cols, kind="mergesort")
+        return pa.Table.from_pandas(df, schema=t.schema, preserve_index=False)
+
+    return rd.from_arrow_refs([replay.remote(p) for p in parts])
 
 
 def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
@@ -384,12 +601,18 @@ def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
 
 
 def compact_store(store_dir: str, num_partitions: int | None = None,
-                  key: str | None = None):
+                  key: str | None = None, drop_history: bool = False):
     """Rebuild a hash-partitioned store at a new partition count and/or a
     new routing key — the maintenance op the ROADMAP flagged: partition
     counts are chosen at write time, and a store that grew 100× (or a
     workload that flipped from subject to object lookups) needs a
     re-layout without re-running the pipeline that produced it.
+
+    Generation deltas are keyed to the OLD partitioning, so compaction
+    cannot carry time travel across: a store with tracked generations
+    refuses to compact unless ``drop_history=True``, and the rebuilt
+    store restarts at generation 0 (live content becomes the new
+    baseline).
 
     The rebuild is one streaming read → route → per-partition sorted
     write into a sibling temp dir (the exact write path of
@@ -411,6 +634,12 @@ def compact_store(store_dir: str, num_partitions: int | None = None,
         meta = json.load(f)
     new_p = num_partitions or meta["num_partitions"]
     new_key = key or meta.get("key", "subj")
+    if int(meta.get("generation", 0)) > 0 and not drop_history:
+        raise ValueError(
+            f"store {store_dir!r} has {meta['generation']} tracked "
+            "generations; compaction re-routes rows so the deltas cannot "
+            "be carried over — pass drop_history=True to rebuild from the "
+            "live content (time travel resets)")
 
     parts = sorted(glob.glob(f"{store_dir}/part_id=*/data.parquet"))
     if not parts:

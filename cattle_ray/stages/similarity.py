@@ -148,6 +148,44 @@ def kmeans_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return cent
 
 
+def deterministic_sample(ds, n: int, id_col: str):
+    """Layout-invariant driver-side sample: the ``n`` rows with the
+    SMALLEST 64-bit id hashes — a pure function of row content, so
+    repartitioning the input cannot change which rows seed k-means
+    (``ds.limit(n)``'s "first n" follows file/layout order and broke
+    parallelism invariance: centroids differed between repartition(2)
+    and repartition(5) of identical data). Two streaming passes, scale
+    shape: pass 1 moves only per-batch k-smallest 8-byte hashes to the
+    driver (threshold = global k-th smallest); pass 2 filters
+    ``h <= threshold`` and collects the ~n surviving rows. Returns a
+    pandas frame sorted by (hash, id), truncated to exactly ``n``."""
+    from .joins import _col_hash64
+
+    def _h(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        h = _col_hash64(batch[id_col])
+        k = min(n, len(h))
+        return pa.table({"h": pa.array(np.partition(h, k - 1)[:k])})
+
+    hs = ds.map_batches(_h, batch_format="pyarrow").to_pandas()["h"].to_numpy()
+    if len(hs) == 0:
+        raise ValueError("deterministic_sample: input dataset is empty")
+    hs = np.sort(hs.astype(np.uint64))
+    thr = hs[min(n, len(hs)) - 1]
+
+    def _take(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("_h", pa.array([], pa.uint64()))
+        h = _col_hash64(batch[id_col])
+        t = batch.filter(pa.array(h <= thr))
+        return t.append_column("_h", pa.array(h[h <= thr]))
+
+    df = ds.map_batches(_take, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["_h", id_col], kind="mergesort").head(n)
+    return df.drop(columns=["_h"]).reset_index(drop=True)
+
+
 def ivf_build(ds, out_dir: str, n_clusters: int = 16, sample_size: int = 2048,
               id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):
     """Build a persisted IVF index: assign every vector to its nearest
@@ -161,7 +199,7 @@ def ivf_build(ds, out_dir: str, n_clusters: int = 16, sample_size: int = 2048,
 
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
+    sample = deterministic_sample(ds, sample_size, id_col)
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
     cent_ref = ray.put(cent)
 
@@ -214,7 +252,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     """
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()
+    sample = deterministic_sample(ds, sample_size, id_col)
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q_unit @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
@@ -297,9 +335,7 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
         lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
     ).write_parquet(spill_dir)
     ds = rd.read_parquet(spill_dir)
-    head = ds.limit(sample_size).to_pandas()
-    if head.empty:
-        raise ValueError("kmeans_distributed: input dataset is empty")
+    head = deterministic_sample(ds, sample_size, id_col)
     sample = np.stack(head[vec_col].to_numpy())
     cent = kmeans_centroids(sample, n_clusters, iters=3, seed=seed)
 

@@ -500,3 +500,70 @@ def test_compact_store_repartitions_and_rekeys(triples_ds, tmp_path):
     n = sum(_pq.read_table(p).num_rows
             for p in glob.glob(f"{out}/part_id=*/data.parquet"))
     assert n == 50
+
+
+def test_store_time_travel_lifecycle(ray_session, tmp_path):
+    """Generation-aware store end to end: two tracked merges + a pattern
+    delete + a routed (single-partition) delete, read_store_asof
+    resurrects every intermediate snapshot, history is recorded, and the
+    guards hold (untracked merge refused on a tracked store; compaction
+    refuses to silently drop history, resets generations when forced)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        compact_store, delete_triples, merge_triples_hash_partitioned,
+        read_store_asof, store_generation, store_generations)
+
+    t = _triples()
+    out = str(tmp_path / "store")
+
+    def keys(tbl):
+        return set(zip(tbl["subj"].to_pylist(), tbl["pred"].to_pylist(),
+                       tbl["obj"].to_pylist()))
+
+    def asof_keys(gen=None):
+        df = read_store_asof(out, gen).to_pandas()
+        if df.empty:  # Ray's to_pandas drops columns on all-empty datasets
+            return set()
+        return set(zip(df["subj"], df["pred"], df["obj"]))
+
+    p01 = t.filter(pc.not_equal(t["pred"], "http://p2"))
+    p2 = t.filter(pc.equal(t["pred"], "http://p2"))
+
+    # gen 1: p0+p1 rows; gen 2: p2 rows; gen 3: delete pred=p0 (all
+    # partitions); gen 4: delete subj=s3 (routing key bound → one part)
+    merge_triples_hash_partitioned(rd.from_arrow(p01).repartition(3), out,
+                                   num_partitions=4, track_generations=True)
+    assert store_generation(out) == 1
+    merge_triples_hash_partitioned(rd.from_arrow(p2).repartition(2), out,
+                                   num_partitions=4, track_generations=True)
+    m3 = delete_triples(out, pred="http://p0")
+    assert m3["n_removed"].sum() == p01.filter(
+        pc.equal(p01["pred"], "http://p0")).num_rows
+    m4 = delete_triples(out, subj="http://s3")
+    assert store_generation(out) == 4
+    assert len(m4) <= 1  # routed delete touches at most one partition
+
+    all_k, p01_k, p2_k = keys(t), keys(p01), keys(p2)
+    p1p2_k = {k for k in all_k if k[1] != "http://p0"}
+    live_k = {k for k in p1p2_k if k[0] != "http://s3"}
+    assert asof_keys() == live_k
+    assert asof_keys(3) == p1p2_k      # resurrect the s3 delete
+    assert asof_keys(2) == all_k       # resurrect the p0 delete
+    assert asof_keys(1) == p01_k       # un-apply the gen-2 merge
+    assert asof_keys(0) == set()       # before any tracked content
+
+    hist = store_generations(out)
+    assert [h["op"] for h in hist] == ["merge", "merge", "delete", "delete"]
+    assert hist[2]["removed"] == int(m3["n_removed"].sum())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="track_generations"):
+        merge_triples_hash_partitioned(rd.from_arrow(p2), out,
+                                       num_partitions=4)
+    with _pytest.raises(ValueError, match="drop_history"):
+        compact_store(out, num_partitions=2)
+    compact_store(out, num_partitions=2, drop_history=True)
+    assert store_generation(out) == 0
+    assert asof_keys() == live_k  # live content is the new baseline
