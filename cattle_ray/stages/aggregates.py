@@ -62,11 +62,16 @@ def add_key_bucket(batch: pa.Table, keys, num_buckets: int) -> pa.Table:
             col = col.combine_chunks()
         v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
         h = _splitmix64(v.astype(np.uint64))
-    else:
-        h = pd.util.hash_pandas_object(
-            batch.select(keys).to_pandas(), index=False
-        ).to_numpy()
-    return batch.append_column("_bucket", pa.array((h % num_buckets).astype("int64")))
+        return batch.append_column(
+            "_bucket", pa.array((h % num_buckets).astype("int64")))
+    # null/dtype-stable per-column hash: hashing the to_pandas sub-frame
+    # let a batch-local NULL promote an int64 key to float64, giving the
+    # SAME key different buckets in different batches (same defect class
+    # as the composite-join bucketing fix in joins.py)
+    from .joins import _key_buckets_multi
+
+    bucket = _key_buckets_multi(batch, keys, num_buckets)
+    return batch.append_column("_bucket", pa.array(bucket.astype("int64")))
 
 
 def partial_count(ds, keys, shuffle_blocks: int = 16, num_buckets: int = 32):
@@ -182,11 +187,14 @@ def distinct(ds, cols, num_buckets: int = 64):
     cols = list(cols)
 
     def local_distinct(batch: pa.Table) -> pa.Table:
+        from .joins import _key_buckets_multi
+
         out = batch.select(cols).group_by(cols).aggregate([])
-        h = pd.util.hash_pandas_object(out.to_pandas(), index=False).to_numpy()
-        return out.append_column(
-            "_bucket", pa.array((h % num_buckets).astype("int64"))
-        )
+        # null/dtype-stable bucketing (see add_key_bucket): equal rows
+        # MUST co-bucket or they survive the bucket-local dedup as
+        # duplicate "distinct" rows
+        bucket = _key_buckets_multi(out, cols, num_buckets)
+        return out.append_column("_bucket", pa.array(bucket.astype("int64")))
 
     local = coalesce_small(ds.map_batches(local_distinct, batch_format="pyarrow"))
     return local.groupby("_bucket").map_groups(

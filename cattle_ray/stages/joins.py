@@ -35,8 +35,12 @@ def _key_buckets(col, num_buckets: int) -> np.ndarray:
     error. Always returns non-negative int64."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        k = col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
+        # fill_null keeps the numpy array integer-typed: with nulls present
+        # to_numpy falls back to float64, and the int64 cast of a valid
+        # value is stable but the NULL rows' NaN cast is not defined
+        k = pc.cast(col.fill_null(0), pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         return k % num_buckets  # numpy % yields non-negative for positive divisor
     h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int64)

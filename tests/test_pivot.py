@@ -82,3 +82,28 @@ def test_unpivot_roundtrip_and_nulls(ray_session):
         batch_format="pyarrow").to_pandas()
     got = set(map(tuple, long[["k", "p", "v"]].itertuples(index=False)))
     assert got == {(1, "a", "x"), (1, "b", "y"), (2, "a", "z")}
+
+
+def test_bucket_hash_stable_under_null_dtype_promotion(ray_session):
+    """Equal keys MUST co-bucket regardless of which batch they rode in:
+    hashing the to_pandas key frame let a batch-local NULL promote an
+    int64 key column to float64, so the same (k, s) tuple hashed to
+    different buckets in different blocks — distinct emitted duplicate
+    rows and partial_count split a group's count. Block 1 carries a null
+    alongside (5, 'x'); block 2 carries (5, 'x') null-free."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import distinct, partial_count
+
+    t1 = pa.table({"k": pa.array([5, None], pa.int64()), "s": ["x", "y"]})
+    t2 = pa.table({"k": pa.array([5, 7], pa.int64()), "s": ["x", "z"]})
+    ds = rd.from_arrow([t1, t2])
+
+    out = distinct(ds, ["k", "s"]).to_pandas()
+    assert len(out) == 3  # (5,x) collapses across blocks; (None,y); (7,z)
+
+    cnt = partial_count(ds, ["k", "s"]).to_pandas()
+    got = {(None if pd.isna(k) else int(k), s): int(n)
+           for k, s, n in zip(cnt["k"], cnt["s"], cnt["n"])}
+    assert got == {(5, "x"): 2, (None, "y"): 1, (7, "z"): 1}
