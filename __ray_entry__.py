@@ -3987,6 +3987,20 @@ def q_kg_bgp_agg(sf_dir: str):
         ["e", "r"], num_buckets=8)
 
 
+def q_kg_bgp_select(sf_dir: str):
+    """SPARQL solution modifiers end to end: SELECT DISTINCT + ORDER BY
+    (desc, asc) + LIMIT over BGP bindings — projection and dedup stream,
+    and ORDER BY + LIMIT runs as per-block top-k + one tiny final slice,
+    never a global sort."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e"), ("?s", EX + "rank", "?r")],
+        select=["?e", "?r"], distinct=True,
+        order_by=[("?e", "descending"), "?r"], limit=20, num_buckets=8)
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -4173,6 +4187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_construct": q_kg_construct,
         "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_store": q_kg_bgp_store,
         "kg_store_timetravel": q_kg_store_timetravel,
     }
@@ -5824,6 +5839,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_bgp_select": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT DISTINCT e, r FROM en JOIN rk USING (subj)
+            ORDER BY e DESC, r LIMIT 20
         """,
         "kg_store_timetravel": _TRIPLE_BASE_CTE + f"""
             SELECT * FROM triples WHERE pred <> '{EX}rank'

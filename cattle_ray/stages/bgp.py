@@ -280,8 +280,74 @@ def construct_triples(bindings_ds, templates):
     return bindings_ds.map_batches(f, batch_format="pyarrow")
 
 
+def _apply_modifiers(acc, bound, *, select=None, distinct=False,
+                     order_by=None, limit=None, offset: int = 0,
+                     num_buckets: int = 32):
+    """SPARQL solution modifiers over a binding Dataset, in the spec's
+    order: project → DISTINCT → ORDER BY → OFFSET/LIMIT. Projection and
+    DISTINCT are streaming (DISTINCT = the engine's bucketed distinct);
+    ORDER BY is a real range sort ONLY when the caller asks for it —
+    combined with ``limit`` the full sort is skipped in favor of a
+    per-block top-k + one tiny final slice (the SPARQL ``ORDER BY …
+    LIMIT k`` idiom never needs a global sort)."""
+    if select is not None:
+        vars_ = [v[1:] if v.startswith("?") else v for v in select]
+        missing = [v for v in vars_ if v not in bound]
+        if missing:
+            raise ValueError(
+                f"SELECT variables not bound by the pattern: {missing}")
+        acc = acc.map_batches(lambda b, cols=tuple(vars_): b.select(list(cols)),
+                              batch_format="pyarrow")
+        cols = vars_
+    else:
+        cols = list(bound)
+    if distinct:
+        from .aggregates import distinct as _distinct
+
+        acc = _distinct(acc, cols, num_buckets=num_buckets)
+    if order_by:
+        keys = [(v[1:] if v.startswith("?") else v, d)
+                for v, d in ([(o, "ascending") if isinstance(o, str) else o
+                              for o in order_by])]
+        if limit is not None:
+            k = int(limit) + int(offset)
+
+            def topk(b: pa.Table, keys=tuple(keys), k=k) -> pa.Table:
+                return b.sort_by(list(keys)).slice(0, k)
+
+            acc = acc.map_batches(topk, batch_format="pyarrow") \
+                     .repartition(1).map_batches(topk, batch_format="pyarrow")
+        else:
+            acc = acc.sort([k for k, _d in keys],
+                           descending=[d == "descending" for _k, d in keys])
+    if offset or limit is not None:
+        acc = _offset_limit(acc, offset, limit)
+    return acc
+
+
+def _offset_limit(acc, offset: int, limit):
+    """OFFSET n LIMIT k without a driver materialize: take the first
+    n+k rows (streaming ``limit``), then drop the first n inside one
+    single-block map (n+k is query-sized by construction)."""
+    if not offset:
+        return acc if limit is None else acc.limit(int(limit))
+    take = None if limit is None else int(offset) + int(limit)
+    if take is not None:
+        acc = acc.limit(take)
+    acc = acc.repartition(1)
+    lim = None if limit is None else int(limit)
+
+    def drop(b: pa.Table) -> pa.Table:
+        out = b.slice(offset)
+        return out if lim is None else out.slice(0, lim)
+
+    return acc.map_batches(drop, batch_format="pyarrow")
+
+
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  filters=None, reorder: bool = True,
+                 select=None, distinct: bool = False, order_by=None,
+                 limit=None, offset: int = 0,
                  num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
@@ -295,7 +361,14 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     ``filters``: list of ``(?var, op, value)`` FILTER constraints
     (see :func:`_apply_filters`) applied after all joins — a comparison
     on an unbound OPTIONAL variable drops the row, exactly like SQL WHERE
-    over the mirroring LEFT JOIN."""
+    over the mirroring LEFT JOIN.
+
+    Solution modifiers (applied in SPARQL's order, all streaming-shaped —
+    see :func:`_apply_modifiers`): ``select`` projects to the given
+    variables; ``distinct`` dedups projected rows; ``order_by`` is a list
+    of ``"?var"`` or ``("?var", "descending")``; ``limit``/``offset``
+    slice the (ordered) solutions — ``order_by`` + ``limit`` runs as
+    per-block top-k, never a global sort."""
     if not patterns:
         raise ValueError("empty BGP")
 
@@ -322,11 +395,16 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
         lambda p: pattern_bindings(triples_ds, p), num_buckets)
     acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
                           batch_format="pyarrow")
-    return _apply_filters(acc, filters)
+    acc = _apply_filters(acc, filters)
+    return _apply_modifiers(acc, bound, select=select, distinct=distinct,
+                            order_by=order_by, limit=limit, offset=offset,
+                            num_buckets=num_buckets)
 
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        minus=None, filters=None, reorder: bool = True,
+                       select=None, distinct: bool = False, order_by=None,
+                       limit=None, offset: int = 0,
                        num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
@@ -366,4 +444,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         lambda p: pattern_bindings(stream_for(p), p), num_buckets)
     acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
                           batch_format="pyarrow")
-    return _apply_filters(acc, filters)
+    acc = _apply_filters(acc, filters)
+    return _apply_modifiers(acc, bound, select=select, distinct=distinct,
+                            order_by=order_by, limit=limit, offset=offset,
+                            num_buckets=num_buckets)

@@ -247,3 +247,58 @@ def test_reorder_connects_and_preserves_columns(ray_session):
     # planner determinism: constants-first, ties by position
     plan = order_patterns(pats)
     assert plan[0] == ("?e", "in", "X")
+
+
+def test_select_modifiers(ray_session):
+    """Solution modifiers in SPARQL order: projection, DISTINCT, ORDER BY
+    (asc/desc), LIMIT/OFFSET; ORDER BY + LIMIT takes the per-block top-k
+    path; unbound SELECT vars raise."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    pats = [("?d", "about", "?e"), ("?e", "in", "?r")]
+    full = evaluate_bgp(ds, pats).to_pandas()
+    # all three docs bind: a/c → E1 → X, b → E2 → Y
+
+    got = evaluate_bgp(ds, pats, select=["?r"], distinct=True).to_pandas()
+    assert sorted(got["r"]) == sorted(set(full["r"])) == ["X", "Y"]
+
+    got2 = evaluate_bgp(ds, pats, select=["?d", "?e"],
+                        order_by=[("?d", "descending"), "?e"],
+                        limit=2).to_pandas()
+    want = full[["d", "e"]].sort_values(
+        ["d", "e"], ascending=[False, True]).head(2)
+    assert got2.values.tolist() == want.values.tolist()
+
+    got3 = evaluate_bgp(ds, pats, select=["?d"], order_by=["?d"],
+                        limit=2, offset=1).to_pandas()
+    assert got3["d"].tolist() == sorted(full["d"])[1:3]
+
+    # plain LIMIT without ORDER BY: row count only (any 2 solutions)
+    assert len(evaluate_bgp(ds, pats, limit=2).to_pandas()) == 2
+
+    with pytest.raises(ValueError, match="not bound"):
+        evaluate_bgp(ds, pats, select=["?zzz"]).to_pandas()
+
+
+def test_select_modifiers_store(ray_session, tmp_path):
+    """The same modifiers over the partitioned-store evaluator."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    t = _triples(ROWS)
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([False] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    out = str(tmp_path / "store")
+    write_triples_hash_partitioned(
+        rd.from_arrow(t).repartition(2), out, num_partitions=4)
+    got = evaluate_bgp_store(
+        out, [("?d", "about", "?e"), ("?e", "in", "?r")],
+        select=["?e", "?r"], distinct=True, order_by=["?e"]).to_pandas()
+    assert got.values.tolist() == [["E1", "X"], ["E2", "Y"]]
