@@ -156,8 +156,10 @@ _FILTER_OPS = {
 
 def _apply_filters(ds, filters):
     """``filters`` = list of ``(?var, op, value)`` with op in
-    ``= != < <= > >= contains bound`` and value a constant, another
-    ``?var``, or (for ``bound``) True/False. All vectorized; conjunctive."""
+    ``= != < <= > >= contains regex in bound`` and value a constant,
+    another ``?var``, a regex pattern (``regex``), a value list (``in`` —
+    the inline-VALUES form), or (for ``bound``) True/False. All
+    vectorized; conjunctive."""
     if not filters:
         return ds
 
@@ -167,6 +169,10 @@ def _apply_filters(ds, filters):
             col = b[var[1:] if _is_var(var) else var]
             if op == "contains":
                 c = pc.match_substring(col, val)
+            elif op == "regex":  # SPARQL REGEX(?var, pattern) — RE2 kernel
+                c = pc.match_substring_regex(col, val)
+            elif op == "in":  # SPARQL ?var IN (...) / inline VALUES
+                c = pc.is_in(col, value_set=pa.array(list(val)))
             elif op == "bound":
                 c = pc.is_valid(col) if val else pc.is_null(col)
             elif op in _FILTER_OPS:

@@ -302,3 +302,27 @@ def test_select_modifiers_store(ray_session, tmp_path):
         out, [("?d", "about", "?e"), ("?e", "in", "?r")],
         select=["?e", "?r"], distinct=True, order_by=["?e"]).to_pandas()
     assert got.values.tolist() == [["E1", "X"], ["E2", "Y"]]
+
+
+def test_filter_in_and_regex(ray_session):
+    """FILTER ?var IN (...) (inline VALUES) and REGEX — vectorized,
+    conjunctive with the comparator ops; nulls/REGEX-misses drop."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    pats = [("?d", "about", "?e")]
+    got = evaluate_bgp(ds, pats,
+                       filters=[("?e", "in", ["E1", "E9"])]).to_pandas()
+    assert set(zip(got["d"], got["e"])) == {("a", "E1"), ("c", "E1")}
+
+    got2 = evaluate_bgp(ds, pats,
+                        filters=[("?d", "regex", "^[ab]$")]).to_pandas()
+    assert set(got2["d"]) == {"a", "b"}
+
+    # conjunctive: IN + regex
+    got3 = evaluate_bgp(
+        ds, pats, filters=[("?e", "in", ["E1", "E2"]),
+                           ("?d", "regex", "^a")]).to_pandas()
+    assert set(zip(got3["d"], got3["e"])) == {("a", "E1")}
