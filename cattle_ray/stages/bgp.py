@@ -407,6 +407,15 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                             num_buckets=num_buckets)
 
 
+def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
+    """SPARQL ASK: does at least one solution exist? Evaluates the BGP
+    with ``limit=1`` — the streaming executor stops pulling blocks once
+    the limit is satisfied, so a match found early never scans the rest."""
+    kwargs.pop("limit", None)
+    kwargs.pop("offset", None)
+    return evaluate_bgp(triples_ds, patterns, limit=1, **kwargs).count() > 0
+
+
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        minus=None, filters=None, reorder: bool = True,
                        select=None, distinct: bool = False, order_by=None,

@@ -326,3 +326,13 @@ def test_filter_in_and_regex(ray_session):
         ds, pats, filters=[("?e", "in", ["E1", "E2"]),
                            ("?d", "regex", "^a")]).to_pandas()
     assert set(zip(got3["d"], got3["e"])) == {("a", "E1")}
+
+
+def test_ask(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import ask_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    assert ask_bgp(ds, [("?d", "type", "Doc"), ("?d", "about", "E1")])
+    assert not ask_bgp(ds, [("?d", "type", "Doc"), ("?d", "about", "E7")])
