@@ -4001,6 +4001,42 @@ def q_kg_bgp_select(sf_dir: str):
         order_by=[("?e", "descending"), "?r"], limit=20, num_buckets=8)
 
 
+def q_kg_bgp_path(sf_dir: str):
+    """SPARQL 1.1 property path (``pred+``) through the BGP layer: the
+    synthetic subclass tree (Entity<i> broader Entity<i//2>) as real
+    broader-triples, then ``?e broader+ ?a`` — the pattern's edge set
+    path-doubles through transitive_closure inside pattern_bindings,
+    DISTINCT over the (descendant, ancestor) pairs."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return evaluate_bgp(tr, [("?e", EX + "broader+", "?a")],
+                        distinct=True, num_buckets=8)
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -4188,6 +4224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": q_kg_construct,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
+        "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_store": q_kg_bgp_store,
         "kg_store_timetravel": q_kg_store_timetravel,
     }
@@ -5839,6 +5876,31 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_bgp_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1),
+            a1 AS (SELECT child, parent AS anc FROM par),
+            a2 AS (SELECT a1.child, p.parent AS anc FROM a1
+                   JOIN par p ON a1.anc = p.child),
+            a3 AS (SELECT a2.child, p.parent AS anc FROM a2
+                   JOIN par p ON a2.anc = p.child),
+            a4 AS (SELECT a3.child, p.parent AS anc FROM a3
+                   JOIN par p ON a3.anc = p.child),
+            a5 AS (SELECT a4.child, p.parent AS anc FROM a4
+                   JOIN par p ON a4.anc = p.child),
+            a6 AS (SELECT a5.child, p.parent AS anc FROM a5
+                   JOIN par p ON a5.anc = p.child)
+            SELECT DISTINCT child AS e, anc AS a FROM
+              (SELECT * FROM a1 UNION SELECT * FROM a2
+               UNION SELECT * FROM a3 UNION SELECT * FROM a4
+               UNION SELECT * FROM a5 UNION SELECT * FROM a6)
         """,
         "kg_bgp_select": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

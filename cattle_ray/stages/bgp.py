@@ -43,12 +43,78 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
+def _path_bindings(triples_ds, terms):
+    """Transitive property-path pattern ``(s, "pred+", o)`` — SPARQL 1.1
+    OneOrMorePath: bindings are every (s, o) connected by 1+ ``pred``
+    edges. The edge set filters map-side (only ``pred`` rows survive),
+    then :func:`~.graph.transitive_closure` path-doubles it (⌈log₂ depth⌉
+    co-partitioned self-join rounds); endpoint constants and repeated-
+    variable equality filter the CLOSURE — sound because the closure of a
+    hierarchy-shaped relation is near-linear in the input (the closure
+    kernel's documented contract; a subject-bound path over a huge cyclic
+    relation should use :func:`~.graph.bfs` instead). ``pred*``
+    (ZeroOrMorePath) is rejected: its identity rows range over the whole
+    node domain, which is corpus-sized by definition."""
+    from .graph import transitive_closure
+
+    s, p, o = terms
+    base = p[:-1]
+
+    def edges(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["pred"], base))
+        return pa.table({"subj": b["subj"], "obj": b["obj"]})
+
+    pairs = transitive_closure(
+        triples_ds.map_batches(edges, batch_format="pyarrow"),
+        src="subj", dst="obj")
+
+    out_vars: list[str] = []
+    for term in (s, o):
+        if _is_var(term) and term[1:] not in out_vars:
+            out_vars.append(term[1:])
+    if not out_vars:
+        raise ValueError(f"pattern {terms!r} binds no variable")
+
+    def g(b: pa.Table) -> pa.Table:
+        mask = None
+        for col, term in (("subj", s), ("obj", o)):
+            if not _is_var(term):
+                c = pc.equal(b[col], term)
+                mask = c if mask is None else pc.and_(mask, c)
+        if _is_var(s) and s == o:  # ?x pred+ ?x — cycle membership
+            c = pc.equal(b["subj"], b["obj"])
+            mask = c if mask is None else pc.and_(mask, c)
+        if mask is not None:
+            b = b.filter(mask)
+        cols = {}
+        for col, term in (("subj", s), ("obj", o)):
+            if _is_var(term) and term[1:] not in cols:
+                cols[term[1:]] = b[col]
+        return pa.table(cols)
+
+    return pairs.map_batches(g, batch_format="pyarrow"), out_vars
+
+
+def _is_path(term) -> bool:
+    return isinstance(term, str) and not _is_var(term) and term.endswith("+")
+
+
 def pattern_bindings(triples_ds, pattern):
     """One pattern → Dataset of its variable bindings (constants filtered
-    out map-side, variable columns projected and renamed)."""
+    out map-side, variable columns projected and renamed). A predicate
+    constant ending in ``+`` is a transitive path (see
+    :func:`_path_bindings`); ``*`` paths are rejected."""
     terms = list(pattern)
     if len(terms) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
+    p = terms[1]
+    if isinstance(p, str) and not _is_var(p) and p.endswith("*"):
+        raise NotImplementedError(
+            "ZeroOrMorePath (pred*) is not supported: its identity rows "
+            "range over the whole node domain — use pred+ and union the "
+            "identity bindings you actually need")
+    if _is_path(p):
+        return _path_bindings(triples_ds, terms)
     out_vars: list[str] = []
     for col, term in zip(_POS, terms):
         if _is_var(term) and term[1:] not in out_vars:
@@ -437,9 +503,15 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         raise ValueError("empty BGP")
 
     def stream_for(pattern):
-        consts = {col: t for col, t in zip(_POS, pattern)
-                  if not _is_var(t)}
-        got = match_triples(store_dir, **consts)
+        if _is_path(pattern[1]):
+            # path pattern: scan ONLY the base predicate's rows (pred
+            # pushdown); endpoint constants filter the closure, not the
+            # scan — intermediate hops must all be present
+            got = match_triples(store_dir, pred=pattern[1][:-1])
+        else:
+            consts = {col: t for col, t in zip(_POS, pattern)
+                      if not _is_var(t)}
+            got = match_triples(store_dir, **consts)
         if isinstance(got, pa.Table):  # point read → tiny in-memory side
             got = rd.from_arrow(got)
         return got

@@ -336,3 +336,37 @@ def test_ask(ray_session):
     ds = rd.from_arrow(_triples(ROWS)).repartition(3)
     assert ask_bgp(ds, [("?d", "type", "Doc"), ("?d", "about", "E1")])
     assert not ask_bgp(ds, [("?d", "type", "Doc"), ("?d", "about", "E7")])
+
+
+def test_property_path(ray_session, tmp_path):
+    """pred+ transitive paths: bound-subject ancestors, path⋈plain joins,
+    pred* rejection, and the store-backed path (pred-pushdown scan)."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    rows = ROWS + [("X", "in", "TOP")]  # E1 in X in TOP; E2 in Y
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+
+    out = evaluate_bgp(ds, [("E1", "in+", "?a")]).to_pandas()
+    assert set(out["a"]) == {"X", "TOP"}
+
+    out2 = evaluate_bgp(
+        ds, [("?e", "in+", "TOP"), ("?d", "about", "?e")]).to_pandas()
+    assert set(zip(out2["e"], out2["d"])) == {("E1", "a"), ("E1", "c")}
+
+    with pytest.raises(NotImplementedError, match="ZeroOrMorePath"):
+        evaluate_bgp(ds, [("E1", "in*", "?a")]).to_pandas()
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+
+    t = _triples(rows)
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([False] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(
+        rd.from_arrow(t).repartition(2), store, num_partitions=4)
+    got = evaluate_bgp_store(store, [("?e", "in+", "TOP")]).to_pandas()
+    assert set(got["e"]) == {"E1", "X"}
