@@ -79,7 +79,9 @@ def _path_bindings(triples_ds, terms):
         mask = None
         for col, term in (("subj", s), ("obj", o)):
             if not _is_var(term):
-                c = pc.equal(b[col], term)
+                c = (pc.is_in(b[col], value_set=pa.array(list(term)))
+                     if isinstance(term, (list, tuple, set))
+                     else pc.equal(b[col], term))
                 mask = c if mask is None else pc.and_(mask, c)
         if _is_var(s) and s == o:  # ?x pred+ ?x — cycle membership
             c = pc.equal(b["subj"], b["obj"])
@@ -101,13 +103,22 @@ def _is_path(term) -> bool:
 
 def pattern_bindings(triples_ds, pattern):
     """One pattern → Dataset of its variable bindings (constants filtered
-    out map-side, variable columns projected and renamed). A predicate
-    constant ending in ``+`` is a transitive path (see
-    :func:`_path_bindings`); ``*`` paths are rejected."""
+    out map-side, variable columns projected and renamed). Path forms on
+    the predicate term: a constant ending in ``+`` is a transitive path
+    (see :func:`_path_bindings`); a leading ``^`` is the inverse path
+    (the pattern rewrites with subject and object swapped, composing
+    with ``+``); a LIST of constants is the alternative path ``p1|p2``
+    (vectorized ``is_in`` — a list in the subject/object position
+    likewise acts as inline VALUES for that term). ``*`` paths are
+    rejected."""
     terms = list(pattern)
     if len(terms) != 3:
         raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
     p = terms[1]
+    if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
+        # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
+        terms = [terms[2], p[1:], terms[0]]
+        p = terms[1]
     if isinstance(p, str) and not _is_var(p) and p.endswith("*"):
         raise NotImplementedError(
             "ZeroOrMorePath (pred*) is not supported: its identity rows "
@@ -126,7 +137,9 @@ def pattern_bindings(triples_ds, pattern):
         mask = None
         for col, term in zip(_POS, terms):
             if not _is_var(term):
-                c = pc.equal(b[col], term)
+                c = (pc.is_in(b[col], value_set=pa.array(list(term)))
+                     if isinstance(term, (list, tuple, set))
+                     else pc.equal(b[col], term))
                 mask = c if mask is None else pc.and_(mask, c)
         # repeated variable inside the pattern = equality constraint
         seen: dict[str, str] = {}
@@ -503,14 +516,20 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         raise ValueError("empty BGP")
 
     def stream_for(pattern):
-        if _is_path(pattern[1]):
+        s, p, o = pattern
+        if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
+            p = p[1:]  # inverse path scans the same predicate's rows
+        if _is_path(p):
             # path pattern: scan ONLY the base predicate's rows (pred
             # pushdown); endpoint constants filter the closure, not the
             # scan — intermediate hops must all be present
-            got = match_triples(store_dir, pred=pattern[1][:-1])
+            got = match_triples(store_dir, pred=p[:-1])
         else:
-            consts = {col: t for col, t in zip(_POS, pattern)
-                      if not _is_var(t)}
+            # scalar constants push into the scan; list terms
+            # (alternative paths / inline VALUES) filter map-side in
+            # pattern_bindings instead
+            consts = {col: t for col, t in zip(_POS, (s, p, o))
+                      if not _is_var(t) and isinstance(t, str)}
             got = match_triples(store_dir, **consts)
         if isinstance(got, pa.Table):  # point read → tiny in-memory side
             got = rd.from_arrow(got)

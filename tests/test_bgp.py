@@ -370,3 +370,42 @@ def test_property_path(ray_session, tmp_path):
         rd.from_arrow(t).repartition(2), store, num_partitions=4)
     got = evaluate_bgp_store(store, [("?e", "in+", "TOP")]).to_pandas()
     assert set(got["e"]) == {"E1", "X"}
+
+
+def test_inverse_and_alternative_paths(ray_session, tmp_path):
+    """^p inverse paths (subject/object swap, composing with +) and
+    p1|p2 alternatives (a list predicate term), on both evaluators."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    rows = ROWS + [("X", "in", "TOP")]
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+
+    # inverse: ?d about E1  ≡  E1 ^about ?d
+    out = evaluate_bgp(ds, [("E1", "^about", "?d")]).to_pandas()
+    assert set(out["d"]) == {"a", "c"}
+
+    # inverse transitive: descendants of TOP via ^in+
+    out2 = evaluate_bgp(ds, [("TOP", "^in+", "?x")]).to_pandas()
+    assert set(out2["x"]) == {"X", "E1"}
+
+    # alternatives: type|about edges from subject a
+    out3 = evaluate_bgp(ds, [("a", ["type", "about"], "?v")]).to_pandas()
+    assert set(out3["v"]) == {"Doc", "E1"}
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+
+    t = _triples(rows)
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([False] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(
+        rd.from_arrow(t).repartition(2), store, num_partitions=4)
+    got = evaluate_bgp_store(store, [("TOP", "^in+", "?x")]).to_pandas()
+    assert set(got["x"]) == {"X", "E1"}
+    got2 = evaluate_bgp_store(
+        store, [("a", ["type", "about"], "?v")]).to_pandas()
+    assert set(got2["v"]) == {"Doc", "E1"}
