@@ -209,6 +209,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_minhash_verified",
         "events_window_dedup",
         "events_attribution",
+        "kg_bgp_agg",
+        "kg_bgp_select",
+        "kg_bgp_path",
+        "kg_store_timetravel",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

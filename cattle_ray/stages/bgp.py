@@ -432,7 +432,7 @@ def _offset_limit(acc, offset: int, limit):
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  filters=None, reorder: bool = True,
                  select=None, distinct: bool = False, order_by=None,
-                 limit=None, offset: int = 0,
+                 limit=None, offset: int = 0, spill_dir: str | None = None,
                  num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
@@ -463,7 +463,20 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
 
     n_scans = len(patterns) + group_size(optional) + group_size(minus)
     if n_scans > 1:
-        triples_ds = triples_ds.materialize()  # one scan per pattern
+        # one scan per pattern: pin in the object store (fast at query
+        # scale) — or, with spill_dir, write the stream to Parquet ONCE
+        # and re-read per pattern (the kmeans/IVF storage-backed pattern:
+        # a corpus-sized derived triple stream must not pin in the object
+        # store for the query's whole duration; a STORED corpus should
+        # use evaluate_bgp_store, whose per-pattern scans prune at the
+        # read instead)
+        if spill_dir is not None:
+            import ray.data as rd
+
+            triples_ds.write_parquet(spill_dir)
+            triples_ds = rd.read_parquet(spill_dir)
+        else:
+            triples_ds = triples_ds.materialize()
 
     display = _display_vars(patterns)
     plan = order_patterns(patterns) if reorder else list(patterns)

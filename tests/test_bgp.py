@@ -409,3 +409,20 @@ def test_inverse_and_alternative_paths(ray_session, tmp_path):
     got2 = evaluate_bgp_store(
         store, [("a", ["type", "about"], "?v")]).to_pandas()
     assert set(got2["v"]) == {"Doc", "E1"}
+
+
+def test_spill_dir_path(ray_session, tmp_path):
+    """spill_dir=: the multi-scan input goes through Parquet instead of
+    an object-store materialize; results identical."""
+    import os
+
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    pats = [("?d", "type", "Doc"), ("?d", "about", "?e")]
+    spill = str(tmp_path / "spill")
+    got = evaluate_bgp(ds, pats, spill_dir=spill).to_pandas()
+    assert set(zip(got["d"], got["e"])) == {("a", "E1"), ("b", "E2")}
+    assert os.listdir(spill)  # really went through the parquet spill
