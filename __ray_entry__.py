@@ -4037,6 +4037,32 @@ def q_kg_bgp_path(sf_dir: str):
                         distinct=True, num_buckets=8)
 
 
+def q_kg_bgp_graph(sf_dir: str):
+    """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
+    each doc's triples land in a parity-derived graph, and the constant
+    graph term filters map-side inside pattern_bindings — the reference's
+    timestamped-graph discipline (F5) as a query surface."""
+    import numpy as np
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    g0 = "https://example.org/graph/0"
+    g1 = "https://example.org/graph/1"
+
+    def with_graph(b: pa.Table) -> pa.Table:
+        i = pc.cast(pc.replace_substring_regex(
+            b["subj"], r"^.*doc/(\d+)#.*$", r"\1"), pa.int64())
+        # fixture doc_ids are all ≡ 0 (mod 4) — parity of doc_id//4
+        # actually splits the corpus across the two graphs
+        par = (i.to_numpy(zero_copy_only=False) // 4) % 2
+        return b.append_column(
+            "graph", pa.array(np.where(par == 0, g0, g1).tolist()))
+
+    tr = q_kg_csvw_triples(sf_dir).map_batches(with_graph,
+                                               batch_format="pyarrow")
+    return evaluate_bgp(tr, [("?s", EX + "rank", "?r", g0)], num_buckets=8)
+
+
 def q_kg_bgp_store(sf_dir: str):
     """The same 3-pattern BGP as kg_bgp_chain, evaluated over the
     PARTITIONED STORE with per-pattern read pruning
@@ -4225,6 +4251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_graph": q_kg_bgp_graph,
         "kg_bgp_store": q_kg_bgp_store,
         "kg_store_timetravel": q_kg_store_timetravel,
     }
@@ -5876,6 +5903,12 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_bgp_graph": _TRIPLE_BASE_CTE + rf"""
+            SELECT subj AS s, obj AS r FROM triples
+            WHERE pred = '{EX}rank'
+              AND (CAST(regexp_extract(subj, 'doc/(\d+)#', 1) AS BIGINT)
+                   // 4) % 2 = 0
         """,
         "kg_bgp_path": _TRIPLE_BASE_CTE + rf""",
             ents AS (SELECT DISTINCT obj AS ent FROM triples

@@ -224,6 +224,7 @@ def _row_diff(a: "pa.Table | None", b: "pa.Table | None") -> "pa.Table":
 
 def match_triples(out_dir: str, *, subj: str | None = None,
                   pred: str | None = None, obj: str | None = None,
+                  graph: str | None = None,
                   num_partitions: int | None = None, columns=None):
     """Triple-pattern query over the hash-partitioned store (the SPARQL BGP
     primitive). Read-level pruning by pattern shape:
@@ -247,6 +248,8 @@ def match_triples(out_dir: str, *, subj: str | None = None,
 
     route = store_key(out_dir)
     bound = {"subj": subj, "pred": pred, "obj": obj}
+    if graph is not None:  # named-graph scope — a filter, never a route
+        bound["graph"] = graph
     if bound.get(route) is not None:
         tbl = read_triples_for_key(out_dir, bound[route], key=route,
                                    num_partitions=num_partitions)

@@ -37,6 +37,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _POS = ("subj", "pred", "obj")
+_POS4 = ("subj", "pred", "obj", "graph")
+
+
+def _pos_for(terms) -> tuple:
+    """Pattern positions: 3 terms = a triple pattern, 4 = a QUAD pattern
+    whose last term scopes the named graph (SPARQL GRAPH g { … })."""
+    if len(terms) == 3:
+        return _POS
+    if len(terms) == 4:
+        return _POS4
+    raise ValueError(f"pattern must be (s, p, o) or (s, p, o, g), "
+                     f"got {tuple(terms)!r}")
 
 
 def _is_var(term: str) -> bool:
@@ -57,11 +69,20 @@ def _path_bindings(triples_ds, terms):
     node domain, which is corpus-sized by definition."""
     from .graph import transitive_closure
 
-    s, p, o = terms
+    s, p, o = terms[0], terms[1], terms[2]
+    g = terms[3] if len(terms) == 4 else None
+    if g is not None and (_is_var(g) or not isinstance(g, str)):
+        raise NotImplementedError(
+            "a path pattern's graph term must be a constant: the closure "
+            "is computed over ONE graph's edges — a graph variable would "
+            "mean one closure per graph")
     base = p[:-1]
 
     def edges(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.equal(b["pred"], base))
+        m = pc.equal(b["pred"], base)
+        if g is not None:
+            m = pc.and_(m, pc.equal(b["graph"], g))
+        b = b.filter(m)
         return pa.table({"subj": b["subj"], "obj": b["obj"]})
 
     pairs = transitive_closure(
@@ -112,12 +133,11 @@ def pattern_bindings(triples_ds, pattern):
     likewise acts as inline VALUES for that term). ``*`` paths are
     rejected."""
     terms = list(pattern)
-    if len(terms) != 3:
-        raise ValueError(f"pattern must be (s, p, o), got {pattern!r}")
+    pos = _pos_for(terms)
     p = terms[1]
     if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
         # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
-        terms = [terms[2], p[1:], terms[0]]
+        terms = [terms[2], p[1:], terms[0]] + terms[3:]
         p = terms[1]
     if isinstance(p, str) and not _is_var(p) and p.endswith("*"):
         raise NotImplementedError(
@@ -127,7 +147,7 @@ def pattern_bindings(triples_ds, pattern):
     if _is_path(p):
         return _path_bindings(triples_ds, terms)
     out_vars: list[str] = []
-    for col, term in zip(_POS, terms):
+    for col, term in zip(pos, terms):
         if _is_var(term) and term[1:] not in out_vars:
             out_vars.append(term[1:])
     if not out_vars:
@@ -135,7 +155,7 @@ def pattern_bindings(triples_ds, pattern):
 
     def f(b: pa.Table) -> pa.Table:
         mask = None
-        for col, term in zip(_POS, terms):
+        for col, term in zip(pos, terms):
             if not _is_var(term):
                 c = (pc.is_in(b[col], value_set=pa.array(list(term)))
                      if isinstance(term, (list, tuple, set))
@@ -143,7 +163,7 @@ def pattern_bindings(triples_ds, pattern):
                 mask = c if mask is None else pc.and_(mask, c)
         # repeated variable inside the pattern = equality constraint
         seen: dict[str, str] = {}
-        for col, term in zip(_POS, terms):
+        for col, term in zip(pos, terms):
             if _is_var(term):
                 if term in seen:
                     c = pc.equal(b[col], b[seen[term]])
@@ -153,7 +173,7 @@ def pattern_bindings(triples_ds, pattern):
         if mask is not None:
             b = b.filter(mask)
         return pa.table({term[1:]: b[col] for term, col in
-                         ((t, c) for c, t in zip(_POS, terms)
+                         ((t, c) for c, t in zip(pos, terms)
                           if _is_var(t))})
 
     return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
@@ -529,19 +549,30 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         raise ValueError("empty BGP")
 
     def stream_for(pattern):
-        s, p, o = pattern
+        pos = _pos_for(pattern)
+        p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
             p = p[1:]  # inverse path scans the same predicate's rows
         if _is_path(p):
             # path pattern: scan ONLY the base predicate's rows (pred
-            # pushdown); endpoint constants filter the closure, not the
-            # scan — intermediate hops must all be present
-            got = match_triples(store_dir, pred=p[:-1])
+            # pushdown, plus the graph scope when constant); endpoint
+            # constants filter the closure, not the scan — intermediate
+            # hops must all be present
+            kw = {"pred": p[:-1]}
+            if len(pattern) == 4 and isinstance(pattern[3], str) \
+                    and not _is_var(pattern[3]):
+                kw["graph"] = pattern[3]
+            got = match_triples(store_dir, **kw)
         else:
             # scalar constants push into the scan; list terms
             # (alternative paths / inline VALUES) filter map-side in
-            # pattern_bindings instead
-            consts = {col: t for col, t in zip(_POS, (s, p, o))
+            # pattern_bindings instead. Inverse (^p) scans with the
+            # NORMALIZED pred and swapped endpoints.
+            s, o = pattern[0], pattern[2]
+            if p != pattern[1]:
+                s, o = o, s
+            quad = [s, p, o] + list(pattern[3:])
+            consts = {col: t for col, t in zip(pos, quad)
                       if not _is_var(t) and isinstance(t, str)}
             got = match_triples(store_dir, **consts)
         if isinstance(got, pa.Table):  # point read → tiny in-memory side

@@ -426,3 +426,52 @@ def test_spill_dir_path(ray_session, tmp_path):
     got = evaluate_bgp(ds, pats, spill_dir=spill).to_pandas()
     assert set(zip(got["d"], got["e"])) == {("a", "E1"), ("b", "E2")}
     assert os.listdir(spill)  # really went through the parquet spill
+
+
+def test_quad_patterns_named_graph(ray_session, tmp_path):
+    """4-term QUAD patterns (SPARQL GRAPH g { … }): constant graph scope,
+    graph variables, graph-scoped paths; plus the store-backed plain
+    inverse (^p) whose scan must push the NORMALIZED pred."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    rows = [
+        ("a", "type", "Doc", "g1"), ("b", "type", "Doc", "g2"),
+        ("a", "about", "E1", "g1"), ("b", "about", "E2", "g2"),
+        ("E1", "in", "X", "g1"), ("E2", "in", "X", "g2"),
+        ("X", "in", "TOP", "g1"),
+    ]
+    s, p, o, g = zip(*rows)
+    t = pa.table({"subj": list(s), "pred": list(p), "obj": list(o),
+                  "graph": list(g)})
+    ds = rd.from_arrow(t).repartition(3)
+
+    # constant graph scope
+    out = evaluate_bgp(ds, [("?d", "type", "Doc", "g1")]).to_pandas()
+    assert set(out["d"]) == {"a"}
+    # graph variable binds
+    out2 = evaluate_bgp(ds, [("?d", "about", "?e", "?g")]).to_pandas()
+    assert set(zip(out2["d"], out2["g"])) == {("a", "g1"), ("b", "g2")}
+    # graph-scoped transitive path: only g1 edges close
+    out3 = evaluate_bgp(ds, [("E1", "in+", "?x", "g1")]).to_pandas()
+    assert set(out3["x"]) == {"X", "TOP"}
+    out4 = evaluate_bgp(ds, [("E2", "in+", "?x", "g2")]).to_pandas()
+    assert set(out4["x"]) == {"X"}  # X→TOP lives in g1, not g2
+    with pytest.raises(NotImplementedError, match="graph term"):
+        evaluate_bgp(ds, [("E1", "in+", "?x", "?g")]).to_pandas()
+
+    # store-backed: graph filter pushes into the scan; plain ^p works
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+
+    n = t.num_rows
+    full = t.append_column("obj_is_iri", pa.array([False] * n)) \
+            .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+            .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(
+        rd.from_arrow(full).repartition(2), store, num_partitions=4)
+    got = evaluate_bgp_store(store, [("?d", "type", "Doc", "g2")]).to_pandas()
+    assert set(got["d"]) == {"b"}
+    got2 = evaluate_bgp_store(store, [("E1", "^about", "?d")]).to_pandas()
+    assert set(got2["d"]) == {"a"}
