@@ -511,13 +511,22 @@ def read_store_asof(out_dir: str, generation: int | None = None):
     parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
     if not parts:
         raise FileNotFoundError(f"no partitions in {out_dir!r}")
-    if generation is None or generation >= cur:
-        if generation is not None and generation > cur:
-            raise ValueError(f"store {out_dir!r} is at generation {cur}, "
-                             f"asked for {generation}")
-        return rd.read_parquet(parts)
+    if generation is None:
+        # live view: read_parquet resurrects the hive dir as a part_id
+        # column — drop it so both paths return the stored schema
+        return rd.read_parquet(parts).map_batches(
+            lambda b: b.drop_columns(["part_id"])
+            if "part_id" in b.column_names else b,
+            batch_format="pyarrow")
+    if generation > cur:
+        raise ValueError(f"store {out_dir!r} is at generation {cur}, "
+                         f"asked for {generation}")
     if generation < 0:
         raise ValueError(f"generation must be >= 0, got {generation}")
+    # ALWAYS replay (even generation == cur): debris gen dirs above the
+    # recorded generation — a mutation that rewrote partitions but died
+    # before its meta bump — must be un-applied for the snapshot to be
+    # exact; partitions without newer deltas stream unchanged
 
     @ray.remote
     def replay(data_path: str):
@@ -527,7 +536,19 @@ def read_store_asof(out_dir: str, generation: int | None = None):
         cols = list(t.column_names)
         df = t.to_pandas()
         pdir = os.path.dirname(data_path)
-        for g in range(cur, generation, -1):
+        # walk every EXISTING generation dir above the target, descending
+        # — including debris above the recorded meta generation from a
+        # crashed mutation (its partitions may already be rewritten; for
+        # partitions that were NOT yet rewritten the debris replay is a
+        # set-semantics no-op: subtracting absent rows does nothing and
+        # re-adding present rows dedups away), so the snapshot stays
+        # correct inside the crash window, not just after the re-run
+        gens = sorted((int(d.rsplit("=", 1)[1])
+                       for d in glob.glob(os.path.join(pdir, "gen=*"))),
+                      reverse=True)
+        for g in gens:
+            if g <= generation:
+                continue
             gdir = os.path.join(pdir, f"gen={g}")
             ap = os.path.join(gdir, "added.parquet")
             rp = os.path.join(gdir, "removed.parquet")

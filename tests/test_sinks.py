@@ -567,3 +567,39 @@ def test_store_time_travel_lifecycle(ray_session, tmp_path):
     compact_store(out, num_partitions=2, drop_history=True)
     assert store_generation(out) == 0
     assert asof_keys() == live_k  # live content is the new baseline
+
+
+def test_asof_correct_inside_crash_window(ray_session, tmp_path):
+    """A mutation that rewrote partitions but died BEFORE the meta bump
+    leaves debris gen dirs above the recorded generation; asof must
+    replay them (set-semantics no-op where the rewrite hadn't happened)
+    so the requested snapshot stays exact inside the window."""
+    import json
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        delete_triples, merge_triples_hash_partitioned, read_store_asof,
+        store_generation)
+
+    t = _triples()
+    out = str(tmp_path / "store")
+    merge_triples_hash_partitioned(rd.from_arrow(t).repartition(3), out,
+                                   num_partitions=4, track_generations=True)
+    delete_triples(out, pred="http://p1")
+    # simulate the crash: partitions rewritten + gen=2 debris on disk,
+    # but the meta generation bump "lost"
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["generation"] = 1
+    meta["history"] = meta["history"][:1]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    assert store_generation(out) == 1
+
+    df = read_store_asof(out, 1).to_pandas()
+    want = t.filter(pc.equal(t["pred"], "http://p1")).num_rows
+    assert len(df) == 50  # the p1 rows resurrected from the debris delta
+    assert (df["pred"] == "http://p1").sum() == want
