@@ -198,7 +198,8 @@ def cmd_store(args):
         got = read_store_asof(args.store, args.asof)
         bound = {k: v for k, v in (("subj", args.subject),
                                    ("pred", args.predicate),
-                                   ("obj", args.object)) if v is not None}
+                                   ("obj", args.object),
+                                   ("graph", args.graph)) if v is not None}
         if bound:
             import pyarrow.compute as _pc
 
@@ -213,6 +214,7 @@ def cmd_store(args):
     else:
         got = match_triples(args.store, subj=args.subject,
                             pred=args.predicate, obj=args.object,
+                            graph=args.graph,
                             num_partitions=args.partitions)
     batches = (got.to_batches() if isinstance(got, pa.Table)
                else got.iter_batches(batch_format="pyarrow"))
@@ -320,6 +322,7 @@ def main(argv=None):
     q.add_argument("-s", "--subject")
     q.add_argument("-p", "--predicate")
     q.add_argument("-o", "--object")
+    q.add_argument("-g", "--graph", help="named-graph scope (exact match)")
     q.add_argument("--partitions", type=int, default=None,
                    help="override the partition count (default: the "
                         "store's recorded _meta.json)")
