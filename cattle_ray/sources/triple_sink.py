@@ -205,6 +205,22 @@ def store_generations(out_dir: str) -> list:
     return list(_load_meta(out_dir).get("history", []))
 
 
+def _next_generation(out_dir: str) -> int:
+    """The generation number for a NEW tracked mutation: one above the
+    maximum of the recorded meta generation AND any ``gen=`` delta dir on
+    disk. A mutation that rewrote partitions but died before its meta
+    bump leaves debris dirs above the recorded generation — reusing that
+    number would ``os.replace`` the debris deltas with the new op's and
+    permanently corrupt the older snapshots they encode."""
+    import glob
+    import os
+
+    gen = int(_load_meta(out_dir).get("generation", 0))
+    for d in glob.glob(os.path.join(out_dir, "part_id=*", "gen=*")):
+        gen = max(gen, int(d.rsplit("=", 1)[1]))
+    return gen + 1
+
+
 def _row_diff(a: "pa.Table | None", b: "pa.Table | None") -> "pa.Table":
     """Set difference a − b on FULL-row identity (nulls compare equal —
     two rows that are byte-identical including their null obj_lang are
@@ -249,6 +265,15 @@ def match_triples(out_dir: str, *, subj: str | None = None,
     route = store_key(out_dir)
     bound = {"subj": subj, "pred": pred, "obj": obj}
     if graph is not None:  # named-graph scope — a filter, never a route
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        any_part = _glob.glob(f"{out_dir}/part_id=*/data.parquet")
+        if any_part and "graph" not in _pq.read_schema(any_part[0]).names:
+            raise ValueError(
+                f"store {out_dir!r} has no named-graph column — it was "
+                "written from plain triples; a graph filter cannot match")
         bound["graph"] = graph
     if bound.get(route) is not None:
         tbl = read_triples_for_key(out_dir, bound[route], key=route,
@@ -327,7 +352,7 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         with open(tmp, "w") as f:
             json.dump({"num_partitions": num_partitions, "key": "subj"}, f)
         os.replace(tmp, meta_path)
-    gen = store_generation(out_dir) + 1 if track_generations else None
+    gen = _next_generation(out_dir) if track_generations else None
     with_part = new_triples_ds.map_batches(
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
     )
@@ -443,7 +468,7 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
         raise ValueError("delete_triples with no bound constant would drop "
                          "the whole store — do that with shutil instead")
     route = store_key(out_dir)
-    gen = store_generation(out_dir) + 1
+    gen = _next_generation(out_dir)
     if route in bound:
         pid = subj_partition_id(bound[route], store_num_partitions(out_dir))
         pdirs = [os.path.join(out_dir, f"part_id={pid}")]
@@ -481,11 +506,17 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
     rows = [r for r in ray.get([del_part.remote(p) for p in pdirs])
             if r is not None]
     out = pd.DataFrame(rows, columns=["part_id", "n_removed", "n_total"])
+    if len(out) == 0:
+        # nothing matched (typo'd constant / empty routed partition): no
+        # partition was rewritten and no delta recorded — bumping the
+        # generation would make every later asof replay walk a phantom
+        # generation and give store_generation() diffing false positives
+        return out
     meta = _load_meta(out_dir)
     meta["generation"] = gen
     meta.setdefault("history", []).append({
         "gen": gen, "op": "delete", "added": 0,
-        "removed": int(out["n_removed"].sum()) if len(out) else 0})
+        "removed": int(out["n_removed"].sum())})
     _save_meta(out_dir, meta)
     return out
 
@@ -498,9 +529,14 @@ def read_store_asof(out_dir: str, generation: int | None = None):
     ``g > generation`` — so the cost is proportional to the deltas
     crossed, not to store size × generations, and a 1/P-of-the-data
     partition replays independently of every other. ``generation=None``
-    (or the current generation) streams the live store directly.
-    Full-row identity, nulls compare equal (matching the delta writer);
-    output is re-sorted per partition like the live layout."""
+    streams the live store directly; any NUMBERED generation — including
+    the current one — always replays, because debris deltas above the
+    recorded generation (a mutation that died before its meta bump) must
+    be un-applied for the snapshot to be exact (do NOT "optimize"
+    asof(current) to the live path — test_asof_correct_inside_crash_window
+    pins this). Full-row identity, nulls compare equal (matching the
+    delta writer); output is re-sorted per partition like the live
+    layout."""
     import glob
     import os
 
@@ -642,16 +678,25 @@ def compact_store(store_dir: str, num_partitions: int | None = None,
     write into a sibling temp dir (the exact write path of
     :func:`write_triples_hash_partitioned`, so the result IS a normal
     store: `_meta.json`, point reads, co-partitioned joins all work).
-    The swap is rename-based: old store → ``.old``, new → live, old
-    removed — crash in the window leaves either the old or the new store
-    plus debris dirs, never a half-mixed layout. Returns the new
-    partition manifest (one row per written partition)."""
+    The swap is two renames: old store → ``.old``, new → live, old
+    removed. A crash BETWEEN the renames leaves no live dir but the full
+    old store intact at ``.old`` — re-running compact_store self-heals
+    by renaming it back first, so the recovery step is simply "run it
+    again" (never a half-mixed layout). Returns the new partition
+    manifest (one row per written partition)."""
     import glob
     import json
     import os
     import shutil
 
     import ray.data as rd
+
+    crashed_old = store_dir.rstrip("/") + ".old"
+    if not os.path.isdir(store_dir) and os.path.isdir(crashed_old):
+        # a previous compaction died between its two renames: the live
+        # dir is missing and the pre-compaction store sits at .old —
+        # restore it and redo the compaction from that baseline
+        os.rename(crashed_old, store_dir)
 
     meta_path = os.path.join(store_dir, "_meta.json")
     with open(meta_path) as f:

@@ -96,7 +96,10 @@ def _path_bindings(triples_ds, terms):
     if not out_vars:
         raise ValueError(f"pattern {terms!r} binds no variable")
 
-    def g(b: pa.Table) -> pa.Table:
+    # NB: named `project`, not `g` — `g` is the graph term captured by
+    # the `edges` closure above; rebinding it here would hand that
+    # closure a function if anything deferred the edge scan
+    def project(b: pa.Table) -> pa.Table:
         mask = None
         for col, term in (("subj", s), ("obj", o)):
             if not _is_var(term):
@@ -115,7 +118,7 @@ def _path_bindings(triples_ds, terms):
                 cols[term[1:]] = b[col]
         return pa.table(cols)
 
-    return pairs.map_batches(g, batch_format="pyarrow"), out_vars
+    return pairs.map_batches(project, batch_format="pyarrow"), out_vars
 
 
 def _is_path(term) -> bool:
@@ -388,43 +391,72 @@ def construct_triples(bindings_ds, templates):
 def _apply_modifiers(acc, bound, *, select=None, distinct=False,
                      order_by=None, limit=None, offset: int = 0,
                      num_buckets: int = 32):
-    """SPARQL solution modifiers over a binding Dataset, in the spec's
-    order: project → DISTINCT → ORDER BY → OFFSET/LIMIT. Projection and
+    """SPARQL solution modifiers over a binding Dataset. Projection and
     DISTINCT are streaming (DISTINCT = the engine's bucketed distinct);
     ORDER BY is a real range sort ONLY when the caller asks for it —
     combined with ``limit`` the full sort is skipped in favor of a
     per-block top-k + one tiny final slice (the SPARQL ``ORDER BY …
-    LIMIT k`` idiom never needs a global sort)."""
-    if select is not None:
-        vars_ = [v[1:] if v.startswith("?") else v for v in select]
-        missing = [v for v in vars_ if v not in bound]
-        if missing:
-            raise ValueError(
-                f"SELECT variables not bound by the pattern: {missing}")
-        acc = acc.map_batches(lambda b, cols=tuple(vars_): b.select(list(cols)),
-                              batch_format="pyarrow")
-        cols = vars_
-    else:
-        cols = list(bound)
-    if distinct:
-        from .aggregates import distinct as _distinct
+    LIMIT k`` idiom never needs a global sort).
 
-        acc = _distinct(acc, cols, num_buckets=num_buckets)
+    ORDER BY may reference variables OUTSIDE the projection (SPARQL
+    algebra runs OrderBy before Project): those queries sort the full
+    bindings first and project after. The one unsupported combination is
+    DISTINCT + ordering on a non-projected variable — the bucketed
+    distinct does not preserve order, so it raises instead of silently
+    returning unordered rows."""
+    keys = []
     if order_by:
         keys = [(v[1:] if v.startswith("?") else v, d)
                 for v, d in ([(o, "ascending") if isinstance(o, str) else o
                               for o in order_by])]
+
+    def project(ds, cols):
+        return ds.map_batches(lambda b, c=tuple(cols): b.select(list(c)),
+                              batch_format="pyarrow")
+
+    def ordered(ds):
         if limit is not None:
             k = int(limit) + int(offset)
 
             def topk(b: pa.Table, keys=tuple(keys), k=k) -> pa.Table:
                 return b.sort_by(list(keys)).slice(0, k)
 
-            acc = acc.map_batches(topk, batch_format="pyarrow") \
+            return ds.map_batches(topk, batch_format="pyarrow") \
                      .repartition(1).map_batches(topk, batch_format="pyarrow")
-        else:
-            acc = acc.sort([k for k, _d in keys],
-                           descending=[d == "descending" for _k, d in keys])
+        return ds.sort([k for k, _d in keys],
+                       descending=[d == "descending" for _k, d in keys])
+
+    if select is not None:
+        vars_ = [v[1:] if v.startswith("?") else v for v in select]
+        missing = [v for v in vars_ if v not in bound]
+        if missing:
+            raise ValueError(
+                f"SELECT variables not bound by the pattern: {missing}")
+        cols = vars_
+    else:
+        cols = list(bound)
+
+    outside = [k for k, _d in keys if k not in cols]
+    if outside:
+        if distinct:
+            raise ValueError(
+                f"ORDER BY on non-projected variables {outside} cannot "
+                "combine with DISTINCT: the bucketed distinct does not "
+                "preserve order — project the ordering variables too")
+        acc = ordered(acc)  # SPARQL: OrderBy runs BEFORE Project
+        acc = project(acc, cols)
+        if offset or limit is not None:
+            acc = _offset_limit(acc, offset, limit)
+        return acc
+
+    if select is not None:
+        acc = project(acc, cols)
+    if distinct:
+        from .aggregates import distinct as _distinct
+
+        acc = _distinct(acc, cols, num_buckets=num_buckets)
+    if keys:
+        acc = ordered(acc)
     if offset or limit is not None:
         acc = _offset_limit(acc, offset, limit)
     return acc
@@ -491,8 +523,16 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
         # use evaluate_bgp_store, whose per-pattern scans prune at the
         # read instead)
         if spill_dir is not None:
+            import os
+
             import ray.data as rd
 
+            if os.path.isdir(spill_dir) and os.listdir(spill_dir):
+                raise ValueError(
+                    f"spill_dir {spill_dir!r} is not empty — write_parquet "
+                    "appends uniquely-named files, so reuse would re-read "
+                    "the previous contents and silently duplicate every "
+                    "triple")
             triples_ds.write_parquet(spill_dir)
             triples_ds = rd.read_parquet(spill_dir)
         else:

@@ -36,10 +36,11 @@ def _key_buckets(col, num_buckets: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
-        # fill_null keeps the numpy array integer-typed: with nulls present
-        # to_numpy falls back to float64, and the int64 cast of a valid
-        # value is stable but the NULL rows' NaN cast is not defined
-        k = pc.cast(col.fill_null(0), pa.int64()).to_numpy(
+        # cast FIRST (fill_null(0) on a bool array raises ArrowInvalid),
+        # then fill: the int-typed fill keeps to_numpy integer-typed —
+        # with nulls present it would fall back to float64, where valid
+        # values cast stably but the NULL rows' NaN cast is not defined
+        k = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
         return k % num_buckets  # numpy % yields non-negative for positive divisor
     h = pd.util.hash_pandas_object(col.to_pandas(), index=False).to_numpy()
@@ -75,7 +76,8 @@ def _col_hash64(col) -> np.ndarray:
         col = col.combine_chunks()
     nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
     if pa.types.is_integer(col.type) or pa.types.is_boolean(col.type):
-        v = pc.cast(col.fill_null(0), pa.int64()).to_numpy(
+        # cast before fill: fill_null(0) on a bool array raises
+        v = pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
             zero_copy_only=False).astype(np.int64)
         h = _splitmix64(v.view(np.uint64))
     else:

@@ -186,19 +186,39 @@ def deterministic_sample(ds, n: int, id_col: str):
     return df.drop(columns=["_h"]).reset_index(drop=True)
 
 
+def _spill_if_derived(ds, spill_dir, id_col, vec_col):
+    """Consumers below read their input SEVERAL times (two sampling
+    passes + the main scan). When the input is a Parquet read that's
+    free — re-reads stream from storage — but an expensive DERIVED
+    pipeline would re-execute per pass; ``spill_dir`` writes the
+    (id, vec) projection once and re-reads it (the kmeans pattern)."""
+    if spill_dir is None:
+        return ds
+    import ray.data as rd
+
+    ds.map_batches(lambda t: t.select([id_col, vec_col]),
+                   batch_format="pyarrow").write_parquet(spill_dir)
+    return rd.read_parquet(spill_dir)
+
+
 def ivf_build(ds, out_dir: str, n_clusters: int = 16, sample_size: int = 2048,
-              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):
+              id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+              spill_dir: str | None = None):
     """Build a persisted IVF index: assign every vector to its nearest
     centroid inside ``map_batches`` and write Parquet partitioned by
     ``centroid_id`` (one directory per centroid). Queries then PRUNE AT THE
     READ: only the ``nprobe`` closest centroid directories are opened —
     at 100 TB this is the difference between scanning everything and
     scanning nprobe/n_clusters of it. Returns the centroid matrix (also
-    persisted to ``centroids.npy``)."""
+    persisted to ``centroids.npy``). The input is consumed three times
+    (two sampling passes + the assignment scan) — pass ``spill_dir`` when
+    it is an expensive derived pipeline rather than a Parquet read
+    (see :func:`_spill_if_derived`)."""
     import os
 
     import ray
 
+    ds = _spill_if_derived(ds, spill_dir, id_col, vec_col)
     sample = deterministic_sample(ds, sample_size, id_col)
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
     cent_ref = ray.put(cent)
@@ -244,14 +264,18 @@ def ivf_query(index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
 
 def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
             nprobe: int = 4, sample_size: int = 2048,
-            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42):
+            id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+            spill_dir: str | None = None):
     """IVF ANN: coarse-quantize, scan only ``nprobe`` nearest partitions.
 
     Recall < 1.0 by design; use :func:`knn_brute_force` as the ground-truth
-    baseline when measuring it.
+    baseline when measuring it. The input is consumed three times — pass
+    ``spill_dir`` for expensive derived inputs (see
+    :func:`_spill_if_derived`).
     """
     import ray
 
+    ds = _spill_if_derived(ds, spill_dir, id_col, vec_col)
     sample = deterministic_sample(ds, sample_size, id_col)
     cent = kmeans_centroids(np.stack(sample[vec_col].to_numpy()), n_clusters, seed=seed)
     q_unit = _unit(np.asarray(queries, dtype=np.float64))

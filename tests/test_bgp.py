@@ -1,5 +1,7 @@
 """BGP evaluator — planning rules and binding semantics."""
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -475,3 +477,34 @@ def test_quad_patterns_named_graph(ray_session, tmp_path):
     assert set(got["d"]) == {"b"}
     got2 = evaluate_bgp_store(store, [("E1", "^about", "?d")]).to_pandas()
     assert set(got2["d"]) == {"a"}
+
+
+def test_review_fixes_modifiers_and_spill(ray_session, tmp_path):
+    """Round-3 review fixes: ORDER BY on a non-projected variable sorts
+    BEFORE projecting (SPARQL algebra order); DISTINCT + outside-order
+    raises; a non-empty spill_dir is refused."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    pats = [("?d", "about", "?e"), ("?e", "in", "?r")]
+    full = evaluate_bgp(ds, pats).to_pandas()
+
+    got = evaluate_bgp(ds, pats, select=["?d"],
+                       order_by=[("?e", "descending"), "?d"],
+                       limit=2).to_pandas()
+    want = full.sort_values(["e", "d"],
+                            ascending=[False, True]).head(2)["d"].tolist()
+    assert got["d"].tolist() == want
+
+    with pytest.raises(ValueError, match="DISTINCT"):
+        evaluate_bgp(ds, pats, select=["?d"], distinct=True,
+                     order_by=["?e"]).to_pandas()
+
+    spill = str(tmp_path / "spill")
+    os.makedirs(spill)
+    with open(os.path.join(spill, "junk.parquet"), "w") as f:
+        f.write("x")
+    with pytest.raises(ValueError, match="not empty"):
+        evaluate_bgp(ds, pats, spill_dir=spill).to_pandas()

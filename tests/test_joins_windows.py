@@ -469,3 +469,25 @@ def test_cogroup_left_three_way(ray_session):
     assert got == {1: ("a", 12, 0), 2: ("b", 3, 30),
                    3: ("c", 0, 40), 4: ("d", 0, 0)}
     assert set(out.columns) == {"k", "name", "total", "m"}
+
+
+def test_bool_key_bucketing(ray_session):
+    """Boolean key columns bucket without crashing (fill_null(0) on a
+    bool Arrow array raises ArrowInvalid — the cast must come first) and
+    joins/distinct on bool keys return SQL-correct rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.joins import hash_join
+
+    l = pa.table({"k": pa.array([True, False, None], pa.bool_()),
+                  "x": [1, 2, 3]})
+    r = pa.table({"kk": pa.array([True, True, False]), "y": [10, 11, 12]})
+    out = hash_join(rd.from_arrow(l).repartition(2),
+                    rd.from_arrow(r).repartition(2), "k", "kk",
+                    num_buckets=4).to_pandas()
+    assert sorted(zip(out["x"], out["y"])) == [(1, 10), (1, 11), (2, 12)]
+
+    d = distinct(rd.from_arrow(l).repartition(2), ["k"]).to_pandas()
+    assert len(d) == 3  # True, False, null each once

@@ -603,3 +603,63 @@ def test_asof_correct_inside_crash_window(ray_session, tmp_path):
     want = t.filter(pc.equal(t["pred"], "http://p1")).num_rows
     assert len(df) == 50  # the p1 rows resurrected from the debris delta
     assert (df["pred"] == "http://p1").sum() == want
+
+
+def test_review_fixes_generation_store(ray_session, tmp_path):
+    """Round-3 review fixes, pinned: (a) a mutation after a crashed
+    (pre-meta-bump) mutation takes a FRESH generation number instead of
+    clobbering the debris deltas; (b) a no-op delete bumps nothing;
+    (c) graph filters on a graph-less store raise a clear error;
+    (d) compact_store self-heals the between-renames crash window."""
+    import json
+    import os as _os
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        compact_store, delete_triples, match_triples,
+        merge_triples_hash_partitioned, read_store_asof, store_generation)
+
+    t = _triples()
+    out = str(tmp_path / "store")
+    merge_triples_hash_partitioned(rd.from_arrow(t).repartition(3), out,
+                                   num_partitions=4, track_generations=True)
+    delete_triples(out, pred="http://p1")  # gen 2
+    # crash simulation: meta bump lost
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["generation"], meta["history"] = 1, meta["history"][:1]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    # (a) the next mutation must NOT reuse gen 2 (debris on disk)
+    m = delete_triples(out, pred="http://p2")
+    assert store_generation(out) == 3
+    # both deltas survive: asof(1) resurrects p1 AND p2 rows
+    df = read_store_asof(out, 1).to_pandas()
+    assert len(df) == 50
+
+    # (b) no-op delete: nothing matched → no generation bump
+    before = store_generation(out)
+    m2 = delete_triples(out, pred="http://nope")
+    assert len(m2) == 0 and store_generation(out) == before
+
+    # (c) graph filter on a store whose rows DO have graph col works;
+    # strip the column and it must raise clearly
+    got = match_triples(out, graph="http://g")
+    assert got.count() > 0
+    import pyarrow.parquet as _pq
+    for p in sorted(__import__("glob").glob(f"{out}/part_id=*/data.parquet")):
+        tt = _pq.read_table(p)
+        _pq.write_table(tt.drop_columns(["graph"]), p)
+    with pytest.raises(ValueError, match="no named-graph column"):
+        match_triples(out, graph="http://g")
+
+    # (d) compact crash window: live dir renamed away, .old present
+    _os.rename(out, out + ".old")
+    compact_store(out, num_partitions=2, drop_history=True)
+    assert store_generation(out) == 0
+    n = sum(_pq.read_table(p).num_rows for p in
+            __import__("glob").glob(f"{out}/part_id=*/data.parquet"))
+    assert n == read_store_asof(out).count()
