@@ -465,18 +465,23 @@ def _apply_modifiers(acc, bound, *, select=None, distinct=False,
 def _offset_limit(acc, offset: int, limit):
     """OFFSET n LIMIT k without a driver materialize: take the first
     n+k rows (streaming ``limit``), then drop the first n inside one
-    single-block map (n+k is query-sized by construction)."""
+    single-block map — n+k is query-sized BECAUSE a limit is required:
+    OFFSET without LIMIT would coalesce the full result into one block
+    (corpus-sized), so it raises instead."""
     if not offset:
         return acc if limit is None else acc.limit(int(limit))
-    take = None if limit is None else int(offset) + int(limit)
-    if take is not None:
-        acc = acc.limit(take)
+    if limit is None:
+        raise ValueError(
+            "OFFSET without LIMIT would coalesce the full result set "
+            "into one block to drop the first rows — bound the query "
+            "with a LIMIT")
+    take = int(offset) + int(limit)
+    acc = acc.limit(take)
     acc = acc.repartition(1)
-    lim = None if limit is None else int(limit)
+    lim = int(limit)
 
     def drop(b: pa.Table) -> pa.Table:
-        out = b.slice(offset)
-        return out if lim is None else out.slice(0, lim)
+        return b.slice(offset).slice(0, lim)
 
     return acc.map_batches(drop, batch_format="pyarrow")
 

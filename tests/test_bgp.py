@@ -508,3 +508,13 @@ def test_review_fixes_modifiers_and_spill(ray_session, tmp_path):
         f.write("x")
     with pytest.raises(ValueError, match="not empty"):
         evaluate_bgp(ds, pats, spill_dir=spill).to_pandas()
+
+
+def test_offset_requires_limit(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    with pytest.raises(ValueError, match="OFFSET without LIMIT"):
+        evaluate_bgp(ds, [("?d", "about", "?e")], offset=1).to_pandas()
