@@ -179,6 +179,22 @@ def cmd_compact(args):
     }))
 
 
+def cmd_index(args):
+    """Build (or rebuild) a key-routed secondary index from a primary
+    store, with provenance; prints one JSON line incl. staleness."""
+    import json as _json
+
+    from .sources.triple_sink import build_secondary_index, index_is_stale
+
+    _ensure_ray(args.num_cpus)
+    m = build_secondary_index(args.primary, args.index, key=args.key,
+                              num_partitions=args.partitions)
+    print(_json.dumps({
+        "n_triples": int(m["n_triples"].sum()), "key": args.key,
+        "out": args.index, "stale": bool(index_is_stale(args.index)),
+    }))
+
+
 def cmd_store(args):
     """Triple-pattern query over a partitioned store (SPARQL BGP primitive
     from the shell): subject-bound patterns open ONE partition file —
@@ -342,6 +358,16 @@ def main(argv=None):
                     help="allow compacting a store with tracked "
                          "generations (time travel resets)")
     cp.set_defaults(fn=cmd_compact)
+
+    ix = sub.add_parser("index", help="build a key-routed secondary index "
+                                      "from a primary store (provenance-"
+                                      "tracked; rerun to rebuild)")
+    ix.add_argument("primary")
+    ix.add_argument("index")
+    ix.add_argument("--key", default="obj", choices=["subj", "obj", "pred"])
+    ix.add_argument("--partitions", type=int, default=None,
+                    help="index partition count (default: the primary's)")
+    ix.set_defaults(fn=cmd_index)
 
     w = sub.add_parser("webrank", help="pages → link graph → PageRank → "
                                        "rank-sorted parquet")

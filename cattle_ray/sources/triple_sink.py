@@ -660,6 +660,66 @@ def join_stores_copartitioned(dir_a: str, dir_b: str, *, key: str = "subj",
     return rd.from_arrow_refs([join_part.remote(i) for i in pids])
 
 
+def build_secondary_index(primary_dir: str, index_dir: str, *,
+                          key: str = "obj",
+                          num_partitions: int | None = None):
+    """Build a ``key``-routed secondary index FROM a primary store, with
+    PROVENANCE recorded: the index's ``_meta.json`` carries the primary's
+    path and effective generation (including on-disk debris deltas), so
+    :func:`index_is_stale` can flag every index built before a later
+    tracked merge/delete on the primary — the silent trap of a
+    secondary layout is answering point reads from data the primary no
+    longer has. Rebuild = re-run (the index dir is replaced via the same
+    temp-dir + rename-swap discipline as :func:`compact_store`)."""
+    import glob
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    parts = sorted(glob.glob(f"{primary_dir}/part_id=*/data.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no partitions under {primary_dir!r}")
+    ds = rd.read_parquet(parts).map_batches(
+        lambda b: b.drop_columns(["part_id"])
+        if "part_id" in b.column_names else b,
+        batch_format="pyarrow")
+    p = num_partitions or store_num_partitions(primary_dir)
+
+    tmp_dir = index_dir.rstrip("/") + ".build.tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    manifest = write_triples_hash_partitioned(ds, tmp_dir,
+                                              num_partitions=p, key=key)
+    meta = _load_meta(tmp_dir)
+    meta["source_store"] = os.path.abspath(primary_dir)
+    meta["source_generation"] = _next_generation(primary_dir) - 1
+    _save_meta(tmp_dir, meta)
+    if os.path.isdir(index_dir):
+        old = index_dir.rstrip("/") + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(index_dir, old)
+        os.rename(tmp_dir, index_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp_dir, index_dir)
+    return manifest
+
+
+def index_is_stale(index_dir: str) -> bool:
+    """True when the primary this index was built from has mutated since
+    (its effective generation — recorded meta OR on-disk debris — moved
+    past the one captured at build time). Indexes without recorded
+    provenance (built directly from a Dataset) report False: there is
+    nothing to compare against."""
+    meta = _load_meta(index_dir)
+    src = meta.get("source_store")
+    if src is None:
+        return False
+    return (_next_generation(src) - 1) != int(meta["source_generation"])
+
+
 def compact_store(store_dir: str, num_partitions: int | None = None,
                   key: str | None = None, drop_history: bool = False):
     """Rebuild a hash-partitioned store at a new partition count and/or a

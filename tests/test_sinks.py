@@ -663,3 +663,40 @@ def test_review_fixes_generation_store(ray_session, tmp_path):
     n = sum(_pq.read_table(p).num_rows for p in
             __import__("glob").glob(f"{out}/part_id=*/data.parquet"))
     assert n == read_store_asof(out).count()
+
+
+def test_secondary_index_provenance_and_staleness(ray_session, tmp_path):
+    """build_secondary_index records the primary's effective generation;
+    a later tracked mutation flags the index stale; rebuilding clears it;
+    point reads route by obj through the index."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, delete_triples, index_is_stale,
+        merge_triples_hash_partitioned, read_triples_for_key, store_key)
+
+    t = _triples()
+    primary = str(tmp_path / "primary")
+    idx = str(tmp_path / "obj_idx")
+    merge_triples_hash_partitioned(rd.from_arrow(t).repartition(3), primary,
+                                   num_partitions=4, track_generations=True)
+    build_secondary_index(primary, idx)
+    assert store_key(idx) == "obj"
+    assert not index_is_stale(idx)
+    got = read_triples_for_key(idx, "o7", key="obj")
+    assert set(got["obj"].to_pylist()) == {"o7"}
+
+    delete_triples(primary, pred="http://p1")
+    assert index_is_stale(idx)
+
+    build_secondary_index(primary, idx)  # rebuild replaces in place
+    assert not index_is_stale(idx)
+    # the rebuilt index no longer serves the deleted rows
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    n = sum(_pq.read_table(p).num_rows
+            for p in glob.glob(f"{idx}/part_id=*/data.parquet"))
+    assert n == t.filter(pc.not_equal(t["pred"], "http://p1")).num_rows
