@@ -4037,6 +4037,22 @@ def q_kg_bgp_path(sf_dir: str):
                         distinct=True, num_buckets=8)
 
 
+def q_kg_bgp_groupby(sf_dir: str):
+    """SPARQL GROUP BY through the query layer proper (``SELECT ?e
+    (COUNT(*) AS ?n) (SUM(?r) AS ?total) … GROUP BY ?e`` with ORDER BY +
+    LIMIT): the aggregation delegates to the engine's map-side-combined
+    grouped_sums, then the solution modifiers run over the aggregated
+    table — the full SPARQL algebra order in one declarative call."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e"), ("?s", EX + "rank", "?r")],
+        group_by=["?e"], agg={"n": "count", "total": ("sum", "?r")},
+        order_by=[("?total", "descending"), "?e"], limit=25,
+        num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -4251,6 +4267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_groupby": q_kg_bgp_groupby,
         "kg_bgp_graph": q_kg_bgp_graph,
         "kg_bgp_store": q_kg_bgp_store,
         "kg_store_timetravel": q_kg_store_timetravel,
@@ -5903,6 +5920,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT r.s, r.v FROM req r
             WHERE NOT EXISTS (SELECT 1 FROM triples t
                               WHERE t.pred = '{EX}rank' AND t.obj = r.v)
+        """,
+        "kg_bgp_groupby": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, CAST(obj AS BIGINT) AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT e, CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(r) AS BIGINT) AS total
+            FROM en JOIN rk USING (subj) GROUP BY e
+            ORDER BY total DESC, e LIMIT 25
         """,
         "kg_bgp_graph": _TRIPLE_BASE_CTE + rf"""
             SELECT subj AS s, obj AS r FROM triples

@@ -486,8 +486,74 @@ def _offset_limit(acc, offset: int, limit):
     return acc.map_batches(drop, batch_format="pyarrow")
 
 
+def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
+    """SPARQL ``GROUP BY`` over the bindings: ``agg`` maps output column
+    → ``"count"`` or ``("sum", "?var")``. COUNT delegates to the engine's
+    map-side-combined :func:`~.aggregates.partial_count`; SUM (with its
+    implicit count) to :func:`~.aggregates.grouped_sums` — summed
+    variables cast to int64 first (the engine-wide exact-integer
+    determinism discipline; RDF numeric literals that don't parse raise,
+    same as SQL CAST). Returns ``(acc, new_bound)``; the solution
+    modifiers then run over the aggregated table, matching the SPARQL
+    algebra (Group/Aggregate before Project/OrderBy/Slice)."""
+    keys = [v[1:] if v.startswith("?") else v for v in group_by]
+    missing = [k for k in keys if k not in bound]
+    if missing:
+        raise ValueError(f"GROUP BY variables not bound: {missing}")
+    agg = dict(agg or {"n": "count"})
+    sums = {}
+    counts = []
+    for out, spec in agg.items():
+        if spec == "count":
+            counts.append(out)
+        elif isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "sum":
+            v = spec[1]
+            sums[out] = v[1:] if _is_var(v) else v
+        else:
+            raise ValueError(
+                f"unsupported aggregate {spec!r} for {out!r} — use "
+                "'count' or ('sum', '?var')")
+
+    from .aggregates import grouped_sums, partial_count
+
+    if sums:
+        sum_vars = sorted(set(sums.values()))
+
+        def cast_nums(b: pa.Table) -> pa.Table:
+            for v in sum_vars:
+                b = b.set_column(b.column_names.index(v), v,
+                                 pc.cast(b[v], pa.int64()))
+            return b
+
+        out_ds = grouped_sums(
+            acc.map_batches(cast_nums, batch_format="pyarrow"),
+            keys, sum_vars, num_buckets=num_buckets)
+
+        def rename(b: pa.Table) -> pa.Table:
+            cols = {k: b[k] for k in keys}
+            for o, v in sums.items():
+                cols[o] = b[f"sum_{v}"]
+            for o in counts:
+                cols[o] = b["n"]
+            return pa.table(cols)
+
+        new_bound = keys + list(sums) + counts
+    else:
+        out_ds = partial_count(acc, keys, num_buckets=num_buckets)
+
+        def rename(b: pa.Table) -> pa.Table:
+            cols = {k: b[k] for k in keys}
+            for o in counts:
+                cols[o] = b["n"]
+            return pa.table(cols)
+
+        new_bound = keys + counts
+    return out_ds.map_batches(rename, batch_format="pyarrow"), new_bound
+
+
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  filters=None, reorder: bool = True,
+                 group_by=None, agg=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
                  num_buckets: int = 32):
@@ -559,6 +625,8 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
                           batch_format="pyarrow")
     acc = _apply_filters(acc, filters)
+    if group_by:
+        acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
     return _apply_modifiers(acc, bound, select=select, distinct=distinct,
                             order_by=order_by, limit=limit, offset=offset,
                             num_buckets=num_buckets)
@@ -575,6 +643,7 @@ def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        minus=None, filters=None, reorder: bool = True,
+                       group_by=None, agg=None,
                        select=None, distinct: bool = False, order_by=None,
                        limit=None, offset: int = 0,
                        num_buckets: int = 32):
@@ -640,6 +709,8 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
                           batch_format="pyarrow")
     acc = _apply_filters(acc, filters)
+    if group_by:
+        acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
     return _apply_modifiers(acc, bound, select=select, distinct=distinct,
                             order_by=order_by, limit=limit, offset=offset,
                             num_buckets=num_buckets)

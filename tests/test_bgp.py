@@ -518,3 +518,38 @@ def test_offset_requires_limit(ray_session):
     ds = rd.from_arrow(_triples(ROWS)).repartition(3)
     with pytest.raises(ValueError, match="OFFSET without LIMIT"):
         evaluate_bgp(ds, [("?d", "about", "?e")], offset=1).to_pandas()
+
+
+def test_group_by_aggregation(ray_session):
+    """GROUP BY in the query layer: count-only, sum+count, modifier
+    composition (ORDER BY n DESC LIMIT), unbound/unknown-agg errors."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("d1", "score", "3"), ("d1", "score", "4"),
+            ("d2", "score", "10"), ("d1", "type", "Doc"),
+            ("d2", "type", "Doc"), ("d3", "type", "Page")]
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+
+    out = evaluate_bgp(ds, [("?d", "type", "?t")],
+                       group_by=["?t"]).to_pandas()
+    assert dict(zip(out["t"], out["n"])) == {"Doc": 2, "Page": 1}
+
+    out2 = evaluate_bgp(
+        ds, [("?d", "score", "?s")], group_by=["?d"],
+        agg={"total": ("sum", "?s"), "k": "count"}).to_pandas()
+    got = {d: (t, k) for d, t, k in zip(out2["d"], out2["total"], out2["k"])}
+    assert got == {"d1": (7, 2), "d2": (10, 1)}
+
+    out3 = evaluate_bgp(
+        ds, [("?d", "type", "?t")], group_by=["?t"],
+        order_by=[("?n", "descending")], limit=1).to_pandas()
+    assert out3["t"].tolist() == ["Doc"] and out3["n"].tolist() == [2]
+
+    with pytest.raises(ValueError, match="not bound"):
+        evaluate_bgp(ds, [("?d", "type", "?t")],
+                     group_by=["?zzz"]).to_pandas()
+    with pytest.raises(ValueError, match="unsupported aggregate"):
+        evaluate_bgp(ds, [("?d", "type", "?t")], group_by=["?t"],
+                     agg={"m": ("avg", "?t")}).to_pandas()
