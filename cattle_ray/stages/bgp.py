@@ -502,22 +502,25 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
         raise ValueError(f"GROUP BY variables not bound: {missing}")
     agg = dict(agg or {"n": "count"})
     sums = {}
+    avgs = {}
     counts = []
     for out, spec in agg.items():
         if spec == "count":
             counts.append(out)
-        elif isinstance(spec, tuple) and len(spec) == 2 and spec[0] == "sum":
+        elif isinstance(spec, tuple) and len(spec) == 2 and \
+                spec[0] in ("sum", "avg"):
             v = spec[1]
-            sums[out] = v[1:] if _is_var(v) else v
+            (sums if spec[0] == "sum" else avgs)[out] = \
+                v[1:] if _is_var(v) else v
         else:
             raise ValueError(
                 f"unsupported aggregate {spec!r} for {out!r} — use "
-                "'count' or ('sum', '?var')")
+                "'count', ('sum', '?var') or ('avg', '?var')")
 
     from .aggregates import grouped_sums, partial_count
 
-    if sums:
-        sum_vars = sorted(set(sums.values()))
+    if sums or avgs:
+        sum_vars = sorted(set(sums.values()) | set(avgs.values()))
 
         def cast_nums(b: pa.Table) -> pa.Table:
             for v in sum_vars:
@@ -533,11 +536,18 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
             cols = {k: b[k] for k in keys}
             for o, v in sums.items():
                 cols[o] = b[f"sum_{v}"]
+            for o, v in avgs.items():
+                # the engine-wide ONE-mirrored-float-division discipline:
+                # exact int64 sum and count cross the shuffle, the only
+                # float op is this division (oracle: SUM(..)/COUNT(*))
+                cols[o] = pc.divide(
+                    pc.cast(b[f"sum_{v}"], pa.float64()),
+                    pc.cast(b["n"], pa.float64()))
             for o in counts:
                 cols[o] = b["n"]
             return pa.table(cols)
 
-        new_bound = keys + list(sums) + counts
+        new_bound = keys + list(sums) + list(avgs) + counts
     else:
         out_ds = partial_count(acc, keys, num_buckets=num_buckets)
 
@@ -553,7 +563,7 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
 
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  filters=None, reorder: bool = True,
-                 group_by=None, agg=None,
+                 group_by=None, agg=None, having=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
                  num_buckets: int = 32):
@@ -627,6 +637,11 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     acc = _apply_filters(acc, filters)
     if group_by:
         acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
+        # HAVING = the same vectorized filter machinery over the
+        # aggregated table (agg output columns referenced by bare name)
+        acc = _apply_filters(acc, having)
+    elif having:
+        raise ValueError("having= requires group_by=")
     return _apply_modifiers(acc, bound, select=select, distinct=distinct,
                             order_by=order_by, limit=limit, offset=offset,
                             num_buckets=num_buckets)
@@ -643,7 +658,7 @@ def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        minus=None, filters=None, reorder: bool = True,
-                       group_by=None, agg=None,
+                       group_by=None, agg=None, having=None,
                        select=None, distinct: bool = False, order_by=None,
                        limit=None, offset: int = 0,
                        num_buckets: int = 32):
@@ -711,6 +726,11 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     acc = _apply_filters(acc, filters)
     if group_by:
         acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
+        # HAVING = the same vectorized filter machinery over the
+        # aggregated table (agg output columns referenced by bare name)
+        acc = _apply_filters(acc, having)
+    elif having:
+        raise ValueError("having= requires group_by=")
     return _apply_modifiers(acc, bound, select=select, distinct=distinct,
                             order_by=order_by, limit=limit, offset=offset,
                             num_buckets=num_buckets)

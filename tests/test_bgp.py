@@ -552,4 +552,26 @@ def test_group_by_aggregation(ray_session):
                      group_by=["?zzz"]).to_pandas()
     with pytest.raises(ValueError, match="unsupported aggregate"):
         evaluate_bgp(ds, [("?d", "type", "?t")], group_by=["?t"],
-                     agg={"m": ("avg", "?t")}).to_pandas()
+                     agg={"m": ("median", "?t")}).to_pandas()
+
+
+def test_having_and_avg(ray_session):
+    """HAVING filters the aggregated table; AVG = exact int sum / count
+    in one float division; having without group_by raises."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("d1", "score", "3"), ("d1", "score", "4"),
+            ("d2", "score", "10"), ("d3", "score", "2")]
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+
+    out = evaluate_bgp(
+        ds, [("?d", "score", "?s")], group_by=["?d"],
+        agg={"n": "count", "m": ("avg", "?s")},
+        having=[("n", ">=", 2)]).to_pandas()
+    assert out["d"].tolist() == ["d1"] and out["m"].tolist() == [3.5]
+
+    with pytest.raises(ValueError, match="requires group_by"):
+        evaluate_bgp(ds, [("?d", "score", "?s")],
+                     having=[("n", ">", 1)]).to_pandas()
