@@ -212,6 +212,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_bgp_agg",
         "kg_bgp_select",
         "kg_bgp_path",
+        "kg_bgp_graph",
+        "kg_bgp_groupby",
         "kg_store_timetravel",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
