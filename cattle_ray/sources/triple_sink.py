@@ -147,9 +147,20 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str,
         dst = os.path.join(pdir, "data.parquet")
         pq.write_table(g, tmp)
         os.replace(tmp, dst)
+        # per-partition predicate census: RDF predicates are
+        # vocabulary-sized (dozens, not millions), so one Arrow group_by
+        # per partition costs noise and gives the BGP planner real
+        # selectivity numbers instead of constants-count heuristics
+        import json as _json
+
+        pc_tbl = g.select(["pred"]).group_by(["pred"]).aggregate(
+            [([], "count_all")])
+        counts = dict(zip(pc_tbl["pred"].to_pylist(),
+                          pc_tbl["count_all"].to_pylist()))
         return pa.table(
             {"part_id": pa.array([pid]), "n_triples": pa.array([g.num_rows]),
-             "path": pa.array([dst])}
+             "path": pa.array([dst]),
+             "pred_counts": pa.array([_json.dumps(counts)])}
         )
 
     manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
@@ -158,9 +169,19 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str,
     # and P cannot be inferred from the layout (empty partitions leave no dir)
     import json
 
+    total: dict = {}
+    for blob in out.get("pred_counts", []):
+        for p, n in json.loads(blob).items():
+            total[p] = total.get(p, 0) + int(n)
+    # cap the recorded stats: a pathological million-predicate corpus
+    # must not bloat _meta.json; the tail folds into a rest-average
+    top = dict(sorted(total.items(), key=lambda kv: -kv[1])[:256])
+    stats = {"pred_counts": top, "n_preds": len(total),
+             "n_triples": int(sum(total.values()))}
     tmp = os.path.join(out_dir, "._meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"num_partitions": num_partitions, "key": key}, f)
+        json.dump({"num_partitions": num_partitions, "key": key,
+                   "stats": stats}, f)
     os.replace(tmp, os.path.join(out_dir, "_meta.json"))
     return out
 
@@ -203,6 +224,13 @@ def store_generations(out_dir: str) -> list:
     """Mutation history: one ``{gen, op, added, removed}`` entry per
     tracked merge/delete, oldest first."""
     return list(_load_meta(out_dir).get("history", []))
+
+
+def store_stats(out_dir: str) -> "dict | None":
+    """Write-time statistics (predicate census) from ``_meta.json``, or
+    None for stores written before stats existed OR mutated since (merges
+    and deletes drop the stats rather than serve stale selectivities)."""
+    return _load_meta(out_dir).get("stats")
 
 
 def _next_generation(out_dir: str) -> int:
@@ -435,13 +463,20 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                             "n_gen_added": pd.Series([], dtype="int64"),
                             "n_gen_removed": pd.Series([], dtype="int64"),
                             "path": pd.Series([], dtype="object")})
+    meta = _load_meta(out_dir)
+    dirty = False
+    if len(out) and meta.pop("stats", None) is not None:
+        # the merge changed predicate counts — drop the write-time stats
+        # rather than serve stale selectivities to the BGP planner
+        dirty = True
     if gen is not None:
-        meta = _load_meta(out_dir)
         meta["generation"] = gen
         meta.setdefault("history", []).append({
             "gen": gen, "op": "merge",
             "added": int(out["n_gen_added"].sum()),
             "removed": int(out["n_gen_removed"].sum())})
+        dirty = True
+    if dirty:
         _save_meta(out_dir, meta)
     return out
 
@@ -513,6 +548,7 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
         # generation and give store_generation() diffing false positives
         return out
     meta = _load_meta(out_dir)
+    meta.pop("stats", None)  # counts changed — never serve stale stats
     meta["generation"] = gen
     meta.setdefault("history", []).append({
         "gen": gen, "op": "delete", "added": 0,

@@ -202,7 +202,29 @@ def _fold_bindings(streams, num_buckets: int):
     return acc, bound
 
 
-def order_patterns(patterns):
+def _estimate_rows(p, stats) -> float:
+    """Estimated matching rows for one pattern from a store's write-time
+    predicate census: a constant predicate reads its exact count (paths
+    strip ``^``/``+`` to the base predicate; alternative lists sum),
+    a predicate variable scans everything, and every OTHER bound
+    position (subj/obj/graph) divides by 1000 — a crude point-filter
+    factor, but the predicate census carries the real mass."""
+    counts = stats.get("pred_counts", {})
+    n_total = float(stats.get("n_triples") or sum(counts.values()) or 1)
+    n_preds = max(int(stats.get("n_preds", len(counts)) or 1), 1)
+    avg = n_total / n_preds
+    pr = p[1]
+    if isinstance(pr, (list, tuple, set)):
+        base = sum(float(counts.get(x, avg)) for x in pr)
+    elif isinstance(pr, str) and not _is_var(pr):
+        base = float(counts.get(pr.lstrip("^").rstrip("+"), avg))
+    else:
+        base = n_total
+    others = sum(1 for i, t in enumerate(p) if i != 1 and not _is_var(t))
+    return base / (1000.0 ** others)
+
+
+def order_patterns(patterns, stats=None):
     """Greedy selectivity ordering: start from the pattern with the MOST
     constants (constants filter before anything shuffles, so they are the
     selectivity signal available without statistics), then repeatedly take
@@ -210,16 +232,31 @@ def order_patterns(patterns):
     under bag semantics, so any connected order is equivalent — this one
     keeps the accumulated binding set small early. Patterns that cannot
     connect in ANY order fall out at the end and raise in the fold, same
-    as before. Ties break by original position (deterministic plans)."""
+    as before. Ties break by original position (deterministic plans).
+
+    With ``stats`` (a store's write-time predicate census, see
+    ``triple_sink.store_stats``) the greedy signal upgrades from
+    constants-count to ESTIMATED CARDINALITY (:func:`_estimate_rows`) —
+    smallest estimate first, constants-count then position as
+    tie-breaks."""
     rem = [(i, p) for i, p in enumerate(patterns)]
 
     def score(p):
         return sum(0 if _is_var(t) else 1 for t in p)
 
+    if stats:
+        def rank(ip):
+            i, p = ip
+            return (-_estimate_rows(p, stats), score(p), -i)
+    else:
+        def rank(ip):
+            i, p = ip
+            return (score(p), -i)
+
     def pvars(p):
         return {t[1:] for t in p if _is_var(t)}
 
-    first = max(rem, key=lambda ip: (score(ip[1]), -ip[0]))
+    first = max(rem, key=rank)
     ordered = [first[1]]
     rem.remove(first)
     bound = pvars(first[1])
@@ -228,7 +265,7 @@ def order_patterns(patterns):
         if not conn:
             ordered.extend(p for _i, p in rem)  # fold raises with context
             break
-        nxt = max(conn, key=lambda ip: (score(ip[1]), -ip[0]))
+        nxt = max(conn, key=rank)
         ordered.append(nxt[1])
         rem.remove(nxt)
         bound |= pvars(nxt[1])
@@ -709,7 +746,12 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         return got
 
     display = _display_vars(patterns)
-    plan = order_patterns(patterns) if reorder else list(patterns)
+    if reorder:
+        from ..sources.triple_sink import store_stats
+
+        plan = order_patterns(patterns, stats=store_stats(store_dir))
+    else:
+        plan = list(patterns)
     first = pattern_bindings(stream_for(plan[0]), plan[0])
     streams = [first] + [
         (*pattern_bindings(stream_for(p), p), p) for p in plan[1:]]

@@ -575,3 +575,44 @@ def test_having_and_avg(ray_session):
     with pytest.raises(ValueError, match="requires group_by"):
         evaluate_bgp(ds, [("?d", "score", "?s")],
                      having=[("n", ">", 1)]).to_pandas()
+
+
+def test_planner_uses_store_statistics(ray_session, tmp_path):
+    """The write-time predicate census upgrades the planner: two patterns
+    tie on constants-count, but the census puts the RARE predicate first
+    even when the user wrote the common one first; stats drop after a
+    mutation (never stale); store evaluation stays correct either way."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        delete_triples, store_stats, write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp_store, order_patterns
+
+    rows = [(f"s{i}", "common", f"v{i}") for i in range(200)]
+    rows += [("s5", "rare", "hit"), ("s7", "rare", "hit")]
+    s, p, o = zip(*rows)
+    n = len(rows)
+    t = pa.table({"subj": list(s), "pred": list(p), "obj": list(o),
+                  "obj_is_iri": pa.array([False] * n),
+                  "obj_datatype": pa.array([None] * n, pa.string()),
+                  "obj_lang": pa.array([None] * n, pa.string())})
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(rd.from_arrow(t).repartition(2), store,
+                                   num_partitions=4)
+    stats = store_stats(store)
+    assert stats["pred_counts"] == {"common": 200, "rare": 2}
+    assert stats["n_triples"] == 202
+
+    # constants tie (1 each); census must start with the rare pattern
+    pats = [("?s", "common", "?v"), ("?s", "rare", "?h")]
+    plan = order_patterns(pats, stats=stats)
+    assert plan[0] == ("?s", "rare", "?h")
+    # without stats, position breaks the tie the user's way
+    assert order_patterns(pats)[0] == ("?s", "common", "?v")
+
+    got = evaluate_bgp_store(store, pats).to_pandas()
+    assert set(got["s"]) == {"s5", "s7"} and len(got) == 2
+
+    # mutation drops the stats — the planner falls back, never stale
+    delete_triples(store, pred="rare")
+    assert store_stats(store) is None
