@@ -3184,6 +3184,40 @@ def q_events_inter_arrival(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_events_watermark_ingest(sf_dir: str):
+    """Watermark-disciplined micro-batch ingestion (the streaming-sink
+    contract, made deterministic so SQL can mirror it): the event stream
+    splits into 3 ordered micro-batches (event_id mod 3); each batch's
+    rows older than the PRE-batch watermark − 30 min divert to the late
+    channel, everything else appends and advances the watermark. The
+    result is the accepted set — batch 0 in full (empty watermark), only
+    the ≥ wm−30min tail of batches 1 and 2."""
+    import tempfile
+
+    from cattle_ray.sources.stream_sink import (read_accepted,
+                                                watermarked_append)
+
+    out = tempfile.mkdtemp(prefix="wm_ingest_", dir="/tmp")
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"],
+               rows_per_block=20000)
+
+    def third(i):
+        def f(b: pa.Table, i=i) -> pa.Table:
+            ids = b["event_id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            m = ids.to_numpy(zero_copy_only=False) % 3 == i
+            return b.filter(pa.array(m))
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    for i in range(3):
+        watermarked_append(third(i), out, batch_id=str(i), ts_col="ts",
+                           allowed_lateness="30min")
+    return read_accepted(out).map_batches(
+        lambda b: b.select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+
+
 def q_events_window_dedup(sf_dir: str):
     """Event-stream duplicate suppression: keep an event iff the previous
     event of the same (user, type) is absent or > 30 min older — LAG
@@ -4183,6 +4217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_frequent_paths": q_events_frequent_paths,
         "events_inter_arrival": q_events_inter_arrival,
         "events_window_dedup": q_events_window_dedup,
+        "events_watermark_ingest": q_events_watermark_ingest,
         "events_attribution": q_events_attribution,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
@@ -5004,6 +5039,28 @@ def _oracle_sql_base() -> dict[str, str]:
         "events_sorted_export": """
             SELECT event_id, value FROM events
             WHERE value >= 5.0 AND value <= 7.5
+        """,
+        "events_watermark_ingest": """
+            WITH b0 AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 3 = 0),
+                 w0 AS (SELECT max(ts) AS m FROM b0),
+                 b1 AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 3 = 1),
+                 a1 AS (SELECT * FROM b1
+                        WHERE ts >= (SELECT m FROM w0)
+                                    - INTERVAL 30 MINUTE),
+                 w1 AS (SELECT greatest(
+                          (SELECT m FROM w0),
+                          coalesce((SELECT max(ts) FROM a1),
+                                   (SELECT m FROM w0))) AS m),
+                 b2 AS (SELECT event_id, user_id, ts FROM events
+                        WHERE event_id % 3 = 2),
+                 a2 AS (SELECT * FROM b2
+                        WHERE ts >= (SELECT m FROM w1)
+                                    - INTERVAL 30 MINUTE)
+            SELECT * FROM b0
+            UNION ALL SELECT * FROM a1
+            UNION ALL SELECT * FROM a2
         """,
         "events_window_dedup": """
             WITH x AS (
