@@ -147,3 +147,59 @@ def read_accepted(out_dir: str):
     if not parts:
         raise FileNotFoundError(f"no accepted batches in {out_dir!r}")
     return rd.read_parquet(parts)
+
+
+def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
+                        key: str | None = None,
+                        width: "pd.Timedelta | str" = "1h"):
+    """Fire the streaming TRIGGER: aggregate every tumbling window whose
+    END has been passed by the watermark and that has not fired before —
+    each window emits EXACTLY ONCE across calls (fired window starts are
+    recorded in ``_meta.json``), the contract that lets a downstream
+    consumer treat the emission stream as append-only. Late rows can
+    never perturb an emitted window: they were diverted at append time
+    precisely because their window had closed. Counts come from the
+    engine's map-side-combined :func:`~..stages.aggregates.partial_count`
+    over (window[, key]); returns a pandas frame
+    ``(window_start_us[, key], n)`` of the NEWLY fired windows only."""
+    from ..stages.aggregates import partial_count
+
+    width_us = int(pd.Timedelta(width).value // 1000)
+    meta = _load_meta(out_dir)
+    wm = meta.get("watermark_us")
+    fired = set(int(x) for x in meta.get("fired_windows", []))
+    empty_cols = {"window_start_us": pd.Series([], dtype="int64"),
+                  **({key: pd.Series([], dtype="object")} if key else {}),
+                  "n": pd.Series([], dtype="int64")}
+    if wm is None:
+        return pd.DataFrame(empty_cols)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ts = _ts_micros(b[ts_col]).to_numpy(zero_copy_only=False)
+        start = (ts // width_us) * width_us
+        cols = {"window_start_us": pa.array(start.astype("int64"))}
+        if key:
+            cols[key] = b[key]
+        return pa.table(cols)
+
+    ds = read_accepted(out_dir).map_batches(bucketize,
+                                            batch_format="pyarrow")
+
+    def closed_unfired(b: pa.Table) -> pa.Table:
+        ws = b["window_start_us"].to_numpy(zero_copy_only=False)
+        m = (ws + width_us) <= int(wm)
+        if fired:
+            import numpy as np
+
+            m &= ~np.isin(ws, list(fired))
+        return b.filter(pa.array(m))
+
+    ds = ds.map_batches(closed_unfired, batch_format="pyarrow")
+    keys = ["window_start_us"] + ([key] if key else [])
+    out = partial_count(ds, keys).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(empty_cols)
+    meta["fired_windows"] = sorted(
+        fired | set(int(x) for x in out["window_start_us"].unique()))
+    _save_meta(out_dir, meta)
+    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)

@@ -69,3 +69,29 @@ def test_watermark_lifecycle(ray_session, tmp_path):
         "ts": pa.array([None], pa.timestamp("us"))}))
     r4 = watermarked_append(nulls, out, batch_id="b4", ts_col="ts")
     assert (r4["accepted"], r4["late"]) == (0, 1)
+
+
+def test_window_trigger_fires_exactly_once(ray_session, tmp_path):
+    """emit_closed_windows fires each tumbling window exactly once: only
+    watermark-passed windows emit, a repeat call emits nothing new, and
+    a later batch that advances the watermark fires the next windows."""
+    from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    # minutes 0,10 (hour 0), 70 (hour 1), 130 (hour 2): wm=130min
+    watermarked_append(_batch([0, 10, 70, 130]), out, batch_id="b1",
+                       ts_col="ts", allowed_lateness="3h")
+    fired = emit_closed_windows(out, ts_col="ts", width="1h")
+    # hours 0 and 1 are closed (end <= 130min), hour 2 still open
+    assert fired["n"].tolist() == [2, 1]
+    again = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert len(again) == 0  # exactly-once
+
+    # next batch: minute 190 (hour 3) advances wm past hour 2's end;
+    # minute 65 is within lateness → lands in ALREADY-FIRED hour 1 but
+    # that window never re-fires (append-only emission stream)
+    watermarked_append(_batch([65, 190], 10), out, batch_id="b2",
+                       ts_col="ts", allowed_lateness="3h")
+    fired2 = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert fired2["n"].tolist() == [1]  # hour 2 (the 130-min row) only
