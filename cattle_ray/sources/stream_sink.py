@@ -28,25 +28,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+# one atomic-meta discipline across the sinks (fsync/tmp-name fixes land
+# once): the stream sink's meta is missing before the first batch
+from .triple_sink import _save_meta
+from .triple_sink import _load_meta as _load_meta_strict
+
+
 def _load_meta(out_dir: str) -> dict:
-    import json
-    import os
-
-    path = os.path.join(out_dir, "_meta.json")
-    if not os.path.exists(path):
-        return {}
-    with open(path) as f:
-        return json.load(f)
-
-
-def _save_meta(out_dir: str, meta: dict) -> None:
-    import json
-    import os
-
-    tmp = os.path.join(out_dir, "._meta.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(out_dir, "_meta.json"))
+    return _load_meta_strict(out_dir, missing_ok=True)
 
 
 def _ts_micros(col) -> "pa.Array":
@@ -97,12 +86,15 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
 
     def split(b: pa.Table, keep_late: bool) -> pa.Table:
         ts = _ts_micros(b[ts_col])
+        valid = pc.is_valid(ts)  # null event time is ALWAYS late — even
+        # against an empty watermark, where a null would otherwise ride
+        # the accept-all mask into the store (and NaN-poison the max-ts
+        # pass and every window bucketization downstream)
         if wm_judge is None:
-            m = pa.array([True] * len(b))
+            m = valid
         else:
-            m = pc.greater_equal(ts, pa.scalar(int(wm_judge) - late_us,
-                                               pa.int64()))
-        m = pc.fill_null(m, False)  # null event time is always late
+            m = pc.and_(valid, pc.fill_null(pc.greater_equal(
+                ts, pa.scalar(int(wm_judge) - late_us, pa.int64())), False))
         return b.filter(pc.invert(m) if keep_late else m)
 
     accepted = ds.map_batches(lambda b: split(b, False),
@@ -127,6 +119,11 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
         late.write_parquet(ldir)
 
     meta["watermark_us"] = wm
+    # the trigger must know the loosest lateness ever used: a window may
+    # only fire once NO future batch can accept a row into it, i.e. when
+    # window_end + max_lateness <= watermark
+    meta["max_lateness_us"] = max(int(meta.get("max_lateness_us", 0)),
+                                  late_us)
     batches = meta.setdefault("batches", {})
     batches[str(batch_id)] = {
         "accepted": int(n_acc), "late": int(n_late),
@@ -152,21 +149,32 @@ def read_accepted(out_dir: str):
 def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
                         key: str | None = None,
                         width: "pd.Timedelta | str" = "1h"):
-    """Fire the streaming TRIGGER: aggregate every tumbling window whose
-    END has been passed by the watermark and that has not fired before —
-    each window emits EXACTLY ONCE across calls (fired window starts are
-    recorded in ``_meta.json``), the contract that lets a downstream
-    consumer treat the emission stream as append-only. Late rows can
-    never perturb an emitted window: they were diverted at append time
-    precisely because their window had closed. Counts come from the
-    engine's map-side-combined :func:`~..stages.aggregates.partial_count`
-    over (window[, key]); returns a pandas frame
-    ``(window_start_us[, key], n)`` of the NEWLY fired windows only."""
+    """Fire the streaming TRIGGER: aggregate every tumbling window that
+    can NEVER gain another accepted row — ``window_end + max_lateness ≤
+    watermark`` (a future batch accepts only ``ts ≥ watermark −
+    max_lateness``, which lies strictly beyond such a window, so no
+    accepted row is ever lost from the emission stream) — and that has
+    not fired before. Each window emits EXACTLY ONCE across calls:
+    the per-window aggregate is JOURNALED to
+    ``out_dir/emissions/win=<start>/`` FIRST (deterministic per-window
+    paths — a crash between journal and meta re-fires into the same
+    files, idempotent) and only then recorded in ``_meta.json``'s fired
+    set; ``read_emissions`` replays the journal, so a consumer that
+    crashed holding the returned frame loses nothing. Counts come from
+    the engine's map-side-combined
+    :func:`~..stages.aggregates.partial_count` over (window[, key]);
+    returns a pandas frame ``(window_start_us[, key], n)`` of the NEWLY
+    fired windows only."""
+    import os
+
+    import pyarrow.parquet as pq
+
     from ..stages.aggregates import partial_count
 
     width_us = int(pd.Timedelta(width).value // 1000)
     meta = _load_meta(out_dir)
     wm = meta.get("watermark_us")
+    late_us = int(meta.get("max_lateness_us", 0))
     fired = set(int(x) for x in meta.get("fired_windows", []))
     empty_cols = {"window_start_us": pd.Series([], dtype="int64"),
                   **({key: pd.Series([], dtype="object")} if key else {}),
@@ -187,7 +195,7 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
 
     def closed_unfired(b: pa.Table) -> pa.Table:
         ws = b["window_start_us"].to_numpy(zero_copy_only=False)
-        m = (ws + width_us) <= int(wm)
+        m = (ws + width_us + late_us) <= int(wm)
         if fired:
             import numpy as np
 
@@ -199,7 +207,33 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
     out = partial_count(ds, keys).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(empty_cols)
+    out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    # journal FIRST, meta second: the fired set only ever marks windows
+    # whose aggregates are already durable
+    for ws, grp in out.groupby("window_start_us", sort=True):
+        wdir = os.path.join(out_dir, "emissions", f"win={int(ws)}")
+        os.makedirs(wdir, exist_ok=True)
+        tmp = os.path.join(wdir, ".data.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(grp.reset_index(drop=True),
+                                            preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(wdir, "data.parquet"))
     meta["fired_windows"] = sorted(
         fired | set(int(x) for x in out["window_start_us"].unique()))
     _save_meta(out_dir, meta)
-    return out.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    return out
+
+
+def read_emissions(out_dir: str):
+    """The durable emission journal (every fired window's aggregate) as
+    one pandas frame — the recovery path for a consumer that crashed
+    between receiving :func:`emit_closed_windows`'s return value and
+    persisting it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(f"{out_dir}/emissions/win=*/data.parquet"))
+    if not parts:
+        return pd.DataFrame()
+    return pd.concat([pq.read_table(p).to_pandas() for p in parts],
+                     ignore_index=True)

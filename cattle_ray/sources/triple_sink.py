@@ -196,11 +196,17 @@ def store_key(out_dir: str) -> str:
         return json.load(f).get("key", "subj")
 
 
-def _load_meta(out_dir: str) -> dict:
+def _load_meta(out_dir: str, missing_ok: bool = False) -> dict:
+    """Shared atomic-meta reader (the stream sink reuses these helpers).
+    ``missing_ok=True`` returns {} for a not-yet-initialized sink; the
+    triple store's callers want the loud FileNotFoundError."""
     import json
     import os
 
-    with open(os.path.join(out_dir, "_meta.json")) as f:
+    path = os.path.join(out_dir, "_meta.json")
+    if missing_ok and not os.path.exists(path):
+        return {}
+    with open(path) as f:
         return json.load(f)
 
 
@@ -380,6 +386,12 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
         with open(tmp, "w") as f:
             json.dump({"num_partitions": num_partitions, "key": "subj"}, f)
         os.replace(tmp, meta_path)
+    # drop the write-time planner stats BEFORE any partition rewrite: a
+    # crash mid-merge must not leave pre-merge selectivities being served
+    # against post-merge data (stats absent is always safe)
+    meta0 = _load_meta(out_dir)
+    if meta0.pop("stats", None) is not None:
+        _save_meta(out_dir, meta0)
     gen = _next_generation(out_dir) if track_generations else None
     with_part = new_triples_ds.map_batches(
         lambda b: add_subj_partition(b, num_partitions), batch_format="pyarrow"
@@ -463,20 +475,13 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
                             "n_gen_added": pd.Series([], dtype="int64"),
                             "n_gen_removed": pd.Series([], dtype="int64"),
                             "path": pd.Series([], dtype="object")})
-    meta = _load_meta(out_dir)
-    dirty = False
-    if len(out) and meta.pop("stats", None) is not None:
-        # the merge changed predicate counts — drop the write-time stats
-        # rather than serve stale selectivities to the BGP planner
-        dirty = True
     if gen is not None:
+        meta = _load_meta(out_dir)
         meta["generation"] = gen
         meta.setdefault("history", []).append({
             "gen": gen, "op": "merge",
             "added": int(out["n_gen_added"].sum()),
             "removed": int(out["n_gen_removed"].sum())})
-        dirty = True
-    if dirty:
         _save_meta(out_dir, meta)
     return out
 
@@ -503,6 +508,11 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
         raise ValueError("delete_triples with no bound constant would drop "
                          "the whole store — do that with shutil instead")
     route = store_key(out_dir)
+    # drop planner stats BEFORE any partition rewrite (crash safety —
+    # same rationale as in merge)
+    meta0 = _load_meta(out_dir)
+    if meta0.pop("stats", None) is not None:
+        _save_meta(out_dir, meta0)
     gen = _next_generation(out_dir)
     if route in bound:
         pid = subj_partition_id(bound[route], store_num_partitions(out_dir))
@@ -548,7 +558,6 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
         # generation and give store_generation() diffing false positives
         return out
     meta = _load_meta(out_dir)
-    meta.pop("stats", None)  # counts changed — never serve stale stats
     meta["generation"] = gen
     meta.setdefault("history", []).append({
         "gen": gen, "op": "delete", "added": 0,
@@ -716,6 +725,10 @@ def build_secondary_index(primary_dir: str, index_dir: str, *,
     parts = sorted(glob.glob(f"{primary_dir}/part_id=*/data.parquet"))
     if not parts:
         raise FileNotFoundError(f"no partitions under {primary_dir!r}")
+    # capture the generation BEFORE reading: a mutation landing during
+    # the build must leave the index flagged stale, not fresh-looking
+    # while serving pre-mutation rows
+    src_gen = _next_generation(primary_dir) - 1
     ds = rd.read_parquet(parts).map_batches(
         lambda b: b.drop_columns(["part_id"])
         if "part_id" in b.column_names else b,
@@ -729,7 +742,7 @@ def build_secondary_index(primary_dir: str, index_dir: str, *,
                                               num_partitions=p, key=key)
     meta = _load_meta(tmp_dir)
     meta["source_store"] = os.path.abspath(primary_dir)
-    meta["source_generation"] = _next_generation(primary_dir) - 1
+    meta["source_generation"] = src_gen
     _save_meta(tmp_dir, meta)
     if os.path.isdir(index_dir):
         old = index_dir.rstrip("/") + ".old"
@@ -746,14 +759,19 @@ def build_secondary_index(primary_dir: str, index_dir: str, *,
 def index_is_stale(index_dir: str) -> bool:
     """True when the primary this index was built from has mutated since
     (its effective generation — recorded meta OR on-disk debris — moved
-    past the one captured at build time). Indexes without recorded
-    provenance (built directly from a Dataset) report False: there is
-    nothing to compare against."""
+    past the one captured at build time), or when the primary has
+    VANISHED (a missing primary cannot prove the index fresh — monitors
+    get a truthful flag instead of a FileNotFoundError). Indexes without
+    recorded provenance (built directly from a Dataset) report False:
+    there is nothing to compare against."""
     meta = _load_meta(index_dir)
     src = meta.get("source_store")
     if src is None:
         return False
-    return (_next_generation(src) - 1) != int(meta["source_generation"])
+    try:
+        return (_next_generation(src) - 1) != int(meta["source_generation"])
+    except FileNotFoundError:
+        return True
 
 
 def compact_store(store_dir: str, num_partitions: int | None = None,

@@ -72,26 +72,40 @@ def test_watermark_lifecycle(ray_session, tmp_path):
 
 
 def test_window_trigger_fires_exactly_once(ray_session, tmp_path):
-    """emit_closed_windows fires each tumbling window exactly once: only
-    watermark-passed windows emit, a repeat call emits nothing new, and
-    a later batch that advances the watermark fires the next windows."""
+    """emit_closed_windows fires a window only when NO future batch can
+    accept a row into it (end + max_lateness <= watermark), each window
+    exactly once; within-lateness stragglers land in NOT-yet-fired
+    windows (nothing vanishes from the emission stream); the journal
+    replays everything fired."""
     from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                read_emissions,
                                                 watermarked_append)
 
     out = str(tmp_path / "sink")
     # minutes 0,10 (hour 0), 70 (hour 1), 130 (hour 2): wm=130min
     watermarked_append(_batch([0, 10, 70, 130]), out, batch_id="b1",
-                       ts_col="ts", allowed_lateness="3h")
+                       ts_col="ts", allowed_lateness="30min")
     fired = emit_closed_windows(out, ts_col="ts", width="1h")
-    # hours 0 and 1 are closed (end <= 130min), hour 2 still open
-    assert fired["n"].tolist() == [2, 1]
-    again = emit_closed_windows(out, ts_col="ts", width="1h")
-    assert len(again) == 0  # exactly-once
+    # hour 0 fires (60+30 <= 130); hour 1 cannot (120+30 > 130): a
+    # straggler within the 30-min lateness could still join it
+    assert fired["n"].tolist() == [2]
+    assert len(emit_closed_windows(out, ts_col="ts", width="1h")) == 0
 
-    # next batch: minute 190 (hour 3) advances wm past hour 2's end;
-    # minute 65 is within lateness → lands in ALREADY-FIRED hour 1 but
-    # that window never re-fires (append-only emission stream)
-    watermarked_append(_batch([65, 190], 10), out, batch_id="b2",
-                       ts_col="ts", allowed_lateness="3h")
+    # straggler at 105min is ACCEPTED (105 >= 130-30) into UNFIRED hour
+    # 1; 190min advances wm so hours 1 and 2 become unreachable and fire
+    watermarked_append(_batch([105, 190], 10), out, batch_id="b2",
+                       ts_col="ts", allowed_lateness="30min")
     fired2 = emit_closed_windows(out, ts_col="ts", width="1h")
-    assert fired2["n"].tolist() == [1]  # hour 2 (the 130-min row) only
+    # hour 1 = {70, 105}: the straggler was NOT lost. Hour 2 stays open
+    # (180+30 > 190 — a 160-180min straggler could still join it)
+    assert fired2["n"].tolist() == [2]
+
+    # a third batch pushes the watermark past hour 2's reach
+    watermarked_append(_batch([240], 20), out, batch_id="b3",
+                       ts_col="ts", allowed_lateness="30min")
+    fired3 = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert fired3["n"].tolist() == [1]  # hour 2 = {130}
+
+    # the journal holds every fired window durably
+    j = read_emissions(out)
+    assert sorted(j["n"].tolist()) == [1, 2, 2]
