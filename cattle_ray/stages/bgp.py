@@ -557,10 +557,21 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
     from .aggregates import grouped_sums, partial_count
 
     if sums or avgs:
-        sum_vars = sorted(set(sums.values()) | set(avgs.values()))
+        # AVG needs its own denominator: Arrow's grouped sum skips nulls
+        # but grouped_sums' n counts ALL group rows, so an OPTIONAL-bound
+        # variable with nulls would divide by the wrong count — sum a
+        # 0/1 not-null indicator per averaged variable instead
+        nn = {v: f"_nn_{v}" for v in set(avgs.values())}
+        sum_vars = sorted(set(sums.values()) | set(avgs.values())
+                          | set(nn.values()))
 
         def cast_nums(b: pa.Table) -> pa.Table:
+            for v, ind in nn.items():
+                b = b.append_column(
+                    ind, pc.cast(pc.is_valid(b[v]), pa.int64()))
             for v in sum_vars:
+                if v in nn.values():
+                    continue
                 b = b.set_column(b.column_names.index(v), v,
                                  pc.cast(b[v], pa.int64()))
             return b
@@ -575,11 +586,13 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
                 cols[o] = b[f"sum_{v}"]
             for o, v in avgs.items():
                 # the engine-wide ONE-mirrored-float-division discipline:
-                # exact int64 sum and count cross the shuffle, the only
-                # float op is this division (oracle: SUM(..)/COUNT(*))
-                cols[o] = pc.divide(
-                    pc.cast(b[f"sum_{v}"], pa.float64()),
-                    pc.cast(b["n"], pa.float64()))
+                # exact int64 sum and NOT-NULL count cross the shuffle,
+                # the only float op is this division (SQL AVG semantics —
+                # an all-null group divides 0/0 into null, like SQL)
+                denom = pc.cast(b[f"sum_{nn[v]}"], pa.float64())
+                cols[o] = pc.if_else(
+                    pc.equal(denom, 0.0), pa.nulls(len(b), pa.float64()),
+                    pc.divide(pc.cast(b[f"sum_{v}"], pa.float64()), denom))
             for o in counts:
                 cols[o] = b["n"]
             return pa.table(cols)

@@ -572,6 +572,18 @@ def test_having_and_avg(ray_session):
         having=[("n", ">=", 2)]).to_pandas()
     assert out["d"].tolist() == ["d1"] and out["m"].tolist() == [3.5]
 
+    # SQL AVG semantics over an OPTIONAL-bound variable: nulls are
+    # excluded from the denominator; an all-null group averages to NULL
+    rows2 = rows + [("d1", "tag", "x"), ("d2", "tag", "x"),
+                    ("d4", "tag", "x")]
+    ds2 = rd.from_arrow(_triples(rows2)).repartition(3)
+    out2 = evaluate_bgp(
+        ds2, [("?d", "tag", "x")], optional=[[("?d", "score", "?s")]],
+        group_by=["?d"], agg={"n": "count", "m": ("avg", "?s")}).to_pandas()
+    got = dict(zip(out2["d"], out2["m"]))
+    assert got["d1"] == 3.5 and got["d2"] == 10.0
+    assert pd.isna(got["d4"])  # no score triples at all
+
     with pytest.raises(ValueError, match="requires group_by"):
         evaluate_bgp(ds, [("?d", "score", "?s")],
                      having=[("n", ">", 1)]).to_pandas()
