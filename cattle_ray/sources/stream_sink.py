@@ -12,6 +12,11 @@ SQL-mirrorable):
   ``ts < watermark − allowed_lateness`` are LATE — they divert to
   ``out_dir/late/`` (never silently dropped, never mixed into closed
   windows); everything else appends;
+- once any window has FIRED (see :func:`emit_closed_windows`), rows
+  whose window lies below the fired boundary are late regardless of the
+  batch's ``allowed_lateness`` — a later append with a looser lateness
+  can therefore never smuggle a row into a window that already emitted
+  (it would be counted in NO emission otherwise);
 - the watermark then advances to ``max(old, max accepted ts)`` — a
   batch's own rows never make each other late, and late rows never move
   the watermark backwards;
@@ -19,6 +24,13 @@ SQL-mirrorable):
   overwrites its own output instead of duplicating it (idempotent
   micro-batch replay — the same at-least-once discipline as the
   checkpoint manifest).
+
+Scale shape: each batch records its accepted rows' min/max event time in
+``_meta.json``, and the trigger prunes batches whose whole time range
+lies inside already-fired windows (or entirely in still-open ones) — so
+a trigger's cost is bounded by the NEW data since the last firing, not
+by the stream's full history. The fired state is one int64 high-water
+mark, not a growing set.
 """
 
 from __future__ import annotations
@@ -35,7 +47,15 @@ from .triple_sink import _load_meta as _load_meta_strict
 
 
 def _load_meta(out_dir: str) -> dict:
-    return _load_meta_strict(out_dir, missing_ok=True)
+    meta = _load_meta_strict(out_dir, missing_ok=True)
+    # migrate a pre-boundary meta (fired_windows list) to the high-water
+    # mark: every listed window fired, so the boundary sits one window
+    # above the largest
+    if "fired_boundary_us" not in meta and meta.get("fired_windows") \
+            and meta.get("width_us"):
+        meta["fired_boundary_us"] = \
+            int(max(meta["fired_windows"])) + int(meta["width_us"])
+    return meta
 
 
 def _ts_micros(col) -> "pa.Array":
@@ -60,8 +80,8 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
                        allowed_lateness: "pd.Timedelta | str" = "1h"):
     """Append one micro-batch under the watermark discipline (see module
     docstring). The batch is MATERIALIZED once (micro-batch sized by
-    definition — the split, the two writes and the max-ts pass must not
-    re-execute an upstream pipeline). Returns ``{"accepted": n,
+    definition — the split, the two writes and the min/max-ts pass must
+    not re-execute an upstream pipeline). Returns ``{"accepted": n,
     "late": n, "watermark_us": wm}``. Accepted rows land in
     ``out_dir/batch=<batch_id>/``, late rows in
     ``out_dir/late/batch=<batch_id>/``; replaying the same batch_id
@@ -75,11 +95,14 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
     meta = _load_meta(out_dir)
     wm = meta.get("watermark_us")
     # replayed batch_ids are judged against their ORIGINAL pre-batch
-    # watermark (recorded at first append) — the global watermark has
-    # advanced since, and re-judging against it would reclassify rows
-    # the first run accepted as late (replay must be idempotent)
+    # watermark AND fired boundary (recorded at first append) — both have
+    # advanced since, and re-judging against the new values would
+    # reclassify rows the first run accepted as late (replay must be
+    # idempotent)
     rec = meta.get("batches", {}).get(str(batch_id))
     wm_judge = rec["wm_before_us"] if rec else wm
+    fb_judge = rec.get("fired_boundary_before_us") if rec \
+        else meta.get("fired_boundary_us")
     os.makedirs(out_dir, exist_ok=True)
 
     ds = ds.materialize()
@@ -95,6 +118,12 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
         else:
             m = pc.and_(valid, pc.fill_null(pc.greater_equal(
                 ts, pa.scalar(int(wm_judge) - late_us, pa.int64())), False))
+        if fb_judge is not None:
+            # the boundary is a window multiple, so "my window fired"
+            # reduces to ts < boundary — a looser allowed_lateness can
+            # never re-open a fired window
+            m = pc.and_(m, pc.fill_null(pc.greater_equal(
+                ts, pa.scalar(int(fb_judge), pa.int64())), False))
         return b.filter(pc.invert(m) if keep_late else m)
 
     accepted = ds.map_batches(lambda b: split(b, False),
@@ -109,12 +138,16 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
 
     n_acc = accepted.count()
     n_late = late.count()
+    mn = mx = None
     if n_acc:
         accepted.write_parquet(bdir)
-        mx = accepted.map_batches(
-            lambda b: pa.table({"m": [pc.max(_ts_micros(b[ts_col])).as_py()]}),
-            batch_format="pyarrow").to_pandas()["m"].max()
-        wm = int(mx) if wm is None else max(int(wm), int(mx))
+        rng = accepted.map_batches(
+            lambda b: pa.table({
+                "mn": [pc.min(_ts_micros(b[ts_col])).as_py()],
+                "mx": [pc.max(_ts_micros(b[ts_col])).as_py()]}),
+            batch_format="pyarrow").to_pandas()
+        mn, mx = int(rng["mn"].min()), int(rng["mx"].max())
+        wm = mx if wm is None else max(int(wm), mx)
     if n_late:
         late.write_parquet(ldir)
 
@@ -127,7 +160,12 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
     batches = meta.setdefault("batches", {})
     batches[str(batch_id)] = {
         "accepted": int(n_acc), "late": int(n_late),
-        "wm_before_us": None if wm_judge is None else int(wm_judge)}
+        "wm_before_us": None if wm_judge is None else int(wm_judge),
+        "fired_boundary_before_us":
+            None if fb_judge is None else int(fb_judge),
+        # per-batch event-time range: the trigger prunes whole batches by
+        # these, bounding its cost by new data instead of stream history
+        "min_ts_us": mn, "max_ts_us": mx}
     _save_meta(out_dir, meta)
     return {"accepted": int(n_acc), "late": int(n_late),
             "watermark_us": wm}
@@ -146,40 +184,86 @@ def read_accepted(out_dir: str):
     return rd.read_parquet(parts)
 
 
+def _trigger_batch_paths(out_dir: str, meta: dict, lo_us, hi_us) -> list:
+    """Parquet paths of the accepted batches whose recorded event-time
+    range [min_ts, max_ts] intersects [lo_us, hi_us] — the only batches
+    that can hold rows of a closed-but-unfired window. Batches written
+    before min/max recording existed are included conservatively."""
+    import glob
+
+    paths = []
+    for bid, rec in meta.get("batches", {}).items():
+        if not rec.get("accepted"):
+            continue
+        mn, mx = rec.get("min_ts_us"), rec.get("max_ts_us")
+        if mn is not None and mx is not None:
+            if (lo_us is not None and mx < lo_us) or \
+                    (hi_us is not None and mn > hi_us):
+                continue
+        paths.extend(sorted(glob.glob(
+            f"{out_dir}/batch={bid}/*.parquet")))
+    return paths
+
+
 def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
                         key: str | None = None,
                         width: "pd.Timedelta | str" = "1h"):
     """Fire the streaming TRIGGER: aggregate every tumbling window that
     can NEVER gain another accepted row — ``window_end + max_lateness ≤
     watermark`` (a future batch accepts only ``ts ≥ watermark −
-    max_lateness``, which lies strictly beyond such a window, so no
-    accepted row is ever lost from the emission stream) — and that has
-    not fired before. Each window emits EXACTLY ONCE across calls:
-    the per-window aggregate is JOURNALED to
+    max_lateness``, which lies strictly beyond such a window; and once
+    fired, :func:`watermarked_append` diverts any below-boundary row to
+    the late channel, so no accepted row is ever lost from the emission
+    stream) — and that has not fired before. Each window emits EXACTLY
+    ONCE across calls: the per-window aggregate is JOURNALED to
     ``out_dir/emissions/win=<start>/`` FIRST (deterministic per-window
     paths — a crash between journal and meta re-fires into the same
-    files, idempotent) and only then recorded in ``_meta.json``'s fired
-    set; ``read_emissions`` replays the journal, so a consumer that
-    crashed holding the returned frame loses nothing. Counts come from
-    the engine's map-side-combined
+    files, idempotent) and only then recorded in ``_meta.json`` as the
+    fired-boundary high-water mark; ``read_emissions`` replays the
+    journal, so a consumer that crashed holding the returned frame loses
+    nothing. Counts come from the engine's map-side-combined
     :func:`~..stages.aggregates.partial_count` over (window[, key]);
     returns a pandas frame ``(window_start_us[, key], n)`` of the NEWLY
-    fired windows only."""
+    fired windows only.
+
+    Cost is bounded by NEW data: only batches whose recorded min/max
+    event time intersects the closed-but-unfired window range are read
+    (batches fully inside fired windows — the stream's history — are
+    pruned by metadata alone)."""
     import os
 
     import pyarrow.parquet as pq
+    import ray.data as rd
 
     from ..stages.aggregates import partial_count
 
     width_us = int(pd.Timedelta(width).value // 1000)
     meta = _load_meta(out_dir)
+    if meta.get("width_us") is not None and \
+            int(meta["width_us"]) != width_us:
+        raise ValueError(
+            f"trigger width {width!r} ({width_us}us) conflicts with this "
+            f"sink's recorded width ({meta['width_us']}us) — the fired "
+            "boundary is only meaningful for ONE tumbling width per sink")
     wm = meta.get("watermark_us")
     late_us = int(meta.get("max_lateness_us", 0))
-    fired = set(int(x) for x in meta.get("fired_windows", []))
+    fired_boundary = meta.get("fired_boundary_us")  # smallest UNFIRED ts
     empty_cols = {"window_start_us": pd.Series([], dtype="int64"),
                   **({key: pd.Series([], dtype="object")} if key else {}),
                   "n": pd.Series([], dtype="int64")}
     if wm is None:
+        return pd.DataFrame(empty_cols)
+
+    # max closed window start: ws + width + late <= wm
+    t_ws = int(wm) - width_us - late_us
+    lo = None if fired_boundary is None else int(fired_boundary)
+    if t_ws < (lo if lo is not None else t_ws):
+        # lateness grew faster than the watermark: nothing newly closed
+        return pd.DataFrame(empty_cols)
+    # rows of closed-unfired windows lie in [lo, last closed window end)
+    hi = (t_ws // width_us) * width_us + width_us - 1
+    paths = _trigger_batch_paths(out_dir, meta, lo, hi)
+    if not paths:
         return pd.DataFrame(empty_cols)
 
     def bucketize(b: pa.Table) -> pa.Table:
@@ -190,16 +274,14 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
             cols[key] = b[key]
         return pa.table(cols)
 
-    ds = read_accepted(out_dir).map_batches(bucketize,
+    ds = rd.read_parquet(paths).map_batches(bucketize,
                                             batch_format="pyarrow")
 
     def closed_unfired(b: pa.Table) -> pa.Table:
         ws = b["window_start_us"].to_numpy(zero_copy_only=False)
-        m = (ws + width_us + late_us) <= int(wm)
-        if fired:
-            import numpy as np
-
-            m &= ~np.isin(ws, list(fired))
+        m = ws <= t_ws
+        if fired_boundary is not None:
+            m &= ws >= int(fired_boundary)
         return b.filter(pa.array(m))
 
     ds = ds.map_batches(closed_unfired, batch_format="pyarrow")
@@ -208,8 +290,8 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
     if len(out) == 0:
         return pd.DataFrame(empty_cols)
     out = out.sort_values(keys, kind="mergesort").reset_index(drop=True)
-    # journal FIRST, meta second: the fired set only ever marks windows
-    # whose aggregates are already durable
+    # journal FIRST, meta second: the fired boundary only ever covers
+    # windows whose aggregates are already durable
     for ws, grp in out.groupby("window_start_us", sort=True):
         wdir = os.path.join(out_dir, "emissions", f"win={int(ws)}")
         os.makedirs(wdir, exist_ok=True)
@@ -217,8 +299,14 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
         pq.write_table(pa.Table.from_pandas(grp.reset_index(drop=True),
                                             preserve_index=False), tmp)
         os.replace(tmp, os.path.join(wdir, "data.parquet"))
-    meta["fired_windows"] = sorted(
-        fired | set(int(x) for x in out["window_start_us"].unique()))
+    # everything at or below t_ws is now fired-or-permanently-empty: the
+    # boundary is the next window start, a single int64 (no growing set)
+    new_boundary = (t_ws // width_us) * width_us + width_us
+    if fired_boundary is not None:
+        new_boundary = max(new_boundary, int(fired_boundary))
+    meta["fired_boundary_us"] = int(new_boundary)
+    meta["width_us"] = width_us
+    meta.pop("fired_windows", None)  # replaced by the boundary
     _save_meta(out_dir, meta)
     return out
 

@@ -557,11 +557,13 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
     from .aggregates import grouped_sums, partial_count
 
     if sums or avgs:
-        # AVG needs its own denominator: Arrow's grouped sum skips nulls
-        # but grouped_sums' n counts ALL group rows, so an OPTIONAL-bound
-        # variable with nulls would divide by the wrong count — sum a
-        # 0/1 not-null indicator per averaged variable instead
-        nn = {v: f"_nn_{v}" for v in set(avgs.values())}
+        # AVG needs its own denominator and SUM needs a null sentinel:
+        # Arrow's grouped sum skips nulls but grouped_sums' n counts ALL
+        # group rows, so an OPTIONAL-bound variable with nulls would
+        # divide by the wrong count — and a group whose variable is null
+        # in EVERY row must yield null, not 0 (SQL/SPARQL SUM semantics).
+        # Sum a 0/1 not-null indicator per summed/averaged variable.
+        nn = {v: f"_nn_{v}" for v in set(avgs.values()) | set(sums.values())}
         sum_vars = sorted(set(sums.values()) | set(avgs.values())
                           | set(nn.values()))
 
@@ -583,7 +585,11 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
         def rename(b: pa.Table) -> pa.Table:
             cols = {k: b[k] for k in keys}
             for o, v in sums.items():
-                cols[o] = b[f"sum_{v}"]
+                # all-null group → null, not 0 (SQL SUM; mirrors AVG)
+                nn_count = b[f"sum_{nn[v]}"]
+                cols[o] = pc.if_else(
+                    pc.equal(nn_count, 0), pa.nulls(len(b), pa.int64()),
+                    b[f"sum_{v}"])
             for o, v in avgs.items():
                 # the engine-wide ONE-mirrored-float-division discipline:
                 # exact int64 sum and NOT-NULL count cross the shuffle,

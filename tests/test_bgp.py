@@ -584,6 +584,16 @@ def test_having_and_avg(ray_session):
     assert got["d1"] == 3.5 and got["d2"] == 10.0
     assert pd.isna(got["d4"])  # no score triples at all
 
+    # SQL SUM semantics over the same shape: an all-null group sums to
+    # NULL, not 0 (same defect class as AVG; fixed together)
+    out3 = evaluate_bgp(
+        ds2, [("?d", "tag", "x")], optional=[[("?d", "score", "?s")]],
+        group_by=["?d"],
+        agg={"total": ("sum", "?s"), "n": "count"}).to_pandas()
+    got3 = dict(zip(out3["d"], out3["total"]))
+    assert got3["d1"] == 7 and got3["d2"] == 10
+    assert pd.isna(got3["d4"])  # all-null group → NULL, not 0
+
     with pytest.raises(ValueError, match="requires group_by"):
         evaluate_bgp(ds, [("?d", "score", "?s")],
                      having=[("n", ">", 1)]).to_pandas()

@@ -109,3 +109,97 @@ def test_window_trigger_fires_exactly_once(ray_session, tmp_path):
     # the journal holds every fired window durably
     j = read_emissions(out)
     assert sorted(j["n"].tolist()) == [1, 2, 2]
+
+
+def test_fired_window_rejects_looser_lateness(ray_session, tmp_path):
+    """Once a window has fired, an append with a LARGER allowed_lateness
+    cannot smuggle a row into it: the row diverts to late/ instead of
+    vanishing from the emission stream (it would be counted in no
+    emission otherwise). Replay of such a batch stays idempotent."""
+    from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                read_accepted,
+                                                read_emissions,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    watermarked_append(_batch([0, 10, 130]), out, batch_id="b1",
+                       ts_col="ts", allowed_lateness="30min")
+    fired = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert fired["n"].tolist() == [2]  # hour 0 fired
+
+    # minute 30 lies in FIRED hour 0; a 3h lateness would accept it
+    # under the watermark rule alone (30 >= 130-180) — the fired
+    # boundary must divert it
+    r = watermarked_append(_batch([30, 140], 10), out, batch_id="b2",
+                           ts_col="ts", allowed_lateness="3h")
+    assert (r["accepted"], r["late"]) == (1, 1)
+    acc = read_accepted(out).to_pandas()
+    assert 10 not in set(acc["event_id"])  # the smuggler is not accepted
+
+    # replaying b2 re-judges against the RECORDED boundary → idempotent
+    r2 = watermarked_append(_batch([30, 140], 10), out, batch_id="b2",
+                            ts_col="ts", allowed_lateness="3h")
+    assert (r2["accepted"], r2["late"]) == (1, 1)
+    assert len(read_accepted(out).to_pandas()) == 4
+
+    # the journal still totals exactly the accepted rows of fired
+    # windows — b2's 3h lateness became the sink max, so hour 2 (end
+    # 180min) needs wm ≥ 360min to close
+    watermarked_append(_batch([600], 20), out, batch_id="b3",
+                       ts_col="ts", allowed_lateness="30min")
+    emit_closed_windows(out, ts_col="ts", width="1h")
+    j = read_emissions(out)
+    assert int(j["n"].sum()) == 4  # hour0={0,10}, hour2={130,140}; no loss
+
+
+def test_trigger_prunes_history_batches(ray_session, tmp_path):
+    """The trigger's read set is bounded by NEW data: batches whose
+    recorded [min_ts, max_ts] lies entirely inside fired windows are
+    pruned by metadata alone, and the fired state is one high-water
+    mark, not a growing set. A conflicting width raises."""
+    import pytest as _pytest
+
+    from cattle_ray.sources.stream_sink import (_load_meta,
+                                                _trigger_batch_paths,
+                                                emit_closed_windows,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    # 20 history batches, one hour each, then a far-future batch that
+    # closes them all
+    for i in range(20):
+        watermarked_append(_batch([i * 60, i * 60 + 5], i * 10), out,
+                           batch_id=f"h{i}", ts_col="ts",
+                           allowed_lateness="30min")
+    watermarked_append(_batch([2000], 990), out, batch_id="far",
+                       ts_col="ts", allowed_lateness="30min")
+    fired = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert fired["n"].tolist() == [2] * 20
+
+    meta = _load_meta(out)
+    assert "fired_windows" not in meta  # boundary, not a growing set
+    fb = int(meta["fired_boundary_us"])
+    # wm=2000min, width=1h, lateness=30min → everything through hour 31
+    # is closed (fired or permanently empty): boundary = base + 32h
+    base_us = int(pd.Timestamp("2024-01-01").value // 1000)
+    assert fb == base_us + 32 * 3600 * 10**6
+
+    # new batch closes one more hour; the pruner must select ONLY the
+    # batches intersecting the unfired range — none of the 20 history
+    # batches qualify
+    watermarked_append(_batch([2100], 991), out, batch_id="far2",
+                       ts_col="ts", allowed_lateness="30min")
+    meta = _load_meta(out)
+    wm = int(meta["watermark_us"])
+    width_us = 3600 * 10**6
+    t_ws = wm - width_us - int(meta["max_lateness_us"])
+    hi = (t_ws // width_us) * width_us + width_us - 1
+    paths = _trigger_batch_paths(out, meta, fb, hi)
+    assert all("batch=h" not in p for p in paths)
+    assert any("batch=far" in p for p in paths)
+
+    fired2 = emit_closed_windows(out, ts_col="ts", width="1h")
+    assert fired2["n"].tolist() == [1]  # the 2000-min row's hour
+
+    with _pytest.raises(ValueError, match="width"):
+        emit_closed_windows(out, ts_col="ts", width="30min")
