@@ -4087,6 +4087,84 @@ def q_kg_bgp_groupby(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_bgp_obj_route(sf_dir: str):
+    """Secondary-index-AWARE BGP planning: the primary store is
+    subject-routed, a FRESH obj-routed secondary index sits beside it,
+    and the obj-bound pattern ``?s entity "Entity7" . ?s rank ?r``
+    routes its scan to the index's 1/P point read instead of scanning
+    every primary partition (``evaluate_bgp_store(...,
+    obj_index_dir=...)``); the rank pattern still scans the primary
+    with pred pushdown. The oracle checks the whole
+    build-index→route→join roundtrip."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    out_dir = tempfile.mkdtemp(prefix="kg_bgp_objroute_", dir="/tmp")
+    idx_dir = out_dir.rstrip("/") + "_idx"
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8)
+    build_secondary_index(out_dir, idx_dir, key="obj")
+    ent = "https://example.org/id/entity/Entity7"
+    return evaluate_bgp_store(
+        out_dir, [("?s", EX + "entity", ent),
+                  ("?s", EX + "rank", "?r")],
+        obj_index_dir=idx_dir, num_buckets=4)
+
+
+def q_kg_bgp_union(sf_dir: str):
+    """SPARQL UNION (``{ ?s rank ?r } UNION { ?s score ?v }``): branch
+    solutions concatenate with NULL for the variable the other branch
+    binds — a metadata-level ``Dataset.union``, no shuffle. The SQL
+    mirror is UNION ALL with explicit NULL columns, pinning the padding
+    semantics (bag union, not set)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir), [],
+        union=[[("?s", EX + "rank", "?r")],
+               [("?s", EX + "score", "?v")]],
+        num_buckets=8)
+
+
+def q_kg_bgp_bind(sf_dir: str):
+    """SPARQL BIND (computed bindings): ``?s entity ?e . ?s rank ?r .
+    BIND(CONCAT(?e, "#", ?r) AS ?tag) BIND(xsd:integer(?r)*10 AS ?r10)``
+    — vectorized pyarrow expression columns appended to the binding
+    stream, referenced by the projection. Exact int64 arithmetic
+    (mirrored as CAST … AS BIGINT in SQL)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e"), ("?s", EX + "rank", "?r")],
+        bind=[("?tag", ("concat", "?e", "#", "?r")),
+              ("?r10", ("mul", ("int", "?r"), 10))],
+        select=["?s", "?tag", "?r10"],
+        num_buckets=8)
+
+
+def q_kg_bgp_minmax(sf_dir: str):
+    """SPARQL MIN/MAX/GROUP_CONCAT/SUM in ONE aggregation pass
+    (``SELECT ?e (MIN(?r) …) (MAX(?r) …) (GROUP_CONCAT(?r; ",") …)
+    (SUM(?r) …) GROUP BY ?e``) — the generalized grouped_agg emits every
+    partial from one Arrow group_by per batch; the concat is SORTED
+    (SPARQL leaves the order unspecified; sorted is the only
+    layout-invariant choice, mirrored as string_agg ORDER BY)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "entity", "?e"), ("?s", EX + "rank", "?r")],
+        group_by=["?e"],
+        agg={"lo": ("min", "?r"), "hi": ("max", "?r"),
+             "ranks": ("group_concat", "?r", ","),
+             "total": ("sum", "?r"), "n": "count"},
+        num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -4303,6 +4381,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_groupby": q_kg_bgp_groupby,
+        "kg_bgp_obj_route": q_kg_bgp_obj_route,
+        "kg_bgp_union": q_kg_bgp_union,
+        "kg_bgp_bind": q_kg_bgp_bind,
+        "kg_bgp_minmax": q_kg_bgp_minmax,
         "kg_bgp_graph": q_kg_bgp_graph,
         "kg_bgp_store": q_kg_bgp_store,
         "kg_store_timetravel": q_kg_store_timetravel,
@@ -5987,6 +6069,42 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(r) AS BIGINT) AS total
             FROM en JOIN rk USING (subj) GROUP BY e
             ORDER BY total DESC, e LIMIT 25
+        """,
+        "kg_bgp_obj_route": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj AS s FROM triples
+                   WHERE pred = '{EX}entity'
+                     AND obj = 'https://example.org/id/entity/Entity7'),
+            rk AS (SELECT subj AS s, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT s, r FROM en JOIN rk USING (s)
+        """,
+        "kg_bgp_union": _TRIPLE_BASE_CTE + f"""
+            SELECT subj AS s, obj AS r, CAST(NULL AS VARCHAR) AS v
+            FROM triples WHERE pred = '{EX}rank'
+            UNION ALL
+            SELECT subj, NULL, obj FROM triples WHERE pred = '{EX}score'
+        """,
+        "kg_bgp_bind": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj AS s, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj AS s, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT s, e || '#' || r AS tag,
+                   CAST(r AS BIGINT) * 10 AS r10
+            FROM en JOIN rk USING (s)
+        """,
+        "kg_bgp_minmax": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj AS s, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj AS s, obj AS r,
+                          CAST(obj AS BIGINT) AS ri FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT e, CAST(min(ri) AS BIGINT) AS lo,
+                   CAST(max(ri) AS BIGINT) AS hi,
+                   coalesce(string_agg(r, ',' ORDER BY r), '') AS ranks,
+                   CAST(sum(ri) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM en JOIN rk USING (s) GROUP BY e
         """,
         "kg_bgp_graph": _TRIPLE_BASE_CTE + rf"""
             SELECT subj AS s, obj AS r FROM triples

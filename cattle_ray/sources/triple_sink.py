@@ -115,6 +115,18 @@ def read_triples_for_key(out_dir: str, value: str, *, key: str | None = None,
     return tbl.filter(pc.equal(tbl[key], value))
 
 
+# Manifest schemas for the partition-exchange finish fns: hash_exchange
+# runs ONE reduce per bucket including empty ones, and from_arrow_refs
+# needs every reduce's output to share a schema for the driver concat.
+_WRITE_MANIFEST_SCHEMA = pa.schema([
+    ("part_id", pa.int64()), ("n_triples", pa.int64()),
+    ("path", pa.string()), ("pred_counts", pa.string())])
+_MERGE_MANIFEST_SCHEMA = pa.schema([
+    ("part_id", pa.int64()), ("n_total", pa.int64()),
+    ("n_added", pa.int64()), ("n_gen_added", pa.int64()),
+    ("n_gen_removed", pa.int64()), ("path", pa.string())])
+
+
 def write_triples_hash_partitioned(triples_ds, out_dir: str,
                                    num_partitions: int = 16,
                                    key: str = "subj"):
@@ -123,8 +135,17 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str,
     the routing key leading, one Parquet dir per partition (resumable
     unit). The routing key and P are recorded in ``_meta.json`` —
     readers route point reads by them, and neither can be inferred from
-    the layout. Returns the written partition manifest."""
+    the layout. Returns the written partition manifest.
+
+    The exchange is the manual :func:`~..stages.exchange.hash_exchange`,
+    NOT Ray's sort-based groupby: part_id is a low-cardinality key over
+    full triple rows — exactly the shape profiling showed funneling the
+    whole table through one SortMap task (230 s CPU at 2M pages). One
+    split per input block + one sorted-write reduce per partition keeps
+    the exchange embarrassingly parallel at any block count."""
     import os
+
+    from ..stages.exchange import hash_exchange
 
     os.makedirs(out_dir, exist_ok=True)
     with_part = triples_ds.map_batches(
@@ -137,6 +158,8 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str,
         # pure-Arrow path: zero pandas round-trip on the full triple payload
         import pyarrow.parquet as pq  # pa.parquet is NOT auto-imported by pyarrow
 
+        if g.num_rows == 0:  # empty bucket: no dir, no manifest row
+            return _WRITE_MANIFEST_SCHEMA.empty_table()
         pid = int(g["part_id"][0].as_py())
         g = g.drop_columns(["part_id"]).sort_by(
             [(c, "ascending") for c in sort_keys]
@@ -160,10 +183,12 @@ def write_triples_hash_partitioned(triples_ds, out_dir: str,
         return pa.table(
             {"part_id": pa.array([pid]), "n_triples": pa.array([g.num_rows]),
              "path": pa.array([dst]),
-             "pred_counts": pa.array([_json.dumps(counts)])}
+             "pred_counts": pa.array([_json.dumps(counts)])},
+            schema=_WRITE_MANIFEST_SCHEMA,
         )
 
-    manifest = with_part.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
+    manifest = hash_exchange(with_part, "part_id", write_group,
+                             num_partitions)
     out = manifest.to_pandas()
     # record the partition count: readers route point reads by hash % P,
     # and P cannot be inferred from the layout (empty partitions leave no dir)
@@ -400,6 +425,8 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
     def merge_group(g: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        if g.num_rows == 0:  # untouched partition: no rewrite, no row
+            return _MERGE_MANIFEST_SCHEMA.empty_table()
         pid = int(g["part_id"][0].as_py())
         g = g.drop_columns(["part_id"])
         pdir = os.path.join(out_dir, f"part_id={pid}")
@@ -457,11 +484,14 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
              "n_added": pa.array([g.num_rows - n_old]),
              "n_gen_added": pa.array([n_d_add]),
              "n_gen_removed": pa.array([n_d_rm]),
-             "path": pa.array([dst])}
+             "path": pa.array([dst])},
+            schema=_MERGE_MANIFEST_SCHEMA,
         )
 
-    manifest = with_part.groupby("part_id").map_groups(merge_group,
-                                                       batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+
+    manifest = hash_exchange(with_part, "part_id", merge_group,
+                             num_partitions)
     out = manifest.to_pandas()
     if len(out) == 0:
         # empty delta (steady-state recrawl with nothing new): an empty

@@ -274,6 +274,76 @@ def grouped_minmax(ds, keys, col: str, agg: str = "min",
     return partials.groupby("_bucket").map_groups(finish, batch_format="pandas")
 
 
+def grouped_agg(ds, keys, specs, shuffle_blocks: int = 16,
+                num_buckets: int = 32):
+    """Generalized grouped aggregate with map-side combine: ``specs`` maps
+    output column → ``(kind, col)`` with kind in ``sum | min | max |
+    concat`` (``concat`` takes ``(kind, col, sep)``), plus the implicit
+    group count ``n``. One Arrow C++ ``group_by`` per batch emits the
+    partials for EVERY requested aggregate at once — sum/min/max move one
+    row per (key, batch); ``concat`` lists every value (the irreducible
+    cost of concatenation) — then one bucketed exchange and one pandas
+    finish. Nulls are skipped by every kind (SQL/SPARQL aggregate
+    semantics): an all-null group's sum/min/max is NULL (pass
+    ``("sum", col, "int64")`` for a nullable-Int64 exact-integer sum),
+    its concat is the empty string. ``concat`` values
+    are SORTED before joining — SPARQL leaves GROUP_CONCAT order
+    unspecified and sorted is the only layout-invariant deterministic
+    choice (mirror with ``string_agg(v, sep ORDER BY v)`` in SQL)."""
+    from itertools import chain
+
+    keys = list(keys)
+    specs = dict(specs)
+    kind_map = {"sum": "sum", "min": "min", "max": "max", "concat": "list"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in keys}
+        aggs = []
+        for i, (out, spec) in enumerate(specs.items()):
+            kind, col = spec[0], spec[1]
+            c = batch[col]
+            if kind == "concat":  # GROUP_CONCAT casts operands to string
+                c = pc.cast(c, pa.string())
+            cols[f"_a{i}"] = c
+            aggs.append((f"_a{i}", kind_map[kind]))
+        out = pa.table(cols).group_by(keys).aggregate(
+            aggs + [([], "count_all")])
+        return out.rename_columns(keys + list(specs) + ["n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        lambda b: add_key_bucket(b, keys, num_buckets), batch_format="pyarrow"
+    )
+    partials = coalesce_small(partials, shuffle_blocks)
+
+    def finish(g):
+        gb = g.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for out, spec in specs.items():
+            kind = spec[0]
+            if kind == "sum":
+                s = gb[out].sum(min_count=1)  # all-null group → NULL, not 0
+                # int64 partials with nulls reach pandas as float64, so the
+                # exact-integer discipline needs the CALLER's type intent:
+                # ("sum", col, "int64") restores a nullable Int64 result
+                if len(spec) > 2 and spec[2] == "int64":
+                    s = s.astype("Int64")
+                parts[out] = s
+            elif kind in ("min", "max"):
+                parts[out] = getattr(gb[out], kind)()
+            else:  # concat: merge the per-batch value lists, sort, join
+                sep = spec[2] if len(spec) > 2 else " "
+                parts[out] = gb[out].agg(
+                    lambda s, sep=sep: sep.join(sorted(
+                        x for x in chain.from_iterable(s) if x is not None)))
+        parts["n"] = gb["n"].sum().astype("int64")
+        import pandas as pd
+
+        return pd.concat(parts, axis=1).reset_index()
+
+    return partials.groupby("_bucket").map_groups(finish,
+                                                  batch_format="pandas")
+
+
 def grouped_pivot(ds, key: str, pred_col: str, val_col: str,
                   categories: dict[str, str], shuffle_blocks: int = 16,
                   num_buckets: int = 32):

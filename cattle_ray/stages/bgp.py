@@ -118,11 +118,25 @@ def _path_bindings(triples_ds, terms):
                 cols[term[1:]] = b[col]
         return pa.table(cols)
 
-    return pairs.map_batches(project, batch_format="pyarrow"), out_vars
+    return _anchor(pairs.map_batches(project, batch_format="pyarrow"),
+                   out_vars), out_vars
 
 
 def _is_path(term) -> bool:
     return isinstance(term, str) and not _is_var(term) and term.endswith("+")
+
+
+def _anchor(ds, out_vars):
+    """Pin a binding stream's schema with a 0-row seed block: map_batches
+    over an empty stream loses its schema (Ray Data skips empty blocks),
+    and a pattern whose constants match NOTHING must still fold through
+    the joins as an empty relation — not crash them with a None schema.
+    Binding columns are always strings (RDF terms), so the seed types are
+    exact; ``Dataset.union`` is metadata-level (no shuffle, no compute)."""
+    import ray.data as rd
+
+    seed = pa.table({v: pa.array([], pa.string()) for v in out_vars})
+    return rd.from_arrow(seed).union(ds)
 
 
 def pattern_bindings(triples_ds, pattern):
@@ -179,7 +193,8 @@ def pattern_bindings(triples_ds, pattern):
                          ((t, c) for c, t in zip(pos, terms)
                           if _is_var(t))})
 
-    return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
+    return _anchor(triples_ds.map_batches(f, batch_format="pyarrow"),
+                   out_vars), out_vars
 
 
 def _fold_bindings(streams, num_buckets: int):
@@ -199,6 +214,10 @@ def _fold_bindings(streams, num_buckets: int):
         acc = hash_join(acc, stream, shared, shared,
                         num_buckets=num_buckets)
         bound += [v for v in pvars if v not in bound]
+        # re-anchor: an EMPTY join result loses its schema and would
+        # crash the next join (join output order = left cols + right's
+        # new vars, which is exactly how ``bound`` is built)
+        acc = _anchor(acc, bound)
     return acc, bound
 
 
@@ -342,12 +361,13 @@ def _attach_optionals(acc, bound, optional_groups, streams_for, num_buckets):
             raise ValueError(
                 f"OPTIONAL group {group!r} shares no variable with the "
                 f"required bindings ({bound})")
-        g_acc = g_acc.map_batches(
+        g_acc = _anchor(g_acc.map_batches(
             lambda b, cols=tuple(g_vars): b.select(list(cols)),
-            batch_format="pyarrow")
+            batch_format="pyarrow"), g_vars)
         acc = hash_join(acc, g_acc, shared, shared, how="left",
                         num_buckets=num_buckets)
         bound += [v for v in g_vars if v not in bound]
+        acc = _anchor(acc, bound)  # empty result must keep its schema
     return acc, bound
 
 
@@ -371,22 +391,142 @@ def _apply_minus(acc, bound, minus_groups, streams_for, num_buckets):
                 f"MINUS group {group!r} shares no variable with the "
                 f"required bindings ({bound}) — it would remove nothing "
                 "(SPARQL disjoint-domain MINUS) or everything")
-        keys = distinct(g_acc.map_batches(
+        keys = distinct(_anchor(g_acc.map_batches(
             lambda b, cols=tuple(shared): b.select(list(cols)),
-            batch_format="pyarrow"), shared)
+            batch_format="pyarrow"), shared), shared)
         # string marker: unmatched rows come back ARROW-NULL on the
         # pandas left-join path (a numeric marker would surface as NaN)
-        marked = keys.map_batches(
+        marked = _anchor(keys.map_batches(
             lambda b: b.append_column(
                 "_m", pa.array(["1"] * len(b), pa.string())),
-            batch_format="pyarrow")
+            batch_format="pyarrow"), list(shared) + ["_m"])
         j = hash_join(acc, marked, shared, shared, how="left",
                       num_buckets=num_buckets)
-        acc = j.map_batches(
+        acc = _anchor(j.map_batches(
             lambda b, cols=tuple(bound): b.filter(
                 pc.is_null(b["_m"])).select(list(cols)),
-            batch_format="pyarrow")
+            batch_format="pyarrow"), bound)
     return acc
+
+
+def _union_bindings(streams_for, branches, num_buckets):
+    """SPARQL UNION: evaluate each branch (a pattern group) as its own
+    BGP fold, align the branches on the union of their variables (a
+    variable missing from a branch is NULL in its rows — SPARQL's
+    unbound), and concatenate the streams with ``Dataset.union`` — a
+    metadata-level merge, no shuffle. Returns ``(acc, vars)`` with vars
+    in first-appearance order across branches."""
+    folded = []
+    all_vars: list[str] = []
+    for br in branches:
+        br = [br] if isinstance(br, tuple) else list(br)
+        streams = [(*streams_for(p), p) for p in br]
+        a, v = _fold_bindings([streams[0][:2]] + streams[1:], num_buckets)
+        folded.append((a, list(v)))
+        all_vars.extend(x for x in v if x not in all_vars)
+
+    def pad(a, have):
+        def f(b: pa.Table, have=tuple(have)) -> pa.Table:
+            return pa.table({
+                x: (b[x] if x in have else pa.nulls(len(b), pa.string()))
+                for x in all_vars})
+
+        return _anchor(a.map_batches(f, batch_format="pyarrow"), all_vars)
+
+    padded = [pad(a, v) for a, v in folded]
+    out = padded[0].union(*padded[1:]) if len(padded) > 1 else padded[0]
+    return out, all_vars
+
+
+#: the BIND expression grammar's operator whitelist (driver-side
+#: validation; evaluation is in :func:`_eval_expr`)
+_BIND_OPS = frozenset({"concat", "add", "sub", "mul", "div", "strlen",
+                       "ucase", "lcase", "substr", "coalesce", "if",
+                       "int", "num"})
+
+
+def _eval_expr(b: pa.Table, expr):
+    """Evaluate one BIND expression against a binding batch. Grammar:
+    ``"?var"`` (column ref), any non-tuple constant, or a tuple
+    ``(op, arg...)`` with op in ``concat | add | sub | mul | div |
+    strlen | ucase | lcase | substr | coalesce | if | int | num`` — all
+    vectorized pyarrow kernels. NULL propagates (SPARQL: an error on an
+    unbound argument leaves the BIND variable unbound): CONCAT with any
+    null argument is null, arithmetic on null is null."""
+    if isinstance(expr, str) and expr.startswith("?"):
+        col = b[expr[1:]]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+    if not isinstance(expr, tuple):
+        return pa.scalar(expr)
+    op, raw = expr[0], expr[1:]
+    args = [_eval_expr(b, a) for a in raw]
+    if op == "concat":
+        args = [a if pa.types.is_string(a.type) else pc.cast(a, pa.string())
+                for a in args]
+        return pc.binary_join_element_wise(*args, "")
+    if op in ("add", "sub", "mul"):
+        fn = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply}[op]
+        return fn(args[0], args[1])
+    if op == "div":  # SPARQL numeric division is decimal/double
+        return pc.divide(pc.cast(args[0], pa.float64()),
+                         pc.cast(args[1], pa.float64()))
+    if op == "strlen":
+        return pc.cast(pc.utf8_length(args[0]), pa.int64())
+    if op == "ucase":
+        return pc.utf8_upper(args[0])
+    if op == "lcase":
+        return pc.utf8_lower(args[0])
+    if op == "substr":  # SPARQL SUBSTR is 1-based
+        start = int(raw[1]) - 1
+        stop = None if len(raw) < 3 else start + int(raw[2])
+        return pc.utf8_slice_codeunits(args[0], start=start, stop=stop)
+    if op == "coalesce":
+        return pc.coalesce(*args)
+    if op == "if":
+        return pc.if_else(args[0], args[1], args[2])
+    if op == "int":
+        return pc.cast(args[0], pa.int64())
+    if op == "num":
+        return pc.cast(args[0], pa.float64())
+    raise ValueError(f"unknown BIND operator {op!r}")
+
+
+def _apply_bind(acc, bound, binds):
+    """SPARQL BIND(expr AS ?var): append computed columns to the binding
+    stream — one vectorized map, no shuffle. ``binds`` is a list of
+    ``("?var", expr)``; later binds may reference earlier ones. Binding
+    an already-bound variable is a SPARQL syntax error and raises."""
+    if not binds:
+        return acc, bound
+    binds = [(v[1:] if _is_var(v) else v, e) for v, e in binds]
+
+    def check(expr):  # validate ops on the DRIVER, not inside a Ray task
+        if isinstance(expr, tuple):
+            if expr[0] not in _BIND_OPS:
+                raise ValueError(f"unknown BIND operator {expr[0]!r}")
+            for a in expr[1:]:
+                check(a)
+
+    for _v, e in binds:
+        check(e)
+    names = [v for v, _e in binds]
+    dup = [v for v in names if v in bound] + \
+        [v for i, v in enumerate(names) if v in names[:i]]
+    if dup:
+        raise ValueError(
+            f"BIND target(s) already in scope: {sorted(set(dup))} — "
+            "SPARQL forbids rebinding a bound variable")
+
+    def f(b: pa.Table) -> pa.Table:
+        for name, expr in binds:
+            col = _eval_expr(b, expr)
+            if isinstance(col, pa.Scalar):
+                col = pa.array([col.as_py()] * len(b), type=col.type)
+            b = b.append_column(name, col)
+        return b
+
+    return acc.map_batches(f, batch_format="pyarrow"), bound + names
 
 
 def construct_triples(bindings_ds, templates):
@@ -525,86 +665,55 @@ def _offset_limit(acc, offset: int, limit):
 
 def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
     """SPARQL ``GROUP BY`` over the bindings: ``agg`` maps output column
-    → ``"count"`` or ``("sum", "?var")``. COUNT delegates to the engine's
-    map-side-combined :func:`~.aggregates.partial_count`; SUM (with its
-    implicit count) to :func:`~.aggregates.grouped_sums` — summed
-    variables cast to int64 first (the engine-wide exact-integer
-    determinism discipline; RDF numeric literals that don't parse raise,
-    same as SQL CAST). Returns ``(acc, new_bound)``; the solution
-    modifiers then run over the aggregated table, matching the SPARQL
-    algebra (Group/Aggregate before Project/OrderBy/Slice)."""
+    → ``"count"``, ``("sum"|"avg"|"min"|"max", "?var")`` or
+    ``("group_concat", "?var"[, sep])``. COUNT-only delegates to the
+    engine's map-side-combined :func:`~.aggregates.partial_count`;
+    everything else to the generalized :func:`~.aggregates.grouped_agg`
+    (one Arrow partial per batch covering EVERY aggregate, one exchange).
+    Summed/averaged variables cast to int64 first (the engine-wide
+    exact-integer determinism discipline; RDF numeric literals that don't
+    parse raise, same as SQL CAST); an all-null group sums/avgs/mins to
+    NULL (SQL semantics over OPTIONAL vars) and group_concats to ``""``
+    (mirror with ``coalesce(string_agg(v, sep ORDER BY v), '')``; the
+    concat is SORTED — SPARQL leaves the order unspecified and sorted is
+    the only layout-invariant choice). Returns ``(acc, new_bound)``; the
+    solution modifiers then run over the aggregated table, matching the
+    SPARQL algebra (Group/Aggregate before Project/OrderBy/Slice)."""
     keys = [v[1:] if v.startswith("?") else v for v in group_by]
     missing = [k for k in keys if k not in bound]
     if missing:
         raise ValueError(f"GROUP BY variables not bound: {missing}")
     agg = dict(agg or {"n": "count"})
-    sums = {}
-    avgs = {}
+    sums, avgs, mins, maxs, concats = {}, {}, {}, {}, {}
     counts = []
     for out, spec in agg.items():
         if spec == "count":
             counts.append(out)
-        elif isinstance(spec, tuple) and len(spec) == 2 and \
-                spec[0] in ("sum", "avg"):
-            v = spec[1]
-            (sums if spec[0] == "sum" else avgs)[out] = \
-                v[1:] if _is_var(v) else v
-        else:
+            continue
+        if not (isinstance(spec, tuple) and len(spec) >= 2):
             raise ValueError(
                 f"unsupported aggregate {spec!r} for {out!r} — use "
-                "'count', ('sum', '?var') or ('avg', '?var')")
+                "'count', ('sum'|'avg'|'min'|'max', '?var') or "
+                "('group_concat', '?var'[, sep])")
+        kind, v = spec[0], spec[1]
+        v = v[1:] if _is_var(v) else v
+        if kind == "sum":
+            sums[out] = v
+        elif kind == "avg":
+            avgs[out] = v
+        elif kind == "min":
+            mins[out] = v
+        elif kind == "max":
+            maxs[out] = v
+        elif kind == "group_concat":
+            concats[out] = (v, spec[2] if len(spec) > 2 else " ")
+        else:
+            raise ValueError(
+                f"unsupported aggregate kind {kind!r} for {out!r}")
 
-    from .aggregates import grouped_sums, partial_count
+    from .aggregates import grouped_agg, partial_count
 
-    if sums or avgs:
-        # AVG needs its own denominator and SUM needs a null sentinel:
-        # Arrow's grouped sum skips nulls but grouped_sums' n counts ALL
-        # group rows, so an OPTIONAL-bound variable with nulls would
-        # divide by the wrong count — and a group whose variable is null
-        # in EVERY row must yield null, not 0 (SQL/SPARQL SUM semantics).
-        # Sum a 0/1 not-null indicator per summed/averaged variable.
-        nn = {v: f"_nn_{v}" for v in set(avgs.values()) | set(sums.values())}
-        sum_vars = sorted(set(sums.values()) | set(avgs.values())
-                          | set(nn.values()))
-
-        def cast_nums(b: pa.Table) -> pa.Table:
-            for v, ind in nn.items():
-                b = b.append_column(
-                    ind, pc.cast(pc.is_valid(b[v]), pa.int64()))
-            for v in sum_vars:
-                if v in nn.values():
-                    continue
-                b = b.set_column(b.column_names.index(v), v,
-                                 pc.cast(b[v], pa.int64()))
-            return b
-
-        out_ds = grouped_sums(
-            acc.map_batches(cast_nums, batch_format="pyarrow"),
-            keys, sum_vars, num_buckets=num_buckets)
-
-        def rename(b: pa.Table) -> pa.Table:
-            cols = {k: b[k] for k in keys}
-            for o, v in sums.items():
-                # all-null group → null, not 0 (SQL SUM; mirrors AVG)
-                nn_count = b[f"sum_{nn[v]}"]
-                cols[o] = pc.if_else(
-                    pc.equal(nn_count, 0), pa.nulls(len(b), pa.int64()),
-                    b[f"sum_{v}"])
-            for o, v in avgs.items():
-                # the engine-wide ONE-mirrored-float-division discipline:
-                # exact int64 sum and NOT-NULL count cross the shuffle,
-                # the only float op is this division (SQL AVG semantics —
-                # an all-null group divides 0/0 into null, like SQL)
-                denom = pc.cast(b[f"sum_{nn[v]}"], pa.float64())
-                cols[o] = pc.if_else(
-                    pc.equal(denom, 0.0), pa.nulls(len(b), pa.float64()),
-                    pc.divide(pc.cast(b[f"sum_{v}"], pa.float64()), denom))
-            for o in counts:
-                cols[o] = b["n"]
-            return pa.table(cols)
-
-        new_bound = keys + list(sums) + list(avgs) + counts
-    else:
+    if not (sums or avgs or mins or maxs or concats):
         out_ds = partial_count(acc, keys, num_buckets=num_buckets)
 
         def rename(b: pa.Table) -> pa.Table:
@@ -613,12 +722,130 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
                 cols[o] = b["n"]
             return pa.table(cols)
 
-        new_bound = keys + counts
+        return (out_ds.map_batches(rename, batch_format="pyarrow"),
+                keys + counts)
+
+    # AVG needs its own denominator: Arrow's grouped sum skips nulls but
+    # the group count n counts ALL rows, so an OPTIONAL-bound variable
+    # with nulls would divide by the wrong count — sum a 0/1 not-null
+    # indicator per averaged variable. SUM's all-null→NULL comes free
+    # from grouped_agg's min_count discipline.
+    nn = {v: f"_nn_{v}" for v in set(avgs.values())}
+    num_vars = set(sums.values()) | set(avgs.values())
+
+    def pre(b: pa.Table) -> pa.Table:
+        for v, ind in nn.items():
+            b = b.append_column(ind, pc.cast(pc.is_valid(b[v]), pa.int64()))
+        for v in num_vars:
+            b = b.set_column(b.column_names.index(v), v,
+                             pc.cast(b[v], pa.int64()))
+        return b
+
+    specs = {}
+    for o, v in sums.items():
+        specs[f"_s_{o}"] = ("sum", v, "int64")
+    for o, v in avgs.items():
+        specs[f"_s_{o}"] = ("sum", v, "int64")
+    for v, ind in nn.items():
+        specs[f"_nnsum_{v}"] = ("sum", ind, "int64")
+    for o, v in mins.items():
+        specs[f"_m_{o}"] = ("min", v)
+    for o, v in maxs.items():
+        specs[f"_x_{o}"] = ("max", v)
+    for o, (v, sep) in concats.items():
+        specs[f"_c_{o}"] = ("concat", v, sep)
+
+    out_ds = grouped_agg(acc.map_batches(pre, batch_format="pyarrow"),
+                         keys, specs, num_buckets=num_buckets)
+
+    def rename(b: pa.Table) -> pa.Table:
+        cols = {k: b[k] for k in keys}
+        for o in sums:
+            cols[o] = b[f"_s_{o}"]  # all-null group is already NULL
+        for o, v in avgs.items():
+            # the engine-wide ONE-mirrored-float-division discipline:
+            # exact int64 sum and NOT-NULL count cross the shuffle, the
+            # only float op is this division (SQL AVG semantics — an
+            # all-null group divides 0/0 into null, like SQL)
+            denom = pc.cast(b[f"_nnsum_{v}"], pa.float64())
+            cols[o] = pc.if_else(
+                pc.equal(denom, 0.0), pa.nulls(len(b), pa.float64()),
+                pc.divide(pc.cast(b[f"_s_{o}"], pa.float64()), denom))
+        for o in mins:
+            cols[o] = b[f"_m_{o}"]
+        for o in maxs:
+            cols[o] = b[f"_x_{o}"]
+        for o in concats:
+            cols[o] = b[f"_c_{o}"]
+        for o in counts:
+            cols[o] = b["n"]
+        return pa.table(cols)
+
+    new_bound = (keys + list(sums) + list(avgs) + list(mins) + list(maxs)
+                 + list(concats) + counts)
     return out_ds.map_batches(rename, batch_format="pyarrow"), new_bound
 
 
+def _display_for(patterns, union):
+    pats = list(patterns)
+    for br in (union or []):
+        pats.extend([br] if isinstance(br, tuple) else list(br))
+    return _display_vars(pats)
+
+
+def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
+                   bind, filters, group_by, agg, having, select, distinct,
+                   order_by, limit, offset, num_buckets):
+    """The shared SPARQL-algebra pipeline over per-pattern binding
+    streams: fold required patterns → join the UNION block → MINUS →
+    OPTIONAL left-joins → BIND → FILTER → GROUP BY/HAVING → solution
+    modifiers. ``streams_for(pattern) -> (Dataset, vars)`` abstracts the
+    source (in-stream scan vs store-pruned scan)."""
+    from .joins import hash_join
+
+    acc = bound = None
+    if plan:
+        streams = [(*streams_for(p), p) for p in plan]
+        acc, bound = _fold_bindings([streams[0][:2]] + streams[1:],
+                                    num_buckets)
+    if union:
+        u_acc, u_vars = _union_bindings(streams_for, union, num_buckets)
+        if acc is None:
+            acc, bound = u_acc, list(u_vars)
+        else:
+            shared = [v for v in u_vars if v in bound]
+            if not shared:
+                raise ValueError(
+                    f"UNION block shares no variable with the required "
+                    f"bindings ({bound}) — a cartesian product at corpus "
+                    "scale; bind a shared variable in every branch")
+            acc = hash_join(acc, u_acc, shared, shared,
+                            num_buckets=num_buckets)
+            bound += [v for v in u_vars if v not in bound]
+            acc = _anchor(acc, bound)
+    acc = _apply_minus(acc, bound, minus, streams_for, num_buckets)
+    bound = display + [v for v in bound if v not in display]
+    acc, bound = _attach_optionals(acc, bound, optional, streams_for,
+                                   num_buckets)
+    acc = _anchor(acc.map_batches(
+        lambda b, cols=tuple(bound): b.select(list(cols)),
+        batch_format="pyarrow"), bound)
+    acc, bound = _apply_bind(acc, bound, bind)
+    acc = _apply_filters(acc, filters)
+    if group_by:
+        acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
+        # HAVING = the same vectorized filter machinery over the
+        # aggregated table (agg output columns referenced by bare name)
+        acc = _apply_filters(acc, having)
+    elif having:
+        raise ValueError("having= requires group_by=")
+    return _apply_modifiers(acc, bound, select=select, distinct=distinct,
+                            order_by=order_by, limit=limit, offset=offset,
+                            num_buckets=num_buckets)
+
+
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
-                 filters=None, reorder: bool = True,
+                 union=None, bind=None, filters=None, reorder: bool = True,
                  group_by=None, agg=None, having=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
@@ -632,6 +859,13 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     bindings — unmatched rows carry NULL for the group's variables.
     ``minus``: list of MINUS / NOT-EXISTS groups — required bindings whose
     shared variables agree with ANY group solution are dropped.
+    ``union``: ONE UNION block as a list of branches (each a pattern
+    group): branch solutions concatenate with NULL for variables a branch
+    doesn't bind, then join onto the required bindings on shared
+    variables (``patterns=[]`` makes the union the whole query).
+    ``bind``: list of ``("?var", expr)`` computed bindings (see
+    :func:`_eval_expr` for the vectorized expression grammar), applied
+    after OPTIONAL so expressions can reference optional variables.
     ``filters``: list of ``(?var, op, value)`` FILTER constraints
     (see :func:`_apply_filters`) applied after all joins — a comparison
     on an unbound OPTIONAL variable drops the row, exactly like SQL WHERE
@@ -643,14 +877,15 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     of ``"?var"`` or ``("?var", "descending")``; ``limit``/``offset``
     slice the (ordered) solutions — ``order_by`` + ``limit`` runs as
     per-block top-k, never a global sort."""
-    if not patterns:
+    if not patterns and not union:
         raise ValueError("empty BGP")
 
     def group_size(groups):
         return sum(1 if isinstance(g, tuple) else len(g)
                    for g in (groups or []))
 
-    n_scans = len(patterns) + group_size(optional) + group_size(minus)
+    n_scans = (len(patterns) + group_size(optional) + group_size(minus)
+               + group_size(union))
     if n_scans > 1:
         # one scan per pattern: pin in the object store (fast at query
         # scale) — or, with spill_dir, write the stream to Parquet ONCE
@@ -675,32 +910,15 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
         else:
             triples_ds = triples_ds.materialize()
 
-    display = _display_vars(patterns)
-    plan = order_patterns(patterns) if reorder else list(patterns)
-    first = pattern_bindings(triples_ds, plan[0])
-    streams = [first] + [
-        (*pattern_bindings(triples_ds, p), p) for p in plan[1:]]
-    acc, bound = _fold_bindings(streams, num_buckets)
-    acc = _apply_minus(acc, bound, minus,
-                       lambda p: pattern_bindings(triples_ds, p),
-                       num_buckets)
-    bound = display + [v for v in bound if v not in display]
-    acc, bound = _attach_optionals(
-        acc, bound, optional,
-        lambda p: pattern_bindings(triples_ds, p), num_buckets)
-    acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
-                          batch_format="pyarrow")
-    acc = _apply_filters(acc, filters)
-    if group_by:
-        acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
-        # HAVING = the same vectorized filter machinery over the
-        # aggregated table (agg output columns referenced by bare name)
-        acc = _apply_filters(acc, having)
-    elif having:
-        raise ValueError("having= requires group_by=")
-    return _apply_modifiers(acc, bound, select=select, distinct=distinct,
-                            order_by=order_by, limit=limit, offset=offset,
-                            num_buckets=num_buckets)
+    display = _display_for(patterns, union)
+    plan = order_patterns(patterns) if reorder and patterns \
+        else list(patterns)
+    return _evaluate_body(
+        lambda p: pattern_bindings(triples_ds, p), plan, display,
+        optional=optional, minus=minus, union=union, bind=bind,
+        filters=filters, group_by=group_by, agg=agg, having=having,
+        select=select, distinct=distinct, order_by=order_by, limit=limit,
+        offset=offset, num_buckets=num_buckets)
 
 
 def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
@@ -713,25 +931,37 @@ def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
 
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
-                       minus=None, filters=None, reorder: bool = True,
+                       minus=None, union=None, bind=None, filters=None,
+                       reorder: bool = True,
                        group_by=None, agg=None, having=None,
                        select=None, distinct: bool = False, order_by=None,
                        limit=None, offset: int = 0,
+                       obj_index_dir: str | None = None,
                        num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
     routing key collapses to a ONE-partition point read), so a selective
     pattern never reads the store's full width — the storage-layer
-    complement of :func:`evaluate_bgp`'s in-stream filters. ``optional``
-    and ``filters`` as in :func:`evaluate_bgp` (OPTIONAL patterns get the
-    same pruned scans)."""
+    complement of :func:`evaluate_bgp`'s in-stream filters. ``optional``,
+    ``union``, ``bind`` and ``filters`` as in :func:`evaluate_bgp`
+    (OPTIONAL/UNION patterns get the same pruned scans).
+
+    ``obj_index_dir``: an object-routed secondary index built by
+    ``triple_sink.build_secondary_index`` — obj-bound patterns (subj
+    unbound) route their scan to its 1/P point read instead of scanning
+    every primary partition. The index is consulted ONLY when fresh
+    (``index_is_stale`` false); a stale index silently falls back to the
+    primary, so results are always correct."""
     import ray.data as rd
 
-    from ..sources.triple_sink import match_triples
+    from ..sources.triple_sink import index_is_stale, match_triples
 
-    if not patterns:
+    if not patterns and not union:
         raise ValueError("empty BGP")
+    use_index = None
+    if obj_index_dir is not None and not index_is_stale(obj_index_dir):
+        use_index = obj_index_dir
 
     def stream_for(pattern):
         pos = _pos_for(pattern)
@@ -759,39 +989,28 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
             quad = [s, p, o] + list(pattern[3:])
             consts = {col: t for col, t in zip(pos, quad)
                       if not _is_var(t) and isinstance(t, str)}
-            got = match_triples(store_dir, **consts)
+            # obj-bound, subj-unbound pattern + a FRESH obj-routed
+            # secondary index → the 1/P point read it was built for
+            # (subj-bound patterns already point-read the primary)
+            src = store_dir
+            if use_index is not None and "obj" in consts \
+                    and "subj" not in consts:
+                src = use_index
+            got = match_triples(src, **consts)
         if isinstance(got, pa.Table):  # point read → tiny in-memory side
             got = rd.from_arrow(got)
         return got
 
-    display = _display_vars(patterns)
-    if reorder:
+    display = _display_for(patterns, union)
+    if reorder and patterns:
         from ..sources.triple_sink import store_stats
 
         plan = order_patterns(patterns, stats=store_stats(store_dir))
     else:
         plan = list(patterns)
-    first = pattern_bindings(stream_for(plan[0]), plan[0])
-    streams = [first] + [
-        (*pattern_bindings(stream_for(p), p), p) for p in plan[1:]]
-    acc, bound = _fold_bindings(streams, num_buckets)
-    acc = _apply_minus(acc, bound, minus,
-                       lambda p: pattern_bindings(stream_for(p), p),
-                       num_buckets)
-    bound = display + [v for v in bound if v not in display]
-    acc, bound = _attach_optionals(
-        acc, bound, optional,
-        lambda p: pattern_bindings(stream_for(p), p), num_buckets)
-    acc = acc.map_batches(lambda b, cols=tuple(bound): b.select(list(cols)),
-                          batch_format="pyarrow")
-    acc = _apply_filters(acc, filters)
-    if group_by:
-        acc, bound = _apply_group_by(acc, bound, group_by, agg, num_buckets)
-        # HAVING = the same vectorized filter machinery over the
-        # aggregated table (agg output columns referenced by bare name)
-        acc = _apply_filters(acc, having)
-    elif having:
-        raise ValueError("having= requires group_by=")
-    return _apply_modifiers(acc, bound, select=select, distinct=distinct,
-                            order_by=order_by, limit=limit, offset=offset,
-                            num_buckets=num_buckets)
+    return _evaluate_body(
+        lambda p: pattern_bindings(stream_for(p), p), plan, display,
+        optional=optional, minus=minus, union=union, bind=bind,
+        filters=filters, group_by=group_by, agg=agg, having=having,
+        select=select, distinct=distinct, order_by=order_by, limit=limit,
+        offset=offset, num_buckets=num_buckets)

@@ -638,3 +638,237 @@ def test_planner_uses_store_statistics(ray_session, tmp_path):
     # mutation drops the stats — the planner falls back, never stale
     delete_triples(store, pred="rare")
     assert store_stats(store) is None
+
+
+def test_union_branches(ray_session):
+    """SPARQL UNION: branch solutions concatenate with NULL padding for
+    branch-only variables; union-as-root and union-joined-onto-required
+    both work; a disconnected union block raises."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+
+    # union as the whole query: Doc-typed ∪ Page-typed
+    out = evaluate_bgp(ds, [], union=[[("?d", "type", "Doc")],
+                                      [("?d", "type", "Page")]]).to_pandas()
+    assert sorted(out["d"]) == ["a", "b", "c"]
+
+    # branch-specific variable is NULL in the other branch's rows
+    out2 = evaluate_bgp(
+        ds, [],
+        union=[[("?d", "type", "Doc"), ("?d", "about", "?e")],
+               [("?d", "type", "Page")]]).to_pandas()
+    got = {(d, e if pd.notna(e) else None)
+           for d, e in zip(out2["d"], out2["e"])}
+    assert got == {("a", "E1"), ("b", "E2"), ("c", None)}
+    assert list(out2.columns) == ["d", "e"]
+
+    # union joined onto required bindings on the shared variable
+    out3 = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        union=[[("?d", "type", "Doc")], [("?d", "type", "Page")]]
+    ).to_pandas()
+    assert sorted(zip(out3["d"], out3["e"])) == [
+        ("a", "E1"), ("b", "E2"), ("c", "E1")]
+
+    with pytest.raises(ValueError, match="UNION block shares no"):
+        evaluate_bgp(ds, [("?d", "type", "Doc")],
+                     union=[[("?x", "in", "?y")]]).to_pandas()
+    with pytest.raises(ValueError, match="empty BGP"):
+        evaluate_bgp(ds, [])
+
+
+def test_union_store_path(ray_session, tmp_path):
+    """UNION over the store path uses the same pruned per-pattern scans
+    and matches the in-memory result."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    store = str(tmp_path / "ustore")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store,
+                                   num_partitions=4)
+    kw = dict(union=[[("?d", "type", "Doc")], [("?d", "type", "Page")]])
+    got = evaluate_bgp_store(store, [("?d", "about", "?e")],
+                             **kw).to_pandas()
+    want = evaluate_bgp(rd.from_arrow(_triples(ROWS)),
+                        [("?d", "about", "?e")], **kw).to_pandas()
+    assert sorted(zip(got["d"], got["e"])) == \
+        sorted(zip(want["d"], want["e"])) and len(got) == 3
+
+
+def test_bind_expressions(ray_session):
+    """BIND: vectorized computed columns — concat, numeric cast +
+    arithmetic, strlen, string case, later binds referencing earlier
+    ones; rebinding an in-scope variable raises; null propagates from
+    an unbound OPTIONAL variable."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("d1", "score", "3"), ("d2", "score", "10"),
+            ("d1", "lang", "en")]
+    ds = rd.from_arrow(_triples(rows)).repartition(2)
+
+    out = evaluate_bgp(
+        ds, [("?d", "score", "?s")],
+        bind=[("?iri", ("concat", "https://ex.org/", "?d")),
+              ("?s2", ("mul", ("int", "?s"), 2)),
+              ("?s4", ("mul", "?s2", 2)),        # references ?s2
+              ("?len", ("strlen", "?d")),
+              ("?up", ("ucase", "?d"))],
+        order_by=["?d"]).to_pandas()
+    assert out["iri"].tolist() == ["https://ex.org/d1", "https://ex.org/d2"]
+    assert out["s2"].tolist() == [6, 20]
+    assert out["s4"].tolist() == [12, 40]
+    assert out["len"].tolist() == [2, 2]
+    assert out["up"].tolist() == ["D1", "D2"]
+
+    # filters see bound columns; select projects them
+    out2 = evaluate_bgp(
+        ds, [("?d", "score", "?s")],
+        bind=[("?s2", ("mul", ("int", "?s"), 2))],
+        filters=[("?s2", ">", 10)], select=["?d", "?s2"]).to_pandas()
+    assert out2.values.tolist() == [["d2", 20]]
+
+    # null propagation: ?l is unbound for d2 → concat result null
+    out3 = evaluate_bgp(
+        ds, [("?d", "score", "?s")], optional=[[("?d", "lang", "?l")]],
+        bind=[("?tag", ("concat", "?d", "@", "?l"))],
+        order_by=["?d"]).to_pandas()
+    assert out3["tag"].tolist()[0] == "d1@en"
+    assert pd.isna(out3["tag"].tolist()[1])
+
+    with pytest.raises(ValueError, match="already in scope"):
+        evaluate_bgp(ds, [("?d", "score", "?s")],
+                     bind=[("?s", ("int", "?s"))]).to_pandas()
+    with pytest.raises(ValueError, match="unknown BIND operator"):
+        evaluate_bgp(ds, [("?d", "score", "?s")],
+                     bind=[("?x", ("nope", "?s"))]).to_pandas()
+
+
+def test_group_minmax_concat(ray_session):
+    """MIN/MAX/GROUP_CONCAT aggregates: string min/max, numeric-ish
+    lexicographic semantics left to the caller, sorted deterministic
+    concat, all-null OPTIONAL group → NULL min/max and empty concat."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("d1", "tag", "x"), ("d2", "tag", "x"), ("d4", "tag", "x"),
+            ("d1", "label", "b"), ("d1", "label", "a"),
+            ("d2", "label", "z")]
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+
+    out = evaluate_bgp(
+        ds, [("?d", "tag", "x")], optional=[[("?d", "label", "?l")]],
+        group_by=["?d"],
+        agg={"lo": ("min", "?l"), "hi": ("max", "?l"),
+             "all": ("group_concat", "?l", ","), "k": "count"}).to_pandas()
+    got = {d: (lo if pd.notna(lo) else None, hi if pd.notna(hi) else None,
+               al, k)
+           for d, lo, hi, al, k in zip(out["d"], out["lo"], out["hi"],
+                                       out["all"], out["k"])}
+    assert got == {"d1": ("a", "b", "a,b", 2),
+                   "d2": ("z", "z", "z", 1),
+                   "d4": (None, None, "", 1)}
+
+    # mixed with sum/avg in ONE aggregation pass
+    rows2 = [("d1", "score", "3"), ("d1", "score", "4"),
+             ("d2", "score", "10")]
+    ds2 = rd.from_arrow(_triples(rows2)).repartition(2)
+    out2 = evaluate_bgp(
+        ds2, [("?d", "score", "?s")], group_by=["?d"],
+        agg={"total": ("sum", "?s"), "m": ("avg", "?s"),
+             "lo": ("min", "?s"), "hi": ("max", "?s")}).to_pandas()
+    got2 = {d: (t, m, lo, hi) for d, t, m, lo, hi in zip(
+        out2["d"], out2["total"], out2["m"], out2["lo"], out2["hi"])}
+    # min/max ran AFTER the int64 cast (numeric, not lexicographic)
+    assert got2 == {"d1": (7, 3.5, 3, 4), "d2": (10, 10.0, 10, 10)}
+
+
+def test_obj_index_routing(ray_session, tmp_path):
+    """A fresh obj-routed secondary index serves obj-bound patterns as a
+    1/P point read — the primary's data files are NOT opened (proven by
+    deleting them); a STALE index silently falls back to the primary."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, merge_triples_hash_partitioned,
+        write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    store = str(tmp_path / "primary")
+    idx = str(tmp_path / "objidx")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store,
+                                   num_partitions=4)
+    build_secondary_index(store, idx, key="obj")
+
+    pats = [("?d", "about", "E1")]
+    want = evaluate_bgp(rd.from_arrow(_triples(ROWS)), pats).to_pandas()
+    got = evaluate_bgp_store(store, pats, obj_index_dir=idx).to_pandas()
+    assert sorted(got["d"]) == sorted(want["d"]) == ["a", "c"]
+
+    # prove the primary is never opened: remove its data files (keep the
+    # meta — freshness checks read meta + gen dirs, not data)
+    for f in glob.glob(f"{store}/part_id=*/data.parquet"):
+        os.remove(f)
+    got2 = evaluate_bgp_store(store, pats, obj_index_dir=idx).to_pandas()
+    assert sorted(got2["d"]) == ["a", "c"]
+
+    # stale index falls back to the primary (fresh store here)
+    store2 = str(tmp_path / "primary2")
+    idx2 = str(tmp_path / "objidx2")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store2,
+                                   num_partitions=4)
+    build_secondary_index(store2, idx2, key="obj")
+    extra = pa.table({"subj": ["zz"], "pred": ["about"], "obj": ["E1"]})
+    merge_triples_hash_partitioned(rd.from_arrow(extra), store2,
+                                   num_partitions=4,
+                                   track_generations=True)
+    got3 = evaluate_bgp_store(store2, pats, obj_index_dir=idx2).to_pandas()
+    assert sorted(got3["d"]) == ["a", "c", "zz"]  # primary sees the merge
+
+
+def test_empty_pattern_stream_folds(ray_session, tmp_path):
+    """A pattern whose constants match NOTHING folds through the joins as
+    an empty relation (schema anchored by a 0-row seed block) — it must
+    yield an empty result, not crash hash_join with a None schema; the
+    same holds on the store path, in OPTIONAL and in UNION branches."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    out = evaluate_bgp(ds, [("?d", "type", "Nope"),
+                            ("?d", "about", "?e")]).to_pandas()
+    assert len(out) == 0  # empty result, not a None-schema crash
+
+    # OPTIONAL group that matches nothing → all rows survive with NULL
+    out2 = evaluate_bgp(ds, [("?d", "type", "Doc")],
+                        optional=[[("?d", "nope", "?x")]]).to_pandas()
+    assert sorted(out2["d"]) == ["a", "b"] and out2["x"].isna().all()
+
+    # UNION with one empty branch → the other branch's rows
+    out3 = evaluate_bgp(ds, [], union=[[("?d", "type", "Doc")],
+                                       [("?d", "type", "Nope")]]).to_pandas()
+    assert sorted(out3["d"]) == ["a", "b"]
+
+    # MINUS group that matches nothing → removes nothing
+    out3b = evaluate_bgp(ds, [("?d", "type", "Doc")],
+                         minus=[[("?d", "nope", "?x")]]).to_pandas()
+    assert sorted(out3b["d"]) == ["a", "b"]
+
+    store = str(tmp_path / "estore")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store,
+                                   num_partitions=4)
+    out4 = evaluate_bgp_store(store, [("a", "about", "?e"),
+                                      ("?e", "nope", "?r")]).to_pandas()
+    assert len(out4) == 0
