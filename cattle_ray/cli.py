@@ -219,6 +219,27 @@ def cmd_store(args):
         if bound:
             import pyarrow.compute as _pc
 
+            # validate the bound columns up front: a filter on a column the
+            # replayed store never had (e.g. --graph on a triples-only
+            # store) must fail like the live match_triples path — one clear
+            # ValueError here, not a raw KeyError inside map_batches at
+            # iteration time. The replay preserves the stored file schema,
+            # so one footer read answers without executing the pipeline.
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            any_part = _glob.glob(f"{args.store}/part_id=*/data.parquet")
+            have = (set(_pq.read_schema(any_part[0]).names)
+                    if any_part else set())
+            for col in bound:
+                if col not in have:
+                    what = ("no named-graph column — it was written from "
+                            "plain triples; a graph filter cannot match"
+                            if col == "graph"
+                            else f"no {col!r} column")
+                    raise ValueError(f"store {args.store!r} has {what}")
+
             def _flt(b, bound=bound):
                 m = None
                 for col, v in bound.items():

@@ -634,6 +634,17 @@ def read_store_asof(out_dir: str, generation: int | None = None):
                          f"asked for {generation}")
     if generation < 0:
         raise ValueError(f"generation must be >= 0, got {generation}")
+    # only COMMITTED generations are addressable: {0} ∪ history. A crashed
+    # tracked merge re-run leaves delta debris at gen G while the history
+    # records only G+1 — asof(G) would pass the <=cur check yet return a
+    # half-merged snapshot (partitions the crashed attempt rewrote are
+    # merged, the rest are not), so phantom numbers are rejected here
+    committed = {0} | {int(h["gen"]) for h in store_generations(out_dir)}
+    if generation not in committed:
+        raise ValueError(
+            f"generation {generation} was never committed to {out_dir!r} "
+            f"(a crashed mutation's retry skips over its debris number); "
+            f"committed generations: {sorted(committed)}")
     # ALWAYS replay (even generation == cur): debris gen dirs above the
     # recorded generation — a mutation that rewrote partitions but died
     # before its meta bump — must be un-applied for the snapshot to be
@@ -751,6 +762,14 @@ def build_secondary_index(primary_dir: str, index_dir: str, *,
     import shutil
 
     import ray.data as rd
+
+    crashed_old = index_dir.rstrip("/") + ".old"
+    if not os.path.isdir(index_dir) and os.path.isdir(crashed_old):
+        # a previous rebuild died between its two renames: no live index,
+        # but the full pre-rebuild index sits at .old — restore it first
+        # (same self-heal discipline as compact_store) so the rebuild
+        # below replaces it atomically instead of orphaning it forever
+        os.rename(crashed_old, index_dir)
 
     parts = sorted(glob.glob(f"{primary_dir}/part_id=*/data.parquet"))
     if not parts:

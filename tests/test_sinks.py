@@ -700,3 +700,67 @@ def test_secondary_index_provenance_and_staleness(ray_session, tmp_path):
     n = sum(_pq.read_table(p).num_rows
             for p in glob.glob(f"{idx}/part_id=*/data.parquet"))
     assert n == t.filter(pc.not_equal(t["pred"], "http://p1")).num_rows
+
+
+def test_round4_advice_fixes(ray_session, tmp_path, capsys):
+    """Round-4 advisor fixes, pinned: (a) read_store_asof rejects phantom
+    (uncommitted debris) generation numbers; (b) build_secondary_index
+    self-heals the between-renames crash window like compact_store;
+    (c) cli store --asof with a filter column the store lacks raises the
+    same clear ValueError as the live match_triples path."""
+    import glob
+    import json
+    import os as _os
+    import shutil
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, delete_triples, index_is_stale,
+        merge_triples_hash_partitioned, read_store_asof,
+        read_triples_for_key)
+
+    t = _triples()
+    out = str(tmp_path / "store")
+    merge_triples_hash_partitioned(rd.from_arrow(t).repartition(3), out,
+                                   num_partitions=4, track_generations=True)
+    delete_triples(out, pred="http://p1")  # gen 2
+    # crash simulation: gen-2 deltas on disk but meta bump lost
+    meta_path = os.path.join(out, "_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["generation"], meta["history"] = 1, meta["history"][:1]
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    delete_triples(out, pred="http://p2")  # retry lands as gen 3
+    # (a) gen 2 exists only as debris — asof(2) would return a half-merged
+    # snapshot, so it must be rejected; committed gens still replay
+    with pytest.raises(ValueError, match="never committed"):
+        read_store_asof(out, 2)
+    assert read_store_asof(out, 1).count() == 50
+    assert read_store_asof(out, 0).count() == 0
+
+    # (b) index rebuild crash window: live index renamed away, .old present
+    idx = str(tmp_path / "obj_idx")
+    build_secondary_index(out, idx)
+    n_before = sum(pq.read_table(p).num_rows
+                   for p in glob.glob(f"{idx}/part_id=*/data.parquet"))
+    _os.rename(idx, idx + ".old")
+    build_secondary_index(out, idx)  # restores .old, then replaces it
+    assert not _os.path.isdir(idx + ".old")
+    assert not index_is_stale(idx)
+    n_after = sum(pq.read_table(p).num_rows
+                  for p in glob.glob(f"{idx}/part_id=*/data.parquet"))
+    assert n_after == n_before
+    got = read_triples_for_key(idx, "o3", key="obj")
+    assert set(got["obj"].to_pylist()) == {"o3"}
+
+    # (c) --asof + --graph on a triples-only store: clear error up front
+    from cattle_ray.cli import main
+
+    plain = str(tmp_path / "plain")
+    write_triples_hash_partitioned(
+        rd.from_arrow(t.drop_columns(["graph"])).repartition(2), plain,
+        num_partitions=2)
+    with pytest.raises(ValueError, match="no named-graph column"):
+        main(["store", plain, "--asof", "0", "--graph", "http://g"])
