@@ -186,6 +186,41 @@ def deterministic_sample(ds, n: int, id_col: str):
     return df.drop(columns=["_h"]).reset_index(drop=True)
 
 
+# pin-vs-spill crossover for multi-pass consumers: a projection whose
+# IN-MEMORY estimate stays under this bound is pinned in the object store
+# (materialize — each of the iters+2 passes then reads shared-memory
+# blocks, no storage round-trip); anything larger, or of unknown size,
+# takes the Parquet-spill path so the run never holds the corpus resident
+_PIN_MAX_BYTES = 1 << 30  # 1 GiB — small vs one worker node's store
+
+# parquet-on-disk → in-memory Arrow expansion guess for float-list
+# embedding tables (snappy + dict encoding): deliberately conservative so
+# "pin" is only chosen when it is safely small
+_PARQUET_EXPANSION = 4
+
+
+def _estimate_input_bytes(ds) -> int | None:
+    """Cheap (no-execution) input size estimate: sum of the plan's input
+    file sizes × an expansion factor. None when the plan has no file
+    inputs (from_arrow / derived in-memory) or the paths aren't local —
+    callers treat unknown as too-big (the safe, spill path)."""
+    import os
+
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else f
+        if not os.path.isfile(p):
+            return None
+        total += os.path.getsize(p)
+    return total * _PARQUET_EXPANSION
+
+
 def _spill_if_derived(ds, spill_dir, id_col, vec_col):
     """Consumers below read their input SEVERAL times (two sampling
     passes + the main scan). When the input is a Parquet read that's
@@ -340,25 +375,39 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
     Dataset with one (id, cluster_id) row per vector).
 
     The input is consumed iters+2 times (sample, one partials pass per
-    iteration, the final assign). Rather than ``materialize()`` — which
-    would pin the whole corpus in the object store / spill files for the
-    run's duration — the (id, vec) PROJECTION is written to Parquet once
-    (``spill_dir``, default a fresh dir under the system tmp) and each
-    pass lazily re-reads it, the same storage-backed pattern as
-    :func:`ivf_build`. The spill dir is NOT auto-deleted: the returned
-    assignment Dataset reads from it lazily; pass ``spill_dir`` to place
-    (and later clean) it explicitly."""
+    iteration, the final assign). Size crossover (``_PIN_MAX_BYTES``):
+    when the input's no-execution estimate (:func:`_estimate_input_bytes`)
+    is under the bound, the (id, vec) projection is ``materialize()``-d —
+    pinned once in the object store, every pass reads shared-memory
+    blocks; above the bound (or unknown — derived pipelines), the
+    projection is written to Parquet once (``spill_dir``, default a fresh
+    tmp dir) and each pass lazily re-reads it, so the run never holds the
+    corpus resident — the :func:`ivf_build` pattern. An auto-created
+    spill dir is REMOVED before returning when ``keep_vec`` is False (the
+    (id, cluster) assignments are materialized first — they carry no
+    vectors, so pinning them is cheap at any scale); with ``keep_vec``
+    the assignments still reference the spilled vectors, so the dir must
+    outlive this call — pass ``spill_dir`` explicitly to own cleanup."""
+    import shutil
     import tempfile
 
     import ray
     import ray.data as rd
 
-    if spill_dir is None:
-        spill_dir = tempfile.mkdtemp(prefix="cattle_kmeans_")
-    ds.map_batches(
-        lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
-    ).write_parquet(spill_dir)
-    ds = rd.read_parquet(spill_dir)
+    made_spill = False
+    est = _estimate_input_bytes(ds) if spill_dir is None else None
+    if est is not None and est <= _PIN_MAX_BYTES:
+        ds = ds.map_batches(
+            lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+        ).materialize()
+    else:
+        if spill_dir is None:
+            spill_dir = tempfile.mkdtemp(prefix="cattle_kmeans_")
+            made_spill = True
+        ds.map_batches(
+            lambda t: t.select([id_col, vec_col]), batch_format="pyarrow"
+        ).write_parquet(spill_dir)
+        ds = rd.read_parquet(spill_dir)
     head = deterministic_sample(ds, sample_size, id_col)
     sample = np.stack(head[vec_col].to_numpy())
     cent = kmeans_centroids(sample, n_clusters, iters=3, seed=seed)
@@ -421,7 +470,13 @@ def kmeans_distributed(ds, n_clusters: int = 16, iters: int = 5,
             cols[vec_col] = batch[vec_col]
         return pa.table(cols)
 
-    return cent, ds.map_batches(assign_batch, batch_format="pyarrow")
+    assigns = ds.map_batches(assign_batch, batch_format="pyarrow")
+    if made_spill and not keep_vec:
+        # assignments are (id, cluster_id) only — tiny relative to the
+        # vectors — so pin them and reclaim the auto-created spill dir now
+        assigns = assigns.materialize()
+        shutil.rmtree(spill_dir, ignore_errors=True)
+    return cent, assigns
 
 
 def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 16,

@@ -265,3 +265,57 @@ def test_pca_matches_numpy_reference(ray_session):
     got = out[out["vec_id"] == 7].sort_values("dim")["value"].to_numpy()
     want = np.round((x[7] - ref_mean) @ ref.T, 6)
     assert np.allclose(got, want, atol=1e-5)
+
+
+def test_kmeans_pin_vs_spill_crossover(ray_session, tmp_path, monkeypatch):
+    """Round-4 size crossover: a small Parquet-backed input pins the
+    (id, vec) projection in the object store (no spill dir is ever
+    created); forcing the bound to 0 takes the spill path, whose
+    auto-created tmp dir is removed before returning — and BOTH paths
+    produce identical centroids and assignments."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import cattle_ray.stages.similarity as sim
+
+    rng = np.random.RandomState(5)
+    blobs = np.concatenate([rng.randn(150, 6) * 0.05 + c
+                            for c in (np.eye(6)[0], np.eye(6)[4])])
+    t = pa.table({"vec_id": np.arange(len(blobs)),
+                  "embedding": [r.tolist() for r in blobs]})
+    src = str(tmp_path / "emb.parquet")
+    pq.write_table(t, src)
+
+    def tmp_spills():
+        import tempfile
+        return set(glob.glob(os.path.join(tempfile.gettempdir(),
+                                          "cattle_kmeans_*")))
+
+    before = tmp_spills()
+    ds = rd.read_parquet(src)
+    assert sim._estimate_input_bytes(ds) is not None  # decision is metadata-only
+    c_pin, a_pin = sim.kmeans_distributed(ds, n_clusters=2, iters=3,
+                                          sample_size=300)
+    a_pin = a_pin.to_pandas().sort_values("vec_id")
+    assert tmp_spills() == before  # pin path: no spill dir at all
+
+    monkeypatch.setattr(sim, "_PIN_MAX_BYTES", 0)  # force the spill path
+    c_sp, a_sp = sim.kmeans_distributed(rd.read_parquet(src), n_clusters=2,
+                                        iters=3, sample_size=300)
+    a_sp = a_sp.to_pandas().sort_values("vec_id")
+    assert tmp_spills() == before  # auto-created dir reclaimed on return
+
+    assert np.allclose(c_pin, c_sp, atol=1e-12)
+    assert (a_pin["cluster_id"].to_numpy()
+            == a_sp["cluster_id"].to_numpy()).all()
+
+    # explicit spill_dir: caller owns it — contents must survive the call
+    mine = str(tmp_path / "my_spill")
+    sim.kmeans_distributed(rd.read_parquet(src), n_clusters=2, iters=2,
+                           sample_size=300, spill_dir=mine)
+    assert glob.glob(os.path.join(mine, "*.parquet"))
