@@ -73,6 +73,101 @@ def decode_fake_image(buf: bytes) -> dict:
     }
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB (top-down) → 24-bit uncompressed BMP bytes
+    (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding — the classic
+    on-disk layout). Test/fixture helper for :func:`decode_bmp`."""
+    h, w, c = pixels.shape
+    assert c == 3 and pixels.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    data = rows.tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return hdr + dib + data
+
+
+def decode_bmp(buf: bytes) -> dict:
+    """REAL image decode, pure stdlib+numpy: 24-bit uncompressed BMP →
+    canonical top-down RGB pixels. Strips the 4-byte row padding, flips
+    the bottom-up row order, swaps BGR→RGB — ``payload_crc`` is the crc
+    of the DECODED pixel buffer, so a header-only parse cannot pass the
+    roundtrip test. Same contract as :func:`decode_fake_image` (what a
+    PIL backend returns through the :class:`ImageDecoder` seam)."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", buf, 10)
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (comp,) = struct.unpack_from("<I", buf, 30)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported "
+                         f"(got bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(buf, np.uint8, stride * h, pix_off).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "payload_crc": zlib.crc32(np.ascontiguousarray(px)) & 0xFFFFFFFF,
+        "n_bytes": len(buf),
+    }
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → binary PPM (P6). Fixture for :func:`decode_ppm`."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(buf: bytes) -> dict:
+    """REAL image decode, pure stdlib+numpy: binary PPM (P6) with full
+    header grammar (arbitrary whitespace, ``#`` comments). Same contract
+    as :func:`decode_bmp`."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            pos = buf.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(buf) and not buf[end : end + 1].isspace():
+            end += 1
+        fields.append(int(buf[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval, then raw samples
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(buf, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    return {
+        "width": w,
+        "height": h,
+        "channels": 3,
+        "payload_crc": zlib.crc32(np.ascontiguousarray(px)) & 0xFFFFFFFF,
+        "n_bytes": len(buf),
+    }
+
+
+def decode_image_stdlib(buf: bytes) -> dict:
+    """Magic-sniffing stdlib image backend: BMP or PPM, real pixel decode."""
+    if buf[:2] == b"BM":
+        return decode_bmp(buf)
+    if buf[:2] == b"P6":
+        return decode_ppm(buf)
+    raise ValueError("unrecognized image magic (stdlib backend: BMP/PPM)")
+
+
 class ImageDecoder:
     """Actor-pool decode stage: ``image:binary`` → typed metadata columns
     (+ optional feature vector). Stateful so a real backend loads its model /
@@ -86,10 +181,16 @@ class ImageDecoder:
             self._decode = backend
         elif backend == "fake":
             self._decode = decode_fake_image
+        elif backend == "stdlib":
+            # REAL decode without PIL: BMP/PPM bytes → pixels (see
+            # decode_bmp/decode_ppm) — the image twin of the audio
+            # seam's stdlib ``wave`` proof
+            self._decode = decode_image_stdlib
         elif backend == "pil":
             raise NotImplementedError(
                 "PIL/libjpeg not available in this environment; pass a "
-                "callable backend implementing the same contract"
+                "callable backend implementing the same contract "
+                "(backend='stdlib' decodes BMP/PPM without it)"
             )
         else:
             raise ValueError(f"unknown backend {backend!r}")

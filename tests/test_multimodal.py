@@ -184,3 +184,45 @@ def test_audio_wav_backend_decodes_real_bytes(ray_session):
     a = sorted(map(tuple, out["features"]))
     b = sorted(map(tuple, out2["features"]))
     assert a == b
+
+
+def test_image_stdlib_backend_decodes_real_bytes(ray_session):
+    """Round-4: the image seam's stdlib proof (twin of the audio `wave`
+    backend). Real BMP and PPM bytes — padded bottom-up BGR rows for BMP,
+    commented header for PPM — flow through the actor pool and decode to
+    the SAME canonical pixel crc, so a header-only parse cannot pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import zlib
+
+    from cattle_ray.stages.multimodal import (
+        ImageDecoder, decode_bmp, decode_ppm, encode_bmp, encode_ppm)
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(13, 10, 3), dtype=np.uint8)  # w*3 not %4
+    want_crc = zlib.crc32(np.ascontiguousarray(px)) & 0xFFFFFFFF
+
+    bmp, ppm = encode_bmp(px), encode_ppm(px)
+    # header grammar: comments + arbitrary whitespace must parse
+    ppm_c = ppm.replace(b"P6\n", b"P6\n# a comment\n  ", 1)
+    for d in (decode_bmp(bmp), decode_ppm(ppm), decode_ppm(ppm_c)):
+        assert (d["width"], d["height"], d["channels"]) == (10, 13, 3)
+        assert d["payload_crc"] == want_crc
+
+    ds = rd.from_arrow(pa.table({
+        "img_id": [1, 2, 3],
+        "image": pa.array([bmp, ppm, ppm_c], pa.binary()),
+    })).repartition(2)
+    out = ds.map_batches(
+        ImageDecoder, fn_constructor_kwargs=dict(backend="stdlib"),
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas().sort_values("img_id")
+    assert (out["payload_crc"] == want_crc).all()
+    assert (out["width"] == 10).all() and (out["height"] == 13).all()
+    assert "image" not in out.columns  # binary dropped before any shuffle
+    # features are derived from the DECODED crc → identical across formats
+    assert len({tuple(f) for f in out["features"]}) == 1
+
+    with pytest.raises(ValueError, match="unrecognized image magic"):
+        ImageDecoder(backend="stdlib")._decode(b"GIF89a...")
