@@ -3938,6 +3938,45 @@ def q_kg_obj_lookup(sf_dir: str):
     return t.select(QUAD_COLS)
 
 
+def q_kg_index_refresh(sf_dir: str):
+    """Incremental secondary-index maintenance end to end: build the
+    obj-routed index when the primary holds only the NON-rank triples
+    (gen 1), run two tracked mutations on the primary (merge the rank
+    triples → gen 2, DELETE the entity triples → gen 3), then
+    :func:`refresh_secondary_index` brings the index current by applying
+    ONLY the recorded per-partition deltas — never rescanning the
+    primary. The result is two point reads through the refreshed index:
+    ``obj='2'`` must include the gen-2-ADDED rank rows (an unapplied add
+    under-counts), and the deleted entity URI must return nothing (an
+    unapplied remove over-counts) — both sides SQL-expressible, so the
+    whole build→mutate→refresh→route roundtrip is hash-checked."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, delete_triples, index_is_stale,
+        match_triples, merge_triples_hash_partitioned,
+        refresh_secondary_index)
+
+    primary = tempfile.mkdtemp(prefix="kg_irefresh_", dir="/tmp")
+    idx = primary + "_idx"
+    triples = q_kg_csvw_triples(sf_dir)
+    rank_p, ent_p = EX + "rank", EX + "entity"
+    merge_triples_hash_partitioned(
+        triples.filter(expr=f"pred != '{rank_p}'"), out_dir=primary,
+        num_partitions=8, track_generations=True)
+    build_secondary_index(primary, idx)
+    merge_triples_hash_partitioned(
+        triples.filter(expr=f"pred == '{rank_p}'"), out_dir=primary,
+        num_partitions=8, track_generations=True)
+    delete_triples(primary, pred=ent_p)
+    refresh_secondary_index(idx)
+    if index_is_stale(idx):  # loud: a silent stale index would still
+        raise RuntimeError("refresh did not clear index staleness")
+    a = match_triples(idx, obj="2")
+    b = match_triples(idx, obj="https://example.org/id/entity/Entity7")
+    return pa.concat_tables([a.cast(b.schema), b]).select(QUAD_COLS)
+
+
 def q_kg_bgp_chain(sf_dir: str):
     """Generic BGP evaluation (the SPARQL SELECT core): a 3-pattern graph
     pattern — ``?s rank "2" . ?s entity ?e . ?s score ?v`` — planned by
@@ -4373,6 +4412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier_score": q_doc_classifier_score,
         "kg_property_roundtrip": q_kg_property_roundtrip,
         "kg_obj_lookup": q_kg_obj_lookup,
+        "kg_index_refresh": q_kg_index_refresh,
         "kg_bgp_chain": q_kg_bgp_chain,
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_minus": q_kg_bgp_minus,
@@ -6186,6 +6226,13 @@ def _oracle_sql_base() -> dict[str, str]:
         "kg_obj_lookup": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
             FROM triples WHERE obj = 'Entity7'
+        """,
+        "kg_index_refresh": _TRIPLE_BASE_CTE + """
+            SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
+            FROM triples
+            WHERE (obj = '2'
+                   OR obj = 'https://example.org/id/entity/Entity7')
+              AND pred <> 'https://example.org/def/entity'
         """,
         "kg_store_describe": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang

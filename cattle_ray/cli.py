@@ -181,12 +181,25 @@ def cmd_compact(args):
 
 def cmd_index(args):
     """Build (or rebuild) a key-routed secondary index from a primary
-    store, with provenance; prints one JSON line incl. staleness."""
+    store, with provenance; prints one JSON line incl. staleness.
+    ``--refresh`` applies the primary's tracked-mutation deltas to an
+    existing stale index instead of rescanning the primary (cost ∝ what
+    changed, not the store)."""
     import json as _json
 
-    from .sources.triple_sink import build_secondary_index, index_is_stale
+    from .sources.triple_sink import (build_secondary_index, index_is_stale,
+                                      refresh_secondary_index)
 
     _ensure_ray(args.num_cpus)
+    if args.refresh:
+        m = refresh_secondary_index(args.index, args.primary)
+        print(_json.dumps({
+            "applied_added": int(m["n_applied_added"].sum()),
+            "applied_removed": int(m["n_applied_removed"].sum()),
+            "partitions_rewritten": int(len(m)), "out": args.index,
+            "stale": bool(index_is_stale(args.index)),
+        }))
+        return
     m = build_secondary_index(args.primary, args.index, key=args.key,
                               num_partitions=args.partitions)
     print(_json.dumps({
@@ -388,6 +401,9 @@ def main(argv=None):
     ix.add_argument("--key", default="obj", choices=["subj", "obj", "pred"])
     ix.add_argument("--partitions", type=int, default=None,
                     help="index partition count (default: the primary's)")
+    ix.add_argument("--refresh", action="store_true",
+                    help="apply the primary's tracked deltas to the "
+                         "existing index instead of a full rebuild")
     ix.set_defaults(fn=cmd_index)
 
     w = sub.add_parser("webrank", help="pages → link graph → PageRank → "

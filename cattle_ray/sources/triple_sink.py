@@ -823,6 +823,180 @@ def index_is_stale(index_dir: str) -> bool:
         return True
 
 
+_REFRESH_MANIFEST_SCHEMA = pa.schema([
+    ("part_id", pa.int64()), ("n_total", pa.int64()),
+    ("n_applied_added", pa.int64()), ("n_applied_removed", pa.int64()),
+    ("path", pa.string())])
+
+
+def refresh_secondary_index(index_dir: str, primary_dir: str | None = None):
+    """Incrementally bring a STALE secondary index up to the primary's
+    current generation by applying the tracked mutations' recorded
+    per-partition deltas (``part_id=*/gen=G/{added,removed}.parquet``)
+    instead of re-scanning the primary — the work is proportional to
+    WHAT CHANGED (a day's crawl delta), not to the store (100 TB). The
+    deltas are read distributed, re-routed by the index's key (the rows
+    hash to DIFFERENT partitions than in the subject-routed primary),
+    and applied generation-by-generation per index partition:
+    ``cur = (cur − removed_g) ∪ added_g`` on full-row identity, exactly
+    the replay algebra of :func:`read_store_asof` run forward. Only the
+    index partitions some changed row hashes into are rewritten.
+
+    Crash-safe and idempotent: partition writes are atomic replaces and
+    the provenance bump is last, so a re-run re-applies the same deltas
+    (removals diff to no-ops, re-adds collapse in the set dedup) and
+    converges. Refuses primaries in a crashed-mutation window (effective
+    generation not in the recorded history — same phantom discipline as
+    :func:`read_store_asof`) and primaries whose generation went
+    BACKWARDS (compacted/replaced): both need a full
+    :func:`build_secondary_index` rebuild.
+
+    Returns the refresh manifest (one row per rewritten index
+    partition; empty when the index was already fresh)."""
+    import glob
+    import os
+    import re
+
+    import ray.data as rd
+
+    meta = _load_meta(index_dir)
+    src = primary_dir or meta.get("source_store")
+    if src is None:
+        raise ValueError(
+            f"index {index_dir!r} has no recorded source_store provenance "
+            "— it was not built by build_secondary_index; nothing to "
+            "refresh against")
+    if "source_generation" not in meta:
+        raise ValueError(
+            f"index {index_dir!r} records no source_generation — rebuild "
+            "with build_secondary_index to establish provenance")
+    g0 = int(meta["source_generation"])
+    g1 = _next_generation(src) - 1
+
+    def _bump_meta():
+        m = _load_meta(index_dir)
+        m.pop("stats", None)  # write-time census no longer matches content
+        m["source_store"] = os.path.abspath(src)
+        m["source_generation"] = g1
+        _save_meta(index_dir, m)
+
+    empty = _REFRESH_MANIFEST_SCHEMA.empty_table().to_pandas()
+    if g1 == g0:
+        return empty  # already fresh — nothing to apply, nothing to bump
+    if g1 < g0:
+        raise ValueError(
+            f"primary {src!r} is at generation {g1} but the index was "
+            f"built at {g0} — the primary was compacted or replaced, its "
+            "deltas no longer describe this index's baseline; rebuild "
+            "with build_secondary_index")
+    hist = {int(h["gen"]) for h in _load_meta(src).get("history", [])}
+    if g1 not in hist:
+        raise ValueError(
+            f"primary {src!r} has uncommitted delta debris at generation "
+            f"{g1} (a tracked mutation crashed before its meta bump) — "
+            "re-run that mutation to convergence, then refresh")
+
+    files = [f for f in glob.glob(
+                 os.path.join(src, "part_id=*", "gen=*", "*.parquet"))
+             if g0 < int(re.search(r"gen=(\d+)", f).group(1)) <= g1]
+    if not files:
+        # tracked mutations that changed nothing (steady-state recrawl):
+        # generation moved but there is no delta content — just re-pin
+        _bump_meta()
+        return empty
+
+    idx_key = meta.get("key", "obj")
+    p_idx = int(meta["num_partitions"])
+    sort_keys = [idx_key] + [c for c in ("subj", "pred", "obj")
+                             if c != idx_key]
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # hive-style delta paths make read_parquet infer part_id/gen
+        # columns; the inferred part_id is the PRIMARY's routing — drop
+        # both (gen comes from the path, part_id from the index's key)
+        batch = batch.drop_columns(
+            [c for c in ("part_id", "gen") if c in batch.column_names])
+        # path → (gen, op) vectorized through the dictionary: a batch
+        # spans few distinct files, so decode once per unique path
+        d = batch["path"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        d = d.dictionary_encode()
+        gens, ops = [], []
+        for s in d.dictionary.to_pylist():
+            gens.append(int(re.search(r"gen=(\d+)", s).group(1)))
+            ops.append(1 if os.path.basename(s).startswith("removed")
+                       else 0)
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        batch = batch.drop_columns(["path"])
+        batch = batch.append_column(
+            "_gen", pa.array(np.asarray(gens, np.int64)[idx]))
+        batch = batch.append_column(
+            "_rm", pa.array(np.asarray(ops, np.int64)[idx]))
+        return add_subj_partition(batch, p_idx, idx_key)
+
+    ds = rd.read_parquet(files, include_paths=True).map_batches(
+        tag, batch_format="pyarrow")
+
+    def apply_group(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if g.num_rows == 0:
+            return _REFRESH_MANIFEST_SCHEMA.empty_table()
+        pid = int(g["part_id"][0].as_py())
+        g = g.drop_columns(["part_id"])
+        data_cols = [c for c in g.column_names if c not in ("_gen", "_rm")]
+        pdir = os.path.join(index_dir, f"part_id={pid}")
+        dst = os.path.join(pdir, "data.parquet")
+        if os.path.exists(dst):
+            cur = pq.read_table(dst)
+        else:  # partition nothing hashed into at build time
+            cur = g.select(data_cols).schema.empty_table()
+        n_add = n_rm = 0
+        for gen in sorted(set(g["_gen"].to_pylist())):
+            sub = g.filter(pc.equal(g["_gen"], gen))
+            rm = sub.filter(pc.equal(sub["_rm"], 1)).select(data_cols)
+            add = sub.filter(pc.equal(sub["_rm"], 0)).select(data_cols)
+            if rm.num_rows:
+                before = cur.num_rows
+                cur = _row_diff(cur, rm.cast(cur.schema))
+                n_rm += before - cur.num_rows
+            if add.num_rows:
+                cur = pa.concat_tables([cur, add.cast(cur.schema)])
+                n_add += add.num_rows
+        # full-row set dedup (idempotent re-runs re-add existing rows);
+        # same bool→int64 cast as merge_group for the pyarrow 16.1
+        # bit-packed-bool group_by hazard documented there
+        orig_schema = cur.schema
+        safe = pa.schema([
+            pa.field(f.name, pa.int64() if pa.types.is_boolean(f.type)
+                     else f.type) for f in orig_schema])
+        cur = cur.cast(safe)
+        cur = cur.group_by(cur.column_names).aggregate([])
+        cur = cur.select(orig_schema.names).cast(orig_schema)
+        cur = cur.sort_by([(c, "ascending") for c in sort_keys])
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(cur, tmp)
+        os.replace(tmp, dst)
+        return pa.table(
+            {"part_id": pa.array([pid]),
+             "n_total": pa.array([cur.num_rows]),
+             "n_applied_added": pa.array([n_add]),
+             "n_applied_removed": pa.array([n_rm]),
+             "path": pa.array([dst])},
+            schema=_REFRESH_MANIFEST_SCHEMA)
+
+    from ..stages.exchange import hash_exchange
+
+    manifest = hash_exchange(ds, "part_id", apply_group, p_idx)
+    out = manifest.to_pandas()
+    if len(out) == 0:
+        out = empty
+    _bump_meta()
+    return out
+
+
 def compact_store(store_dir: str, num_partitions: int | None = None,
                   key: str | None = None, drop_history: bool = False):
     """Rebuild a hash-partitioned store at a new partition count and/or a

@@ -764,3 +764,102 @@ def test_round4_advice_fixes(ray_session, tmp_path, capsys):
         num_partitions=2)
     with pytest.raises(ValueError, match="no named-graph column"):
         main(["store", plain, "--asof", "0", "--graph", "http://g"])
+
+
+def test_refresh_secondary_index_incremental(ray_session, tmp_path):
+    """Round-4 order #10: a stale obj-index is brought current by applying
+    the tracked mutations' deltas — WITHOUT reading the primary's data
+    files (they are renamed away during the refresh to prove it), and the
+    refreshed content is row-identical to a from-scratch rebuild."""
+    import glob
+    import os as _os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cattle_ray.model import triples_table
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, delete_triples, index_is_stale,
+        merge_triples_hash_partitioned, read_triples_for_key,
+        refresh_secondary_index)
+
+    t = _triples()
+    primary = str(tmp_path / "primary")
+    idx = str(tmp_path / "obj_idx")
+    merge_triples_hash_partitioned(rd.from_arrow(t).repartition(3), primary,
+                                   num_partitions=4, track_generations=True)
+    build_secondary_index(primary, idx)
+    assert not index_is_stale(idx)
+
+    # gen 2: merge new rows (incl. a representative change: same quad,
+    # smaller src_url wins) — then gen 3: a tracked delete
+    n = 8
+    extra = triples_table(
+        pa.array([f"http://new{i}" for i in range(n)] + ["http://s1"]),
+        pa.array([f"http://p{i % 3}" for i in range(n)] + ["http://p0"]),
+        pa.array([f"extra{i}" for i in range(n)] + ["o15"]),
+        pa.array([False] * (n + 1)),
+        pa.array([None] * (n + 1), pa.string()),
+        pa.array([None] * (n + 1), pa.string()),
+        pa.array(["http://g"] * (n + 1)),
+        pa.array([None] * n + ["http://a-src"], pa.string()),
+    )
+    merge_triples_hash_partitioned(rd.from_arrow(extra), primary,
+                                   num_partitions=4, track_generations=True)
+    delete_triples(primary, pred="http://p2")
+    assert index_is_stale(idx)
+
+    # hide the primary's data files: the refresh must need ONLY the deltas
+    hidden = []
+    for p in glob.glob(f"{primary}/part_id=*/data.parquet"):
+        _os.rename(p, p + ".hidden")
+        hidden.append(p)
+    try:
+        manifest = refresh_secondary_index(idx)
+    finally:
+        for p in hidden:
+            _os.rename(p + ".hidden", p)
+    assert not index_is_stale(idx)
+    assert len(manifest) > 0 and manifest["n_applied_added"].sum() > 0
+
+    # refreshed content == from-scratch rebuild content (full-row set)
+    idx2 = str(tmp_path / "obj_idx_rebuilt")
+    build_secondary_index(primary, idx2)
+
+    def _rows(d):
+        tt = pa.concat_tables([
+            pq.read_table(p)
+            for p in sorted(glob.glob(f"{d}/part_id=*/data.parquet"))])
+        return set(map(tuple, tt.to_pandas().fillna("∅")
+                       .itertuples(index=False)))
+
+    assert _rows(idx) == _rows(idx2)
+    # point reads: new obj routable, deleted pred's objects gone
+    got = read_triples_for_key(idx, "extra3", key="obj")
+    assert set(got["subj"].to_pylist()) == {"http://new3"}
+    assert read_triples_for_key(idx, "o2", key="obj").num_rows == 0
+    # representative change applied (src_url of the s1/p1/o15 quad)
+    got = read_triples_for_key(idx, "o15", key="obj")
+    assert got.num_rows == 1 and got["src_url"][0].as_py() == "http://a-src"
+
+    # idempotent: a second refresh is a fresh-index no-op
+    assert len(refresh_secondary_index(idx)) == 0
+
+    # crashed-mutation window: debris gen beyond history is refused
+    delete_triples(primary, pred="http://p0")  # gen 4 (committed)
+    gdir = f"{primary}/part_id=0/gen=9"
+    _os.makedirs(gdir)
+    pq.write_table(t.slice(0, 1), _os.path.join(gdir, "added.parquet"))
+    with pytest.raises(ValueError, match="uncommitted delta debris"):
+        refresh_secondary_index(idx)
+    import shutil
+    shutil.rmtree(gdir)
+    refresh_secondary_index(idx)  # debris cleared → refresh proceeds
+    assert not index_is_stale(idx)
+    assert read_triples_for_key(idx, "o0", key="obj").num_rows == 0
+
+    # primary regressed (compacted → generation reset): refuse, demand rebuild
+    from cattle_ray.sources.triple_sink import compact_store
+    compact_store(primary, num_partitions=4, drop_history=True)
+    with pytest.raises(ValueError, match="compacted or replaced"):
+        refresh_secondary_index(idx)
