@@ -135,8 +135,8 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
     """
     cols = list(cols)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = batch["_chash"].to_numpy(zero_copy_only=False).astype(np.uint64) % num_buckets
+    def add_bucket(batch: pa.Table, n: int) -> pa.Table:
+        b = batch["_chash"].to_numpy(zero_copy_only=False).astype(np.uint64) % n
         return batch.append_column("_bucket", pa.array(b.astype(np.int64)))
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -144,12 +144,20 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
             g = g.sort_values(keep_col, kind="mergesort")
         return g.drop_duplicates(subset=cols).drop(columns=["_chash", "_bucket"])
 
-    prepared = (
+    hashed = (
         ds.map_batches(lambda b: add_content_hash(b, cols), batch_format="pyarrow")
         .map_batches(within_batch_dedup, fn_kwargs={"keep_col": keep_col},
                      batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-    )
+    ).materialize()
+    # size the exchange to the data actually flowing through it: dedup's
+    # finish is correct over ANY superset of a bucket (drop_duplicates),
+    # so buckets can collapse freely — at toy scale 64 reduce tasks ×
+    # N-block splits are pure scheduling overhead (measured on the sf0.1
+    # headline), while at corpus scale the byte target keeps every bucket
+    # inside a worker heap. ~32 MB/bucket, capped at the caller's count.
+    eff_buckets = _effective_buckets(hashed.size_bytes(), num_buckets)
+    prepared = hashed.map_batches(add_bucket, batch_format="pyarrow",
+                                  fn_kwargs={"n": eff_buckets})
 
     def finish_table(t: pa.Table) -> pa.Table:
         target = pa.schema([f for f in t.schema
@@ -159,7 +167,14 @@ def dedup_exact(ds, cols, keep_col: str | None = None, num_buckets: int = 64):
         df = finish(t.to_pandas())
         return pa.Table.from_pandas(df, schema=target, preserve_index=False)
 
-    return hash_exchange(prepared, "_bucket", finish_table, num_buckets)
+    return hash_exchange(prepared, "_bucket", finish_table, eff_buckets)
+
+
+def _effective_buckets(n_bytes: int, cap: int,
+                       per_bucket: int = 32 << 20) -> int:
+    """Shared bucket-count crossover: enough buckets that each holds about
+    ``per_bucket`` bytes, at least 1, never more than ``cap``."""
+    return int(max(1, min(cap, -(-(n_bytes or 0) // per_bucket))))
 
 
 # ---------------------------------------------------------------------------
