@@ -4185,6 +4185,52 @@ def q_kg_bgp_bind(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_bgp_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS: ``?s score ?v . FILTER EXISTS { ?s rank "2"
+    }`` — a distinct-witness SEMI-join (the positive twin of MINUS): the
+    witness group's solutions never duplicate required rows, only gate
+    them. SQL mirror is a correlated EXISTS subquery."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "score", "?v")],
+        exists=[[("?s", EX + "rank", "2")]],
+        num_buckets=8)
+
+
+def q_kg_bgp_values(sf_dir: str):
+    """SPARQL VALUES (a literal solution table): ``?s name ?ent .
+    VALUES (?ent ?tier) { ("Entity7" "gold") ("Entity11" "silver") }``
+    — the block pins ?ent to the listed names AND binds the new ?tier
+    column per row (a broadcast-small join, mirrored by DuckDB's VALUES
+    derived table)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "name", "?ent")],
+        values=(["?ent", "?tier"],
+                [("Entity7", "gold"), ("Entity11", "silver")]),
+        num_buckets=8)
+
+
+def q_kg_bgp_count_distinct(sf_dir: str):
+    """SPARQL COUNT(DISTINCT ?v) alongside COUNT(*): per entity name,
+    the number of (name, score) solutions and the number of DISTINCT
+    score values — the distinct runs as its own map-side-combined
+    distinct→count exchange left-joined back by the group keys
+    (all-null groups count 0, like SQL)."""
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    return evaluate_bgp(
+        q_kg_csvw_triples(sf_dir),
+        [("?s", EX + "name", "?e"), ("?s", EX + "score", "?v")],
+        group_by=["?e"],
+        agg={"n": "count", "n_scores": ("count_distinct", "?v")},
+        num_buckets=8)
+
+
 def q_kg_bgp_minmax(sf_dir: str):
     """SPARQL MIN/MAX/GROUP_CONCAT/SUM in ONE aggregation pass
     (``SELECT ?e (MIN(?r) …) (MAX(?r) …) (GROUP_CONCAT(?r; ",") …)
@@ -4424,6 +4470,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_obj_route": q_kg_bgp_obj_route,
         "kg_bgp_union": q_kg_bgp_union,
         "kg_bgp_bind": q_kg_bgp_bind,
+        "kg_bgp_exists": q_kg_bgp_exists,
+        "kg_bgp_values": q_kg_bgp_values,
+        "kg_bgp_count_distinct": q_kg_bgp_count_distinct,
         "kg_bgp_minmax": q_kg_bgp_minmax,
         "kg_bgp_graph": q_kg_bgp_graph,
         "kg_bgp_store": q_kg_bgp_store,
@@ -6132,6 +6181,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT s, e || '#' || r AS tag,
                    CAST(r AS BIGINT) * 10 AS r10
             FROM en JOIN rk USING (s)
+        """,
+        "kg_bgp_exists": _TRIPLE_BASE_CTE + f"""
+            SELECT t.subj AS s, t.obj AS v FROM triples t
+            WHERE t.pred = '{EX}score'
+              AND EXISTS (SELECT 1 FROM triples r
+                          WHERE r.subj = t.subj
+                            AND r.pred = '{EX}rank' AND r.obj = '2')
+        """,
+        "kg_bgp_values": _TRIPLE_BASE_CTE + f"""
+            SELECT t.subj AS s, t.obj AS ent, x.tier
+            FROM triples t
+            JOIN (VALUES ('Entity7', 'gold'), ('Entity11', 'silver'))
+                 AS x(ent, tier) ON t.obj = x.ent
+            WHERE t.pred = '{EX}name'
+        """,
+        "kg_bgp_count_distinct": _TRIPLE_BASE_CTE + f""",
+            nm AS (SELECT subj AS s, obj AS e FROM triples
+                   WHERE pred = '{EX}name'),
+            sc AS (SELECT subj AS s, obj AS v FROM triples
+                   WHERE pred = '{EX}score')
+            SELECT e, count(*) AS n, count(DISTINCT v) AS n_scores
+            FROM nm JOIN sc USING (s) GROUP BY e
         """,
         "kg_bgp_minmax": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj AS s, obj AS e FROM triples

@@ -215,6 +215,16 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_bgp_graph",
         "kg_bgp_groupby",
         "kg_store_timetravel",
+        # round-4 operators
+        "kg_bgp_union",
+        "kg_bgp_bind",
+        "kg_bgp_minmax",
+        "kg_bgp_obj_route",
+        "kg_index_refresh",
+        "events_watermark_ingest",
+        "kg_bgp_exists",
+        "kg_bgp_values",
+        "kg_bgp_count_distinct",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -409,6 +409,86 @@ def _apply_minus(acc, bound, minus_groups, streams_for, num_buckets):
     return acc
 
 
+def _apply_exists(acc, bound, exists_groups, streams_for, num_buckets):
+    """SPARQL FILTER EXISTS: keep required bindings for which the group
+    has at least one solution agreeing on the shared variables — the
+    positive twin of :func:`_apply_minus` (same DISTINCT-keys + string
+    marker left join; the final filter KEEPS matched rows instead of
+    dropping them). The witness keys are distinct, so a many-solution
+    witness can never duplicate a required row — semi-join semantics."""
+    from .aggregates import distinct
+    from .joins import hash_join
+
+    for group in exists_groups or []:
+        group = [group] if isinstance(group, tuple) else list(group)
+        gstreams = [(*streams_for(p), p) for p in group]
+        g_acc, g_vars = _fold_bindings(
+            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        shared = [v for v in g_vars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"EXISTS group {group!r} shares no variable with the "
+                f"required bindings ({bound}) — it would keep everything "
+                "or nothing; bind a shared variable")
+        keys = distinct(_anchor(g_acc.map_batches(
+            lambda b, cols=tuple(shared): b.select(list(cols)),
+            batch_format="pyarrow"), shared), shared)
+        marked = _anchor(keys.map_batches(
+            lambda b: b.append_column(
+                "_m", pa.array(["1"] * len(b), pa.string())),
+            batch_format="pyarrow"), list(shared) + ["_m"])
+        j = hash_join(acc, marked, shared, shared, how="left",
+                      num_buckets=num_buckets)
+        acc = _anchor(j.map_batches(
+            lambda b, cols=tuple(bound): b.filter(
+                pc.is_valid(b["_m"])).select(list(cols)),
+            batch_format="pyarrow"), bound)
+    return acc
+
+
+def _apply_values(acc, bound, values, num_buckets):
+    """SPARQL VALUES block: ``(["?x", "?y"], [("a", "b"), ...])`` — a
+    literal solution table joined into the group pattern on the shared
+    variables (pinning them to the listed combinations) and appending
+    any variables the patterns don't bind. Bag semantics like SPARQL: a
+    duplicated row multiplies matching solutions. UNDEF cells are
+    rejected (a None would need SPARQL's compatible-but-unbound join
+    semantics, not an equi-join), as is a block sharing NO variable with
+    the bindings (a cartesian product — same discipline as UNION)."""
+    from .joins import hash_join
+
+    vars_, rows = values
+    names = [v[1:] if _is_var(v) else v for v in vars_]
+    cols: dict = {n: [] for n in names}
+    for r in rows:
+        r = (r,) if isinstance(r, str) else tuple(r)
+        if len(r) != len(names):
+            raise ValueError(
+                f"VALUES row {r!r} has {len(r)} cells for {len(names)} "
+                f"variables {vars_!r}")
+        for n, cell in zip(names, r):
+            if cell is None:
+                raise NotImplementedError(
+                    "UNDEF in VALUES is not supported — an unbound cell "
+                    "joins on row-compatibility, not equality; split the "
+                    "block into per-variable VALUES instead")
+            cols[n].append(str(cell))
+    import ray.data as rd
+
+    v_acc = _anchor(rd.from_arrow(
+        pa.table({n: pa.array(cols[n], pa.string()) for n in names})),
+        names)
+    shared = [v for v in names if v in bound]
+    if not shared:
+        raise ValueError(
+            f"VALUES block {vars_!r} shares no variable with the "
+            f"required bindings ({bound}) — a cartesian product; bind "
+            "at least one listed variable in the patterns")
+    acc = hash_join(acc, v_acc, shared, shared, num_buckets=num_buckets)
+    bound = bound + [v for v in names if v not in bound]
+    return _anchor(acc, bound), bound
+
+
 def _union_bindings(streams_for, branches, num_buckets):
     """SPARQL UNION: evaluate each branch (a pattern group) as its own
     BGP fold, align the branches on the union of their variables (a
@@ -665,7 +745,8 @@ def _offset_limit(acc, offset: int, limit):
 
 def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
     """SPARQL ``GROUP BY`` over the bindings: ``agg`` maps output column
-    → ``"count"``, ``("sum"|"avg"|"min"|"max", "?var")`` or
+    → ``"count"``, ``("sum"|"avg"|"min"|"max", "?var")``,
+    ``("count_distinct", "?var")`` (see :func:`_join_count_distinct`) or
     ``("group_concat", "?var"[, sep])``. COUNT-only delegates to the
     engine's map-side-combined :func:`~.aggregates.partial_count`;
     everything else to the generalized :func:`~.aggregates.grouped_agg`
@@ -684,6 +765,21 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
     if missing:
         raise ValueError(f"GROUP BY variables not bound: {missing}")
     agg = dict(agg or {"n": "count"})
+    # COUNT(DISTINCT ?v) runs as its own distinct→count pipeline (the
+    # distinct is the irreducible extra exchange) and left-joins back
+    # onto the main aggregate by the group keys — split it out first
+    cdists = {out: (spec[1][1:] if _is_var(spec[1]) else spec[1])
+              for out, spec in agg.items()
+              if isinstance(spec, tuple) and spec[0] == "count_distinct"}
+    for out in cdists:
+        del agg[out]
+    if cdists:
+        # both the main aggregate and each distinct-count pipeline pull
+        # from acc — pin it once instead of re-executing the upstream
+        # joins per consumer
+        acc = acc.materialize()
+        if not agg:  # count_distinct-only: keys come from partial_count
+            agg = {"_n_drop": "count"}
     sums, avgs, mins, maxs, concats = {}, {}, {}, {}, {}
     counts = []
     for out, spec in agg.items():
@@ -715,6 +811,7 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
 
     if not (sums or avgs or mins or maxs or concats):
         out_ds = partial_count(acc, keys, num_buckets=num_buckets)
+        counts = [c for c in counts if c != "_n_drop"]
 
         def rename(b: pa.Table) -> pa.Table:
             cols = {k: b[k] for k in keys}
@@ -722,8 +819,9 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
                 cols[o] = b["n"]
             return pa.table(cols)
 
-        return (out_ds.map_batches(rename, batch_format="pyarrow"),
-                keys + counts)
+        return _join_count_distinct(
+            out_ds.map_batches(rename, batch_format="pyarrow"),
+            keys + counts, acc, keys, cdists, num_buckets)
 
     # AVG needs its own denominator: Arrow's grouped sum skips nulls but
     # the group count n counts ALL rows, so an OPTIONAL-bound variable
@@ -783,7 +881,42 @@ def _apply_group_by(acc, bound, group_by, agg, num_buckets: int):
 
     new_bound = (keys + list(sums) + list(avgs) + list(mins) + list(maxs)
                  + list(concats) + counts)
-    return out_ds.map_batches(rename, batch_format="pyarrow"), new_bound
+    return _join_count_distinct(
+        out_ds.map_batches(rename, batch_format="pyarrow"), new_bound,
+        acc, keys, cdists, num_buckets)
+
+
+def _join_count_distinct(out_ds, new_bound, acc, keys, cdists,
+                         num_buckets):
+    """Attach COUNT(DISTINCT ?v) columns to an aggregated table: per
+    output column, drop null ``v`` rows (SQL/SPARQL COUNT DISTINCT
+    ignores nulls), DISTINCT over (keys, v), map-side-combined count per
+    key, LEFT-join back by the group keys (groups whose ``v`` is
+    all-null count 0, like SQL). Each distinct is one extra exchange —
+    the irreducible cost of exact distinct-counting; approximate callers
+    should use the HLL sketches instead."""
+    if not cdists:
+        return out_ds, new_bound
+    from .aggregates import distinct, partial_count
+    from .joins import hash_join
+
+    for out, v in cdists.items():
+        d = distinct(acc.map_batches(
+            lambda b, v=v: b.filter(pc.is_valid(b[v])).select(keys + [v]),
+            batch_format="pyarrow"), keys + [v])
+        c = partial_count(d, keys, num_buckets=num_buckets).map_batches(
+            lambda b, out=out: pa.table(
+                {**{k: b[k] for k in keys}, out: b["n"]}),
+            batch_format="pyarrow")
+        out_ds = hash_join(out_ds, _anchor(c, keys + [out]), keys, keys,
+                           how="left", num_buckets=num_buckets)
+        out_ds = out_ds.map_batches(
+            lambda b, out=out, cols=tuple(new_bound + [out]): pa.table(
+                {c: (pc.fill_null(pc.cast(b[c], pa.int64()), 0)
+                     if c == out else b[c]) for c in cols}),
+            batch_format="pyarrow")
+        new_bound = new_bound + [out]
+    return out_ds, new_bound
 
 
 def _display_for(patterns, union):
@@ -795,12 +928,14 @@ def _display_for(patterns, union):
 
 def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
                    bind, filters, group_by, agg, having, select, distinct,
-                   order_by, limit, offset, num_buckets):
+                   order_by, limit, offset, num_buckets,
+                   exists=None, values=None):
     """The shared SPARQL-algebra pipeline over per-pattern binding
-    streams: fold required patterns → join the UNION block → MINUS →
-    OPTIONAL left-joins → BIND → FILTER → GROUP BY/HAVING → solution
-    modifiers. ``streams_for(pattern) -> (Dataset, vars)`` abstracts the
-    source (in-stream scan vs store-pruned scan)."""
+    streams: fold required patterns → join the UNION block → VALUES →
+    EXISTS semi-joins → MINUS → OPTIONAL left-joins → BIND → FILTER →
+    GROUP BY/HAVING → solution modifiers. ``streams_for(pattern) ->
+    (Dataset, vars)`` abstracts the source (in-stream scan vs
+    store-pruned scan)."""
     from .joins import hash_join
 
     acc = bound = None
@@ -823,6 +958,9 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
                             num_buckets=num_buckets)
             bound += [v for v in u_vars if v not in bound]
             acc = _anchor(acc, bound)
+    if values is not None:
+        acc, bound = _apply_values(acc, bound, values, num_buckets)
+    acc = _apply_exists(acc, bound, exists, streams_for, num_buckets)
     acc = _apply_minus(acc, bound, minus, streams_for, num_buckets)
     bound = display + [v for v in bound if v not in display]
     acc, bound = _attach_optionals(acc, bound, optional, streams_for,
@@ -845,7 +983,8 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
 
 
 def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
-                 union=None, bind=None, filters=None, reorder: bool = True,
+                 union=None, exists=None, values=None,
+                 bind=None, filters=None, reorder: bool = True,
                  group_by=None, agg=None, having=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
@@ -859,6 +998,12 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     bindings — unmatched rows carry NULL for the group's variables.
     ``minus``: list of MINUS / NOT-EXISTS groups — required bindings whose
     shared variables agree with ANY group solution are dropped.
+    ``exists``: list of FILTER EXISTS groups — required bindings are KEPT
+    only when the group has a solution agreeing on the shared variables
+    (distinct-witness semi-join; see :func:`_apply_exists`).
+    ``values``: ONE VALUES block ``(["?x", ...], [row, ...])`` — a
+    literal solution table joined in on the shared variables
+    (:func:`_apply_values`; UNDEF rejected).
     ``union``: ONE UNION block as a list of branches (each a pattern
     group): branch solutions concatenate with NULL for variables a branch
     doesn't bind, then join onto the required bindings on shared
@@ -885,7 +1030,7 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                    for g in (groups or []))
 
     n_scans = (len(patterns) + group_size(optional) + group_size(minus)
-               + group_size(union))
+               + group_size(union) + group_size(exists))
     if n_scans > 1:
         # one scan per pattern: pin in the object store (fast at query
         # scale) — or, with spill_dir, write the stream to Parquet ONCE
@@ -915,7 +1060,8 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
         else list(patterns)
     return _evaluate_body(
         lambda p: pattern_bindings(triples_ds, p), plan, display,
-        optional=optional, minus=minus, union=union, bind=bind,
+        optional=optional, minus=minus, union=union, exists=exists,
+        values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,
         select=select, distinct=distinct, order_by=order_by, limit=limit,
         offset=offset, num_buckets=num_buckets)
@@ -931,7 +1077,8 @@ def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
 
 
 def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
-                       minus=None, union=None, bind=None, filters=None,
+                       minus=None, union=None, exists=None, values=None,
+                       bind=None, filters=None,
                        reorder: bool = True,
                        group_by=None, agg=None, having=None,
                        select=None, distinct: bool = False, order_by=None,
@@ -1010,7 +1157,8 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         plan = list(patterns)
     return _evaluate_body(
         lambda p: pattern_bindings(stream_for(p), p), plan, display,
-        optional=optional, minus=minus, union=union, bind=bind,
+        optional=optional, minus=minus, union=union, exists=exists,
+        values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,
         select=select, distinct=distinct, order_by=order_by, limit=limit,
         offset=offset, num_buckets=num_buckets)

@@ -81,6 +81,17 @@ def main():
                                start=int(b["id"][0])),
             batch_format="numpy")
 
+    # untimed warmup: absorb worker-process import/startup cost so the
+    # FIRST timed path isn't charged for the session's cold start (the
+    # initial A/B charged it to the exchange side — 50 s vs a true ~17 s)
+    w = os.path.join(root, "warmup")
+    write_triples_hash_partitioned(
+        rd.range(50_000, override_num_blocks=8).map_batches(
+            lambda b: _triples(len(b["id"]), 10_000, PREDS,
+                               start=int(b["id"][0])),
+            batch_format="numpy"), w, num_partitions=P)
+    shutil.rmtree(w, ignore_errors=True)
+
     # --- 1. write on the shipped hash_exchange path ----------------------
     d_new = os.path.join(root, "store_exchange")
     m = timed("sink_write_exchange",

@@ -872,3 +872,74 @@ def test_empty_pattern_stream_folds(ray_session, tmp_path):
     out4 = evaluate_bgp_store(store, [("a", "about", "?e"),
                                       ("?e", "nope", "?r")]).to_pandas()
     assert len(out4) == 0
+
+
+def test_exists_values_count_distinct(ray_session, tmp_path):
+    """Round-4 additions: FILTER EXISTS (distinct-witness semi-join),
+    VALUES (literal solution table join), COUNT(DISTINCT ?v)."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+
+    # EXISTS keeps only docs whose entity is in X — and the witness
+    # having multiple solutions must NOT duplicate required rows
+    out = evaluate_bgp(ds, [("?d", "about", "?e")],
+                       exists=[[("?e", "in", "X")]]).to_pandas()
+    assert sorted(zip(out["d"], out["e"])) == [("a", "E1"), ("c", "E1")]
+
+    # EXISTS group matching nothing → empty (not a crash)
+    out = evaluate_bgp(ds, [("?d", "about", "?e")],
+                       exists=[[("?e", "nope", "?x")]]).to_pandas()
+    assert len(out) == 0
+
+    # EXISTS with no shared variable is rejected
+    with pytest.raises(ValueError, match="shares no variable"):
+        evaluate_bgp(ds, [("?d", "type", "Doc")],
+                     exists=[[("?z", "in", "?w")]]).to_pandas()
+
+    # VALUES pins ?e and appends ?tier; bag semantics (1 row per match)
+    out = evaluate_bgp(ds, [("?d", "about", "?e")],
+                       values=(["?e", "?tier"],
+                               [("E1", "gold"), ("E9", "x")])).to_pandas()
+    assert sorted(zip(out["d"], out["e"], out["tier"])) == [
+        ("a", "E1", "gold"), ("c", "E1", "gold")]
+
+    # UNDEF cell and no-shared-var blocks are rejected
+    with pytest.raises(NotImplementedError, match="UNDEF"):
+        evaluate_bgp(ds, [("?d", "about", "?e")],
+                     values=(["?e", "?t"], [("E1", None)])).to_pandas()
+    with pytest.raises(ValueError, match="shares no variable"):
+        evaluate_bgp(ds, [("?d", "about", "?e")],
+                     values=(["?z"], [("E1",)])).to_pandas()
+
+    # COUNT(DISTINCT): entity E1 is about-ed by a and c (2 distinct
+    # docs); with an OPTIONAL var that's all-null the distinct counts 0
+    out = evaluate_bgp(ds, [("?d", "about", "?e")],
+                       optional=[[("?d", "nope", "?x")]],
+                       group_by=["?e"],
+                       agg={"n": "count",
+                            "nd": ("count_distinct", "?d"),
+                            "nx": ("count_distinct", "?x")}).to_pandas()
+    got = {r["e"]: (r["n"], r["nd"], r["nx"])
+           for _, r in out.iterrows()}
+    assert got == {"E1": (2, 2, 0), "E2": (1, 1, 0)}
+
+    # count_distinct-only aggregate (no other agg): keys still emerge
+    out = evaluate_bgp(ds, [("?d", "about", "?e")], group_by=["?e"],
+                       agg={"nd": ("count_distinct", "?d")}).to_pandas()
+    assert sorted(zip(out["e"], out["nd"])) == [("E1", 2), ("E2", 1)]
+
+    # the store evaluator threads all three through the same body
+    store = str(tmp_path / "xstore")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store,
+                                   num_partitions=4)
+    out = evaluate_bgp_store(store, [("?d", "about", "?e")],
+                             exists=[[("?e", "in", "X")]],
+                             values=(["?e", "?tier"], [("E1", "gold")]),
+                             group_by=["?tier"],
+                             agg={"nd": ("count_distinct", "?d")}
+                             ).to_pandas()
+    assert sorted(zip(out["tier"], out["nd"])) == [("gold", 2)]
