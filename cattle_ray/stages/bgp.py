@@ -118,8 +118,7 @@ def _path_bindings(triples_ds, terms):
                 cols[term[1:]] = b[col]
         return pa.table(cols)
 
-    return _anchor(pairs.map_batches(project, batch_format="pyarrow"),
-                   out_vars), out_vars
+    return pairs.map_batches(project, batch_format="pyarrow"), out_vars
 
 
 def _is_path(term) -> bool:
@@ -130,13 +129,27 @@ def _anchor(ds, out_vars):
     """Pin a binding stream's schema with a 0-row seed block: map_batches
     over an empty stream loses its schema (Ray Data skips empty blocks),
     and a pattern whose constants match NOTHING must still fold through
-    the joins as an empty relation — not crash them with a None schema.
-    Binding columns are always strings (RDF terms), so the seed types are
-    exact; ``Dataset.union`` is metadata-level (no shuffle, no compute)."""
+    the downstream groupby/sort/distinct machinery as an empty relation —
+    not crash it with a None schema. Binding columns are always strings
+    (RDF terms), so the seed types are exact; ``Dataset.union`` is
+    metadata-level (no shuffle, no compute) BUT it breaks operator fusion
+    (measured ~2× on whole-store evaluation when every pattern stream was
+    anchored), so the algebra anchors only where a schema-less empty
+    stream could actually crash: once before the modifier/aggregate tail
+    and ahead of each ``distinct`` over group keys. The joins themselves
+    never need anchors — every binding relation's schema is plan-known
+    (its variable list, all strings) and threads through ``hash_join``'s
+    ``left_schema``/``right_schema`` hints instead."""
     import ray.data as rd
 
     seed = pa.table({v: pa.array([], pa.string()) for v in out_vars})
     return rd.from_arrow(seed).union(ds)
+
+
+def _sch(vars_) -> "pa.Schema":
+    """The plan-known Arrow schema of a binding relation: one string
+    column per variable (RDF terms are strings end-to-end)."""
+    return pa.schema([pa.field(v, pa.string()) for v in vars_])
 
 
 def pattern_bindings(triples_ds, pattern):
@@ -193,8 +206,7 @@ def pattern_bindings(triples_ds, pattern):
                          ((t, c) for c, t in zip(pos, terms)
                           if _is_var(t))})
 
-    return _anchor(triples_ds.map_batches(f, batch_format="pyarrow"),
-                   out_vars), out_vars
+    return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
 
 
 def _fold_bindings(streams, num_buckets: int):
@@ -211,13 +223,14 @@ def _fold_bindings(streams, num_buckets: int):
                 f"pattern {pattern!r} shares no variable with the bindings "
                 f"so far ({bound}) — a cartesian product at corpus scale; "
                 "reorder the patterns so each connects")
+        # plan-known schemas thread through so the join never calls
+        # ``ds.schema()`` (join output order = left cols + right's new
+        # vars, which is exactly how ``bound`` is built — so the left
+        # hint stays exact across iterations, empty results included)
         acc = hash_join(acc, stream, shared, shared,
-                        num_buckets=num_buckets)
+                        num_buckets=num_buckets,
+                        left_schema=_sch(bound), right_schema=_sch(pvars))
         bound += [v for v in pvars if v not in bound]
-        # re-anchor: an EMPTY join result loses its schema and would
-        # crash the next join (join output order = left cols + right's
-        # new vars, which is exactly how ``bound`` is built)
-        acc = _anchor(acc, bound)
     return acc, bound
 
 
@@ -361,13 +374,13 @@ def _attach_optionals(acc, bound, optional_groups, streams_for, num_buckets):
             raise ValueError(
                 f"OPTIONAL group {group!r} shares no variable with the "
                 f"required bindings ({bound})")
-        g_acc = _anchor(g_acc.map_batches(
+        g_acc = g_acc.map_batches(
             lambda b, cols=tuple(g_vars): b.select(list(cols)),
-            batch_format="pyarrow"), g_vars)
+            batch_format="pyarrow")
         acc = hash_join(acc, g_acc, shared, shared, how="left",
-                        num_buckets=num_buckets)
+                        num_buckets=num_buckets,
+                        left_schema=_sch(bound), right_schema=_sch(g_vars))
         bound += [v for v in g_vars if v not in bound]
-        acc = _anchor(acc, bound)  # empty result must keep its schema
     return acc, bound
 
 
@@ -396,16 +409,17 @@ def _apply_minus(acc, bound, minus_groups, streams_for, num_buckets):
             batch_format="pyarrow"), shared), shared)
         # string marker: unmatched rows come back ARROW-NULL on the
         # pandas left-join path (a numeric marker would surface as NaN)
-        marked = _anchor(keys.map_batches(
+        marked = keys.map_batches(
             lambda b: b.append_column(
                 "_m", pa.array(["1"] * len(b), pa.string())),
-            batch_format="pyarrow"), list(shared) + ["_m"])
+            batch_format="pyarrow")
         j = hash_join(acc, marked, shared, shared, how="left",
-                      num_buckets=num_buckets)
-        acc = _anchor(j.map_batches(
+                      num_buckets=num_buckets, left_schema=_sch(bound),
+                      right_schema=_sch(list(shared) + ["_m"]))
+        acc = j.map_batches(
             lambda b, cols=tuple(bound): b.filter(
                 pc.is_null(b["_m"])).select(list(cols)),
-            batch_format="pyarrow"), bound)
+            batch_format="pyarrow")
     return acc
 
 
@@ -433,16 +447,17 @@ def _apply_exists(acc, bound, exists_groups, streams_for, num_buckets):
         keys = distinct(_anchor(g_acc.map_batches(
             lambda b, cols=tuple(shared): b.select(list(cols)),
             batch_format="pyarrow"), shared), shared)
-        marked = _anchor(keys.map_batches(
+        marked = keys.map_batches(
             lambda b: b.append_column(
                 "_m", pa.array(["1"] * len(b), pa.string())),
-            batch_format="pyarrow"), list(shared) + ["_m"])
+            batch_format="pyarrow")
         j = hash_join(acc, marked, shared, shared, how="left",
-                      num_buckets=num_buckets)
-        acc = _anchor(j.map_batches(
+                      num_buckets=num_buckets, left_schema=_sch(bound),
+                      right_schema=_sch(list(shared) + ["_m"]))
+        acc = j.map_batches(
             lambda b, cols=tuple(bound): b.filter(
                 pc.is_valid(b["_m"])).select(list(cols)),
-            batch_format="pyarrow"), bound)
+            batch_format="pyarrow")
     return acc
 
 
@@ -475,18 +490,18 @@ def _apply_values(acc, bound, values, num_buckets):
             cols[n].append(str(cell))
     import ray.data as rd
 
-    v_acc = _anchor(rd.from_arrow(
-        pa.table({n: pa.array(cols[n], pa.string()) for n in names})),
-        names)
+    v_acc = rd.from_arrow(
+        pa.table({n: pa.array(cols[n], pa.string()) for n in names}))
     shared = [v for v in names if v in bound]
     if not shared:
         raise ValueError(
             f"VALUES block {vars_!r} shares no variable with the "
             f"required bindings ({bound}) — a cartesian product; bind "
             "at least one listed variable in the patterns")
-    acc = hash_join(acc, v_acc, shared, shared, num_buckets=num_buckets)
+    acc = hash_join(acc, v_acc, shared, shared, num_buckets=num_buckets,
+                    left_schema=_sch(bound), right_schema=_sch(names))
     bound = bound + [v for v in names if v not in bound]
-    return _anchor(acc, bound), bound
+    return acc, bound
 
 
 def _union_bindings(streams_for, branches, num_buckets):
@@ -511,7 +526,7 @@ def _union_bindings(streams_for, branches, num_buckets):
                 x: (b[x] if x in have else pa.nulls(len(b), pa.string()))
                 for x in all_vars})
 
-        return _anchor(a.map_batches(f, batch_format="pyarrow"), all_vars)
+        return a.map_batches(f, batch_format="pyarrow")
 
     padded = [pad(a, v) for a, v in folded]
     out = padded[0].union(*padded[1:]) if len(padded) > 1 else padded[0]
@@ -955,9 +970,10 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
                     f"bindings ({bound}) — a cartesian product at corpus "
                     "scale; bind a shared variable in every branch")
             acc = hash_join(acc, u_acc, shared, shared,
-                            num_buckets=num_buckets)
+                            num_buckets=num_buckets,
+                            left_schema=_sch(bound),
+                            right_schema=_sch(u_vars))
             bound += [v for v in u_vars if v not in bound]
-            acc = _anchor(acc, bound)
     if values is not None:
         acc, bound = _apply_values(acc, bound, values, num_buckets)
     acc = _apply_exists(acc, bound, exists, streams_for, num_buckets)

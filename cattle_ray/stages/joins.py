@@ -157,8 +157,10 @@ def _with_bucket_and_tag(ds, key, tag: int, num_buckets: int,
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def _combined_schema(left_ds, right_ds) -> "pa.Schema":
-    ls, rs = left_ds.schema(), right_ds.schema()
+def _combined_schema(left_ds, right_ds, left_schema=None,
+                     right_schema=None) -> "pa.Schema":
+    ls = _arrow_schema_of(left_ds, left_schema)
+    rs = _arrow_schema_of(right_ds, right_schema)
     fields = [pa.field(n, _to_arrow_type(t)) for n, t in zip(ls.names, ls.types)]
     seen = set(ls.names)
     for n, t in zip(rs.names, rs.types):
@@ -192,21 +194,35 @@ def _to_arrow_type(t):
     raise TypeError(f"cannot map column type {t!r} to Arrow")
 
 
-def _side_columns(ds):
+def _arrow_schema_of(ds, schema=None) -> "pa.Schema":
+    """The side's Arrow schema: the caller-provided one when given (a
+    plan-known schema skips ``ds.schema()`` — which on a lazy, possibly
+    EMPTY stream either executes upstream work or returns None and
+    crashes the join; the BGP fold threads its all-string binding
+    schemas this way instead of pinning every stream with a seed-union
+    anchor, which measured ~2× on the whole store-eval at toy scale),
+    else inferred from the dataset."""
+    if schema is not None:
+        return schema
+    s = ds.schema()
+    return pa.schema(
+        [pa.field(n, _to_arrow_type(t)) for n, t in zip(s.names, s.types)])
+
+
+def _side_columns(ds, schema=None):
     """(column names, pandas dtype map) for one side — used to restore dtypes
     after the union pads the other side's rows with NaN (int64 → float64)."""
-    schema = ds.schema()
-    arrow_schema = pa.schema(
-        [pa.field(n, _to_arrow_type(t)) for n, t in zip(schema.names, schema.types)]
-    )
+    arrow_schema = _arrow_schema_of(ds, schema)
     dtypes = arrow_schema.empty_table().to_pandas().dtypes.to_dict()
-    return list(schema.names), dtypes
+    return list(arrow_schema.names), dtypes
 
 
-def _union_buckets(left_ds, right_ds, left_key, right_key, num_buckets):
+def _union_buckets(left_ds, right_ds, left_key, right_key, num_buckets,
+                   left_schema=None, right_schema=None):
     from .aggregates import coalesce_small
 
-    combined = _combined_schema(left_ds, right_ds)
+    combined = _combined_schema(left_ds, right_ds, left_schema,
+                                right_schema)
     l = _with_bucket_and_tag(left_ds, left_key, 0, num_buckets, combined)
     r = _with_bucket_and_tag(right_ds, right_key, 1, num_buckets, combined)
     return coalesce_small(l.union(r))
@@ -383,7 +399,7 @@ def native_join(left_ds, right_ds, left_on: str, right_on: str,
 
 
 def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
-              num_buckets: int = 32):
+              num_buckets: int = 32, left_schema=None, right_schema=None):
     """Co-partitioned equi join; ``left_on``/``right_on`` may be a single
     column or a LIST (composite key — the value tuple hashes to one bucket,
     so all machinery below is unchanged). Column collisions follow pandas
@@ -402,9 +418,12 @@ def hash_join(left_ds, right_ds, left_on, right_on, how: str = "inner",
     execution path the key-name shape selects. For SQL-correct FULL outer
     semantics use :func:`full_outer_join` (``how="outer"`` here inherits
     pandas NaN-matching)."""
-    left_side, right_side = _side_columns(left_ds), _side_columns(right_ds)
-    out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, how)
-    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets)
+    left_side = _side_columns(left_ds, left_schema)
+    right_side = _side_columns(right_ds, right_schema)
+    out_schema = _join_out_schema(left_ds, right_ds, left_on, right_on, how,
+                                  left_schema, right_schema)
+    unioned = _union_buckets(left_ds, right_ds, left_on, right_on, num_buckets,
+                             left_schema, right_schema)
     lkeys, rkeys = _as_keys(left_on), _as_keys(right_on)
 
     # INNER joins run pure Arrow per bucket (pyarrow Table.join): measured
@@ -571,18 +590,21 @@ def full_outer_join(left_ds, right_ds, left_on, right_on,
 
 
 def _join_out_schema(left_ds, right_ds, left_on, right_on,
-                     how: str) -> pa.Schema:
+                     how: str, left_schema=None,
+                     right_schema=None) -> pa.Schema:
     """Output schema of a pandas-suffix-rule equi join (left unsuffixed,
     right ``_r``; equal-named keys merge; left-join ints become float64)."""
     lkeys, rkeys = _as_keys(left_on), _as_keys(right_on)
     merged_right = {r for l, r in zip(lkeys, rkeys) if l == r}
+    l_schema = _arrow_schema_of(left_ds, left_schema)
+    r_schema = _arrow_schema_of(right_ds, right_schema)
     l_schema = pa.schema(
         [pa.field(n, _to_arrow_type(t)) for n, t in
-         zip(left_ds.schema().names, left_ds.schema().types)]
+         zip(l_schema.names, l_schema.types)]
     )
     r_schema = pa.schema(
         [pa.field(n, _to_arrow_type(t)) for n, t in
-         zip(right_ds.schema().names, right_ds.schema().types)]
+         zip(r_schema.names, r_schema.types)]
     )
     out_fields = list(l_schema)
     left_names = set(l_schema.names)
