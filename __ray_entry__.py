@@ -4074,6 +4074,40 @@ def q_kg_bgp_select(sf_dir: str):
         order_by=[("?e", "descending"), "?r"], limit=20, num_buckets=8)
 
 
+def q_kg_sparql_text(sf_dir: str):
+    """The TEXTUAL SPARQL front-end end to end (stages/sparql.py): a real
+    query string — prefixes, ``;`` abbreviation, a numeric FILTER — parses
+    to the engine's structured algebra and runs through the same
+    oracle-checked evaluators. The numeric comparison casts the term
+    column (SQL CAST discipline), mirrored as CAST(… AS BIGINT) in the
+    oracle. Beyond-reference surface: the reference has no query layer at
+    all (its scope ends at CSV→RDF conversion, reference src/cattle.py)."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?e ?r WHERE {{
+          ?s ex:entity ?e ; ex:rank ?r .
+          FILTER(?r >= 2)
+        }}""", num_buckets=8)
+
+
+def q_kg_sparql_agg(sf_dir: str):
+    """Textual SPARQL aggregation: GROUP BY + COUNT(*)/MAX + HAVING +
+    ORDER BY through the parser — the text layer drives the engine's
+    map-side-combined grouped aggregates and the HAVING filter runs over
+    the aggregated table, full SPARQL algebra order from a query
+    string."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?e (COUNT(*) AS ?n) (MAX(?r) AS ?hi) WHERE {{
+          ?s ex:entity ?e ; ex:rank ?r .
+        }} GROUP BY ?e HAVING(?n > 1) ORDER BY DESC(?n) ?e LIMIT 30""",
+        num_buckets=8)
+
+
 def q_kg_bgp_path(sf_dir: str):
     """SPARQL 1.1 property path (``pred+``) through the BGP layer: the
     synthetic subclass tree (Entity<i> broader Entity<i//2>) as real
@@ -4463,6 +4497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_optional": q_kg_bgp_optional,
         "kg_bgp_minus": q_kg_bgp_minus,
         "kg_construct": q_kg_construct,
+        "kg_sparql_text": q_kg_sparql_text,
+        "kg_sparql_agg": q_kg_sparql_agg,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
@@ -6266,6 +6302,23 @@ def _oracle_sql_base() -> dict[str, str]:
                    WHERE pred = '{EX}rank')
             SELECT e, r, CAST(count(*) AS BIGINT) AS n
             FROM en JOIN rk USING (subj) GROUP BY e, r
+        """,
+        "kg_sparql_text": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT e, r FROM en JOIN rk USING (subj)
+            WHERE CAST(r AS BIGINT) >= 2
+        """,
+        "kg_sparql_agg": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
+            FROM en JOIN rk USING (subj) GROUP BY e
+            HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
         """,
         "kg_construct": _TRIPLE_BASE_CTE + f""",
             b AS (SELECT subj AS s, obj AS e FROM triples

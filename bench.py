@@ -225,6 +225,8 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_bgp_exists",
         "kg_bgp_values",
         "kg_bgp_count_distinct",
+        "kg_sparql_text",
+        "kg_sparql_agg",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

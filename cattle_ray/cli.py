@@ -325,6 +325,46 @@ def cmd_curate(args):
                       "out": args.out}))
 
 
+def cmd_sparql(args):
+    """SPARQL text query from the shell. A store-directory source gets
+    read-pruned per-pattern scans (point reads when the routing key
+    binds); a parquet file/dir source streams the triples. SELECT/
+    CONSTRUCT print one row per line (TSV by default, ``--json`` for
+    JSON lines — NULL optional bindings print empty/null); ASK prints
+    ``true``/``false`` and exits 0/1. Syntax errors exit 65 with the
+    parser's reason on stderr."""
+    import os
+
+    from .stages.sparql import SparqlSyntaxError, sparql
+
+    query = args.query
+    if query.startswith("@"):
+        query = open(query[1:]).read()
+    _ensure_ray(args.num_cpus)
+    source = args.source
+    if not (os.path.isdir(source)
+            and os.path.exists(os.path.join(source, "_meta.json"))):
+        import ray.data as rd
+
+        source = rd.read_parquet(source)
+    try:
+        out = sparql(source, query, obj_index_dir=args.index)
+    except (SparqlSyntaxError, ValueError, NotImplementedError) as e:
+        print(f"sparql: {e}", file=sys.stderr)
+        sys.exit(65)
+    if isinstance(out, bool):
+        print("true" if out else "false")
+        sys.exit(0 if out else 1)
+    names = out.schema().names
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for row in batch.to_pylist():
+            if args.json:
+                print(json.dumps(row, ensure_ascii=False))
+            else:
+                print("\t".join("" if row[n] is None else str(row[n])
+                                for n in names))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -419,6 +459,21 @@ def main(argv=None):
     va.add_argument("rules", help="JSON rule list (stages/validate.py)")
     va.add_argument("--partitions", type=int, default=None)
     va.set_defaults(fn=cmd_validate)
+
+    sp = sub.add_parser("sparql", help="SPARQL query (SELECT/ASK/"
+                                       "CONSTRUCT text) over a store dir "
+                                       "or triples parquet")
+    sp.add_argument("source", help="partitioned store directory "
+                                   "(read-pruned scans) or a triples "
+                                   "parquet file/dir (in-stream scans)")
+    sp.add_argument("query", help="the SPARQL query string, or @file to "
+                                  "read it from a file")
+    sp.add_argument("--index", default=None,
+                    help="obj-routed secondary index dir (store source "
+                         "only; used when fresh)")
+    sp.add_argument("--json", action="store_true",
+                    help="print JSON lines instead of TSV")
+    sp.set_defaults(fn=cmd_sparql)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")

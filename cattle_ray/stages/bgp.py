@@ -348,6 +348,17 @@ def _apply_filters(ds, filters):
                 c = pc.is_valid(col) if val else pc.is_null(col)
             elif op in _FILTER_OPS:
                 rhs = b[val[1:]] if _is_var(val) else val
+                if isinstance(val, (int, float)) and not isinstance(
+                        val, bool) and pa.types.is_string(col.type):
+                    # a NUMERIC constant against a STRING term column
+                    # compares numerically (SPARQL operator semantics):
+                    # the column casts first — SQL CAST discipline, a
+                    # non-numeric lexical raises rather than comparing
+                    # lexicographically. Non-string columns (aggregate
+                    # outputs in HAVING) compare natively — Arrow
+                    # promotes int/float without truncation.
+                    col = pc.cast(col, pa.int64() if isinstance(val, int)
+                                  else pa.float64())
                 c = _FILTER_OPS[op](col, rhs)
             else:
                 raise ValueError(f"unknown FILTER op {op!r}")

@@ -1,0 +1,870 @@
+"""Textual SPARQL front-end: compile a SPARQL 1.1 query STRING onto the
+engine's structured algebra (:func:`~.bgp.evaluate_bgp` /
+:func:`~.bgp.evaluate_bgp_store` kwargs), so a user can query a triple
+stream or a partitioned store with real SPARQL text instead of Python
+pattern tuples. The reference system exposes no query layer at all
+(``/root/reference/src/cattle.py`` converts CSV→RDF and stops), so this
+whole surface is beyond-reference; the text layer adds NOTHING to the
+execution semantics — every construct lowers to the already
+oracle-checked evaluators, and parsing is driver-side, query-sized work
+(never per batch, never inside a Ray task).
+
+Supported grammar (the engine's implemented algebra, no more):
+
+* ``SELECT [DISTINCT] (* | vars | (expr AS ?v) | (AGG(...) AS ?v))``,
+  ``ASK``, ``CONSTRUCT { template } WHERE``
+* ``PREFIX`` prologue, ``a`` ≡ ``rdf:type``, ``;``/``,`` triple
+  abbreviations, blank nodes ``_:b`` as non-projected variables
+* graph patterns: conjunction, ``OPTIONAL``, ``MINUS``, one
+  ``UNION`` chain, one ``VALUES`` block, ``GRAPH term { … }`` (quad
+  patterns), ``BIND(expr AS ?v)``
+* property paths on the predicate: ``p+``, ``^p``, ``p1|p2`` (and
+  ``^p+``); ``p*`` is rejected with the engine's scale rationale
+* ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
+  the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
+  ``IN``, ``BOUND``/``!BOUND``, ``&&`` conjunction, ``EXISTS`` /
+  ``NOT EXISTS`` groups
+* aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
+  ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
+  aggregates WITHOUT ``GROUP BY`` group over a synthetic constant key
+  (SPARQL's single implicit group)
+* solution modifiers: ``ORDER BY`` (``ASC``/``DESC``), ``LIMIT``,
+  ``OFFSET``
+
+Literal terms lower to their LEXICAL FORM — the engine's triple tables
+carry plain strings with datatype/lang in side columns, so
+``"119719"^^xsd:decimal`` matches the stored ``119719`` regardless of
+annotation (consistent with the structured query layer).
+
+Anything outside the engine's algebra raises ``SparqlSyntaxError`` with
+the reason, never silently mis-evaluates.
+"""
+from __future__ import annotations
+
+import re
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+#: xsd constructor functions usable as BIND casts → engine expr op
+_XSD_CASTS = {
+    _XSD + "integer": "int", _XSD + "int": "int", _XSD + "long": "int",
+    _XSD + "double": "num", _XSD + "decimal": "num", _XSD + "float": "num",
+}
+
+
+class SparqlSyntaxError(ValueError):
+    """Raised for text the grammar (or the engine's algebra) rejects."""
+
+
+# ---------------------------------------------------------------- tokens
+
+_TOKEN_RE = re.compile(r"""
+    (?P<WS>\s+|\#[^\n]*)
+  | (?P<IRI><[^<>"{}|^`\\\s]*>)
+  | (?P<VAR>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<BNODE>_:[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+  | (?P<LANG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.%-]*)
+  | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}().;,*+|^/=<>!])
+""", re.VERBOSE)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
+            "\\": "\\", "b": "\b", "f": "\f"}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt == "u" and i + 5 < len(s):
+                out.append(chr(int(s[i + 2:i + 6], 16)))
+                i += 6
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _tokenize(text: str):
+    """→ list of (kind, value) with whitespace/comments dropped. The
+    IRI alternative wins over ``<``-as-less-than by regex order; a bare
+    ``<`` not opening a valid IRIREF tokenizes as OP."""
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            raise SparqlSyntaxError(
+                f"cannot tokenize at offset {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append((kind, m.group()))
+    toks.append(("EOF", ""))
+    return toks
+
+
+# ---------------------------------------------------------------- parser
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._bn = 0  # fresh anonymous-variable counter
+
+    # -- token helpers ----------------------------------------------
+    def peek(self, k=0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words) -> bool:
+        k, v = self.peek()
+        return k == "NAME" and v.upper() in words
+
+    def eat_kw(self, word):
+        if not self.at_kw(word):
+            raise SparqlSyntaxError(
+                f"expected {word}, got {self.peek()[1]!r}")
+        return self.next()
+
+    def eat_op(self, op):
+        k, v = self.peek()
+        if k != "OP" or v != op:
+            raise SparqlSyntaxError(f"expected {op!r}, got {v!r}")
+        return self.next()
+
+    def at_op(self, *ops) -> bool:
+        k, v = self.peek()
+        return k == "OP" and v in ops
+
+    # -- terms ------------------------------------------------------
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError(f"undeclared prefix {pfx!r}:")
+        return self.prefixes[pfx] + local
+
+    def iri(self) -> str:
+        k, v = self.peek()
+        if k == "IRI":
+            self.next()
+            return v[1:-1]
+        if k == "PNAME":
+            self.next()
+            return self._expand_pname(v)
+        if k == "NAME" and v == "a":
+            self.next()
+            return RDF_TYPE
+        raise SparqlSyntaxError(f"expected an IRI, got {v!r}")
+
+    def literal(self) -> str:
+        """A literal's LEXICAL FORM (datatype/lang annotations consumed
+        and dropped — the engine matches plain strings)."""
+        k, v = self.next()
+        assert k == "STRING"
+        lex = _unescape(v[1:-1])
+        nk, nv = self.peek()
+        if nk == "OP" and nv == "^^":
+            self.next()
+            self.iri()
+        elif nk == "LANG":
+            self.next()
+        return lex
+
+    def term(self):
+        """subject/object position: var, iri, literal, number, bnode."""
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            return "?" + v[1:]
+        if k == "BNODE":
+            self.next()
+            return "?_bn_" + v[2:]
+        if k in ("IRI", "PNAME") or (k == "NAME" and v == "a"):
+            return self.iri()
+        if k == "STRING":
+            return self.literal()
+        if k == "NUM":
+            self.next()
+            return v  # lexical form — terms are strings end-to-end
+        if k == "NAME" and v.lower() in ("true", "false"):
+            self.next()
+            return v.lower()
+        raise SparqlSyntaxError(f"expected a term, got {v!r}")
+
+    def fresh_var(self) -> str:
+        self._bn += 1
+        return f"?_anon_{self._bn}"
+
+    # -- predicate path ---------------------------------------------
+    def path(self):
+        """Predicate position: ``?p``, ``iri``, ``^iri``, ``iri+``,
+        ``^iri+``, ``iri1|iri2|…`` (alternatives must be plain IRIs —
+        the engine's list form carries no per-branch modifiers)."""
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            return "?" + v[1:]
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        p = self.iri()
+        if self.at_op("+"):
+            self.next()
+            p += "+"
+        if self.at_op("*"):
+            raise SparqlSyntaxError(
+                "ZeroOrMorePath (p*) is not supported: its identity rows "
+                "range over the whole node domain — use p+ and union the "
+                "identity bindings you need")
+        if inv:
+            p = "^" + p
+        if self.at_op("|"):
+            if "+" in p or inv:
+                raise SparqlSyntaxError(
+                    "path alternatives must be plain IRIs (no ^/+ inside "
+                    "p1|p2)")
+            alts = [p]
+            while self.at_op("|"):
+                self.next()
+                alts.append(self.iri())
+                if self.at_op("+", "^", "*"):
+                    raise SparqlSyntaxError(
+                        "path alternatives must be plain IRIs")
+            return alts
+        return p
+
+    # -- query top level ----------------------------------------------
+    def parse(self) -> dict:
+        while self.at_kw("PREFIX"):
+            self.next()
+            k, v = self.next()
+            if k != "PNAME" or not v.endswith(":"):
+                raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
+            kk, vv = self.next()
+            if kk != "IRI":
+                raise SparqlSyntaxError(f"bad PREFIX iri {vv!r}")
+            self.prefixes[v[:-1]] = vv[1:-1]
+        if self.at_kw("BASE"):
+            raise SparqlSyntaxError("BASE is not supported — use full IRIs")
+        if self.at_kw("SELECT"):
+            return self._select()
+        if self.at_kw("ASK"):
+            return self._ask()
+        if self.at_kw("CONSTRUCT"):
+            return self._construct()
+        raise SparqlSyntaxError(
+            f"expected SELECT / ASK / CONSTRUCT, got {self.peek()[1]!r}")
+
+    def _finish(self, q: dict):
+        if self.peek()[0] != "EOF":
+            raise SparqlSyntaxError(
+                f"unexpected trailing input: {self.peek()[1]!r}")
+        return q
+
+    def _select(self) -> dict:
+        self.eat_kw("SELECT")
+        q: dict = {"kind": "select", "distinct": False, "select": None,
+                   "agg": {}, "select_binds": []}
+        if self.at_kw("DISTINCT"):
+            self.next()
+            q["distinct"] = True
+        if self.at_kw("REDUCED"):
+            self.next()  # REDUCED permits-but-does-not-require dedup
+        if self.at_op("*"):
+            self.next()
+        else:
+            sel: list[str] = []
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    sel.append("?" + v[1:])
+                elif self.at_op("("):
+                    self.next()
+                    self._select_expr(q, sel)
+                else:
+                    break
+            if not sel:
+                raise SparqlSyntaxError("empty SELECT clause")
+            q["select"] = sel
+        self._where(q)
+        self._modifiers(q)
+        return self._finish(q)
+
+    def _select_expr(self, q: dict, sel: list):
+        """``( AGG(...) AS ?v )`` or ``( expr AS ?v )`` in SELECT."""
+        k, v = self.peek()
+        agg = None
+        if k == "NAME" and v.upper() in (
+                "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT"):
+            agg = self._aggregate(v.upper())
+        else:
+            agg = None
+            expr = self.expr()
+        self.eat_kw("AS")
+        kk, vv = self.next()
+        if kk != "VAR":
+            raise SparqlSyntaxError(f"expected ?var after AS, got {vv!r}")
+        out = vv[1:]
+        self.eat_op(")")
+        if agg is not None:
+            q["agg"][out] = agg
+        else:
+            q["select_binds"].append(("?" + out, expr))
+        sel.append("?" + out)
+
+    def _aggregate(self, fn: str):
+        self.next()  # the function name
+        self.eat_op("(")
+        if fn == "COUNT":
+            if self.at_op("*"):
+                self.next()
+                self.eat_op(")")
+                return "count"
+            if self.at_kw("DISTINCT"):
+                self.next()
+                k, v = self.next()
+                if k != "VAR":
+                    raise SparqlSyntaxError("COUNT(DISTINCT ?var) expected")
+                self.eat_op(")")
+                return ("count_distinct", "?" + v[1:])
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlSyntaxError("COUNT(*) or COUNT(?var) expected")
+            self.eat_op(")")
+            # COUNT(?v) counts non-null ?v — the engine's count counts
+            # rows; expressible exactly only when ?v is required-bound
+            return ("count_var", "?" + v[1:])
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlSyntaxError(f"{fn}(?var) expected, got {v!r}")
+        var = "?" + v[1:]
+        if fn == "GROUP_CONCAT":
+            sep = " "
+            if self.at_op(";"):
+                self.next()
+                self.eat_kw("SEPARATOR")
+                self.eat_op("=")
+                kk, vv = self.next()
+                if kk != "STRING":
+                    raise SparqlSyntaxError("SEPARATOR expects a string")
+                sep = _unescape(vv[1:-1])
+            self.eat_op(")")
+            return ("group_concat", var, sep)
+        self.eat_op(")")
+        return (fn.lower(), var)
+
+    def _ask(self) -> dict:
+        self.eat_kw("ASK")
+        q: dict = {"kind": "ask", "distinct": False, "select": None,
+                   "agg": {}, "select_binds": []}
+        self._where(q)
+        return self._finish(q)
+
+    def _construct(self) -> dict:
+        self.eat_kw("CONSTRUCT")
+        q: dict = {"kind": "construct", "distinct": False, "select": None,
+                   "agg": {}, "select_binds": []}
+        self.eat_op("{")
+        templates = []
+        while not self.at_op("}"):
+            s = self.term()
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    p = "?" + v[1:]
+                else:
+                    p = self.iri()
+                o = self.term()
+                templates.append((s, p, o))
+                if self.at_op(","):
+                    self.next()
+                    while True:
+                        templates.append((s, p, self.term()))
+                        if self.at_op(","):
+                            self.next()
+                            continue
+                        break
+                if self.at_op(";"):
+                    self.next()
+                    if self.at_op(".", "}"):
+                        break
+                    continue
+                break
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        q["templates"] = templates
+        self._where(q)
+        self._modifiers(q)
+        return self._finish(q)
+
+    # -- WHERE clause --------------------------------------------------
+    def _where(self, q: dict):
+        if self.at_kw("WHERE"):
+            self.next()
+        body = self.group()
+        q.update(body)
+
+    def group(self) -> dict:
+        """One GroupGraphPattern ``{ … }`` → the engine's kwargs shape:
+        patterns / optional / minus / exists / union / values / bind /
+        filters."""
+        self.eat_op("{")
+        out: dict = {"patterns": [], "optional": [], "minus": [],
+                     "exists": [], "union": None, "values": None,
+                     "bind": [], "filters": []}
+        while not self.at_op("}"):
+            if self.at_kw("OPTIONAL"):
+                self.next()
+                out["optional"].append(self._subpatterns("OPTIONAL"))
+            elif self.at_kw("MINUS"):
+                self.next()
+                out["minus"].append(self._subpatterns("MINUS"))
+            elif self.at_kw("FILTER"):
+                self.next()
+                self._filter(out)
+            elif self.at_kw("BIND"):
+                self.next()
+                self.eat_op("(")
+                expr = self.expr()
+                self.eat_kw("AS")
+                k, v = self.next()
+                if k != "VAR":
+                    raise SparqlSyntaxError("BIND(expr AS ?var) expected")
+                self.eat_op(")")
+                out["bind"].append(("?" + v[1:], expr))
+            elif self.at_kw("VALUES"):
+                self.next()
+                if out["values"] is not None:
+                    raise SparqlSyntaxError(
+                        "only one VALUES block per group is supported")
+                out["values"] = self._values()
+            elif self.at_kw("GRAPH"):
+                self.next()
+                g = self.term()
+                sub = self._subpatterns("GRAPH")
+                out["patterns"].extend(tuple(p) + (g,) for p in sub)
+            elif self.at_op("{"):
+                # a braced subgroup: only meaningful here as a UNION chain
+                first = self._subpatterns("UNION branch")
+                if not self.at_kw("UNION"):
+                    raise SparqlSyntaxError(
+                        "a bare nested group has no engine meaning — "
+                        "inline its triples, or follow it with UNION")
+                if out["union"] is not None:
+                    raise SparqlSyntaxError(
+                        "only one UNION chain per group is supported")
+                branches = [first]
+                while self.at_kw("UNION"):
+                    self.next()
+                    branches.append(self._subpatterns("UNION branch"))
+                out["union"] = branches
+            else:
+                self._triples_block(out["patterns"])
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        return out
+
+    def _subpatterns(self, ctx: str) -> list:
+        """A nested group restricted to plain triples (the engine's
+        OPTIONAL/MINUS/EXISTS/UNION groups are pattern lists)."""
+        sub = self.group()
+        extra = [k for k in ("optional", "minus", "exists", "bind",
+                             "filters") if sub[k]]
+        if extra or sub["union"] is not None or sub["values"] is not None:
+            raise SparqlSyntaxError(
+                f"{ctx} groups support plain triple patterns only "
+                f"(found {extra or 'nested union/values'})")
+        if not sub["patterns"]:
+            raise SparqlSyntaxError(f"empty {ctx} group")
+        return sub["patterns"]
+
+    def _triples_block(self, patterns: list):
+        s = self.term()
+        while True:
+            p = self.path()
+            while True:
+                o = self.term()
+                patterns.append((s, p, o))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                if self.at_op(".", "}") or self.peek()[0] == "EOF":
+                    break
+                continue
+            break
+
+    # -- VALUES ---------------------------------------------------------
+    def _values(self):
+        k, v = self.peek()
+        if k == "VAR":  # single-variable form: VALUES ?x { "a" "b" }
+            self.next()
+            names = ["?" + v[1:]]
+            self.eat_op("{")
+            rows = []
+            while not self.at_op("}"):
+                if self.at_kw("UNDEF"):
+                    raise SparqlSyntaxError(
+                        "UNDEF in VALUES is not supported (row-"
+                        "compatibility join, not equality)")
+                rows.append((self.term(),))
+            self.eat_op("}")
+            return (names, rows)
+        self.eat_op("(")
+        names = []
+        while not self.at_op(")"):
+            kk, vv = self.next()
+            if kk != "VAR":
+                raise SparqlSyntaxError("VALUES (?x ?y) expected")
+            names.append("?" + vv[1:])
+        self.eat_op(")")
+        self.eat_op("{")
+        rows = []
+        while not self.at_op("}"):
+            self.eat_op("(")
+            row = []
+            while not self.at_op(")"):
+                if self.at_kw("UNDEF"):
+                    raise SparqlSyntaxError(
+                        "UNDEF in VALUES is not supported (row-"
+                        "compatibility join, not equality)")
+                row.append(self.term())
+            self.eat_op(")")
+            rows.append(tuple(row))
+        self.eat_op("}")
+        return (names, rows)
+
+    # -- FILTER ---------------------------------------------------------
+    def _filter(self, out: dict):
+        if self.at_kw("EXISTS"):
+            self.next()
+            out["exists"].append(self._subpatterns("EXISTS"))
+            return
+        if self.at_kw("NOT"):
+            self.next()
+            self.eat_kw("EXISTS")
+            out["minus"].append(self._subpatterns("NOT EXISTS"))
+            return
+        self.eat_op("(")
+        while True:
+            out["filters"].append(self._constraint())
+            if self.at_op("&&"):
+                self.next()
+                continue
+            if self.at_op("||"):
+                raise SparqlSyntaxError(
+                    "|| in FILTER is not supported — express the "
+                    "disjunction as a UNION of pattern groups or IN")
+            break
+        self.eat_op(")")
+
+    def _constraint(self):
+        if self.at_op("!"):
+            self.next()
+            self.eat_kw("BOUND")
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlSyntaxError("!BOUND(?var) expected")
+            self.eat_op(")")
+            return ("?" + v[1:], "bound", False)
+        if self.at_kw("BOUND"):
+            self.next()
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlSyntaxError("BOUND(?var) expected")
+            self.eat_op(")")
+            return ("?" + v[1:], "bound", True)
+        if self.at_kw("CONTAINS", "REGEX", "STRSTARTS"):
+            fn = self.next()[1].upper()
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlSyntaxError(f"{fn}(?var, \"…\") expected")
+            self.eat_op(",")
+            kk, vv = self.next()
+            if kk != "STRING":
+                raise SparqlSyntaxError(f"{fn} expects a string constant")
+            self.eat_op(")")
+            s = _unescape(vv[1:-1])
+            if fn == "CONTAINS":
+                return ("?" + v[1:], "contains", s)
+            if fn == "STRSTARTS":
+                return ("?" + v[1:], "regex", "^" + re.escape(s))
+            return ("?" + v[1:], "regex", s)
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlSyntaxError(
+                f"FILTER constraints must start with ?var, BOUND, "
+                f"CONTAINS, REGEX or [NOT] EXISTS — got {v!r}")
+        var = "?" + v[1:]
+        if self.at_kw("IN"):
+            self.next()
+            self.eat_op("(")
+            vals = []
+            while not self.at_op(")"):
+                vals.append(self.term())
+                if self.at_op(","):
+                    self.next()
+            self.eat_op(")")
+            return (var, "in", vals)
+        kk, op = self.peek()
+        if kk != "OP" or op not in ("=", "!=", "<", "<=", ">", ">="):
+            raise SparqlSyntaxError(f"expected a comparator, got {op!r}")
+        self.next()
+        tk, tv = self.peek()
+        if tk == "NUM":
+            self.next()
+            rhs = float(tv) if any(c in tv for c in ".eE") else int(tv)
+        else:
+            rhs = self.term()
+        return (var, op, rhs)
+
+    # -- expressions (BIND / SELECT exprs) --------------------------------
+    def expr(self):
+        left = self._mult()
+        while self.at_op("+", "-"):
+            op = self.next()[1]
+            right = self._mult()
+            left = ("add" if op == "+" else "sub", left, right)
+        return left
+
+    def _mult(self):
+        left = self._unary()
+        while self.at_op("*", "/"):
+            op = self.next()[1]
+            right = self._unary()
+            left = ("mul" if op == "*" else "div", left, right)
+        return left
+
+    def _unary(self):
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            return "?" + v[1:]
+        if k == "NUM":
+            self.next()
+            return float(v) if any(c in v for c in ".eE") else int(v)
+        if k == "STRING":
+            return self.literal()
+        if self.at_op("("):
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        if k == "PNAME" or k == "IRI":
+            # xsd:integer(?x)-style constructor cast
+            iri = self.iri()
+            if iri in _XSD_CASTS and self.at_op("("):
+                self.next()
+                e = self.expr()
+                self.eat_op(")")
+                return (_XSD_CASTS[iri], e)
+            return iri
+        if k == "NAME":
+            fn = v.upper()
+            fns = {"CONCAT": "concat", "STRLEN": "strlen",
+                   "UCASE": "ucase", "LCASE": "lcase",
+                   "SUBSTR": "substr", "COALESCE": "coalesce", "IF": "if",
+                   "STR": None}
+            if fn not in fns:
+                raise SparqlSyntaxError(f"unsupported function {v!r}")
+            self.next()
+            self.eat_op("(")
+            args = []
+            while not self.at_op(")"):
+                args.append(self.expr())
+                if self.at_op(","):
+                    self.next()
+            self.eat_op(")")
+            if fn == "STR":  # terms are lexical strings already
+                if len(args) != 1:
+                    raise SparqlSyntaxError("STR takes one argument")
+                return args[0]
+            return (fns[fn], *args)
+        raise SparqlSyntaxError(f"unsupported expression at {v!r}")
+
+    # -- solution modifiers ----------------------------------------------
+    def _modifiers(self, q: dict):
+        q.setdefault("group_by", [])
+        q.setdefault("having", [])
+        q.setdefault("order_by", [])
+        q.setdefault("limit", None)
+        q.setdefault("offset", 0)
+        if self.at_kw("GROUP"):
+            self.next()
+            self.eat_kw("BY")
+            while self.peek()[0] == "VAR":
+                q["group_by"].append("?" + self.next()[1][1:])
+            if not q["group_by"]:
+                raise SparqlSyntaxError("GROUP BY expects ?vars")
+        if self.at_kw("HAVING"):
+            self.next()
+            self.eat_op("(")
+            while True:
+                q["having"].append(self._constraint())
+                if self.at_op("&&"):
+                    self.next()
+                    continue
+                break
+            self.eat_op(")")
+        if self.at_kw("ORDER"):
+            self.next()
+            self.eat_kw("BY")
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    q["order_by"].append("?" + v[1:])
+                elif k == "NAME" and v.upper() in ("ASC", "DESC"):
+                    self.next()
+                    self.eat_op("(")
+                    kk, vv = self.next()
+                    if kk != "VAR":
+                        raise SparqlSyntaxError("ASC/DESC(?var) expected")
+                    self.eat_op(")")
+                    q["order_by"].append(
+                        ("?" + vv[1:], "descending" if v.upper() == "DESC"
+                         else "ascending"))
+                else:
+                    break
+            if not q["order_by"]:
+                raise SparqlSyntaxError("ORDER BY expects ?vars")
+        # LIMIT / OFFSET in either order
+        for _ in range(2):
+            if self.at_kw("LIMIT"):
+                self.next()
+                k, v = self.next()
+                if k != "NUM" or not v.isdigit():
+                    raise SparqlSyntaxError("LIMIT expects an integer")
+                q["limit"] = int(v)
+            elif self.at_kw("OFFSET"):
+                self.next()
+                k, v = self.next()
+                if k != "NUM" or not v.isdigit():
+                    raise SparqlSyntaxError("OFFSET expects an integer")
+                q["offset"] = int(v)
+
+
+def parse_sparql(text: str) -> dict:
+    """Parse a SPARQL query string → the engine's structured form (a dict
+    of :func:`~.bgp.evaluate_bgp` kwargs plus ``kind`` and, for
+    CONSTRUCT, ``templates``). Driver-side, query-sized work."""
+    return _Parser(text).parse()
+
+
+def _lower(q: dict) -> dict:
+    """AST → evaluate_bgp(_store) kwargs, applying the engine-level
+    lowerings that need whole-query context: SELECT expressions become
+    trailing BINDs; COUNT(?v) lowers to count-rows (exact when ?v is
+    required-bound — it is unless ?v came from OPTIONAL, which raises);
+    aggregates without GROUP BY group over a synthetic constant key."""
+    agg = dict(q["agg"])
+    group_by = list(q.get("group_by") or [])
+    bind = list(q.get("bind") or []) + list(q.get("select_binds") or [])
+    select = q["select"]
+    opt_vars = {t[1:] for g in (q.get("optional") or [])
+                for p in (g if isinstance(g, list) else [g])
+                for t in p if isinstance(t, str) and t.startswith("?")}
+    for out, spec in list(agg.items()):
+        if isinstance(spec, tuple) and spec[0] == "count_var":
+            if spec[1][1:] in opt_vars:
+                raise SparqlSyntaxError(
+                    f"COUNT({spec[1]}) over an OPTIONAL variable is not "
+                    "supported (the engine's count counts rows) — use "
+                    "COUNT(*) with a FILTER(BOUND(...)) or make the "
+                    "pattern required")
+            agg[out] = "count"
+    synthetic = None
+    if agg and not group_by:
+        # SPARQL's implicit single group: group on a constant
+        synthetic = "_g"
+        bind = bind + [("?_g", "1")]
+        group_by = ["?_g"]
+        if select is None:
+            select = ["?" + o for o in agg]
+    kw = {
+        "optional": q.get("optional") or None,
+        "minus": q.get("minus") or None,
+        "exists": q.get("exists") or None,
+        "union": q.get("union"),
+        "values": q.get("values"),
+        "bind": bind or None,
+        "filters": q.get("filters") or None,
+        "group_by": group_by or None,
+        "agg": agg or None,
+        "having": q.get("having") or None,
+        "select": select,
+        "distinct": q.get("distinct", False),
+        "order_by": q.get("order_by") or None,
+        "limit": q.get("limit"),
+        "offset": q.get("offset", 0),
+    }
+    if synthetic and kw["select"] is not None:
+        kw["select"] = [v for v in kw["select"] if v != "?_g"]
+    return {k: v for k, v in kw.items() if v is not None}
+
+
+def sparql(source, text: str, *, num_buckets: int = 32,
+           obj_index_dir: str | None = None, reorder: bool = True):
+    """Run a SPARQL query string against ``source`` — a triples
+    ``Dataset`` (columns subj/pred/obj[/graph]) or a partitioned STORE
+    directory (read-pruned per pattern, the storage path). Returns a
+    bindings ``Dataset`` for SELECT, ``bool`` for ASK, and a
+    (subj, pred, obj) ``Dataset`` for CONSTRUCT."""
+    from .bgp import ask_bgp, construct_triples, evaluate_bgp, \
+        evaluate_bgp_store
+
+    q = parse_sparql(text)
+    kw = _lower(q)
+    patterns = q["patterns"]
+    kw.pop("kind", None)
+    if isinstance(source, str):
+        def run(**extra):
+            return evaluate_bgp_store(
+                source, patterns, num_buckets=num_buckets,
+                obj_index_dir=obj_index_dir, reorder=reorder,
+                **kw, **extra)
+    else:
+        def run(**extra):
+            return evaluate_bgp(source, patterns, num_buckets=num_buckets,
+                                reorder=reorder, **kw, **extra)
+
+    if q["kind"] == "ask":
+        if isinstance(source, str):
+            return evaluate_bgp_store(
+                source, patterns, num_buckets=num_buckets,
+                obj_index_dir=obj_index_dir, reorder=reorder,
+                limit=1, **{k: v for k, v in kw.items()
+                            if k not in ("limit", "offset")}).count() > 0
+        return ask_bgp(source, patterns, num_buckets=num_buckets,
+                       reorder=reorder,
+                       **{k: v for k, v in kw.items()
+                          if k not in ("limit", "offset")})
+    bindings = run()
+    if q["kind"] == "construct":
+        return construct_triples(bindings, q["templates"])
+    return bindings

@@ -1,0 +1,336 @@
+"""Textual SPARQL front-end: grammar → structured algebra, and
+end-to-end parity with the structured evaluators."""
+
+import pyarrow as pa
+import pytest
+
+from cattle_ray.stages.sparql import (SparqlSyntaxError, _lower,
+                                      parse_sparql, sparql)
+
+EX = "urn:ex:"
+P = f"PREFIX ex: <{EX}> "
+
+
+# ------------------------------------------------------------- parsing
+
+def test_prefix_and_abbreviations():
+    q = parse_sparql(P + """SELECT ?s WHERE {
+        ?s ex:p "v" ; ex:q "w", "x" . }""")
+    assert q["patterns"] == [
+        ("?s", EX + "p", "v"), ("?s", EX + "q", "w"), ("?s", EX + "q", "x")]
+    assert q["select"] == ["?s"]
+
+
+def test_a_keyword_and_iri_terms():
+    q = parse_sparql("SELECT * WHERE { <urn:s> a ?t . }")
+    assert q["patterns"] == [
+        ("urn:s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "?t")]
+    assert q["select"] is None
+
+
+def test_literal_annotations_drop_to_lexical():
+    q = parse_sparql(P + """SELECT ?s WHERE {
+        ?s ex:n "5"^^<http://www.w3.org/2001/XMLSchema#integer> ;
+           ex:l "hi"@en . }""")
+    assert q["patterns"] == [("?s", EX + "n", "5"), ("?s", EX + "l", "hi")]
+
+
+def test_blank_nodes_become_variables():
+    q = parse_sparql(P + "SELECT ?s WHERE { ?s ex:p _:b . _:b ex:q ?o . }")
+    assert q["patterns"] == [
+        ("?s", EX + "p", "?_bn_b"), ("?_bn_b", EX + "q", "?o")]
+
+
+def test_property_paths():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?a ex:anc+ ?b . ?c ^ex:child ?d . ?e ex:p1|ex:p2 ?f . }""")
+    assert q["patterns"][0] == ("?a", EX + "anc+", "?b")
+    assert q["patterns"][1] == ("?c", "^" + EX + "child", "?d")
+    assert q["patterns"][2] == ("?e", [EX + "p1", EX + "p2"], "?f")
+
+
+def test_zero_or_more_path_rejected():
+    with pytest.raises(SparqlSyntaxError, match="ZeroOrMorePath"):
+        parse_sparql(P + "SELECT * WHERE { ?a ex:p* ?b . }")
+
+
+def test_path_alternative_modifiers_rejected():
+    with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
+        parse_sparql(P + "SELECT * WHERE { ?a ex:p+|ex:q ?b . }")
+
+
+def test_filters_lower_to_engine_tuples():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v ; ex:w ?w .
+        FILTER(?v != "x" && CONTAINS(?w, "ab"))
+        FILTER(REGEX(?v, "^a"))
+        FILTER(?w IN ("p", "q"))
+        FILTER(BOUND(?v))
+        FILTER(!BOUND(?w))
+        FILTER(?v > 5)
+        FILTER(?v <= 2.5)
+    }""")
+    assert q["filters"] == [
+        ("?v", "!=", "x"), ("?w", "contains", "ab"),
+        ("?v", "regex", "^a"), ("?w", "in", ["p", "q"]),
+        ("?v", "bound", True), ("?w", "bound", False),
+        ("?v", ">", 5), ("?v", "<=", 2.5)]
+
+
+def test_strstarts_lowers_to_anchored_regex():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v . FILTER(STRSTARTS(?v, "a.b")) }""")
+    assert q["filters"] == [("?v", "regex", r"^a\.b")]
+
+
+def test_exists_and_not_exists_groups():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:p ?o .
+        FILTER EXISTS { ?s ex:q ?x . }
+        FILTER NOT EXISTS { ?s ex:r ?y . } }""")
+    assert q["exists"] == [[("?s", EX + "q", "?x")]]
+    assert q["minus"] == [[("?s", EX + "r", "?y")]]
+
+
+def test_or_in_filter_rejected():
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(P + """SELECT * WHERE {
+            ?s ex:v ?v . FILTER(?v = "a" || ?v = "b") }""")
+
+
+def test_bind_expressions():
+    q = parse_sparql(P + """PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+      SELECT * WHERE {
+        ?s ex:r ?r .
+        BIND(CONCAT(?s, "#", ?r) AS ?tag)
+        BIND(xsd:integer(?r) * 10 + 1 AS ?x) }""")
+    assert q["bind"] == [
+        ("?tag", ("concat", "?s", "#", "?r")),
+        ("?x", ("add", ("mul", ("int", "?r"), 10), 1))]
+
+
+def test_select_expression_becomes_bind():
+    q = parse_sparql(P + """SELECT ?s (STRLEN(?v) AS ?n) WHERE {
+        ?s ex:v ?v . }""")
+    assert q["select_binds"] == [("?n", ("strlen", "?v"))]
+    assert q["select"] == ["?s", "?n"]
+    kw = _lower(q)
+    assert kw["bind"] == [("?n", ("strlen", "?v"))]
+
+
+def test_union_and_values():
+    q = parse_sparql(P + """SELECT * WHERE {
+        { ?s ex:rank ?r . } UNION { ?s ex:score ?v . }
+        VALUES ?s { "a" "b" } }""")
+    assert q["union"] == [[("?s", EX + "rank", "?r")],
+                          [("?s", EX + "score", "?v")]]
+    assert q["values"] == (["?s"], [("a",), ("b",)])
+
+
+def test_multi_var_values():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:p ?o . VALUES (?s ?o) { ("a" "1") ("b" "2") } }""")
+    assert q["values"] == (["?s", "?o"], [("a", "1"), ("b", "2")])
+
+
+def test_values_undef_rejected():
+    with pytest.raises(SparqlSyntaxError, match="UNDEF"):
+        parse_sparql(P + """SELECT * WHERE {
+            ?s ex:p ?o . VALUES ?s { UNDEF } }""")
+
+
+def test_bare_nested_group_rejected():
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(P + "SELECT * WHERE { { ?s ex:p ?o . } ?s ex:q ?x . }")
+
+
+def test_graph_scopes_to_quads():
+    q = parse_sparql(P + """SELECT * WHERE {
+        GRAPH <urn:g1> { ?s ex:p ?o . }
+        GRAPH ?g { ?s ex:q ?x . } }""")
+    assert q["patterns"] == [("?s", EX + "p", "?o", "urn:g1"),
+                             ("?s", EX + "q", "?x", "?g")]
+
+
+def test_aggregates_lower_to_engine_specs():
+    q = parse_sparql(P + """SELECT ?k (COUNT(*) AS ?n) (SUM(?v) AS ?t)
+        (AVG(?v) AS ?a) (MIN(?v) AS ?lo) (MAX(?v) AS ?hi)
+        (COUNT(DISTINCT ?v) AS ?d)
+        (GROUP_CONCAT(?v; SEPARATOR="|") AS ?c)
+      WHERE { ?s ex:k ?k ; ex:v ?v . } GROUP BY ?k
+      HAVING(?n > 3)""")
+    assert q["agg"] == {
+        "n": "count", "t": ("sum", "?v"), "a": ("avg", "?v"),
+        "lo": ("min", "?v"), "hi": ("max", "?v"),
+        "d": ("count_distinct", "?v"), "c": ("group_concat", "?v", "|")}
+    assert q["group_by"] == ["?k"]
+    assert q["having"] == [("?n", ">", 3)]
+
+
+def test_count_var_lowers_to_count_when_required():
+    q = parse_sparql(P + """SELECT ?k (COUNT(?v) AS ?n) WHERE {
+        ?s ex:k ?k ; ex:v ?v . } GROUP BY ?k""")
+    assert _lower(q)["agg"] == {"n": "count"}
+
+
+def test_count_var_over_optional_rejected():
+    q = parse_sparql(P + """SELECT ?k (COUNT(?v) AS ?n) WHERE {
+        ?s ex:k ?k . OPTIONAL { ?s ex:v ?v . } } GROUP BY ?k""")
+    with pytest.raises(SparqlSyntaxError, match="OPTIONAL"):
+        _lower(q)
+
+
+def test_implicit_group_lowering():
+    q = parse_sparql(P + "SELECT (COUNT(*) AS ?n) WHERE { ?s ex:p ?o . }")
+    kw = _lower(q)
+    assert kw["group_by"] == ["?_g"]
+    assert ("?_g", "1") in kw["bind"]
+    assert kw["select"] == ["?n"]
+
+
+def test_modifiers_parse():
+    q = parse_sparql(P + """SELECT ?s WHERE { ?s ex:p ?o . }
+        ORDER BY DESC(?o) ?s LIMIT 7 OFFSET 3""")
+    assert q["order_by"] == [("?o", "descending"), "?s"]
+    assert q["limit"] == 7 and q["offset"] == 3
+    q2 = parse_sparql(P + """SELECT ?s WHERE { ?s ex:p ?o . }
+        OFFSET 1 LIMIT 2""")
+    assert q2["limit"] == 2 and q2["offset"] == 1
+
+
+def test_distinct_flag():
+    assert parse_sparql(
+        P + "SELECT DISTINCT ?s WHERE { ?s ex:p ?o . }")["distinct"]
+
+
+def test_construct_templates():
+    q = parse_sparql(P + """CONSTRUCT { ?s ex:out ?o ; ex:flag "y" . }
+        WHERE { ?s ex:in ?o . }""")
+    assert q["kind"] == "construct"
+    assert q["templates"] == [("?s", EX + "out", "?o"),
+                              ("?s", EX + "flag", "y")]
+
+
+def test_ask_parses():
+    assert parse_sparql(P + "ASK { ?s ex:p ?o . }")["kind"] == "ask"
+
+
+def test_syntax_errors():
+    for bad, msg in [
+        ("SELECT ?s WHERE { ?s ex:p ?o . } extra", "undeclared prefix"),
+        (P + "SELECT ?s WHERE { ?s ex:p ?o . } extra", "trailing"),
+        ("BASE <urn:b> SELECT * WHERE { ?s ?p ?o . }", "BASE"),
+        ("DESCRIBE <urn:x>", "SELECT / ASK / CONSTRUCT"),
+        (P + "SELECT WHERE { ?s ex:p ?o . }", "empty SELECT"),
+    ]:
+        with pytest.raises(SparqlSyntaxError, match=msg):
+            parse_sparql(bad)
+
+
+def test_comments_and_dollar_vars():
+    q = parse_sparql(P + """SELECT $s WHERE {
+        # a comment
+        $s ex:p ?o .  # trailing comment
+    }""")
+    assert q["patterns"] == [("?s", EX + "p", "?o")]
+    assert q["select"] == ["?s"]
+
+
+# --------------------------------------------------------- end-to-end
+
+ROWS = [
+    ("a", EX + "type", "Doc"), ("b", EX + "type", "Doc"),
+    ("c", EX + "type", "Page"),
+    ("a", EX + "about", "E1"), ("b", EX + "about", "E2"),
+    ("c", EX + "about", "E1"),
+    ("E1", EX + "in", "X"), ("E2", EX + "in", "Y"),
+    ("a", EX + "rank", "3"), ("b", EX + "rank", "11"),
+]
+
+
+def _ds(parts=3):
+    import ray.data as rd
+
+    s, p, o = zip(*ROWS)
+    return rd.from_arrow(pa.table(
+        {"subj": list(s), "pred": list(p), "obj": list(o)})) \
+        .repartition(parts)
+
+
+def test_text_select_matches_structured(ray_session):
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    text = sparql(_ds(), P + """SELECT ?d ?e WHERE {
+        ?d ex:type "Doc" ; ex:about ?e . } ORDER BY ?d""").to_pandas()
+    structured = evaluate_bgp(
+        _ds(), [("?d", EX + "type", "Doc"), ("?d", EX + "about", "?e")],
+        select=["?d", "?e"], order_by=["?d"]).to_pandas()
+    assert text.values.tolist() == structured.values.tolist()
+    assert list(text.columns) == ["d", "e"]
+
+
+def test_text_numeric_filter(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d WHERE {
+        ?d ex:rank ?r . FILTER(?r > 5) }""").to_pandas()
+    assert list(out["d"]) == ["b"]  # lexicographic would keep "3" > "5"
+
+
+def test_text_optional_and_bound(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d ?r WHERE {
+        ?d ex:type "Doc" . OPTIONAL { ?d ex:missing ?r . } }""").to_pandas()
+    assert sorted(out["d"]) == ["a", "b"]
+    assert out["r"].isna().all()
+
+
+def test_text_implicit_group_count(ray_session):
+    out = sparql(_ds(), P + """SELECT (COUNT(*) AS ?n) WHERE {
+        ?s ex:type ?t . }""").to_pandas()
+    assert list(out.columns) == ["n"] and out["n"][0] == 3
+
+
+def test_text_group_by_aggregate(ray_session):
+    out = sparql(_ds(), P + """SELECT ?t (COUNT(*) AS ?n) WHERE {
+        ?s ex:type ?t . } GROUP BY ?t ORDER BY DESC(?n) ?t""").to_pandas()
+    assert out.values.tolist() == [["Doc", 2], ["Page", 1]]
+
+
+def test_text_union(ray_session):
+    out = sparql(_ds(), P + """SELECT ?s WHERE {
+        { ?s ex:rank ?r . } UNION { ?s ex:in ?x . } }""").to_pandas()
+    assert sorted(out["s"]) == ["E1", "E2", "a", "b"]
+
+
+def test_text_values(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d ?e WHERE {
+        ?d ex:about ?e . VALUES ?e { "E1" } } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", "E1"], ["c", "E1"]]
+
+
+def test_text_ask(ray_session):
+    assert sparql(_ds(), P + 'ASK { ?s ex:type "Doc" . }') is True
+    assert sparql(_ds(), P + 'ASK { ?s ex:type "Nope" . }') is False
+
+
+def test_text_construct(ray_session):
+    out = sparql(_ds(), P + """CONSTRUCT { ?e ex:docCount "x" . }
+        WHERE { ?d ex:about ?e . }""").to_pandas()
+    assert list(out.columns) == ["subj", "pred", "obj"]
+    assert sorted(out["subj"]) == ["E1", "E1", "E2"]
+
+
+def test_text_store_source(ray_session, tmp_path):
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(_ds(), store, num_partitions=4)
+    out = sparql(store, P + """SELECT ?d ?r WHERE {
+        ?d ex:type "Doc" ; ex:rank ?r . } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", "3"], ["b", "11"]]
+
+
+def test_text_select_expression_end_to_end(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d (STRLEN(?e) AS ?n) WHERE {
+        ?d ex:about ?e . } ORDER BY ?d""").to_pandas()
+    assert list(out.columns) == ["d", "n"]
+    assert out["n"].tolist() == [2, 2, 2]
