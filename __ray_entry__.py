@@ -4284,6 +4284,33 @@ def q_kg_bgp_minmax(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_sparql_update(sf_dir: str):
+    """SPARQL UPDATE end to end (stages/sparql.sparql_update): write the
+    csvw triples as a partitioned store, run ``DELETE { ?s rank ?r }
+    INSERT { ?s hadRank ?r } WHERE { rank ?r, FILTER(?r >= 2) }`` — the
+    WHERE evaluates store-side with read pruning, both templates
+    instantiate from the PRE-update bindings, delete routes through the
+    tracked hash-exchange anti-join and insert through the
+    generation-tracked merge — then SELECT the final (s, p, o) state.
+    The oracle recomputes the post-update state relationally."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.sparql import sparql, sparql_update
+
+    out_dir = tempfile.mkdtemp(prefix="kg_sparql_update_", dir="/tmp")
+    write_triples_hash_partitioned(q_kg_csvw_triples(sf_dir), out_dir,
+                                   num_partitions=8)
+    sparql_update(out_dir, f"""
+        PREFIX ex: <{EX}>
+        DELETE {{ ?s ex:rank ?r . }}
+        INSERT {{ ?s ex:hadRank ?r . }}
+        WHERE {{ ?s ex:rank ?r . FILTER(?r >= 2) }}""", num_buckets=8)
+    return sparql(out_dir,
+                  "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }", num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -4499,6 +4526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct": q_kg_construct,
         "kg_sparql_text": q_kg_sparql_text,
         "kg_sparql_agg": q_kg_sparql_agg,
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
@@ -6310,6 +6338,15 @@ def _oracle_sql_base() -> dict[str, str]:
                    WHERE pred = '{EX}rank')
             SELECT e, r FROM en JOIN rk USING (subj)
             WHERE CAST(r AS BIGINT) >= 2
+        """,
+        "kg_sparql_update": _TRIPLE_BASE_CTE + f""",
+            moved AS (SELECT subj, obj FROM triples
+                      WHERE pred = '{EX}rank'
+                        AND CAST(obj AS BIGINT) >= 2)
+            SELECT subj AS s, pred AS p, obj AS o FROM triples
+            WHERE NOT (pred = '{EX}rank' AND CAST(obj AS BIGINT) >= 2)
+            UNION ALL
+            SELECT subj, '{EX}hadRank', obj FROM moved
         """,
         "kg_sparql_agg": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

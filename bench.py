@@ -227,6 +227,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_bgp_count_distinct",
         "kg_sparql_text",
         "kg_sparql_agg",
+        "kg_sparql_update",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -365,6 +365,25 @@ def cmd_sparql(args):
                                 for n in names))
 
 
+def cmd_update(args):
+    """SPARQL UPDATE from the shell: every mutation is a tracked
+    generation (``store --asof`` resurrects pre-update snapshots).
+    Prints the ``{op, matched, removed, inserted, generation}`` summary
+    as one JSON line; syntax/validation errors exit 65."""
+    from .stages.sparql import SparqlSyntaxError, sparql_update
+
+    text = args.update
+    if text.startswith("@"):
+        text = open(text[1:]).read()
+    _ensure_ray(args.num_cpus)
+    try:
+        out = sparql_update(args.store, text)
+    except (SparqlSyntaxError, ValueError, NotImplementedError) as e:
+        print(f"update: {e}", file=sys.stderr)
+        sys.exit(65)
+    print(json.dumps(out))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -474,6 +493,14 @@ def main(argv=None):
     sp.add_argument("--json", action="store_true",
                     help="print JSON lines instead of TSV")
     sp.set_defaults(fn=cmd_sparql)
+
+    up = sub.add_parser("update", help="SPARQL UPDATE (INSERT/DELETE "
+                                       "DATA, DELETE WHERE, DELETE/"
+                                       "INSERT WHERE) over a tracked "
+                                       "store")
+    up.add_argument("store", help="generation-tracked partitioned store")
+    up.add_argument("update", help="the SPARQL update string, or @file")
+    up.set_defaults(fn=cmd_update)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")

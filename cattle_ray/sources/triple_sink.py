@@ -596,6 +596,148 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
     return out
 
 
+def delete_exact_rows(out_dir: str, rows, num_buckets: int | None = None):
+    """Tracked BULK retraction: delete every store row whose identity
+    agrees with a row of ``rows`` on ALL of ``rows``' columns — the
+    engine half of SPARQL ``DELETE DATA`` / ``DELETE WHERE`` (each
+    ground quad instantiated from the bindings is one delete row).
+    ``rows`` is a pa.Table or a Dataset and MUST include ``subj``: the
+    delete set hash-routes by the store's subject routing (the same
+    :func:`hash_exchange` shape as the merge sink — never a driver
+    loop, never a full-store scan: only partitions a delete row routes
+    into are opened), and each touched partition anti-joins its file
+    against its slice of the delete set (nulls compare equal, the delta
+    writer's identity rule). Annotation columns absent from ``rows``
+    (obj_datatype, src_url, …) don't constrain the match — deleting
+    (s, p, o) removes the stored row carrying its provenance. Always a
+    generation: removed rows land under ``part_id=N/gen=G/`` and the
+    meta bumps once for the whole batch (not per row), so
+    :func:`read_store_asof` resurrects the pre-delete snapshot; a
+    no-match delete doesn't bump (same discipline as
+    :func:`delete_triples`). Returns the per-partition manifest."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(rows, pa.Table):
+        rows = rd.from_arrow(rows)
+    route = store_key(out_dir)
+    if route != "subj":
+        raise ValueError(
+            f"store {out_dir!r} is routed by {route!r}; deletes route by "
+            "subj — rebuild the secondary index from the mutated primary "
+            "instead")
+    num_partitions = store_num_partitions(out_dir)
+    # drop planner stats BEFORE any partition rewrite (crash safety —
+    # same rationale as merge/delete)
+    meta0 = _load_meta(out_dir)
+    if meta0.pop("stats", None) is not None:
+        _save_meta(out_dir, meta0)
+    gen = _next_generation(out_dir)
+
+    with_part = rows.map_batches(
+        lambda b: add_subj_partition(b, num_partitions),
+        batch_format="pyarrow")
+
+    manifest_schema = pa.schema([
+        pa.field("part_id", pa.int64()), pa.field("n_removed", pa.int64()),
+        pa.field("n_total", pa.int64())])
+
+    def del_group(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        if g.num_rows == 0:
+            return manifest_schema.empty_table()
+        pid = int(g["part_id"][0].as_py())
+        dels = g.drop_columns(["part_id"])
+        dst = os.path.join(out_dir, f"part_id={pid}", "data.parquet")
+        if not os.path.exists(dst):
+            return manifest_schema.empty_table()
+        t = pq.read_table(dst)
+        match_cols = [c for c in dels.column_names if c in t.column_names]
+        if "subj" not in match_cols:
+            raise ValueError("delete rows must carry a subj column")
+        # membership via pandas merge indicator: NaN↔NaN matches — the
+        # same nulls-compare-equal identity as the delta writer
+        dd = dels.select(match_cols).to_pandas().drop_duplicates()
+        td = t.select(match_cols).to_pandas()
+        m = td.merge(dd, on=match_cols, how="left", indicator=True)
+        mask = pa.array((m["_merge"] == "both").to_numpy())
+        n_rm = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        if n_rm == 0:
+            return manifest_schema.empty_table()
+        removed = t.filter(mask)
+        kept = t.filter(pc.invert(mask))
+        pdir = os.path.dirname(dst)
+        gdir = os.path.join(pdir, f"gen={gen}")
+        os.makedirs(gdir, exist_ok=True)
+        dtmp = os.path.join(gdir, ".removed.parquet.tmp")
+        pq.write_table(removed, dtmp)
+        os.replace(dtmp, os.path.join(gdir, "removed.parquet"))
+        tmp = os.path.join(pdir, ".data.parquet.tmp")
+        pq.write_table(kept, tmp)
+        os.replace(tmp, dst)
+        return pa.table({"part_id": pa.array([pid]),
+                         "n_removed": pa.array([n_rm]),
+                         "n_total": pa.array([kept.num_rows])},
+                        schema=manifest_schema)
+
+    from ..stages.exchange import hash_exchange
+
+    out = hash_exchange(with_part, "part_id", del_group,
+                        num_partitions).to_pandas()
+    if len(out) == 0 or int(out["n_removed"].sum()) == 0:
+        return out.iloc[0:0] if len(out) else out
+    meta = _load_meta(out_dir)
+    meta["generation"] = gen
+    meta.setdefault("history", []).append({
+        "gen": gen, "op": "delete", "added": 0,
+        "removed": int(out["n_removed"].sum())})
+    _save_meta(out_dir, meta)
+    return out
+
+
+def insert_rows(out_dir: str, rows, num_buckets: int | None = None):
+    """Tracked BULK insertion — the engine half of SPARQL ``INSERT
+    DATA`` / ``INSERT … WHERE``. ``rows`` (pa.Table or Dataset) is
+    padded to the store's stored schema (annotation columns the insert
+    doesn't carry become typed nulls; extra columns are rejected), then
+    merged through the generation-tracked sink — RDF set semantics, only
+    routed partitions rewrite, one generation bump. Returns the merge
+    manifest."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    in_cols = (rows.column_names if isinstance(rows, pa.Table)
+               else rows.schema().names)
+    if isinstance(rows, pa.Table):
+        rows = rd.from_arrow(rows)
+    parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no partitions in {out_dir!r}")
+    schema = pq.read_schema(parts[0])
+    extra = [c for c in in_cols if c not in schema.names]
+    if extra:  # validate on the DRIVER, not inside a Ray task
+        raise ValueError(
+            f"insert rows carry columns {extra} the store lacks — "
+            "the stored schema is the contract")
+
+    def pad(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table(
+            {f.name: (pc.cast(b[f.name], f.type)
+                      if f.name in b.column_names else pa.nulls(n, f.type))
+             for f in schema}).cast(schema)
+
+    return merge_triples_hash_partitioned(
+        rows.map_batches(pad, batch_format="pyarrow"), out_dir,
+        num_partitions=store_num_partitions(out_dir),
+        track_generations=True)
+
+
 def read_store_asof(out_dir: str, generation: int | None = None):
     """Time travel: the store's content AS OF ``generation`` as a Ray
     Dataset. Replay is PARTITION-LOCAL (zero shuffle): each partition task

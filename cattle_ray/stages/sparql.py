@@ -769,6 +769,191 @@ class _Parser:
                 q["offset"] = int(v)
 
 
+# ------------------------------------------------------------- updates
+
+def _is_template_pattern(p) -> bool:
+    """A pattern usable as a ground-instantiation template: 3 terms,
+    no path forms, no alternative lists."""
+    if len(p) != 3:
+        return False
+    for i, t in enumerate(p):
+        if isinstance(t, (list, tuple, set)):
+            return False
+        if i == 1 and isinstance(t, str) and not t.startswith("?") and (
+                t.endswith("+") or t.startswith("^")):
+            return False
+    return True
+
+
+class _UpdateParser(_Parser):
+    def parse_update(self) -> dict:
+        while self.at_kw("PREFIX"):
+            self.next()
+            k, v = self.next()
+            if k != "PNAME" or not v.endswith(":"):
+                raise SparqlSyntaxError(f"bad PREFIX name {v!r}")
+            kk, vv = self.next()
+            if kk != "IRI":
+                raise SparqlSyntaxError(f"bad PREFIX iri {vv!r}")
+            self.prefixes[v[:-1]] = vv[1:-1]
+        if self.at_kw("INSERT"):
+            self.next()
+            if self.at_kw("DATA"):
+                self.next()
+                return self._finish({"kind": "insert_data",
+                                     "triples": self._ground_block()})
+            tmpl = self._template_block("INSERT")
+            self.eat_kw("WHERE")
+            return self._finish({"kind": "modify", "delete": None,
+                                 "insert": tmpl, "where": self.group()})
+        if self.at_kw("DELETE"):
+            self.next()
+            if self.at_kw("DATA"):
+                self.next()
+                return self._finish({"kind": "delete_data",
+                                     "triples": self._ground_block()})
+            if self.at_kw("WHERE"):
+                self.next()
+                g = self.group()
+                bad = [p for p in g["patterns"]
+                       if not _is_template_pattern(p)]
+                if bad:
+                    raise SparqlSyntaxError(
+                        f"DELETE WHERE patterns double as delete templates "
+                        f"— paths/alternatives/quads not allowed: {bad[0]!r}")
+                return self._finish({"kind": "modify",
+                                     "delete": list(g["patterns"]),
+                                     "insert": None, "where": g})
+            tmpl = self._template_block("DELETE")
+            ins = None
+            if self.at_kw("INSERT"):
+                self.next()
+                ins = self._template_block("INSERT")
+            self.eat_kw("WHERE")
+            return self._finish({"kind": "modify", "delete": tmpl,
+                                 "insert": ins, "where": self.group()})
+        raise SparqlSyntaxError(
+            f"expected INSERT / DELETE, got {self.peek()[1]!r}")
+
+    def _template_block(self, ctx: str) -> list:
+        self.eat_op("{")
+        out: list = []
+        while not self.at_op("}"):
+            self._triples_block(out)
+            if self.at_op("."):
+                self.next()
+        self.eat_op("}")
+        if not out:
+            raise SparqlSyntaxError(f"empty {ctx} template")
+        bad = [p for p in out if not _is_template_pattern(p)]
+        if bad:
+            raise SparqlSyntaxError(
+                f"{ctx} templates are plain triples (no paths / "
+                f"alternatives / GRAPH): {bad[0]!r}")
+        return out
+
+    def _ground_block(self) -> list:
+        tmpl = self._template_block("DATA")
+        with_var = [p for p in tmpl
+                    for t in p if isinstance(t, str) and t.startswith("?")]
+        if with_var:
+            raise SparqlSyntaxError(
+                f"INSERT/DELETE DATA must be ground (no variables): "
+                f"{with_var[0]!r}")
+        return tmpl
+
+
+def parse_sparql_update(text: str) -> dict:
+    """Parse a SPARQL UPDATE string → ``{"kind": "insert_data" |
+    "delete_data", "triples": [...]}`` or ``{"kind": "modify",
+    "delete": templates|None, "insert": templates|None, "where":
+    group}``. Driver-side, update-sized work."""
+    return _UpdateParser(text).parse_update()
+
+
+def sparql_update(store_dir: str, text: str, *, num_buckets: int = 32):
+    """Execute a SPARQL UPDATE against a generation-tracked partitioned
+    store — the text layer over the engine's tracked mutations, so every
+    update is a GENERATION and time travel resurrects pre-update
+    snapshots:
+
+    * ``INSERT DATA { ground triples }`` → :func:`~..sources.triple_sink.
+      insert_rows` (schema-padded tracked merge, routed partitions only)
+    * ``DELETE DATA { ground triples }`` → :func:`…delete_exact_rows`
+      (hash-routed anti-join, routed partitions only)
+    * ``DELETE WHERE { patterns }`` / ``DELETE {t} INSERT {t} WHERE
+      {group}`` → the WHERE group evaluates store-side (read-pruned
+      scans), both templates instantiate from the PRE-update bindings
+      (SPARQL's semantics: delete and insert see the same state), then
+      delete applies before insert.
+
+    Returns ``{"op", "matched", "removed", "inserted", "generation"}``.
+    Delete matching is on (subj, pred, obj) — a triple delete removes
+    the stored row carrying its annotations, any graph. A combined
+    ``DELETE {} INSERT {} WHERE`` records TWO consecutive generations
+    (delete then insert) — time travel can address the intermediate
+    state; both halves instantiate from the pre-update bindings, so the
+    result is still SPARQL's (the insert never sees the deletions)."""
+    import pyarrow as pa
+
+    from ..sources.triple_sink import (delete_exact_rows, insert_rows,
+                                       store_generation)
+    from .bgp import construct_triples, evaluate_bgp_store
+
+    u = parse_sparql_update(text)
+
+    def ground_table(triples) -> pa.Table:
+        s, p, o = zip(*triples)
+        return pa.table({"subj": pa.array(list(s), pa.string()),
+                         "pred": pa.array(list(p), pa.string()),
+                         "obj": pa.array(list(o), pa.string())})
+
+    if u["kind"] == "insert_data":
+        m = insert_rows(store_dir, ground_table(u["triples"]))
+        return {"op": "insert_data", "matched": len(u["triples"]),
+                "removed": 0, "inserted": int(m["n_gen_added"].sum()),
+                "generation": store_generation(store_dir)}
+    if u["kind"] == "delete_data":
+        m = delete_exact_rows(store_dir, ground_table(u["triples"]))
+        return {"op": "delete_data", "matched": len(u["triples"]),
+                "removed": int(m["n_removed"].sum()) if len(m) else 0,
+                "inserted": 0, "generation": store_generation(store_dir)}
+
+    g = u["where"]
+    kw = {k: v for k, v in (("optional", g["optional"] or None),
+                            ("minus", g["minus"] or None),
+                            ("exists", g["exists"] or None),
+                            ("union", g["union"]),
+                            ("values", g["values"]),
+                            ("bind", g["bind"] or None),
+                            ("filters", g["filters"] or None))
+          if v is not None}
+    bindings = evaluate_bgp_store(store_dir, g["patterns"],
+                                  num_buckets=num_buckets, **kw)
+    # both templates instantiate from the PRE-update state: materialize
+    # the (delta-sized) instantiations before the first mutation — a lazy
+    # stream would otherwise re-read partitions the delete just rewrote
+    del_rows = ins_rows = None
+    if u["delete"]:
+        del_rows = construct_triples(bindings, u["delete"]).materialize()
+    if u["insert"]:
+        ins_rows = construct_triples(bindings, u["insert"]).materialize()
+    removed = inserted = 0
+    matched = None
+    if del_rows is not None:
+        matched = del_rows.count()
+        m = delete_exact_rows(store_dir, del_rows)
+        removed = int(m["n_removed"].sum()) if len(m) else 0
+    if ins_rows is not None:
+        if matched is None:
+            matched = ins_rows.count()
+        m = insert_rows(store_dir, ins_rows)
+        inserted = int(m["n_gen_added"].sum())
+    return {"op": "modify", "matched": int(matched or 0),
+            "removed": removed, "inserted": inserted,
+            "generation": store_generation(store_dir)}
+
+
 def parse_sparql(text: str) -> dict:
     """Parse a SPARQL query string → the engine's structured form (a dict
     of :func:`~.bgp.evaluate_bgp` kwargs plus ``kind`` and, for

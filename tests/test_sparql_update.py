@@ -1,0 +1,178 @@
+"""SPARQL UPDATE over the generation-tracked store: parsing, tracked
+mutation semantics, time travel through updates."""
+
+import pyarrow as pa
+import pytest
+
+from cattle_ray.stages.sparql import (SparqlSyntaxError,
+                                      parse_sparql_update, sparql,
+                                      sparql_update)
+
+EX = "urn:ex:"
+P = f"PREFIX ex: <{EX}> "
+
+ROWS = [
+    ("a", EX + "type", "Doc"), ("b", EX + "type", "Doc"),
+    ("c", EX + "type", "Page"),
+    ("a", EX + "rank", "3"), ("b", EX + "rank", "11"),
+]
+
+
+def _store(tmp_path, parts=4):
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+
+    s, p, o = zip(*ROWS)
+    ds = rd.from_arrow(pa.table(
+        {"subj": list(s), "pred": list(p), "obj": list(o)}))
+    store = str(tmp_path / "store")
+    write_triples_hash_partitioned(ds, store, num_partitions=parts)
+    return store
+
+
+def _triples(store):
+    out = sparql(store, "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }").to_pandas()
+    return set(out.itertuples(index=False, name=None))
+
+
+# ------------------------------------------------------------- parsing
+
+def test_parse_insert_data():
+    u = parse_sparql_update(P + 'INSERT DATA { "x" ex:p "y" . }')
+    assert u == {"kind": "insert_data",
+                 "triples": [("x", EX + "p", "y")]}
+
+
+def test_parse_delete_data_rejects_variables():
+    with pytest.raises(SparqlSyntaxError, match="ground"):
+        parse_sparql_update(P + "DELETE DATA { ?s ex:p \"y\" . }")
+
+
+def test_parse_delete_where():
+    u = parse_sparql_update(P + "DELETE WHERE { ?s ex:p ?o . }")
+    assert u["kind"] == "modify"
+    assert u["delete"] == [("?s", EX + "p", "?o")]
+    assert u["insert"] is None
+
+
+def test_parse_modify_both_templates():
+    u = parse_sparql_update(P + """DELETE { ?s ex:old ?o . }
+        INSERT { ?s ex:new ?o . } WHERE { ?s ex:old ?o . }""")
+    assert u["delete"] == [("?s", EX + "old", "?o")]
+    assert u["insert"] == [("?s", EX + "new", "?o")]
+    assert u["where"]["patterns"] == [("?s", EX + "old", "?o")]
+
+
+def test_parse_template_rejects_paths():
+    with pytest.raises(SparqlSyntaxError, match="plain triples"):
+        parse_sparql_update(
+            P + "DELETE { ?s ex:p+ ?o . } WHERE { ?s ex:p+ ?o . }")
+    with pytest.raises(SparqlSyntaxError, match="templates"):
+        parse_sparql_update(P + "DELETE WHERE { ?s ex:p+ ?o . }")
+
+
+def test_parse_rejects_trailing_and_non_update():
+    with pytest.raises(SparqlSyntaxError, match="INSERT / DELETE"):
+        parse_sparql_update(P + "SELECT ?s WHERE { ?s ex:p ?o . }")
+    with pytest.raises(SparqlSyntaxError, match="trailing"):
+        parse_sparql_update(P + 'INSERT DATA { "x" ex:p "y" . } ; ')
+
+
+# ----------------------------------------------------------- execution
+
+def test_insert_data_lifecycle(ray_session, tmp_path):
+    store = _store(tmp_path)
+    out = sparql_update(
+        store, P + 'INSERT DATA { "d" ex:type "Doc" . "d" ex:rank "7" . }')
+    assert out["op"] == "insert_data" and out["inserted"] == 2
+    assert out["generation"] == 1
+    assert ("d", EX + "type", "Doc") in _triples(store)
+    # RDF set semantics: re-inserting is a no-op and does NOT bump
+    again = sparql_update(
+        store, P + 'INSERT DATA { "d" ex:type "Doc" . "d" ex:rank "7" . }')
+    assert again["inserted"] == 0
+
+
+def test_delete_data_exact_rows(ray_session, tmp_path):
+    store = _store(tmp_path)
+    out = sparql_update(
+        store, P + 'DELETE DATA { "a" ex:rank "3" . "zzz" ex:p "q" . }')
+    assert out["removed"] == 1  # the non-existent row removes nothing
+    got = _triples(store)
+    assert ("a", EX + "rank", "3") not in got
+    assert ("b", EX + "rank", "11") in got
+
+
+def test_delete_where_pattern(ray_session, tmp_path):
+    store = _store(tmp_path)
+    out = sparql_update(store, P + "DELETE WHERE { ?s ex:rank ?r . }")
+    assert out["removed"] == 2 and out["matched"] == 2
+    assert {p for _s, p, _o in _triples(store)} == {EX + "type"}
+
+
+def test_modify_rename_predicate_value(ray_session, tmp_path):
+    store = _store(tmp_path)
+    out = sparql_update(store, P + """DELETE { ?s ex:type "Doc" . }
+        INSERT { ?s ex:type "Document" . } WHERE { ?s ex:type "Doc" . }""")
+    assert out["removed"] == 2 and out["inserted"] == 2
+    types = {(s, o) for s, p, o in _triples(store) if p == EX + "type"}
+    assert types == {("a", "Document"), ("b", "Document"), ("c", "Page")}
+
+
+def test_modify_with_filter_in_where(ray_session, tmp_path):
+    store = _store(tmp_path)
+    sparql_update(store, P + """DELETE { ?s ex:rank ?r . }
+        WHERE { ?s ex:rank ?r . FILTER(?r > 5) }""")
+    ranks = {(s, o) for s, p, o in _triples(store) if p == EX + "rank"}
+    assert ranks == {("a", "3")}  # numeric filter: only 11 deleted
+
+
+def test_updates_are_time_travelable(ray_session, tmp_path):
+    from cattle_ray.sources.triple_sink import read_store_asof
+
+    store = _store(tmp_path)
+    sparql_update(store, P + 'INSERT DATA { "x" ex:type "Doc" . }')
+    sparql_update(store, P + "DELETE WHERE { ?s ex:rank ?r . }")
+    asof0 = set(read_store_asof(store, 0).select_columns(
+        ["subj", "pred", "obj"]).to_pandas().itertuples(
+        index=False, name=None))
+    assert asof0 == set(ROWS)
+    asof1 = set(read_store_asof(store, 1).select_columns(
+        ["subj", "pred", "obj"]).to_pandas().itertuples(
+        index=False, name=None))
+    assert asof1 == set(ROWS) | {("x", EX + "type", "Doc")}
+
+
+def test_insert_pads_annotation_columns(ray_session, tmp_path):
+    """A store with annotation columns accepts a bare (s, p, o) insert —
+    the pad fills typed nulls; extra columns are rejected."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        insert_rows, write_triples_hash_partitioned)
+
+    s, p, o = zip(*ROWS)
+    ds = rd.from_arrow(pa.table(
+        {"subj": list(s), "pred": list(p), "obj": list(o),
+         "obj_is_iri": pa.array([False] * len(ROWS)),
+         "src_url": pa.array(["u"] * len(ROWS))}))
+    store = str(tmp_path / "annot")
+    write_triples_hash_partitioned(ds, store, num_partitions=2)
+    sparql_update(store, P + 'INSERT DATA { "n" ex:p "v" . }')
+    got = sparql(store, P + 'SELECT ?s WHERE { ?s ex:p "v" . }').to_pandas()
+    assert list(got["s"]) == ["n"]
+    with pytest.raises(ValueError, match="store lacks"):
+        insert_rows(store, pa.table(
+            {"subj": ["q"], "pred": ["p"], "obj": ["o"],
+             "nope": ["x"]}))
+
+
+def test_delete_exact_rows_requires_subj(ray_session, tmp_path):
+    from cattle_ray.sources.triple_sink import delete_exact_rows
+
+    store = _store(tmp_path)
+    with pytest.raises(Exception, match="subj"):
+        delete_exact_rows(store, pa.table(
+            {"pred": [EX + "rank"]})).to_string()
