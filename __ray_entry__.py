@@ -4311,6 +4311,18 @@ def q_kg_sparql_update(sf_dir: str):
                   "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }", num_buckets=8)
 
 
+def q_kg_sparql_describe(sf_dir: str):
+    """Textual ``DESCRIBE ?e WHERE { ?s entity ?e . ?s rank "3" }`` —
+    describe every entity that carries rank 3: the DESCRIBE lowers to a
+    DISTINCT CONSTRUCT over the group joined with the target's outgoing
+    arcs, all through the oracle-checked algebra."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        DESCRIBE ?s WHERE {{ ?s ex:rank "3" . }}""", num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -4527,6 +4539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_text": q_kg_sparql_text,
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_update": q_kg_sparql_update,
+        "kg_sparql_describe": q_kg_sparql_describe,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
@@ -6338,6 +6351,12 @@ def _oracle_sql_base() -> dict[str, str]:
                    WHERE pred = '{EX}rank')
             SELECT e, r FROM en JOIN rk USING (subj)
             WHERE CAST(r AS BIGINT) >= 2
+        """,
+        "kg_sparql_describe": _TRIPLE_BASE_CTE + f""",
+            tgt AS (SELECT DISTINCT subj FROM triples
+                    WHERE pred = '{EX}rank' AND obj = '3')
+            SELECT DISTINCT t.subj, t.pred, t.obj
+            FROM triples t JOIN tgt USING (subj)
         """,
         "kg_sparql_update": _TRIPLE_BASE_CTE + f""",
             moved AS (SELECT subj, obj FROM triples

@@ -268,8 +268,11 @@ class _Parser:
             return self._ask()
         if self.at_kw("CONSTRUCT"):
             return self._construct()
+        if self.at_kw("DESCRIBE"):
+            return self._describe()
         raise SparqlSyntaxError(
-            f"expected SELECT / ASK / CONSTRUCT, got {self.peek()[1]!r}")
+            f"expected SELECT / ASK / CONSTRUCT / DESCRIBE, "
+            f"got {self.peek()[1]!r}")
 
     def _finish(self, q: dict):
         if self.peek()[0] != "EOF":
@@ -369,6 +372,46 @@ class _Parser:
             return ("group_concat", var, sep)
         self.eat_op(")")
         return (fn.lower(), var)
+
+    def _describe(self) -> dict:
+        """``DESCRIBE <iri>`` / ``DESCRIBE ?x WHERE { … }`` lowers to a
+        CONSTRUCT: the target's outgoing triples ``(target, ?_dp, ?_do)``
+        join the (optional) WHERE group — on a store source the
+        subject-bound pattern is the adjacency layout's 1-partition
+        point read. The description is the SUBJECT's concise view
+        (outgoing arcs; SPARQL leaves DESCRIBE's extent
+        implementation-defined). Result triples are DISTINCT — a
+        description is a graph, not a bag."""
+        self.eat_kw("DESCRIBE")
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            target = "?" + v[1:]
+        else:
+            target = self.iri()
+        q: dict = {"kind": "construct", "distinct": True, "select": None,
+                   "agg": {}, "select_binds": [],
+                   "templates": [(target, "?_dp", "?_do")]}
+        if self.at_kw("WHERE") or self.at_op("{"):
+            if target.startswith("?") is False:
+                raise SparqlSyntaxError(
+                    "DESCRIBE <iri> takes no WHERE clause — bind a "
+                    "?variable to describe pattern results")
+            self._where(q)
+        elif target.startswith("?"):
+            raise SparqlSyntaxError(
+                "DESCRIBE ?var needs a WHERE clause binding it")
+        else:
+            q.update({"patterns": [], "optional": [], "minus": [],
+                      "exists": [], "union": None, "values": None,
+                      "bind": [], "filters": []})
+        q["patterns"] = list(q["patterns"]) + [(target, "?_dp", "?_do")]
+        # DISTINCT over exactly the triple projection (group variables
+        # outside it must not preserve duplicate descriptions)
+        q["select"] = ([target] if target.startswith("?") else []) \
+            + ["?_dp", "?_do"]
+        self._modifiers(q)
+        return self._finish(q)
 
     def _ask(self) -> dict:
         self.eat_kw("ASK")

@@ -334,3 +334,32 @@ def test_text_select_expression_end_to_end(ray_session):
         ?d ex:about ?e . } ORDER BY ?d""").to_pandas()
     assert list(out.columns) == ["d", "n"]
     assert out["n"].tolist() == [2, 2, 2]
+
+
+def test_describe_parses_and_lowers():
+    q = parse_sparql("DESCRIBE <urn:x>")
+    assert q["kind"] == "construct"
+    assert q["templates"] == [("urn:x", "?_dp", "?_do")]
+    assert q["patterns"] == [("urn:x", "?_dp", "?_do")]
+    assert q["distinct"] and q["select"] == ["?_dp", "?_do"]
+    with pytest.raises(SparqlSyntaxError, match="WHERE"):
+        parse_sparql("DESCRIBE ?x")
+    with pytest.raises(SparqlSyntaxError, match="no WHERE"):
+        parse_sparql(P + "DESCRIBE <urn:x> WHERE { ?s ex:p ?o . }")
+
+
+def test_describe_iri_end_to_end(ray_session):
+    out = sparql(_ds(), "DESCRIBE <urn:ign:a>").to_pandas()
+    assert len(out) == 0  # unknown subject: empty description
+    out = sparql(_ds(), "DESCRIBE <a>").to_pandas()
+    got = set(out.itertuples(index=False, name=None))
+    assert got == {("a", EX + "type", "Doc"), ("a", EX + "about", "E1"),
+                   ("a", EX + "rank", "3")}
+
+
+def test_describe_var_where(ray_session):
+    out = sparql(_ds(), P + """DESCRIBE ?e WHERE {
+        ?d ex:about ?e . }""").to_pandas()
+    # E1 is about'd twice — the description is still ONE graph (distinct)
+    got = set(out.itertuples(index=False, name=None))
+    assert got == {("E1", EX + "in", "X"), ("E2", EX + "in", "Y")}
