@@ -368,18 +368,44 @@ def _apply_filters(ds, filters):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _group_parts(group):
+    """Normalize a nested-group argument: a single pattern tuple, a list
+    of patterns, or a dict ``{"patterns": [...], "filters": [...]}`` —
+    the dict form carries the group's OWN FILTER constraints (SPARQL
+    allows FILTER inside OPTIONAL/MINUS/EXISTS/UNION branches; they
+    constrain the group's solutions BEFORE it meets the outer bindings —
+    the LeftJoin-condition reading for OPTIONAL). Filters may reference
+    only the group's own variables (an outer-variable reference raises
+    at evaluation — the engine's bindings are columnar, not correlated
+    row contexts)."""
+    if isinstance(group, dict):
+        return (list(group.get("patterns") or []),
+                list(group.get("filters") or []))
+    group = [group] if isinstance(group, tuple) else list(group)
+    return group, []
+
+
+def _fold_group(group, streams_for, num_buckets):
+    """Fold one nested group (patterns + its own filters) → (ds, vars)."""
+    patterns, gfilters = _group_parts(group)
+    gstreams = [(*streams_for(p), p) for p in patterns]
+    g_acc, g_vars = _fold_bindings(
+        [gstreams[0][:2]] + gstreams[1:], num_buckets)
+    if gfilters:
+        g_acc = _apply_filters(g_acc, gfilters)
+    return g_acc, g_vars
+
+
 def _attach_optionals(acc, bound, optional_groups, streams_for, num_buckets):
     """Left-join each OPTIONAL pattern group onto the required bindings.
-    A group is itself a small BGP (folded with the same discipline); its
-    bindings attach on the variables shared with ``bound`` — unmatched
-    rows keep NULL for the group's new variables (SPARQL OPTIONAL)."""
+    A group is itself a small BGP (folded with the same discipline,
+    including its own FILTERs — see :func:`_group_parts`); its bindings
+    attach on the variables shared with ``bound`` — unmatched rows keep
+    NULL for the group's new variables (SPARQL OPTIONAL)."""
     from .joins import hash_join
 
     for group in optional_groups or []:
-        group = [group] if isinstance(group, tuple) else list(group)
-        gstreams = [(*streams_for(p), p) for p in group]
-        g_acc, g_vars = _fold_bindings(
-            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        g_acc, g_vars = _fold_group(group, streams_for, num_buckets)
         shared = [v for v in g_vars if v in bound]
         if not shared:
             raise ValueError(
@@ -405,10 +431,7 @@ def _apply_minus(acc, bound, minus_groups, streams_for, num_buckets):
     from .joins import hash_join
 
     for group in minus_groups or []:
-        group = [group] if isinstance(group, tuple) else list(group)
-        gstreams = [(*streams_for(p), p) for p in group]
-        g_acc, g_vars = _fold_bindings(
-            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        g_acc, g_vars = _fold_group(group, streams_for, num_buckets)
         shared = [v for v in g_vars if v in bound]
         if not shared:
             raise ValueError(
@@ -445,10 +468,7 @@ def _apply_exists(acc, bound, exists_groups, streams_for, num_buckets):
     from .joins import hash_join
 
     for group in exists_groups or []:
-        group = [group] if isinstance(group, tuple) else list(group)
-        gstreams = [(*streams_for(p), p) for p in group]
-        g_acc, g_vars = _fold_bindings(
-            [gstreams[0][:2]] + gstreams[1:], num_buckets)
+        g_acc, g_vars = _fold_group(group, streams_for, num_buckets)
         shared = [v for v in g_vars if v in bound]
         if not shared:
             raise ValueError(
@@ -525,9 +545,7 @@ def _union_bindings(streams_for, branches, num_buckets):
     folded = []
     all_vars: list[str] = []
     for br in branches:
-        br = [br] if isinstance(br, tuple) else list(br)
-        streams = [(*streams_for(p), p) for p in br]
-        a, v = _fold_bindings([streams[0][:2]] + streams[1:], num_buckets)
+        a, v = _fold_group(br, streams_for, num_buckets)
         folded.append((a, list(v)))
         all_vars.extend(x for x in v if x not in all_vars)
 

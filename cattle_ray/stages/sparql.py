@@ -477,10 +477,12 @@ class _Parser:
         while not self.at_op("}"):
             if self.at_kw("OPTIONAL"):
                 self.next()
-                out["optional"].append(self._subpatterns("OPTIONAL"))
+                out["optional"].append(
+                    self._subpatterns("OPTIONAL", allow_filters=True))
             elif self.at_kw("MINUS"):
                 self.next()
-                out["minus"].append(self._subpatterns("MINUS"))
+                out["minus"].append(
+                    self._subpatterns("MINUS", allow_filters=True))
             elif self.at_kw("FILTER"):
                 self.next()
                 self._filter(out)
@@ -507,7 +509,7 @@ class _Parser:
                 out["patterns"].extend(tuple(p) + (g,) for p in sub)
             elif self.at_op("{"):
                 # a braced subgroup: only meaningful here as a UNION chain
-                first = self._subpatterns("UNION branch")
+                first = self._subpatterns("UNION branch", allow_filters=True)
                 if not self.at_kw("UNION"):
                     raise SparqlSyntaxError(
                         "a bare nested group has no engine meaning — "
@@ -518,7 +520,8 @@ class _Parser:
                 branches = [first]
                 while self.at_kw("UNION"):
                     self.next()
-                    branches.append(self._subpatterns("UNION branch"))
+                    branches.append(
+                        self._subpatterns("UNION branch", allow_filters=True))
                 out["union"] = branches
             else:
                 self._triples_block(out["patterns"])
@@ -527,18 +530,26 @@ class _Parser:
         self.eat_op("}")
         return out
 
-    def _subpatterns(self, ctx: str) -> list:
-        """A nested group restricted to plain triples (the engine's
-        OPTIONAL/MINUS/EXISTS/UNION groups are pattern lists)."""
+    def _subpatterns(self, ctx: str, allow_filters: bool = False):
+        """A nested group restricted to triples (+ its own FILTERs when
+        the engine's group form supports them — OPTIONAL/MINUS/EXISTS/
+        UNION branches take ``{"patterns", "filters"}`` dicts; the
+        filters constrain the group's solutions before they meet the
+        outer bindings, SPARQL's LeftJoin-condition reading)."""
         sub = self.group()
-        extra = [k for k in ("optional", "minus", "exists", "bind",
-                             "filters") if sub[k]]
+        banned = ["optional", "minus", "exists", "bind"]
+        if not allow_filters:
+            banned.append("filters")
+        extra = [k for k in banned if sub[k]]
         if extra or sub["union"] is not None or sub["values"] is not None:
             raise SparqlSyntaxError(
-                f"{ctx} groups support plain triple patterns only "
+                f"{ctx} groups support triple patterns"
+                f"{' and FILTER' if allow_filters else ''} only "
                 f"(found {extra or 'nested union/values'})")
         if not sub["patterns"]:
             raise SparqlSyntaxError(f"empty {ctx} group")
+        if sub["filters"]:
+            return {"patterns": sub["patterns"], "filters": sub["filters"]}
         return sub["patterns"]
 
     def _triples_block(self, patterns: list):
@@ -603,12 +614,14 @@ class _Parser:
     def _filter(self, out: dict):
         if self.at_kw("EXISTS"):
             self.next()
-            out["exists"].append(self._subpatterns("EXISTS"))
+            out["exists"].append(
+                self._subpatterns("EXISTS", allow_filters=True))
             return
         if self.at_kw("NOT"):
             self.next()
             self.eat_kw("EXISTS")
-            out["minus"].append(self._subpatterns("NOT EXISTS"))
+            out["minus"].append(
+                self._subpatterns("NOT EXISTS", allow_filters=True))
             return
         self.eat_op("(")
         while True:
@@ -1015,7 +1028,8 @@ def _lower(q: dict) -> dict:
     bind = list(q.get("bind") or []) + list(q.get("select_binds") or [])
     select = q["select"]
     opt_vars = {t[1:] for g in (q.get("optional") or [])
-                for p in (g if isinstance(g, list) else [g])
+                for p in (g["patterns"] if isinstance(g, dict)
+                          else g if isinstance(g, list) else [g])
                 for t in p if isinstance(t, str) and t.startswith("?")}
     for out, spec in list(agg.items()):
         if isinstance(spec, tuple) and spec[0] == "count_var":

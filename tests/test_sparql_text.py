@@ -220,7 +220,7 @@ def test_syntax_errors():
         ("SELECT ?s WHERE { ?s ex:p ?o . } extra", "undeclared prefix"),
         (P + "SELECT ?s WHERE { ?s ex:p ?o . } extra", "trailing"),
         ("BASE <urn:b> SELECT * WHERE { ?s ?p ?o . }", "BASE"),
-        ("DESCRIBE <urn:x>", "SELECT / ASK / CONSTRUCT"),
+        ("LOAD <urn:x>", "SELECT / ASK / CONSTRUCT"),
         (P + "SELECT WHERE { ?s ex:p ?o . }", "empty SELECT"),
     ]:
         with pytest.raises(SparqlSyntaxError, match=msg):
@@ -363,3 +363,38 @@ def test_describe_var_where(ray_session):
     # E1 is about'd twice — the description is still ONE graph (distinct)
     got = set(out.itertuples(index=False, name=None))
     assert got == {("E1", EX + "in", "X"), ("E2", EX + "in", "Y")}
+
+
+def test_filter_inside_optional_parses():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:type ?t .
+        OPTIONAL { ?s ex:rank ?r . FILTER(?r > 5) } }""")
+    assert q["optional"] == [{
+        "patterns": [("?s", EX + "rank", "?r")],
+        "filters": [("?r", ">", 5)]}]
+
+
+def test_filter_inside_optional_end_to_end(ray_session):
+    # LeftJoin-condition semantics: a filtered-out optional match keeps
+    # the required row with NULL, it does NOT drop it
+    out = sparql(_ds(), P + """SELECT ?d ?r WHERE {
+        ?d ex:type "Doc" .
+        OPTIONAL { ?d ex:rank ?r . FILTER(?r > 5) } }""").to_pandas()
+    got = {(d, None if r != r else r)
+           for d, r in out.itertuples(index=False, name=None)}
+    assert got == {("a", None), ("b", "11")}
+
+
+def test_filter_inside_union_branch(ray_session):
+    out = sparql(_ds(), P + """SELECT ?s WHERE {
+        { ?s ex:rank ?r . FILTER(?r > 5) } UNION
+        { ?s ex:in ?x . FILTER(?x = "X") } }""").to_pandas()
+    assert sorted(out["s"]) == ["E1", "b"]
+
+
+def test_filter_inside_not_exists(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d WHERE {
+        ?d ex:type "Doc" .
+        FILTER NOT EXISTS { ?d ex:rank ?r . FILTER(?r > 5) } }""") \
+        .to_pandas()
+    assert list(out["d"]) == ["a"]
