@@ -842,7 +842,27 @@ def _is_template_pattern(p) -> bool:
 
 
 class _UpdateParser(_Parser):
-    def parse_update(self) -> dict:
+    def parse_update(self) -> list:
+        """→ list of operation dicts: a SPARQL update REQUEST is a
+        ``;``-separated sequence of operations, executed in order (each
+        sees the previous one's effects). PREFIX declarations may appear
+        before any operation and scope to the rest of the request."""
+        ops = []
+        while True:
+            self._prologue()
+            ops.append(self._one_update())
+            if self.at_op(";"):
+                self.next()
+                if self.peek()[0] == "EOF":  # trailing ; is fine
+                    break
+                continue
+            break
+        if self.peek()[0] != "EOF":
+            raise SparqlSyntaxError(
+                f"unexpected trailing input: {self.peek()[1]!r}")
+        return ops
+
+    def _prologue(self):
         while self.at_kw("PREFIX"):
             self.next()
             k, v = self.next()
@@ -852,22 +872,24 @@ class _UpdateParser(_Parser):
             if kk != "IRI":
                 raise SparqlSyntaxError(f"bad PREFIX iri {vv!r}")
             self.prefixes[v[:-1]] = vv[1:-1]
+
+    def _one_update(self) -> dict:
         if self.at_kw("INSERT"):
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                return self._finish({"kind": "insert_data",
-                                     "triples": self._ground_block()})
+                return {"kind": "insert_data",
+                        "triples": self._ground_block()}
             tmpl = self._template_block("INSERT")
             self.eat_kw("WHERE")
-            return self._finish({"kind": "modify", "delete": None,
-                                 "insert": tmpl, "where": self.group()})
+            return {"kind": "modify", "delete": None,
+                    "insert": tmpl, "where": self.group()}
         if self.at_kw("DELETE"):
             self.next()
             if self.at_kw("DATA"):
                 self.next()
-                return self._finish({"kind": "delete_data",
-                                     "triples": self._ground_block()})
+                return {"kind": "delete_data",
+                        "triples": self._ground_block()}
             if self.at_kw("WHERE"):
                 self.next()
                 g = self.group()
@@ -877,17 +899,17 @@ class _UpdateParser(_Parser):
                     raise SparqlSyntaxError(
                         f"DELETE WHERE patterns double as delete templates "
                         f"— paths/alternatives/quads not allowed: {bad[0]!r}")
-                return self._finish({"kind": "modify",
-                                     "delete": list(g["patterns"]),
-                                     "insert": None, "where": g})
+                return {"kind": "modify",
+                        "delete": list(g["patterns"]),
+                        "insert": None, "where": g}
             tmpl = self._template_block("DELETE")
             ins = None
             if self.at_kw("INSERT"):
                 self.next()
                 ins = self._template_block("INSERT")
             self.eat_kw("WHERE")
-            return self._finish({"kind": "modify", "delete": tmpl,
-                                 "insert": ins, "where": self.group()})
+            return {"kind": "modify", "delete": tmpl,
+                    "insert": ins, "where": self.group()}
         raise SparqlSyntaxError(
             f"expected INSERT / DELETE, got {self.peek()[1]!r}")
 
@@ -919,11 +941,12 @@ class _UpdateParser(_Parser):
         return tmpl
 
 
-def parse_sparql_update(text: str) -> dict:
-    """Parse a SPARQL UPDATE string → ``{"kind": "insert_data" |
-    "delete_data", "triples": [...]}`` or ``{"kind": "modify",
-    "delete": templates|None, "insert": templates|None, "where":
-    group}``. Driver-side, update-sized work."""
+def parse_sparql_update(text: str):
+    """Parse a SPARQL UPDATE request → LIST of operation dicts
+    (``;``-separated operations run in order), each ``{"kind":
+    "insert_data" | "delete_data", "triples": [...]}`` or ``{"kind":
+    "modify", "delete": templates|None, "insert": templates|None,
+    "where": group}``. Driver-side, update-sized work."""
     return _UpdateParser(text).parse_update()
 
 
@@ -949,14 +972,22 @@ def sparql_update(store_dir: str, text: str, *, num_buckets: int = 32):
     ``DELETE {} INSERT {} WHERE`` records TWO consecutive generations
     (delete then insert) — time travel can address the intermediate
     state; both halves instantiate from the pre-update bindings, so the
-    result is still SPARQL's (the insert never sees the deletions)."""
+    result is still SPARQL's (the insert never sees the deletions).
+    A ``;``-chained request runs its operations in order (each sees the
+    previous one's effects) and returns the list of summaries."""
+    ops = parse_sparql_update(text)
+    outs = [_run_update_op(store_dir, u, num_buckets) for u in ops]
+    # one op (the common case) returns its summary dict; a ;-chained
+    # request returns the list, in execution order
+    return outs[0] if len(outs) == 1 else outs
+
+
+def _run_update_op(store_dir: str, u: dict, num_buckets: int):
     import pyarrow as pa
 
     from ..sources.triple_sink import (delete_exact_rows, insert_rows,
                                        store_generation)
     from .bgp import construct_triples, evaluate_bgp_store
-
-    u = parse_sparql_update(text)
 
     def ground_table(triples) -> pa.Table:
         s, p, o = zip(*triples)

@@ -41,8 +41,8 @@ def _triples(store):
 
 def test_parse_insert_data():
     u = parse_sparql_update(P + 'INSERT DATA { "x" ex:p "y" . }')
-    assert u == {"kind": "insert_data",
-                 "triples": [("x", EX + "p", "y")]}
+    assert u == [{"kind": "insert_data",
+                  "triples": [("x", EX + "p", "y")]}]
 
 
 def test_parse_delete_data_rejects_variables():
@@ -51,14 +51,14 @@ def test_parse_delete_data_rejects_variables():
 
 
 def test_parse_delete_where():
-    u = parse_sparql_update(P + "DELETE WHERE { ?s ex:p ?o . }")
+    [u] = parse_sparql_update(P + "DELETE WHERE { ?s ex:p ?o . }")
     assert u["kind"] == "modify"
     assert u["delete"] == [("?s", EX + "p", "?o")]
     assert u["insert"] is None
 
 
 def test_parse_modify_both_templates():
-    u = parse_sparql_update(P + """DELETE { ?s ex:old ?o . }
+    [u] = parse_sparql_update(P + """DELETE { ?s ex:old ?o . }
         INSERT { ?s ex:new ?o . } WHERE { ?s ex:old ?o . }""")
     assert u["delete"] == [("?s", EX + "old", "?o")]
     assert u["insert"] == [("?s", EX + "new", "?o")]
@@ -77,7 +77,7 @@ def test_parse_rejects_trailing_and_non_update():
     with pytest.raises(SparqlSyntaxError, match="INSERT / DELETE"):
         parse_sparql_update(P + "SELECT ?s WHERE { ?s ex:p ?o . }")
     with pytest.raises(SparqlSyntaxError, match="trailing"):
-        parse_sparql_update(P + 'INSERT DATA { "x" ex:p "y" . } ; ')
+        parse_sparql_update(P + 'INSERT DATA { "x" ex:p "y" . } nope')
 
 
 # ----------------------------------------------------------- execution
@@ -176,3 +176,18 @@ def test_delete_exact_rows_requires_subj(ray_session, tmp_path):
     with pytest.raises(Exception, match="subj"):
         delete_exact_rows(store, pa.table(
             {"pred": [EX + "rank"]})).to_string()
+
+
+def test_chained_update_request(ray_session, tmp_path):
+    """A ;-chained request runs in order — the second op sees the
+    first's effects — and returns the list of summaries."""
+    store = _store(tmp_path)
+    outs = sparql_update(store, P + '''
+        INSERT DATA { "e" ex:type "Doc" . "e" ex:rank "9" . } ;
+        DELETE WHERE { ?s ex:rank ?r . } ;
+    ''')
+    assert [o["op"] for o in outs] == ["insert_data", "modify"]
+    assert outs[1]["removed"] == 3  # a, b AND the just-inserted e
+    got = _triples(store)
+    assert ("e", EX + "type", "Doc") in got
+    assert not any(p == EX + "rank" for _s, p, _o in got)
