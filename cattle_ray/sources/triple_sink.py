@@ -711,10 +711,24 @@ def insert_rows(out_dir: str, rows, num_buckets: int | None = None):
     import pyarrow.parquet as pq
     import ray.data as rd
 
-    in_cols = (rows.column_names if isinstance(rows, pa.Table)
-               else rows.schema().names)
     if isinstance(rows, pa.Table):
+        in_cols = rows.column_names
         rows = rd.from_arrow(rows)
+    else:
+        in_schema = rows.schema()
+        if in_schema is None:
+            # a wholly-empty stream (e.g. INSERT … WHERE matching
+            # nothing) has no schema to pad — and nothing to insert
+            import pandas as pd
+
+            return pd.DataFrame({
+                "part_id": pd.Series([], dtype="int64"),
+                "n_total": pd.Series([], dtype="int64"),
+                "n_added": pd.Series([], dtype="int64"),
+                "n_gen_added": pd.Series([], dtype="int64"),
+                "n_gen_removed": pd.Series([], dtype="int64"),
+                "path": pd.Series([], dtype="object")})
+        in_cols = in_schema.names
     parts = sorted(glob.glob(f"{out_dir}/part_id=*/data.parquet"))
     if not parts:
         raise FileNotFoundError(f"no partitions in {out_dir!r}")

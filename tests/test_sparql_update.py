@@ -191,3 +191,15 @@ def test_chained_update_request(ray_session, tmp_path):
     got = _triples(store)
     assert ("e", EX + "type", "Doc") in got
     assert not any(p == EX + "rank" for _s, p, _o in got)
+
+
+def test_modify_matching_nothing_is_noop(ray_session, tmp_path):
+    from cattle_ray.sources.triple_sink import store_generation
+
+    store = _store(tmp_path)
+    out = sparql_update(store, P + """DELETE { ?s ex:type ?t . }
+        INSERT { ?s ex:was ?t . } WHERE { ?s ex:nosuch ?t . }""")
+    assert out["matched"] == 0 and out["removed"] == 0
+    assert out["inserted"] == 0
+    assert store_generation(store) == 0  # nothing rewritten, no bump
+    assert _triples(store) == set(ROWS)
