@@ -4323,6 +4323,22 @@ def q_kg_sparql_describe(sf_dir: str):
         DESCRIBE ?s WHERE {{ ?s ex:rank "3" . }}""", num_buckets=8)
 
 
+def q_kg_sparql_datatype(sf_dir: str):
+    """SPARQL DATATYPE() filter through the text layer: the converter's
+    annotation side columns (obj_datatype) project as binding variables
+    (``evaluate_bgp(annotations=)``) and the filter runs as an ordinary
+    vectorized column comparison — xsd:integer-typed literals only,
+    plain literals and IRIs drop."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s ?v WHERE {{
+          ?s ex:score ?v . FILTER(DATATYPE(?v) = xsd:integer)
+        }}""", num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -4540,6 +4556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_agg": q_kg_sparql_agg,
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_describe": q_kg_sparql_describe,
+        "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
@@ -6351,6 +6368,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    WHERE pred = '{EX}rank')
             SELECT e, r FROM en JOIN rk USING (subj)
             WHERE CAST(r AS BIGINT) >= 2
+        """,
+        "kg_sparql_datatype": _TRIPLE_BASE_CTE + f"""
+            SELECT subj AS s, obj AS v FROM triples
+            WHERE pred = '{EX}score' AND obj_datatype =
+                  'http://www.w3.org/2001/XMLSchema#integer'
         """,
         "kg_sparql_describe": _TRIPLE_BASE_CTE + f""",
             tgt AS (SELECT DISTINCT subj FROM triples

@@ -152,7 +152,11 @@ def _sch(vars_) -> "pa.Schema":
     return pa.schema([pa.field(v, pa.string()) for v in vars_])
 
 
-def pattern_bindings(triples_ds, pattern):
+#: object-annotation kinds → the store's side column carrying them
+_ANNOTATION_COLS = {"lang": "obj_lang", "datatype": "obj_datatype"}
+
+
+def pattern_bindings(triples_ds, pattern, annotations=None):
     """One pattern → Dataset of its variable bindings (constants filtered
     out map-side, variable columns projected and renamed). Path forms on
     the predicate term: a constant ending in ``+`` is a transitive path
@@ -161,7 +165,18 @@ def pattern_bindings(triples_ds, pattern):
     with ``+``); a LIST of constants is the alternative path ``p1|p2``
     (vectorized ``is_in`` — a list in the subject/object position
     likewise acts as inline VALUES for that term). ``*`` paths are
-    rejected."""
+    rejected.
+
+    ``annotations``: ``{"?var": ("lang"|"datatype", …)}`` — when the
+    named variable binds in the OBJECT position, the triple row's
+    annotation side columns (``obj_lang`` / ``obj_datatype``) project as
+    extra binding variables ``var__lang`` / ``var__datatype``, so
+    SPARQL ``LANG()`` / ``DATATYPE()`` filters run as ordinary column
+    filters (the engine's term columns are lexical forms; the
+    annotations ride beside them). Raises when the stream has no
+    annotation columns (a plain (s, p, o) table has no lang to ask
+    for). Path patterns don't support annotations — the closure
+    composes edges and has no single source row."""
     terms = list(pattern)
     pos = _pos_for(terms)
     p = terms[1]
@@ -174,7 +189,17 @@ def pattern_bindings(triples_ds, pattern):
             "ZeroOrMorePath (pred*) is not supported: its identity rows "
             "range over the whole node domain — use pred+ and union the "
             "identity bindings you actually need")
+    # annotations apply to THIS pattern only when its object is a
+    # requested variable (subject-position vars have no literal side)
+    obj_term = terms[2]
+    ann_kinds = tuple((annotations or {}).get(obj_term, ())) \
+        if isinstance(obj_term, str) and _is_var(obj_term) else ()
     if _is_path(p):
+        if ann_kinds:
+            raise NotImplementedError(
+                "LANG()/DATATYPE() over a property-path object is not "
+                "supported: the closure composes edges and has no "
+                "single source row")
         return _path_bindings(triples_ds, terms)
     out_vars: list[str] = []
     for col, term in zip(pos, terms):
@@ -182,8 +207,17 @@ def pattern_bindings(triples_ds, pattern):
             out_vars.append(term[1:])
     if not out_vars:
         raise ValueError(f"pattern {pattern!r} binds no variable")
+    ann_out = [(_ANNOTATION_COLS[k], f"{obj_term[1:]}__{k}")
+               for k in ann_kinds]
+    out_vars += [name for _src, name in ann_out]
 
     def f(b: pa.Table) -> pa.Table:
+        for src, _name in ann_out:
+            if src not in b.column_names:
+                raise ValueError(
+                    f"stream has no {src!r} column — LANG()/DATATYPE() "
+                    "need the annotation side columns the converters "
+                    "emit; a plain (subj, pred, obj) table has none")
         mask = None
         for col, term in zip(pos, terms):
             if not _is_var(term):
@@ -202,9 +236,11 @@ def pattern_bindings(triples_ds, pattern):
                     seen[term] = col
         if mask is not None:
             b = b.filter(mask)
-        return pa.table({term[1:]: b[col] for term, col in
-                         ((t, c) for c, t in zip(pos, terms)
-                          if _is_var(t))})
+        cols = {term[1:]: b[col] for term, col in
+                ((t, c) for c, t in zip(pos, terms) if _is_var(t))}
+        for src, name in ann_out:
+            cols[name] = pc.cast(b[src], pa.string())
+        return pa.table(cols)
 
     return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
 
@@ -1033,7 +1069,7 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  group_by=None, agg=None, having=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
-                 num_buckets: int = 32):
+                 annotations=None, num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
     (bag semantics, like SPARQL without DISTINCT).
@@ -1104,7 +1140,8 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     plan = order_patterns(patterns) if reorder and patterns \
         else list(patterns)
     return _evaluate_body(
-        lambda p: pattern_bindings(triples_ds, p), plan, display,
+        lambda p: pattern_bindings(triples_ds, p, annotations),
+        plan, display,
         optional=optional, minus=minus, union=union, exists=exists,
         values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,
@@ -1129,7 +1166,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        select=None, distinct: bool = False, order_by=None,
                        limit=None, offset: int = 0,
                        obj_index_dir: str | None = None,
-                       num_buckets: int = 32):
+                       annotations=None, num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
@@ -1201,7 +1238,8 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     else:
         plan = list(patterns)
     return _evaluate_body(
-        lambda p: pattern_bindings(stream_for(p), p), plan, display,
+        lambda p: pattern_bindings(stream_for(p), p, annotations),
+        plan, display,
         optional=optional, minus=minus, union=union, exists=exists,
         values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,

@@ -121,6 +121,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._bn = 0  # fresh anonymous-variable counter
+        #: "?var" → {"lang", "datatype"} — annotation side columns the
+        #: FILTERs need projected (collected while parsing constraints)
+        self.annotations: dict[str, set] = {}
 
     # -- token helpers ----------------------------------------------
     def peek(self, k=0):
@@ -278,6 +281,9 @@ class _Parser:
         if self.peek()[0] != "EOF":
             raise SparqlSyntaxError(
                 f"unexpected trailing input: {self.peek()[1]!r}")
+        if self.annotations:
+            q["annotations"] = {k: tuple(sorted(v))
+                                for k, v in self.annotations.items()}
         return q
 
     def _select(self) -> dict:
@@ -654,6 +660,8 @@ class _Parser:
                 raise SparqlSyntaxError("BOUND(?var) expected")
             self.eat_op(")")
             return ("?" + v[1:], "bound", True)
+        if self.at_kw("LANG", "DATATYPE"):
+            return self._annotation_constraint()
         if self.at_kw("CONTAINS", "REGEX", "STRSTARTS"):
             fn = self.next()[1].upper()
             self.eat_op("(")
@@ -674,8 +682,8 @@ class _Parser:
         k, v = self.next()
         if k != "VAR":
             raise SparqlSyntaxError(
-                f"FILTER constraints must start with ?var, BOUND, "
-                f"CONTAINS, REGEX or [NOT] EXISTS — got {v!r}")
+                f"FILTER constraints must start with ?var, BOUND, LANG, "
+                f"DATATYPE, CONTAINS, REGEX or [NOT] EXISTS — got {v!r}")
         var = "?" + v[1:]
         if self.at_kw("IN"):
             self.next()
@@ -698,6 +706,50 @@ class _Parser:
         else:
             rhs = self.term()
         return (var, op, rhs)
+
+    def _annotation_constraint(self):
+        """``LANG(?v) = "en"`` / ``DATATYPE(?v) = xsd:decimal`` — lowers
+        to an equality filter over the pattern's annotation side column
+        (projected as ``v__lang`` / ``v__datatype`` via the evaluators'
+        ``annotations=``). SPARQL's LANG() of a plain literal is ``""``
+        and DATATYPE() is xsd:string, but the STORED annotation is NULL
+        — those two comparisons lower to a BOUND test so they match the
+        spec. ``!=`` against any other value would need null-is-""
+        three-valued handling the filter tuples don't carry; it raises
+        with the UNION workaround."""
+        fn = self.next()[1].lower()
+        self.eat_op("(")
+        k, v = self.next()
+        if k != "VAR":
+            raise SparqlSyntaxError(f"{fn.upper()}(?var) expected")
+        self.eat_op(")")
+        var = "?" + v[1:]
+        kk, op = self.peek()
+        if kk != "OP" or op not in ("=", "!="):
+            raise SparqlSyntaxError(
+                f"{fn.upper()}() supports = and != comparisons only")
+        self.next()
+        tk, tv = self.peek()
+        if fn == "lang":
+            if tk != "STRING":
+                raise SparqlSyntaxError("LANG() compares to a string")
+            val = _unescape(self.next()[1][1:-1])
+            plain = val == ""
+        else:
+            val = self.iri()
+            plain = val == _XSD + "string"
+        self.annotations.setdefault(var, set()).add(fn)
+        col = f"{var}__{fn}"
+        if plain:
+            # stored annotation NULL ≙ plain literal (lang "" /
+            # datatype xsd:string)
+            return (col, "bound", op == "!=")
+        if op == "!=":
+            raise SparqlSyntaxError(
+                f"{fn.upper()}() != non-plain value needs null-is-plain "
+                "three-valued semantics — express it as a UNION of the "
+                "= branches you want")
+        return (col, "=", val)
 
     # -- expressions (BIND / SELECT exprs) --------------------------------
     def expr(self):
@@ -860,6 +912,12 @@ class _UpdateParser(_Parser):
         if self.peek()[0] != "EOF":
             raise SparqlSyntaxError(
                 f"unexpected trailing input: {self.peek()[1]!r}")
+        if self.annotations:
+            ann = {k: tuple(sorted(v))
+                   for k, v in self.annotations.items()}
+            for op in ops:
+                if op["kind"] == "modify":
+                    op["annotations"] = ann
         return ops
 
     def _prologue(self):
@@ -1013,7 +1071,8 @@ def _run_update_op(store_dir: str, u: dict, num_buckets: int):
                             ("union", g["union"]),
                             ("values", g["values"]),
                             ("bind", g["bind"] or None),
-                            ("filters", g["filters"] or None))
+                            ("filters", g["filters"] or None),
+                            ("annotations", u.get("annotations")))
           if v is not None}
     bindings = evaluate_bgp_store(store_dir, g["patterns"],
                                   num_buckets=num_buckets, **kw)
@@ -1095,6 +1154,7 @@ def _lower(q: dict) -> dict:
         "order_by": q.get("order_by") or None,
         "limit": q.get("limit"),
         "offset": q.get("offset", 0),
+        "annotations": q.get("annotations"),
     }
     if synthetic and kw["select"] is not None:
         kw["select"] = [v for v in kw["select"] if v != "?_g"]

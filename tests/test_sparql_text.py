@@ -398,3 +398,58 @@ def test_filter_inside_not_exists(ray_session):
         FILTER NOT EXISTS { ?d ex:rank ?r . FILTER(?r > 5) } }""") \
         .to_pandas()
     assert list(out["d"]) == ["a"]
+
+
+def _annotated_ds(parts=2):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "subj": ["a", "a", "b", "b"],
+        "pred": [EX + "label"] * 4,
+        "obj": ["hello", "hallo", "42", "plain"],
+        "obj_lang": ["en", "de", None, None],
+        "obj_datatype": [None, None,
+                         "http://www.w3.org/2001/XMLSchema#integer",
+                         None]})).repartition(parts)
+
+
+def test_lang_filter(ray_session):
+    out = sparql(_annotated_ds(), P + """SELECT ?s ?l WHERE {
+        ?s ex:label ?l . FILTER(LANG(?l) = "en") }""").to_pandas()
+    assert out[["s", "l"]].values.tolist() == [["a", "hello"]]
+
+
+def test_lang_empty_means_plain(ray_session):
+    out = sparql(_annotated_ds(), P + """SELECT ?l WHERE {
+        ?s ex:label ?l . FILTER(LANG(?l) = "") }""").to_pandas()
+    assert sorted(out["l"]) == ["42", "plain"]
+    out2 = sparql(_annotated_ds(), P + """SELECT ?l WHERE {
+        ?s ex:label ?l . FILTER(LANG(?l) != "") }""").to_pandas()
+    assert sorted(out2["l"]) == ["hallo", "hello"]
+
+
+def test_datatype_filter(ray_session):
+    out = sparql(_annotated_ds(), P + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?l WHERE {
+        ?s ex:label ?l . FILTER(DATATYPE(?l) = xsd:integer) }""") \
+        .to_pandas()
+    assert list(out["l"]) == ["42"]
+    plain = sparql(_annotated_ds(), P + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?l WHERE {
+        ?s ex:label ?l . FILTER(DATATYPE(?l) = xsd:string) }""") \
+        .to_pandas()
+    assert sorted(plain["l"]) == ["hallo", "hello", "plain"]
+
+
+def test_lang_on_plain_stream_raises(ray_session):
+    with pytest.raises(Exception, match="obj_lang"):
+        sparql(_ds(), P + """SELECT ?e WHERE {
+            ?d ex:about ?e . FILTER(LANG(?e) = "en") }""").to_pandas()
+
+
+def test_lang_neq_value_rejected():
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(P + """SELECT ?l WHERE {
+            ?s ex:label ?l . FILTER(LANG(?l) != "en") }""")
