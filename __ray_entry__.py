@@ -4108,6 +4108,66 @@ def q_kg_sparql_agg(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_sparql_seqpath(sf_dir: str):
+    """SPARQL 1.1 SequencePath through the text layer:
+    ``?d ex:entity/^ex:entity ?d2`` — a forward hop composed with an
+    INVERSE hop via the spec's fresh-variable translation (the
+    intermediate entity is an existential ``?_anon_`` column, hidden
+    from the projection), giving co-mention pairs; the FILTER keeps one
+    ordered copy per pair. Mirrored as a self-join on the entity
+    object."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?d ?d2 WHERE {{
+          ?d ex:entity/^ex:entity ?d2 .
+          FILTER(?d < ?d2)
+        }}""", num_buckets=8)
+
+
+def q_kg_sparql_negprop(sf_dir: str):
+    """Negated property set (``!(p1|p2|p3)``) through the text layer:
+    edges whose predicate is NONE of the named ones — lowers to a fresh
+    predicate variable + a vectorized ``not_in`` filter (NULL-safe:
+    SPARQL error-is-false). Mirrored as ``pred NOT IN (...)``."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?o WHERE {{
+          ?s !(ex:rank|ex:score|ex:name) ?o .
+        }}""", num_buckets=8)
+
+
+def q_kg_sparql_or(sf_dir: str):
+    """Disjunctive FILTER (``a || b``) through the text layer: branch
+    masks OR with Kleene three-valued semantics, one vectorized map —
+    never a UNION rewrite. The numeric branch casts the term column (SQL
+    CAST discipline); mirrored as an SQL OR."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?r ?v WHERE {{
+          ?s ex:rank ?r ; ex:score ?v .
+          FILTER(?r = "3" || ?v < 100)
+        }}""", num_buckets=8)
+
+
+def q_kg_sparql_sample(sf_dir: str):
+    """SAMPLE aggregate through the text layer: SPARQL leaves the pick
+    unspecified, the engine takes MIN — the only deterministic,
+    layout-invariant choice — so the oracle mirrors with min(subj)."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?e (SAMPLE(?s) AS ?rep) (COUNT(*) AS ?n) WHERE {{
+          ?s ex:entity ?e .
+        }} GROUP BY ?e""", num_buckets=8)
+
+
 def q_kg_bgp_path(sf_dir: str):
     """SPARQL 1.1 property path (``pred+``) through the BGP layer: the
     synthetic subclass tree (Entity<i> broader Entity<i//2>) as real
@@ -4557,6 +4617,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_datatype": q_kg_sparql_datatype,
+        "kg_sparql_seqpath": q_kg_sparql_seqpath,
+        "kg_sparql_negprop": q_kg_sparql_negprop,
+        "kg_sparql_or": q_kg_sparql_or,
+        "kg_sparql_sample": q_kg_sparql_sample,
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
@@ -6397,6 +6461,30 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_sparql_seqpath": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity')
+            SELECT a.subj AS d, b.subj AS d2
+            FROM en a JOIN en b USING (e)
+            WHERE a.subj < b.subj
+        """,
+        "kg_sparql_negprop": _TRIPLE_BASE_CTE + f"""
+            SELECT subj AS s, obj AS o FROM triples
+            WHERE pred NOT IN ('{EX}rank', '{EX}score', '{EX}name')
+        """,
+        "kg_sparql_or": _TRIPLE_BASE_CTE + f""",
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank'),
+            sc AS (SELECT subj, obj AS v FROM triples
+                   WHERE pred = '{EX}score')
+            SELECT subj AS s, r, v FROM rk JOIN sc USING (subj)
+            WHERE r = '3' OR CAST(v AS BIGINT) < 100
+        """,
+        "kg_sparql_sample": _TRIPLE_BASE_CTE + f"""
+            SELECT obj AS e, min(subj) AS rep,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM triples WHERE pred = '{EX}entity' GROUP BY obj
         """,
         "kg_construct": _TRIPLE_BASE_CTE + f""",
             b AS (SELECT subj AS s, obj AS e FROM triples

@@ -361,43 +361,66 @@ _FILTER_OPS = {
 }
 
 
+def _constraint_mask(b: pa.Table, var, op, val):
+    """One FILTER constraint → boolean mask over the batch. Ops:
+    ``= != < <= > >= contains regex in not_in bound``; value a constant,
+    another ``?var``, a regex pattern (``regex``), a value list
+    (``in``/``not_in``), or (for ``bound``) True/False. Vectorized."""
+    col = b[var[1:] if _is_var(var) else var]
+    if op == "contains":
+        return pc.match_substring(col, val)
+    if op == "regex":  # SPARQL REGEX(?var, pattern) — RE2 kernel
+        return pc.match_substring_regex(col, val)
+    if op == "in":  # SPARQL ?var IN (...) / inline VALUES
+        return pc.is_in(col, value_set=pa.array(list(val)))
+    if op == "not_in":
+        # negated property sets / NOT IN: invert membership. is_in is
+        # never null (a null element is simply absent from the set), so
+        # the inversion cannot smuggle nulls through — but a NULL term
+        # must NOT match a negation (SPARQL error-is-false), so require
+        # validity explicitly
+        return pc.and_(pc.invert(pc.is_in(col, value_set=pa.array(list(val)))),
+                       pc.is_valid(col))
+    if op == "bound":
+        return pc.is_valid(col) if val else pc.is_null(col)
+    if op in _FILTER_OPS:
+        rhs = b[val[1:]] if _is_var(val) else val
+        if isinstance(val, (int, float)) and not isinstance(
+                val, bool) and pa.types.is_string(col.type):
+            # a NUMERIC constant against a STRING term column
+            # compares numerically (SPARQL operator semantics):
+            # the column casts first — SQL CAST discipline, a
+            # non-numeric lexical raises rather than comparing
+            # lexicographically. Non-string columns (aggregate
+            # outputs in HAVING) compare natively — Arrow
+            # promotes int/float without truncation.
+            col = pc.cast(col, pa.int64() if isinstance(val, int)
+                          else pa.float64())
+        return _FILTER_OPS[op](col, rhs)
+    raise ValueError(f"unknown FILTER op {op!r}")
+
+
 def _apply_filters(ds, filters):
-    """``filters`` = list of ``(?var, op, value)`` with op in
-    ``= != < <= > >= contains regex in bound`` and value a constant,
-    another ``?var``, a regex pattern (``regex``), a value list (``in`` —
-    the inline-VALUES form), or (for ``bound``) True/False. All
-    vectorized; conjunctive."""
+    """``filters`` = list of constraints, conjunctive. Each is either a
+    ``(?var, op, value)`` tuple (see :func:`_constraint_mask`) or a
+    disjunction ``("or", [constraint, ...])`` — SPARQL ``FILTER(a || b)``
+    — whose branch masks OR together (null ORs like SQL three-valued
+    logic: null || true = true, null || false drops the row). All
+    vectorized; no shuffle."""
     if not filters:
         return ds
 
     def f(b: pa.Table) -> pa.Table:
         mask = None
-        for var, op, val in filters:
-            col = b[var[1:] if _is_var(var) else var]
-            if op == "contains":
-                c = pc.match_substring(col, val)
-            elif op == "regex":  # SPARQL REGEX(?var, pattern) — RE2 kernel
-                c = pc.match_substring_regex(col, val)
-            elif op == "in":  # SPARQL ?var IN (...) / inline VALUES
-                c = pc.is_in(col, value_set=pa.array(list(val)))
-            elif op == "bound":
-                c = pc.is_valid(col) if val else pc.is_null(col)
-            elif op in _FILTER_OPS:
-                rhs = b[val[1:]] if _is_var(val) else val
-                if isinstance(val, (int, float)) and not isinstance(
-                        val, bool) and pa.types.is_string(col.type):
-                    # a NUMERIC constant against a STRING term column
-                    # compares numerically (SPARQL operator semantics):
-                    # the column casts first — SQL CAST discipline, a
-                    # non-numeric lexical raises rather than comparing
-                    # lexicographically. Non-string columns (aggregate
-                    # outputs in HAVING) compare natively — Arrow
-                    # promotes int/float without truncation.
-                    col = pc.cast(col, pa.int64() if isinstance(val, int)
-                                  else pa.float64())
-                c = _FILTER_OPS[op](col, rhs)
+        for entry in filters:
+            if entry[0] == "or" and not _is_var(entry[0]):
+                c = None
+                for sub in entry[1]:
+                    m = _constraint_mask(b, *sub)
+                    c = m if c is None else pc.or_kleene(
+                        pc.cast(c, pa.bool_()), pc.cast(m, pa.bool_()))
             else:
-                raise ValueError(f"unknown FILTER op {op!r}")
+                c = _constraint_mask(b, *entry)
             mask = c if mask is None else pc.and_(mask, c)
         return b.filter(mask)
 
@@ -771,7 +794,12 @@ def _apply_modifiers(acc, bound, *, select=None, distinct=False,
                 f"SELECT variables not bound by the pattern: {missing}")
         cols = vars_
     else:
-        cols = list(bound)
+        # SELECT *: project every USER variable — `_anon_*` variables are
+        # parser plumbing (sequence-path intermediates, negated-property
+        # predicates) and are never part of the solution per SPARQL (path
+        # intermediates are existential)
+        cols = [v for v in bound if not v.startswith("_anon_")] \
+            or list(bound)
 
     outside = [k for k, _d in keys if k not in cols]
     if outside:
@@ -786,7 +814,7 @@ def _apply_modifiers(acc, bound, *, select=None, distinct=False,
             acc = _offset_limit(acc, offset, limit)
         return acc
 
-    if select is not None:
+    if select is not None or cols != list(bound):
         acc = project(acc, cols)
     if distinct:
         from .aggregates import distinct as _distinct

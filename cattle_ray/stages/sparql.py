@@ -19,12 +19,19 @@ Supported grammar (the engine's implemented algebra, no more):
   ``UNION`` chain, one ``VALUES`` block, ``GRAPH term { … }`` (quad
   patterns), ``BIND(expr AS ?v)``
 * property paths on the predicate: ``p+``, ``^p``, ``p1|p2`` (and
-  ``^p+``); ``p*`` is rejected with the engine's scale rationale
+  ``^p+``), SequencePath ``e1/e2/…`` (lowered to the spec's
+  fresh-variable chain; intermediates are hidden from ``SELECT *``),
+  negated property sets ``!p`` / ``!(p1|p2)`` (a fresh predicate
+  variable + a vectorized ``not_in`` filter); ``p*`` is rejected with
+  the engine's scale rationale, and mixing ``/`` with ``|`` in one path
+  (needs grouping parens) is rejected with the UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
   the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
-  ``IN``, ``BOUND``/``!BOUND``, ``&&`` conjunction, ``EXISTS`` /
-  ``NOT EXISTS`` groups
+  ``IN``, ``BOUND``/``!BOUND``, ``&&`` conjunction, ``||`` disjunction
+  (one level — mixing ``&&`` and ``||`` without parens is rejected),
+  ``EXISTS`` / ``NOT EXISTS`` groups
 * aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
+  ``SAMPLE`` (deterministic: lowers to MIN),
   ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
   aggregates WITHOUT ``GROUP BY`` group over a synthetic constant key
   (SPARQL's single implicit group)
@@ -214,14 +221,35 @@ class _Parser:
         return f"?_anon_{self._bn}"
 
     # -- predicate path ---------------------------------------------
-    def path(self):
-        """Predicate position: ``?p``, ``iri``, ``^iri``, ``iri+``,
-        ``^iri+``, ``iri1|iri2|…`` (alternatives must be plain IRIs —
-        the engine's list form carries no per-branch modifiers)."""
-        k, v = self.peek()
-        if k == "VAR":
+    def _path_elt(self):
+        """ONE sequence element: ``iri``, ``^iri``, ``iri+``, ``^iri+``,
+        or a negated property set ``!iri`` / ``!(iri1|iri2|…)`` (returned
+        as ``("neg", [iris])`` — lowered to a fresh predicate variable +
+        a ``not_in`` filter by the triples block)."""
+        if self.at_op("!"):
             self.next()
-            return "?" + v[1:]
+            if self.at_op("("):
+                self.next()
+                preds = [self.iri()]
+                while self.at_op("|"):
+                    self.next()
+                    if self.at_op("^"):
+                        raise SparqlSyntaxError(
+                            "^ inside a negated property set is not "
+                            "supported — negate forward predicates only")
+                    preds.append(self.iri())
+                self.eat_op(")")
+            else:
+                if self.at_op("^"):
+                    raise SparqlSyntaxError(
+                        "^ inside a negated property set is not "
+                        "supported — negate forward predicates only")
+                preds = [self.iri()]
+            if self.at_op("+", "*", "?"):
+                raise SparqlSyntaxError(
+                    "path modifiers on a negated property set are not "
+                    "supported")
+            return ("neg", preds)
         inv = False
         if self.at_op("^"):
             self.next()
@@ -237,11 +265,27 @@ class _Parser:
                 "identity bindings you need")
         if inv:
             p = "^" + p
+        return p
+
+    def path(self):
+        """Predicate position: ``?p``, ``iri``, ``^iri``, ``iri+``,
+        ``^iri+``, ``iri1|iri2|…`` (alternatives must be plain IRIs —
+        the engine's list form carries no per-branch modifiers),
+        ``!iri`` / ``!(iri1|iri2)`` negated property sets, and
+        SequencePath ``e1/e2/…`` (each element any of the non-alternative
+        forms; returned as ``("seq", [elements])`` and lowered to a
+        fresh-variable chain per the SPARQL 1.1 path translation —
+        bag semantics preserved)."""
+        k, v = self.peek()
+        if k == "VAR":
+            self.next()
+            return "?" + v[1:]
+        p = self._path_elt()
         if self.at_op("|"):
-            if "+" in p or inv:
+            if not isinstance(p, str) or "+" in p or p.startswith("^"):
                 raise SparqlSyntaxError(
-                    "path alternatives must be plain IRIs (no ^/+ inside "
-                    "p1|p2)")
+                    "path alternatives must be plain IRIs (no ^/+/! "
+                    "inside p1|p2)")
             alts = [p]
             while self.at_op("|"):
                 self.next()
@@ -249,7 +293,23 @@ class _Parser:
                 if self.at_op("+", "^", "*"):
                     raise SparqlSyntaxError(
                         "path alternatives must be plain IRIs")
+            if self.at_op("/"):
+                raise SparqlSyntaxError(
+                    "mixing | and / in one path needs grouping parens, "
+                    "which are not supported — split the query into a "
+                    "UNION of sequence paths")
             return alts
+        if self.at_op("/"):
+            elems = [p]
+            while self.at_op("/"):
+                self.next()
+                elems.append(self._path_elt())
+                if self.at_op("|"):
+                    raise SparqlSyntaxError(
+                        "mixing / and | in one path needs grouping parens, "
+                        "which are not supported — split the query into a "
+                        "UNION of sequence paths")
+            return ("seq", elems)
         return p
 
     # -- query top level ----------------------------------------------
@@ -321,7 +381,8 @@ class _Parser:
         k, v = self.peek()
         agg = None
         if k == "NAME" and v.upper() in (
-                "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT"):
+                "COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT",
+                "SAMPLE"):
             agg = self._aggregate(v.upper())
         else:
             agg = None
@@ -377,6 +438,11 @@ class _Parser:
             self.eat_op(")")
             return ("group_concat", var, sep)
         self.eat_op(")")
+        if fn == "SAMPLE":
+            # SPARQL leaves SAMPLE's pick unspecified; MIN is the only
+            # layout-invariant (deterministic, partition-independent)
+            # choice, and any value the group contains is a valid sample
+            return ("min", var)
         return (fn.lower(), var)
 
     def _describe(self) -> dict:
@@ -530,7 +596,7 @@ class _Parser:
                         self._subpatterns("UNION branch", allow_filters=True))
                 out["union"] = branches
             else:
-                self._triples_block(out["patterns"])
+                self._triples_block(out["patterns"], out["filters"])
             if self.at_op("."):
                 self.next()
         self.eat_op("}")
@@ -558,13 +624,37 @@ class _Parser:
             return {"patterns": sub["patterns"], "filters": sub["filters"]}
         return sub["patterns"]
 
-    def _triples_block(self, patterns: list):
+    def _emit_triple(self, patterns: list, filters, s, p, o):
+        """Lower one parsed (s, path, o) into engine patterns: sequence
+        paths become a fresh-variable chain (the SPARQL 1.1 translation —
+        intermediates are ``?_anon_N``, hidden from SELECT *), negated
+        property sets become a fresh predicate variable + a ``not_in``
+        filter."""
+        if isinstance(p, tuple) and p[0] == "neg":
+            if filters is None:
+                raise SparqlSyntaxError(
+                    "negated property sets are not supported in this "
+                    "context (the group carries no FILTER slot)")
+            pv = self.fresh_var()
+            patterns.append((s, pv, o))
+            filters.append((pv, "not_in", list(p[1])))
+            return
+        if isinstance(p, tuple) and p[0] == "seq":
+            cur = s
+            for i, elem in enumerate(p[1]):
+                nxt = o if i == len(p[1]) - 1 else self.fresh_var()
+                self._emit_triple(patterns, filters, cur, elem, nxt)
+                cur = nxt
+            return
+        patterns.append((s, p, o))
+
+    def _triples_block(self, patterns: list, filters=None):
         s = self.term()
         while True:
             p = self.path()
             while True:
                 o = self.term()
-                patterns.append((s, p, o))
+                self._emit_triple(patterns, filters, s, p, o)
                 if self.at_op(","):
                     self.next()
                     continue
@@ -630,16 +720,31 @@ class _Parser:
                 self._subpatterns("NOT EXISTS", allow_filters=True))
             return
         self.eat_op("(")
-        while True:
-            out["filters"].append(self._constraint())
-            if self.at_op("&&"):
+        first = self._constraint()
+        if self.at_op("||"):
+            # FILTER(a || b || …) — ONE disjunctive entry; branch masks
+            # OR together in the engine. Mixing && and || without parens
+            # is ambiguous, so it raises.
+            branches = [first]
+            while self.at_op("||"):
                 self.next()
-                continue
-            if self.at_op("||"):
+                branches.append(self._constraint())
+            if self.at_op("&&"):
                 raise SparqlSyntaxError(
-                    "|| in FILTER is not supported — express the "
-                    "disjunction as a UNION of pattern groups or IN")
-            break
+                    "mixing && and || in one FILTER needs parens, which "
+                    "are not supported — split into separate FILTER(...) "
+                    "clauses (conjunctive) of || chains")
+            out["filters"].append(("or", branches))
+        else:
+            out["filters"].append(first)
+            while self.at_op("&&"):
+                self.next()
+                out["filters"].append(self._constraint())
+                if self.at_op("||"):
+                    raise SparqlSyntaxError(
+                        "mixing && and || in one FILTER needs parens, "
+                        "which are not supported — split into separate "
+                        "FILTER(...) clauses (conjunctive) of || chains")
         self.eat_op(")")
 
     def _constraint(self):

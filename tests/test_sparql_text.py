@@ -92,10 +92,58 @@ def test_exists_and_not_exists_groups():
     assert q["minus"] == [[("?s", EX + "r", "?y")]]
 
 
-def test_or_in_filter_rejected():
-    with pytest.raises(SparqlSyntaxError, match="UNION"):
+def test_or_in_filter_lowers_to_disjunction():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v . FILTER(?v = "a" || ?v = "b") }""")
+    assert q["filters"] == [("or", [("?v", "=", "a"), ("?v", "=", "b")])]
+
+
+def test_mixed_and_or_filter_rejected():
+    with pytest.raises(SparqlSyntaxError, match="parens"):
         parse_sparql(P + """SELECT * WHERE {
-            ?s ex:v ?v . FILTER(?v = "a" || ?v = "b") }""")
+            ?s ex:v ?v . FILTER(?v = "a" || ?v = "b" && ?v != "c") }""")
+    with pytest.raises(SparqlSyntaxError, match="parens"):
+        parse_sparql(P + """SELECT * WHERE {
+            ?s ex:v ?v . FILTER(?v != "c" && ?v = "a" || ?v = "b") }""")
+
+
+def test_sequence_path_lowers_to_fresh_var_chain():
+    q = parse_sparql(P + "SELECT ?n WHERE { ?s ex:p/ex:q/ex:r ?n . }")
+    assert q["patterns"] == [
+        ("?s", EX + "p", "?_anon_1"), ("?_anon_1", EX + "q", "?_anon_2"),
+        ("?_anon_2", EX + "r", "?n")]
+
+
+def test_sequence_path_with_inverse_and_plus_elements():
+    q = parse_sparql(P + "SELECT * WHERE { ?s ^ex:p/ex:q+ ?o . }")
+    assert q["patterns"] == [
+        ("?s", "^" + EX + "p", "?_anon_1"), ("?_anon_1", EX + "q+", "?o")]
+
+
+def test_mixing_seq_and_alt_rejected():
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(P + "SELECT * WHERE { ?s ex:p/ex:q|ex:r ?o . }")
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        parse_sparql(P + "SELECT * WHERE { ?s ex:q|ex:r/ex:p ?o . }")
+
+
+def test_negated_property_set_lowers_to_not_in_filter():
+    q = parse_sparql(P + "SELECT * WHERE { ?s !(ex:p|ex:q) ?o . }")
+    assert q["patterns"] == [("?s", "?_anon_1", "?o")]
+    assert q["filters"] == [("?_anon_1", "not_in", [EX + "p", EX + "q"])]
+    q2 = parse_sparql(P + "SELECT * WHERE { ?s !ex:p ?o . }")
+    assert q2["filters"] == [("?_anon_1", "not_in", [EX + "p"])]
+
+
+def test_negated_inverse_rejected():
+    with pytest.raises(SparqlSyntaxError, match="forward"):
+        parse_sparql(P + "SELECT * WHERE { ?s !(ex:p|^ex:q) ?o . }")
+
+
+def test_sample_lowers_to_min():
+    q = parse_sparql(P + """SELECT ?s (SAMPLE(?v) AS ?any) WHERE {
+        ?s ex:p ?v } GROUP BY ?s""")
+    assert q["agg"] == {"any": ("min", "?v")}
 
 
 def test_bind_expressions():
@@ -309,6 +357,41 @@ def test_text_values(ray_session):
 def test_text_ask(ray_session):
     assert sparql(_ds(), P + 'ASK { ?s ex:type "Doc" . }') is True
     assert sparql(_ds(), P + 'ASK { ?s ex:type "Nope" . }') is False
+
+
+def test_text_sequence_path_end_to_end(ray_session):
+    # ?d about/in ?x — two hops through the anonymous intermediate
+    out = sparql(_ds(), P + """SELECT ?d ?x WHERE {
+        ?d ex:about/ex:in ?x . } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", "X"], ["b", "Y"], ["c", "X"]]
+
+
+def test_text_sequence_path_select_star_hides_anon(ray_session):
+    out = sparql(_ds(), P + """SELECT * WHERE {
+        ?d ex:about/ex:in ?x . } ORDER BY ?d""").to_pandas()
+    assert list(out.columns) == ["d", "x"]
+    assert out.values.tolist() == [["a", "X"], ["b", "Y"], ["c", "X"]]
+
+
+def test_text_negated_property_set_end_to_end(ray_session):
+    # every edge whose predicate is neither type nor about
+    out = sparql(_ds(), P + """SELECT ?s ?o WHERE {
+        ?s !(ex:type|ex:about) ?o . } ORDER BY ?s""").to_pandas()
+    assert out.values.tolist() == [
+        ["E1", "X"], ["E2", "Y"], ["a", "3"], ["b", "11"]]
+
+
+def test_text_or_filter_end_to_end(ray_session):
+    out = sparql(_ds(), P + """SELECT ?s WHERE {
+        ?s ex:type ?t . FILTER(?t = "Page" || ?s = "a") }""").to_pandas()
+    assert sorted(out["s"]) == ["a", "c"]
+
+
+def test_text_sample_end_to_end(ray_session):
+    out = sparql(_ds(), P + """SELECT ?e (SAMPLE(?d) AS ?doc) WHERE {
+        ?d ex:about ?e . } GROUP BY ?e ORDER BY ?e""").to_pandas()
+    # SAMPLE is the deterministic min representative
+    assert out.values.tolist() == [["E1", "a"], ["E2", "b"]]
 
 
 def test_text_construct(ray_session):
