@@ -4168,6 +4168,25 @@ def q_kg_sparql_sample(sf_dir: str):
         }} GROUP BY ?e""", num_buckets=8)
 
 
+def q_kg_sparql_subquery(sf_dir: str):
+    """SPARQL subquery through the text layer: an aggregating
+    ``{ SELECT ?e (COUNT(*) AS ?n) ... GROUP BY ?e }`` evaluates
+    bottom-up to its own bindings stream, then joins onto the outer
+    pattern's solutions on the shared variable (the engine's
+    ``subselects`` join) — the classic "each mention with its entity's
+    total mention count" shape. Mirrored as a windowless SQL
+    join-to-grouped-CTE."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?e ?n WHERE {{
+          ?s ex:entity ?e .
+          {{ SELECT ?e (COUNT(*) AS ?n) WHERE {{ ?x ex:entity ?e }}
+             GROUP BY ?e }}
+        }}""", num_buckets=8)
+
+
 def q_kg_bgp_path(sf_dir: str):
     """SPARQL 1.1 property path (``pred+``) through the BGP layer: the
     synthetic subclass tree (Entity<i> broader Entity<i//2>) as real
@@ -4618,6 +4637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
+        "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6468,6 +6488,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT a.subj AS d, b.subj AS d2
             FROM en a JOIN en b USING (e)
             WHERE a.subj < b.subj
+        """,
+        "kg_sparql_subquery": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            cnt AS (SELECT e, CAST(count(*) AS BIGINT) AS n
+                    FROM en GROUP BY e)
+            SELECT subj AS s, e, n FROM en JOIN cnt USING (e)
         """,
         "kg_sparql_negprop": _TRIPLE_BASE_CTE + f"""
             SELECT subj AS s, obj AS o FROM triples

@@ -1037,13 +1037,17 @@ def _display_for(patterns, union):
 def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
                    bind, filters, group_by, agg, having, select, distinct,
                    order_by, limit, offset, num_buckets,
-                   exists=None, values=None):
+                   exists=None, values=None, subselects=None):
     """The shared SPARQL-algebra pipeline over per-pattern binding
-    streams: fold required patterns → join the UNION block → VALUES →
-    EXISTS semi-joins → MINUS → OPTIONAL left-joins → BIND → FILTER →
-    GROUP BY/HAVING → solution modifiers. ``streams_for(pattern) ->
-    (Dataset, vars)`` abstracts the source (in-stream scan vs
-    store-pruned scan)."""
+    streams: fold required patterns → join the UNION block → subquery
+    joins → VALUES → EXISTS semi-joins → MINUS → OPTIONAL left-joins →
+    BIND → FILTER → GROUP BY/HAVING → solution modifiers.
+    ``streams_for(pattern) -> (Dataset, vars)`` abstracts the source
+    (in-stream scan vs store-pruned scan). ``subselects``: list of
+    ``(bindings_ds, ["?v", ...])`` — pre-evaluated sub-SELECT solution
+    streams (SPARQL subqueries evaluate bottom-up, so they arrive as
+    finished Datasets) joined onto the outer bindings on the shared
+    variables, exactly like a UNION block."""
     from .joins import hash_join
 
     acc = bound = None
@@ -1067,6 +1071,21 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
                             left_schema=_sch(bound),
                             right_schema=_sch(u_vars))
             bound += [v for v in u_vars if v not in bound]
+    for sub_ds, sub_vars in (subselects or []):
+        s_vars = [v[1:] if _is_var(v) else v for v in sub_vars]
+        if acc is None:
+            acc, bound = sub_ds, list(s_vars)
+            continue
+        shared = [v for v in s_vars if v in bound]
+        if not shared:
+            raise ValueError(
+                f"subquery projecting {s_vars} shares no variable with "
+                f"the outer bindings ({bound}) — a cartesian product at "
+                "corpus scale; project a shared variable")
+        acc = hash_join(acc, sub_ds, shared, shared,
+                        num_buckets=num_buckets,
+                        left_schema=_sch(bound))
+        bound += [v for v in s_vars if v not in bound]
     if values is not None:
         acc, bound = _apply_values(acc, bound, values, num_buckets)
     acc = _apply_exists(acc, bound, exists, streams_for, num_buckets)
@@ -1097,7 +1116,7 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
                  group_by=None, agg=None, having=None,
                  select=None, distinct: bool = False, order_by=None,
                  limit=None, offset: int = 0, spill_dir: str | None = None,
-                 annotations=None, num_buckets: int = 32):
+                 annotations=None, subselects=None, num_buckets: int = 32):
     """Evaluate a basic graph pattern; returns a Dataset with one column
     per variable (no ``?`` prefix), one row per satisfying binding
     (bag semantics, like SPARQL without DISTINCT).
@@ -1130,8 +1149,12 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
     variables; ``distinct`` dedups projected rows; ``order_by`` is a list
     of ``"?var"`` or ``("?var", "descending")``; ``limit``/``offset``
     slice the (ordered) solutions — ``order_by`` + ``limit`` runs as
-    per-block top-k, never a global sort."""
-    if not patterns and not union:
+    per-block top-k, never a global sort.
+
+    ``subselects``: list of ``(bindings_ds, ["?v", ...])`` pre-evaluated
+    subquery solution streams, joined on shared variables (see
+    :func:`_evaluate_body`)."""
+    if not patterns and not union and not subselects:
         raise ValueError("empty BGP")
 
     def group_size(groups):
@@ -1174,7 +1197,7 @@ def evaluate_bgp(triples_ds, patterns, *, optional=None, minus=None,
         values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,
         select=select, distinct=distinct, order_by=order_by, limit=limit,
-        offset=offset, num_buckets=num_buckets)
+        offset=offset, num_buckets=num_buckets, subselects=subselects)
 
 
 def ask_bgp(triples_ds, patterns, **kwargs) -> bool:
@@ -1194,7 +1217,8 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                        select=None, distinct: bool = False, order_by=None,
                        limit=None, offset: int = 0,
                        obj_index_dir: str | None = None,
-                       annotations=None, num_buckets: int = 32):
+                       annotations=None, subselects=None,
+                       num_buckets: int = 32):
     """BGP over a hash-partitioned triple STORE with read-level pruning
     per pattern: each pattern's constants push into its own scan
     (pred/obj parquet row-group filters; a pattern binding the store's
@@ -1214,7 +1238,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
 
     from ..sources.triple_sink import index_is_stale, match_triples
 
-    if not patterns and not union:
+    if not patterns and not union and not subselects:
         raise ValueError("empty BGP")
     use_index = None
     if obj_index_dir is not None and not index_is_stale(obj_index_dir):
@@ -1272,4 +1296,4 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         values=values, bind=bind,
         filters=filters, group_by=group_by, agg=agg, having=having,
         select=select, distinct=distinct, order_by=order_by, limit=limit,
-        offset=offset, num_buckets=num_buckets)
+        offset=offset, num_buckets=num_buckets, subselects=subselects)

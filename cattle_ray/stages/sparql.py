@@ -15,7 +15,9 @@ Supported grammar (the engine's implemented algebra, no more):
   ``ASK``, ``CONSTRUCT { template } WHERE``
 * ``PREFIX`` prologue, ``a`` ≡ ``rdf:type``, ``;``/``,`` triple
   abbreviations, blank nodes ``_:b`` as non-projected variables
-* graph patterns: conjunction, ``OPTIONAL``, ``MINUS``, one
+* graph patterns: conjunction, ``OPTIONAL``, ``MINUS``, subqueries
+  ``{ SELECT ... }`` (bottom-up evaluation, joined on shared variables;
+  explicit projection required), one
   ``UNION`` chain, one ``VALUES`` block, ``GRAPH term { … }`` (quad
   patterns), ``BIND(expr AS ?v)``
 * property paths on the predicate: ``p+``, ``^p``, ``p1|p2`` (and
@@ -346,7 +348,7 @@ class _Parser:
                                 for k, v in self.annotations.items()}
         return q
 
-    def _select(self) -> dict:
+    def _select(self, nested: bool = False) -> dict:
         self.eat_kw("SELECT")
         q: dict = {"kind": "select", "distinct": False, "select": None,
                    "agg": {}, "select_binds": []}
@@ -372,8 +374,15 @@ class _Parser:
             if not sel:
                 raise SparqlSyntaxError("empty SELECT clause")
             q["select"] = sel
+        if nested and q["select"] is None:
+            raise SparqlSyntaxError(
+                "subqueries must project an explicit variable list "
+                "(SELECT * in a subquery hides which variables join "
+                "outward)")
         self._where(q)
         self._modifiers(q)
+        if nested:
+            return q
         return self._finish(q)
 
     def _select_expr(self, q: dict, sel: list):
@@ -545,7 +554,7 @@ class _Parser:
         self.eat_op("{")
         out: dict = {"patterns": [], "optional": [], "minus": [],
                      "exists": [], "union": None, "values": None,
-                     "bind": [], "filters": []}
+                     "bind": [], "filters": [], "subselects": []}
         while not self.at_op("}"):
             if self.at_kw("OPTIONAL"):
                 self.next()
@@ -579,6 +588,23 @@ class _Parser:
                 g = self.term()
                 sub = self._subpatterns("GRAPH")
                 out["patterns"].extend(tuple(p) + (g,) for p in sub)
+            elif self.at_op("{") and self.peek(1)[0] == "NAME" and \
+                    self.peek(1)[1].upper() == "SELECT":
+                # SPARQL subquery: { SELECT ... } — evaluated bottom-up
+                # and joined onto the outer bindings on shared variables.
+                # Annotation (LANG/DATATYPE) scope is per-query: snapshot
+                # the collector so the subquery's annotations attach to
+                # ITS ast, not the outer query's
+                self.next()
+                saved, self.annotations = self.annotations, {}
+                sub = self._select(nested=True)
+                if self.annotations:
+                    sub["annotations"] = {k: tuple(sorted(v))
+                                          for k, v in
+                                          self.annotations.items()}
+                self.annotations = saved
+                self.eat_op("}")
+                out["subselects"].append(sub)
             elif self.at_op("{"):
                 # a braced subgroup: only meaningful here as a UNION chain
                 first = self._subpatterns("UNION branch", allow_filters=True)
@@ -609,7 +635,7 @@ class _Parser:
         filters constrain the group's solutions before they meet the
         outer bindings, SPARQL's LeftJoin-condition reading)."""
         sub = self.group()
-        banned = ["optional", "minus", "exists", "bind"]
+        banned = ["optional", "minus", "exists", "bind", "subselects"]
         if not allow_filters:
             banned.append("filters")
         extra = [k for k in banned if sub[k]]
@@ -1280,6 +1306,29 @@ def sparql(source, text: str, *, num_buckets: int = 32,
     kw = _lower(q)
     patterns = q["patterns"]
     kw.pop("kind", None)
+    # SPARQL subqueries evaluate bottom-up: run each { SELECT ... } ast
+    # against the SAME source (recursively — a subquery may itself hold
+    # subqueries) and pass the finished bindings streams to the engine,
+    # which joins them on shared variables
+
+    def eval_select(ast):
+        skw = _lower(ast)
+        inner = [(eval_select(i), list(i["select"]))
+                 for i in ast.get("subselects") or []]
+        if inner:
+            skw["subselects"] = inner
+        if isinstance(source, str):
+            return evaluate_bgp_store(
+                source, ast["patterns"], num_buckets=num_buckets,
+                obj_index_dir=obj_index_dir, reorder=reorder, **skw)
+        return evaluate_bgp(source, ast["patterns"],
+                            num_buckets=num_buckets, reorder=reorder,
+                            **skw)
+
+    subs = [(eval_select(sq), list(sq["select"]))
+            for sq in q.get("subselects") or []]
+    if subs:
+        kw["subselects"] = subs
     if isinstance(source, str):
         def run(**extra):
             return evaluate_bgp_store(

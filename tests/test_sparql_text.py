@@ -387,6 +387,58 @@ def test_text_or_filter_end_to_end(ray_session):
     assert sorted(out["s"]) == ["a", "c"]
 
 
+def test_subquery_parses_to_nested_ast():
+    q = parse_sparql(P + """SELECT ?d ?n WHERE {
+        ?d ex:about ?e .
+        { SELECT ?e (COUNT(*) AS ?n) WHERE { ?x ex:about ?e } GROUP BY ?e }
+    }""")
+    assert len(q["subselects"]) == 1
+    sub = q["subselects"][0]
+    assert sub["select"] == ["?e", "?n"]
+    assert sub["agg"] == {"n": "count"}
+    assert sub["group_by"] == ["?e"]
+
+
+def test_subquery_select_star_rejected():
+    with pytest.raises(SparqlSyntaxError, match="explicit variable list"):
+        parse_sparql(P + """SELECT ?d WHERE {
+            { SELECT * WHERE { ?d ex:about ?e } } }""")
+
+
+def test_subquery_inside_optional_rejected():
+    with pytest.raises(SparqlSyntaxError, match="triple patterns"):
+        parse_sparql(P + """SELECT ?d WHERE {
+            ?d ex:about ?e .
+            OPTIONAL { { SELECT ?e WHERE { ?x ex:in ?e } } } }""")
+
+
+def test_text_subquery_end_to_end(ray_session):
+    # per-entity mention count from a subquery, joined to the mentions
+    out = sparql(_ds(), P + """SELECT ?d ?e ?n WHERE {
+        ?d ex:about ?e .
+        { SELECT ?e (COUNT(*) AS ?n) WHERE { ?x ex:about ?e }
+          GROUP BY ?e }
+    } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [
+        ["a", "E1", 2], ["b", "E2", 1], ["c", "E1", 2]]
+
+
+def test_text_subquery_only_and_nested(ray_session):
+    out = sparql(_ds(), P + """SELECT ?e ?n WHERE {
+        { SELECT ?e (COUNT(*) AS ?n) WHERE { ?x ex:about ?e }
+          GROUP BY ?e }
+    } ORDER BY ?e""").to_pandas()
+    assert out.values.tolist() == [["E1", 2], ["E2", 1]]
+    nested = sparql(_ds(), P + """SELECT ?d ?e WHERE {
+        ?d ex:about ?e .
+        { SELECT ?e ?n WHERE {
+            { SELECT ?e (COUNT(*) AS ?n) WHERE { ?x ex:about ?e }
+              GROUP BY ?e }
+            FILTER(?n > 1) } }
+    } ORDER BY ?d""").to_pandas()
+    assert nested.values.tolist() == [["a", "E1"], ["c", "E1"]]
+
+
 def test_text_sample_end_to_end(ray_session):
     out = sparql(_ds(), P + """SELECT ?e (SAMPLE(?d) AS ?doc) WHERE {
         ?d ex:about ?e . } GROUP BY ?e ORDER BY ?e""").to_pandas()
