@@ -427,6 +427,33 @@ def _apply_filters(ds, filters):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _filter_pushable(f, vars_) -> bool:
+    """True when constraint ``f`` references ONLY variables/columns in
+    ``vars_`` — then it can run map-side on that pattern's binding stream
+    BEFORE any join (filters commute with inner joins, and with left /
+    anti / semi joins when applied to the REQUIRED side, which is the
+    only side the pushdown touches). The original filter stays in place
+    after the fold — deterministic row predicates are idempotent, and
+    keeping it covers variables a UNION branch also binds."""
+    if f and f[0] == "or":
+        return all(_filter_pushable(c, vars_) for c in f[1])
+    var, op, val = f
+    name = var[1:] if _is_var(var) else var
+    if name not in vars_:
+        return False
+    if isinstance(val, str) and _is_var(val) and val[1:] not in vars_:
+        return False
+    if op in _FILTER_OPS and isinstance(val, (int, float)) \
+            and not isinstance(val, bool):
+        # a numeric comparison CASTS the term column (raising on
+        # non-numeric lexicals — the engine's SQL-CAST discipline);
+        # pushing it below the joins would raise on rows a join was
+        # going to prune before the filter's algebra position, turning
+        # working queries into errors — leave these at the top
+        return False
+    return True
+
+
 def _group_parts(group):
     """Normalize a nested-group argument: a single pattern tuple, a list
     of patterns, or a dict ``{"patterns": [...], "filters": [...]}`` —
@@ -1052,7 +1079,19 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
 
     acc = bound = None
     if plan:
-        streams = [(*streams_for(p), p) for p in plan]
+        # FILTER pushdown: a constraint whose variables are all bound by
+        # one required pattern runs map-side on that pattern's stream —
+        # selective filters then prune BEFORE the join shuffle instead of
+        # after every join (the filter also stays in its algebra position
+        # below; see _filter_pushable for why that is safe)
+        streams = []
+        for p in plan:
+            ds, vars_ = streams_for(p)
+            elig = [f for f in (filters or [])
+                    if _filter_pushable(f, vars_)]
+            if elig:
+                ds = _apply_filters(ds, elig)
+            streams.append((ds, vars_, p))
         acc, bound = _fold_bindings([streams[0][:2]] + streams[1:],
                                     num_buckets)
     if union:

@@ -306,6 +306,41 @@ def test_select_modifiers_store(ray_session, tmp_path):
     assert got.values.tolist() == [["E1", "X"], ["E2", "Y"]]
 
 
+def test_filter_pushdown_preserves_semantics(ray_session):
+    """Pushable filters run map-side on the binding streams AND at their
+    algebra position — results must match the unpushed semantics across
+    joins, OPTIONAL-null interplay, and var-to-var comparisons."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    # filter var bound by one of two joined patterns
+    got = evaluate_bgp(
+        ds, [("?d", "type", "Doc"), ("?d", "about", "?e")],
+        filters=[("?e", "=", "E1")]).to_pandas()
+    assert set(zip(got["d"], got["e"])) == {("a", "E1")}
+    # !BOUND over an OPTIONAL var must NOT be affected by pushdown
+    # (the var is not bound by any required pattern)
+    got2 = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        optional=[[("?e", "in", "?r")]],
+        filters=[("?r", "bound", False)]).to_pandas()
+    assert len(got2) == 0  # every entity here has a region
+    # var-to-var comparison inside ONE pattern pushes; across patterns
+    # it stays at the top — both must agree with the naive evaluation
+    got3 = evaluate_bgp(
+        ds, [("?s", "self", "?o")], filters=[("?s", "=", "?o")]).to_pandas()
+    assert list(zip(got3["s"], got3["o"])) == [("loop", "loop")]
+    # disjunction with all vars in one pattern (pushable) and numeric
+    # comparison (excluded from pushdown — cast discipline)
+    got4 = evaluate_bgp(
+        ds, [("?d", "about", "?e")],
+        filters=[("or", [("?e", "=", "E1"), ("?d", "=", "b")])]).to_pandas()
+    assert set(zip(got4["d"], got4["e"])) == {
+        ("a", "E1"), ("c", "E1"), ("b", "E2")}
+
+
 def test_filter_in_and_regex(ray_session):
     """FILTER ?var IN (...) (inline VALUES) and REGEX — vectorized,
     conjunctive with the comparator ops; nulls/REGEX-misses drop."""
