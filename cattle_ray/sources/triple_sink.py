@@ -517,7 +517,8 @@ def merge_triples_hash_partitioned(new_triples_ds, out_dir: str,
 
 
 def delete_triples(out_dir: str, *, subj: str | None = None,
-                   pred: str | None = None, obj: str | None = None):
+                   pred: str | None = None, obj: str | None = None,
+                   graph: str | None = None):
     """Tracked DELETE over the partitioned store (retractions are a real
     web-KG operation — takedowns, GDPR erasure, revoked facts): remove
     every triple matching the bound constants, rewriting only affected
@@ -526,17 +527,30 @@ def delete_triples(out_dir: str, *, subj: str | None = None,
     partition records its removed rows under ``part_id=N/gen=G/`` and the
     meta generation bumps once — :func:`read_store_asof` can resurrect
     any pre-delete snapshot. Returns a small pandas manifest (one row per
-    partition that actually lost rows). At least one constant must bind."""
+    partition that actually lost rows). At least one constant must bind.
+    ``graph`` scopes to a named graph (SPARQL ``CLEAR GRAPH`` when it is
+    the only constant); like in :func:`match_triples` it is a filter,
+    never a route, and raises on graph-less stores."""
     import glob
     import os
 
     import ray
 
     bound = {k: v for k, v in
-             {"subj": subj, "pred": pred, "obj": obj}.items() if v is not None}
+             {"subj": subj, "pred": pred, "obj": obj,
+              "graph": graph}.items() if v is not None}
     if not bound:
         raise ValueError("delete_triples with no bound constant would drop "
                          "the whole store — do that with shutil instead")
+    if graph is not None:
+        import pyarrow.parquet as _pq
+
+        any_part = glob.glob(f"{out_dir}/part_id=*/data.parquet")
+        if any_part and "graph" not in _pq.read_schema(any_part[0]).names:
+            raise ValueError(
+                f"store {out_dir!r} has no named-graph column — it was "
+                "written from plain triples; a graph-scoped delete "
+                "cannot match")
     route = store_key(out_dir)
     # drop planner stats BEFORE any partition rewrite (crash safety —
     # same rationale as in merge)

@@ -1063,6 +1063,20 @@ class _UpdateParser(_Parser):
             self.prefixes[v[:-1]] = vv[1:-1]
 
     def _one_update(self) -> dict:
+        if self.at_kw("CLEAR"):
+            self.next()
+            if self.at_kw("SILENT"):
+                raise SparqlSyntaxError(
+                    "CLEAR SILENT is not supported — errors here mean "
+                    "the store cannot express the op; silencing them "
+                    "would hide real data-loss hazards")
+            if self.at_kw("GRAPH"):
+                self.next()
+                return {"kind": "clear", "graph": self.iri()}
+            raise SparqlSyntaxError(
+                "CLEAR supports GRAPH <iri> only — DEFAULT/NAMED/ALL "
+                "drop the whole store; do that with the store tooling "
+                "(and lose time travel deliberately)")
         if self.at_kw("INSERT"):
             self.next()
             if self.at_kw("DATA"):
@@ -1194,6 +1208,13 @@ def _run_update_op(store_dir: str, u: dict, num_buckets: int):
         return {"op": "delete_data", "matched": len(u["triples"]),
                 "removed": int(m["n_removed"].sum()) if len(m) else 0,
                 "inserted": 0, "generation": store_generation(store_dir)}
+    if u["kind"] == "clear":
+        from ..sources.triple_sink import delete_triples
+
+        m = delete_triples(store_dir, graph=u["graph"])
+        removed = int(m["n_removed"].sum()) if len(m) else 0
+        return {"op": "clear", "matched": removed, "removed": removed,
+                "inserted": 0, "generation": store_generation(store_dir)}
 
     g = u["where"]
     kw = {k: v for k, v in (("optional", g["optional"] or None),
@@ -1205,6 +1226,20 @@ def _run_update_op(store_dir: str, u: dict, num_buckets: int):
                             ("filters", g["filters"] or None),
                             ("annotations", u.get("annotations")))
           if v is not None}
+    if g.get("subselects"):
+        # subqueries in UPDATE WHERE evaluate bottom-up against the
+        # PRE-update store, same discipline as the query path
+        def eval_sub(ast):
+            skw = _lower(ast)
+            inner = [(eval_sub(i), list(i["select"]))
+                     for i in ast.get("subselects") or []]
+            if inner:
+                skw["subselects"] = inner
+            return evaluate_bgp_store(store_dir, ast["patterns"],
+                                      num_buckets=num_buckets, **skw)
+
+        kw["subselects"] = [(eval_sub(sq), list(sq["select"]))
+                            for sq in g["subselects"]]
     bindings = evaluate_bgp_store(store_dir, g["patterns"],
                                   num_buckets=num_buckets, **kw)
     # both templates instantiate from the PRE-update state: materialize

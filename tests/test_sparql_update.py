@@ -203,3 +203,70 @@ def test_modify_matching_nothing_is_noop(ray_session, tmp_path):
     assert out["inserted"] == 0
     assert store_generation(store) == 0  # nothing rewritten, no bump
     assert _triples(store) == set(ROWS)
+
+
+def _graph_store(tmp_path, parts=4):
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+
+    s, p, o = zip(*ROWS)
+    g = ["urn:g:1", "urn:g:1", "urn:g:2", "urn:g:2", "urn:g:1"]
+    ds = rd.from_arrow(pa.table(
+        {"subj": list(s), "pred": list(p), "obj": list(o), "graph": g}))
+    store = str(tmp_path / "gstore")
+    write_triples_hash_partitioned(ds, store, num_partitions=parts)
+    return store
+
+
+def test_clear_graph(ray_session, tmp_path):
+    """CLEAR GRAPH <g> is a tracked graph-scoped delete: only that
+    graph's rows go, a generation records them, time travel resurrects
+    the pre-clear state."""
+    from cattle_ray.sources.triple_sink import (read_store_asof,
+                                                store_generation)
+
+    store = _graph_store(tmp_path)
+    out = sparql_update(store, "CLEAR GRAPH <urn:g:2>")
+    assert out["op"] == "clear" and out["removed"] == 2
+    assert store_generation(store) == 1
+    # remaining rows are all g:1 (query the graph col via a quad pattern)
+    got = sparql(store,
+                 "SELECT ?s WHERE { GRAPH <urn:g:2> { ?s ?p ?o } }")
+    assert got.count() == 0
+    old = read_store_asof(store, 0).to_pandas()
+    assert len(old) == len(ROWS)
+
+
+def test_clear_graph_on_plain_store_raises(ray_session, tmp_path):
+    store = _store(tmp_path)
+    with pytest.raises(ValueError, match="no named-graph column"):
+        sparql_update(store, "CLEAR GRAPH <urn:g:1>")
+
+
+def test_clear_variants_rejected():
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        parse_sparql_update("CLEAR ALL")
+    with pytest.raises(SparqlSyntaxError, match="SILENT"):
+        parse_sparql_update("CLEAR SILENT GRAPH <urn:g:1>")
+
+
+def test_update_where_with_subquery(ray_session, tmp_path):
+    """A subquery inside UPDATE WHERE evaluates against the PRE-update
+    store and its bindings join the outer patterns."""
+    store = _store(tmp_path)
+    out = sparql_update(store, P + """
+        DELETE { ?s ex:type ?t . }
+        INSERT { ?s ex:wasType ?t . }
+        WHERE {
+          ?s ex:type ?t .
+          { SELECT ?t (COUNT(*) AS ?n) WHERE { ?x ex:type ?t }
+            GROUP BY ?t }
+          FILTER(?n > 1)
+        }""")
+    assert out["matched"] == 2 and out["removed"] == 2
+    assert out["inserted"] == 2
+    got = _triples(store)
+    assert ("a", EX + "wasType", "Doc") in got
+    assert ("c", EX + "type", "Page") in got  # count 1 — untouched
