@@ -1283,6 +1283,22 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     if obj_index_dir is not None and not index_is_stale(obj_index_dir):
         use_index = obj_index_dir
 
+    # constant propagation: a top-level FILTER(?v = "const") makes ?v a
+    # constant for every REQUIRED pattern's SCAN — the equality pushes
+    # into the parquet read like a pattern constant (row-group pruning;
+    # a routing-key variable collapses to the 1-partition point read).
+    # Top-level filters are conjunctive, so this is always sound for the
+    # required fold; the filter itself stays in its algebra position
+    # (group streams — OPTIONAL/MINUS/UNION — are not touched)
+    eq_consts = {}
+    for f in (filters or []):
+        if f and f[0] != "or":
+            var, op, val = f
+            if op == "=" and _is_var(var) and isinstance(val, str) \
+                    and not _is_var(val):
+                eq_consts[var] = val
+    required_pats = {id(p) for p in patterns}
+
     def stream_for(pattern):
         pos = _pos_for(pattern)
         p = pattern[1]
@@ -1309,6 +1325,11 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
             quad = [s, p, o] + list(pattern[3:])
             consts = {col: t for col, t in zip(pos, quad)
                       if not _is_var(t) and isinstance(t, str)}
+            if eq_consts and id(pattern) in required_pats:
+                for col, t in zip(pos, quad):
+                    if isinstance(t, str) and _is_var(t) \
+                            and t in eq_consts:
+                        consts.setdefault(col, eq_consts[t])
             # obj-bound, subj-unbound pattern + a FRESH obj-routed
             # secondary index → the 1/P point read it was built for
             # (subj-bound patterns already point-read the primary)

@@ -825,6 +825,54 @@ def test_group_minmax_concat(ray_session):
     assert got2 == {"d1": (7, 3.5, 3, 4), "d2": (10, 10.0, 10, 10)}
 
 
+def test_eq_filter_constant_propagates_into_scan(ray_session, tmp_path):
+    """FILTER(?v = "const") makes ?v a scan constant for required
+    patterns: a routing-key equality collapses to the 1-partition point
+    read (proven by deleting every OTHER partition's data file), and an
+    obj equality routes to a fresh secondary index. Results match the
+    unpushed in-memory evaluation."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, subj_partition_id,
+        write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp, evaluate_bgp_store
+
+    store = str(tmp_path / "primary")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store,
+                                   num_partitions=4)
+    pats = [("?s", "?p", "?o")]
+    filt = [("?s", "=", "a")]
+    want = evaluate_bgp(rd.from_arrow(_triples(ROWS)), pats,
+                        filters=filt).to_pandas()
+    got = evaluate_bgp_store(store, pats, filters=filt).to_pandas()
+    assert sorted(got["p"]) == sorted(want["p"]) == ["about", "type"]
+
+    # point-read proof: only subj="a"'s partition needs to exist
+    keep = subj_partition_id("a", 4)
+    for f in glob.glob(f"{store}/part_id=*/data.parquet"):
+        if f"part_id={keep}/" not in f:
+            os.remove(f)
+    got2 = evaluate_bgp_store(store, pats, filters=filt).to_pandas()
+    assert sorted(got2["p"]) == ["about", "type"]
+
+    # obj-equality routes through a fresh secondary index
+    store2 = str(tmp_path / "primary2")
+    idx2 = str(tmp_path / "objidx2")
+    write_triples_hash_partitioned(rd.from_arrow(_triples(ROWS)), store2,
+                                   num_partitions=4)
+    build_secondary_index(store2, idx2, key="obj")
+    for f in glob.glob(f"{store2}/part_id=*/data.parquet"):
+        os.remove(f)
+    got3 = evaluate_bgp_store(store2, [("?d", "about", "?e")],
+                              filters=[("?e", "=", "E1")],
+                              obj_index_dir=idx2).to_pandas()
+    assert sorted(got3["d"]) == ["a", "c"]
+
+
 def test_obj_index_routing(ray_session, tmp_path):
     """A fresh obj-routed secondary index serves obj-bound patterns as a
     1/P point read — the primary's data files are NOT opened (proven by
