@@ -4108,6 +4108,41 @@ def q_kg_sparql_agg(sf_dir: str):
         num_buckets=8)
 
 
+def q_kg_rdfs_closure(sf_dir: str):
+    """RDFS forward-chaining materialization (stages/reason.py): doc
+    subjects typed by their entity, a subClassOf tree over the 50
+    entities (Entity k ⊑ Entity k//2 — the same synthetic taxonomy as
+    kg_bgp_path), one vectorized zero-shuffle inference pass against the
+    driver-closed broadcast schema, then DISTINCT (instance, class)
+    pairs. Mirrored as a 6-level unrolled ancestor union (k ≤ 49 needs
+    ≤ 6 halvings to reach 0)."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.reason import (RDF_TYPE, RDFS_SUBCLASS,
+                                          rdfs_materialize)
+
+    schema = pa.table({
+        "subj": [f"{ENTITY_PREFIX}{k}" for k in range(1, 50)],
+        "pred": [RDFS_SUBCLASS] * 49,
+        "obj": [f"{ENTITY_PREFIX}{k // 2}" for k in range(1, 50)],
+    })
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": b["subj"],
+            "pred": pa.array([RDF_TYPE] * len(b), pa.string()),
+            "obj": b["obj"],
+        })
+
+    inst = (q_kg_csvw_triples(sf_dir)
+            .filter(expr=f"pred == '{EX}entity'")
+            .map_batches(typed, batch_format="pyarrow"))
+    closed = rdfs_materialize(inst, schema)
+    pairs = closed.map_batches(
+        lambda b: pa.table({"s": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow")
+    return distinct(pairs, ["s", "c"], num_buckets=8)
+
+
 def q_kg_sparql_seqpath(sf_dir: str):
     """SPARQL 1.1 SequencePath through the text layer:
     ``?d ex:entity/^ex:entity ?d2`` — a forward hop composed with an
@@ -4638,6 +4673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6481,6 +6517,22 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_rdfs_closure": _TRIPLE_BASE_CTE + """,
+            kt AS (SELECT DISTINCT subj,
+                          CAST(substr(ent, 7) AS BIGINT) AS k FROM base),
+            lv AS (
+              SELECT subj, k AS a FROM kt
+              UNION SELECT subj, k // 2 FROM kt WHERE k >= 1
+              UNION SELECT subj, k // 4 FROM kt WHERE k >= 2
+              UNION SELECT subj, k // 8 FROM kt WHERE k >= 4
+              UNION SELECT subj, k // 16 FROM kt WHERE k >= 8
+              UNION SELECT subj, k // 32 FROM kt WHERE k >= 16
+              UNION SELECT subj, k // 64 FROM kt WHERE k >= 32)
+            SELECT DISTINCT subj AS s,
+                   'https://example.org/id/entity/Entity'
+                     || CAST(a AS VARCHAR) AS c
+            FROM lv
         """,
         "kg_sparql_seqpath": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

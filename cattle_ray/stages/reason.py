@@ -1,0 +1,305 @@
+"""RDFS forward-chaining materialization — ontology reasoning shaped for
+corpus scale.
+
+The observation that makes RDFS tractable at 100 TB: the SCHEMA
+(``rdfs:subClassOf`` / ``rdfs:subPropertyOf`` / ``rdfs:domain`` /
+``rdfs:range`` triples) is vocabulary-sized — thousands of rows against
+billions of instance triples. So the right execution shape is:
+
+1. pull the schema to the driver ONCE (bounded by vocabulary size, the
+   documented contract — a "schema" the size of the data is a modelling
+   bug this module refuses with a row-count guard);
+2. close it driver-side (tiny transitive closures over dicts);
+3. broadcast the closed schema via ``ray.put`` and run ONE vectorized
+   ``map_batches`` pass over the instance stream — every inference rule
+   is a ``pc.index_in`` gather against the broadcast arrays, emitting
+   inferred rows beside the originals. NO shuffle anywhere in the
+   inference itself; the only wide op is the optional final exact dedup
+   (inferred triples can duplicate asserted ones), which reuses the
+   engine's hash-exchange dedup.
+
+Rules implemented (the RDFS entailment core, rdfs2/3/5/7/9/11 in spec
+numbering):
+
+* ``subClassOf`` transitivity (rdfs11) — closed driver-side;
+* type inheritance (rdfs9): ``(x type C)`` + ``C ⊑ D`` ⇒ ``(x type D)``;
+* ``subPropertyOf`` transitivity (rdfs5) — closed driver-side;
+* property inheritance (rdfs7): ``(s p o)`` + ``p ⊑ q`` ⇒ ``(s q o)``;
+* domain (rdfs2): ``(s p o)`` + ``domain(p) = C`` ⇒ ``(s type C)``;
+* range (rdfs3): ``(s p o)`` + ``range(p) = C`` ⇒ ``(o type C)`` —
+  applied only when the object is a resource (``obj_is_iri`` when the
+  stream carries it; otherwise applied to every row, the caller's
+  contract that literal-valued predicates carry no range).
+
+One pass is COMPLETE for this rule set when run to fixpoint over the
+closed schema: property inheritance can feed domain/range (a row
+gaining super-property q must also fire q's domain/range), so the
+per-batch kernel applies domain/range over the EFFECTIVE property set
+(the property's closure), and type inheritance runs over the union of
+asserted and domain/range-derived types. That is exactly the RDFS
+fixpoint for a fixed schema — no iteration over the corpus is needed
+(the reference point: Jena's RDFS "hybrid" reasoner makes the same
+schema/instance split).
+
+Reference scope note: the reference system (src/cattle.py) performs no
+reasoning; this is beyond-reference surface implied by the KG tier.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+RDFS_SUBCLASS = _RDFS + "subClassOf"
+RDFS_SUBPROP = _RDFS + "subPropertyOf"
+RDFS_DOMAIN = _RDFS + "domain"
+RDFS_RANGE = _RDFS + "range"
+
+#: refuse "schemas" beyond this many rows — the broadcast-and-close
+#: design is only right when the schema is vocabulary-sized
+MAX_SCHEMA_ROWS = 1_000_000
+
+
+def _close_transitive(pairs: list) -> dict:
+    """{node: set of strict ancestors} — tiny driver-side closure
+    (schema-sized). Cycles are tolerated (members of a cycle become
+    ancestors of each other), self-loops dropped."""
+    direct: dict = {}
+    for a, b in pairs:
+        direct.setdefault(a, set()).add(b)
+    out: dict = {}
+
+    def walk(n):
+        if n in out:
+            return out[n]
+        out[n] = set()  # cycle guard: a back-edge sees the partial set
+        acc = set()
+        for p in direct.get(n, ()):
+            acc.add(p)
+            acc |= walk(p)
+        out[n] = acc
+        return acc
+
+    for n in list(direct):
+        walk(n)
+    return {n: s - {n} for n, s in out.items() if s - {n}}
+
+
+class RdfsSchema:
+    """The closed, broadcast-ready schema: built once on the driver from
+    a small triple table, shipped via ``ray.put``, gathered against per
+    batch. All lookups are (sorted key array → list offsets → flat value
+    array) triples so the per-batch kernel is pure numpy/Arrow."""
+
+    def __init__(self, schema_tbl: pa.Table):
+        if schema_tbl.num_rows > MAX_SCHEMA_ROWS:
+            raise ValueError(
+                f"schema has {schema_tbl.num_rows} rows (> "
+                f"{MAX_SCHEMA_ROWS}) — the broadcast/driver-close design "
+                "needs a vocabulary-sized schema; a schema that scales "
+                "with the data belongs in the instance stream")
+        s = schema_tbl["subj"].to_pylist()
+        p = schema_tbl["pred"].to_pylist()
+        o = schema_tbl["obj"].to_pylist()
+        subc, subp, dom, rng = [], [], {}, {}
+        for si, pi, oi in zip(s, p, o):
+            if pi == RDFS_SUBCLASS:
+                subc.append((si, oi))
+            elif pi == RDFS_SUBPROP:
+                subp.append((si, oi))
+            elif pi == RDFS_DOMAIN:
+                dom.setdefault(si, set()).add(oi)
+            elif pi == RDFS_RANGE:
+                rng.setdefault(si, set()).add(oi)
+        self.class_anc = _close_transitive(subc)
+        self.prop_anc = _close_transitive(subp)
+        # EFFECTIVE domain/range: a property fires its own and every
+        # super-property's domain/range (rdfs7 feeding rdfs2/3)
+        self.eff_dom: dict = {}
+        self.eff_rng: dict = {}
+        props = set(dom) | set(rng) | set(self.prop_anc)
+        for pr in props:
+            chain = {pr} | self.prop_anc.get(pr, set())
+            d = set().union(*(dom.get(q, set()) for q in chain))
+            r = set().union(*(rng.get(q, set()) for q in chain))
+            if d:
+                self.eff_dom[pr] = d
+            if r:
+                self.eff_rng[pr] = r
+        # every domain/range-derived type ALSO inherits up the class
+        # closure (rdfs2/3 feeding rdfs9) — fold it in driver-side so
+        # the batch kernel fires each rule exactly once
+        for m in (self.eff_dom, self.eff_rng):
+            for pr, classes in m.items():
+                m[pr] = set().union(
+                    classes, *(self.class_anc.get(c, set())
+                               for c in classes))
+
+    @staticmethod
+    def _flatten(mapping: dict):
+        """dict[str, set] → (sorted keys, offsets, flat sorted values)
+        numpy arrays for vectorized gathers."""
+        keys = sorted(mapping)
+        offs = np.zeros(len(keys) + 1, np.int64)
+        flat: list = []
+        for i, k in enumerate(keys):
+            vals = sorted(mapping[k])
+            flat.extend(vals)
+            offs[i + 1] = len(flat)
+        return (pa.array(keys, pa.string()), offs,
+                np.asarray(flat, dtype=object))
+
+    def tables(self):
+        return {name: self._flatten(m) for name, m in
+                (("class", self.class_anc), ("prop", self.prop_anc),
+                 ("dom", self.eff_dom), ("rng", self.eff_rng))}
+
+
+def _expand(col: pa.Array, keys, offs, flat):
+    """For each value in ``col`` found in ``keys``, emit (row_index,
+    mapped_value) pairs for every mapped value — one vectorized
+    ``index_in`` + numpy repeat, no Python per-row loop."""
+    idx = pc.index_in(col, value_set=keys).to_numpy(zero_copy_only=False)
+    hit = ~np.isnan(idx) if idx.dtype.kind == "f" else idx != -1
+    hit &= ~pc.is_null(col).to_numpy(zero_copy_only=False)
+    rows = np.nonzero(hit)[0]
+    if not len(rows):
+        return rows, np.empty(0, dtype=object)
+    ki = idx[rows].astype(np.int64)
+    counts = offs[ki + 1] - offs[ki]
+    out_rows = np.repeat(rows, counts)
+    # gather flat[offs[k]:offs[k+1]] per hit — one concatenated take
+    take = np.concatenate([np.arange(offs[k], offs[k + 1]) for k in ki]) \
+        if len(ki) else np.empty(0, np.int64)
+    return out_rows, flat[take]
+
+
+def rdfs_entailment_batch(batch: pa.Table, tables, *, dedup_local=True):
+    """The per-batch inference kernel: asserted rows + every RDFS
+    entailment, schema gathers only. Extra columns (annotations,
+    provenance) are carried on inferred rows by TAKING the source row —
+    an inferred triple inherits its evidence row's lineage."""
+    names = batch.column_names
+    subj, pred, obj = batch["subj"], batch["pred"], batch["obj"]
+    if isinstance(pred, pa.ChunkedArray):
+        subj = subj.combine_chunks()
+        pred = pred.combine_chunks()
+        obj = obj.combine_chunks()
+    ck, co, cf = tables["class"]
+    pk, po, pf = tables["prop"]
+    dk, do, df = tables["dom"]
+    rk, ro, rf = tables["rng"]
+
+    outs = [batch]
+    n = len(batch)
+
+    def emit(rows, s_vals, p_vals, o_vals):
+        """One inferred block: take the source rows (lineage columns
+        ride along), then overwrite the triple columns."""
+        if not len(rows):
+            return
+        t = batch.take(pa.array(rows, pa.int64()))
+        for col, vals in (("subj", s_vals), ("pred", p_vals),
+                          ("obj", o_vals)):
+            if vals is not None:
+                t = t.set_column(names.index(col), col,
+                                 pa.array(list(vals), pa.string()))
+        outs.append(t)
+
+    # rdfs9: type inheritance over asserted types
+    is_type = pc.equal(pred, RDF_TYPE)
+    type_obj = pc.if_else(is_type, obj, pa.nulls(n, pa.string()))
+    rows, sup = _expand(type_obj, ck, co, cf)
+    emit(rows, None, [RDF_TYPE] * len(rows), sup)
+
+    # rdfs7: property inheritance
+    rows, supp = _expand(pred, pk, po, pf)
+    emit(rows, None, supp, None)
+
+    # rdfs2: effective domain → subject types (class closure pre-folded)
+    rows, dcls = _expand(pred, dk, do, df)
+    emit(rows, None, [RDF_TYPE] * len(rows), dcls)
+
+    # rdfs3: effective range → object types, resources only when the
+    # stream says which rows are IRIs
+    if "obj_is_iri" in names:
+        iri_mask = pc.fill_null(
+            pc.cast(batch["obj_is_iri"], pa.bool_()), False)
+        rng_pred = pc.if_else(iri_mask, pred, pa.nulls(n, pa.string()))
+    else:
+        rng_pred = pred
+    rows, rcls = _expand(rng_pred, rk, ro, rf)
+    if len(rows):
+        o_np = obj.to_numpy(zero_copy_only=False)
+        emit(rows, o_np[rows], [RDF_TYPE] * len(rows), rcls)
+
+    out = pa.concat_tables(outs)
+    if dedup_local and out.num_rows > n:
+        # batch-local dedup on the triple identity (a type asserted AND
+        # inferred twice collapses here; cross-batch duplicates are the
+        # optional global dedup's job)
+        key_cols = [c for c in ("subj", "pred", "obj", "graph")
+                    if c in names]
+        df_keys = out.select(key_cols)
+        import pandas as pd
+
+        dup = pd.DataFrame(
+            {c: df_keys[c].to_pandas() for c in key_cols}
+        ).duplicated().to_numpy()
+        if dup.any():
+            out = out.filter(pa.array(~dup))
+    return out
+
+
+def extract_schema(triples_ds) -> pa.Table:
+    """Pull the RDFS schema rows out of a triple stream — a filtered
+    streaming pass, then a driver collect BOUNDED by the schema-size
+    guard (the collect is the point: the schema must be broadcastable)."""
+    preds = [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["pred"], value_set=pa.array(preds))
+        return b.filter(m).select(["subj", "pred", "obj"])
+
+    rows = triples_ds.map_batches(f, batch_format="pyarrow") \
+        .limit(MAX_SCHEMA_ROWS + 1).take_all()
+    if len(rows) > MAX_SCHEMA_ROWS:
+        raise ValueError(
+            f"more than {MAX_SCHEMA_ROWS} schema triples — see "
+            "MAX_SCHEMA_ROWS for why this module refuses")
+    if not rows:
+        return pa.table({"subj": pa.array([], pa.string()),
+                         "pred": pa.array([], pa.string()),
+                         "obj": pa.array([], pa.string())})
+    return pa.Table.from_pylist(rows)
+
+
+def rdfs_materialize(triples_ds, schema: "pa.Table | None" = None, *,
+                     drop_schema_rows: bool = False):
+    """Materialize the RDFS closure of a triple stream: asserted triples
+    plus every rdfs2/3/5/7/9/11 entailment, computed in ONE vectorized
+    ``map_batches`` pass against the driver-closed, ``ray.put``-broadcast
+    schema (see the module docstring for the scale argument). Duplicates
+    are removed batch-locally; run the engine's exact dedup after when
+    global set semantics matter (asserted-vs-inferred duplicates across
+    batches). ``schema=None`` extracts the schema from the stream
+    itself. ``drop_schema_rows`` removes the schema triples from the
+    output (common when materializing an instance-only view)."""
+    import ray
+
+    if schema is None:
+        schema = extract_schema(triples_ds)
+    tables_ref = ray.put(RdfsSchema(schema).tables())
+
+    def f(b: pa.Table) -> pa.Table:
+        tables = ray.get(tables_ref)
+        if drop_schema_rows:
+            m = pc.is_in(b["pred"], value_set=pa.array(
+                [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]))
+            b = b.filter(pc.invert(m))
+        return rdfs_entailment_batch(b, tables)
+
+    return triples_ds.map_batches(f, batch_format="pyarrow")

@@ -1,0 +1,137 @@
+"""RDFS forward-chaining materialization: driver-side schema closure +
+one-pass vectorized entailment."""
+
+import pyarrow as pa
+import pytest
+
+from cattle_ray.stages.reason import (RDF_TYPE, RDFS_DOMAIN, RDFS_RANGE,
+                                      RDFS_SUBCLASS, RDFS_SUBPROP,
+                                      RdfsSchema, extract_schema,
+                                      rdfs_materialize)
+
+
+def _schema():
+    rows = [
+        ("B", RDFS_SUBCLASS, "A"), ("C", RDFS_SUBCLASS, "B"),
+        ("p", RDFS_SUBPROP, "q"),
+        ("p", RDFS_DOMAIN, "B"), ("p", RDFS_RANGE, "C"),
+        ("q", RDFS_DOMAIN, "D"),
+    ]
+    s, p, o = zip(*rows)
+    return pa.table({"subj": list(s), "pred": list(p), "obj": list(o)})
+
+
+def test_schema_closure_driver_side():
+    sch = RdfsSchema(_schema())
+    assert sch.class_anc == {"B": {"A"}, "C": {"A", "B"}}
+    assert sch.prop_anc == {"p": {"q"}}
+    # effective domain of p: own (B, + class closure A) plus super-prop
+    # q's (D) — rdfs7 feeding rdfs2, folded driver-side
+    assert sch.eff_dom["p"] == {"A", "B", "D"}
+    assert sch.eff_rng["p"] == {"A", "B", "C"}
+    assert sch.eff_dom["q"] == {"D"}
+
+
+def test_schema_cycle_tolerated():
+    t = pa.table({"subj": ["X", "Y"], "pred": [RDFS_SUBCLASS] * 2,
+                  "obj": ["Y", "X"]})
+    sch = RdfsSchema(t)
+    assert sch.class_anc == {"X": {"Y"}, "Y": {"X"}}
+
+
+def test_materialize_full_rule_set(ray_session):
+    import ray.data as rd
+
+    inst = pa.table({
+        "subj": ["x", "s"],
+        "pred": [RDF_TYPE, "p"],
+        "obj": ["C", "o"],
+        "obj_is_iri": [True, True],
+    })
+    out = rdfs_materialize(rd.from_arrow(inst).repartition(2),
+                           _schema()).to_pandas()
+    got = set(zip(out["subj"], out["pred"], out["obj"]))
+    assert got == {
+        ("x", RDF_TYPE, "C"),                       # asserted
+        ("x", RDF_TYPE, "B"), ("x", RDF_TYPE, "A"),  # rdfs9
+        ("s", "p", "o"),                             # asserted
+        ("s", "q", "o"),                             # rdfs7
+        ("s", RDF_TYPE, "B"), ("s", RDF_TYPE, "A"),  # rdfs2 (eff dom)
+        ("s", RDF_TYPE, "D"),                        # dom via superprop
+        ("o", RDF_TYPE, "C"), ("o", RDF_TYPE, "B"),  # rdfs3 (eff rng)
+        ("o", RDF_TYPE, "A"),
+    }
+    # inferred rows inherit the evidence row's extra columns
+    assert set(out.columns) == {"subj", "pred", "obj", "obj_is_iri"}
+
+
+def test_range_skips_literal_objects(ray_session):
+    import ray.data as rd
+
+    inst = pa.table({
+        "subj": ["s1", "s2"], "pred": ["p", "p"],
+        "obj": ["r", "a literal"], "obj_is_iri": [True, False],
+    })
+    out = rdfs_materialize(rd.from_arrow(inst), _schema()).to_pandas()
+    got = set(zip(out["subj"], out["pred"], out["obj"]))
+    # range types fire for the IRI object only; domain fires for both
+    assert ("r", RDF_TYPE, "C") in got
+    assert not any(s == "a literal" for s, p, _o in got if p == RDF_TYPE)
+    assert ("s2", RDF_TYPE, "B") in got
+
+
+def test_extract_schema_and_drop(ray_session):
+    import ray.data as rd
+
+    mixed = pa.concat_tables([
+        _schema(),
+        pa.table({"subj": ["x"], "pred": [RDF_TYPE], "obj": ["C"]}),
+    ])
+    ds = rd.from_arrow(mixed)
+    sch = extract_schema(ds)
+    assert sch.num_rows == 6
+    out = rdfs_materialize(ds, drop_schema_rows=True).to_pandas()
+    preds = set(out["pred"])
+    assert RDFS_SUBCLASS not in preds and RDFS_DOMAIN not in preds
+    got = set(zip(out["subj"], out["pred"], out["obj"]))
+    assert {("x", RDF_TYPE, "C"), ("x", RDF_TYPE, "B"),
+            ("x", RDF_TYPE, "A")} <= got
+
+
+def test_batch_local_dedup_and_layout_invariance(ray_session):
+    """Asserted+inferred duplicates collapse inside a batch, and the
+    result SET is independent of partitioning."""
+    import ray.data as rd
+
+    inst = pa.table({
+        "subj": ["x", "x"], "pred": [RDF_TYPE, RDF_TYPE],
+        "obj": ["C", "B"],  # (x type B) is also inferred from C
+        "obj_is_iri": [True, True],
+    })
+    sets = []
+    for parts in (1, 3):
+        out = rdfs_materialize(rd.from_arrow(inst).repartition(parts),
+                               _schema()).to_pandas()
+        sets.append(set(zip(out["subj"], out["pred"], out["obj"])))
+    assert sets[0] == sets[1] == {
+        ("x", RDF_TYPE, "C"), ("x", RDF_TYPE, "B"), ("x", RDF_TYPE, "A")}
+    # single-partition run holds both copies of (x type B) in one batch
+    # → exactly one survives
+    one = rdfs_materialize(rd.from_arrow(inst).repartition(1),
+                           _schema()).to_pandas()
+    assert len(one) == 3
+
+
+def test_schema_size_guard():
+    big = pa.table({
+        "subj": pa.array([f"c{i}" for i in range(3)]),
+        "pred": pa.array([RDFS_SUBCLASS] * 3),
+        "obj": pa.array(["A"] * 3)})
+    import cattle_ray.stages.reason as rs
+    old = rs.MAX_SCHEMA_ROWS
+    rs.MAX_SCHEMA_ROWS = 2
+    try:
+        with pytest.raises(ValueError, match="vocabulary-sized"):
+            RdfsSchema(big)
+    finally:
+        rs.MAX_SCHEMA_ROWS = old
