@@ -4143,6 +4143,46 @@ def q_kg_rdfs_closure(sf_dir: str):
     return distinct(pairs, ["s", "c"], num_buckets=8)
 
 
+def q_kg_sameas_rewrite(sf_dir: str):
+    """owl:sameAs canonicalization (stages/reason.py): every doc subject
+    has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
+    (r2→r1, r3→r2) force a transitive resolution — distributed CC over
+    the pair graph, min-string canonical (…/r1), then every triple's
+    subject rewrites through the size-crossover mapping (broadcast at
+    this scale). Mirrored as a regex rewrite of the subject suffix."""
+    from cattle_ray.stages.reason import OWL_SAMEAS, sameas_rewrite
+
+    base = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+
+    def chain_pairs(b: pa.Table) -> pa.Table:
+        # rank rows carry r as the object: rows with r in (2, 3) emit
+        # (subj, sameAs, subj-with-r-1) — vectorized suffix surgery
+        # (r is a single digit by construction)
+        m = pc.is_in(b["obj"], value_set=pa.array(["2", "3"]))
+        t = b.filter(pc.and_(m, pc.equal(b["pred"], f"{EX}rank")))
+        subj = t["subj"]
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        stem = pc.utf8_slice_codeunits(subj, start=0, stop=-1)
+        prev = pc.cast(pc.subtract(pc.cast(t["obj"], pa.int64()), 1),
+                       pa.string())
+        return pa.table({
+            "subj": subj,
+            "pred": pa.array([OWL_SAMEAS] * len(t), pa.string()),
+            "obj": pc.binary_join_element_wise(stem, prev, ""),
+        })
+
+    sameas = q_kg_csvw_triples(sf_dir).map_batches(
+        chain_pairs, batch_format="pyarrow")
+    out = sameas_rewrite(base.union(sameas), num_buckets=8)
+    return out.map_batches(
+        lambda b: pa.table({"s": b["subj"], "p": b["pred"],
+                            "o": b["obj"]}),
+        batch_format="pyarrow")
+
+
 def q_kg_sparql_seqpath(sf_dir: str):
     """SPARQL 1.1 SequencePath through the text layer:
     ``?d ex:entity/^ex:entity ?d2`` — a forward hop composed with an
@@ -4674,6 +4714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6517,6 +6558,11 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_sameas_rewrite": _TRIPLE_BASE_CTE + """
+            SELECT regexp_replace(subj, '/r[23]$', '/r1') AS s,
+                   pred AS p, obj AS o
+            FROM triples
         """,
         "kg_rdfs_closure": _TRIPLE_BASE_CTE + """,
             kt AS (SELECT DISTINCT subj,

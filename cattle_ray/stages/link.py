@@ -385,7 +385,33 @@ def entity_resolution(ds, id_col: str, block_col, *, num_buckets: int = 32,
         .groupby("_bucket")
         .map_groups(tree_pairs, batch_format="pandas")
     )
-    pairs_str = selfs.union(tree).materialize()  # consumed twice: CC + id map
+    pairs_str = selfs.union(tree)
+    return pairs_to_canonical(pairs_str, id_col=id_col, num_buckets=eff,
+                              max_iters=max_iters,
+                              small_cc_pairs=small_cc_pairs)
+
+
+def pairs_to_canonical(pairs_str, *, id_col: str = "id",
+                       num_buckets: int = 32, max_iters: int = 20,
+                       small_cc_pairs: int | None = None):
+    """Shared resolution tail: an EXPLICIT same-entity pair graph
+    ``(id_a, id_b)`` (string ids; self-pairs keep singletons in the
+    output) → Dataset ``(id_col, canonical)`` where canonical is the
+    lexicographically smallest member of each connected component. The
+    distributed-CC + min-string-aggregate pipeline of
+    :func:`entity_resolution`, reusable for owl:sameAs closures and any
+    other precomputed equivalence edges. BOTH endpoint columns enter the
+    id map (an id that only ever appears on the b side must still label
+    itself)."""
+    import pandas as pd
+
+    from .aggregates import coalesce_small
+    from .dedup import connected_components_distributed, dedup_exact
+    from .graph import uri_ids64
+    from .joins import _key_buckets, hash_join
+
+    eff = num_buckets
+    pairs_str = pairs_str.materialize()  # consumed twice: CC + id map
 
     pairs64 = pairs_str.map_batches(
         lambda b: pa.table({"a": uri_ids64(b["id_a"]),
@@ -393,7 +419,11 @@ def entity_resolution(ds, id_col: str, block_col, *, num_buckets: int = 32,
         batch_format="pyarrow")
     id_map = dedup_exact(
         pairs_str.map_batches(
-            lambda b: pa.table({"nid": uri_ids64(b["id_a"]), "sid": b["id_a"]}),
+            lambda b: pa.table(
+                {"nid": pa.concat_arrays([
+                    uri_ids64(b["id_a"]), uri_ids64(b["id_b"])]),
+                 "sid": pa.concat_arrays([
+                     _chunk(b["id_a"]), _chunk(b["id_b"])])}),
             batch_format="pyarrow"),
         ["nid"], num_buckets=eff)
     cc_kwargs = {} if small_cc_pairs is None else {"small_cc_pairs": small_cc_pairs}
@@ -425,3 +455,7 @@ def entity_resolution(ds, id_col: str, block_col, *, num_buckets: int = 32,
     return out.map_batches(
         lambda b: pa.table({id_col: b["sid"], "canonical": b["canonical"]}),
         batch_format="pyarrow")
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col

@@ -277,6 +277,114 @@ def extract_schema(triples_ds) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+
+#: mapping-size crossover for the rewrite: below this many non-identity
+#: (id, canonical) rows the mapping broadcasts (ray.put once, zero
+#: shuffle); above, the rewrite runs as two co-partitioned left joins
+SAMEAS_BROADCAST_MAX = 2_000_000
+
+
+def sameas_rewrite(triples_ds, *, sameas_pred: str = OWL_SAMEAS,
+                   drop_sameas: bool = True, num_buckets: int = 32,
+                   broadcast_max: int = SAMEAS_BROADCAST_MAX):
+    """owl:sameAs canonicalization over a triple stream: the sameAs
+    pairs form an equivalence graph, each connected component's
+    lexicographically smallest member becomes the canonical IRI, and
+    every triple's subject AND object rewrite to their canonical (the
+    standard KG-consolidation step after entity resolution — Wikidata
+    redirects, DBpedia interlinks, dedup merges).
+
+    Scale shape: pairs → the engine's distributed-CC resolution tail
+    (:func:`~.link.pairs_to_canonical` — nothing component-sized on the
+    driver); the (id, canonical) mapping then applies by SIZE CROSSOVER:
+    broadcast (``ray.put`` once, vectorized ``index_in`` replace, zero
+    shuffle) under ``broadcast_max`` rows, else two co-partitioned LEFT
+    joins (subject, then object). The input is materialized once (it is
+    consumed twice: pair extraction + rewrite) — for a STORED corpus
+    pass the store's live Dataset, the same discipline as
+    ``evaluate_bgp``. Identity mappings are filtered out before either
+    path, so the mapping is cluster-members-only sized. Returns the
+    rewritten stream (sameAs rows dropped unless ``drop_sameas=False``,
+    in which case they rewrite like everything else)."""
+    from .link import pairs_to_canonical
+
+    triples_ds = triples_ds.materialize()
+
+    def pair_batch(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["pred"], sameas_pred)
+        t = b.filter(m)
+        return pa.table({"id_a": pc.cast(t["subj"], pa.string()),
+                         "id_b": pc.cast(t["obj"], pa.string())})
+
+    def drop(b: pa.Table) -> pa.Table:
+        if not drop_sameas:
+            return b
+        return b.filter(pc.not_equal(b["pred"], sameas_pred))
+
+    pairs = triples_ds.map_batches(pair_batch,
+                                   batch_format="pyarrow").materialize()
+    if pairs.count() == 0:  # no sameAs edges: nothing rewrites
+        return triples_ds.map_batches(drop, batch_format="pyarrow")
+    mapping = pairs_to_canonical(pairs, num_buckets=num_buckets) \
+        .map_batches(
+            lambda b: b.filter(pc.not_equal(b["id"], b["canonical"])),
+            batch_format="pyarrow").materialize()
+
+    n_map = mapping.count()
+    if n_map == 0:
+        return triples_ds.map_batches(drop, batch_format="pyarrow")
+
+    if n_map <= broadcast_max:
+        import ray
+
+        mt = pa.Table.from_pylist(
+            mapping.take_all(),
+            schema=pa.schema([("id", pa.string()),
+                              ("canonical", pa.string())]))
+        ids = pc.cast(mt["id"], pa.string()).combine_chunks()
+        order = pc.sort_indices(ids)
+        ids = ids.take(order)
+        canon = pc.cast(mt["canonical"], pa.string()).combine_chunks() \
+            .take(order)
+        ref = ray.put((ids, canon))
+
+        def rewrite(b: pa.Table) -> pa.Table:
+            b = drop(b)
+            k, c = ray.get(ref)
+            names = b.column_names
+            for col in ("subj", "obj"):
+                cur = b[col]
+                if isinstance(cur, pa.ChunkedArray):
+                    cur = cur.combine_chunks()
+                idx = pc.index_in(cur, value_set=k)
+                repl = pc.take(c, idx)  # null idx → null
+                b = b.set_column(names.index(col), col,
+                                 pc.coalesce(repl, cur))
+            return b
+
+        return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+
+    # join path: mapping outgrew the broadcast budget — two
+    # co-partitioned LEFT joins, coalescing unmatched rows to themselves
+    from .joins import hash_join
+
+    out = triples_ds.map_batches(drop, batch_format="pyarrow")
+    for col in ("subj", "obj"):
+        out = hash_join(out, mapping, col, "id", how="left",
+                        num_buckets=num_buckets)
+
+        def fold(b: pa.Table, col=col) -> pa.Table:
+            names = b.column_names
+            b = b.set_column(names.index(col), col,
+                             pc.coalesce(b["canonical"], b[col]))
+            return b.drop_columns(
+                [c for c in ("id", "canonical") if c in b.column_names])
+
+        out = out.map_batches(fold, batch_format="pyarrow")
+    return out
+
+
 def rdfs_materialize(triples_ds, schema: "pa.Table | None" = None, *,
                      drop_schema_rows: bool = False):
     """Materialize the RDFS closure of a triple stream: asserted triples

@@ -135,3 +135,39 @@ def test_schema_size_guard():
             RdfsSchema(big)
     finally:
         rs.MAX_SCHEMA_ROWS = old
+
+
+def test_sameas_rewrite_broadcast_and_join_paths(ray_session):
+    """Transitive sameAs chains resolve to the min-string canonical and
+    both subject and object positions rewrite — identically on the
+    broadcast path and the join path."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import OWL_SAMEAS, sameas_rewrite
+
+    t = pa.table({
+        "subj": ["b", "c", "a", "b", "c"],
+        "pred": [OWL_SAMEAS, OWL_SAMEAS, "likes", "likes", "name"],
+        "obj":  ["a", "b", "x", "c", "Bob"],
+    })
+    want = {("a", "likes", "x"), ("a", "likes", "a"), ("a", "name", "Bob")}
+    for kw in ({}, {"broadcast_max": 1}):
+        out = sameas_rewrite(rd.from_arrow(t).repartition(2),
+                             **kw).to_pandas()
+        assert set(zip(out["subj"], out["pred"], out["obj"])) == want
+
+
+def test_sameas_rewrite_no_pairs_and_keep(ray_session):
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import OWL_SAMEAS, sameas_rewrite
+
+    plain = pa.table({"subj": ["a"], "pred": ["p"], "obj": ["b"]})
+    out = sameas_rewrite(rd.from_arrow(plain)).to_pandas()
+    assert out.values.tolist() == [["a", "p", "b"]]
+    # drop_sameas=False keeps the (rewritten) sameAs rows
+    t = pa.table({"subj": ["b", "a"], "pred": [OWL_SAMEAS, "p"],
+                  "obj": ["a", "x"]})
+    out2 = sameas_rewrite(rd.from_arrow(t), drop_sameas=False).to_pandas()
+    got = set(zip(out2["subj"], out2["pred"], out2["obj"]))
+    assert got == {("a", OWL_SAMEAS, "a"), ("a", "p", "x")}
