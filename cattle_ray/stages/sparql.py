@@ -76,9 +76,9 @@ _TOKEN_RE = re.compile(r"""
   | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<LANG>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
-  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:[A-Za-z0-9_.%-]*)
+  | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}().;,*+|^/=<>!])
+  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}()\[\].;,*+|^/=<>!])
 """, re.VERBOSE)
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
