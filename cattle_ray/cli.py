@@ -384,6 +384,57 @@ def cmd_update(args):
     print(json.dumps(out))
 
 
+def cmd_reason(args):
+    """Ontology reasoning from the shell: materialize the RDFS closure
+    of a triple source (parquet file/dir or partitioned store) against a
+    schema — inline (schema triples extracted from the stream) or a
+    Turtle/parquet ontology file — and/or canonicalize owl:sameAs
+    clusters; write the result as partitioned parquet. Prints one JSON
+    summary line."""
+    import os
+
+    from .stages.reason import rdfs_materialize, sameas_rewrite
+
+    _ensure_ray(args.num_cpus)
+    import ray.data as rd
+
+    src = args.source
+    if os.path.isdir(src) and os.path.exists(
+            os.path.join(src, "_meta.json")):
+        from .sources.triple_sink import read_store_asof
+
+        ds = read_store_asof(src)
+    else:
+        ds = rd.read_parquet(src)
+    schema = None
+    if args.schema:
+        if args.schema.endswith((".ttl", ".ttl.gz", ".turtle")):
+            from .sources.turtle import read_turtle
+
+            schema = read_turtle(args.schema).select(
+                ["subj", "pred", "obj"])
+        else:
+            import pyarrow.parquet as pq
+
+            schema = pq.read_table(args.schema).select(
+                ["subj", "pred", "obj"])
+    if args.sameas:
+        ds = sameas_rewrite(ds)
+    if not args.no_rdfs:
+        ds = rdfs_materialize(ds, schema,
+                              drop_schema_rows=args.drop_schema)
+    n = 0
+    if args.out:
+        ds.write_parquet(args.out)
+        out_ds = rd.read_parquet(args.out)
+        n = out_ds.count()
+    else:
+        n = ds.count()
+    print(json.dumps({"rows_out": int(n), "out": args.out,
+                      "schema_rows": (schema.num_rows
+                                      if schema is not None else None)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -501,6 +552,24 @@ def main(argv=None):
     up.add_argument("store", help="generation-tracked partitioned store")
     up.add_argument("update", help="the SPARQL update string, or @file")
     up.set_defaults(fn=cmd_update)
+
+    rn = sub.add_parser("reason", help="materialize the RDFS closure / "
+                                       "canonicalize owl:sameAs over a "
+                                       "triple source")
+    rn.add_argument("source", help="triples parquet file/dir or "
+                                   "partitioned store")
+    rn.add_argument("--schema", default=None,
+                    help="ontology file (.ttl or parquet); default: "
+                         "extract schema triples from the stream")
+    rn.add_argument("--out", default=None,
+                    help="output parquet dir (default: count only)")
+    rn.add_argument("--sameas", action="store_true",
+                    help="owl:sameAs-canonicalize before reasoning")
+    rn.add_argument("--no-rdfs", action="store_true",
+                    help="skip RDFS materialization (sameAs only)")
+    rn.add_argument("--drop-schema", action="store_true",
+                    help="drop schema triples from the output")
+    rn.set_defaults(fn=cmd_reason)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")

@@ -171,3 +171,29 @@ def test_sameas_rewrite_no_pairs_and_keep(ray_session):
     out2 = sameas_rewrite(rd.from_arrow(t), drop_sameas=False).to_pandas()
     got = set(zip(out2["subj"], out2["pred"], out2["obj"]))
     assert got == {("a", OWL_SAMEAS, "a"), ("a", "p", "x")}
+
+
+def test_cli_reason(ray_session, tmp_path):
+    """`cli reason`: parquet source + .ttl ontology → materialized
+    closure written as parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from cattle_ray.cli import main
+
+    inst = pa.table({
+        "subj": ["x"], "pred": [RDF_TYPE], "obj": ["https://ex.org/C"]})
+    src = tmp_path / "inst.parquet"
+    pq.write_table(inst, str(src))
+    ttl = tmp_path / "schema.ttl"
+    ttl.write_text("""
+    @prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+    @prefix ex: <https://ex.org/> .
+    ex:B rdfs:subClassOf ex:A . ex:C rdfs:subClassOf ex:B .
+    """)
+    out = tmp_path / "out"
+    main(["reason", str(src), "--schema", str(ttl), "--out", str(out)])
+    t = pq.read_table(glob.glob(f"{out}/*.parquet"))
+    assert sorted(t["obj"].to_pylist()) == [
+        "https://ex.org/A", "https://ex.org/B", "https://ex.org/C"]
