@@ -4143,6 +4143,19 @@ def q_kg_rdfs_closure(sf_dir: str):
     return distinct(pairs, ["s", "c"], num_buckets=8)
 
 
+def q_kg_property_graph(sf_dir: str):
+    """Property-graph export (stages/reason.py): resource-to-resource
+    triples become the edges table, literal triples stay node
+    attributes, and the nodes table carries exact in/out degrees via
+    map-side-combined grouped sums (hub nodes cost one partial row per
+    batch, never a hot group). The GNN-training layout. Mirrored as a
+    degree aggregation over the IRI-object edges."""
+    from cattle_ray.stages.reason import property_graph_tables
+
+    nodes, _edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    return nodes
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -4715,6 +4728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
+        "kg_property_graph": q_kg_property_graph,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6558,6 +6572,15 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_property_graph": _TRIPLE_BASE_CTE + """,
+            e AS (SELECT subj AS src, obj AS dst FROM triples
+                  WHERE obj_is_iri),
+            dg AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
+                   UNION ALL SELECT dst, 0, 1 FROM e)
+            SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(i) AS BIGINT) AS in_deg
+            FROM dg GROUP BY node
         """,
         "kg_sameas_rewrite": _TRIPLE_BASE_CTE + """
             SELECT regexp_replace(subj, '/r[23]$', '/r1') AS s,

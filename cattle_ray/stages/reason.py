@@ -385,6 +385,71 @@ def sameas_rewrite(triples_ds, *, sameas_pred: str = OWL_SAMEAS,
     return out
 
 
+def property_graph_tables(triples_ds, *, edges_out: str | None = None):
+    """Export a triple stream as PROPERTY-GRAPH tables — the layout GNN
+    / graph-ML training pipelines consume (DGL/PyG-style): an EDGES
+    table ``(src, rel, dst)`` over resource-to-resource triples only
+    (literal-valued triples are node attributes, not edges — split by
+    the ``obj_is_iri`` column when present, else by an IRI-shaped-string
+    heuristic), and a NODES table ``(node, out_deg, in_deg)`` with exact
+    degrees. Degrees run as map-side-combined grouped sums (one partial
+    row per (node, batch) crosses the shuffle — hub nodes cost one row
+    per batch, never a hot group). ``edges_out`` additionally writes the
+    edges as partitioned parquet (the nodes Dataset returns either way;
+    edges re-derive lazily from the same stream when not persisted).
+
+    Returns ``(nodes_ds, edges_ds)``."""
+    from .aggregates import grouped_agg
+
+    def split_edges(b: pa.Table) -> pa.Table:
+        if "obj_is_iri" in b.column_names:
+            m = pc.fill_null(pc.cast(b["obj_is_iri"], pa.bool_()), False)
+        else:
+            m = pc.match_substring_regex(b["obj"], r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+            m = pc.fill_null(m, False)
+        t = b.filter(m)
+        return pa.table({"src": t["subj"], "rel": t["pred"],
+                         "dst": t["obj"]})
+
+    edges = triples_ds.map_batches(split_edges, batch_format="pyarrow")
+    if edges_out is not None:
+        edges.write_parquet(edges_out)
+        import ray.data as rd
+
+        edges = rd.read_parquet(edges_out)
+
+    def degree_rows(b: pa.Table) -> pa.Table:
+        n_out, n_in = len(b), len(b)
+        one = np.ones(n_out, np.int64)
+        zero = np.zeros(n_in, np.int64)
+        src = b["src"]
+        dst = b["dst"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        if isinstance(dst, pa.ChunkedArray):
+            dst = dst.combine_chunks()
+        return pa.table({
+            "node": pa.concat_arrays([src, dst]),
+            "out_deg": pa.array(np.concatenate([one, zero])),
+            "in_deg": pa.array(np.concatenate([zero, one])),
+        })
+
+    nodes = grouped_agg(
+        edges.map_batches(degree_rows, batch_format="pyarrow"),
+        ["node"],
+        {"out_deg": ("sum", "out_deg", "int64"),
+         "in_deg": ("sum", "in_deg", "int64")})
+    nodes = nodes.map_batches(
+        lambda b: pa.table({
+            "node": b["node"],
+            # degrees are never null (every node has ≥1 partial row) —
+            # plain int64, not the nullable Int64 the sum spec emits
+            "out_deg": pc.fill_null(pc.cast(b["out_deg"], pa.int64()), 0),
+            "in_deg": pc.fill_null(pc.cast(b["in_deg"], pa.int64()), 0)}),
+        batch_format="pyarrow")
+    return nodes, edges
+
+
 def rdfs_materialize(triples_ds, schema: "pa.Table | None" = None, *,
                      drop_schema_rows: bool = False):
     """Materialize the RDFS closure of a triple stream: asserted triples

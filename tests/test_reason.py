@@ -197,3 +197,34 @@ def test_cli_reason(ray_session, tmp_path):
     t = pq.read_table(glob.glob(f"{out}/*.parquet"))
     assert sorted(t["obj"].to_pylist()) == [
         "https://ex.org/A", "https://ex.org/B", "https://ex.org/C"]
+
+
+def test_property_graph_tables(ray_session, tmp_path):
+    """Edges = resource-to-resource triples only; nodes carry exact
+    degrees; edges_out persists partitioned parquet."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import property_graph_tables
+
+    t = pa.table({
+        "subj": ["a", "a", "b", "c"],
+        "pred": ["knows", "name", "knows", "knows"],
+        "obj": ["b", "Alice", "a", "a"],
+        "obj_is_iri": [True, False, True, True]})
+    out = str(tmp_path / "edges")
+    nodes, edges = property_graph_tables(
+        rd.from_arrow(t).repartition(2), edges_out=out)
+    e = sorted(map(tuple, edges.to_pandas().values.tolist()))
+    assert e == [("a", "knows", "b"), ("b", "knows", "a"),
+                 ("c", "knows", "a")]
+    n = sorted(map(tuple, nodes.to_pandas().values.tolist()))
+    assert n == [("a", 1, 2), ("b", 1, 1), ("c", 1, 0)]
+    assert pq.read_table(glob.glob(f"{out}/*.parquet")).num_rows == 3
+    # no obj_is_iri column: IRI-shaped heuristic
+    t2 = pa.table({"subj": ["x"], "pred": ["p"],
+                   "obj": ["urn:y"]})
+    _nodes2, edges2 = property_graph_tables(rd.from_arrow(t2))
+    assert edges2.count() == 1
