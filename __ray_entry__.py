@@ -4196,6 +4196,22 @@ def q_kg_sameas_rewrite(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_sparql_strfns(sf_dir: str):
+    """SPARQL string functions in BIND (REPLACE with $N group refs →
+    RE2, STRAFTER via anchored extract_regex — no-match lowers to ""
+    per spec while NULL inputs stay NULL). Mirrored with
+    regexp_replace/substr."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?num ?tag WHERE {{
+          ?s ex:name ?n .
+          BIND(STRAFTER(?n, "Entity") AS ?num)
+          BIND(REPLACE(?n, "Entity([0-9]+)", "E$1") AS ?tag)
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_seqpath(sf_dir: str):
     """SPARQL 1.1 SequencePath through the text layer:
     ``?d ex:entity/^ex:entity ?d2`` — a forward hop composed with an
@@ -4726,6 +4742,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_datatype": q_kg_sparql_datatype,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
+        "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
@@ -6616,6 +6633,11 @@ def _oracle_sql_base() -> dict[str, str]:
             cnt AS (SELECT e, CAST(count(*) AS BIGINT) AS n
                     FROM en GROUP BY e)
             SELECT subj AS s, e, n FROM en JOIN cnt USING (e)
+        """,
+        "kg_sparql_strfns": _TRIPLE_BASE_CTE + f"""
+            SELECT subj AS s, substr(obj, 7) AS num,
+                   regexp_replace(obj, 'Entity([0-9]+)', 'E\\1') AS tag
+            FROM triples WHERE pred = '{EX}name'
         """,
         "kg_sparql_negprop": _TRIPLE_BASE_CTE + f"""
             SELECT subj AS s, obj AS o FROM triples

@@ -33,6 +33,8 @@ consumes it. For store-backed evaluation, feed per-pattern
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -652,7 +654,7 @@ def _union_bindings(streams_for, branches, num_buckets):
 #: validation; evaluation is in :func:`_eval_expr`)
 _BIND_OPS = frozenset({"concat", "add", "sub", "mul", "div", "strlen",
                        "ucase", "lcase", "substr", "coalesce", "if",
-                       "int", "num"})
+                       "int", "num", "replace", "strbefore", "strafter"})
 
 
 def _eval_expr(b: pa.Table, expr):
@@ -691,6 +693,29 @@ def _eval_expr(b: pa.Table, expr):
         start = int(raw[1]) - 1
         stop = None if len(raw) < 3 else start + int(raw[2])
         return pc.utf8_slice_codeunits(args[0], start=start, stop=stop)
+    if op == "replace":
+        # SPARQL REPLACE(str, pattern, replacement) — regex; SPARQL's
+        # $N group refs translate to RE2's \N. Pattern/replacement are
+        # string CONSTANTS (a per-row pattern would defeat RE2 compile
+        # caching and SPARQL queries never need it)
+        if not (isinstance(raw[1], str) and isinstance(raw[2], str)):
+            raise ValueError("REPLACE pattern/replacement must be "
+                             "string constants")
+        repl = re.sub(r"\$(\d)", r"\\\1", raw[2])
+        return pc.replace_substring_regex(args[0], pattern=raw[1],
+                                          replacement=repl)
+    if op in ("strbefore", "strafter"):
+        if not isinstance(raw[1], str):
+            raise ValueError(f"{op.upper()} separator must be a string "
+                             "constant")
+        sep = re.escape(raw[1])
+        pat = (f"(?s)^(?P<m>.*?){sep}" if op == "strbefore"
+               else f"(?s){sep}(?P<m>.*)$")
+        got = pc.struct_field(pc.extract_regex(args[0], pattern=pat), "m")
+        # SPARQL: no-match → "", but a NULL input stays NULL
+        return pc.if_else(pc.is_valid(args[0]),
+                          pc.coalesce(got, pa.scalar("", pa.string())),
+                          pa.nulls(len(args[0]), pa.string()))
     if op == "coalesce":
         return pc.coalesce(*args)
     if op == "if":

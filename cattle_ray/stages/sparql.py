@@ -928,7 +928,8 @@ class _Parser:
             fns = {"CONCAT": "concat", "STRLEN": "strlen",
                    "UCASE": "ucase", "LCASE": "lcase",
                    "SUBSTR": "substr", "COALESCE": "coalesce", "IF": "if",
-                   "STR": None}
+                   "REPLACE": "replace", "STRBEFORE": "strbefore",
+                   "STRAFTER": "strafter", "STR": None}
             if fn not in fns:
                 raise SparqlSyntaxError(f"unsupported function {v!r}")
             self.next()

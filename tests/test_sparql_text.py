@@ -588,3 +588,16 @@ def test_lang_neq_value_rejected():
     with pytest.raises(SparqlSyntaxError, match="UNION"):
         parse_sparql(P + """SELECT ?l WHERE {
             ?s ex:label ?l . FILTER(LANG(?l) != "en") }""")
+
+
+def test_text_string_functions_end_to_end(ray_session):
+    out = sparql(_ds(), P + """SELECT ?d ?b ?afr ?rep WHERE {
+        ?d ex:about ?e .
+        BIND(STRBEFORE(?e, "1") AS ?b)
+        BIND(STRAFTER(?e, "E") AS ?afr)
+        BIND(REPLACE(?e, "E([0-9]+)", "ent-$1") AS ?rep)
+    } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [
+        ["a", "E", "1", "ent-1"],
+        ["b", "", "2", "ent-2"],   # no "1" in E2 → STRBEFORE = ""
+        ["c", "E", "1", "ent-1"]]
