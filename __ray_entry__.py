@@ -4156,6 +4156,21 @@ def q_kg_property_graph(sf_dir: str):
     return nodes
 
 
+def q_kg_negative_samples_generic(sf_dir: str):
+    """Filtered negative sampling over ARBITRARY ids
+    (stages/reason.py): each resource-to-resource edge emits k=2
+    corrupted (src, rel, dst') copies, dst' drawn from the broadcast
+    entity vocabulary by a deterministic content hash — layout- and
+    parallelism-invariant, so reruns and repartitions produce the SAME
+    sample. No SQL oracle (the hash has no DuckDB mirror); determinism
+    and the filtered guarantee are pytest-pinned."""
+    from cattle_ray.stages.reason import (negative_sample_edges,
+                                          property_graph_tables)
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    return negative_sample_edges(edges, k=2)
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -4746,6 +4761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
+        "kg_negative_samples_generic": q_kg_negative_samples_generic,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,

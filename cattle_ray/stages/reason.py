@@ -450,6 +450,111 @@ def property_graph_tables(triples_ds, *, edges_out: str | None = None):
     return nodes, edges
 
 
+def negative_sample_edges(edges_ds, *, k: int = 1,
+                          src: str = "src", rel: str = "rel",
+                          dst: str = "dst",
+                          entity_max: int = 10_000_000,
+                          seed: int = 0x9E3779B9):
+    """FILTERED negative sampling for KG-embedding training (TransE /
+    DistMult-style): every positive edge emits ``k`` corrupted copies
+    ``(src, rel, dst')`` with ``dst'`` drawn from the corpus's entity
+    set by a DETERMINISTIC splitmix-style hash of (src, rel, dst, i) —
+    the sample is a pure function of edge content, so it is
+    layout/parallelism-invariant and reproducible across runs (no RNG
+    state to ship). Corruptions that collide with the TRUE dst of the
+    same edge re-hash once and then drop on a second collision (the
+    standard "filtered" setting, bounded work per row); self-negatives
+    (dst' == src) drop the same way.
+
+    The entity vocabulary is the distinct union of src and dst, pulled
+    through the engine's exact dedup and broadcast via ``ray.put`` —
+    guarded by ``entity_max`` (KG-embedding negative sampling against a
+    larger-than-broadcast vocabulary should sample within shards
+    instead; raise the guard consciously). Output schema: the input
+    edge columns plus ``label`` (1 = positive, 0 = negative) — the
+    training-ready layout."""
+    import ray
+
+    from .aggregates import distinct
+
+    def ends(b: pa.Table) -> pa.Table:
+        a, d = b[src], b[dst]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return pa.table({"e": pa.concat_arrays([a, d])})
+
+    vocab_ds = distinct(edges_ds.map_batches(ends, batch_format="pyarrow"),
+                        ["e"])
+    n_vocab = vocab_ds.count()
+    if n_vocab > entity_max:
+        raise ValueError(
+            f"{n_vocab} distinct entities exceed entity_max="
+            f"{entity_max} — the vocabulary no longer broadcasts; "
+            "sample within hash shards instead (or raise the guard)")
+    vocab = pa.array([r["e"] for r in vocab_ds.take_all()], pa.string())
+    # deterministic order: the hash indexes a SORTED vocabulary, so the
+    # sample is independent of how distinct() happened to order it
+    vocab = vocab.take(pc.sort_indices(vocab))
+    vocab_ref = ray.put(vocab)
+
+    def sample(b: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        nv = len(voc)
+        s_col, r_col, d_col = b[src], b[rel], b[dst]
+        pos = b.append_column("label", pa.array(
+            np.ones(len(b), np.int64)))
+        outs = [pos]
+        s_np = np.asarray(s_col.to_pylist(), dtype=object)
+        r_np = np.asarray(r_col.to_pylist(), dtype=object)
+        d_np = np.asarray(d_col.to_pylist(), dtype=object)
+        voc_np = np.asarray(voc.to_pylist(), dtype=object)
+        import pandas as pd
+
+        base = (pd.util.hash_array(s_np).astype(np.uint64)
+                ^ (pd.util.hash_array(r_np).astype(np.uint64)
+                   * np.uint64(0x9E3779B97F4A7C15))
+                ^ (pd.util.hash_array(d_np).astype(np.uint64)
+                   * np.uint64(0xC2B2AE3D27D4EB4F))
+                ^ np.uint64(seed))
+        for i in range(k):
+            h = base * np.uint64(2 * i + 1) + np.uint64(i)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            idx = (h % np.uint64(nv)).astype(np.int64)
+            cand = voc_np[idx]
+            # filtered setting: re-hash once on collision with the true
+            # dst or the src, then drop survivors
+            bad = (cand == d_np) | (cand == s_np)
+            if bad.any():
+                h2 = (h[bad] * np.uint64(0x9E3779B97F4A7C15)
+                      + np.uint64(1))
+                h2 ^= h2 >> np.uint64(29)
+                cand2 = voc_np[(h2 % np.uint64(nv)).astype(np.int64)]
+                cand[bad] = cand2
+                bad = (cand == d_np) | (cand == s_np)
+            keep = ~bad
+            neg = pa.table({
+                src: pa.array(s_np[keep], pa.string()),
+                rel: pa.array(r_np[keep], pa.string()),
+                dst: pa.array(cand[keep], pa.string()),
+            })
+            for col in b.column_names:
+                if col not in (src, rel, dst):
+                    neg = neg.append_column(
+                        col, pa.array(b[col].to_pylist(),
+                                      b.schema.field(col).type).take(
+                            pa.array(np.nonzero(keep)[0])))
+            neg = neg.select(b.column_names).append_column(
+                "label", pa.array(np.zeros(int(keep.sum()), np.int64)))
+            outs.append(neg.cast(pos.schema))
+        return pa.concat_tables(outs)
+
+    return edges_ds.map_batches(sample, batch_format="pyarrow")
+
+
 def rdfs_materialize(triples_ds, schema: "pa.Table | None" = None, *,
                      drop_schema_rows: bool = False):
     """Materialize the RDFS closure of a triple stream: asserted triples
