@@ -1329,14 +1329,34 @@ def _lower(q: dict) -> dict:
 
 
 def sparql(source, text: str, *, num_buckets: int = 32,
-           obj_index_dir: str | None = None, reorder: bool = True):
+           obj_index_dir: str | None = None, reorder: bool = True,
+           entailment: str | None = None, schema=None):
     """Run a SPARQL query string against ``source`` — a triples
     ``Dataset`` (columns subj/pred/obj[/graph]) or a partitioned STORE
     directory (read-pruned per pattern, the storage path). Returns a
     bindings ``Dataset`` for SELECT, ``bool`` for ASK, and a
-    (subj, pred, obj) ``Dataset`` for CONSTRUCT."""
+    (subj, pred, obj) ``Dataset`` for CONSTRUCT.
+
+    ``entailment="rdfs"`` evaluates under the RDFS regime: the source
+    stream materializes its rdfs2/3/5/7/9/11 closure first (one
+    vectorized pass against the driver-closed broadcast ``schema`` —
+    see :mod:`~.reason`; ``schema=None`` extracts the schema triples
+    from the stream). A STORE source evaluates over its live stream in
+    this mode — the per-pattern read pruning doesn't apply to inferred
+    rows, so the closure pass sees everything once instead."""
     from .bgp import ask_bgp, construct_triples, evaluate_bgp, \
         evaluate_bgp_store
+
+    if entailment is not None:
+        if entailment != "rdfs":
+            raise ValueError(
+                f"unknown entailment regime {entailment!r} — "
+                "supported: 'rdfs'")
+        from ..sources.triple_sink import read_store_asof
+        from .reason import rdfs_materialize
+
+        ds = read_store_asof(source) if isinstance(source, str) else source
+        source = rdfs_materialize(ds, schema)
 
     q = parse_sparql(text)
     kw = _lower(q)

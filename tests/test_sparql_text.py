@@ -601,3 +601,25 @@ def test_text_string_functions_end_to_end(ray_session):
         ["a", "E", "1", "ent-1"],
         ["b", "", "2", "ent-2"],   # no "1" in E2 → STRBEFORE = ""
         ["c", "E", "1", "ent-1"]]
+
+
+def test_entailment_rdfs(ray_session):
+    """entailment='rdfs' answers over the materialized closure: a
+    subclass instance matches its superclass type pattern."""
+    import ray.data as rd
+
+    RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    RDFS_SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    t = pa.table({
+        "subj": ["x", "urn:C"],
+        "pred": [RDF_T, RDFS_SUB],
+        "obj": ["urn:C", "urn:A"]})
+    ds = rd.from_arrow(t)
+    plain = sparql(ds, "SELECT ?s WHERE { ?s a <urn:A> . }").to_pandas()
+    assert len(plain) == 0
+    closed = sparql(ds, "SELECT ?s WHERE { ?s a <urn:A> . }",
+                    entailment="rdfs").to_pandas()
+    assert list(closed["s"]) == ["x"]
+    with pytest.raises(ValueError, match="entailment regime"):
+        sparql(ds, "SELECT ?s WHERE { ?s a <urn:A> . }",
+               entailment="owl")
