@@ -1413,3 +1413,81 @@ def scc(edges_ds, *, src: str = "s", dst: str = "o", max_rounds: int = 30,
         lambda t: pa.table({"node": t["id"], "scc": t["id"]}),
         batch_format="pyarrow")
     return assigned.union(leftovers)
+
+
+def sample_neighbors(edges_ds, seeds, fanout: int, hops: int = 2, *,
+                     src: str = "s", dst: str = "o", seed: int = 0,
+                     num_buckets: int = 32):
+    """Deterministic fanout-bounded neighbor sampling — the GNN
+    minibatch primitive (GraphSAGE-style k-hop sampled subgraph around a
+    seed batch). Per hop:
+
+    1. ``edges ⋉ frontier`` on ``src`` (the adaptive
+       :func:`~.joins.semi_join`: broadcast while the frontier is
+       minibatch-sized, distributed when not);
+    2. per-source top-``fanout`` by a CONTENT hash of (src, dst, hop,
+       seed) — :func:`~.aggregates.grouped_topk`, one bucketed shuffle;
+       the hash makes the sample a pure function of the graph, so it is
+       layout/parallelism-invariant and reproducible without RNG state
+       (vary ``seed`` for a different draw);
+    3. the sampled targets (minus already-expanded nodes) become the
+       next frontier.
+
+    A hub node contributes its own edge count to ONE bucket during the
+    top-k — bounded by the fanout on output, never collected on the
+    driver. Returns a Dataset ``(src, dst, hop)`` — the union of sampled
+    edges, hop = 1-based expansion round."""
+    import ray.data as rd
+
+    from .aggregates import distinct, grouped_topk
+    from .joins import _col_hash64, semi_join
+
+    if fanout < 1 or hops < 1:
+        raise ValueError("fanout and hops must be >= 1")
+    frontier = rd.from_arrow(pa.table(
+        {"_n": pa.array(sorted(set(seeds)), pa.string())})).materialize()
+    expanded = frontier
+    out = []
+    for hop in range(1, hops + 1):
+        cand = semi_join(edges_ds, frontier, src, "_n",
+                         num_buckets=num_buckets)
+
+        def score(b: pa.Table, hop=hop) -> pa.Table:
+            h = (_col_hash64(b[src]) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ _col_hash64(b[dst])
+                 ^ np.uint64((hop * 1_000_003 + seed * 7919) & (2**64 - 1)))
+            # splitmix64 finalizer: full avalanche so the seed/hop salt
+            # reorders the whole ranking, not just low bits
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
+            return pa.table({src: b[src], dst: b[dst],
+                             "_h": pa.array(h.astype(np.int64))})
+
+        scored = cand.map_batches(score, batch_format="pyarrow")
+        samp = grouped_topk(scored, src, ["_h", dst], [True, True],
+                            fanout, num_buckets=num_buckets)
+        samp = samp.map_batches(
+            lambda b, hop=hop: pa.table({
+                src: b[src], dst: b[dst],
+                "hop": pa.array(np.full(len(b), hop, np.int64))}),
+            batch_format="pyarrow").materialize()
+        if samp.count() == 0:
+            break
+        out.append(samp)
+        nxt = distinct(samp.map_batches(
+            lambda b: pa.table({"_n": b[dst]}), batch_format="pyarrow"),
+            ["_n"])
+        frontier = semi_join(nxt, expanded, "_n", "_n", anti=True,
+                             num_buckets=num_buckets).materialize()
+        expanded = expanded.union(frontier).materialize()
+        if frontier.count() == 0:
+            break
+    if not out:
+        return rd.from_arrow(pa.table({
+            src: pa.array([], pa.string()), dst: pa.array([], pa.string()),
+            "hop": pa.array([], pa.int64())}))
+    acc = out[0]
+    for d in out[1:]:
+        acc = acc.union(d)
+    return acc

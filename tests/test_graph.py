@@ -398,3 +398,34 @@ def test_personalized_pagerank_all_seeds_absent(ray_session,
     with pytest.raises(ValueError, match="no seed"):
         pagerank(rd.from_pandas(df), iters=2, seeds=[42],
                  small_graph_edges=small_graph_edges)
+
+
+def test_sample_neighbors_deterministic_fanout(ray_session):
+    """GNN neighbor sampling: fanout bound per source, hop tags, layout
+    invariance, no re-expansion of already-expanded nodes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cattle_ray.stages.graph import sample_neighbors
+
+    e = pa.table({"s": ["a"] + ["h"] * 100 + ["n0"],
+                  "o": ["h"] + [f"n{i}" for i in range(100)] + ["a"]})
+    outs = []
+    for parts in (2, 7):
+        got = sample_neighbors(rd.from_arrow(e).repartition(parts),
+                               ["a"], fanout=5, hops=2).to_pandas()
+        outs.append(set(map(tuple, got.values.tolist())))
+    assert outs[0] == outs[1]
+    got = outs[0]
+    hop1 = {t for t in got if t[2] == 1}
+    hop2 = {t for t in got if t[2] == 2}
+    assert hop1 == {("a", "h", 1)}
+    assert len(hop2) == 5 and all(s == "h" for s, _o, _h in hop2)
+    # different seed → different draw (overwhelmingly likely at 100C5)
+    alt = sample_neighbors(rd.from_arrow(e), ["a"], fanout=5, hops=2,
+                           seed=1).to_pandas()
+    assert set(map(tuple, alt.values.tolist())) != got
+    # unknown seed → empty with the right schema
+    empty = sample_neighbors(rd.from_arrow(e), ["zz"], fanout=3,
+                             hops=2).to_pandas()
+    assert len(empty) == 0
