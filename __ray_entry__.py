@@ -4171,6 +4171,38 @@ def q_kg_negative_samples_generic(sf_dir: str):
     return negative_sample_edges(edges, k=2)
 
 
+def q_kg_sample_neighbors(sf_dir: str):
+    """GNN minibatch sampling (graph.sample_neighbors): 2-hop fanout-3
+    sampled subgraph around the lexicographically first doc subject,
+    over the UNDIRECTED doc↔entity graph (each direction emitted, so
+    hop 2 fans back out from the entity to its other docs). The sample
+    is a deterministic content hash — layout-invariant; rows-only (no
+    SQL mirror for the hash), determinism pytest-pinned."""
+    from cattle_ray.stages.graph import sample_neighbors
+    from cattle_ray.stages.reason import property_graph_tables
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    both = edges.map_batches(
+        lambda b: pa.table({
+            "s": pa.concat_arrays([
+                b["src"].combine_chunks() if isinstance(
+                    b["src"], pa.ChunkedArray) else b["src"],
+                b["dst"].combine_chunks() if isinstance(
+                    b["dst"], pa.ChunkedArray) else b["dst"]]),
+            "o": pa.concat_arrays([
+                b["dst"].combine_chunks() if isinstance(
+                    b["dst"], pa.ChunkedArray) else b["dst"],
+                b["src"].combine_chunks() if isinstance(
+                    b["src"], pa.ChunkedArray) else b["src"]])}),
+        batch_format="pyarrow").materialize()
+    # seed = min subject — a query-parameter-sized derivation
+    seed = min(r["m"] for r in both.map_batches(
+        lambda b: pa.table({"m": pa.array(
+            [pc.min(b["s"]).as_py()], pa.string())}),
+        batch_format="pyarrow").take_all())
+    return sample_neighbors(both, [seed], fanout=3, hops=2)
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -4762,6 +4794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
+        "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,

@@ -230,6 +230,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_sparql_text",
         "kg_sparql_agg",
         "kg_sparql_update",
+        # round-4 continuation operators
+        "kg_sparql_describe",
+        "kg_sparql_datatype",
+        "kg_sparql_seqpath",
+        "kg_sparql_negprop",
+        "kg_sparql_or",
+        "kg_sparql_sample",
+        "kg_sparql_subquery",
+        "kg_sparql_strfns",
+        "kg_rdfs_closure",
+        "kg_sameas_rewrite",
+        "kg_property_graph",
+        "kg_negative_samples_generic",
+        "kg_sample_neighbors",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
