@@ -4203,6 +4203,31 @@ def q_kg_sample_neighbors(sf_dir: str):
     return sample_neighbors(both, [seed], fanout=3, hops=2)
 
 
+def q_kg_owl_inverse(sf_dir: str):
+    """OWL-lite inverseOf materialization (reason.owl_materialize):
+    declaring ``ex:entity owl:inverseOf ex:entityOf`` makes every
+    (doc, entity, e) also yield (e, entityOf, doc) — one broadcast
+    gather per batch, zero shuffle. Output = the DISTINCT inferred
+    direction; mirrored as a projection swap."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.reason import OWL_INVERSE_OF, owl_materialize
+
+    schema = pa.table({
+        "subj": [f"{EX}entity"], "pred": [OWL_INVERSE_OF],
+        "obj": [f"{EX}entityOf"]})
+    base = q_kg_csvw_triples(sf_dir).map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+    closed = owl_materialize(base, schema)
+    inv = closed.map_batches(
+        lambda b: b.filter(
+            pc.equal(b["pred"], f"{EX}entityOf")).select(["subj", "obj"]),
+        batch_format="pyarrow").map_batches(
+        lambda b: pa.table({"e": b["subj"], "d": b["obj"]}),
+        batch_format="pyarrow")
+    return distinct(inv, ["e", "d"], num_buckets=8)
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -4795,6 +4820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_graph": q_kg_property_graph,
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
         "kg_sample_neighbors": q_kg_sample_neighbors,
+        "kg_owl_inverse": q_kg_owl_inverse,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6638,6 +6664,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_owl_inverse": _TRIPLE_BASE_CTE + f"""
+            SELECT DISTINCT obj AS e, subj AS d FROM triples
+            WHERE pred = '{EX}entity'
         """,
         "kg_property_graph": _TRIPLE_BASE_CTE + """,
             e AS (SELECT subj AS src, obj AS dst FROM triples

@@ -244,6 +244,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_property_graph",
         "kg_negative_samples_generic",
         "kg_sample_neighbors",
+        "kg_owl_inverse",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

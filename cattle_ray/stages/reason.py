@@ -278,6 +278,171 @@ def extract_schema(triples_ds) -> pa.Table:
 
 
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+_OWL = "http://www.w3.org/2002/07/owl#"
+OWL_INVERSE_OF = _OWL + "inverseOf"
+OWL_SYMMETRIC = _OWL + "SymmetricProperty"
+OWL_TRANSITIVE = _OWL + "TransitiveProperty"
+
+
+def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
+                    max_hops: int = 16, num_buckets: int = 32):
+    """OWL-lite property-axiom materialization over a triple stream —
+    the three axioms web KGs actually ship (schema.org / wikidata-style
+    vocabularies), each with its scale-correct execution shape:
+
+    * ``owl:inverseOf`` — schema pairs ``(p owl:inverseOf q)``: every
+      ``(s p o)`` also yields ``(o q s)`` and vice versa. One broadcast
+      gather per batch (zero shuffle).
+    * ``owl:SymmetricProperty`` — ``(p rdf:type owl:SymmetricProperty)``:
+      ``(s p o)`` yields ``(o p s)``. Same shape.
+    * ``owl:TransitiveProperty`` — per declared predicate, the
+      INSTANCE-LEVEL transitive closure: unlike the two above this is
+      data-sized, so it runs through the engine's distributed
+      path-doubling :func:`~.graph.transitive_closure` (⌈log₂ depth⌉
+      rounds, ``max_hops`` bound) — one closure per declared predicate,
+      predicates are vocabulary-counted.
+
+    ``schema=None`` extracts the axiom triples from the stream (same
+    size guard as RDFS). Inverse/symmetric rows inherit their evidence
+    row's extra columns; closure rows carry the triple columns only
+    (a composed edge has no single source row) padded with NULLs.
+    Duplicates collapse batch-locally; global set semantics = the
+    engine's exact dedup downstream. Returns asserted ∪ inferred."""
+    import ray
+
+    if schema is None:
+        schema = _extract_owl_schema(triples_ds)
+    s = schema["subj"].to_pylist()
+    p = schema["pred"].to_pylist()
+    o = schema["obj"].to_pylist()
+    inv: dict = {}
+    sym: set = set()
+    trans: list = []
+    for si, pi, oi in zip(s, p, o):
+        if pi == OWL_INVERSE_OF:
+            inv.setdefault(si, set()).add(oi)
+            inv.setdefault(oi, set()).add(si)  # inverseOf is symmetric
+        elif pi == RDF_TYPE and oi == OWL_SYMMETRIC:
+            sym.add(si)
+        elif pi == RDF_TYPE and oi == OWL_TRANSITIVE:
+            trans.append(si)
+    inv_k, inv_off, inv_flat = RdfsSchema._flatten(inv) if inv else (
+        pa.array([], pa.string()), np.zeros(1, np.int64),
+        np.empty(0, dtype=object))
+    sym_arr = pa.array(sorted(sym), pa.string())
+    ref = ray.put((inv_k, inv_off, inv_flat, sym_arr))
+
+    def infer(b: pa.Table) -> pa.Table:
+        ik, io, if_, sa = ray.get(ref)
+        names = b.column_names
+        pred = b["pred"]
+        if isinstance(pred, pa.ChunkedArray):
+            pred = pred.combine_chunks()
+        outs = [b]
+
+        def swapped(t: pa.Table, new_pred=None) -> pa.Table:
+            subj_i = names.index("subj")
+            obj_i = names.index("obj")
+            s_col, o_col = t["subj"], t["obj"]
+            t = t.set_column(subj_i, "subj", pc.cast(o_col, pa.string()))
+            t = t.set_column(obj_i, "obj", pc.cast(s_col, pa.string()))
+            if new_pred is not None:
+                t = t.set_column(names.index("pred"), "pred", new_pred)
+            return t
+
+        # symmetric: one filtered swap
+        if len(sa):
+            m = pc.is_in(pred, value_set=sa)
+            sub = b.filter(m)
+            if sub.num_rows:
+                outs.append(swapped(sub))
+        # inverse: rows whose pred has inverses emit one swap per inverse
+        if len(ik):
+            rows, qs = _expand(pred, ik, io, if_)
+            if len(rows):
+                sub = b.take(pa.array(rows, pa.int64()))
+                outs.append(swapped(sub, pa.array(list(qs), pa.string())))
+        out = pa.concat_tables(outs)
+        if out.num_rows > b.num_rows:
+            import pandas as pd
+
+            key_cols = [c for c in ("subj", "pred", "obj", "graph")
+                        if c in names]
+            dup = pd.DataFrame({c: out[c].to_pandas() for c in key_cols}) \
+                .duplicated().to_numpy()
+            if dup.any():
+                out = out.filter(pa.array(~dup))
+        return out
+
+    out_ds = triples_ds.map_batches(infer, batch_format="pyarrow")
+
+    if trans:
+        from .graph import transitive_closure
+
+        base_schema = None
+        closures = []
+        for pred_iri in sorted(set(trans)):
+            def edges(b: pa.Table, p=pred_iri) -> pa.Table:
+                t = b.filter(pc.equal(b["pred"], p))
+                return pa.table({"s": t["subj"], "o": t["obj"]})
+
+            pairs = transitive_closure(
+                triples_ds.map_batches(edges, batch_format="pyarrow"),
+                src="s", dst="o", max_rounds=max_hops,
+                num_buckets=num_buckets)
+            closures.append((pred_iri, pairs))
+        # pad closure rows to the stream schema (typed NULLs for the
+        # annotation/lineage columns — a composed edge has no single
+        # evidence row)
+        sch = None
+        for b in triples_ds.iter_batches(batch_size=1,
+                                         batch_format="pyarrow"):
+            sch = b.schema
+            break
+        for pred_iri, pairs in closures:
+            def pad(b: pa.Table, p=pred_iri, sch=sch) -> pa.Table:
+                n = len(b)
+                cols = {}
+                for f in sch:
+                    if f.name == "subj":
+                        cols[f.name] = pc.cast(b["s"], pa.string())
+                    elif f.name == "pred":
+                        cols[f.name] = pa.array([p] * n, pa.string())
+                    elif f.name == "obj":
+                        cols[f.name] = pc.cast(b["o"], pa.string())
+                    else:
+                        cols[f.name] = pa.nulls(n, f.type)
+                return pa.table(cols).cast(sch)
+
+            out_ds = out_ds.union(
+                pairs.map_batches(pad, batch_format="pyarrow"))
+    return out_ds
+
+
+def _extract_owl_schema(triples_ds) -> pa.Table:
+    """Axiom rows: (?, owl:inverseOf, ?) and (?, rdf:type,
+    owl:{Symmetric,Transitive}Property) — vocabulary-sized by the same
+    guard as :func:`extract_schema`."""
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.or_(
+            pc.equal(b["pred"], OWL_INVERSE_OF),
+            pc.and_(pc.equal(b["pred"], RDF_TYPE),
+                    pc.is_in(b["obj"], value_set=pa.array(
+                        [OWL_SYMMETRIC, OWL_TRANSITIVE]))))
+        return b.filter(pc.fill_null(m, False)).select(
+            ["subj", "pred", "obj"])
+
+    rows = triples_ds.map_batches(f, batch_format="pyarrow") \
+        .limit(MAX_SCHEMA_ROWS + 1).take_all()
+    if len(rows) > MAX_SCHEMA_ROWS:
+        raise ValueError(
+            f"more than {MAX_SCHEMA_ROWS} OWL axiom triples — see "
+            "MAX_SCHEMA_ROWS")
+    if not rows:
+        return pa.table({"subj": pa.array([], pa.string()),
+                         "pred": pa.array([], pa.string()),
+                         "obj": pa.array([], pa.string())})
+    return pa.Table.from_pylist(rows)
 
 #: mapping-size crossover for the rewrite: below this many non-identity
 #: (id, canonical) rows the mapping broadcasts (ray.put once, zero

@@ -274,3 +274,39 @@ def test_negative_sampling_vocab_guard(ray_session):
                       "dst": ["c", "d"]})
     with pytest.raises(ValueError, match="entity_max"):
         negative_sample_edges(rd.from_arrow(edges), entity_max=2).count()
+
+
+def test_owl_materialize_axioms(ray_session):
+    """inverseOf (both directions), SymmetricProperty swap, and
+    TransitiveProperty instance closure through the distributed
+    path-doubling machinery."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                          OWL_TRANSITIVE, owl_materialize)
+
+    t = pa.table({
+        "subj": ["hasPart", "married", "anc", "a", "x", "p1", "p2"],
+        "pred": [OWL_INVERSE_OF, RDF_TYPE, RDF_TYPE,
+                 "hasPart", "married", "anc", "anc"],
+        "obj": ["partOf", OWL_SYMMETRIC, OWL_TRANSITIVE,
+                "b", "y", "p2", "p3"],
+    })
+    sets = []
+    for parts in (1, 3):
+        out = owl_materialize(
+            rd.from_arrow(t).repartition(parts)).to_pandas()
+        sets.append(set(zip(out["subj"], out["pred"], out["obj"])))
+    assert sets[0] == sets[1]
+    got = sets[0]
+    assert ("b", "partOf", "a") in got          # inverseOf forward
+    assert ("y", "married", "x") in got         # symmetric
+    assert ("p1", "anc", "p3") in got           # transitive closure
+    # inverseOf is symmetric itself: a partOf fact would yield hasPart
+    t2 = pa.table({
+        "subj": ["hasPart", "c"],
+        "pred": [OWL_INVERSE_OF, "partOf"],
+        "obj": ["partOf", "d"]})
+    out2 = owl_materialize(rd.from_arrow(t2)).to_pandas()
+    got2 = set(zip(out2["subj"], out2["pred"], out2["obj"]))
+    assert ("d", "hasPart", "c") in got2
