@@ -4284,6 +4284,21 @@ def q_kg_sparql_strfns(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_aggexpr(sf_dir: str):
+    """Aggregate over an expression — SUM(xsd:integer(?r) * ?w) where
+    both factors are term columns: the parser lowers the argument to a
+    fresh pre-group BIND, so the engine's map-side-combined grouped sum
+    sees a plain column. Mirrored as SUM(CAST * CAST)."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?e (SUM(xsd:integer(?r) * xsd:integer(?v)) AS ?t) WHERE {{
+          ?s ex:entity ?e ; ex:rank ?r ; ex:score ?v .
+        }} GROUP BY ?e""", num_buckets=8)
+
+
 def q_kg_sparql_seqpath(sf_dir: str):
     """SPARQL 1.1 SequencePath through the text layer:
     ``?d ex:entity/^ex:entity ?d2`` — a forward hop composed with an
@@ -4815,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
+        "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
@@ -6712,6 +6728,18 @@ def _oracle_sql_base() -> dict[str, str]:
             cnt AS (SELECT e, CAST(count(*) AS BIGINT) AS n
                     FROM en GROUP BY e)
             SELECT subj AS s, e, n FROM en JOIN cnt USING (e)
+        """,
+        "kg_sparql_aggexpr": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank'),
+            sc AS (SELECT subj, obj AS v FROM triples
+                   WHERE pred = '{EX}score')
+            SELECT e, CAST(SUM(CAST(r AS BIGINT) * CAST(v AS BIGINT))
+                           AS BIGINT) AS t
+            FROM en JOIN rk USING (subj) JOIN sc USING (subj)
+            GROUP BY e
         """,
         "kg_sparql_strfns": _TRIPLE_BASE_CTE + f"""
             SELECT subj AS s, substr(obj, 7) AS num,

@@ -245,6 +245,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_negative_samples_generic",
         "kg_sample_neighbors",
         "kg_owl_inverse",
+        "kg_sparql_aggexpr",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -130,6 +130,9 @@ class _Parser:
         self.i = 0
         self.prefixes: dict[str, str] = {}
         self._bn = 0  # fresh anonymous-variable counter
+        #: pre-group BINDs synthesized for aggregate-over-expression
+        #: forms (SUM(?a * ?b) → BIND(?a * ?b AS ?_anon_N) + SUM(?_anon_N))
+        self._agg_binds: list = []
         #: "?var" → {"lang", "datatype"} — annotation side columns the
         #: FILTERs need projected (collected while parsing constraints)
         self.annotations: dict[str, set] = {}
@@ -374,6 +377,11 @@ class _Parser:
             if not sel:
                 raise SparqlSyntaxError("empty SELECT clause")
             q["select"] = sel
+        if self._agg_binds:
+            # synthesized aggregate-argument binds apply PRE-group like
+            # any user BIND; collected per query (subqueries snapshot)
+            q["agg_binds"] = list(self._agg_binds)
+            self._agg_binds = []
         if nested and q["select"] is None:
             raise SparqlSyntaxError(
                 "subqueries must project an explicit variable list "
@@ -430,10 +438,14 @@ class _Parser:
             # COUNT(?v) counts non-null ?v — the engine's count counts
             # rows; expressible exactly only when ?v is required-bound
             return ("count_var", "?" + v[1:])
-        k, v = self.next()
-        if k != "VAR":
-            raise SparqlSyntaxError(f"{fn}(?var) expected, got {v!r}")
-        var = "?" + v[1:]
+        expr = self.expr()
+        if isinstance(expr, str) and expr.startswith("?"):
+            var = expr
+        else:
+            # aggregate over an EXPRESSION — SUM(?a * ?b) — lowers to a
+            # fresh pre-group BIND of the expression, aggregated by name
+            var = self.fresh_var()
+            self._agg_binds.append((var, expr))
         if fn == "GROUP_CONCAT":
             sep = " "
             if self.at_op(";"):
@@ -1282,7 +1294,8 @@ def _lower(q: dict) -> dict:
     aggregates without GROUP BY group over a synthetic constant key."""
     agg = dict(q["agg"])
     group_by = list(q.get("group_by") or [])
-    bind = list(q.get("bind") or []) + list(q.get("select_binds") or [])
+    bind = (list(q.get("bind") or []) + list(q.get("agg_binds") or [])
+            + list(q.get("select_binds") or []))
     select = q["select"]
     opt_vars = {t[1:] for g in (q.get("optional") or [])
                 for p in (g["patterns"] if isinstance(g, dict)

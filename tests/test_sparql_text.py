@@ -623,3 +623,18 @@ def test_entailment_rdfs(ray_session):
     with pytest.raises(ValueError, match="entailment regime"):
         sparql(ds, "SELECT ?s WHERE { ?s a <urn:A> . }",
                entailment="owl")
+
+
+def test_aggregate_over_expression(ray_session):
+    """SUM(expr) lowers to a fresh pre-group BIND + SUM(?anon); the
+    anon var never reaches the output."""
+    q = parse_sparql(P + """SELECT ?s (SUM(?a * 2 + 1) AS ?t) WHERE {
+        ?s ex:a ?a } GROUP BY ?s""")
+    assert q["agg"] == {"t": ("sum", "?_anon_1")}
+    assert q["agg_binds"] == [("?_anon_1", ("add", ("mul", "?a", 2), 1))]
+    out = sparql(_ds(), P + """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d (SUM(xsd:integer(?r) * 10) AS ?t) WHERE {
+          ?d ex:rank ?r . } GROUP BY ?d ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", 30], ["b", 110]]
+    assert list(out.columns) == ["d", "t"]
