@@ -517,6 +517,33 @@ class _Parser:
         self.eat_kw("CONSTRUCT")
         q: dict = {"kind": "construct", "distinct": False, "select": None,
                    "agg": {}, "select_binds": []}
+        if self.at_kw("WHERE"):
+            # CONSTRUCT WHERE { … } shorthand: the WHERE patterns double
+            # as the template (SPARQL 1.1 §10.2.2) — plain triples only,
+            # so paths/quads/groups in the body are rejected
+            self.next()
+            body = self.group()
+            extra = [k for k in ("optional", "minus", "exists", "bind",
+                                 "filters", "subselects") if body[k]]
+            if extra or body["union"] is not None \
+                    or body["values"] is not None:
+                raise SparqlSyntaxError(
+                    "CONSTRUCT WHERE is the template shorthand — the "
+                    "body must be plain triple patterns (found "
+                    f"{extra or 'union/values'}); use the full "
+                    "CONSTRUCT { … } WHERE { … } form")
+            bad = [p for p in body["patterns"]
+                   if not _is_template_pattern(p)
+                   or any(isinstance(t, str) and t.startswith("?_anon_")
+                          for t in p)]
+            if bad:
+                raise SparqlSyntaxError(
+                    f"CONSTRUCT WHERE patterns double as templates — "
+                    f"paths/quads not allowed: {bad[0]!r}")
+            q.update(body)
+            q["templates"] = list(body["patterns"])
+            self._modifiers(q)
+            return self._finish(q)
         self.eat_op("{")
         templates = []
         while not self.at_op("}"):

@@ -638,3 +638,18 @@ def test_aggregate_over_expression(ray_session):
           ?d ex:rank ?r . } GROUP BY ?d ORDER BY ?d""").to_pandas()
     assert out.values.tolist() == [["a", 30], ["b", 110]]
     assert list(out.columns) == ["d", "t"]
+
+
+def test_construct_where_shorthand(ray_session):
+    q = parse_sparql(P + "CONSTRUCT WHERE { ?d ex:about ?e . }")
+    assert q["templates"] == [("?d", EX + "about", "?e")]
+    assert q["patterns"] == q["templates"]
+    out = sparql(_ds(), P + "CONSTRUCT WHERE { ?d ex:about ?e . }") \
+        .to_pandas()
+    assert sorted(zip(out["subj"], out["obj"])) == [
+        ("a", "E1"), ("b", "E2"), ("c", "E1")]
+    with pytest.raises(SparqlSyntaxError, match="template shorthand"):
+        parse_sparql(P + """CONSTRUCT WHERE {
+            ?d ex:about ?e . FILTER(?e = "E1") }""")
+    with pytest.raises(SparqlSyntaxError, match="paths"):
+        parse_sparql(P + "CONSTRUCT WHERE { ?d ex:about/ex:in ?x . }")
