@@ -402,27 +402,36 @@ def _constraint_mask(b: pa.Table, var, op, val):
     raise ValueError(f"unknown FILTER op {op!r}")
 
 
+def _bool_mask(b: pa.Table, entry):
+    """One filter ENTRY → mask: a ``(?var, op, value)`` constraint, or a
+    boolean tree ``("or", [entry, ...])`` / ``("and", [entry, ...])`` —
+    entries nest arbitrarily (SPARQL ``FILTER(a && (b || c))``). OR uses
+    Kleene three-valued semantics (null || true = true); AND's
+    null-propagates — for row filtering the outcomes coincide with SQL
+    (a null mask drops the row either way)."""
+    if entry and entry[0] in ("or", "and") and len(entry) == 2 \
+            and isinstance(entry[1], (list, tuple)):
+        masks = [pc.cast(_bool_mask(b, c), pa.bool_()) for c in entry[1]]
+        out = masks[0]
+        for m in masks[1:]:
+            out = pc.or_kleene(out, m) if entry[0] == "or" \
+                else pc.and_(out, m)
+        return out
+    return _constraint_mask(b, *entry)
+
+
 def _apply_filters(ds, filters):
-    """``filters`` = list of constraints, conjunctive. Each is either a
-    ``(?var, op, value)`` tuple (see :func:`_constraint_mask`) or a
-    disjunction ``("or", [constraint, ...])`` — SPARQL ``FILTER(a || b)``
-    — whose branch masks OR together (null ORs like SQL three-valued
-    logic: null || true = true, null || false drops the row). All
-    vectorized; no shuffle."""
+    """``filters`` = list of entries, conjunctive at the top level. Each
+    entry is a ``(?var, op, value)`` constraint (see
+    :func:`_constraint_mask`) or a nested boolean tree (see
+    :func:`_bool_mask`). All vectorized; no shuffle."""
     if not filters:
         return ds
 
     def f(b: pa.Table) -> pa.Table:
         mask = None
         for entry in filters:
-            if entry[0] == "or" and not _is_var(entry[0]):
-                c = None
-                for sub in entry[1]:
-                    m = _constraint_mask(b, *sub)
-                    c = m if c is None else pc.or_kleene(
-                        pc.cast(c, pa.bool_()), pc.cast(m, pa.bool_()))
-            else:
-                c = _constraint_mask(b, *entry)
+            c = _bool_mask(b, entry)
             mask = c if mask is None else pc.and_(mask, c)
         return b.filter(mask)
 
@@ -437,7 +446,8 @@ def _filter_pushable(f, vars_) -> bool:
     only side the pushdown touches). The original filter stays in place
     after the fold — deterministic row predicates are idempotent, and
     keeping it covers variables a UNION branch also binds."""
-    if f and f[0] == "or":
+    if f and f[0] in ("or", "and") and len(f) == 2 \
+            and isinstance(f[1], (list, tuple)):
         return all(_filter_pushable(c, vars_) for c in f[1])
     var, op, val = f
     name = var[1:] if _is_var(var) else var
@@ -1317,7 +1327,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     # (group streams — OPTIONAL/MINUS/UNION — are not touched)
     eq_consts = {}
     for f in (filters or []):
-        if f and f[0] != "or":
+        if f and f[0] not in ("or", "and"):
             var, op, val = f
             if op == "=" and _is_var(var) and isinstance(val, str) \
                     and not _is_var(val):

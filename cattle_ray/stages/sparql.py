@@ -29,9 +29,9 @@ Supported grammar (the engine's implemented algebra, no more):
   (needs grouping parens) is rejected with the UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
   the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
-  ``IN``, ``BOUND``/``!BOUND``, ``&&`` conjunction, ``||`` disjunction
-  (one level — mixing ``&&`` and ``||`` without parens is rejected),
-  ``EXISTS`` / ``NOT EXISTS`` groups
+  ``IN``, ``BOUND``/``!BOUND``, full boolean expressions — ``&&`` /
+  ``||`` with SPARQL precedence and parenthesized groups nesting
+  freely — and ``EXISTS`` / ``NOT EXISTS`` groups
 * aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
   ``SAMPLE`` (deterministic: lowers to MIN),
   ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
@@ -785,32 +785,47 @@ class _Parser:
                 self._subpatterns("NOT EXISTS", allow_filters=True))
             return
         self.eat_op("(")
-        first = self._constraint()
-        if self.at_op("||"):
-            # FILTER(a || b || …) — ONE disjunctive entry; branch masks
-            # OR together in the engine. Mixing && and || without parens
-            # is ambiguous, so it raises.
-            branches = [first]
-            while self.at_op("||"):
-                self.next()
-                branches.append(self._constraint())
-            if self.at_op("&&"):
-                raise SparqlSyntaxError(
-                    "mixing && and || in one FILTER needs parens, which "
-                    "are not supported — split into separate FILTER(...) "
-                    "clauses (conjunctive) of || chains")
-            out["filters"].append(("or", branches))
-        else:
-            out["filters"].append(first)
-            while self.at_op("&&"):
-                self.next()
-                out["filters"].append(self._constraint())
-                if self.at_op("||"):
-                    raise SparqlSyntaxError(
-                        "mixing && and || in one FILTER needs parens, "
-                        "which are not supported — split into separate "
-                        "FILTER(...) clauses (conjunctive) of || chains")
+        e = self._bool_or()
         self.eat_op(")")
+        if isinstance(e, tuple) and e[0] == "and" and len(e) == 2:
+            # top-level && splits into separate conjuncts — each is then
+            # independently eligible for map-side pushdown
+            out["filters"].extend(e[1])
+        else:
+            out["filters"].append(e)
+
+    def _bool_or(self):
+        """Boolean filter expression with SPARQL precedence: ``||`` over
+        ``&&`` over a parenthesized group or a single constraint —
+        ``a || b && c`` means ``a || (b && c)``; parens nest freely."""
+        left = self._bool_and()
+        if not self.at_op("||"):
+            return left
+        branches = [left]
+        while self.at_op("||"):
+            self.next()
+            branches.append(self._bool_and())
+        return ("or", branches)
+
+    def _bool_and(self):
+        left = self._bool_primary()
+        if not self.at_op("&&"):
+            return left
+        parts = [left]
+        while self.at_op("&&"):
+            self.next()
+            parts.append(self._bool_primary())
+        return ("and", parts)
+
+    def _bool_primary(self):
+        # a grouped sub-expression — constraints themselves never start
+        # with '(' (they start with ?var / BOUND / LANG / CONTAINS / …)
+        if self.at_op("("):
+            self.next()
+            e = self._bool_or()
+            self.eat_op(")")
+            return e
+        return self._constraint()
 
     def _constraint(self):
         if self.at_op("!"):

@@ -1026,3 +1026,19 @@ def test_exists_values_count_distinct(ray_session, tmp_path):
                              agg={"nd": ("count_distinct", "?d")}
                              ).to_pandas()
     assert sorted(zip(out["tier"], out["nd"])) == [("gold", 2)]
+
+
+def test_nested_boolean_filter_trees(ray_session):
+    """("and"/"or" trees nest; outcomes match the flat equivalents."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ds = rd.from_arrow(_triples(ROWS)).repartition(3)
+    # (type=Doc AND about=E1) OR type=Page → a, c
+    got = evaluate_bgp(
+        ds, [("?d", "type", "?t"), ("?d", "about", "?e")],
+        filters=[("or", [
+            ("and", [("?t", "=", "Doc"), ("?e", "=", "E1")]),
+            ("?t", "=", "Page")])]).to_pandas()
+    assert sorted(got["d"]) == ["a", "c"]

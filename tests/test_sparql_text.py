@@ -98,13 +98,28 @@ def test_or_in_filter_lowers_to_disjunction():
     assert q["filters"] == [("or", [("?v", "=", "a"), ("?v", "=", "b")])]
 
 
-def test_mixed_and_or_filter_rejected():
-    with pytest.raises(SparqlSyntaxError, match="parens"):
-        parse_sparql(P + """SELECT * WHERE {
-            ?s ex:v ?v . FILTER(?v = "a" || ?v = "b" && ?v != "c") }""")
-    with pytest.raises(SparqlSyntaxError, match="parens"):
-        parse_sparql(P + """SELECT * WHERE {
-            ?s ex:v ?v . FILTER(?v != "c" && ?v = "a" || ?v = "b") }""")
+def test_mixed_and_or_filter_precedence():
+    # && binds tighter than || (SPARQL precedence); top-level && splits
+    # into separate conjuncts for pushdown
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v . FILTER(?v = "a" || ?v = "b" && ?v != "c") }""")
+    assert q["filters"] == [
+        ("or", [("?v", "=", "a"),
+                ("and", [("?v", "=", "b"), ("?v", "!=", "c")])])]
+    q2 = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v . FILTER(?v != "c" && ?v = "a" || ?v = "b") }""")
+    assert q2["filters"] == [
+        ("or", [("and", [("?v", "!=", "c"), ("?v", "=", "a")]),
+                ("?v", "=", "b")])]
+
+
+def test_parenthesized_filter_groups():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:v ?v ; ex:w ?w .
+        FILTER((?v = "a" || ?v = "b") && CONTAINS(?w, "x")) }""")
+    assert q["filters"] == [
+        ("or", [("?v", "=", "a"), ("?v", "=", "b")]),
+        ("?w", "contains", "x")]
 
 
 def test_sequence_path_lowers_to_fresh_var_chain():
