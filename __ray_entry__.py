@@ -4228,6 +4228,46 @@ def q_kg_owl_inverse(sf_dir: str):
     return distinct(inv, ["e", "d"], num_buckets=8)
 
 
+def q_kg_federated(sf_dir: str):
+    """Federated store query: the corpus split into TWO stores by rank
+    parity (a daily-crawl layout), then one BGP evaluated over the LIST
+    of stores — each pattern's pruned scan unions across stores before
+    the joins, so the shards are queried without ever merging them.
+    The split is a partition (no row in both stores), so the federation
+    equals the query over the whole corpus — the mirror."""
+    import tempfile
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    triples = q_kg_csvw_triples(sf_dir).materialize()
+    dirs = []
+    for parity in (0, 1):
+        def pick(b: pa.Table, parity=parity) -> pa.Table:
+            # subjects end …/r{1..3}: route by the digit's parity —
+            # a deterministic split with no overlap
+            last = pc.utf8_slice_codeunits(b["subj"], start=-1)
+            d = pc.cast(last, pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(d, 1), parity))
+
+        out_dir = tempfile.mkdtemp(prefix=f"kg_fed_{parity}_",
+                                   dir="/tmp")
+        import shutil
+
+        shutil.rmtree(out_dir)
+        write_triples_hash_partitioned(
+            triples.map_batches(pick, batch_format="pyarrow"),
+            out_dir, num_partitions=4)
+        dirs.append(out_dir)
+    return evaluate_bgp_store(
+        dirs,
+        [("?s", f"{EX}entity", "?e"), ("?s", f"{EX}rank", "?r")],
+        select=["?s", "?e", "?r"], num_buckets=8)
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -4837,6 +4877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
+        "kg_federated": q_kg_federated,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6680,6 +6721,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_federated": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT subj AS s, e, r FROM en JOIN rk USING (subj)
         """,
         "kg_owl_inverse": _TRIPLE_BASE_CTE + f"""
             SELECT DISTINCT obj AS e, subj AS d FROM triples

@@ -246,6 +246,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_sample_neighbors",
         "kg_owl_inverse",
         "kg_sparql_aggexpr",
+        "kg_federated",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

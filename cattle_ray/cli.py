@@ -342,8 +342,16 @@ def cmd_sparql(args):
         query = open(query[1:]).read()
     _ensure_ray(args.num_cpus)
     source = args.source
-    if not (os.path.isdir(source)
-            and os.path.exists(os.path.join(source, "_meta.json"))):
+
+    def is_store(p):
+        return os.path.isdir(p) and os.path.exists(
+            os.path.join(p, "_meta.json"))
+
+    if "," in source and all(is_store(p) for p in source.split(",")):
+        # federation: comma-separated store dirs — each pattern's pruned
+        # scans union across stores (bag semantics)
+        source = source.split(",")
+    elif not is_store(source):
         import ray.data as rd
 
         source = rd.read_parquet(source)

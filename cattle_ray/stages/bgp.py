@@ -1307,13 +1307,31 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     unbound) route their scan to its 1/P point read instead of scanning
     every primary partition. The index is consulted ONLY when fresh
     (``index_is_stale`` false); a stale index silently falls back to the
-    primary, so results are always correct."""
+    primary, so results are always correct.
+
+    FEDERATION: ``store_dir`` may be a LIST of store directories — each
+    pattern's pruned scan runs against every store and the streams
+    union BEFORE the joins (query a year of daily-crawl stores without
+    merging them; each store prunes independently, point reads stay
+    point reads per store). Bag semantics over the union: a triple
+    asserted in two stores binds twice, exactly like querying their
+    concatenation — use DISTINCT (or dedup the stores) when set
+    semantics matter. ``obj_index_dir`` is single-store only."""
     import ray.data as rd
 
     from ..sources.triple_sink import index_is_stale, match_triples
 
     if not patterns and not union and not subselects:
         raise ValueError("empty BGP")
+    stores = [store_dir] if isinstance(store_dir, str) else list(store_dir)
+    if not stores:
+        raise ValueError("no store directories")
+    if len(stores) > 1 and obj_index_dir is not None:
+        raise ValueError(
+            "obj_index_dir applies to a single store — a federated "
+            "query cannot know which store an index serves; build one "
+            "index per store and query them separately, or drop the "
+            "index")
     use_index = None
     if obj_index_dir is not None and not index_is_stale(obj_index_dir):
         use_index = obj_index_dir
@@ -1334,7 +1352,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                 eq_consts[var] = val
     required_pats = {id(p) for p in patterns}
 
-    def stream_for(pattern):
+    def one_store(sdir, pattern):
         pos = _pos_for(pattern)
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
@@ -1348,40 +1366,68 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
             if len(pattern) == 4 and isinstance(pattern[3], str) \
                     and not _is_var(pattern[3]):
                 kw["graph"] = pattern[3]
-            got = match_triples(store_dir, **kw)
-        else:
-            # scalar constants push into the scan; list terms
-            # (alternative paths / inline VALUES) filter map-side in
-            # pattern_bindings instead. Inverse (^p) scans with the
-            # NORMALIZED pred and swapped endpoints.
-            s, o = pattern[0], pattern[2]
-            if p != pattern[1]:
-                s, o = o, s
-            quad = [s, p, o] + list(pattern[3:])
-            consts = {col: t for col, t in zip(pos, quad)
-                      if not _is_var(t) and isinstance(t, str)}
-            if eq_consts and id(pattern) in required_pats:
-                for col, t in zip(pos, quad):
-                    if isinstance(t, str) and _is_var(t) \
-                            and t in eq_consts:
-                        consts.setdefault(col, eq_consts[t])
-            # obj-bound, subj-unbound pattern + a FRESH obj-routed
-            # secondary index → the 1/P point read it was built for
-            # (subj-bound patterns already point-read the primary)
-            src = store_dir
-            if use_index is not None and "obj" in consts \
-                    and "subj" not in consts:
-                src = use_index
-            got = match_triples(src, **consts)
-        if isinstance(got, pa.Table):  # point read → tiny in-memory side
-            got = rd.from_arrow(got)
-        return got
+            return match_triples(sdir, **kw)
+        # scalar constants push into the scan; list terms
+        # (alternative paths / inline VALUES) filter map-side in
+        # pattern_bindings instead. Inverse (^p) scans with the
+        # NORMALIZED pred and swapped endpoints.
+        s, o = pattern[0], pattern[2]
+        if p != pattern[1]:
+            s, o = o, s
+        quad = [s, p, o] + list(pattern[3:])
+        consts = {col: t for col, t in zip(pos, quad)
+                  if not _is_var(t) and isinstance(t, str)}
+        if eq_consts and id(pattern) in required_pats:
+            for col, t in zip(pos, quad):
+                if isinstance(t, str) and _is_var(t) \
+                        and t in eq_consts:
+                    consts.setdefault(col, eq_consts[t])
+        # obj-bound, subj-unbound pattern + a FRESH obj-routed
+        # secondary index → the 1/P point read it was built for
+        # (subj-bound patterns already point-read the primary)
+        src = sdir
+        if use_index is not None and "obj" in consts \
+                and "subj" not in consts:
+            src = use_index
+        return match_triples(src, **consts)
+
+    def stream_for(pattern):
+        parts = []
+        for sdir in stores:
+            got = one_store(sdir, pattern)
+            if isinstance(got, pa.Table):  # point read → tiny in-memory
+                got = rd.from_arrow(got)
+            parts.append(got)
+        out = parts[0]
+        for more in parts[1:]:
+            out = out.union(more)
+        return out
 
     display = _display_for(patterns, union)
     if reorder and patterns:
         from ..sources.triple_sink import store_stats
 
-        plan = order_patterns(patterns, stats=store_stats(store_dir))
+        # federated planning: sum the per-store predicate censuses when
+        # EVERY store has one (a missing census would silently bias the
+        # order toward the stores that have stats)
+        merged: "dict | None" = None
+        for sdir in stores:
+            st = store_stats(sdir)
+            if st is None:
+                merged = None
+                break
+            if merged is None:
+                merged = {"pred_counts": dict(st.get("pred_counts", {})),
+                          "n_preds": st.get("n_preds", 0),
+                          "n_triples": st.get("n_triples", 0)}
+            else:
+                for k, n in st.get("pred_counts", {}).items():
+                    merged["pred_counts"][k] = \
+                        merged["pred_counts"].get(k, 0) + int(n)
+                merged["n_preds"] = max(merged["n_preds"],
+                                        st.get("n_preds", 0))
+                merged["n_triples"] += st.get("n_triples", 0)
+        plan = order_patterns(patterns, stats=merged)
     else:
         plan = list(patterns)
     return _evaluate_body(

@@ -1383,6 +1383,14 @@ def _lower(q: dict) -> dict:
     return {k: v for k, v in kw.items() if v is not None}
 
 
+def _is_store_source(source) -> bool:
+    """A store path or a LIST of store paths (federation) — everything
+    else is a triples Dataset."""
+    return isinstance(source, str) or (
+        isinstance(source, (list, tuple)) and bool(source)
+        and all(isinstance(s, str) for s in source))
+
+
 def sparql(source, text: str, *, num_buckets: int = 32,
            obj_index_dir: str | None = None, reorder: bool = True,
            entailment: str | None = None, schema=None):
@@ -1410,13 +1418,25 @@ def sparql(source, text: str, *, num_buckets: int = 32,
         from ..sources.triple_sink import read_store_asof
         from .reason import rdfs_materialize
 
-        ds = read_store_asof(source) if isinstance(source, str) else source
+        if isinstance(source, str):
+            ds = read_store_asof(source)
+        elif _is_store_source(source):
+            parts = [read_store_asof(s) for s in source]
+            ds = parts[0]
+            for more in parts[1:]:
+                ds = ds.union(more)
+        else:
+            ds = source
         source = rdfs_materialize(ds, schema)
 
     q = parse_sparql(text)
     kw = _lower(q)
     patterns = q["patterns"]
     kw.pop("kind", None)
+    # a LIST of store dirs = federation (evaluate_bgp_store unions each
+    # pattern's pruned per-store scans; bag semantics over the union)
+    if not isinstance(source, str) and _is_store_source(source):
+        source = list(source)
     # SPARQL subqueries evaluate bottom-up: run each { SELECT ... } ast
     # against the SAME source (recursively — a subquery may itself hold
     # subqueries) and pass the finished bindings streams to the engine,
@@ -1428,7 +1448,7 @@ def sparql(source, text: str, *, num_buckets: int = 32,
                  for i in ast.get("subselects") or []]
         if inner:
             skw["subselects"] = inner
-        if isinstance(source, str):
+        if _is_store_source(source):
             return evaluate_bgp_store(
                 source, ast["patterns"], num_buckets=num_buckets,
                 obj_index_dir=obj_index_dir, reorder=reorder, **skw)
@@ -1440,7 +1460,7 @@ def sparql(source, text: str, *, num_buckets: int = 32,
             for sq in q.get("subselects") or []]
     if subs:
         kw["subselects"] = subs
-    if isinstance(source, str):
+    if _is_store_source(source):
         def run(**extra):
             return evaluate_bgp_store(
                 source, patterns, num_buckets=num_buckets,
@@ -1452,7 +1472,7 @@ def sparql(source, text: str, *, num_buckets: int = 32,
                                 reorder=reorder, **kw, **extra)
 
     if q["kind"] == "ask":
-        if isinstance(source, str):
+        if _is_store_source(source):
             return evaluate_bgp_store(
                 source, patterns, num_buckets=num_buckets,
                 obj_index_dir=obj_index_dir, reorder=reorder,

@@ -1042,3 +1042,43 @@ def test_nested_boolean_filter_trees(ray_session):
             ("and", [("?t", "=", "Doc"), ("?e", "=", "E1")]),
             ("?t", "=", "Page")])]).to_pandas()
     assert sorted(got["d"]) == ["a", "c"]
+
+
+def test_federated_store_query(ray_session, tmp_path):
+    """A LIST of stores: per-pattern pruned scans union before the
+    joins; bag semantics over the union; merged planner stats; the
+    sparql() text layer and CLI comma form route here too."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+    from cattle_ray.stages.sparql import sparql
+
+    def mk(rows, d):
+        s, p, o = zip(*rows)
+        write_triples_hash_partitioned(
+            rd.from_arrow(pa.table({"subj": list(s), "pred": list(p),
+                                    "obj": list(o)})),
+            str(d), num_partitions=4)
+
+    d1, d2 = tmp_path / "s1", tmp_path / "s2"
+    mk([("a", "type", "Doc"), ("a", "about", "E1")], d1)
+    mk([("b", "type", "Doc"), ("b", "about", "E2"),
+        ("a", "about", "E1")], d2)
+    out = evaluate_bgp_store(
+        [str(d1), str(d2)],
+        [("?d", "type", "Doc"), ("?d", "about", "?e")]).to_pandas()
+    # duplicate (a about E1) across stores → bag duplicate
+    assert sorted(zip(out["d"], out["e"])) == [
+        ("a", "E1"), ("a", "E1"), ("b", "E2")]
+    # the text layer takes the list directly
+    txt = sparql([str(d1), str(d2)],
+                 "SELECT DISTINCT ?d WHERE { ?d <about> ?e . }") \
+        .to_pandas()
+    assert sorted(txt["d"]) == ["a", "b"]
+    # index + federation rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="single store"):
+        evaluate_bgp_store([str(d1), str(d2)], [("?d", "type", "?t")],
+                           obj_index_dir=str(d1))
