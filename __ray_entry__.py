@@ -4228,6 +4228,23 @@ def q_kg_owl_inverse(sf_dir: str):
     return distinct(inv, ["e", "d"], num_buckets=8)
 
 
+def q_kg_functional_check(sf_dir: str):
+    """owl:FunctionalProperty conformance over a MERGED corpus: after
+    the sameAs canonicalization collapses a doc's row-variants into one
+    subject, each merged subject carries 3 distinct ex:entity values —
+    exactly the post-merge integrity failure the check exists to catch.
+    distinct → map-side-combined count → n > 1; mirrored with
+    COUNT(DISTINCT) HAVING."""
+    from cattle_ray.stages.reason import functional_violations
+
+    merged = q_kg_sameas_rewrite(sf_dir).map_batches(
+        lambda b: pa.table({"subj": b["s"], "pred": b["p"],
+                            "obj": b["o"]}),
+        batch_format="pyarrow")
+    return functional_violations(merged, preds=[f"{EX}entity"],
+                                 num_buckets=8)
+
+
 def q_kg_federated(sf_dir: str):
     """Federated store query: the corpus split into TWO stores by rank
     parity (a daily-crawl layout), then one BGP evaluated over the LIST
@@ -4878,6 +4895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,
+        "kg_functional_check": q_kg_functional_check,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
@@ -6721,6 +6739,15 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e, CAST(count(*) AS BIGINT) AS n, max(r) AS hi
             FROM en JOIN rk USING (subj) GROUP BY e
             HAVING count(*) > 1 ORDER BY n DESC, e LIMIT 30
+        """,
+        "kg_functional_check": _TRIPLE_BASE_CTE + f""",
+            rw AS (SELECT regexp_replace(subj, '/r[23]$', '/r1') AS s,
+                          pred, obj
+                   FROM triples WHERE pred = '{EX}entity')
+            SELECT s AS subj, pred,
+                   CAST(count(DISTINCT obj) AS BIGINT) AS n_values
+            FROM rw GROUP BY s, pred
+            HAVING count(DISTINCT obj) > 1
         """,
         "kg_federated": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

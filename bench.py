@@ -247,6 +247,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_owl_inverse",
         "kg_sparql_aggexpr",
         "kg_federated",
+        "kg_functional_check",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -615,6 +615,59 @@ def property_graph_tables(triples_ds, *, edges_out: str | None = None):
     return nodes, edges
 
 
+OWL_FUNCTIONAL = _OWL + "FunctionalProperty"
+
+
+def functional_violations(triples_ds, preds=None, *,
+                          num_buckets: int = 32):
+    """owl:FunctionalProperty CONFORMANCE CHECK — the KG-quality
+    validation op: a functional property allows at most ONE value per
+    subject, so every ``(subj, pred)`` group with more than one
+    DISTINCT object is a violation (conflicting birth dates, two
+    canonical ids — the classic post-merge integrity failures).
+    ``preds`` is the functional-property list; ``None`` extracts
+    ``(p rdf:type owl:FunctionalProperty)`` declarations from the
+    stream (vocabulary-sized guard). Execution: map-side pred filter
+    (broadcast list) → distinct (subj, pred, obj) → map-side-combined
+    group count → n > 1. Returns ``(subj, pred, n_values)`` — empty
+    means conformant."""
+    from .aggregates import distinct, partial_count
+
+    if preds is None:
+        def decls(b: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(b["pred"], RDF_TYPE),
+                        pc.equal(b["obj"], OWL_FUNCTIONAL))
+            return b.filter(m).select(["subj"])
+
+        rows = triples_ds.map_batches(decls, batch_format="pyarrow") \
+            .limit(MAX_SCHEMA_ROWS + 1).take_all()
+        if len(rows) > MAX_SCHEMA_ROWS:
+            raise ValueError(
+                f"more than {MAX_SCHEMA_ROWS} FunctionalProperty "
+                "declarations — see MAX_SCHEMA_ROWS")
+        preds = sorted({r["subj"] for r in rows})
+    preds = list(preds)
+    if not preds:
+        raise ValueError(
+            "no functional properties declared or passed — nothing to "
+            "validate")
+    pred_set = pa.array(preds, pa.string())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b["pred"], value_set=pred_set)
+        return b.filter(m).select(["subj", "pred", "obj"])
+
+    facts = distinct(
+        triples_ds.map_batches(pick, batch_format="pyarrow"),
+        ["subj", "pred", "obj"], num_buckets=num_buckets)
+    counts = partial_count(facts, ["subj", "pred"],
+                           num_buckets=num_buckets)
+    return counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).rename_columns(
+            ["subj", "pred", "n_values"]),
+        batch_format="pyarrow")
+
+
 def negative_sample_edges(edges_ds, *, k: int = 1,
                           src: str = "src", rel: str = "rel",
                           dst: str = "dst",

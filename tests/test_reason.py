@@ -310,3 +310,29 @@ def test_owl_materialize_axioms(ray_session):
     out2 = owl_materialize(rd.from_arrow(t2)).to_pandas()
     got2 = set(zip(out2["subj"], out2["pred"], out2["obj"]))
     assert ("d", "hasPart", "c") in got2
+
+
+def test_functional_violations(ray_session):
+    """Subjects with >1 distinct value for a functional property are
+    violations; duplicates of the SAME value are not; declarations
+    extract from the stream."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import (OWL_FUNCTIONAL,
+                                          functional_violations)
+
+    t = pa.table({
+        "subj": ["birth", "a", "a", "b", "b", "c"],
+        "pred": [RDF_TYPE, "birth", "birth", "birth", "birth", "birth"],
+        "obj": [OWL_FUNCTIONAL, "1900", "1901", "1950", "1950", "1960"],
+    })
+    out = functional_violations(
+        rd.from_arrow(t).repartition(2)).to_pandas()
+    assert out.values.tolist() == [["a", "birth", 2]]
+    # explicit pred list, conformant data → empty
+    t2 = pa.table({"subj": ["x"], "pred": ["birth"], "obj": ["2000"]})
+    out2 = functional_violations(rd.from_arrow(t2),
+                                 preds=["birth"]).to_pandas()
+    assert len(out2) == 0
+    with pytest.raises(ValueError, match="no functional properties"):
+        functional_violations(rd.from_arrow(t2)).to_pandas()
