@@ -595,42 +595,70 @@ def _apply_values(acc, bound, values, num_buckets):
     literal solution table joined into the group pattern on the shared
     variables (pinning them to the listed combinations) and appending
     any variables the patterns don't bind. Bag semantics like SPARQL: a
-    duplicated row multiplies matching solutions. UNDEF cells are
-    rejected (a None would need SPARQL's compatible-but-unbound join
-    semantics, not an equi-join), as is a block sharing NO variable with
-    the bindings (a cartesian product — same discipline as UNION)."""
+    duplicated row multiplies matching solutions.
+
+    UNDEF cells (``None``) get SPARQL's row-compatibility semantics: an
+    unbound cell is compatible with ANY value, so rows group by their
+    defined-cell mask and each group joins on ITS defined shared
+    variables only (one equi-join per distinct mask — VALUES blocks are
+    query-sized, so the fan-out is bounded by the block, never the
+    data); the groups' solutions concatenate. A row (or block) whose
+    defined cells share NO variable with the bindings is rejected (a
+    cartesian product — same discipline as UNION)."""
+    import ray.data as rd
+
     from .joins import hash_join
 
     vars_, rows = values
     names = [v[1:] if _is_var(v) else v for v in vars_]
-    cols: dict = {n: [] for n in names}
+    norm = []
     for r in rows:
         r = (r,) if isinstance(r, str) else tuple(r)
         if len(r) != len(names):
             raise ValueError(
                 f"VALUES row {r!r} has {len(r)} cells for {len(names)} "
                 f"variables {vars_!r}")
-        for n, cell in zip(names, r):
-            if cell is None:
-                raise NotImplementedError(
-                    "UNDEF in VALUES is not supported — an unbound cell "
-                    "joins on row-compatibility, not equality; split the "
-                    "block into per-variable VALUES instead")
-            cols[n].append(str(cell))
-    import ray.data as rd
+        norm.append(tuple(None if c is None else str(c) for c in r))
+    groups: dict = {}
+    for r in norm:
+        mask = tuple(c is not None for c in r)
+        groups.setdefault(mask, []).append(r)
 
-    v_acc = rd.from_arrow(
-        pa.table({n: pa.array(cols[n], pa.string()) for n in names}))
-    shared = [v for v in names if v in bound]
-    if not shared:
-        raise ValueError(
-            f"VALUES block {vars_!r} shares no variable with the "
-            f"required bindings ({bound}) — a cartesian product; bind "
-            "at least one listed variable in the patterns")
-    acc = hash_join(acc, v_acc, shared, shared, num_buckets=num_buckets,
-                    left_schema=_sch(bound), right_schema=_sch(names))
-    bound = bound + [v for v in names if v not in bound]
-    return acc, bound
+    new_vars = [v for v in names if v not in bound]
+    out_bound = bound + new_vars
+    if len(groups) > 1:
+        # acc feeds one join per mask group — pin it instead of
+        # re-executing the upstream fold per group
+        acc = acc.materialize()
+    outs = []
+    for mask, grp in groups.items():
+        defined = [n for n, m in zip(names, mask) if m]
+        d_shared = [v for v in defined if v in bound]
+        if not d_shared:
+            raise ValueError(
+                f"VALUES rows {grp[:2]!r}… define no variable shared "
+                f"with the required bindings ({bound}) — a cartesian "
+                "product; bind at least one listed variable in the "
+                "patterns")
+        tbl = pa.table({
+            n: pa.array([r[i] for r in grp], pa.string())
+            for i, n in enumerate(names) if mask[i]})
+        j = hash_join(acc, rd.from_arrow(tbl), d_shared, d_shared,
+                      num_buckets=num_buckets, left_schema=_sch(bound),
+                      right_schema=_sch(defined))
+        undef_new = [v for v in new_vars if v not in defined]
+
+        def align(b: pa.Table, undef=tuple(undef_new),
+                  order=tuple(out_bound)) -> pa.Table:
+            for v in undef:
+                b = b.append_column(v, pa.nulls(len(b), pa.string()))
+            return b.select(list(order))
+
+        outs.append(j.map_batches(align, batch_format="pyarrow"))
+    acc = outs[0]
+    for more in outs[1:]:
+        acc = acc.union(more)
+    return acc, out_bound
 
 
 def _union_bindings(streams_for, branches, num_buckets):

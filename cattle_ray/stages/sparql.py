@@ -18,8 +18,9 @@ Supported grammar (the engine's implemented algebra, no more):
 * graph patterns: conjunction, ``OPTIONAL``, ``MINUS``, subqueries
   ``{ SELECT ... }`` (bottom-up evaluation, joined on shared variables;
   explicit projection required), one
-  ``UNION`` chain, one ``VALUES`` block, ``GRAPH term { … }`` (quad
-  patterns), ``BIND(expr AS ?v)``
+  ``UNION`` chain, one ``VALUES`` block (incl. ``UNDEF`` —
+  row-compatibility: one equi-join per defined-cell mask group),
+  ``GRAPH term { … }`` (quad patterns), ``BIND(expr AS ?v)``
 * property paths on the predicate: ``p+``, ``^p``, ``p1|p2`` (and
   ``^p+``), SequencePath ``e1/e2/…`` (lowered to the spec's
   fresh-variable chain; intermediates are hidden from ``SELECT *``),
@@ -741,10 +742,10 @@ class _Parser:
             rows = []
             while not self.at_op("}"):
                 if self.at_kw("UNDEF"):
-                    raise SparqlSyntaxError(
-                        "UNDEF in VALUES is not supported (row-"
-                        "compatibility join, not equality)")
-                rows.append((self.term(),))
+                    self.next()
+                    rows.append((None,))
+                else:
+                    rows.append((self.term(),))
             self.eat_op("}")
             return (names, rows)
         self.eat_op("(")
@@ -762,10 +763,10 @@ class _Parser:
             row = []
             while not self.at_op(")"):
                 if self.at_kw("UNDEF"):
-                    raise SparqlSyntaxError(
-                        "UNDEF in VALUES is not supported (row-"
-                        "compatibility join, not equality)")
-                row.append(self.term())
+                    self.next()
+                    row.append(None)
+                else:
+                    row.append(self.term())
             self.eat_op(")")
             rows.append(tuple(row))
         self.eat_op("}")

@@ -990,13 +990,19 @@ def test_exists_values_count_distinct(ray_session, tmp_path):
     assert sorted(zip(out["d"], out["e"], out["tier"])) == [
         ("a", "E1", "gold"), ("c", "E1", "gold")]
 
-    # UNDEF cell and no-shared-var blocks are rejected
-    with pytest.raises(NotImplementedError, match="UNDEF"):
-        evaluate_bgp(ds, [("?d", "about", "?e")],
-                     values=(["?e", "?t"], [("E1", None)])).to_pandas()
-    with pytest.raises(ValueError, match="shares no variable"):
+    # UNDEF cell = row compatibility: ("E1", UNDEF) matches any tier,
+    # which stays NULL; rows defining no shared var are rejected
+    out_u = evaluate_bgp(ds, [("?d", "about", "?e")],
+                         values=(["?e", "?t"],
+                                 [("E1", None)])).to_pandas()
+    assert sorted(out_u["d"]) == ["a", "c"]
+    assert out_u["t"].isna().all()
+    with pytest.raises(ValueError, match="no variable shared"):
         evaluate_bgp(ds, [("?d", "about", "?e")],
                      values=(["?z"], [("E1",)])).to_pandas()
+    with pytest.raises(ValueError, match="no variable shared"):
+        evaluate_bgp(ds, [("?d", "about", "?e")],
+                     values=(["?e"], [(None,)])).to_pandas()
 
     # COUNT(DISTINCT): entity E1 is about-ed by a and c (2 distinct
     # docs); with an OPTIONAL var that's all-null the distinct counts 0

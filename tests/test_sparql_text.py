@@ -196,10 +196,20 @@ def test_multi_var_values():
     assert q["values"] == (["?s", "?o"], [("a", "1"), ("b", "2")])
 
 
-def test_values_undef_rejected():
-    with pytest.raises(SparqlSyntaxError, match="UNDEF"):
-        parse_sparql(P + """SELECT * WHERE {
-            ?s ex:p ?o . VALUES ?s { UNDEF } }""")
+def test_values_undef_parses_to_none():
+    q = parse_sparql(P + """SELECT * WHERE {
+        ?s ex:p ?o . VALUES (?s ?o) { ("a" UNDEF) (UNDEF "b") } }""")
+    assert q["values"] == (["?s", "?o"], [("a", None), (None, "b")])
+
+
+def test_text_values_undef_row_compat(ray_session):
+    """UNDEF = compatible-with-anything: each defined-mask group joins
+    on its own defined variables and the groups' solutions concat."""
+    out = sparql(_ds(), P + """SELECT ?d ?e WHERE {
+        ?d ex:about ?e .
+        VALUES (?d ?e) { ("a" UNDEF) (UNDEF "E2") }
+    } ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", "E1"], ["b", "E2"]]
 
 
 def test_bare_nested_group_rejected():
