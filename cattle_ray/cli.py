@@ -361,9 +361,35 @@ def cmd_sparql(args):
         print(f"sparql: {e}", file=sys.stderr)
         sys.exit(65)
     if isinstance(out, bool):
-        print("true" if out else "false")
+        if getattr(args, "srj", False):
+            print(json.dumps({"head": {}, "boolean": out}))
+        else:
+            print("true" if out else "false")
         sys.exit(0 if out else 1)
     names = out.schema().names
+    if getattr(args, "srj", False):
+        # W3C SPARQL 1.1 Query Results JSON — the interchange format
+        # SPARQL clients parse. Streamed: header, then one binding
+        # object per row (typed "literal"/"uri" by shape), footer.
+        sys.stdout.write(json.dumps({"head": {"vars": list(names)}})
+                         [:-1] + ', "results": {"bindings": [\n')
+        first = True
+        for batch in out.iter_batches(batch_format="pyarrow"):
+            for row in batch.to_pylist():
+                b = {}
+                for n in names:
+                    v = row[n]
+                    if v is None:
+                        continue  # unbound: omitted per the spec
+                    v = str(v)
+                    kind = "uri" if v.startswith(
+                        ("http://", "https://", "urn:")) else "literal"
+                    b[n] = {"type": kind, "value": v}
+                sys.stdout.write(("" if first else ",\n")
+                                 + json.dumps(b, ensure_ascii=False))
+                first = False
+        sys.stdout.write("\n]}}\n")
+        return
     for batch in out.iter_batches(batch_format="pyarrow"):
         for row in batch.to_pylist():
             if args.json:
@@ -551,6 +577,9 @@ def main(argv=None):
                          "only; used when fresh)")
     sp.add_argument("--json", action="store_true",
                     help="print JSON lines instead of TSV")
+    sp.add_argument("--srj", action="store_true",
+                    help="W3C SPARQL 1.1 Query Results JSON "
+                         "(application/sparql-results+json)")
     sp.set_defaults(fn=cmd_sparql)
 
     up = sub.add_parser("update", help="SPARQL UPDATE (INSERT/DELETE "

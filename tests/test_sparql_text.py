@@ -678,3 +678,29 @@ def test_construct_where_shorthand(ray_session):
             ?d ex:about ?e . FILTER(?e = "E1") }""")
     with pytest.raises(SparqlSyntaxError, match="paths"):
         parse_sparql(P + "CONSTRUCT WHERE { ?d ex:about/ex:in ?x . }")
+
+
+def test_cli_srj_output(ray_session, tmp_path, capsys):
+    """--srj emits valid W3C SPARQL-results-JSON (select + ask)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from cattle_ray.cli import main
+
+    t = pa.table({"subj": ["a"], "pred": [EX + "p"], "obj": ["x"]})
+    src = tmp_path / "t.parquet"
+    pq.write_table(t, str(src))
+    main(["sparql", str(src),
+          "SELECT ?s ?o WHERE { ?s <" + EX + "p> ?o . }", "--srj"])
+    d = _json.loads(capsys.readouterr().out)
+    assert d["head"] == {"vars": ["s", "o"]}
+    assert d["results"]["bindings"] == [
+        {"s": {"type": "literal", "value": "a"},
+         "o": {"type": "literal", "value": "x"}}]
+    with pytest.raises(SystemExit) as e:
+        main(["sparql", str(src),
+              "ASK { ?s <" + EX + "p> ?o . }", "--srj"])
+    assert e.value.code == 0
+    d2 = _json.loads(capsys.readouterr().out)
+    assert d2 == {"head": {}, "boolean": True}
