@@ -3184,18 +3184,15 @@ def q_events_inter_arrival(sf_dir: str):
         batch_format="pyarrow")
 
 
-def q_events_watermark_ingest(sf_dir: str):
-    """Watermark-disciplined micro-batch ingestion (the streaming-sink
-    contract, made deterministic so SQL can mirror it): the event stream
-    splits into 3 ordered micro-batches (event_id mod 3); each batch's
-    rows older than the PRE-batch watermark − 30 min divert to the late
-    channel, everything else appends and advances the watermark. The
-    result is the accepted set — batch 0 in full (empty watermark), only
-    the ≥ wm−30min tail of batches 1 and 2."""
+def _wm_ingest_events(sf_dir: str) -> str:
+    """The deterministic 3-batch watermarked ingestion shared by the
+    streaming-sink queries: the event stream splits into 3 ordered
+    micro-batches (event_id mod 3); each batch's rows older than the
+    PRE-batch watermark − 30 min divert to the late channel, everything
+    else appends and advances the watermark. Returns the sink dir."""
     import tempfile
 
-    from cattle_ray.sources.stream_sink import (read_accepted,
-                                                watermarked_append)
+    from cattle_ray.sources.stream_sink import watermarked_append
 
     out = tempfile.mkdtemp(prefix="wm_ingest_", dir="/tmp")
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"],
@@ -3213,9 +3210,36 @@ def q_events_watermark_ingest(sf_dir: str):
     for i in range(3):
         watermarked_append(third(i), out, batch_id=str(i), ts_col="ts",
                            allowed_lateness="30min")
+    return out
+
+
+def q_events_watermark_ingest(sf_dir: str):
+    """Watermark-disciplined micro-batch ingestion (the streaming-sink
+    contract, made deterministic so SQL can mirror it — see
+    :func:`_wm_ingest_events`). The result is the accepted set — batch 0
+    in full (empty watermark), only the ≥ wm−30min tail of batches 1
+    and 2."""
+    from cattle_ray.sources.stream_sink import read_accepted
+
+    out = _wm_ingest_events(sf_dir)
     return read_accepted(out).map_batches(
         lambda b: b.select(["event_id", "user_id", "ts"]),
         batch_format="pyarrow")
+
+
+def q_events_hopping_counts(sf_dir: str):
+    """HOPPING (sliding) windows over the exactly-once streaming
+    trigger: after the deterministic watermarked ingestion, one trigger
+    call fires every 2h-wide window at 1h hops whose end + max_lateness
+    lies at or below the final watermark — each accepted row is counted
+    in width/hop = 2 windows, each window start emits exactly once
+    behind the sink's single int64 fired boundary. SQL mirrors the
+    row→{0,1}-offset expansion with a 2-row cross join."""
+    from cattle_ray.sources.stream_sink import emit_closed_windows
+
+    out = _wm_ingest_events(sf_dir)
+    fired = emit_closed_windows(out, ts_col="ts", width="2h", hop="1h")
+    return fired[["window_start_us", "n"]]
 
 
 def q_events_window_dedup(sf_dir: str):
@@ -4797,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_inter_arrival": q_events_inter_arrival,
         "events_window_dedup": q_events_window_dedup,
         "events_watermark_ingest": q_events_watermark_ingest,
+        "events_hopping_counts": q_events_hopping_counts,
         "events_attribution": q_events_attribution,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
@@ -5668,6 +5693,43 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT * FROM b0
             UNION ALL SELECT * FROM a1
             UNION ALL SELECT * FROM a2
+        """,
+        "events_hopping_counts": """
+            WITH b0 AS (SELECT event_id, ts FROM events
+                        WHERE event_id % 3 = 0),
+                 w0 AS (SELECT max(ts) AS m FROM b0),
+                 b1 AS (SELECT event_id, ts FROM events
+                        WHERE event_id % 3 = 1),
+                 a1 AS (SELECT * FROM b1
+                        WHERE ts >= (SELECT m FROM w0)
+                                    - INTERVAL 30 MINUTE),
+                 w1 AS (SELECT greatest(
+                          (SELECT m FROM w0),
+                          coalesce((SELECT max(ts) FROM a1),
+                                   (SELECT m FROM w0))) AS m),
+                 b2 AS (SELECT event_id, ts FROM events
+                        WHERE event_id % 3 = 2),
+                 a2 AS (SELECT * FROM b2
+                        WHERE ts >= (SELECT m FROM w1)
+                                    - INTERVAL 30 MINUTE),
+                 acc AS (SELECT ts FROM b0
+                         UNION ALL SELECT ts FROM a1
+                         UNION ALL SELECT ts FROM a2),
+                 wmf AS (SELECT epoch_us(max(ts)) AS wm FROM acc),
+                 -- each row lands in width/hop = 2 hopping windows:
+                 -- its hour start and the hour before
+                 expd AS (SELECT epoch_us(date_trunc('hour', ts))
+                                 - j.j * 3600000000 AS window_start_us
+                          FROM acc
+                          CROSS JOIN (SELECT 0 AS j
+                                      UNION ALL SELECT 1) j),
+                 -- a window fires iff end + max_lateness <= watermark
+                 closed AS (SELECT window_start_us FROM expd, wmf
+                            WHERE window_start_us + 2 * 3600000000
+                                  + 30 * 60000000 <= wm)
+            SELECT window_start_us, count(*) AS n
+            FROM closed GROUP BY window_start_us
+            ORDER BY window_start_us
         """,
         "events_window_dedup": """
             WITH x AS (

@@ -119,11 +119,19 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
             m = pc.and_(valid, pc.fill_null(pc.greater_equal(
                 ts, pa.scalar(int(wm_judge) - late_us, pa.int64())), False))
         if fb_judge is not None:
-            # the boundary is a window multiple, so "my window fired"
-            # reduces to ts < boundary — a looser allowed_lateness can
-            # never re-open a fired window
+            # boundary = smallest unfired window START. Tumbling: "my
+            # window fired" ⇔ ts < boundary. Hopping: the largest FIRED
+            # window (boundary − hop) covers rows up to boundary − hop +
+            # width, so any ts below that overlap edge falls into at
+            # least one fired window — a looser allowed_lateness can
+            # never re-open a fired window on either shape
+            overlap = 0
+            if meta.get("width_us") is not None:
+                overlap = int(meta["width_us"]) - int(
+                    meta.get("hop_us", meta["width_us"]))
             m = pc.and_(m, pc.fill_null(pc.greater_equal(
-                ts, pa.scalar(int(fb_judge), pa.int64())), False))
+                ts, pa.scalar(int(fb_judge) + overlap, pa.int64())),
+                False))
         return b.filter(pc.invert(m) if keep_late else m)
 
     accepted = ds.map_batches(lambda b: split(b, False),
@@ -207,21 +215,33 @@ def _trigger_batch_paths(out_dir: str, meta: dict, lo_us, hi_us) -> list:
 
 def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
                         key: str | None = None,
-                        width: "pd.Timedelta | str" = "1h"):
-    """Fire the streaming TRIGGER: aggregate every tumbling window that
-    can NEVER gain another accepted row — ``window_end + max_lateness ≤
-    watermark`` (a future batch accepts only ``ts ≥ watermark −
-    max_lateness``, which lies strictly beyond such a window; and once
-    fired, :func:`watermarked_append` diverts any below-boundary row to
-    the late channel, so no accepted row is ever lost from the emission
-    stream) — and that has not fired before. Each window emits EXACTLY
-    ONCE across calls: the per-window aggregate is JOURNALED to
-    ``out_dir/emissions/win=<start>/`` FIRST (deterministic per-window
-    paths — a crash between journal and meta re-fires into the same
-    files, idempotent) and only then recorded in ``_meta.json`` as the
-    fired-boundary high-water mark; ``read_emissions`` replays the
-    journal, so a consumer that crashed holding the returned frame loses
-    nothing. Counts come from the engine's map-side-combined
+                        width: "pd.Timedelta | str" = "1h",
+                        hop: "pd.Timedelta | str | None" = None):
+    """Fire the streaming TRIGGER: aggregate every window that can NEVER
+    gain another accepted row — ``window_end + max_lateness ≤ watermark``
+    (a future batch accepts only ``ts ≥ watermark − max_lateness``, which
+    lies strictly beyond such a window; and once fired,
+    :func:`watermarked_append` diverts any row that falls into a fired
+    window to the late channel, so no accepted row is ever lost from the
+    emission stream) — and that has not fired before.
+
+    ``hop=None`` (default) means TUMBLING windows of ``width``;
+    ``hop=<duration>`` means HOPPING (sliding) windows: window starts at
+    every hop multiple, each covering ``[start, start+width)``, so every
+    row is counted in ``width/hop`` windows. ``width`` must be a multiple
+    of ``hop`` (the standard aligned-hopping contract — it keeps "row r
+    is in fired window w" a single integer comparison on both the append
+    and trigger paths). Window starts still close in start order, so the
+    exactly-once state stays ONE int64 boundary, not a growing set.
+
+    Each window emits EXACTLY ONCE across calls: the per-window
+    aggregate is JOURNALED to ``out_dir/emissions/win=<start>/`` FIRST
+    (deterministic per-window paths — a crash between journal and meta
+    re-fires into the same files, idempotent) and only then recorded in
+    ``_meta.json`` as the fired-boundary high-water mark;
+    ``read_emissions`` replays the journal, so a consumer that crashed
+    holding the returned frame loses nothing. Counts come from the
+    engine's map-side-combined
     :func:`~..stages.aggregates.partial_count` over (window[, key]);
     returns a pandas frame ``(window_start_us[, key], n)`` of the NEWLY
     fired windows only.
@@ -229,49 +249,83 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
     Cost is bounded by NEW data: only batches whose recorded min/max
     event time intersects the closed-but-unfired window range are read
     (batches fully inside fired windows — the stream's history — are
-    pruned by metadata alone)."""
+    pruned by metadata alone). The hopping expansion (×width/hop rows)
+    happens AFTER that pruning and carries only (window, key) columns,
+    never payloads."""
     import os
 
+    import numpy as np
     import pyarrow.parquet as pq
     import ray.data as rd
 
     from ..stages.aggregates import partial_count
 
     width_us = int(pd.Timedelta(width).value // 1000)
+    hop_us = width_us if hop is None else int(pd.Timedelta(hop).value
+                                              // 1000)
+    if hop_us <= 0 or width_us <= 0:
+        raise ValueError("width and hop must be positive durations")
+    if hop_us > width_us or width_us % hop_us:
+        raise ValueError(
+            f"width ({width_us}us) must be a positive multiple of hop "
+            f"({hop_us}us): hop > width would silently DROP rows between "
+            "windows, and a non-multiple makes 'row is in fired window' "
+            "range-dependent — both break the one-int64 exactly-once "
+            "boundary")
     meta = _load_meta(out_dir)
     if meta.get("width_us") is not None and \
             int(meta["width_us"]) != width_us:
         raise ValueError(
             f"trigger width {width!r} ({width_us}us) conflicts with this "
             f"sink's recorded width ({meta['width_us']}us) — the fired "
-            "boundary is only meaningful for ONE tumbling width per sink")
+            "boundary is only meaningful for ONE window shape per sink")
+    if meta.get("width_us") is not None and \
+            int(meta.get("hop_us", meta["width_us"])) != hop_us:
+        raise ValueError(
+            f"trigger hop ({hop_us}us) conflicts with this sink's "
+            f"recorded hop ({int(meta.get('hop_us', meta['width_us']))}us)"
+            " — the fired boundary is only meaningful for ONE window "
+            "shape per sink")
     wm = meta.get("watermark_us")
     late_us = int(meta.get("max_lateness_us", 0))
-    fired_boundary = meta.get("fired_boundary_us")  # smallest UNFIRED ts
+    fired_boundary = meta.get("fired_boundary_us")  # smallest UNFIRED ws
     empty_cols = {"window_start_us": pd.Series([], dtype="int64"),
                   **({key: pd.Series([], dtype="object")} if key else {}),
                   "n": pd.Series([], dtype="int64")}
     if wm is None:
         return pd.DataFrame(empty_cols)
 
-    # max closed window start: ws + width + late <= wm
-    t_ws = int(wm) - width_us - late_us
+    # max closed window start (a hop multiple): ws + width + late <= wm
+    t_ws = ((int(wm) - width_us - late_us) // hop_us) * hop_us
     lo = None if fired_boundary is None else int(fired_boundary)
     if t_ws < (lo if lo is not None else t_ws):
         # lateness grew faster than the watermark: nothing newly closed
         return pd.DataFrame(empty_cols)
     # rows of closed-unfired windows lie in [lo, last closed window end)
-    hi = (t_ws // width_us) * width_us + width_us - 1
+    hi = t_ws + width_us - 1
     paths = _trigger_batch_paths(out_dir, meta, lo, hi)
     if not paths:
         return pd.DataFrame(empty_cols)
 
+    k = width_us // hop_us  # windows per row (1 = tumbling)
+
     def bucketize(b: pa.Table) -> pa.Table:
         ts = _ts_micros(b[ts_col]).to_numpy(zero_copy_only=False)
-        start = (ts // width_us) * width_us
-        cols = {"window_start_us": pa.array(start.astype("int64"))}
+        base = (ts // hop_us) * hop_us  # the row's LARGEST window start
+        if k == 1:
+            cols = {"window_start_us": pa.array(base.astype("int64"))}
+            if key:
+                cols[key] = b[key]
+            return pa.table(cols)
+        starts = (np.repeat(base, k)
+                  - np.tile(np.arange(k, dtype="int64") * hop_us, len(ts)))
+        cols = {"window_start_us": pa.array(starts.astype("int64"))}
         if key:
-            cols[key] = b[key]
+            idx = pa.array(np.repeat(np.arange(len(ts), dtype="int64"), k))
+            col = b[key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[key] = col.take(idx)
         return pa.table(cols)
 
     ds = rd.read_parquet(paths).map_batches(bucketize,
@@ -299,13 +353,14 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
         pq.write_table(pa.Table.from_pandas(grp.reset_index(drop=True),
                                             preserve_index=False), tmp)
         os.replace(tmp, os.path.join(wdir, "data.parquet"))
-    # everything at or below t_ws is now fired-or-permanently-empty: the
+    # every start at or below t_ws is now fired-or-permanently-empty: the
     # boundary is the next window start, a single int64 (no growing set)
-    new_boundary = (t_ws // width_us) * width_us + width_us
+    new_boundary = t_ws + hop_us
     if fired_boundary is not None:
         new_boundary = max(new_boundary, int(fired_boundary))
     meta["fired_boundary_us"] = int(new_boundary)
     meta["width_us"] = width_us
+    meta["hop_us"] = hop_us
     meta.pop("fired_windows", None)  # replaced by the boundary
     _save_meta(out_dir, meta)
     return out

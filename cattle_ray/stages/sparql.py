@@ -38,8 +38,10 @@ Supported grammar (the engine's implemented algebra, no more):
   ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
   aggregates WITHOUT ``GROUP BY`` group over a synthetic constant key
   (SPARQL's single implicit group)
-* solution modifiers: ``ORDER BY`` (``ASC``/``DESC``), ``LIMIT``,
-  ``OFFSET``
+* solution modifiers: ``ORDER BY`` (``ASC``/``DESC``, over variables
+  OR expressions — an expression lowers to a hidden pre-projection
+  ``BIND``; grouped queries must alias the aggregate and order by the
+  alias), ``LIMIT``, ``OFFSET``
 
 Literal terms lower to their LEXICAL FORM — the engine's triple tables
 carry plain strings with datatype/lang in side columns, so
@@ -1029,25 +1031,44 @@ class _Parser:
         if self.at_kw("ORDER"):
             self.next()
             self.eat_kw("BY")
+            q.setdefault("order_binds", [])
+
+            def add_key(term, direction):
+                # a plain variable orders directly; an EXPRESSION lowers
+                # to a hidden pre-projection BIND of a `_anon_ord*` var
+                # (excluded from SELECT * like every parser-plumbing var;
+                # the evaluator's order-before-project path sorts on it)
+                if isinstance(term, str) and term.startswith("?"):
+                    q["order_by"].append((term, direction))
+                    return
+                name = f"?_anon_ord{len(q['order_binds'])}"
+                q["order_binds"].append((name, term))
+                q["order_by"].append((name, direction))
+
+            _ORD_FNS = ("CONCAT", "STRLEN", "UCASE", "LCASE", "SUBSTR",
+                        "COALESCE", "IF", "REPLACE", "STRBEFORE",
+                        "STRAFTER", "STR")
             while True:
                 k, v = self.peek()
                 if k == "VAR":
                     self.next()
                     q["order_by"].append("?" + v[1:])
                 elif k == "NAME" and v.upper() in ("ASC", "DESC"):
+                    direction = ("descending" if v.upper() == "DESC"
+                                 else "ascending")
                     self.next()
                     self.eat_op("(")
-                    kk, vv = self.next()
-                    if kk != "VAR":
-                        raise SparqlSyntaxError("ASC/DESC(?var) expected")
+                    add_key(self.expr(), direction)
                     self.eat_op(")")
-                    q["order_by"].append(
-                        ("?" + vv[1:], "descending" if v.upper() == "DESC"
-                         else "ascending"))
+                elif (k == "OP" and v == "(") or (
+                        k == "NAME" and v.upper() in _ORD_FNS):
+                    add_key(self.expr(), "ascending")
                 else:
                     break
             if not q["order_by"]:
                 raise SparqlSyntaxError("ORDER BY expects ?vars")
+            if not q["order_binds"]:
+                q.pop("order_binds")
         # LIMIT / OFFSET in either order
         for _ in range(2):
             if self.at_kw("LIMIT"):
@@ -1337,8 +1358,15 @@ def _lower(q: dict) -> dict:
     aggregates without GROUP BY group over a synthetic constant key."""
     agg = dict(q["agg"])
     group_by = list(q.get("group_by") or [])
+    order_binds = list(q.get("order_binds") or [])
+    if order_binds and (agg or group_by):
+        raise SparqlSyntaxError(
+            "ORDER BY expressions over a grouped query are not "
+            "supported — BINDs apply pre-group, so the expression's "
+            "inputs are gone after aggregation; alias the aggregate "
+            "((AGG(...) AS ?v)) and ORDER BY ?v instead")
     bind = (list(q.get("bind") or []) + list(q.get("agg_binds") or [])
-            + list(q.get("select_binds") or []))
+            + list(q.get("select_binds") or []) + order_binds)
     select = q["select"]
     opt_vars = {t[1:] for g in (q.get("optional") or [])
                 for p in (g["patterns"] if isinstance(g, dict)

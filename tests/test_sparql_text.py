@@ -704,3 +704,48 @@ def test_cli_srj_output(ray_session, tmp_path, capsys):
     assert e.value.code == 0
     d2 = _json.loads(capsys.readouterr().out)
     assert d2 == {"head": {}, "boolean": True}
+
+
+# ------------------------------------------------ ORDER BY expressions
+
+def test_order_by_expression_lowers_to_hidden_bind():
+    q = parse_sparql(P + """SELECT ?s WHERE { ?s ex:rank ?r . }
+        ORDER BY DESC(?r * 2) ?s""")
+    assert q["order_binds"] == [("?_anon_ord0", ("mul", "?r", 2))]
+    assert q["order_by"] == [("?_anon_ord0", "descending"), "?s"]
+    kw = _lower(q)
+    assert ("?_anon_ord0", ("mul", "?r", 2)) in kw["bind"]
+
+
+def test_order_by_bare_function_and_parens():
+    q = parse_sparql(P + """SELECT ?s WHERE { ?s ex:p ?o . }
+        ORDER BY STRLEN(?o) (?o) LIMIT 2""")
+    # a parenthesized plain variable simplifies to a direct sort key —
+    # no hidden bind is synthesized for it
+    assert q["order_by"] == [("?_anon_ord0", "ascending"),
+                             ("?o", "ascending")]
+    assert q["order_binds"] == [("?_anon_ord0", ("strlen", "?o"))]
+
+
+def test_order_by_expression_over_group_rejected():
+    q = parse_sparql(P + """SELECT ?k (COUNT(*) AS ?n) WHERE {
+        ?s ex:k ?k . } GROUP BY ?k ORDER BY DESC(?n * 2)""")
+    with pytest.raises(SparqlSyntaxError, match="alias the aggregate"):
+        _lower(q)
+
+
+def test_text_order_by_expression(ray_session):
+    # rank "3" (len 1) vs "11" (len 2): DESC(STRLEN) puts b first —
+    # a lexicographic plain-var sort would put "3" after "11"
+    out = sparql(_ds(), P + """SELECT ?d WHERE { ?d ex:rank ?r . }
+        ORDER BY DESC(STRLEN(?r)) ?d""").to_pandas()
+    assert list(out["d"]) == ["b", "a"]
+    assert list(out.columns) == ["d"]  # the hidden ord var is projected away
+
+
+def test_text_order_by_numeric_cast_expression(ray_session):
+    out = sparql(_ds(), """PREFIX ex: <urn:ex:>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?d WHERE { ?d ex:rank ?r . }
+        ORDER BY DESC(xsd:integer(?r)) LIMIT 1""").to_pandas()
+    assert list(out["d"]) == ["b"]

@@ -203,3 +203,84 @@ def test_trigger_prunes_history_batches(ray_session, tmp_path):
 
     with _pytest.raises(ValueError, match="width"):
         emit_closed_windows(out, ts_col="ts", width="30min")
+
+
+def test_hopping_windows_fire_exactly_once(ray_session, tmp_path):
+    """width=1h, hop=30min: every row is counted in width/hop = 2
+    windows; window starts close in start order, exactly once, behind
+    the same one-int64 boundary; an empty window emits nothing."""
+    from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                read_emissions,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    # minutes 0, 10, 40, 70, 130 → wm = 130min
+    watermarked_append(_batch([0, 10, 40, 70, 130]), out, batch_id="b1",
+                       ts_col="ts", allowed_lateness="30min")
+    fired = emit_closed_windows(out, ts_col="ts", width="1h", hop="30min")
+    # closed: ws + 60 + 30 <= 130 → ws ∈ {-30, 0, 30} (min offsets)
+    # [-30,30): {0,10}; [0,60): {0,10,40}; [30,90): {40,70}
+    base_us = int(pd.Timestamp("2024-01-01").value // 1000)
+    m = 60 * 10**6
+    assert fired[["window_start_us", "n"]].values.tolist() == [
+        [base_us - 30 * m, 2], [base_us, 3], [base_us + 30 * m, 2]]
+    assert len(emit_closed_windows(out, ts_col="ts", width="1h",
+                                   hop="30min")) == 0
+
+    # advance the watermark far enough to close everything through 150
+    watermarked_append(_batch([250], 10), out, batch_id="b2",
+                       ts_col="ts", allowed_lateness="30min")
+    fired2 = emit_closed_windows(out, ts_col="ts", width="1h", hop="30min")
+    # [60,120): {70}; [90,150): {130}; [120,180): {130}; [150,210): {} —
+    # the empty start emits no row
+    assert fired2[["window_start_us", "n"]].values.tolist() == [
+        [base_us + 60 * m, 1], [base_us + 90 * m, 1],
+        [base_us + 120 * m, 1]]
+
+    # every accepted row of a fully-fired range is journaled exactly
+    # width/hop = 2 times: rows {0,10,40,70,130} → total n = 10
+    j = read_emissions(out)
+    assert int(j["n"].sum()) == 10
+
+
+def test_hopping_fired_overlap_rejects_smuggler(ray_session, tmp_path):
+    """After a hopping fire, a row whose ts falls inside ANY fired
+    window's [start, start+width) range diverts to late/, even with a
+    looser allowed_lateness — the append guard extends the boundary by
+    the (width − hop) overlap."""
+    from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                read_accepted,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    watermarked_append(_batch([0, 10, 40, 70, 130]), out, batch_id="b1",
+                       ts_col="ts", allowed_lateness="30min")
+    emit_closed_windows(out, ts_col="ts", width="1h", hop="30min")
+    # boundary = 60min (smallest unfired start); the largest FIRED
+    # window [30, 90) still covers ts=80 — it must divert; ts=95 falls
+    # only into unfired windows ([60,120), [90,150)) — it must append
+    r = watermarked_append(_batch([80, 95], 10), out, batch_id="b2",
+                           ts_col="ts", allowed_lateness="6h")
+    assert (r["accepted"], r["late"]) == (1, 1)
+    acc = read_accepted(out).to_pandas()
+    assert 10 not in set(acc["event_id"]) and 11 in set(acc["event_id"])
+
+
+def test_hopping_shape_validation(ray_session, tmp_path):
+    """width must be a positive multiple of hop; a sink remembers its
+    window shape — conflicting hop raises like conflicting width."""
+    from cattle_ray.sources.stream_sink import (emit_closed_windows,
+                                                watermarked_append)
+
+    out = str(tmp_path / "sink")
+    watermarked_append(_batch([0, 200]), out, batch_id="b1", ts_col="ts",
+                       allowed_lateness="30min")
+    with pytest.raises(ValueError, match="multiple of hop"):
+        emit_closed_windows(out, ts_col="ts", width="1h", hop="25min")
+    with pytest.raises(ValueError, match="multiple of hop"):
+        emit_closed_windows(out, ts_col="ts", width="1h", hop="2h")
+    emit_closed_windows(out, ts_col="ts", width="1h", hop="30min")
+    with pytest.raises(ValueError, match="hop"):
+        emit_closed_windows(out, ts_col="ts", width="1h", hop="15min")
+    with pytest.raises(ValueError, match="width"):
+        emit_closed_windows(out, ts_col="ts", width="2h", hop="30min")
