@@ -4167,6 +4167,82 @@ def q_kg_rdfs_closure(sf_dir: str):
     return distinct(pairs, ["s", "c"], num_buckets=8)
 
 
+def q_kg_rdfs_incremental(sf_dir: str):
+    """Incremental RDFS maintenance over tracked-store deltas
+    (stages/reason.py build/refresh_entailment_store): materialize the
+    closure of the doc→entity typed triples into an entailment STORE,
+    then apply two tracked mutations to the primary — add a second type
+    (Entity k+3) for every doc whose entity k % 5 == 0, retract every
+    original row with k % 7 == 0 — and DRed-refresh the closure store
+    (cost ∝ the deltas' neighbourhood, never the closure). Result =
+    DISTINCT (instance, class) pairs of the refreshed store; the SQL
+    mirror recomputes the closure of the final asserted set with the
+    same 6-level halving union."""
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        delete_exact_rows, merge_triples_hash_partitioned, read_store_asof,
+        write_triples_hash_partitioned)
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.reason import (RDF_TYPE, RDFS_SUBCLASS,
+                                          build_entailment_store,
+                                          refresh_entailment_store)
+
+    schema = pa.table({
+        "subj": [f"{ENTITY_PREFIX}{k}" for k in range(1, 50)],
+        "pred": [RDFS_SUBCLASS] * 49,
+        "obj": [f"{ENTITY_PREFIX}{k // 2}" for k in range(1, 50)],
+    })
+
+    def typed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "subj": b["subj"],
+            "pred": pa.array([RDF_TYPE] * len(b), pa.string()),
+            "obj": b["obj"],
+        })
+
+    inst = (q_kg_csvw_triples(sf_dir)
+            .filter(expr=f"pred == '{EX}entity'")
+            .map_batches(typed, batch_format="pyarrow")).materialize()
+
+    def _k(b: pa.Table):
+        import numpy as np
+
+        o = b["obj"]
+        if isinstance(o, pa.ChunkedArray):
+            o = o.combine_chunks()
+        tail = pc.utf8_slice_codeunits(o, start=len(ENTITY_PREFIX))
+        return pc.cast(tail, pa.int64()).to_numpy(zero_copy_only=False)
+
+    def mod_filter(m: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pa.array(_k(b) % m == 0))
+        return f
+
+    def shift3(b: pa.Table) -> pa.Table:
+        k = _k(b)
+        return pa.table({
+            "subj": b["subj"], "pred": b["pred"],
+            "obj": pa.array([f"{ENTITY_PREFIX}{v + 3}" for v in k],
+                            pa.string())})
+
+    pdir = tempfile.mkdtemp(prefix="rdfs_primary_", dir="/tmp")
+    edir = tempfile.mkdtemp(prefix="rdfs_ent_", dir="/tmp") + "/store"
+    write_triples_hash_partitioned(inst, pdir, num_partitions=8)
+    build_entailment_store(pdir, edir, schema=schema)
+    merge_triples_hash_partitioned(
+        inst.map_batches(mod_filter(5), batch_format="pyarrow")
+            .map_batches(shift3, batch_format="pyarrow"),
+        pdir, num_partitions=8, track_generations=True)
+    delete_exact_rows(
+        pdir, inst.map_batches(mod_filter(7), batch_format="pyarrow"))
+    refresh_entailment_store(edir)
+    pairs = read_store_asof(edir).map_batches(
+        lambda b: pa.table({"s": b["subj"], "c": b["obj"]}),
+        batch_format="pyarrow")
+    return distinct(pairs, ["s", "c"], num_buckets=8)
+
+
 def q_kg_property_graph(sf_dir: str):
     """Property-graph export (stages/reason.py): resource-to-resource
     triples become the edges table, literal triples stay node
@@ -4914,6 +4990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         "kg_rdfs_closure": q_kg_rdfs_closure,
+        "kg_rdfs_incremental": q_kg_rdfs_incremental,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
@@ -6847,6 +6924,28 @@ def _oracle_sql_base() -> dict[str, str]:
               UNION SELECT subj, k // 16 FROM kt WHERE k >= 8
               UNION SELECT subj, k // 32 FROM kt WHERE k >= 16
               UNION SELECT subj, k // 64 FROM kt WHERE k >= 32)
+            SELECT DISTINCT subj AS s,
+                   'https://example.org/id/entity/Entity'
+                     || CAST(a AS VARCHAR) AS c
+            FROM lv
+        """,
+        "kg_rdfs_incremental": _TRIPLE_BASE_CTE + """,
+            kt AS (SELECT DISTINCT subj,
+                          CAST(substr(ent, 7) AS BIGINT) AS k FROM base),
+            -- final asserted set: base minus the k%7 retractions, plus
+            -- the (k+3) second types for k%5 docs (k+3 <= 48 stays
+            -- inside the 0..49 taxonomy)
+            fin AS (
+              SELECT subj, k FROM kt WHERE k % 7 <> 0
+              UNION SELECT subj, k + 3 FROM kt WHERE k % 5 = 0),
+            lv AS (
+              SELECT subj, k AS a FROM fin
+              UNION SELECT subj, k // 2 FROM fin WHERE k >= 1
+              UNION SELECT subj, k // 4 FROM fin WHERE k >= 2
+              UNION SELECT subj, k // 8 FROM fin WHERE k >= 4
+              UNION SELECT subj, k // 16 FROM fin WHERE k >= 8
+              UNION SELECT subj, k // 32 FROM fin WHERE k >= 16
+              UNION SELECT subj, k // 64 FROM fin WHERE k >= 32)
             SELECT DISTINCT subj AS s,
                    'https://example.org/id/entity/Entity'
                      || CAST(a AS VARCHAR) AS c

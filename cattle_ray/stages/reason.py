@@ -799,3 +799,300 @@ def rdfs_materialize(triples_ds, schema: "pa.Table | None" = None, *,
         return rdfs_entailment_batch(b, tables)
 
     return triples_ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------- entailment store
+
+#: re-derivation working-set guard: the over-deleted entailment set and
+#: the changed-subject key set both broadcast during a refresh — beyond
+#: this many rows the "incremental" maintenance is no longer small next
+#: to a rebuild, so the refresh refuses instead of silently degrading
+REDERIVE_BROADCAST_MAX = 5_000_000
+
+_SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
+
+
+def build_entailment_store(primary_dir: str, ent_dir: str, *,
+                           schema: "pa.Table | None" = None,
+                           num_partitions: int | None = None):
+    """Materialize a primary tracked store's RDFS closure into its own
+    subject-routed ENTAILMENT STORE, with provenance recorded — the
+    reasoning counterpart of :func:`~..sources.triple_sink
+    .build_secondary_index`. The closure runs as the usual zero-shuffle
+    broadcast-schema pass (:func:`rdfs_materialize`); set semantics
+    (asserted ∪ inferred, provenance-collapsed on quad identity) come
+    from writing through the merge sink. The index-style provenance
+    (``source_store`` / ``source_generation``) makes
+    :func:`~..sources.triple_sink.index_is_stale` work unchanged on an
+    entailment store, and the schema used is persisted beside the data
+    (``_schema.parquet``) so :func:`refresh_entailment_store` reasons
+    with EXACTLY the build-time vocabulary. Rebuild = re-run (temp-dir +
+    rename-swap with the same crash self-heal as the secondary index).
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..sources.triple_sink import (_load_meta, _next_generation,
+                                       _save_meta,
+                                       merge_triples_hash_partitioned,
+                                       store_num_partitions)
+
+    crashed_old = ent_dir.rstrip("/") + ".old"
+    if not os.path.isdir(ent_dir) and os.path.isdir(crashed_old):
+        os.rename(crashed_old, ent_dir)
+
+    parts = sorted(glob.glob(f"{primary_dir}/part_id=*/data.parquet"))
+    if not parts:
+        raise FileNotFoundError(f"no partitions under {primary_dir!r}")
+    # capture the generation BEFORE reading (a mutation landing during
+    # the build must leave the store flagged stale)
+    src_gen = _next_generation(primary_dir) - 1
+    ds = rd.read_parquet(parts).map_batches(
+        lambda b: b.drop_columns(["part_id"])
+        if "part_id" in b.column_names else b,
+        batch_format="pyarrow")
+    schema_tbl = schema if schema is not None else extract_schema(ds)
+    closure = rdfs_materialize(ds, schema_tbl)
+    p = num_partitions or store_num_partitions(primary_dir)
+
+    tmp_dir = ent_dir.rstrip("/") + ".build.tmp"
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    # the merge sink = hash-partitioned write WITH quad-identity set
+    # semantics (asserted and inferred copies of one fact collapse,
+    # min-src_url representative) — exactly the closure-store contract
+    manifest = merge_triples_hash_partitioned(closure, tmp_dir,
+                                              num_partitions=p)
+    pq.write_table(schema_tbl, os.path.join(tmp_dir, "_schema.parquet"))
+    meta = _load_meta(tmp_dir)
+    meta["source_store"] = os.path.abspath(primary_dir)
+    meta["source_generation"] = src_gen
+    meta["kind"] = "rdfs_closure"
+    _save_meta(tmp_dir, meta)
+    if os.path.isdir(ent_dir):
+        old = ent_dir.rstrip("/") + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(ent_dir, old)
+        os.rename(tmp_dir, ent_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp_dir, ent_dir)
+    return manifest
+
+
+def refresh_entailment_store(ent_dir: str, *,
+                             obj_index_dir: str | None = None,
+                             broadcast_max: int = REDERIVE_BROADCAST_MAX):
+    """Incrementally bring an entailment store up to its primary's
+    current generation by DELETE-AND-REDERIVE (DRed) over the tracked
+    mutations' recorded per-partition deltas — cost proportional to WHAT
+    CHANGED plus its graph neighbourhood, never to the closure (100 TB).
+
+    Exactness argument: every rule in this RDFS core is SINGLE-PREMISE
+    against the driver-closed schema, so the closure is a per-row union
+    ``closure(A) = ∪_{r∈A} ent(r)`` — which makes DRed exact at row
+    granularity, applied as three tracked mutations on the entailment
+    store:
+
+    1. INSERT ``E+ = ent(added rows)`` (merge; set semantics absorb
+       duplicates with existing entailments);
+    2. OVER-DELETE ``E− = ent(removed rows)`` on quad identity — this
+       may remove facts still derivable from surviving evidence;
+    3. RE-DERIVE: a deleted fact ``t`` survives iff some CURRENT
+       asserted row still entails it, and any such row has ``subj(r) =
+       subj(t)`` or ``obj(r) = subj(t)`` (rules 9/7/2 emit the evidence
+       row's subject, rule 3 its object) — so the re-derivation reads
+       ONLY the primary rows whose subj (routed point reads) or obj
+       (``obj_index_dir`` point reads when given and fresh, else one
+       map-side-filtered scan) lands in the deleted facts' subject set,
+       re-entails them, and re-inserts ``ent(gather) ∩ E−``.
+
+    The merge-then-delete-then-rederive order makes the final state
+    exactly ``closure(current asserted)`` even when one fact was added
+    and removed across the covered generations (a zombie row's
+    entailments are in both ``E+`` and ``E−``; deletion runs last and
+    re-derivation consults only current evidence). Crash-safe and
+    idempotent: every step is a tracked store mutation (atomic partition
+    replaces, set semantics), the provenance bump is last, and a re-run
+    re-applies to convergence.
+
+    A delta that touches the RDFS vocabulary itself (subClassOf /
+    subPropertyOf / domain / range) invalidates per-row increments
+    GLOBALLY (one schema edge can entail from every instance row), so it
+    raises and demands :func:`build_entailment_store`. Refuses the same
+    phantom/backwards generation states as
+    :func:`~..sources.triple_sink.refresh_secondary_index`. Returns a
+    summary dict."""
+    import glob
+    import os
+    import re
+
+    import ray
+    import ray.data as rd
+
+    from ..sources.triple_sink import (_load_meta, _next_generation,
+                                       _save_meta, delete_exact_rows,
+                                       index_is_stale, insert_rows,
+                                       store_key, store_num_partitions,
+                                       subj_partition_id)
+
+    meta = _load_meta(ent_dir)
+    src = meta.get("source_store")
+    if src is None or "source_generation" not in meta:
+        raise ValueError(
+            f"{ent_dir!r} records no source provenance — build it with "
+            "build_entailment_store first")
+    g0 = int(meta["source_generation"])
+    g1 = _next_generation(src) - 1
+
+    def _bump():
+        m = _load_meta(ent_dir)
+        m["source_generation"] = g1
+        _save_meta(ent_dir, m)
+
+    summary = {"applied_gens": 0, "n_added": 0, "n_removed": 0,
+               "n_overdeleted": 0, "n_rederived": 0}
+    if g1 == g0:
+        return summary
+    if g1 < g0:
+        raise ValueError(
+            f"primary {src!r} is at generation {g1} but the entailment "
+            f"store was built at {g0} — the primary was compacted or "
+            "replaced; rebuild with build_entailment_store")
+    hist = {int(h["gen"]) for h in _load_meta(src).get("history", [])}
+    if g1 not in hist:
+        raise ValueError(
+            f"primary {src!r} has uncommitted delta debris at generation "
+            f"{g1} — re-run that mutation to convergence, then refresh")
+
+    def delta_paths(name: str) -> list:
+        return [f for f in glob.glob(
+                    os.path.join(src, "part_id=*", "gen=*",
+                                 f"{name}.parquet"))
+                if g0 < int(re.search(r"gen=(\d+)", f).group(1)) <= g1]
+
+    def load_delta(paths):
+        if not paths:
+            return None
+        return rd.read_parquet(paths).map_batches(
+            lambda b: b.drop_columns(
+                [c for c in ("part_id", "gen") if c in b.column_names]),
+            batch_format="pyarrow").materialize()
+
+    added = load_delta(delta_paths("added"))
+    removed = load_delta(delta_paths("removed"))
+    summary["applied_gens"] = g1 - g0
+    if added is None and removed is None:
+        _bump()  # content-free generations (steady-state recrawl)
+        return summary
+
+    schema_preds = pa.array(list(_SCHEMA_PREDS), pa.string())
+    for d in (added, removed):
+        if d is None:
+            continue
+        n_schema = d.map_batches(
+            lambda b: pa.table({"n": [int(pc.sum(pc.cast(pc.is_in(
+                b["pred"], value_set=schema_preds), pa.int64())).as_py()
+                or 0)]}),
+            batch_format="pyarrow").to_pandas()["n"].sum()
+        if int(n_schema):
+            raise ValueError(
+                f"{int(n_schema)} delta rows touch the RDFS vocabulary "
+                "(subClassOf/subPropertyOf/domain/range) — a schema "
+                "change entails from EVERY instance row, which no "
+                "per-row increment covers; rebuild with "
+                "build_entailment_store")
+
+    import pyarrow.parquet as pq
+
+    schema_tbl = pq.read_table(os.path.join(ent_dir, "_schema.parquet"))
+    tables_ref = ray.put(RdfsSchema(schema_tbl).tables())
+
+    def entail(ds):
+        return ds.map_batches(
+            lambda b: rdfs_entailment_batch(b, ray.get(tables_ref)),
+            batch_format="pyarrow")
+
+    # 1. merge the added rows' entailments (set semantics in the sink)
+    if added is not None:
+        m = insert_rows(ent_dir, entail(added))
+        summary["n_added"] = int(m["n_gen_added"].sum()) if len(m) else 0
+
+    if removed is None:
+        _bump()
+        return summary
+
+    # 2. over-delete the removed rows' entailments on quad identity
+    e_minus = entail(removed).materialize()
+    first = e_minus.take(1)[0]
+    qcols = [c for c in ("subj", "pred", "obj", "graph") if c in first]
+    eq = e_minus.map_batches(lambda b: b.select(qcols),
+                             batch_format="pyarrow").to_pandas() \
+        .drop_duplicates().reset_index(drop=True)
+    if len(eq) > broadcast_max:
+        raise ValueError(
+            f"over-deleted entailment set has {len(eq)} facts (> "
+            f"{broadcast_max}) — this refresh is no longer small next "
+            "to a rebuild; run build_entailment_store (or raise "
+            "broadcast_max consciously)")
+    dm = delete_exact_rows(ent_dir, pa.Table.from_pandas(
+        eq, preserve_index=False))
+    summary["n_overdeleted"] = int(dm["n_removed"].sum()) if len(dm) else 0
+
+    # 3. re-derive: gather current primary rows whose subj or obj is a
+    # deleted fact's subject, re-entail, keep what lands back in E−
+    keys = sorted(set(eq["subj"].dropna()))
+    key_arr = pa.array(keys, pa.string())
+    key_ref = ray.put(key_arr)
+    p_src = store_num_partitions(src)
+
+    def gather_paths(root: str, p: int) -> list:
+        pids = {subj_partition_id(k, p) for k in keys}
+        return [f for f in
+                (os.path.join(root, f"part_id={i}", "data.parquet")
+                 for i in sorted(pids)) if os.path.exists(f)]
+
+    def pick(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            b = b.drop_columns(
+                [c for c in ("part_id",) if c in b.column_names])
+            m = pc.is_in(b[col], value_set=ray.get(key_ref))
+            return b.filter(pc.fill_null(m, False))
+        return f
+
+    subj_side = rd.read_parquet(gather_paths(src, p_src)) \
+        .map_batches(pick("subj"), batch_format="pyarrow")
+    if obj_index_dir is not None and not index_is_stale(obj_index_dir) \
+            and store_key(obj_index_dir) == "obj":
+        p_idx = store_num_partitions(obj_index_dir)
+        obj_side = rd.read_parquet(
+            gather_paths(obj_index_dir, p_idx)) \
+            .map_batches(pick("obj"), batch_format="pyarrow")
+    else:
+        # no fresh obj route: one map-side-filtered scan of the primary
+        all_parts = sorted(glob.glob(
+            f"{src}/part_id=*/data.parquet"))
+        obj_side = rd.read_parquet(all_parts) \
+            .map_batches(pick("obj"), batch_format="pyarrow")
+    gather = subj_side.union(obj_side)
+
+    eq_idx = eq.copy()
+    eq_idx["_in_eminus"] = True
+
+    def intersect(b: pa.Table) -> pa.Table:
+        df = b.select(qcols).to_pandas()
+        m = df.merge(eq_idx, on=qcols, how="left")["_in_eminus"] \
+            .fillna(False).to_numpy(dtype=bool)
+        return b.filter(pa.array(m))
+
+    rederived = entail(gather).map_batches(intersect,
+                                           batch_format="pyarrow")
+    im = insert_rows(ent_dir, rederived)
+    summary["n_rederived"] = int(im["n_gen_added"].sum()) if len(im) else 0
+    _bump()
+    return summary
