@@ -4571,6 +4571,44 @@ def q_kg_bgp_path(sf_dir: str):
                         distinct=True, num_buckets=8)
 
 
+def q_kg_bgp_star_path(sf_dir: str):
+    """SPARQL 1.1 ZeroOrMorePath (``pred*``) with a bound endpoint: over
+    the same synthetic broader-tree as kg_bgp_path, ``?e broader*
+    Entity3`` runs as directed frontier-at-a-time BFS from the constant
+    (rounds ∝ real depth, visits only the reachable neighbourhood) and
+    includes the zero-length identity row. Mirrored as a 5-level
+    unrolled downward join plus the identity literal."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return evaluate_bgp(tr, [("?e", EX + "broader*",
+                              f"{ENTITY_PREFIX}3")],
+                        distinct=True, num_buckets=8)
+
+
 def q_kg_bgp_groupby(sf_dir: str):
     """SPARQL GROUP BY through the query layer proper (``SELECT ?e
     (COUNT(*) AS ?n) (SUM(?r) AS ?total) … GROUP BY ?e`` with ORDER BY +
@@ -5004,6 +5042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_agg": q_kg_bgp_agg,
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
+        "kg_bgp_star_path": q_kg_bgp_star_path,
         "kg_bgp_groupby": q_kg_bgp_groupby,
         "kg_bgp_obj_route": q_kg_bgp_obj_route,
         "kg_bgp_union": q_kg_bgp_union,
@@ -6822,6 +6861,31 @@ def _oracle_sql_base() -> dict[str, str]:
               (SELECT * FROM a1 UNION SELECT * FROM a2
                UNION SELECT * FROM a3 UNION SELECT * FROM a4
                UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+        """,
+        "kg_bgp_star_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1),
+            d1 AS (SELECT child FROM par
+                   WHERE parent = '{ENTITY_PREFIX}3'),
+            d2 AS (SELECT p.child FROM d1 JOIN par p
+                   ON p.parent = d1.child),
+            d3 AS (SELECT p.child FROM d2 JOIN par p
+                   ON p.parent = d2.child),
+            d4 AS (SELECT p.child FROM d3 JOIN par p
+                   ON p.parent = d3.child),
+            d5 AS (SELECT p.child FROM d4 JOIN par p
+                   ON p.parent = d4.child)
+            SELECT DISTINCT e FROM (
+              SELECT '{ENTITY_PREFIX}3' AS e
+              UNION SELECT child FROM d1 UNION SELECT child FROM d2
+              UNION SELECT child FROM d3 UNION SELECT child FROM d4
+              UNION SELECT child FROM d5)
         """,
         "kg_bgp_select": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

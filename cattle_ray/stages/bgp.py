@@ -127,6 +127,83 @@ def _is_path(term) -> bool:
     return isinstance(term, str) and not _is_var(term) and term.endswith("+")
 
 
+def _is_star(term) -> bool:
+    return isinstance(term, str) and not _is_var(term) and term.endswith("*")
+
+
+#: BFS hop bound for bound-endpoint ``p*`` paths — frontier expansion
+#: exits early when the frontier empties, so the bound only caps
+#: pathological depth; reaching it raises rather than silently truncating
+STAR_MAX_HOPS = 256
+
+
+def _path_star_bindings(triples_ds, terms):
+    """ZeroOrMorePath ``(s, "pred*", o)`` with a CONSTANT endpoint — the
+    scale-safe case: SPARQL's zero-length rows range over the whole node
+    domain in general, but with one end bound the bindings are exactly
+    ``{seed(s)} ∪ reach(seed)``, which directed frontier-at-a-time BFS
+    (:func:`~.graph.bfs`) computes in rounds proportional to the REAL
+    path depth, visiting only the reachable neighbourhood — never the
+    corpus. A LIST endpoint (alternative / inline VALUES) multi-seeds
+    the same BFS. Identity rows come free: BFS emits seeds at dist 0,
+    which is precisely SPARQL's zero-length path (it holds even when
+    the seed has no ``pred`` edge at all). Both-variable (and
+    ``?x pred* ?x``) stay rejected — their identity rows are the node
+    domain. Reaching ``STAR_MAX_HOPS`` raises (a deeper-than-256-hop
+    chain needs an explicit closure materialization, not a silent
+    truncation)."""
+    from .graph import bfs
+
+    s, p, o = terms[0], terms[1], terms[2]
+    g = terms[3] if len(terms) == 4 else None
+    if g is not None and (_is_var(g) or not isinstance(g, str)):
+        raise NotImplementedError(
+            "a path pattern's graph term must be a constant: the "
+            "traversal runs over ONE graph's edges")
+    base = p[:-1]
+    s_bound = not _is_var(s)
+    o_bound = not _is_var(o)
+    if s_bound and o_bound:
+        raise ValueError(f"pattern {terms!r} binds no variable")
+    if not s_bound and not o_bound:
+        raise NotImplementedError(
+            "ZeroOrMorePath (pred*) with BOTH endpoints unbound is not "
+            "supported: its identity rows range over the whole node "
+            "domain — bind one endpoint, or use pred+ and union the "
+            "identity bindings you actually need")
+    if s == o:  # both vars is already rejected; this is unreachable for
+        # safety against future term forms
+        raise NotImplementedError(
+            "?x pred* ?x ranges over the whole node domain")
+
+    def edges(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["pred"], base)
+        if g is not None:
+            m = pc.and_(m, pc.equal(b["graph"], g))
+        b = b.filter(m)
+        return pa.table({"subj": b["subj"], "obj": b["obj"]})
+
+    edge_ds = triples_ds.map_batches(edges, batch_format="pyarrow")
+    const, var = (s, o) if s_bound else (o, s)
+    seeds = list(const) if isinstance(const, (list, tuple, set)) \
+        else [const]
+    src, dst = ("subj", "obj") if s_bound else ("obj", "subj")
+    res = bfs(edge_ds, seeds, src=src, dst=dst, hops=STAR_MAX_HOPS,
+              undirected=False).materialize()
+    mx = res.map_batches(
+        lambda b: pa.table({"m": [int(pc.max(b["dist"]).as_py() or 0)]}),
+        batch_format="pyarrow").to_pandas()["m"].max()
+    if int(mx) >= STAR_MAX_HOPS:
+        raise ValueError(
+            f"pred* traversal reached the {STAR_MAX_HOPS}-hop bound "
+            "without converging — materialize the closure explicitly "
+            "for chains this deep")
+    name = var[1:]
+    out = res.map_batches(lambda b, n=name: pa.table({n: b["node"]}),
+                          batch_format="pyarrow")
+    return out, [name]
+
+
 def _anchor(ds, out_vars):
     """Pin a binding stream's schema with a 0-row seed block: map_batches
     over an empty stream loses its schema (Ray Data skips empty blocks),
@@ -166,8 +243,9 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
     (the pattern rewrites with subject and object swapped, composing
     with ``+``); a LIST of constants is the alternative path ``p1|p2``
     (vectorized ``is_in`` — a list in the subject/object position
-    likewise acts as inline VALUES for that term). ``*`` paths are
-    rejected.
+    likewise acts as inline VALUES for that term). ``*`` paths
+    (ZeroOrMorePath) run as directed BFS when an endpoint is bound
+    (see :func:`_path_star_bindings`); both-unbound is rejected.
 
     ``annotations``: ``{"?var": ("lang"|"datatype", …)}`` — when the
     named variable binds in the OBJECT position, the triple row's
@@ -186,11 +264,17 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
         # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
         terms = [terms[2], p[1:], terms[0]] + terms[3:]
         p = terms[1]
-    if isinstance(p, str) and not _is_var(p) and p.endswith("*"):
-        raise NotImplementedError(
-            "ZeroOrMorePath (pred*) is not supported: its identity rows "
-            "range over the whole node domain — use pred+ and union the "
-            "identity bindings you actually need")
+    if _is_star(p):
+        # bound-endpoint ZeroOrMorePath runs as directed BFS; the
+        # both-unbound case raises inside with the identity rationale
+        obj_term = terms[2]
+        if isinstance(obj_term, str) and _is_var(obj_term) \
+                and (annotations or {}).get(obj_term):
+            raise NotImplementedError(
+                "LANG()/DATATYPE() over a property-path object is not "
+                "supported: the traversal composes edges and has no "
+                "single source row")
+        return _path_star_bindings(triples_ds, terms)
     # annotations apply to THIS pattern only when its object is a
     # requested variable (subject-position vars have no literal side)
     obj_term = terms[2]
@@ -1385,11 +1469,11 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
             p = p[1:]  # inverse path scans the same predicate's rows
-        if _is_path(p):
+        if _is_path(p) or _is_star(p):
             # path pattern: scan ONLY the base predicate's rows (pred
             # pushdown, plus the graph scope when constant); endpoint
-            # constants filter the closure, not the scan — intermediate
-            # hops must all be present
+            # constants filter the closure/traversal, not the scan —
+            # intermediate hops must all be present
             kw = {"pred": p[:-1]}
             if len(pattern) == 4 and isinstance(pattern[3], str) \
                     and not _is_var(pattern[3]):

@@ -25,9 +25,11 @@ Supported grammar (the engine's implemented algebra, no more):
   ``^p+``), SequencePath ``e1/e2/…`` (lowered to the spec's
   fresh-variable chain; intermediates are hidden from ``SELECT *``),
   negated property sets ``!p`` / ``!(p1|p2)`` (a fresh predicate
-  variable + a vectorized ``not_in`` filter); ``p*`` is rejected with
-  the engine's scale rationale, and mixing ``/`` with ``|`` in one path
-  (needs grouping parens) is rejected with the UNION workaround
+  variable + a vectorized ``not_in`` filter); ``p*`` with a BOUND
+  endpoint (directed BFS from the constant — identity row included;
+  both-unbound raises the identity-rows scale rationale); mixing ``/``
+  with ``|`` in one path (needs grouping parens) is rejected with the
+  UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
   the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
   ``IN``, ``BOUND``/``!BOUND``, full boolean expressions — ``&&`` /
@@ -266,11 +268,12 @@ class _Parser:
         if self.at_op("+"):
             self.next()
             p += "+"
-        if self.at_op("*"):
-            raise SparqlSyntaxError(
-                "ZeroOrMorePath (p*) is not supported: its identity rows "
-                "range over the whole node domain — use p+ and union the "
-                "identity bindings you need")
+        elif self.at_op("*"):
+            # ZeroOrMorePath parses; the ENGINE accepts it only with a
+            # bound endpoint (directed BFS from the constant) and raises
+            # the identity-rows rationale for the both-unbound case
+            self.next()
+            p += "*"
         if inv:
             p = "^" + p
         return p
@@ -290,7 +293,8 @@ class _Parser:
             return "?" + v[1:]
         p = self._path_elt()
         if self.at_op("|"):
-            if not isinstance(p, str) or "+" in p or p.startswith("^"):
+            if not isinstance(p, str) or "+" in p or p.endswith("*") \
+                    or p.startswith("^"):
                 raise SparqlSyntaxError(
                     "path alternatives must be plain IRIs (no ^/+/! "
                     "inside p1|p2)")

@@ -392,8 +392,21 @@ def test_property_path(ray_session, tmp_path):
         ds, [("?e", "in+", "TOP"), ("?d", "about", "?e")]).to_pandas()
     assert set(zip(out2["e"], out2["d"])) == {("E1", "a"), ("E1", "c")}
 
+    # bound-endpoint ZeroOrMorePath: identity row + the reachable set
+    star = evaluate_bgp(ds, [("E1", "in*", "?a")]).to_pandas()
+    assert set(star["a"]) == {"E1", "X", "TOP"}
+    # bound OBJECT traverses in reverse; a seed with no edges still
+    # yields its identity row
+    rev = evaluate_bgp(ds, [("?e", "in*", "TOP")]).to_pandas()
+    assert set(rev["e"]) == {"TOP", "X", "E1"}
+    lone = evaluate_bgp(ds, [("NOWHERE", "in*", "?a")]).to_pandas()
+    assert set(lone["a"]) == {"NOWHERE"}
+    # star joins with plain patterns like any binding stream
+    j = evaluate_bgp(ds, [("?e", "in*", "X"), ("?d", "about", "?e")]) \
+        .to_pandas()
+    assert set(zip(j["e"], j["d"])) == {("E1", "a"), ("E1", "c")}
     with pytest.raises(NotImplementedError, match="ZeroOrMorePath"):
-        evaluate_bgp(ds, [("E1", "in*", "?a")]).to_pandas()
+        evaluate_bgp(ds, [("?x", "in*", "?y")]).to_pandas()
 
     from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
 
@@ -407,6 +420,12 @@ def test_property_path(ray_session, tmp_path):
         rd.from_arrow(t).repartition(2), store, num_partitions=4)
     got = evaluate_bgp_store(store, [("?e", "in+", "TOP")]).to_pandas()
     assert set(got["e"]) == {"E1", "X"}
+    # store-backed star: pred-pushdown scan feeds the BFS
+    gstar = evaluate_bgp_store(store, [("E1", "in*", "?a")]).to_pandas()
+    assert set(gstar["a"]) == {"E1", "X", "TOP"}
+    # inverse star: ^in* from TOP walks the same chain downward
+    ginv = evaluate_bgp_store(store, [("TOP", "^in*", "?a")]).to_pandas()
+    assert set(ginv["a"]) == {"TOP", "X", "E1"}
 
 
 def test_inverse_and_alternative_paths(ray_session, tmp_path):

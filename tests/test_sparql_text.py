@@ -49,9 +49,22 @@ def test_property_paths():
     assert q["patterns"][2] == ("?e", [EX + "p1", EX + "p2"], "?f")
 
 
-def test_zero_or_more_path_rejected():
-    with pytest.raises(SparqlSyntaxError, match="ZeroOrMorePath"):
-        parse_sparql(P + "SELECT * WHERE { ?a ex:p* ?b . }")
+def test_zero_or_more_path_parses_engine_gates():
+    # p* PARSES; the engine accepts it only with a bound endpoint
+    q = parse_sparql(P + "SELECT * WHERE { ?a ex:p* ?b . }")
+    assert q["patterns"] == [("?a", EX + "p*", "?b")]
+
+
+def test_text_star_path_bound_object(ray_session):
+    # object-bound ZeroOrMorePath: identity row + reverse-reachable set
+    out = sparql(_ds(), P + """SELECT ?e WHERE { ?e ex:in* "Y" . }
+        ORDER BY ?e""").to_pandas()
+    assert list(out["e"]) == ["E2", "Y"]
+
+
+def test_text_star_path_both_unbound_rejected(ray_session):
+    with pytest.raises(NotImplementedError, match="ZeroOrMorePath"):
+        sparql(_ds(), P + "SELECT * WHERE { ?a ex:in* ?b . }").to_pandas()
 
 
 def test_path_alternative_modifiers_rejected():
