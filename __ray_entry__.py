@@ -4609,6 +4609,43 @@ def q_kg_bgp_star_path(sf_dir: str):
                         distinct=True, num_buckets=8)
 
 
+def q_kg_bgp_opt_path(sf_dir: str):
+    """SPARQL 1.1 ZeroOrOnePath (``pred?``) with a bound endpoint: over
+    kg_bgp_star_path's broader-tree, ``?e broader? Entity3`` is exactly
+    the identity row plus Entity3's direct children — no traversal, one
+    vectorized filtered hop unioned with the seed, DISTINCT per the
+    spec's ALP set semantics. Mirrored as identity UNION one join."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return evaluate_bgp(tr, [("?e", EX + "broader?",
+                              f"{ENTITY_PREFIX}3")],
+                        distinct=True, num_buckets=8)
+
+
 def q_kg_bgp_groupby(sf_dir: str):
     """SPARQL GROUP BY through the query layer proper (``SELECT ?e
     (COUNT(*) AS ?n) (SUM(?r) AS ?total) … GROUP BY ?e`` with ORDER BY +
@@ -5043,6 +5080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bgp_select": q_kg_bgp_select,
         "kg_bgp_path": q_kg_bgp_path,
         "kg_bgp_star_path": q_kg_bgp_star_path,
+        "kg_bgp_opt_path": q_kg_bgp_opt_path,
         "kg_bgp_groupby": q_kg_bgp_groupby,
         "kg_bgp_obj_route": q_kg_bgp_obj_route,
         "kg_bgp_union": q_kg_bgp_union,
@@ -6886,6 +6924,20 @@ def _oracle_sql_base() -> dict[str, str]:
               UNION SELECT child FROM d1 UNION SELECT child FROM d2
               UNION SELECT child FROM d3 UNION SELECT child FROM d4
               UNION SELECT child FROM d5)
+        """,
+        "kg_bgp_opt_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1)
+            SELECT DISTINCT e FROM (
+              SELECT '{ENTITY_PREFIX}3' AS e
+              UNION SELECT child AS e FROM par
+              WHERE parent = '{ENTITY_PREFIX}3')
         """,
         "kg_bgp_select": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

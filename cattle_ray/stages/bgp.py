@@ -131,6 +131,10 @@ def _is_star(term) -> bool:
     return isinstance(term, str) and not _is_var(term) and term.endswith("*")
 
 
+def _is_opt_path(term) -> bool:
+    return isinstance(term, str) and not _is_var(term) and term.endswith("?")
+
+
 #: BFS hop bound for bound-endpoint ``p*`` paths — frontier expansion
 #: exits early when the frontier empties, so the bound only caps
 #: pathological depth; reaching it raises rather than silently truncating
@@ -204,6 +208,60 @@ def _path_star_bindings(triples_ds, terms):
     return out, [name]
 
 
+def _path_opt_bindings(triples_ds, terms):
+    """ZeroOrOnePath ``(s, "pred?", o)`` with a CONSTANT endpoint: the
+    bindings are exactly ``{seed} ∪ one-hop(seed)`` — no traversal at
+    all, just the plain pattern's vectorized scan (pred + endpoint
+    constants filter BEFORE anything leaves the read) unioned with one
+    identity row per seed, then DISTINCT (``?``/``*`` paths have set
+    semantics per SPARQL 1.1 ALP). A LIST endpoint multi-seeds, same as
+    the alternative-path form. Both-endpoints-unbound is rejected with
+    the identity-rows scale rationale ``*`` established: zero-length
+    rows would range over the whole node domain."""
+    import ray.data
+
+    from .aggregates import distinct
+
+    s, p, o = terms[0], terms[1], terms[2]
+    g = terms[3] if len(terms) == 4 else None
+    if g is not None and (_is_var(g) or not isinstance(g, str)):
+        raise NotImplementedError(
+            "a path pattern's graph term must be a constant: the "
+            "traversal runs over ONE graph's edges")
+    base = p[:-1]
+    s_bound = not _is_var(s)
+    o_bound = not _is_var(o)
+    if s_bound and o_bound:
+        raise ValueError(f"pattern {terms!r} binds no variable")
+    if not s_bound and not o_bound:
+        raise NotImplementedError(
+            "ZeroOrOnePath (pred?) with BOTH endpoints unbound is not "
+            "supported: its identity rows range over the whole node "
+            "domain — bind one endpoint, or use the plain predicate "
+            "and union the identity bindings you actually need")
+    if s == o:
+        raise NotImplementedError(
+            "?x pred? ?x ranges over the whole node domain")
+    const, var = (s, o) if s_bound else (o, s)
+    seeds = list(const) if isinstance(const, (list, tuple, set)) \
+        else [const]
+    src, dst = ("subj", "obj") if s_bound else ("obj", "subj")
+    name = var[1:]
+
+    def hop(b: pa.Table, seeds=tuple(seeds)) -> pa.Table:
+        m = pc.equal(b["pred"], base)
+        if g is not None:
+            m = pc.and_(m, pc.equal(b["graph"], g))
+        m = pc.and_(m, pc.is_in(b[src], value_set=pa.array(list(seeds))))
+        return pa.table({name: b[dst].filter(m)})
+
+    one = triples_ds.map_batches(hop, batch_format="pyarrow")
+    ident = ray.data.from_arrow(
+        pa.table({name: pa.array(seeds, pa.string())}))
+    out = distinct(_anchor(one, [name]).union(ident), [name])
+    return out, [name]
+
+
 def _anchor(ds, out_vars):
     """Pin a binding stream's schema with a 0-row seed block: map_batches
     over an empty stream loses its schema (Ray Data skips empty blocks),
@@ -264,9 +322,10 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
         # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
         terms = [terms[2], p[1:], terms[0]] + terms[3:]
         p = terms[1]
-    if _is_star(p):
-        # bound-endpoint ZeroOrMorePath runs as directed BFS; the
-        # both-unbound case raises inside with the identity rationale
+    if _is_star(p) or _is_opt_path(p):
+        # bound-endpoint ZeroOrMorePath runs as directed BFS (ZeroOrOne
+        # as identity ∪ one vectorized hop); the both-unbound case
+        # raises inside with the identity rationale
         obj_term = terms[2]
         if isinstance(obj_term, str) and _is_var(obj_term) \
                 and (annotations or {}).get(obj_term):
@@ -274,7 +333,9 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
                 "LANG()/DATATYPE() over a property-path object is not "
                 "supported: the traversal composes edges and has no "
                 "single source row")
-        return _path_star_bindings(triples_ds, terms)
+        if _is_star(p):
+            return _path_star_bindings(triples_ds, terms)
+        return _path_opt_bindings(triples_ds, terms)
     # annotations apply to THIS pattern only when its object is a
     # requested variable (subject-position vars have no literal side)
     obj_term = terms[2]
@@ -371,7 +432,7 @@ def _estimate_rows(p, stats) -> float:
     if isinstance(pr, (list, tuple, set)):
         base = sum(float(counts.get(x, avg)) for x in pr)
     elif isinstance(pr, str) and not _is_var(pr):
-        base = float(counts.get(pr.lstrip("^").rstrip("+"), avg))
+        base = float(counts.get(pr.lstrip("^").rstrip("+*?"), avg))
     else:
         base = n_total
     others = sum(1 for i, t in enumerate(p) if i != 1 and not _is_var(t))
@@ -1469,7 +1530,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
             p = p[1:]  # inverse path scans the same predicate's rows
-        if _is_path(p) or _is_star(p):
+        if _is_path(p) or _is_star(p) or _is_opt_path(p):
             # path pattern: scan ONLY the base predicate's rows (pred
             # pushdown, plus the graph scope when constant); endpoint
             # constants filter the closure/traversal, not the scan —

@@ -27,7 +27,8 @@ Supported grammar (the engine's implemented algebra, no more):
   negated property sets ``!p`` / ``!(p1|p2)`` (a fresh predicate
   variable + a vectorized ``not_in`` filter); ``p*`` with a BOUND
   endpoint (directed BFS from the constant — identity row included;
-  both-unbound raises the identity-rows scale rationale); mixing ``/``
+  both-unbound raises the identity-rows scale rationale) and ``p?``
+  (identity ∪ one hop, same bound-endpoint gate); mixing ``/``
   with ``|`` in one path (needs grouping parens) is rejected with the
   UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
@@ -83,7 +84,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<NUM>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.-]*?:(?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?)
   | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}()\[\].;,*+|^/=<>!])
+  | (?P<OP>&&|\|\||!=|<=|>=|\^\^|[{}()\[\].;,*+|^/=<>!?])
 """, re.VERBOSE)
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "'": "'",
@@ -274,6 +275,11 @@ class _Parser:
             # the identity-rows rationale for the both-unbound case
             self.next()
             p += "*"
+        elif self.at_op("?"):
+            # ZeroOrOnePath: identity ∪ one hop — same bound-endpoint
+            # gate as * (zero-length rows range over the node domain)
+            self.next()
+            p += "?"
         if inv:
             p = "^" + p
         return p
@@ -294,7 +300,7 @@ class _Parser:
         p = self._path_elt()
         if self.at_op("|"):
             if not isinstance(p, str) or "+" in p or p.endswith("*") \
-                    or p.startswith("^"):
+                    or p.endswith("?") or p.startswith("^"):
                 raise SparqlSyntaxError(
                     "path alternatives must be plain IRIs (no ^/+/! "
                     "inside p1|p2)")

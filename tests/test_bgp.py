@@ -408,6 +408,19 @@ def test_property_path(ray_session, tmp_path):
     with pytest.raises(NotImplementedError, match="ZeroOrMorePath"):
         evaluate_bgp(ds, [("?x", "in*", "?y")]).to_pandas()
 
+    # ZeroOrOnePath: identity ∪ ONE hop (no traversal at all)
+    opt = evaluate_bgp(ds, [("E1", "in?", "?a")]).to_pandas()
+    assert set(opt["a"]) == {"E1", "X"}
+    ropt = evaluate_bgp(ds, [("?e", "in?", "TOP")]).to_pandas()
+    assert set(ropt["e"]) == {"TOP", "X"}
+    lopt = evaluate_bgp(ds, [("NOWHERE", "in?", "?a")]).to_pandas()
+    assert set(lopt["a"]) == {"NOWHERE"}
+    jopt = evaluate_bgp(
+        ds, [("?e", "in?", "X"), ("?d", "about", "?e")]).to_pandas()
+    assert set(zip(jopt["e"], jopt["d"])) == {("E1", "a"), ("E1", "c")}
+    with pytest.raises(NotImplementedError, match="ZeroOrOnePath"):
+        evaluate_bgp(ds, [("?x", "in?", "?y")]).to_pandas()
+
     from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
 
     t = _triples(rows)
@@ -426,6 +439,11 @@ def test_property_path(ray_session, tmp_path):
     # inverse star: ^in* from TOP walks the same chain downward
     ginv = evaluate_bgp_store(store, [("TOP", "^in*", "?a")]).to_pandas()
     assert set(ginv["a"]) == {"TOP", "X", "E1"}
+    # store-backed ZeroOrOne: pred-pushdown scan, one hop only
+    gopt = evaluate_bgp_store(store, [("E1", "in?", "?a")]).to_pandas()
+    assert set(gopt["a"]) == {"E1", "X"}
+    ginvo = evaluate_bgp_store(store, [("TOP", "^in?", "?a")]).to_pandas()
+    assert set(ginvo["a"]) == {"TOP", "X"}
 
 
 def test_inverse_and_alternative_paths(ray_session, tmp_path):

@@ -67,6 +67,18 @@ def test_text_star_path_both_unbound_rejected(ray_session):
         sparql(_ds(), P + "SELECT * WHERE { ?a ex:in* ?b . }").to_pandas()
 
 
+def test_text_zero_or_one_path(ray_session):
+    # object-bound p?: identity row + the direct one-hop sources
+    out = sparql(_ds(), P + """SELECT ?e WHERE { ?e ex:in? "Y" . }
+        ORDER BY ?e""").to_pandas()
+    assert list(out["e"]) == ["E2", "Y"]
+    # parses as a path term
+    q = parse_sparql(P + "SELECT * WHERE { ?a ex:p? ?b . }")
+    assert q["patterns"] == [("?a", EX + "p?", "?b")]
+    with pytest.raises(NotImplementedError, match="ZeroOrOnePath"):
+        sparql(_ds(), P + "SELECT * WHERE { ?a ex:in? ?b . }").to_pandas()
+
+
 def test_path_alternative_modifiers_rejected():
     with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
         parse_sparql(P + "SELECT * WHERE { ?a ex:p+|ex:q ?b . }")
