@@ -4441,6 +4441,24 @@ def q_kg_sparql_strfns(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_numfns(sf_dir: str):
+    """XPath numeric functions in BIND — FLOOR/CEIL/ROUND over a
+    decimal division (ranks are positive, so DuckDB's
+    ties-away-from-zero round agrees with fn:round's ties-toward-+inf).
+    Mirrored with floor/ceil/round over CAST AS DOUBLE."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?s ?f ?c ?r2 WHERE {{
+          ?s ex:rank ?r .
+          BIND(xsd:decimal(?r) / 2 AS ?h)
+          BIND(FLOOR(?h) AS ?f) BIND(CEIL(?h) AS ?c)
+          BIND(ROUND(?h) AS ?r2)
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_aggexpr(sf_dir: str):
     """Aggregate over an expression — SUM(xsd:integer(?r) * ?w) where
     both factors are term columns: the parser lowers the argument to a
@@ -5063,6 +5081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
+        "kg_sparql_numfns": q_kg_sparql_numfns,
         "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_rdfs_incremental": q_kg_rdfs_incremental,
@@ -7097,6 +7116,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT subj AS s, substr(obj, 7) AS num,
                    regexp_replace(obj, 'Entity([0-9]+)', 'E\\1') AS tag
             FROM triples WHERE pred = '{EX}name'
+        """,
+        "kg_sparql_numfns": _TRIPLE_BASE_CTE + f"""
+            SELECT subj AS s,
+                   floor(CAST(obj AS DOUBLE) / 2) AS f,
+                   ceil(CAST(obj AS DOUBLE) / 2) AS c,
+                   round(CAST(obj AS DOUBLE) / 2) AS r2
+            FROM triples WHERE pred = '{EX}rank'
         """,
         "kg_sparql_negprop": _TRIPLE_BASE_CTE + f"""
             SELECT subj AS s, obj AS o FROM triples

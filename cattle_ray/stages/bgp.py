@@ -837,7 +837,8 @@ def _union_bindings(streams_for, branches, num_buckets):
 #: validation; evaluation is in :func:`_eval_expr`)
 _BIND_OPS = frozenset({"concat", "add", "sub", "mul", "div", "strlen",
                        "ucase", "lcase", "substr", "coalesce", "if",
-                       "int", "num", "replace", "strbefore", "strafter"})
+                       "int", "num", "replace", "strbefore", "strafter",
+                       "abs", "ceil", "floor", "round"})
 
 
 def _eval_expr(b: pa.Table, expr):
@@ -899,6 +900,22 @@ def _eval_expr(b: pa.Table, expr):
         return pc.if_else(pc.is_valid(args[0]),
                           pc.coalesce(got, pa.scalar("", pa.string())),
                           pa.nulls(len(args[0]), pa.string()))
+    if op in ("abs", "ceil", "floor", "round"):
+        # XPath numeric functions: lexical string inputs cast to double
+        # first (like the explicit num constructor); ROUND is fn:round —
+        # ties toward +∞ (pyarrow's half_up), NOT banker's rounding
+        x = args[0]
+        t = getattr(x, "type", None)
+        if t is not None and not (pa.types.is_integer(t)
+                                  or pa.types.is_floating(t)):
+            x = pc.cast(x, pa.float64())
+        if op == "abs":
+            return pc.abs(x)
+        if op == "ceil":
+            return pc.ceil(x)
+        if op == "floor":
+            return pc.floor(x)
+        return pc.round(x, ndigits=0, round_mode="half_up")
     if op == "coalesce":
         return pc.coalesce(*args)
     if op == "if":

@@ -33,9 +33,14 @@ Supported grammar (the engine's implemented algebra, no more):
   UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
   the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
-  ``IN``, ``BOUND``/``!BOUND``, full boolean expressions — ``&&`` /
-  ``||`` with SPARQL precedence and parenthesized groups nesting
-  freely — and ``EXISTS`` / ``NOT EXISTS`` groups
+  ``STRSTARTS``/``STRENDS``, ``IN``, ``BOUND``/``!BOUND``, full boolean
+  expressions — ``&&`` / ``||`` with SPARQL precedence and
+  parenthesized groups nesting freely — and ``EXISTS`` / ``NOT
+  EXISTS`` groups
+* expression functions (``BIND``, ``SELECT (expr AS ?v)``, ``ORDER BY``
+  keys): ``CONCAT STRLEN UCASE LCASE SUBSTR REPLACE STRBEFORE STRAFTER
+  STR COALESCE IF ABS CEIL FLOOR ROUND`` (XPath fn:round — ties toward
+  +∞), arithmetic ``+ - * /``, and xsd constructor casts
 * aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
   ``SAMPLE`` (deterministic: lowers to MIN),
   ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
@@ -860,7 +865,7 @@ class _Parser:
             return ("?" + v[1:], "bound", True)
         if self.at_kw("LANG", "DATATYPE"):
             return self._annotation_constraint()
-        if self.at_kw("CONTAINS", "REGEX", "STRSTARTS"):
+        if self.at_kw("CONTAINS", "REGEX", "STRSTARTS", "STRENDS"):
             fn = self.next()[1].upper()
             self.eat_op("(")
             k, v = self.next()
@@ -876,6 +881,8 @@ class _Parser:
                 return ("?" + v[1:], "contains", s)
             if fn == "STRSTARTS":
                 return ("?" + v[1:], "regex", "^" + re.escape(s))
+            if fn == "STRENDS":
+                return ("?" + v[1:], "regex", re.escape(s) + "$")
             return ("?" + v[1:], "regex", s)
         k, v = self.next()
         if k != "VAR":
@@ -996,7 +1003,8 @@ class _Parser:
                    "UCASE": "ucase", "LCASE": "lcase",
                    "SUBSTR": "substr", "COALESCE": "coalesce", "IF": "if",
                    "REPLACE": "replace", "STRBEFORE": "strbefore",
-                   "STRAFTER": "strafter", "STR": None}
+                   "STRAFTER": "strafter", "ABS": "abs", "CEIL": "ceil",
+                   "FLOOR": "floor", "ROUND": "round", "STR": None}
             if fn not in fns:
                 raise SparqlSyntaxError(f"unsupported function {v!r}")
             self.next()
@@ -1057,7 +1065,8 @@ class _Parser:
 
             _ORD_FNS = ("CONCAT", "STRLEN", "UCASE", "LCASE", "SUBSTR",
                         "COALESCE", "IF", "REPLACE", "STRBEFORE",
-                        "STRAFTER", "STR")
+                        "STRAFTER", "ABS", "CEIL", "FLOOR", "ROUND",
+                        "STR")
             while True:
                 k, v = self.peek()
                 if k == "VAR":

@@ -197,6 +197,37 @@ def test_bind_expressions():
         ("?x", ("add", ("mul", ("int", "?r"), 10), 1))]
 
 
+def test_numeric_functions(ray_session):
+    # XPath numeric fns over lexical ints: ranks a→3, b→11; h = r/2
+    out = sparql(
+        _ds(),
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + P +
+        """SELECT ?s ?f ?c ?r WHERE {
+        ?s ex:rank ?k .
+        BIND(xsd:decimal(?k) / 2 AS ?h)
+        BIND(FLOOR(?h) AS ?f) BIND(CEIL(?h) AS ?c)
+        BIND(ROUND(?h) AS ?r) } ORDER BY ?s""").to_pandas()
+    assert list(out["f"]) == [1.0, 5.0]
+    assert list(out["c"]) == [2.0, 6.0]
+    assert list(out["r"]) == [2.0, 6.0]  # fn:round — ties toward +inf
+
+
+def test_abs_and_round_half_up(ray_session):
+    from cattle_ray.stages.bgp import _eval_expr
+
+    b = pa.table({"x": pa.array(["-2.5", "2.5", "-3.25"])})
+    assert _eval_expr(b, ("abs", ("num", "?x"))).to_pylist() \
+        == [2.5, 2.5, 3.25]
+    # string input auto-casts; XPath fn:round(-2.5) = -2, NOT -3
+    assert _eval_expr(b, ("round", "?x")).to_pylist() == [-2.0, 3.0, -3.0]
+
+
+def test_strends_filter(ray_session):
+    out = sparql(_ds(), P + """SELECT ?s WHERE {
+        ?s ex:about ?e . FILTER(STRENDS(?e, "2")) }""").to_pandas()
+    assert list(out["s"]) == ["b"]
+
+
 def test_select_expression_becomes_bind():
     q = parse_sparql(P + """SELECT ?s (STRLEN(?v) AS ?n) WHERE {
         ?s ex:v ?v . }""")
