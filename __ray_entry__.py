@@ -4859,6 +4859,21 @@ def q_kg_sparql_datatype(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_isiri(sf_dir: str):
+    """SPARQL isIRI() filter: the converter's obj_is_iri side column
+    projects as an annotation binding (all-strings discipline — the
+    bool casts to "true"/"false" at projection) and the filter is one
+    vectorized equality. Only the entity triples' objects are IRIs, so
+    the filter prunes 3/4 of the stream. Mirrored as WHERE obj_is_iri."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?p ?o WHERE {{
+          ?s ?p ?o . FILTER(isIRI(?o))
+        }}""", num_buckets=8)
+
+
 def q_kg_bgp_graph(sf_dir: str):
     """Named-graph QUAD pattern (SPARQL ``GRAPH g { ?s rank ?r }``):
     each doc's triples land in a parity-derived graph, and the constant
@@ -5078,6 +5093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_sparql_describe": q_kg_sparql_describe,
         "kg_sparql_datatype": q_kg_sparql_datatype,
+        "kg_sparql_isiri": q_kg_sparql_isiri,
         "kg_sparql_seqpath": q_kg_sparql_seqpath,
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
@@ -6989,6 +7005,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT subj AS s, obj AS v FROM triples
             WHERE pred = '{EX}score' AND obj_datatype =
                   'http://www.w3.org/2001/XMLSchema#integer'
+        """,
+        "kg_sparql_isiri": _TRIPLE_BASE_CTE + """
+            SELECT subj AS s, pred AS p, obj AS o FROM triples
+            WHERE obj_is_iri
         """,
         "kg_sparql_describe": _TRIPLE_BASE_CTE + f""",
             tgt AS (SELECT DISTINCT subj FROM triples

@@ -290,7 +290,8 @@ def _sch(vars_) -> "pa.Schema":
 
 
 #: object-annotation kinds → the store's side column carrying them
-_ANNOTATION_COLS = {"lang": "obj_lang", "datatype": "obj_datatype"}
+_ANNOTATION_COLS = {"lang": "obj_lang", "datatype": "obj_datatype",
+                    "is_iri": "obj_is_iri"}
 
 
 def pattern_bindings(triples_ds, pattern, annotations=None):

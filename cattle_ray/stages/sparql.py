@@ -33,7 +33,9 @@ Supported grammar (the engine's implemented algebra, no more):
   UNION workaround
 * ``FILTER``: ``= != < <= > >=`` (numeric RHS compares numerically —
   the column casts, SQL CAST discipline), ``CONTAINS``, ``REGEX``,
-  ``STRSTARTS``/``STRENDS``, ``IN``, ``BOUND``/``!BOUND``, full boolean
+  ``STRSTARTS``/``STRENDS``, ``IN``, ``BOUND``/``!BOUND``,
+  ``isIRI``/``isURI``/``isLiteral`` (over the converters' ``obj_is_iri``
+  side column, like LANG/DATATYPE), full boolean
   expressions — ``&&`` / ``||`` with SPARQL precedence and
   parenthesized groups nesting freely — and ``EXISTS`` / ``NOT
   EXISTS`` groups
@@ -865,6 +867,24 @@ class _Parser:
             return ("?" + v[1:], "bound", True)
         if self.at_kw("LANG", "DATATYPE"):
             return self._annotation_constraint()
+        if self.at_kw("ISIRI", "ISURI", "ISLITERAL"):
+            # lowers to an equality filter over the converter's
+            # obj_is_iri side column (projected via annotations= like
+            # LANG/DATATYPE; cast to "true"/"false" strings by the
+            # binding projection's all-strings discipline). isLiteral
+            # is the complement — the stored flag is never NULL for
+            # converter output, and an unbound OPTIONAL object drops
+            # the row either way (SPARQL error-is-false).
+            fn = self.next()[1].upper()
+            self.eat_op("(")
+            k, v = self.next()
+            if k != "VAR":
+                raise SparqlSyntaxError(f"{fn}(?var) expected")
+            self.eat_op(")")
+            var = "?" + v[1:]
+            self.annotations.setdefault(var, set()).add("is_iri")
+            return (f"{var}__is_iri", "=",
+                    "false" if fn == "ISLITERAL" else "true")
         if self.at_kw("CONTAINS", "REGEX", "STRSTARTS", "STRENDS"):
             fn = self.next()[1].upper()
             self.eat_op("(")

@@ -626,7 +626,8 @@ def _annotated_ds(parts=2):
         "obj_lang": ["en", "de", None, None],
         "obj_datatype": [None, None,
                          "http://www.w3.org/2001/XMLSchema#integer",
-                         None]})).repartition(parts)
+                         None],
+        "obj_is_iri": [False, False, False, True]})).repartition(parts)
 
 
 def test_lang_filter(ray_session):
@@ -657,6 +658,15 @@ def test_datatype_filter(ray_session):
         ?s ex:label ?l . FILTER(DATATYPE(?l) = xsd:string) }""") \
         .to_pandas()
     assert sorted(plain["l"]) == ["hallo", "hello", "plain"]
+
+
+def test_is_iri_filter(ray_session):
+    out = sparql(_annotated_ds(), P + """SELECT ?s ?l WHERE {
+        ?s ex:label ?l . FILTER(isIRI(?l)) }""").to_pandas()
+    assert out[["s", "l"]].values.tolist() == [["b", "plain"]]
+    lit = sparql(_annotated_ds(), P + """SELECT ?l WHERE {
+        ?s ex:label ?l . FILTER(isLiteral(?l)) }""").to_pandas()
+    assert sorted(lit["l"]) == ["42", "hallo", "hello"]
 
 
 def test_lang_on_plain_stream_raises(ray_session):
