@@ -45,7 +45,8 @@ Supported grammar (the engine's implemented algebra, no more):
   +∞), arithmetic ``+ - * /``, and xsd constructor casts
 * aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
   ``SAMPLE`` (deterministic: lowers to MIN),
-  ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``;
+  ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``
+  (FILTER's full boolean grammar — ``&&``/``||``/parens);
   aggregates WITHOUT ``GROUP BY`` group over a synthetic constant key
   (SPARQL's single implicit group)
 * solution modifiers: ``ORDER BY`` (``ASC``/``DESC``, over variables
@@ -1024,7 +1025,8 @@ class _Parser:
                    "SUBSTR": "substr", "COALESCE": "coalesce", "IF": "if",
                    "REPLACE": "replace", "STRBEFORE": "strbefore",
                    "STRAFTER": "strafter", "ABS": "abs", "CEIL": "ceil",
-                   "FLOOR": "floor", "ROUND": "round", "STR": None}
+                   "FLOOR": "floor", "ROUND": "round", "STR": None,
+                   "IRI": None, "URI": None}
             if fn not in fns:
                 raise SparqlSyntaxError(f"unsupported function {v!r}")
             self.next()
@@ -1035,9 +1037,12 @@ class _Parser:
                 if self.at_op(","):
                     self.next()
             self.eat_op(")")
-            if fn == "STR":  # terms are lexical strings already
+            if fn in ("STR", "IRI", "URI"):
+                # terms are lexical strings already; IRI()/URI() over
+                # the engine's absolute IRIs is the identity (no base
+                # resolution — the converters emit absolute IRIs only)
                 if len(args) != 1:
-                    raise SparqlSyntaxError("STR takes one argument")
+                    raise SparqlSyntaxError(f"{fn} takes one argument")
                 return args[0]
             return (fns[fn], *args)
         raise SparqlSyntaxError(f"unsupported expression at {v!r}")
@@ -1057,15 +1062,17 @@ class _Parser:
             if not q["group_by"]:
                 raise SparqlSyntaxError("GROUP BY expects ?vars")
         if self.at_kw("HAVING"):
+            # full boolean trees, same grammar as FILTER — top-level &&
+            # splits into separate conjuncts (each independently applied
+            # over the aggregated table); || / parens nest freely
             self.next()
             self.eat_op("(")
-            while True:
-                q["having"].append(self._constraint())
-                if self.at_op("&&"):
-                    self.next()
-                    continue
-                break
+            e = self._bool_or()
             self.eat_op(")")
+            if isinstance(e, tuple) and e[0] == "and" and len(e) == 2:
+                q["having"].extend(e[1])
+            else:
+                q["having"].append(e)
         if self.at_kw("ORDER"):
             self.next()
             self.eat_kw("BY")
@@ -1086,7 +1093,7 @@ class _Parser:
             _ORD_FNS = ("CONCAT", "STRLEN", "UCASE", "LCASE", "SUBSTR",
                         "COALESCE", "IF", "REPLACE", "STRBEFORE",
                         "STRAFTER", "ABS", "CEIL", "FLOOR", "ROUND",
-                        "STR")
+                        "STR", "IRI", "URI")
             while True:
                 k, v = self.peek()
                 if k == "VAR":

@@ -296,6 +296,26 @@ def test_aggregates_lower_to_engine_specs():
     assert q["having"] == [("?n", ">", 3)]
 
 
+def test_having_boolean_tree(ray_session):
+    # HAVING shares FILTER's grammar: || / && / parens over aggregates
+    q = parse_sparql(P + """SELECT ?k (COUNT(*) AS ?n) WHERE {
+        ?s ex:k ?k . } GROUP BY ?k HAVING(?n > 3 || ?n = 1)""")
+    assert q["having"] == [("or", [("?n", ">", 3), ("?n", "=", 1)])]
+    # end-to-end: entity groups of size 1 OR > 1 — a disjunction
+    # that actually prunes (about: E1 twice, E2 once)
+    out = sparql(_ds(), P + """SELECT ?e (COUNT(*) AS ?n) WHERE {
+        ?s ex:about ?e . } GROUP BY ?e HAVING(?n = 1 || ?n > 5)
+        ORDER BY ?e""").to_pandas()
+    assert out[["e", "n"]].values.tolist() == [["E2", 1]]
+
+
+def test_iri_fn_is_identity(ray_session):
+    out = sparql(_ds(), P + """SELECT ?s ?u WHERE {
+        ?s ex:about ?e . BIND(IRI(CONCAT("urn:ent:", ?e)) AS ?u) }
+        ORDER BY ?s""").to_pandas()
+    assert list(out["u"]) == ["urn:ent:E1", "urn:ent:E2", "urn:ent:E1"]
+
+
 def test_count_var_lowers_to_count_when_required():
     q = parse_sparql(P + """SELECT ?k (COUNT(?v) AS ?n) WHERE {
         ?s ex:k ?k ; ex:v ?v . } GROUP BY ?k""")
