@@ -4459,6 +4459,19 @@ def q_kg_sparql_numfns(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_groupexpr(sf_dir: str):
+    """GROUP BY over an expression — ``GROUP BY (SUBSTR(?n, 7, 1) AS
+    ?k)`` lowers to a pre-group BIND so the engine's map-side-combined
+    count groups on a computed key. Mirrored as GROUP BY substr."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?k (COUNT(*) AS ?n) WHERE {{
+          ?s ex:name ?nm .
+        }} GROUP BY (SUBSTR(?nm, 7, 1) AS ?k)""", num_buckets=8)
+
+
 def q_kg_sparql_aggexpr(sf_dir: str):
     """Aggregate over an expression — SUM(xsd:integer(?r) * ?w) where
     both factors are term columns: the parser lowers the argument to a
@@ -5098,6 +5111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_subquery": q_kg_sparql_subquery,
         "kg_sparql_strfns": q_kg_sparql_strfns,
         "kg_sparql_numfns": q_kg_sparql_numfns,
+        "kg_sparql_groupexpr": q_kg_sparql_groupexpr,
         "kg_sparql_aggexpr": q_kg_sparql_aggexpr,
         "kg_rdfs_closure": q_kg_rdfs_closure,
         "kg_rdfs_incremental": q_kg_rdfs_incremental,
@@ -7136,6 +7150,10 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT subj AS s, substr(obj, 7) AS num,
                    regexp_replace(obj, 'Entity([0-9]+)', 'E\\1') AS tag
             FROM triples WHERE pred = '{EX}name'
+        """,
+        "kg_sparql_groupexpr": _TRIPLE_BASE_CTE + f"""
+            SELECT substr(obj, 7, 1) AS k, CAST(count(*) AS BIGINT) AS n
+            FROM triples WHERE pred = '{EX}name' GROUP BY 1
         """,
         "kg_sparql_numfns": _TRIPLE_BASE_CTE + f"""
             SELECT subj AS s,

@@ -45,7 +45,8 @@ Supported grammar (the engine's implemented algebra, no more):
   +∞), arithmetic ``+ - * /``, and xsd constructor casts
 * aggregates: ``COUNT(*)``, ``COUNT(DISTINCT ?v)``, ``SUM/AVG/MIN/MAX``,
   ``SAMPLE`` (deterministic: lowers to MIN),
-  ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` + ``HAVING``
+  ``GROUP_CONCAT(?v; SEPARATOR="…")``; ``GROUP BY`` over variables or
+  ``(expr AS ?v)`` group conditions (pre-group BINDs) + ``HAVING``
   (FILTER's full boolean grammar — ``&&``/``||``/parens);
   aggregates WITHOUT ``GROUP BY`` group over a synthetic constant key
   (SPARQL's single implicit group)
@@ -1057,8 +1058,32 @@ class _Parser:
         if self.at_kw("GROUP"):
             self.next()
             self.eat_kw("BY")
-            while self.peek()[0] == "VAR":
-                q["group_by"].append("?" + self.next()[1][1:])
+            q.setdefault("group_binds", [])
+            while True:
+                if self.peek()[0] == "VAR":
+                    q["group_by"].append("?" + self.next()[1][1:])
+                elif self.at_op("("):
+                    # GroupCondition '(' Expression ('AS' Var)? ')' —
+                    # group keys compute per-solution BEFORE grouping,
+                    # so the expression lowers to a pre-group BIND
+                    # (anonymous keys get a hidden _anon_g var, excluded
+                    # from SELECT * like all parser-plumbing vars)
+                    self.next()
+                    e = self.expr()
+                    if self.at_kw("AS"):
+                        self.next()
+                        k, v = self.next()
+                        if k != "VAR":
+                            raise SparqlSyntaxError(
+                                "GROUP BY (expr AS ?var) expected")
+                        name = "?" + v[1:]
+                    else:
+                        name = f"?_anon_g{len(q['group_binds'])}"
+                    self.eat_op(")")
+                    q["group_binds"].append((name, e))
+                    q["group_by"].append(name)
+                else:
+                    break
             if not q["group_by"]:
                 raise SparqlSyntaxError("GROUP BY expects ?vars")
         if self.at_kw("HAVING"):
@@ -1411,7 +1436,8 @@ def _lower(q: dict) -> dict:
             "supported — BINDs apply pre-group, so the expression's "
             "inputs are gone after aggregation; alias the aggregate "
             "((AGG(...) AS ?v)) and ORDER BY ?v instead")
-    bind = (list(q.get("bind") or []) + list(q.get("agg_binds") or [])
+    bind = (list(q.get("bind") or []) + list(q.get("group_binds") or [])
+            + list(q.get("agg_binds") or [])
             + list(q.get("select_binds") or []) + order_binds)
     select = q["select"]
     opt_vars = {t[1:] for g in (q.get("optional") or [])

@@ -309,6 +309,19 @@ def test_having_boolean_tree(ray_session):
     assert out[["e", "n"]].values.tolist() == [["E2", 1]]
 
 
+def test_group_by_expression(ray_session):
+    # GroupCondition '(' expr AS ?var ')' lowers to a pre-group BIND
+    out = sparql(_ds(), P + """SELECT ?k (COUNT(*) AS ?n) WHERE {
+        ?s ex:about ?e . } GROUP BY (SUBSTR(?e, 2, 1) AS ?k)
+        ORDER BY ?k""").to_pandas()
+    assert out[["k", "n"]].values.tolist() == [["1", 2], ["2", 1]]
+    # anonymous group keys get hidden _anon_g vars
+    q = parse_sparql(P + """SELECT * WHERE { ?s ex:about ?e . }
+        GROUP BY (STRLEN(?e))""")
+    assert q["group_by"] == ["?_anon_g0"]
+    assert q["group_binds"] == [("?_anon_g0", ("strlen", "?e"))]
+
+
 def test_iri_fn_is_identity(ray_session):
     out = sparql(_ds(), P + """SELECT ?s ?u WHERE {
         ?s ex:about ?e . BIND(IRI(CONCAT("urn:ent:", ?e)) AS ?u) }
