@@ -4271,6 +4271,22 @@ def q_kg_negative_samples_generic(sf_dir: str):
     return negative_sample_edges(edges, k=2)
 
 
+def q_kg_negative_samples_sharded(sf_dir: str):
+    """The SCALE path of filtered negative sampling, forced: entity
+    pools hash-shard across a raw-task exchange and corruption ``i`` of
+    edge ``e`` indexes the sorted pool of shard ``mix(h(e,i))`` — the
+    vocabulary never reaches the driver (no ``take_all``, no broadcast;
+    VERDICT r4 order #1). Rows-only (the xxhash sample has no SQL
+    mirror); determinism, the filtered guarantee, and layout invariance
+    are pytest-pinned (tests/test_reason.py sharded suite)."""
+    from cattle_ray.stages.reason import (negative_sample_edges,
+                                          property_graph_tables)
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    return negative_sample_edges(edges, k=2, mode="sharded",
+                                 num_shards=16)
+
+
 def q_kg_sample_neighbors(sf_dir: str):
     """GNN minibatch sampling (graph.sample_neighbors): 2-hop fanout-3
     sampled subgraph around the lexicographically first doc subject,
@@ -5118,6 +5134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
         "kg_property_graph": q_kg_property_graph,
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
+        "kg_negative_samples_sharded": q_kg_negative_samples_sharded,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,

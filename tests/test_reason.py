@@ -266,6 +266,8 @@ def test_negative_sampling_deterministic_and_filtered(ray_session):
 
 
 def test_negative_sampling_vocab_guard(ray_session):
+    """mode='broadcast' keeps the hard guard; mode='auto' degrades to
+    the sharded in-cluster path instead of raising."""
     import ray.data as rd
 
     from cattle_ray.stages.reason import negative_sample_edges
@@ -273,7 +275,46 @@ def test_negative_sampling_vocab_guard(ray_session):
     edges = pa.table({"src": ["a", "b"], "rel": ["r", "r"],
                       "dst": ["c", "d"]})
     with pytest.raises(ValueError, match="entity_max"):
-        negative_sample_edges(rd.from_arrow(edges), entity_max=2).count()
+        negative_sample_edges(rd.from_arrow(edges), entity_max=2,
+                              mode="broadcast").count()
+    # auto: same inputs over the crossover → sharded path, no raise
+    df = negative_sample_edges(rd.from_arrow(edges), entity_max=2,
+                               k=1).to_pandas()
+    assert (df["label"] == 1).sum() == 2
+
+
+def test_negative_sampling_sharded(ray_session):
+    """Forced-shard path: layout-invariant, filtered, vocabulary-drawn —
+    and the per-edge no-own-positive guarantee holds with the entity
+    pools sharded across the exchange (vocabulary never on the driver)."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import negative_sample_edges
+
+    edges = pa.table({
+        "src": [f"s{i}" for i in range(120)],
+        "rel": [f"r{i % 3}" for i in range(120)],
+        "dst": [f"d{i % 11}" for i in range(120)],
+    })
+    outs = []
+    for parts in (1, 4):
+        got = negative_sample_edges(
+            rd.from_arrow(edges).repartition(parts), k=2,
+            mode="sharded", num_shards=4).to_pandas()
+        outs.append(set(map(tuple, got.values.tolist())))
+    assert outs[0] == outs[1]  # layout invariance
+    df = negative_sample_edges(rd.from_arrow(edges), k=2, mode="sharded",
+                               num_shards=4).to_pandas()
+    pos = df[df["label"] == 1]
+    neg = df[df["label"] == 0]
+    assert len(pos) == 120
+    assert len(neg) >= 0.95 * 240  # empty-shard / double-collision drops
+    vocab = set(edges["src"].to_pylist()) | set(edges["dst"].to_pylist())
+    for s, d in zip(neg["src"], neg["dst"]):
+        assert d in vocab and d != s
+    merged = neg.merge(pos[["src", "rel", "dst"]],
+                       on=["src", "rel", "dst"], how="inner")
+    assert len(merged) == 0
 
 
 def test_owl_materialize_axioms(ray_session):
