@@ -4521,6 +4521,52 @@ def q_kg_sparql_seqpath(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_star_unbound(sf_dir: str):
+    """ZeroOrMorePath with BOTH endpoints variable, range-restricted by
+    a sibling pattern (VERDICT r4 order #2): ``?d ex:entity ?e . ?e
+    ex:broader* ?a`` — the planner defers the star, the entity pattern
+    restricts ``?e``, and the path lowers to a SEEDED labeled
+    multi-source BFS (graph.bfs_labeled: the frontier carries (root,
+    node), so each seed's reach stays separate; identity rows are the
+    BFS's distance-0 pairs = SPARQL's zero-length path). The broader
+    tree is the same synthetic Entity<i> → Entity<i//2> hierarchy as
+    kg_bgp_path. Mirrored as a DuckDB RECURSIVE CTE."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.sparql import sparql
+
+    ent_triples = q_kg_csvw_triples(sf_dir).filter(
+        expr=f"pred == '{EX}entity'").map_batches(
+        lambda b: b.select(["subj", "pred", "obj"]),
+        batch_format="pyarrow")
+    ents = distinct(
+        ent_triples.map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                                batch_format="pyarrow"), ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ent_triples.union(ents.map_batches(broader,
+                                            batch_format="pyarrow"))
+    return sparql(tr, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?e ?a WHERE {{
+          ?d ex:entity ?e .
+          ?e ex:broader* ?a .
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_negprop(sf_dir: str):
     """Negated property set (``!(p1|p2|p3)``) through the text layer:
     edges whose predicate is NONE of the named ones — lowers to a fresh
@@ -5140,6 +5186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_federated": q_kg_federated,
         "kg_functional_check": q_kg_functional_check,
         "kg_sparql_negprop": q_kg_sparql_negprop,
+        "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -6965,6 +7012,23 @@ def _oracle_sql_base() -> dict[str, str]:
               (SELECT * FROM a1 UNION SELECT * FROM a2
                UNION SELECT * FROM a3 UNION SELECT * FROM a4
                UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+        """,
+        "kg_sparql_star_unbound": _TRIPLE_BASE_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1),
+            reach(e, a) AS (
+              SELECT ent, ent FROM ents
+              UNION
+              SELECT r.e, p.parent FROM reach r
+              JOIN par p ON p.child = r.a)
+            SELECT DISTINCT e, a FROM reach
         """,
         "kg_bgp_star_path": _TRIPLE_BASE_CTE + rf""",
             ents AS (SELECT DISTINCT obj AS ent FROM triples

@@ -123,6 +123,29 @@ def _path_bindings(triples_ds, terms):
     return pairs.map_batches(project, batch_format="pyarrow"), out_vars
 
 
+def _star_unbound_terms(pattern):
+    """``(?x, "p*", ?y)`` with BOTH endpoints variable → the normalized
+    term list (inverse ``^p*`` swaps endpoints), else None. These
+    patterns don't evaluate standalone (their zero-length rows range
+    over the whole node domain) — :func:`_evaluate_body` defers them and
+    lowers to a SEEDED closure once another pattern has range-restricted
+    an endpoint (see :func:`_fold_bindings`)."""
+    terms = list(pattern)
+    p = terms[1]
+    if not (isinstance(p, str) and not _is_var(p)):
+        return None
+    if p.startswith("^"):
+        terms = [terms[2], p[1:], terms[0]] + terms[3:]
+        p = terms[1]
+    if not p.endswith("*") or p.endswith("**"):
+        return None
+    s, o = terms[0], terms[2]
+    if isinstance(s, str) and _is_var(s) and isinstance(o, str) \
+            and _is_var(o):
+        return terms
+    return None
+
+
 def _is_path(term) -> bool:
     return isinstance(term, str) and not _is_var(term) and term.endswith("+")
 
@@ -393,14 +416,82 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
     return triples_ds.map_batches(f, batch_format="pyarrow"), out_vars
 
 
+def _apply_seeded_star(acc, bound, terms, edge_ds, num_buckets: int):
+    """Lower a both-endpoints-unbound ``?x p* ?y`` against the bindings
+    accumulated SO FAR: the already-joined patterns range-restrict one
+    endpoint, so the pattern becomes ``reach*`` from that restriction's
+    distinct values — a labeled multi-source BFS
+    (:func:`~.graph.bfs_labeled`, frontier carries ``(root, node)``)
+    over the pre-filtered ``p`` edges, visiting only the seeds'
+    neighbourhoods, never the node domain (VERDICT r4 order #2; the
+    common ontology-hierarchy query ``?c type Class . ?c broader* ?r``).
+    Zero-length rows come out as the BFS's distance-0 identity pairs —
+    exactly SPARQL semantics under the restriction. ``?x p* ?x`` is a
+    tautology over the restricted domain (the zero-length path always
+    holds), so it joins nothing. When BOTH endpoints are already bound
+    the pairs join on both (a reachability filter)."""
+    from .aggregates import distinct as _distinct
+    from .graph import bfs_labeled
+    from .joins import hash_join
+
+    s, o = terms[0], terms[2]
+    sv, ov = s[1:], o[1:]
+    if sv == ov:
+        if sv not in bound:
+            raise NotImplementedError(
+                "?x pred* ?x with ?x otherwise unrestricted ranges over "
+                "the whole node domain")
+        return acc, bound  # zero-length path holds for every binding
+    if sv in bound:
+        root_var, other_var, esrc, edst = sv, ov, "__ps", "__po"
+    elif ov in bound:
+        root_var, other_var, esrc, edst = ov, sv, "__po", "__ps"
+    else:
+        raise ValueError(
+            f"pattern {tuple(terms)!r} shares no variable with the "
+            f"bindings so far ({bound}) — an unrestricted pred* ranges "
+            "over the whole node domain; restrict an endpoint with "
+            "another pattern")
+    seeds = _distinct(
+        acc.map_batches(
+            lambda b, v=root_var: pa.table({v: b[v]}),
+            batch_format="pyarrow"),
+        [root_var], num_buckets=num_buckets)
+    pairs = bfs_labeled(edge_ds, seeds, src=esrc, dst=edst,
+                        root_col=root_var, hops=STAR_MAX_HOPS,
+                        num_buckets=num_buckets)
+    pairs = pairs.map_batches(
+        lambda b, rv=root_var, tv=other_var: pa.table(
+            {rv: b["root"], tv: b["node"]}),
+        batch_format="pyarrow")
+    keys = [root_var] + ([other_var] if other_var in bound else [])
+    acc = hash_join(acc, pairs, keys, keys, num_buckets=num_buckets,
+                    left_schema=_sch(bound),
+                    right_schema=_sch([root_var, other_var]))
+    if other_var not in bound:
+        bound = bound + [other_var]
+    return acc, bound
+
+
 def _fold_bindings(streams, num_buckets: int):
     """Join per-pattern binding streams left-to-right on shared variables.
-    Returns ``(acc_dataset, bound_vars)``."""
+    Returns ``(acc_dataset, bound_vars)``. A stream may be a deferred
+    both-unbound ``p*`` marker ``("__star__", terms, edge_ds)`` — lowered
+    against the accumulated bindings via :func:`_apply_seeded_star`."""
     from .joins import hash_join
 
     (acc, bound0), rest = streams[0], streams[1:]
+    if isinstance(acc, tuple) and acc and acc[0] == "__star__":
+        raise NotImplementedError(
+            "ZeroOrMorePath (pred*) with BOTH endpoints unbound needs "
+            "another pattern to range-restrict an endpoint first — its "
+            "identity rows range over the whole node domain")
     bound = list(bound0)
     for stream, pvars, pattern in rest:
+        if isinstance(stream, tuple) and stream and stream[0] == "__star__":
+            acc, bound = _apply_seeded_star(acc, bound, stream[1],
+                                            stream[2], num_buckets)
+            continue
         shared = [v for v in pvars if v in bound]
         if not shared:
             raise ValueError(
@@ -458,11 +549,18 @@ def order_patterns(patterns, stats=None):
     rem = [(i, p) for i, p in enumerate(patterns)]
 
     def score(p):
+        # a both-unbound pred* can't lead: it only evaluates SEEDED by
+        # prior bindings (see _apply_seeded_star) — rank it below even
+        # an all-variable scan so the greedy order defers it
+        if _star_unbound_terms(p) is not None:
+            return -1
         return sum(0 if _is_var(t) else 1 for t in p)
 
     if stats:
         def rank(ip):
             i, p = ip
+            if _star_unbound_terms(p) is not None:
+                return (-float("inf"), -1, -i)  # same deferral as score
             return (-_estimate_rows(p, stats), score(p), -i)
     else:
         def rank(ip):
@@ -1312,6 +1410,20 @@ def _evaluate_body(streams_for, plan, display, *, optional, minus, union,
         # below; see _filter_pushable for why that is safe)
         streams = []
         for p in plan:
+            star_terms = _star_unbound_terms(p)
+            if star_terms is not None:
+                # both-unbound pred*: defer — lowered to a seeded closure
+                # in the fold once an endpoint is range-restricted. The
+                # edge stream is the base predicate's PLAIN pattern, so
+                # store scans keep their pred pushdown.
+                edge_pat = ["?__ps", star_terms[1][:-1], "?__po"]
+                if len(star_terms) == 4:
+                    edge_pat.append(star_terms[3])
+                edge_ds, _ev = streams_for(tuple(edge_pat))
+                svars = [t[1:] for t in (star_terms[0], star_terms[2])]
+                streams.append((("__star__", star_terms, edge_ds),
+                                svars, p))
+                continue
             ds, vars_ = streams_for(p)
             elig = [f for f in (filters or [])
                     if _filter_pushable(f, vars_)]

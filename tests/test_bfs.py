@@ -99,3 +99,42 @@ def test_random_walks_dead_end_terminates(ray_session):
                   random_walks(edges, seeds, steps=3,
                                walks_per_seed=1).take_all())
     assert rows == [(0, "a1"), (1, "b2")]
+
+
+def test_bfs_labeled_local_vs_distributed(ray_session):
+    """Per-root reach pairs identical across the small-input in-process
+    path and the forced-distributed path (small_edges=0); identity rows
+    at distance 0 for every root, edge-less roots included."""
+    import pyarrow as pa
+
+    from cattle_ray.stages.graph import bfs_labeled
+
+    edges = rd.from_arrow(pa.table({
+        "s": ["a", "b", "c", "x"],
+        "o": ["b", "c", "d", "y"]}))
+    seeds = rd.from_arrow(pa.table({"root": ["a", "c", "z"]}))
+    exp = sorted([("a", "a"), ("a", "b"), ("a", "c"), ("a", "d"),
+                  ("c", "c"), ("c", "d"), ("z", "z")])
+    for forced in (None, 0):
+        kw = {} if forced is None else {"small_edges": forced}
+        got = sorted(
+            (r["root"], r["node"])
+            for r in bfs_labeled(edges, seeds, src="s", dst="o",
+                                 **kw).take_all())
+        assert got == exp, (forced, got)
+
+
+def test_bfs_labeled_hop_bound_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+
+    from cattle_ray.stages.graph import bfs_labeled
+
+    edges = rd.from_arrow(pa.table({
+        "s": ["a", "b", "c"], "o": ["b", "c", "d"]}))
+    seeds = rd.from_arrow(pa.table({"root": ["a"]}))
+    for forced in (None, 0):
+        kw = {} if forced is None else {"small_edges": forced}
+        with pytest.raises(ValueError, match="hop bound"):
+            bfs_labeled(edges, seeds, src="s", dst="o", hops=2,
+                        **kw).take_all()

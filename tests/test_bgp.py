@@ -1125,3 +1125,88 @@ def test_federated_store_query(ray_session, tmp_path):
     with _pytest.raises(ValueError, match="single store"):
         evaluate_bgp_store([str(d1), str(d2)], [("?d", "type", "?t")],
                            obj_index_dir=str(d1))
+
+
+def test_star_unbound_seeded_by_sibling_pattern(ray_session):
+    """Both-endpoints-variable pred* lowers to a seeded labeled BFS when
+    a sibling pattern range-restricts an endpoint (subject OR object
+    side); identity rows included; forced-distributed path agrees."""
+    import ray.data as rd
+
+    import cattle_ray.stages.graph as graph
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("c1", "broader", "c2"), ("c2", "broader", "c3"),
+            ("c3", "broader", "c4"), ("x1", "broader", "x2"),
+            ("c1", "type", "Concept"), ("c3", "type", "Concept"),
+            ("c5", "type", "Concept")]
+    ds = rd.from_arrow(_triples(rows)).repartition(3)
+    exp = sorted([("c1", x) for x in ("c1", "c2", "c3", "c4")]
+                 + [("c3", "c3"), ("c3", "c4"), ("c5", "c5")])
+    out = evaluate_bgp(
+        ds, [("?c", "type", "Concept"), ("?c", "broader*", "?r")],
+    ).to_pandas()
+    assert sorted(zip(out["c"], out["r"])) == exp
+    # object-side restriction seeds a REVERSE traversal
+    out2 = evaluate_bgp(
+        ds, [("?r", "type", "Concept"), ("?x", "broader*", "?r")],
+    ).to_pandas()
+    assert sorted(zip(out2["r"], out2["x"])) == sorted(
+        [("c1", "c1"), ("c3", "c3"), ("c3", "c2"), ("c3", "c1"),
+         ("c5", "c5")])
+    # forced-distributed labeled BFS, same answers
+    old = graph.SMALL_LABELED_EDGES
+    try:
+        graph.SMALL_LABELED_EDGES = 0
+        out3 = evaluate_bgp(
+            ds, [("?c", "type", "Concept"), ("?c", "broader*", "?r")],
+        ).to_pandas()
+    finally:
+        graph.SMALL_LABELED_EDGES = old
+    assert sorted(zip(out3["c"], out3["r"])) == exp
+
+
+def test_star_unbound_tautology_and_rejection(ray_session):
+    """?x p* ?x over a restricted domain is the zero-length tautology
+    (joins nothing away); a fully unrestricted both-unbound star still
+    raises with the node-domain rationale."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("c1", "broader", "c2"),
+            ("c1", "type", "Concept"), ("c2", "type", "Concept")]
+    ds = rd.from_arrow(_triples(rows))
+    out = evaluate_bgp(
+        ds, [("?c", "type", "Concept"), ("?c", "broader*", "?c")],
+    ).to_pandas()
+    assert sorted(out["c"]) == ["c1", "c2"]
+    with pytest.raises(NotImplementedError, match="node domain"):
+        evaluate_bgp(ds, [("?a", "broader*", "?b")]).count()
+
+
+def test_star_unbound_over_store(ray_session, tmp_path):
+    """The seeded-star lowering rides the store's pruned scans too (the
+    edge stream is the base predicate's PLAIN pattern, so the scan keeps
+    its pred pushdown)."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    rows = [("c1", "broader", "c2"), ("c2", "broader", "c3"),
+            ("c1", "type", "Concept"), ("c3", "type", "Concept")]
+    t = _triples(rows)
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([True] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    d = tmp_path / "store"
+    write_triples_hash_partitioned(rd.from_arrow(t), str(d),
+                                   num_partitions=2)
+    out = evaluate_bgp_store(
+        str(d), [("?c", "type", "Concept"), ("?c", "broader*", "?r")],
+    ).to_pandas()
+    assert sorted(zip(out["c"], out["r"])) == sorted(
+        [("c1", "c1"), ("c1", "c2"), ("c1", "c3"), ("c3", "c3")])
