@@ -4567,6 +4567,46 @@ def q_kg_sparql_star_unbound(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_quant_path(sf_dir: str):
+    """Bounded path quantifier ``p{n,m}`` through the text layer
+    (VERDICT r4 order #3): ``?e ex:broader{1,2} ?a`` over the synthetic
+    broader tree — pairs connected by exactly 1 or 2 hops, SET
+    semantics per pair, evaluated as the bounded level-join expansion
+    (level k = level k-1 ⋈ edges, distinct per level). Mirrored as the
+    1-hop ∪ 2-hop SQL join chain."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.sparql import sparql
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return sparql(tr, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?e ?a WHERE {{
+          ?e ex:broader{{1,2}} ?a .
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_negprop(sf_dir: str):
     """Negated property set (``!(p1|p2|p3)``) through the text layer:
     edges whose predicate is NONE of the named ones — lowers to a fresh
@@ -5187,6 +5227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_functional_check": q_kg_functional_check,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
+        "kg_sparql_quant_path": q_kg_sparql_quant_path,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -7012,6 +7053,21 @@ def _oracle_sql_base() -> dict[str, str]:
               (SELECT * FROM a1 UNION SELECT * FROM a2
                UNION SELECT * FROM a3 UNION SELECT * FROM a4
                UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+        """,
+        "kg_sparql_quant_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1),
+            h1 AS (SELECT child AS e, parent AS a FROM par),
+            h2 AS (SELECT p1.child AS e, p2.parent AS a FROM par p1
+                   JOIN par p2 ON p1.parent = p2.child)
+            SELECT DISTINCT e, a FROM
+              (SELECT * FROM h1 UNION SELECT * FROM h2)
         """,
         "kg_sparql_star_unbound": _TRIPLE_BASE_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + rf""",

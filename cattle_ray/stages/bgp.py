@@ -231,6 +231,152 @@ def _path_star_bindings(triples_ds, terms):
     return out, [name]
 
 
+_QUANT_RE = re.compile(r"^(.*)\{(\d+),(\d+)\}$")
+
+
+def _is_quant(term) -> bool:
+    return isinstance(term, str) and not _is_var(term) \
+        and _QUANT_RE.match(term) is not None
+
+
+def _path_quant_bindings(triples_ds, terms):
+    """Bounded path quantifier ``(s, "pred{n,m}", o)`` — pairs connected
+    by a ``pred`` chain of length k for some n ≤ k ≤ m, SET semantics
+    per (s, o) pair (a pair reachable at two lengths binds once; the
+    lowering would otherwise count hop decompositions). Evaluated as
+    the bounded sequence-path expansion: level k's pairs are level
+    k-1's co-partitioned-joined with the edge set, DISTINCT per level
+    (bounds growth), answer = distinct union of levels n..m — exactly
+    the n-hop SQL join chain, m is query-written and small. A constant
+    SUBJECT pushes into level 1 (every level then holds only paths
+    from it); a constant object filters the final union. ``n = 0``
+    adds zero-length rows, which requires a bound endpoint (the same
+    node-domain gate as ``p?``/``p*``); in a BGP a both-unbound
+    ``p{0,m}`` can instead be written ``p{1,m}`` plus the seeded-star
+    machinery. Below ``SMALL_CLOSURE_EDGES`` the expansion runs
+    in-process (same crossover rationale as transitive_closure)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .aggregates import distinct
+    from .graph import SMALL_CLOSURE_EDGES
+    from .joins import hash_join
+
+    s, p, o = terms[0], terms[1], terms[2]
+    g = terms[3] if len(terms) == 4 else None
+    if g is not None and (_is_var(g) or not isinstance(g, str)):
+        raise NotImplementedError(
+            "a path pattern's graph term must be a constant: the "
+            "expansion runs over ONE graph's edges")
+    m_ = _QUANT_RE.match(p)
+    base, lo, hi = m_.group(1), int(m_.group(2)), int(m_.group(3))
+    if hi < lo:
+        raise ValueError(f"path quantifier {{{lo},{hi}}}: max < min")
+    if hi == 0 or (lo == 0 and hi > 0 and base == ""):
+        raise ValueError(f"bad path quantifier in {p!r}")
+    s_bound = not _is_var(s)
+    o_bound = not _is_var(o)
+    if s_bound and o_bound:
+        raise ValueError(f"pattern {terms!r} binds no variable")
+    if lo == 0 and not (s_bound or o_bound):
+        raise NotImplementedError(
+            "p{0,m} with both endpoints unbound: the zero-length rows "
+            "range over the whole node domain — bind an endpoint or "
+            "use p{1,m}")
+
+    def edges(b: pa.Table) -> pa.Table:
+        msk = pc.equal(b["pred"], base)
+        if g is not None:
+            msk = pc.and_(msk, pc.equal(b["graph"], g))
+        b = b.filter(msk)
+        return pa.table({"subj": b["subj"], "obj": b["obj"]})
+
+    edge_ds = triples_ds.map_batches(edges, batch_format="pyarrow") \
+        .materialize()
+
+    def lvl1(e):
+        if s_bound:
+            seeds = list(s) if isinstance(s, (list, tuple, set)) else [s]
+            return e.filter(pc.is_in(e["subj"],
+                                     value_set=pa.array(seeds)))
+        return e
+
+    if edge_ds.count() <= SMALL_CLOSURE_EDGES:
+        e = pa.Table.from_pandas(edge_ds.to_pandas(),
+                                 preserve_index=False)
+        lv = lvl1(e).to_pandas().drop_duplicates()
+        seen = []
+        if lo == 0:
+            const = s if s_bound else o
+            seeds = sorted(set(
+                const if isinstance(const, (list, tuple, set))
+                else [const]))
+            seen.append(pd.DataFrame({"subj": seeds, "obj": seeds}))
+        ep = e.to_pandas()
+        for k in range(1, hi + 1):
+            if k >= max(lo, 1):
+                seen.append(lv)
+            if k == hi:
+                break
+            lv = lv.merge(ep, left_on="obj", right_on="subj",
+                          suffixes=("", "_r"))[["subj", "obj_r"]] \
+                .rename(columns={"obj_r": "obj"}).drop_duplicates()
+        pairs_pd = pd.concat(seen, ignore_index=True).drop_duplicates()
+        pairs = rd.from_pandas(pairs_pd.reset_index(drop=True))
+    else:
+        lv = distinct(edge_ds.map_batches(lvl1, batch_format="pyarrow"),
+                      ["subj", "obj"]).materialize()
+        levels = []
+        if lo == 0:
+            const = s if s_bound else o
+            seeds = sorted(set(
+                const if isinstance(const, (list, tuple, set))
+                else [const]))
+            levels.append(rd.from_arrow(pa.table(
+                {"subj": pa.array(seeds, pa.string()),
+                 "obj": pa.array(seeds, pa.string())})))
+        for k in range(1, hi + 1):
+            if k >= max(lo, 1):
+                levels.append(lv)
+            if k == hi:
+                break
+            stepped = hash_join(lv, edge_ds, "obj", "subj")
+            lv = distinct(stepped.map_batches(
+                lambda b: pa.table({"subj": b["subj"],
+                                    "obj": b["obj_r"]}),
+                batch_format="pyarrow"), ["subj", "obj"]).materialize()
+        out = levels[0]
+        for more in levels[1:]:
+            out = out.union(more)
+        pairs = distinct(out, ["subj", "obj"])
+
+    out_vars: list[str] = []
+    for term in (s, o):
+        if _is_var(term) and term[1:] not in out_vars:
+            out_vars.append(term[1:])
+
+    def project(b: pa.Table) -> pa.Table:
+        mask = None
+        for col, term in (("subj", s), ("obj", o)):
+            if not _is_var(term):
+                c = (pc.is_in(b[col], value_set=pa.array(list(term)))
+                     if isinstance(term, (list, tuple, set))
+                     else pc.equal(b[col], term))
+                mask = c if mask is None else pc.and_(mask, c)
+        if _is_var(s) and s == o:
+            c = pc.equal(b["subj"], b["obj"])
+            mask = c if mask is None else pc.and_(mask, c)
+        if mask is not None:
+            b = b.filter(mask)
+        cols = {}
+        for col, term in (("subj", s), ("obj", o)):
+            if _is_var(term) and term[1:] not in cols:
+                cols[term[1:]] = b[col]
+        return pa.table(cols)
+
+    return pairs.map_batches(project, batch_format="pyarrow"), out_vars
+
+
 def _path_opt_bindings(triples_ds, terms):
     """ZeroOrOnePath ``(s, "pred?", o)`` with a CONSTANT endpoint: the
     bindings are exactly ``{seed} ∪ one-hop(seed)`` — no traversal at
@@ -346,10 +492,11 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
         # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
         terms = [terms[2], p[1:], terms[0]] + terms[3:]
         p = terms[1]
-    if _is_star(p) or _is_opt_path(p):
+    if _is_star(p) or _is_opt_path(p) or _is_quant(p):
         # bound-endpoint ZeroOrMorePath runs as directed BFS (ZeroOrOne
-        # as identity ∪ one vectorized hop); the both-unbound case
-        # raises inside with the identity rationale
+        # as identity ∪ one vectorized hop; p{n,m} as the bounded
+        # level-join expansion); the both-unbound zero-length cases
+        # raise inside with the identity rationale
         obj_term = terms[2]
         if isinstance(obj_term, str) and _is_var(obj_term) \
                 and (annotations or {}).get(obj_term):
@@ -357,6 +504,8 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
                 "LANG()/DATATYPE() over a property-path object is not "
                 "supported: the traversal composes edges and has no "
                 "single source row")
+        if _is_quant(p):
+            return _path_quant_bindings(triples_ds, terms)
         if _is_star(p):
             return _path_star_bindings(triples_ds, terms)
         return _path_opt_bindings(triples_ds, terms)
@@ -524,7 +673,11 @@ def _estimate_rows(p, stats) -> float:
     if isinstance(pr, (list, tuple, set)):
         base = sum(float(counts.get(x, avg)) for x in pr)
     elif isinstance(pr, str) and not _is_var(pr):
-        base = float(counts.get(pr.lstrip("^").rstrip("+*?"), avg))
+        stripped = pr.lstrip("^")
+        qm = _QUANT_RE.match(stripped)
+        if qm is not None:
+            stripped = qm.group(1)
+        base = float(counts.get(stripped.rstrip("+*?"), avg))
     else:
         base = n_total
     others = sum(1 for i, t in enumerate(p) if i != 1 and not _is_var(t))
@@ -1660,12 +1813,14 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
             p = p[1:]  # inverse path scans the same predicate's rows
-        if _is_path(p) or _is_star(p) or _is_opt_path(p):
+        if _is_path(p) or _is_star(p) or _is_opt_path(p) or _is_quant(p):
             # path pattern: scan ONLY the base predicate's rows (pred
             # pushdown, plus the graph scope when constant); endpoint
             # constants filter the closure/traversal, not the scan —
             # intermediate hops must all be present
-            kw = {"pred": p[:-1]}
+            base_p = _QUANT_RE.match(p).group(1) if _is_quant(p) \
+                else p[:-1]
+            kw = {"pred": base_p}
             if len(pattern) == 4 and isinstance(pattern[3], str) \
                     and not _is_var(pattern[3]):
                 kw["graph"] = pattern[3]

@@ -289,6 +289,41 @@ class _Parser:
             # gate as * (zero-length rows range over the node domain)
             self.next()
             p += "?"
+        elif self.at_op("{"):
+            # bounded quantifier p{n,m} / p{n} (a widely-used extension
+            # — dropped from the final SPARQL 1.1 grammar but common in
+            # practice): lowers to the engine's bounded level-join
+            # expansion with SET semantics per (s, o) pair. {n,}
+            # (unbounded) is rejected — that's p+ / p* territory.
+            self.next()
+            k, v = self.next()
+            if k != "NUM" or not v.isdigit():
+                raise SparqlSyntaxError(
+                    f"path quantifier expects a non-negative integer, "
+                    f"got {v!r}")
+            lo = int(v)
+            hi = lo
+            if self.at_op(","):
+                self.next()
+                if self.at_op("}"):
+                    raise SparqlSyntaxError(
+                        "unbounded path quantifier {n,} is not "
+                        "supported — use p+ (or p* with a bound "
+                        "endpoint)")
+                k, v = self.next()
+                if k != "NUM" or not v.isdigit():
+                    raise SparqlSyntaxError(
+                        f"path quantifier expects a non-negative "
+                        f"integer, got {v!r}")
+                hi = int(v)
+            self.eat_op("}")
+            if hi < lo:
+                raise SparqlSyntaxError(
+                    f"path quantifier {{{lo},{hi}}}: max < min")
+            if hi == 0:
+                raise SparqlSyntaxError(
+                    "path quantifier {0,0} is the empty path")
+            p += f"{{{lo},{hi}}}"
         if inv:
             p = "^" + p
         return p
@@ -309,7 +344,8 @@ class _Parser:
         p = self._path_elt()
         if self.at_op("|"):
             if not isinstance(p, str) or "+" in p or p.endswith("*") \
-                    or p.endswith("?") or p.startswith("^"):
+                    or p.endswith("?") or p.endswith("}") \
+                    or p.startswith("^"):
                 raise SparqlSyntaxError(
                     "path alternatives must be plain IRIs (no ^/+/! "
                     "inside p1|p2)")

@@ -1210,3 +1210,54 @@ def test_star_unbound_over_store(ray_session, tmp_path):
     ).to_pandas()
     assert sorted(zip(out["c"], out["r"])) == sorted(
         [("c1", "c1"), ("c1", "c2"), ("c1", "c3"), ("c3", "c3")])
+
+
+def test_path_quantifier_bounds(ray_session):
+    """p{n,m}: pairs connected by n..m hops, SET semantics per pair;
+    constant subject pushes into level 1; {0,1} adds the identity row;
+    inverse composes; forced-distributed expansion agrees."""
+    import ray.data as rd
+
+    import cattle_ray.stages.graph as graph
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    rows = [("c1", "b", "c2"), ("c2", "b", "c3"), ("c3", "b", "c4"),
+            ("c4", "b", "c5"), ("c2", "b", "c6"), ("c6", "b", "c4")]
+    ds = rd.from_arrow(_triples(rows)).repartition(2)
+    out = evaluate_bgp(ds, [("c1", "b{2,3}", "?x")]).to_pandas()
+    assert sorted(out["x"]) == ["c3", "c4", "c6"]
+    out2 = evaluate_bgp(ds, [("?a", "b{2,2}", "?x")]).to_pandas()
+    assert sorted(zip(out2["a"], out2["x"])) == [
+        ("c1", "c3"), ("c1", "c6"), ("c2", "c4"), ("c3", "c5"),
+        ("c6", "c5")]
+    out3 = evaluate_bgp(ds, [("c1", "b{0,1}", "?x")]).to_pandas()
+    assert sorted(out3["x"]) == ["c1", "c2"]
+    # inverse: ?x ^b{2,2} c4 ≡ c4 b{2,2} ?x — c4 has no 2-hop out-path
+    assert evaluate_bgp(ds, [("?x", "^b{2,2}", "c4")]).count() == 0
+    old = graph.SMALL_CLOSURE_EDGES
+    try:
+        graph.SMALL_CLOSURE_EDGES = 0
+        outd = evaluate_bgp(ds, [("c1", "b{2,3}", "?x")]).to_pandas()
+    finally:
+        graph.SMALL_CLOSURE_EDGES = old
+    assert sorted(outd["x"]) == ["c3", "c4", "c6"]
+
+
+def test_path_quantifier_gates(ray_session):
+    """{0,m} both-unbound raises the node-domain rationale; bad bounds
+    raise; the textual layer parses p{n,m} and rejects {n,}."""
+    import ray.data as rd
+    from cattle_ray.stages.bgp import evaluate_bgp
+    from cattle_ray.stages.sparql import SparqlSyntaxError, sparql
+
+    ds = rd.from_arrow(_triples([("c1", "b", "c2")]))
+    with pytest.raises(NotImplementedError, match="node domain"):
+        evaluate_bgp(ds, [("?a", "b{0,2}", "?x")]).count()
+    with pytest.raises(ValueError, match="max < min"):
+        evaluate_bgp(ds, [("c1", "b{3,2}", "?x")]).count()
+    out = sparql(ds, "SELECT ?x WHERE { <c1> <b>{1,2} ?x . }").to_pandas()
+    assert sorted(out["x"]) == ["c2"]
+    with pytest.raises(SparqlSyntaxError, match="unbounded"):
+        sparql(ds, "SELECT ?x WHERE { <c1> <b>{1,} ?x . }")
+    with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
+        sparql(ds, "SELECT ?x WHERE { <c1> <b>{1,2}|<c> ?x . }")
