@@ -4401,6 +4401,41 @@ def q_kg_federated(sf_dir: str):
         select=["?s", "?e", "?r"], num_buckets=8)
 
 
+def q_kg_sparql_service(sf_dir: str):
+    """Textual SPARQL federation (VERDICT r4 order #9): the corpus
+    split by PREDICATE into two stores (entity facts vs rank facts —
+    a subject-vertical layout), then ``SERVICE <store:dir> {…}``
+    evaluates its group against the OTHER store and joins the finished
+    bindings onto the outer solutions on the shared variable — the
+    engine's multi-store machinery driven from query text. The split
+    is a partition, so the result equals the one-corpus join — the
+    same mirror as kg_federated."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.sparql import sparql
+
+    triples = q_kg_csvw_triples(sf_dir).materialize()
+    dirs = []
+    for pred in ("entity", "rank"):
+        out_dir = tempfile.mkdtemp(prefix=f"kg_svc_{pred}_", dir="/tmp")
+        shutil.rmtree(out_dir)
+        write_triples_hash_partitioned(
+            triples.filter(expr=f"pred == '{EX}{pred}'"),
+            out_dir, num_partitions=4)
+        dirs.append(out_dir)
+    return sparql(dirs[0], f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?e ?r WHERE {{
+          ?s ex:entity ?e .
+          SERVICE <store:{dirs[1]}> {{ ?s ex:rank ?r . }}
+        }}""", num_buckets=8)
+
+
 def q_kg_sameas_rewrite(sf_dir: str):
     """owl:sameAs canonicalization (stages/reason.py): every doc subject
     has 3 row-variants ``…#t0/r{1,2,3}``; synthetic sameAs CHAIN edges
@@ -5224,6 +5259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,
+        "kg_sparql_service": q_kg_sparql_service,
         "kg_functional_check": q_kg_functional_check,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
@@ -7195,6 +7231,13 @@ def _oracle_sql_base() -> dict[str, str]:
             HAVING count(DISTINCT obj) > 1
         """,
         "kg_federated": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT subj AS s, e, r FROM en JOIN rk USING (subj)
+        """,
+        "kg_sparql_service": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples
                    WHERE pred = '{EX}entity'),
             rk AS (SELECT subj, obj AS r FROM triples

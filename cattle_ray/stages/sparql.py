@@ -651,9 +651,32 @@ class _Parser:
         self.eat_op("{")
         out: dict = {"patterns": [], "optional": [], "minus": [],
                      "exists": [], "union": None, "values": None,
-                     "bind": [], "filters": [], "subselects": []}
+                     "bind": [], "filters": [], "subselects": [],
+                     "services": []}
         while not self.at_op("}"):
-            if self.at_kw("OPTIONAL"):
+            if self.at_kw("SERVICE"):
+                # SERVICE [SILENT] <store:dir> { … } — federation to
+                # another partitioned STORE (the engine's multi-store
+                # machinery; remote HTTP endpoints are out of scope).
+                # The group evaluates against that store and joins onto
+                # the outer bindings on shared variables; SILENT turns a
+                # failed/missing store into the join identity (SPARQL's
+                # one-empty-solution semantics)
+                self.next()
+                silent = False
+                if self.at_kw("SILENT"):
+                    self.next()
+                    silent = True
+                k, v = self.next()
+                if k != "IRI":
+                    raise SparqlSyntaxError(
+                        "SERVICE expects an <iri> endpoint (use the "
+                        "full <store:dir> form)")
+                out["services"].append(
+                    (v[1:-1],
+                     self._subpatterns("SERVICE", allow_filters=True),
+                     silent))
+            elif self.at_kw("OPTIONAL"):
                 self.next()
                 out["optional"].append(
                     self._subpatterns("OPTIONAL", allow_filters=True))
@@ -732,7 +755,8 @@ class _Parser:
         filters constrain the group's solutions before they meet the
         outer bindings, SPARQL's LeftJoin-condition reading)."""
         sub = self.group()
-        banned = ["optional", "minus", "exists", "bind", "subselects"]
+        banned = ["optional", "minus", "exists", "bind", "subselects",
+                  "services"]
         if not allow_filters:
             banned.append("filters")
         extra = [k for k in banned if sub[k]]
@@ -1401,6 +1425,10 @@ def _run_update_op(store_dir: str, u: dict, num_buckets: int):
                 "inserted": 0, "generation": store_generation(store_dir)}
 
     g = u["where"]
+    if g.get("services"):
+        raise SparqlSyntaxError(
+            "SERVICE in an UPDATE WHERE is not supported — updates "
+            "mutate ONE store; query the federation first, then update")
     kw = {k: v for k, v in (("optional", g["optional"] or None),
                             ("minus", g["minus"] or None),
                             ("exists", g["exists"] or None),
@@ -1580,6 +1608,10 @@ def sparql(source, text: str, *, num_buckets: int = 32,
     # which joins them on shared variables
 
     def eval_select(ast):
+        if ast.get("services"):
+            raise SparqlSyntaxError(
+                "SERVICE inside a subquery is not supported — lift it "
+                "to the outer group")
         skw = _lower(ast)
         inner = [(eval_select(i), list(i["select"]))
                  for i in ast.get("subselects") or []]
@@ -1595,6 +1627,37 @@ def sparql(source, text: str, *, num_buckets: int = 32,
 
     subs = [(eval_select(sq), list(sq["select"]))
             for sq in q.get("subselects") or []]
+    for iri, grp, silent in q.get("services") or []:
+        # SERVICE <store:dir> { … }: the group evaluates against THAT
+        # store (read-pruned scans, its own stats-ordered plan) and the
+        # finished bindings join onto the outer solutions on shared
+        # variables — the same machinery as subqueries. SILENT failure
+        # is the SPARQL join identity (one empty solution): skip the
+        # join entirely
+        if not iri.startswith("store:"):
+            raise ValueError(
+                f"SERVICE endpoint {iri!r}: only <store:dir> endpoints "
+                "are supported — this engine federates partitioned "
+                "triple stores, not remote HTTP endpoints")
+        sdir = iri[len("store:"):]
+        grp_pats = grp["patterns"] if isinstance(grp, dict) else grp
+        grp_filters = grp.get("filters") if isinstance(grp, dict) \
+            else None
+        svars: list[str] = []
+        for p_ in grp_pats:
+            for t in p_:
+                if isinstance(t, str) and t.startswith("?") \
+                        and t not in svars:
+                    svars.append(t)
+        try:
+            sbind = evaluate_bgp_store(
+                sdir, grp_pats, filters=grp_filters,
+                num_buckets=num_buckets, reorder=reorder)
+        except (FileNotFoundError, OSError, ValueError):
+            if silent:
+                continue
+            raise
+        subs.append((sbind, svars))
     if subs:
         kw["subselects"] = subs
     if _is_store_source(source):

@@ -848,3 +848,49 @@ def test_text_order_by_numeric_cast_expression(ray_session):
         SELECT ?d WHERE { ?d ex:rank ?r . }
         ORDER BY DESC(xsd:integer(?r)) LIMIT 1""").to_pandas()
     assert list(out["d"]) == ["b"]
+
+
+def test_text_service_store_federation(ray_session, tmp_path):
+    """SERVICE <store:dir> { … }: the group evaluates against THAT store
+    and joins onto the outer bindings on the shared variable; SILENT on
+    a missing store is the join identity; SERVICE in a subquery and in
+    an UPDATE WHERE are rejected."""
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.sparql import SparqlSyntaxError, sparql_update
+
+    main = str(tmp_path / "main")
+    other = str(tmp_path / "other")
+    write_triples_hash_partitioned(_ds(), main, num_partitions=2)
+    import ray.data as rd
+
+    write_triples_hash_partitioned(
+        rd.from_arrow(pa.table({
+            "subj": ["a", "b", "zz"],
+            "pred": [EX + "score"] * 3,
+            "obj": ["9", "3", "7"]})), other, num_partitions=2)
+    out = sparql(main, P + f"""SELECT ?d ?s WHERE {{
+        ?d ex:type "Doc" .
+        SERVICE <store:{other}> {{ ?d ex:score ?s . }}
+        }} ORDER BY ?d""").to_pandas()
+    assert out.values.tolist() == [["a", "9"], ["b", "3"]]
+    # SILENT missing store → join identity; non-SILENT raises
+    out2 = sparql(main, P + """SELECT ?d WHERE {
+        ?d ex:type "Doc" .
+        SERVICE SILENT <store:/nonexistent/nope> { ?d ex:score ?s . }
+        } ORDER BY ?d""").to_pandas()
+    assert out2["d"].tolist() == ["a", "b"]
+    with pytest.raises((FileNotFoundError, OSError)):
+        sparql(main, P + """SELECT ?d WHERE {
+            ?d ex:type "Doc" .
+            SERVICE <store:/nonexistent/nope> { ?d ex:score ?s . }
+            }""")
+    # non-store endpoints rejected
+    with pytest.raises(ValueError, match="store"):
+        sparql(main, P + """SELECT ?d WHERE {
+            ?d ex:type "Doc" .
+            SERVICE <http://remote/sparql> { ?d ex:score ?s . }
+            }""")
+    with pytest.raises(SparqlSyntaxError, match="UPDATE WHERE"):
+        sparql_update(main, P + f"""DELETE {{ ?d ex:type "Doc" . }}
+            WHERE {{ SERVICE <store:{other}> {{ ?d ex:score ?s . }} }}""")
