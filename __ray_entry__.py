@@ -4857,6 +4857,46 @@ def q_kg_bgp_obj_route(sf_dir: str):
         obj_index_dir=idx_dir, num_buckets=4)
 
 
+def q_kg_federated_obj_route(sf_dir: str):
+    """Per-store obj-index routing in a FEDERATED query (VERDICT r4
+    order #7): the corpus splits into two subject-parity stores, each
+    gets its own obj-routed secondary index, and the obj-bound pattern
+    routes EACH store's scan to ITS index's 1/P point read (the rank
+    pattern still scans each primary with pred pushdown). The split is
+    a partition, so the mirror is kg_bgp_obj_route's whole-corpus
+    join; the partitions-not-opened proof lives in
+    tests/test_bgp.py::test_obj_index_routing_federated."""
+    import shutil
+    import tempfile
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    triples = q_kg_csvw_triples(sf_dir).materialize()
+    dirs, idxs = [], []
+    for parity in (0, 1):
+        def pick(b: pa.Table, parity=parity) -> pa.Table:
+            last = pc.utf8_slice_codeunits(b["subj"], start=-1)
+            d = pc.cast(last, pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(d, 1), parity))
+
+        out_dir = tempfile.mkdtemp(prefix=f"kg_fedidx_{parity}_",
+                                   dir="/tmp")
+        shutil.rmtree(out_dir)
+        write_triples_hash_partitioned(
+            triples.map_batches(pick, batch_format="pyarrow"),
+            out_dir, num_partitions=4)
+        idx_dir = out_dir + "_idx"
+        build_secondary_index(out_dir, idx_dir, key="obj")
+        dirs.append(out_dir)
+        idxs.append(idx_dir)
+    ent = "https://example.org/id/entity/Entity7"
+    return evaluate_bgp_store(
+        dirs, [("?s", EX + "entity", ent), ("?s", EX + "rank", "?r")],
+        obj_index_dir=idxs, num_buckets=4)
+
+
 def q_kg_bgp_union(sf_dir: str):
     """SPARQL UNION (``{ ?s rank ?r } UNION { ?s score ?v }``): branch
     solutions concatenate with NULL for the variable the other branch
@@ -5260,6 +5300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,
         "kg_sparql_service": q_kg_sparql_service,
+        "kg_federated_obj_route": q_kg_federated_obj_route,
         "kg_functional_check": q_kg_functional_check,
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
@@ -7002,6 +7043,14 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY total DESC, e LIMIT 25
         """,
         "kg_bgp_obj_route": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj AS s FROM triples
+                   WHERE pred = '{EX}entity'
+                     AND obj = 'https://example.org/id/entity/Entity7'),
+            rk AS (SELECT subj AS s, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT s, r FROM en JOIN rk USING (s)
+        """,
+        "kg_federated_obj_route": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj AS s FROM triples
                    WHERE pred = '{EX}entity'
                      AND obj = 'https://example.org/id/entity/Entity7'),

@@ -1782,15 +1782,30 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
     stores = [store_dir] if isinstance(store_dir, str) else list(store_dir)
     if not stores:
         raise ValueError("no store directories")
-    if len(stores) > 1 and obj_index_dir is not None:
-        raise ValueError(
-            "obj_index_dir applies to a single store — a federated "
-            "query cannot know which store an index serves; build one "
-            "index per store and query them separately, or drop the "
-            "index")
-    use_index = None
-    if obj_index_dir is not None and not index_is_stale(obj_index_dir):
-        use_index = obj_index_dir
+    # obj_index_dir: one dir (single store), or a LIST aligned with the
+    # store list (None entries allowed — an index-less store in a
+    # federation just scans its primary), so the 1/P obj point read
+    # survives multi-store queries. Each index is consulted only when
+    # FRESH; a stale one silently falls back to its primary.
+    if obj_index_dir is None:
+        idx_dirs: "list[str | None]" = [None] * len(stores)
+    elif isinstance(obj_index_dir, str):
+        if len(stores) > 1:
+            raise ValueError(
+                "a federated query needs one obj_index_dir PER store "
+                "(a list aligned with the store list, None where a "
+                "store has no index) — a single directory cannot say "
+                "which store it serves")
+        idx_dirs = [obj_index_dir]
+    else:
+        idx_dirs = list(obj_index_dir)
+        if len(idx_dirs) != len(stores):
+            raise ValueError(
+                f"obj_index_dir list has {len(idx_dirs)} entries for "
+                f"{len(stores)} stores — align them (None where a "
+                "store has no index)")
+    use_index = [d if d is not None and not index_is_stale(d) else None
+                 for d in idx_dirs]
 
     # constant propagation: a top-level FILTER(?v = "const") makes ?v a
     # constant for every REQUIRED pattern's SCAN — the equality pushes
@@ -1808,7 +1823,7 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
                 eq_consts[var] = val
     required_pats = {id(p) for p in patterns}
 
-    def one_store(sdir, pattern):
+    def one_store(sdir, pattern, idx=None):
         pos = _pos_for(pattern)
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
@@ -1844,15 +1859,15 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         # secondary index → the 1/P point read it was built for
         # (subj-bound patterns already point-read the primary)
         src = sdir
-        if use_index is not None and "obj" in consts \
+        if idx is not None and "obj" in consts \
                 and "subj" not in consts:
-            src = use_index
+            src = idx
         return match_triples(src, **consts)
 
     def stream_for(pattern):
         parts = []
-        for sdir in stores:
-            got = one_store(sdir, pattern)
+        for sdir, idx in zip(stores, use_index):
+            got = one_store(sdir, pattern, idx)
             if isinstance(got, pa.Table):  # point read → tiny in-memory
                 got = rd.from_arrow(got)
             parts.append(got)

@@ -1119,12 +1119,72 @@ def test_federated_store_query(ray_session, tmp_path):
                  "SELECT DISTINCT ?d WHERE { ?d <about> ?e . }") \
         .to_pandas()
     assert sorted(txt["d"]) == ["a", "b"]
-    # index + federation rejected
+    # a single index dir can't say which store it serves — federation
+    # takes a PER-store list (and it must align)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="single store"):
+    with _pytest.raises(ValueError, match="PER store"):
         evaluate_bgp_store([str(d1), str(d2)], [("?d", "type", "?t")],
                            obj_index_dir=str(d1))
+    with _pytest.raises(ValueError, match="align"):
+        evaluate_bgp_store([str(d1), str(d2)], [("?d", "type", "?t")],
+                           obj_index_dir=[str(d1)])
+
+
+def test_obj_index_routing_federated(ray_session, tmp_path):
+    """Per-store obj indexes in a FEDERATED query: each store's
+    obj-bound scan routes to ITS index's 1/P point read (proven by
+    deleting both primaries' data files); None entries scan their
+    primary; DESCRIBE rides the same path."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import (
+        build_secondary_index, write_triples_hash_partitioned)
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+    from cattle_ray.stages.sparql import sparql
+
+    stores, idxs = [], []
+    for i, rows in enumerate(([("a", "about", "E1"),
+                               ("c", "about", "E1")],
+                              [("z", "about", "E1"),
+                               ("z", "about", "E2")])):
+        s = str(tmp_path / f"fed{i}")
+        ix = str(tmp_path / f"fedidx{i}")
+        write_triples_hash_partitioned(rd.from_arrow(_triples(rows)), s,
+                                       num_partitions=4)
+        build_secondary_index(s, ix, key="obj")
+        stores.append(s)
+        idxs.append(ix)
+    pats = [("?d", "about", "E1")]
+    got = evaluate_bgp_store(stores, pats,
+                             obj_index_dir=idxs).to_pandas()
+    assert sorted(got["d"]) == ["a", "c", "z"]
+    # federated DESCRIBE through the text layer, same per-store routing
+    # (its outgoing-arcs pattern still scans the primaries, so run it
+    # before the deletion proof below)
+    desc = sparql(stores, "DESCRIBE ?d WHERE { ?d <about> <E2> . }",
+                  obj_index_dir=idxs).to_pandas()
+    assert sorted(zip(desc["subj"], desc["obj"])) == [
+        ("z", "E1"), ("z", "E2")]
+    # both primaries' data files removed: only the indexes can answer
+    for s in stores:
+        for f in glob.glob(f"{s}/part_id=*/data.parquet"):
+            os.remove(f)
+    got2 = evaluate_bgp_store(stores, pats,
+                              obj_index_dir=idxs).to_pandas()
+    assert sorted(got2["d"]) == ["a", "c", "z"]
+    # a None entry scans its primary: fresh index-less store 0 beside
+    # the gutted-but-indexed store 1
+    s0 = str(tmp_path / "fed_plain")
+    write_triples_hash_partitioned(
+        rd.from_arrow(_triples([("a", "about", "E1")])), s0,
+        num_partitions=2)
+    got3 = evaluate_bgp_store([s0, stores[1]], pats,
+                              obj_index_dir=[None, idxs[1]]).to_pandas()
+    assert sorted(got3["d"]) == ["a", "z"]
 
 
 def test_star_unbound_seeded_by_sibling_pattern(ray_session):
