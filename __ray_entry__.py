@@ -550,6 +550,23 @@ def q_doc_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
+def q_doc_simhash_exact(sf_dir: str):
+    """The hash-CHECKABLE face of SimHash dedup (VERDICT r4 order #5):
+    signatures use the md5 token hash (= DuckDB ``md5_number_lower``)
+    over DISTINCT tokens, so signature AND pair set mirror one-to-one
+    in SQL; banding recall is EXACT for hamming ≤ 3 by pigeonhole (4
+    bands), so the banded engine result equals the oracle's all-pairs
+    scan. Subset doc_id < 60 bounds the oracle's quadratic join; the
+    engine side runs the real banded machinery."""
+    from cattle_ray.stages.dedup import simhash_pairs
+
+    sub = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 60)),
+        batch_format="pyarrow")
+    return simhash_pairs(sub, max_hamming=3, hasher="md5",
+                         num_buckets=8)
+
+
 def q_doc_jaccard(sf_dir: str):
     """Exact unigram Jaccard over the doc_id<60 subset (token-join form)."""
     from cattle_ray.stages.dedup import jaccard_pairs
@@ -1201,6 +1218,25 @@ def q_doc_corpus_dedup(sf_dir: str):
 
     out = dedup_corpus(_docs(sf_dir, ["doc_id", "text"]), threshold=0.9)
     return out.map_batches(lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+
+
+def q_doc_corpus_dedup_verified(sf_dir: str):
+    """The hash-CHECKABLE face of corpus dedup (VERDICT r4 order #5):
+    ``dedup_corpus(verify=True)`` re-checks every LSH candidate pair by
+    EXACT unigram Jaccard, so the clusters are connected components of
+    the true-Jaccard graph and the kept set (min-id representative per
+    component + every untouched doc) mirrors one-to-one in SQL —
+    recursive-CTE min-label components over the exact pair set. Subset
+    doc_id < 100 bounds the oracle's all-pairs token join."""
+    from cattle_ray.stages.dedup import dedup_corpus
+
+    sub = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.less(b["doc_id"], 100)),
+        batch_format="pyarrow")
+    out = dedup_corpus(sub, threshold=0.9, ngram=1, num_buckets=8,
+                       verify=True)
+    return out.map_batches(lambda b: b.select(["doc_id"]),
+                           batch_format="pyarrow")
 
 
 def q_doc_repetition(sf_dir: str):
@@ -5141,6 +5177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": q_doc_minhash_pairs,
         "doc_minhash_verified": q_doc_minhash_verified,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "doc_simhash_exact": q_doc_simhash_exact,
+        "doc_corpus_dedup_verified": q_doc_corpus_dedup_verified,
         "doc_jaccard": q_doc_jaccard,
         "embed_knn": q_embed_knn,
         "embed_knn_ivf": q_embed_knn_ivf,
@@ -6310,6 +6348,61 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(i.intersection AS DOUBLE) / (sa.sz + sb.sz - i.intersection) AS jaccard
             FROM inter i JOIN sizes sa ON i.a = sa.doc_id JOIN sizes sb ON i.b = sb.doc_id
             WHERE CAST(i.intersection AS DOUBLE) / (sa.sz + sb.sz - i.intersection) >= 0.9
+        """,
+        "doc_corpus_dedup_verified": r"""
+            WITH RECURSIVE toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 100),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     CAST(count(*) AS BIGINT) AS i
+              FROM toks a JOIN toks b
+                ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes sa ON i.a = sa.doc_id
+              JOIN sizes sb ON i.b = sb.doc_id
+              WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.9),
+            edges AS (SELECT a AS x, b AS y FROM pairs
+                      UNION ALL SELECT b, a FROM pairs),
+            reach(id, r) AS (
+              SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+              UNION
+              SELECT e.y, reach.r FROM reach
+              JOIN edges e ON e.x = reach.id),
+            lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id < 100
+              AND doc_id NOT IN (SELECT id FROM lab WHERE id <> label)
+        """,
+        "doc_simhash_exact": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 60),
+            th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+            nsz AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+            bits AS (
+              SELECT t.doc_id, b.bit,
+                     SUM(CASE WHEN (t.h >> CAST(b.bit AS UBIGINT))
+                              & 1 = 1 THEN 1 ELSE 0 END) AS ones
+              FROM th t, (SELECT range AS bit FROM range(0, 64)) b
+              GROUP BY t.doc_id, b.bit),
+            sig AS (
+              -- HUGEINT shift: DuckDB's UBIGINT << overflows at bit 63
+              SELECT bits.doc_id,
+                     CAST(SUM(CASE WHEN 2 * ones > n
+                              THEN CAST(1 AS HUGEINT) << bit
+                              ELSE CAST(0 AS HUGEINT) END)
+                          AS UBIGINT) AS s
+              FROM bits JOIN nsz ON bits.doc_id = nsz.doc_id
+              GROUP BY bits.doc_id)
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.s, y.s)) AS BIGINT) AS hamming
+            FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.s, y.s)) <= 3
         """,
         "doc_jaccard": r"""
             WITH toks AS (

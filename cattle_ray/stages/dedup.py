@@ -664,7 +664,8 @@ def connected_components_distributed(pairs_ds, max_iters: int = 20,
 
 
 def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
-                 num_buckets=64, drop_broadcast_max: int = 2_000_000):
+                 num_buckets=64, drop_broadcast_max: int = 2_000_000,
+                 verify: bool = False):
     """End-to-end training-corpus near-dedup: MinHash-LSH pairs → connected
     components → drop every doc that is not its cluster's min-id
     representative. Returns the filtered Dataset (exact duplicates collapse
@@ -678,12 +679,26 @@ def dedup_corpus(ds, id_col="doc_id", text_col="text", threshold=0.85, ngram=3,
     falls through to the fully distributed bucketed anti-join, so the driver
     can never OOM either way. ``drop_broadcast_max=0`` forces the
     distributed path (used by the no-driver-collection test).
+
+    ``verify=True`` swaps the estimate-based pair set for
+    :func:`minhash_verified_pairs` (LSH candidates re-checked by EXACT
+    n-gram Jaccard): the clusters are then connected components of the
+    true-Jaccard graph, so the kept set mirrors one-to-one in SQL
+    (recursive-CTE components over the exact pair set) — the
+    hash-checkable face of corpus dedup. Costs the verification pass's
+    extra token join over candidate docs only.
     """
     from .joins import semi_join
 
-    pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
-                                threshold=threshold, ngram=ngram,
-                                num_buckets=num_buckets)
+    if verify:
+        pairs = minhash_verified_pairs(
+            ds, id_col=id_col, text_col=text_col, threshold=threshold,
+            ngram=ngram, num_buckets=num_buckets).map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    else:
+        pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col,
+                                    threshold=threshold, ngram=ngram,
+                                    num_buckets=num_buckets)
     labels = connected_components_distributed(pairs)  # buckets auto-scale
     # drop set stays a Dataset end-to-end: every non-representative id
     drop = labels.map_batches(
@@ -758,14 +773,54 @@ def add_simhash(batch: pa.Table, text_col="text", out_col="simhash") -> pa.Table
     return batch.append_column(out_col, pa.array(np.array(vals, dtype=np.uint64)))
 
 
+def add_simhash_md5(batch: pa.Table, text_col="text",
+                    out_col="simhash") -> pa.Table:
+    """SQL-CHECKABLE SimHash variant: DISTINCT whitespace tokens, token
+    hash = little-endian bytes 8..16 of md5(token) — bit-identical to
+    DuckDB's ``md5_number_lower(token)``, so the 64-bit signature (and
+    every hamming distance over it) mirrors one-to-one in SQL. Bit b of
+    the signature is 1 iff strictly more than half the doc's distinct
+    tokens have bit b set (``2·ones > n``; ties → 0, same as SQL's
+    ``SUM(±1) > 0``). The production path stays :func:`add_simhash`
+    (polars-xxhash, count-weighted) — this variant trades hash speed
+    for oracle checkability (VERDICT r4 order #5)."""
+    import hashlib
+    import struct
+
+    cache: dict = {}
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(batch), np.uint64)
+    for row, t in enumerate(batch[text_col].to_pylist()):
+        toks = sorted(set((t or "").split()))
+        if not toks:
+            continue
+        hs = np.empty(len(toks), np.uint64)
+        for i, tok in enumerate(toks):
+            h = cache.get(tok)
+            if h is None:
+                h = struct.unpack(
+                    "<Q", hashlib.md5(tok.encode()).digest()[8:])[0]
+                cache[tok] = h
+            hs[i] = h
+        ones = ((hs[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+        bits = (2 * ones > len(toks))
+        out[row] = np.bitwise_or.reduce(
+            bits.astype(np.uint64) << shifts)
+    return batch.append_column(out_col, pa.array(out))
+
+
 def simhash_pairs(ds, id_col="doc_id", text_col="text", max_hamming=3,
-                  num_buckets=64):
+                  num_buckets=64, hasher: str = "xxhash"):
     """Near-dup pairs by SimHash: 4×16-bit band buckets guarantee recall for
     Hamming ≤ 3 (pigeonhole); verify exact Hamming within band collision.
-    Shuffle key is the low-cardinality ``_bucket`` (see dedup_exact)."""
+    Shuffle key is the low-cardinality ``_bucket`` (see dedup_exact).
+    ``hasher="md5"`` switches to the SQL-checkable signature
+    (:func:`add_simhash_md5`) — same banding/verify machinery, oracle-
+    mirrorable output."""
+    add_sig = {"xxhash": add_simhash, "md5": add_simhash_md5}[hasher]
 
     def bands(batch: pa.Table) -> pa.Table:
-        batch = add_simhash(batch, text_col)
+        batch = add_sig(batch, text_col)
         ids = np.asarray(batch[id_col].to_pylist())
         hs = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
         n = len(ids)
