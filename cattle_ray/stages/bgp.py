@@ -377,6 +377,81 @@ def _path_quant_bindings(triples_ds, terms):
     return pairs.map_batches(project, batch_format="pyarrow"), out_vars
 
 
+def _is_group_path(term) -> bool:
+    return isinstance(term, tuple) and len(term) == 3 \
+        and term[0] in ("pseq", "palt")
+
+
+def _path_group_bindings(triples_ds, terms):
+    """Grouped property path ``(p1/p2)+`` / ``(p1|p2)*`` / ``(…){n,m}``:
+    the parenthesized body becomes ONE composite edge set — a sequence
+    chains per-element hops through co-partitioned joins (inverse ``^``
+    elements swap their hop), an alternative is a single ``is_in``
+    scan — and the modifier then reuses the EXISTING path machinery
+    verbatim over a synthetic single-predicate triple stream (the
+    closure/BFS/level-expansion kernels don't care where their edges
+    came from). Elements must be plain or inverse IRIs (no nested
+    modifiers — write the closure of a closure as two patterns).
+    Both-unbound gates are the delegated form's own (``+``/``{n,m}``
+    allow it; ``*``/``?`` demand a bound endpoint)."""
+    from .joins import hash_join
+
+    s, p, o = terms[0], terms[1], terms[2]
+    kind, elems, mod = p
+    g = terms[3] if len(terms) == 4 else None
+    if g is not None and (_is_var(g) or not isinstance(g, str)):
+        raise NotImplementedError(
+            "a path pattern's graph term must be a constant: the "
+            "composite edge set is computed over ONE graph's edges")
+
+    def hop(b: pa.Table, pred, inv: bool) -> pa.Table:
+        if isinstance(pred, (list, tuple)):
+            m = pc.is_in(b["pred"], value_set=pa.array(list(pred)))
+        else:
+            m = pc.equal(b["pred"], pred)
+        if g is not None:
+            m = pc.and_(m, pc.equal(b["graph"], g))
+        b = b.filter(m)
+        if inv:
+            return pa.table({"subj": b["obj"], "obj": b["subj"]})
+        return pa.table({"subj": b["subj"], "obj": b["obj"]})
+
+    if kind == "palt":
+        edges = triples_ds.map_batches(
+            lambda b: hop(b, list(elems), False), batch_format="pyarrow")
+    else:
+        legs = []
+        for e in elems:
+            inv = e.startswith("^")
+            base = e[1:] if inv else e
+            legs.append(triples_ds.map_batches(
+                lambda b, base=base, inv=inv: hop(b, base, inv),
+                batch_format="pyarrow"))
+        edges = legs[0]
+        for leg in legs[1:]:
+            stepped = hash_join(edges, leg, "obj", "subj")
+            edges = stepped.map_batches(
+                lambda b: pa.table({"subj": b["subj"],
+                                    "obj": b["obj_r"]}),
+                batch_format="pyarrow")
+
+    synth = edges.map_batches(
+        lambda b: pa.table({"subj": b["subj"],
+                            "pred": pa.array(["__seq__"] * len(b)),
+                            "obj": b["obj"]}),
+        batch_format="pyarrow")
+    sub_terms = (s, "__seq__" + mod, o)
+    if _is_quant("__seq__" + mod):
+        return _path_quant_bindings(synth, sub_terms)
+    if mod == "+":
+        return _path_bindings(synth, sub_terms)
+    if mod == "*":
+        return _path_star_bindings(synth, sub_terms)
+    if mod == "?":
+        return _path_opt_bindings(synth, sub_terms)
+    raise ValueError(f"unknown group-path modifier {mod!r}")
+
+
 def _path_opt_bindings(triples_ds, terms):
     """ZeroOrOnePath ``(s, "pred?", o)`` with a CONSTANT endpoint: the
     bindings are exactly ``{seed} ∪ one-hop(seed)`` — no traversal at
@@ -492,11 +567,13 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
         # inverse path: ^p (and ^p+) ≡ the pattern with s/o swapped
         terms = [terms[2], p[1:], terms[0]] + terms[3:]
         p = terms[1]
-    if _is_star(p) or _is_opt_path(p) or _is_quant(p):
+    if _is_group_path(p) or _is_star(p) or _is_opt_path(p) \
+            or _is_quant(p):
         # bound-endpoint ZeroOrMorePath runs as directed BFS (ZeroOrOne
         # as identity ∪ one vectorized hop; p{n,m} as the bounded
-        # level-join expansion); the both-unbound zero-length cases
-        # raise inside with the identity rationale
+        # level-join expansion; grouped (p1/p2)+ composes its edge set
+        # first); the both-unbound zero-length cases raise inside with
+        # the identity rationale
         obj_term = terms[2]
         if isinstance(obj_term, str) and _is_var(obj_term) \
                 and (annotations or {}).get(obj_term):
@@ -504,6 +581,8 @@ def pattern_bindings(triples_ds, pattern, annotations=None):
                 "LANG()/DATATYPE() over a property-path object is not "
                 "supported: the traversal composes edges and has no "
                 "single source row")
+        if _is_group_path(p):
+            return _path_group_bindings(triples_ds, terms)
         if _is_quant(p):
             return _path_quant_bindings(triples_ds, terms)
         if _is_star(p):
@@ -1828,6 +1907,21 @@ def evaluate_bgp_store(store_dir: str, patterns, *, optional=None,
         p = pattern[1]
         if isinstance(p, str) and not _is_var(p) and p.startswith("^"):
             p = p[1:]  # inverse path scans the same predicate's rows
+        if _is_group_path(p):
+            # grouped path: union one pruned per-predicate scan per
+            # DISTINCT base predicate (each keeps its pred pushdown)
+            bases = sorted({e.lstrip("^") for e in p[1]})
+            kw2 = {}
+            if len(pattern) == 4 and isinstance(pattern[3], str) \
+                    and not _is_var(pattern[3]):
+                kw2["graph"] = pattern[3]
+            scans = [match_triples(sdir, pred=b, **kw2) for b in bases]
+            parts = [rd.from_arrow(x) if isinstance(x, pa.Table) else x
+                     for x in scans]
+            out = parts[0]
+            for more in parts[1:]:
+                out = out.union(more)
+            return out
         if _is_path(p) or _is_star(p) or _is_opt_path(p) or _is_quant(p):
             # path pattern: scan ONLY the base predicate's rows (pred
             # pushdown, plus the graph scope when constant); endpoint
