@@ -4678,6 +4678,47 @@ def q_kg_sparql_quant_path(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_group_path(sf_dir: str):
+    """Grouped property path ``(p1/p2)+`` through the text layer
+    (ROADMAP r5 item 1): ``?e (ex:broader/ex:broader)+ ?a`` over the
+    synthetic broader tree — the parenthesized sequence becomes ONE
+    composite grandparent edge set (i → i//4, built by a
+    co-partitioned join of the two hops), then the existing
+    transitive-closure kernel runs over it. Mirrored as the unrolled
+    grandparent-hop join chain."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.sparql import sparql
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return sparql(tr, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?e ?a WHERE {{
+          ?e (ex:broader/ex:broader)+ ?a .
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_negprop(sf_dir: str):
     """Negated property set (``!(p1|p2|p3)``) through the text layer:
     edges whose predicate is NONE of the named ones — lowers to a fresh
@@ -5343,6 +5384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
         "kg_sparql_quant_path": q_kg_sparql_quant_path,
+        "kg_sparql_group_path": q_kg_sparql_group_path,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -7246,6 +7288,28 @@ def _oracle_sql_base() -> dict[str, str]:
                    JOIN par p2 ON p1.parent = p2.child)
             SELECT DISTINCT e, a FROM
               (SELECT * FROM h1 UNION SELECT * FROM h2)
+        """,
+        "kg_sparql_group_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1),
+            g2 AS (SELECT p1.child, p2.parent FROM par p1
+                   JOIN par p2 ON p1.parent = p2.child),
+            a1 AS (SELECT child AS e, parent AS a FROM g2),
+            a2 AS (SELECT a1.e, g.parent AS a FROM a1
+                   JOIN g2 g ON a1.a = g.child),
+            a3 AS (SELECT a2.e, g.parent AS a FROM a2
+                   JOIN g2 g ON a2.a = g.child),
+            a4 AS (SELECT a3.e, g.parent AS a FROM a3
+                   JOIN g2 g ON a3.a = g.child)
+            SELECT DISTINCT e, a FROM
+              (SELECT * FROM a1 UNION SELECT * FROM a2
+               UNION SELECT * FROM a3 UNION SELECT * FROM a4)
         """,
         "kg_sparql_star_unbound": _TRIPLE_BASE_CTE.replace(
             "WITH ", "WITH RECURSIVE ", 1) + rf""",

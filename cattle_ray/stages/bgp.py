@@ -749,8 +749,13 @@ def _estimate_rows(p, stats) -> float:
     n_preds = max(int(stats.get("n_preds", len(counts)) or 1), 1)
     avg = n_total / n_preds
     pr = p[1]
-    if isinstance(pr, (list, tuple, set)):
-        base = sum(float(counts.get(x, avg)) for x in pr)
+    if _is_group_path(pr):
+        # grouped path: the scan unions one pruned read per base pred
+        base = sum(float(counts.get(x.lstrip("^"), avg))
+                   for x in pr[1])
+    elif isinstance(pr, (list, tuple, set)):
+        base = sum(float(counts.get(x, avg))
+                   for x in pr if isinstance(x, str))
     elif isinstance(pr, str) and not _is_var(pr):
         stripped = pr.lstrip("^")
         qm = _QUANT_RE.match(stripped)

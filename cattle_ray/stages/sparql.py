@@ -270,10 +270,16 @@ class _Parser:
                     "path modifiers on a negated property set are not "
                     "supported")
             return ("neg", preds)
+        if self.at_op("("):
+            return self._path_group()
         inv = False
         if self.at_op("^"):
             self.next()
             inv = True
+        if self.at_op("("):
+            raise SparqlSyntaxError(
+                "inverse of a path group (^(…)) is not supported — "
+                "invert the elements instead: (^p2/^p1)")
         p = self.iri()
         if self.at_op("+"):
             self.next()
@@ -290,43 +296,95 @@ class _Parser:
             self.next()
             p += "?"
         elif self.at_op("{"):
-            # bounded quantifier p{n,m} / p{n} (a widely-used extension
-            # — dropped from the final SPARQL 1.1 grammar but common in
-            # practice): lowers to the engine's bounded level-join
-            # expansion with SET semantics per (s, o) pair. {n,}
-            # (unbounded) is rejected — that's p+ / p* territory.
+            p += self._quantifier()
+        if inv:
+            p = "^" + p
+        return p
+
+    def _quantifier(self) -> str:
+        """``{n,m}`` / ``{n}`` after a path element or group (a
+        widely-used extension — dropped from the final SPARQL 1.1
+        grammar but common in practice): lowers to the engine's bounded
+        level-join expansion with SET semantics per (s, o) pair.
+        ``{n,}`` (unbounded) is rejected — that's p+ / p* territory."""
+        self.eat_op("{")
+        k, v = self.next()
+        if k != "NUM" or not v.isdigit():
+            raise SparqlSyntaxError(
+                f"path quantifier expects a non-negative integer, "
+                f"got {v!r}")
+        lo = int(v)
+        hi = lo
+        if self.at_op(","):
             self.next()
+            if self.at_op("}"):
+                raise SparqlSyntaxError(
+                    "unbounded path quantifier {n,} is not supported — "
+                    "use p+ (or p* with a bound endpoint)")
             k, v = self.next()
             if k != "NUM" or not v.isdigit():
                 raise SparqlSyntaxError(
                     f"path quantifier expects a non-negative integer, "
                     f"got {v!r}")
-            lo = int(v)
-            hi = lo
-            if self.at_op(","):
+            hi = int(v)
+        self.eat_op("}")
+        if hi < lo:
+            raise SparqlSyntaxError(
+                f"path quantifier {{{lo},{hi}}}: max < min")
+        if hi == 0:
+            raise SparqlSyntaxError(
+                "path quantifier {0,0} is the empty path")
+        return f"{{{lo},{hi}}}"
+
+    def _path_group(self):
+        """Parenthesized path group ``(p1/p2)`` / ``(p1|p2)`` followed
+        by a REQUIRED modifier (``+``/``*``/``?``/``{n,m}``) — lowers
+        to the engine's composite-edge form ``("pseq"|"palt", elems,
+        mod)`` (see bgp._path_group_bindings). Elements are plain or
+        inverse IRIs; a group without a modifier is just its sequence
+        (use ``p1/p2`` directly); mixing ``/`` and ``|`` inside one
+        group still needs a UNION."""
+        self.eat_op("(")
+        inv = False
+        if self.at_op("^"):
+            self.next()
+            inv = True
+        first = ("^" if inv else "") + self.iri()
+        elems = [first]
+        kind = None
+        while self.at_op("/", "|"):
+            op = self.peek()[1]
+            if kind is None:
+                kind = "pseq" if op == "/" else "palt"
+            elif (op == "/") != (kind == "pseq"):
+                raise SparqlSyntaxError(
+                    "mixing | and / inside one path group is not "
+                    "supported — split into a UNION")
+            self.next()
+            inv = False
+            if self.at_op("^"):
+                if kind == "palt":
+                    raise SparqlSyntaxError(
+                        "^ inside a path alternative group is not "
+                        "supported")
                 self.next()
-                if self.at_op("}"):
-                    raise SparqlSyntaxError(
-                        "unbounded path quantifier {n,} is not "
-                        "supported — use p+ (or p* with a bound "
-                        "endpoint)")
-                k, v = self.next()
-                if k != "NUM" or not v.isdigit():
-                    raise SparqlSyntaxError(
-                        f"path quantifier expects a non-negative "
-                        f"integer, got {v!r}")
-                hi = int(v)
-            self.eat_op("}")
-            if hi < lo:
-                raise SparqlSyntaxError(
-                    f"path quantifier {{{lo},{hi}}}: max < min")
-            if hi == 0:
-                raise SparqlSyntaxError(
-                    "path quantifier {0,0} is the empty path")
-            p += f"{{{lo},{hi}}}"
-        if inv:
-            p = "^" + p
-        return p
+                inv = True
+            elems.append(("^" if inv else "") + self.iri())
+        self.eat_op(")")
+        if kind is None:
+            kind = "pseq"  # single-element group: sequence of one
+        if kind == "palt" and any(e.startswith("^") for e in elems):
+            raise SparqlSyntaxError(
+                "^ inside a path alternative group is not supported")
+        if self.at_op("+", "*", "?"):
+            mod = self.next()[1]
+        elif self.at_op("{"):
+            mod = self._quantifier()
+        else:
+            if kind == "palt":
+                return list(elems)  # plain alternative — engine list form
+            return ("seq", list(elems))  # plain sequence — fresh-var chain
+        return (kind, list(elems), mod)
 
     def path(self):
         """Predicate position: ``?p``, ``iri``, ``^iri``, ``iri+``,

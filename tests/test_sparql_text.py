@@ -894,3 +894,63 @@ def test_text_service_store_federation(ray_session, tmp_path):
     with pytest.raises(SparqlSyntaxError, match="UPDATE WHERE"):
         sparql_update(main, P + f"""DELETE {{ ?d ex:type "Doc" . }}
             WHERE {{ SERVICE <store:{other}> {{ ?d ex:score ?s . }} }}""")
+
+
+def test_text_grouped_paths(ray_session):
+    """(p1/p2)+ / (p1|p2)+ / (seq)* / (seq){n,m} / inverse elements:
+    the group lowers to ONE composite edge set, the modifier reuses the
+    existing closure/BFS/level kernels."""
+    import ray.data as rd
+
+    rows = [("a", "p1", "b"), ("b", "p2", "c"), ("c", "p1", "d"),
+            ("d", "p2", "e"), ("a", "q", "x")]
+    ds = rd.from_arrow(pa.table(
+        {"subj": [r[0] for r in rows], "pred": [r[1] for r in rows],
+         "obj": [r[2] for r in rows]}))
+    got = sparql(ds, "SELECT ?x WHERE { <a> (<p1>/<p2>)+ ?x . }") \
+        .to_pandas()
+    assert sorted(got["x"]) == ["c", "e"]
+    got = sparql(ds, "SELECT ?x WHERE { <a> (<p1>|<p2>)+ ?x . }") \
+        .to_pandas()
+    assert sorted(got["x"]) == ["b", "c", "d", "e"]
+    got = sparql(ds, "SELECT ?x WHERE { <a> (<p1>/<p2>)* ?x . }") \
+        .to_pandas()
+    assert sorted(got["x"]) == ["a", "c", "e"]
+    got = sparql(ds, "SELECT ?x WHERE { <e> (^<p2>/^<p1>){1,2} ?x . }") \
+        .to_pandas()
+    assert sorted(got["x"]) == ["a", "c"]
+    # a modifier-less group is just its sequence
+    got = sparql(ds, "SELECT ?x WHERE { <a> (<p1>/<p2>) ?x . }") \
+        .to_pandas()
+    assert sorted(got["x"]) == ["c"]
+    from cattle_ray.stages.sparql import SparqlSyntaxError
+
+    with pytest.raises(SparqlSyntaxError, match="inverse of a path"):
+        sparql(ds, "SELECT ?x WHERE { <a> ^(<p1>/<p2>)+ ?x . }")
+    with pytest.raises(SparqlSyntaxError, match="mixing"):
+        sparql(ds, "SELECT ?x WHERE { <a> (<p1>/<p2>|<q>)+ ?x . }")
+
+
+def test_grouped_path_over_store(ray_session, tmp_path):
+    """Grouped paths over a partitioned store: the scan unions one
+    PRUNED read per base predicate."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp_store
+
+    rows = [("a", "p1", "b"), ("b", "p2", "c"), ("c", "p1", "d"),
+            ("d", "p2", "e"), ("zz", "other", "w")]
+    t = pa.table({"subj": [r[0] for r in rows],
+                  "pred": [r[1] for r in rows],
+                  "obj": [r[2] for r in rows]})
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([True] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    d = str(tmp_path / "store")
+    write_triples_hash_partitioned(rd.from_arrow(t), d, num_partitions=2)
+    got = evaluate_bgp_store(
+        d, [("a", ("pseq", ["p1", "p2"], "+"), "?x")]).to_pandas()
+    assert sorted(got["x"]) == ["c", "e"]
