@@ -4719,6 +4719,52 @@ def q_kg_sparql_group_path(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_owl_chain(sf_dir: str):
+    """owl:propertyChainAxiom (ROADMAP r5 item 2): declaring
+    ``ex:grandBroader owl:propertyChainAxiom (ex:broader ex:broader)``
+    over the synthetic broader tree materializes the grandparent
+    relation by one bounded composition join (reason.owl_materialize's
+    chain path). Mirrored as the par-self-join."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.reason import (OWL_CHAIN, RDF_FIRST, RDF_NIL,
+                                          RDF_REST, owl_materialize)
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(i.filter(keep), 2), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    schema = pa.table({
+        "subj": [EX + "grandBroader", "_:l1", "_:l1", "_:l2", "_:l2"],
+        "pred": [OWL_CHAIN, RDF_FIRST, RDF_REST, RDF_FIRST, RDF_REST],
+        "obj": ["_:l1", EX + "broader", "_:l2", EX + "broader",
+                RDF_NIL]})
+    closed = owl_materialize(tr, schema)
+    out = closed.filter(
+        expr=f"pred == '{EX}grandBroader'").map_batches(
+        lambda b: pa.table({"e": b["subj"], "g": b["obj"]}),
+        batch_format="pyarrow")
+    return distinct(out, ["e", "g"], num_buckets=8)
+
+
 def q_kg_sparql_negprop(sf_dir: str):
     """Negated property set (``!(p1|p2|p3)``) through the text layer:
     edges whose predicate is NONE of the named ones — lowers to a fresh
@@ -5385,6 +5431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
         "kg_sparql_quant_path": q_kg_sparql_quant_path,
         "kg_sparql_group_path": q_kg_sparql_group_path,
+        "kg_owl_chain": q_kg_owl_chain,
         "kg_sparql_or": q_kg_sparql_or,
         "kg_sparql_sample": q_kg_sparql_sample,
         "kg_bgp_agg": q_kg_bgp_agg,
@@ -7288,6 +7335,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    JOIN par p2 ON p1.parent = p2.child)
             SELECT DISTINCT e, a FROM
               (SELECT * FROM h1 UNION SELECT * FROM h2)
+        """,
+        "kg_owl_chain": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent
+                    FROM ei WHERE i >= 1)
+            SELECT DISTINCT p1.child AS e, p2.parent AS g FROM par p1
+            JOIN par p2 ON p1.parent = p2.child
         """,
         "kg_sparql_group_path": _TRIPLE_BASE_CTE + rf""",
             ents AS (SELECT DISTINCT obj AS ent FROM triples

@@ -282,10 +282,175 @@ _OWL = "http://www.w3.org/2002/07/owl#"
 OWL_INVERSE_OF = _OWL + "inverseOf"
 OWL_SYMMETRIC = _OWL + "SymmetricProperty"
 OWL_TRANSITIVE = _OWL + "TransitiveProperty"
+OWL_CHAIN = _OWL + "propertyChainAxiom"
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST = _RDF + "first"
+RDF_REST = _RDF + "rest"
+RDF_NIL = _RDF + "nil"
+
+
+def _walk_chain_lists(s, p, o) -> dict:
+    """Driver-side rdf:list walk for ``owl:propertyChainAxiom`` axioms
+    (schema rows are vocabulary-sized by contract): returns
+    ``{property: [p1, p2, …]}``. A malformed list (missing first/rest,
+    or a cycle) raises — silently truncating an axiom would silently
+    under-infer."""
+    heads, firsts, rests = {}, {}, {}
+    for si, pi, oi in zip(s, p, o):
+        if pi == OWL_CHAIN:
+            heads[si] = oi
+        elif pi == RDF_FIRST:
+            firsts[si] = oi
+        elif pi == RDF_REST:
+            rests[si] = oi
+    chains: dict = {}
+    for prop, node in heads.items():
+        elems, seen = [], set()
+        while node != RDF_NIL:
+            if node in seen or node not in firsts or node not in rests:
+                raise ValueError(
+                    f"malformed owl:propertyChainAxiom list for "
+                    f"{prop!r} at node {node!r} (missing rdf:first/"
+                    "rdf:rest or cyclic)")
+            seen.add(node)
+            elems.append(firsts[node])
+            node = rests[node]
+        if not elems:
+            raise ValueError(
+                f"empty owl:propertyChainAxiom list for {prop!r}")
+        chains[prop] = elems
+    return chains
+
+
+class OwlLiteAxioms:
+    """The SINGLE-PREMISE OWL-lite axioms (``owl:inverseOf`` +
+    ``owl:SymmetricProperty``) in the broadcastable flattened layout —
+    exactly the subset whose closure is a per-row union
+    ``closure(A) = ∪_{r∈A} ent(r)``, which is the DRed exactness
+    condition the incremental entailment store relies on.
+    ``owl:TransitiveProperty`` and ``owl:propertyChainAxiom`` are
+    MULTI-premise (their conclusions combine rows), so a schema
+    declaring them raises here — materialize those with
+    :func:`owl_materialize` and rebuild stores instead."""
+
+    def __init__(self, schema_tbl: pa.Table):
+        if schema_tbl.num_rows > MAX_SCHEMA_ROWS:
+            raise ValueError(
+                f"schema has {schema_tbl.num_rows} rows (> "
+                f"{MAX_SCHEMA_ROWS}) — vocabulary-sized schemas only")
+        s = schema_tbl["subj"].to_pylist()
+        p = schema_tbl["pred"].to_pylist()
+        o = schema_tbl["obj"].to_pylist()
+        inv: dict = {}
+        sym: set = set()
+        bad = []
+        for si, pi, oi in zip(s, p, o):
+            if pi == OWL_INVERSE_OF:
+                inv.setdefault(si, set()).add(oi)
+                inv.setdefault(oi, set()).add(si)
+            elif pi == RDF_TYPE and oi == OWL_SYMMETRIC:
+                sym.add(si)
+            elif pi == RDF_TYPE and oi == OWL_TRANSITIVE:
+                bad.append(f"{si} a owl:TransitiveProperty")
+            elif pi == OWL_CHAIN:
+                bad.append(f"{si} owl:propertyChainAxiom …")
+        if bad:
+            raise ValueError(
+                "multi-premise OWL axioms cannot ride the per-row "
+                "incremental path (their conclusions combine rows): "
+                + "; ".join(bad)
+                + " — use owl_materialize + a full rebuild")
+        self._inv, self._sym = inv, sym
+
+    def empty(self) -> bool:
+        return not self._inv and not self._sym
+
+    def tables(self):
+        if self._inv:
+            ik, io, if_ = RdfsSchema._flatten(self._inv)
+        else:
+            ik, io, if_ = (pa.array([], pa.string()),
+                           np.zeros(1, np.int64),
+                           np.empty(0, dtype=object))
+        return (ik, io, if_, pa.array(sorted(self._sym), pa.string()))
+
+
+def owl_swap_batch(batch: pa.Table, owl_tables, *,
+                   dedup_local: bool = True) -> pa.Table:
+    """Per-batch single-premise OWL-lite kernel: asserted rows + every
+    ``inverseOf`` / ``SymmetricProperty`` swap (inferred rows TAKE their
+    evidence row, inheriting annotations/lineage; swapped object
+    columns cast to string — a literal can't be a subject, the caller's
+    contract that swapped predicates are object properties)."""
+    ik, io, if_, sa = owl_tables
+    names = batch.column_names
+    pred = batch["pred"]
+    if isinstance(pred, pa.ChunkedArray):
+        pred = pred.combine_chunks()
+    outs = [batch]
+
+    def swapped(t: pa.Table, new_pred=None) -> pa.Table:
+        subj_i = names.index("subj")
+        obj_i = names.index("obj")
+        s_col, o_col = t["subj"], t["obj"]
+        t = t.set_column(subj_i, "subj", pc.cast(o_col, pa.string()))
+        t = t.set_column(obj_i, "obj", pc.cast(s_col, pa.string()))
+        if new_pred is not None:
+            t = t.set_column(names.index("pred"), "pred", new_pred)
+        return t
+
+    if len(sa):
+        m = pc.is_in(pred, value_set=sa)
+        sub = batch.filter(m)
+        if sub.num_rows:
+            outs.append(swapped(sub))
+    if len(ik):
+        rows, qs = _expand(pred, ik, io, if_)
+        if len(rows):
+            sub = batch.take(pa.array(rows, pa.int64()))
+            outs.append(swapped(sub, pa.array(list(qs), pa.string())))
+    out = pa.concat_tables(outs)
+    if dedup_local and out.num_rows > batch.num_rows:
+        import pandas as pd
+
+        key_cols = [c for c in ("subj", "pred", "obj", "graph")
+                    if c in names]
+        dup = pd.DataFrame({c: out[c].to_pandas() for c in key_cols}) \
+            .duplicated().to_numpy()
+        if dup.any():
+            out = out.filter(pa.array(~dup))
+    return out
+
+
+def combined_entailment_batch(batch: pa.Table, rdfs_tables, owl_tables,
+                              *, max_iters: int = 8) -> pa.Table:
+    """Per-batch fixpoint of the RDFS core PLUS the single-premise
+    OWL-lite axioms: the rule sets feed each other (a sub-property hop
+    can reach a symmetric predicate; a swap can fire a range rule), so
+    passes alternate until the batch stops growing. Every rule is
+    single-premise, so the fixpoint of a batch is the union of its
+    rows' fixpoints — the DRed per-row exactness condition survives
+    the composition. Converges fast (swaps are involutions, the RDFS
+    schema is pre-closed); ``max_iters`` is a malformed-ontology
+    backstop that raises rather than silently under-inferring."""
+    cur = batch
+    n = len(cur)
+    for _ in range(max_iters):
+        cur = rdfs_entailment_batch(cur, rdfs_tables)
+        cur = owl_swap_batch(cur, owl_tables)
+        if len(cur) == n:
+            return cur
+        n = len(cur)
+    raise ValueError(
+        f"entailment fixpoint still growing after {max_iters} "
+        "alternating passes — pathological schema (deep mutually-"
+        "feeding sub-property/inverse chains); raise max_iters "
+        "consciously")
 
 
 def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
-                    max_hops: int = 16, num_buckets: int = 32):
+                    max_hops: int = 16, num_buckets: int = 32,
+                    chains: "dict | None" = None):
     """OWL-lite property-axiom materialization over a triple stream —
     the three axioms web KGs actually ship (schema.org / wikidata-style
     vocabularies), each with its scale-correct execution shape:
@@ -302,12 +467,24 @@ def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
       rounds, ``max_hops`` bound) — one closure per declared predicate,
       predicates are vocabulary-counted.
 
+    * ``owl:propertyChainAxiom`` — ``p1∘p2∘…∘pn ⊑ p``: bounded-length
+      COMPOSITION JOINS (ROADMAP r5 item 2) — per-hop pred-filtered
+      edge sets chained through co-partitioned :func:`~.joins
+      .hash_join` (n−1 joins for an n-element chain; chain lengths are
+      axiom-written and small), emitting ``(x, p, y)``. Chains compose
+      ASSERTED edges in one pass — a chain whose head feeds another
+      chain needs an iterated materialize (documented, not silent).
+      Declared via the standard rdf:list encoding in the schema
+      (``p owl:propertyChainAxiom (p1 p2 …)``) or directly as
+      ``chains={p: [p1, p2, …]}``.
+
     ``schema=None`` extracts the axiom triples from the stream (same
     size guard as RDFS). Inverse/symmetric rows inherit their evidence
-    row's extra columns; closure rows carry the triple columns only
-    (a composed edge has no single source row) padded with NULLs.
-    Duplicates collapse batch-locally; global set semantics = the
-    engine's exact dedup downstream. Returns asserted ∪ inferred."""
+    row's extra columns; closure and chain rows carry the triple
+    columns only (a composed edge has no single source row) padded
+    with NULLs. Duplicates collapse batch-locally; global set
+    semantics = the engine's exact dedup downstream. Returns asserted
+    ∪ inferred."""
     import ray
 
     if schema is None:
@@ -326,6 +503,8 @@ def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
             sym.add(si)
         elif pi == RDF_TYPE and oi == OWL_TRANSITIVE:
             trans.append(si)
+    all_chains = dict(_walk_chain_lists(s, p, o))
+    all_chains.update(chains or {})
     inv_k, inv_off, inv_flat = RdfsSchema._flatten(inv) if inv else (
         pa.array([], pa.string()), np.zeros(1, np.int64),
         np.empty(0, dtype=object))
@@ -333,54 +512,16 @@ def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
     ref = ray.put((inv_k, inv_off, inv_flat, sym_arr))
 
     def infer(b: pa.Table) -> pa.Table:
-        ik, io, if_, sa = ray.get(ref)
-        names = b.column_names
-        pred = b["pred"]
-        if isinstance(pred, pa.ChunkedArray):
-            pred = pred.combine_chunks()
-        outs = [b]
-
-        def swapped(t: pa.Table, new_pred=None) -> pa.Table:
-            subj_i = names.index("subj")
-            obj_i = names.index("obj")
-            s_col, o_col = t["subj"], t["obj"]
-            t = t.set_column(subj_i, "subj", pc.cast(o_col, pa.string()))
-            t = t.set_column(obj_i, "obj", pc.cast(s_col, pa.string()))
-            if new_pred is not None:
-                t = t.set_column(names.index("pred"), "pred", new_pred)
-            return t
-
-        # symmetric: one filtered swap
-        if len(sa):
-            m = pc.is_in(pred, value_set=sa)
-            sub = b.filter(m)
-            if sub.num_rows:
-                outs.append(swapped(sub))
-        # inverse: rows whose pred has inverses emit one swap per inverse
-        if len(ik):
-            rows, qs = _expand(pred, ik, io, if_)
-            if len(rows):
-                sub = b.take(pa.array(rows, pa.int64()))
-                outs.append(swapped(sub, pa.array(list(qs), pa.string())))
-        out = pa.concat_tables(outs)
-        if out.num_rows > b.num_rows:
-            import pandas as pd
-
-            key_cols = [c for c in ("subj", "pred", "obj", "graph")
-                        if c in names]
-            dup = pd.DataFrame({c: out[c].to_pandas() for c in key_cols}) \
-                .duplicated().to_numpy()
-            if dup.any():
-                out = out.filter(pa.array(~dup))
-        return out
+        # single-premise swaps: the shared kernel (also used by the
+        # incremental entailment store's combined fixpoint)
+        return owl_swap_batch(b, ray.get(ref))
 
     out_ds = triples_ds.map_batches(infer, batch_format="pyarrow")
 
+    composed = []  # (pred_iri, pairs_ds with (s, o) columns)
     if trans:
         from .graph import transitive_closure
 
-        base_schema = None
-        closures = []
         for pred_iri in sorted(set(trans)):
             def edges(b: pa.Table, p=pred_iri) -> pa.Table:
                 t = b.filter(pc.equal(b["pred"], p))
@@ -390,16 +531,38 @@ def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
                 triples_ds.map_batches(edges, batch_format="pyarrow"),
                 src="s", dst="o", max_rounds=max_hops,
                 num_buckets=num_buckets)
-            closures.append((pred_iri, pairs))
-        # pad closure rows to the stream schema (typed NULLs for the
-        # annotation/lineage columns — a composed edge has no single
-        # evidence row)
+            composed.append((pred_iri, pairs))
+    if all_chains:
+        from .joins import hash_join
+
+        for head in sorted(all_chains):
+            elems = all_chains[head]
+            legs = []
+            for e in elems:
+                def hop(b: pa.Table, p=e) -> pa.Table:
+                    t = b.filter(pc.equal(b["pred"], p))
+                    return pa.table({"s": t["subj"], "o": t["obj"]})
+
+                legs.append(triples_ds.map_batches(
+                    hop, batch_format="pyarrow"))
+            pairs = legs[0]
+            for leg in legs[1:]:
+                stepped = hash_join(pairs, leg, "o", "s",
+                                    num_buckets=num_buckets)
+                pairs = stepped.map_batches(
+                    lambda b: pa.table({"s": b["s"], "o": b["o_r"]}),
+                    batch_format="pyarrow")
+            composed.append((head, pairs))
+    if composed:
+        # pad closure/chain rows to the stream schema (typed NULLs for
+        # the annotation/lineage columns — a composed edge has no
+        # single evidence row)
         sch = None
         for b in triples_ds.iter_batches(batch_size=1,
                                          batch_format="pyarrow"):
             sch = b.schema
             break
-        for pred_iri, pairs in closures:
+        for pred_iri, pairs in composed:
             def pad(b: pa.Table, p=pred_iri, sch=sch) -> pa.Table:
                 n = len(b)
                 cols = {}
@@ -425,7 +588,8 @@ def _extract_owl_schema(triples_ds) -> pa.Table:
     guard as :func:`extract_schema`."""
     def f(b: pa.Table) -> pa.Table:
         m = pc.or_(
-            pc.equal(b["pred"], OWL_INVERSE_OF),
+            pc.is_in(b["pred"], value_set=pa.array(
+                [OWL_INVERSE_OF, OWL_CHAIN, RDF_FIRST, RDF_REST])),
             pc.and_(pc.equal(b["pred"], RDF_TYPE),
                     pc.is_in(b["obj"], value_set=pa.array(
                         [OWL_SYMMETRIC, OWL_TRANSITIVE]))))
@@ -954,6 +1118,43 @@ REDERIVE_BROADCAST_MAX = 5_000_000
 _SCHEMA_PREDS = (RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE)
 
 
+def _owl_axiom_rows(tbl: pa.Table) -> pa.Table:
+    """The OWL axiom rows of a schema table (inverseOf / chain lists /
+    Symmetric / Transitive declarations)."""
+    m = pc.or_(
+        pc.is_in(tbl["pred"], value_set=pa.array(
+            [OWL_INVERSE_OF, OWL_CHAIN, RDF_FIRST, RDF_REST])),
+        pc.and_(pc.equal(tbl["pred"], RDF_TYPE),
+                pc.is_in(tbl["obj"], value_set=pa.array(
+                    [OWL_SYMMETRIC, OWL_TRANSITIVE]))))
+    return tbl.filter(pc.fill_null(m, False))
+
+
+def _closure_fn(schema_tbl: pa.Table):
+    """The per-stream closure for an entailment store's schema: plain
+    RDFS when the schema carries no OWL axioms, else the combined
+    RDFS + single-premise OWL-lite fixpoint kernel
+    (:func:`combined_entailment_batch`). Multi-premise OWL axioms
+    raise inside :class:`OwlLiteAxioms` — an entailment store for
+    those needs full rebuilds by construction."""
+    import ray
+
+    owl_rows = _owl_axiom_rows(schema_tbl)
+    if owl_rows.num_rows == 0:
+        return lambda ds: rdfs_materialize(ds, schema_tbl)
+    ax = OwlLiteAxioms(owl_rows)  # raises on Transitive / chains
+    rdfs_ref = ray.put(RdfsSchema(schema_tbl).tables())
+    owl_ref = ray.put(ax.tables())
+
+    def close(ds):
+        return ds.map_batches(
+            lambda b: combined_entailment_batch(
+                b, ray.get(rdfs_ref), ray.get(owl_ref)),
+            batch_format="pyarrow")
+
+    return close
+
+
 def build_entailment_store(primary_dir: str, ent_dir: str, *,
                            schema: "pa.Table | None" = None,
                            num_partitions: int | None = None):
@@ -998,7 +1199,11 @@ def build_entailment_store(primary_dir: str, ent_dir: str, *,
         if "part_id" in b.column_names else b,
         batch_format="pyarrow")
     schema_tbl = schema if schema is not None else extract_schema(ds)
-    closure = rdfs_materialize(ds, schema_tbl)
+    # RDFS-only schemas close via rdfs_materialize; schemas carrying
+    # single-premise OWL-lite axioms (inverseOf / Symmetric) use the
+    # combined fixpoint kernel — same per-row union structure, so the
+    # DRed refresh stays exact (multi-premise axioms raise)
+    closure = _closure_fn(schema_tbl)(ds)
     p = num_partitions or store_num_partitions(primary_dir)
 
     tmp_dir = ent_dir.rstrip("/") + ".build.tmp"
@@ -1133,32 +1338,36 @@ def refresh_entailment_store(ent_dir: str, *,
         _bump()  # content-free generations (steady-state recrawl)
         return summary
 
-    schema_preds = pa.array(list(_SCHEMA_PREDS), pa.string())
+    schema_preds = pa.array(list(_SCHEMA_PREDS)
+                            + [OWL_INVERSE_OF, OWL_CHAIN, RDF_FIRST,
+                               RDF_REST], pa.string())
+    owl_types = pa.array([OWL_SYMMETRIC, OWL_TRANSITIVE], pa.string())
     for d in (added, removed):
         if d is None:
             continue
         n_schema = d.map_batches(
-            lambda b: pa.table({"n": [int(pc.sum(pc.cast(pc.is_in(
-                b["pred"], value_set=schema_preds), pa.int64())).as_py()
-                or 0)]}),
+            lambda b: pa.table({"n": [int(pc.sum(pc.cast(pc.or_(
+                pc.is_in(b["pred"], value_set=schema_preds),
+                pc.and_(pc.equal(b["pred"], RDF_TYPE),
+                        pc.is_in(b["obj"], value_set=owl_types))),
+                pa.int64())).as_py() or 0)]}),
             batch_format="pyarrow").to_pandas()["n"].sum()
         if int(n_schema):
             raise ValueError(
-                f"{int(n_schema)} delta rows touch the RDFS vocabulary "
-                "(subClassOf/subPropertyOf/domain/range) — a schema "
-                "change entails from EVERY instance row, which no "
-                "per-row increment covers; rebuild with "
-                "build_entailment_store")
+                f"{int(n_schema)} delta rows touch the RDFS/OWL "
+                "vocabulary (subClassOf/subPropertyOf/domain/range/"
+                "inverseOf/axiom declarations) — a schema change "
+                "entails from EVERY instance row, which no per-row "
+                "increment covers; rebuild with build_entailment_store")
 
     import pyarrow.parquet as pq
 
     schema_tbl = pq.read_table(os.path.join(ent_dir, "_schema.parquet"))
-    tables_ref = ray.put(RdfsSchema(schema_tbl).tables())
-
-    def entail(ds):
-        return ds.map_batches(
-            lambda b: rdfs_entailment_batch(b, ray.get(tables_ref)),
-            batch_format="pyarrow")
+    # same kernel the build used: RDFS-only, or the combined RDFS +
+    # single-premise OWL-lite fixpoint when the persisted schema
+    # carries inverseOf/Symmetric axioms (per-row union either way —
+    # the DRed exactness condition)
+    entail = _closure_fn(schema_tbl)
 
     # 1. merge the added rows' entailments (set semantics in the sink)
     if added is not None:

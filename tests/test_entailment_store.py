@@ -152,7 +152,7 @@ def test_refresh_refuses_schema_mutation(ray_session, tmp_path):
     merge_triples_hash_partitioned(
         _triples([(EX + "Teacher", RDFS_SUBCLASS, EX + "Person")]),
         pdir, num_partitions=4, track_generations=True)
-    with pytest.raises(ValueError, match="RDFS vocabulary"):
+    with pytest.raises(ValueError, match="vocabulary"):
         refresh_entailment_store(edir)
     # the demanded rebuild resolves it
     build_entailment_store(pdir, edir, schema=pa.concat_tables([
@@ -183,4 +183,90 @@ def test_refresh_requires_provenance_and_rejects_backwards(
     m["source_generation"] = 7
     _save_meta(edir, m)
     with pytest.raises(ValueError, match="compacted or replaced"):
+        refresh_entailment_store(edir)
+
+
+OWL_SCHEMA = None  # built lazily (imports at module top stay minimal)
+
+
+def _owl_schema():
+    from cattle_ray.stages.reason import (OWL_INVERSE_OF, OWL_SYMMETRIC,
+                                          RDF_TYPE)
+
+    return pa.table({
+        "subj": [EX + "Student", EX + "teaches", EX + "teaches",
+                 EX + "teaches", EX + "knows"],
+        "pred": [RDFS_SUBCLASS, RDFS_DOMAIN, RDFS_RANGE,
+                 OWL_INVERSE_OF, RDF_TYPE],
+        "obj": [EX + "Person", EX + "Teacher", EX + "Student",
+                EX + "taughtBy", OWL_SYMMETRIC],
+    })
+
+
+def test_owl_lite_entailment_store_build_and_refresh(ray_session,
+                                                     tmp_path):
+    """A schema with single-premise OWL axioms (inverseOf + Symmetric)
+    rides the SAME incremental path: build uses the combined fixpoint
+    kernel, DRed refresh converges to exactly a from-scratch rebuild —
+    including inverse-derived facts whose evidence sits on the OBJECT
+    side of the deleted fact's subject."""
+    from cattle_ray.sources.triple_sink import (
+        delete_exact_rows, merge_triples_hash_partitioned)
+
+    pdir = _build_primary(tmp_path)
+    # add a symmetric edge to the primary before building
+    merge_triples_hash_partitioned(
+        _triples([("s5", EX + "knows", "s6")]), pdir, num_partitions=4)
+    edir = str(tmp_path / "ent")
+    build_entailment_store(pdir, edir, schema=_owl_schema())
+    got = _closure_set(edir)
+    assert ("s2", EX + "taughtBy", "s1") in got      # inverseOf
+    assert ("s6", EX + "knows", "s5") in got         # symmetric
+    assert ("s1", RDF_TYPE, EX + "Teacher") in got   # rdfs2 still fires
+
+    # mutate: new teaches edge + retract the original one
+    merge_triples_hash_partitioned(
+        _triples([("s4", EX + "teaches", "s2")]), pdir,
+        num_partitions=4, track_generations=True)
+    delete_exact_rows(pdir, pa.table({
+        "subj": ["s1"], "pred": [EX + "teaches"], "obj": ["s2"]}))
+    summary = refresh_entailment_store(edir)
+    assert summary["applied_gens"] == 2
+    got = _closure_set(edir)
+    assert ("s2", EX + "taughtBy", "s1") not in got  # evidence gone
+    assert ("s2", EX + "taughtBy", "s4") in got      # new evidence
+    e2 = str(tmp_path / "ent_rebuilt")
+    build_entailment_store(pdir, e2, schema=_owl_schema())
+    assert got == _closure_set(e2)
+
+
+def test_owl_multipremise_axioms_refuse_incremental(ray_session,
+                                                    tmp_path):
+    """Transitive / propertyChain axioms are multi-premise — the
+    entailment store refuses them with the rebuild rationale."""
+    from cattle_ray.stages.reason import (OWL_TRANSITIVE, RDF_TYPE)
+
+    pdir = _build_primary(tmp_path)
+    edir = str(tmp_path / "ent")
+    bad = pa.table({
+        "subj": [EX + "teaches"], "pred": [RDF_TYPE],
+        "obj": [OWL_TRANSITIVE]})
+    with pytest.raises(ValueError, match="multi-premise"):
+        build_entailment_store(pdir, edir, schema=bad)
+
+
+def test_owl_axiom_delta_demands_rebuild(ray_session, tmp_path):
+    """A tracked delta that adds an OWL axiom row invalidates per-row
+    increments, same as an RDFS vocabulary change."""
+    from cattle_ray.sources.triple_sink import \
+        merge_triples_hash_partitioned
+    from cattle_ray.stages.reason import OWL_INVERSE_OF
+
+    pdir = _build_primary(tmp_path)
+    edir = str(tmp_path / "ent")
+    build_entailment_store(pdir, edir, schema=_owl_schema())
+    merge_triples_hash_partitioned(
+        _triples([(EX + "p", OWL_INVERSE_OF, EX + "q")]),
+        pdir, num_partitions=4, track_generations=True)
+    with pytest.raises(ValueError, match="vocabulary"):
         refresh_entailment_store(edir)

@@ -377,3 +377,42 @@ def test_functional_violations(ray_session):
     assert len(out2) == 0
     with pytest.raises(ValueError, match="no functional properties"):
         functional_violations(rd.from_arrow(t2)).to_pandas()
+
+
+def test_owl_property_chain(ray_session):
+    """owl:propertyChainAxiom via bounded composition joins — both the
+    rdf:list schema encoding and the direct chains= dict; malformed
+    lists raise instead of under-inferring."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import (OWL_CHAIN, RDF_FIRST, RDF_NIL,
+                                          RDF_REST, owl_materialize)
+
+    EX = "urn:ex:"
+    inst = pa.table({
+        "subj": ["alice", "bob", "carol"],
+        "pred": [EX + "parent"] * 3,
+        "obj": ["bob", "carol", "dave"]})
+    ds = rd.from_arrow(inst)
+    empty = pa.table({"subj": pa.array([], pa.string()),
+                      "pred": pa.array([], pa.string()),
+                      "obj": pa.array([], pa.string())})
+    out = owl_materialize(
+        ds, empty, chains={EX + "grandparent": [EX + "parent",
+                                                EX + "parent"]})
+    got = sorted({(r["subj"], r["obj"]) for r in out.take_all()
+                  if r["pred"] == EX + "grandparent"})
+    assert got == [("alice", "carol"), ("bob", "dave")]
+    lst = pa.table({
+        "subj": [EX + "grandparent", "_:l1", "_:l1", "_:l2", "_:l2"],
+        "pred": [OWL_CHAIN, RDF_FIRST, RDF_REST, RDF_FIRST, RDF_REST],
+        "obj": ["_:l1", EX + "parent", "_:l2", EX + "parent", RDF_NIL]})
+    out2 = owl_materialize(ds, lst)
+    got2 = sorted({(r["subj"], r["obj"]) for r in out2.take_all()
+                   if r["pred"] == EX + "grandparent"})
+    assert got2 == got
+    bad = pa.table({"subj": [EX + "g", "_:l1"],
+                    "pred": [OWL_CHAIN, RDF_FIRST],
+                    "obj": ["_:l1", EX + "parent"]})
+    with pytest.raises(ValueError, match="malformed"):
+        owl_materialize(ds, bad)
