@@ -3278,6 +3278,22 @@ def q_events_hopping_counts(sf_dir: str):
     return fired[["window_start_us", "n"]]
 
 
+def q_events_session_stream(sf_dir: str):
+    """GAP-BASED SESSION windows over the streaming sink (ROADMAP r5
+    item 3, sources/stream_sink.emit_closed_sessions): after the
+    deterministic watermarked ingestion, one trigger fires every
+    session whose ``end + gap + max_lateness`` lies at or below the
+    final watermark — per-session journal files give exactly-once, a
+    single int64 boundary prunes history. Mirrored as the standard
+    SQL lag/gap sessionization plus the closure predicate."""
+    from cattle_ray.sources.stream_sink import emit_closed_sessions
+
+    out = _wm_ingest_events(sf_dir)
+    fired = emit_closed_sessions(out, ts_col="ts", key="user_id",
+                                 gap="1h")
+    return fired[["user_id", "session_start_us", "session_end_us", "n"]]
+
+
 def q_events_window_dedup(sf_dir: str):
     """Event-stream duplicate suppression: keep an event iff the previous
     event of the same (user, type) is absent or > 30 min older — LAG
@@ -5321,6 +5337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": q_events_window_dedup,
         "events_watermark_ingest": q_events_watermark_ingest,
         "events_hopping_counts": q_events_hopping_counts,
+        "events_session_stream": q_events_session_stream,
         "events_attribution": q_events_attribution,
         "events_hourly_users": q_events_hourly_users,
         "embed_kmeans": q_embed_kmeans,
@@ -6205,6 +6222,49 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT * FROM b0
             UNION ALL SELECT * FROM a1
             UNION ALL SELECT * FROM a2
+        """,
+        "events_session_stream": """
+            WITH b0 AS (SELECT user_id, ts FROM events
+                        WHERE event_id % 3 = 0),
+                 w0 AS (SELECT max(ts) AS m FROM b0),
+                 b1 AS (SELECT user_id, ts FROM events
+                        WHERE event_id % 3 = 1),
+                 a1 AS (SELECT * FROM b1
+                        WHERE ts >= (SELECT m FROM w0)
+                                    - INTERVAL 30 MINUTE),
+                 w1 AS (SELECT greatest(
+                          (SELECT m FROM w0),
+                          coalesce((SELECT max(ts) FROM a1),
+                                   (SELECT m FROM w0))) AS m),
+                 b2 AS (SELECT user_id, ts FROM events
+                        WHERE event_id % 3 = 2),
+                 a2 AS (SELECT * FROM b2
+                        WHERE ts >= (SELECT m FROM w1)
+                                    - INTERVAL 30 MINUTE),
+                 acc AS (SELECT user_id, ts FROM b0
+                         UNION ALL SELECT * FROM a1
+                         UNION ALL SELECT * FROM a2),
+                 wmf AS (SELECT epoch_us(max(ts)) AS wm FROM acc),
+                 lagd AS (SELECT user_id, ts,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                               THEN 1 ELSE 0 END AS brk
+                          FROM acc
+                          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+                 sess AS (SELECT user_id, ts,
+                          SUM(brk) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+                          FROM lagd),
+                 agg AS (SELECT user_id,
+                                epoch_us(min(ts)) AS session_start_us,
+                                epoch_us(max(ts)) AS session_end_us,
+                                CAST(count(*) AS BIGINT) AS n
+                         FROM sess GROUP BY user_id, sid)
+            SELECT user_id, session_start_us, session_end_us, n
+            FROM agg, wmf
+            WHERE session_end_us + 3600000000 + 1800000000 <= wm
+            ORDER BY user_id, session_start_us
         """,
         "events_hopping_counts": """
             WITH b0 AS (SELECT event_id, ts FROM events

@@ -103,6 +103,8 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
     wm_judge = rec["wm_before_us"] if rec else wm
     fb_judge = rec.get("fired_boundary_before_us") if rec \
         else meta.get("fired_boundary_us")
+    sb_judge = rec.get("session_boundary_before_us") if rec \
+        else meta.get("session_boundary_us")
     os.makedirs(out_dir, exist_ok=True)
 
     ds = ds.materialize()
@@ -132,6 +134,12 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
             m = pc.and_(m, pc.fill_null(pc.greater_equal(
                 ts, pa.scalar(int(fb_judge) + overlap, pa.int64())),
                 False))
+        if sb_judge is not None:
+            # session boundary: every event below it belongs to a FIRED
+            # session (emit_closed_sessions' invariant) — divert, so a
+            # looser lateness can never smuggle into a fired session
+            m = pc.and_(m, pc.fill_null(pc.greater_equal(
+                ts, pa.scalar(int(sb_judge), pa.int64())), False))
         return b.filter(pc.invert(m) if keep_late else m)
 
     accepted = ds.map_batches(lambda b: split(b, False),
@@ -171,6 +179,8 @@ def watermarked_append(ds, out_dir: str, *, batch_id: str,
         "wm_before_us": None if wm_judge is None else int(wm_judge),
         "fired_boundary_before_us":
             None if fb_judge is None else int(fb_judge),
+        "session_boundary_before_us":
+            None if sb_judge is None else int(sb_judge),
         # per-batch event-time range: the trigger prunes whole batches by
         # these, bounding its cost by new data instead of stream history
         "min_ts_us": mn, "max_ts_us": mx}
@@ -273,6 +283,11 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
             "range-dependent — both break the one-int64 exactly-once "
             "boundary")
     meta = _load_meta(out_dir)
+    if meta.get("session_gap_us") is not None:
+        raise ValueError(
+            "this sink already fires SESSION windows (session_gap_us "
+            "recorded) — session and window boundaries don't compose; "
+            "use a separate sink for fixed windows")
     if meta.get("width_us") is not None and \
             int(meta["width_us"]) != width_us:
         raise ValueError(
@@ -364,6 +379,159 @@ def emit_closed_windows(out_dir: str, *, ts_col: str = "ts",
     meta.pop("fired_windows", None)  # replaced by the boundary
     _save_meta(out_dir, meta)
     return out
+
+
+def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
+                         key: str = "user_id",
+                         gap: "pd.Timedelta | str" = "30min",
+                         num_buckets: int = 16):
+    """Fire GAP-BASED SESSION windows (ROADMAP r5 item 3): a session of
+    ``key`` closes when no accepted row can ever extend it —
+    ``session_end + gap + max_lateness ≤ watermark`` (any future
+    accepted row has ``ts ≥ wm − lateness ≥ end + gap``, which starts a
+    NEW session; and no accepted row can merge BEFORE a closed session
+    either, same bound). Unlike fixed windows, sessions aren't aligned,
+    so exactly-once rides two mechanisms:
+
+    * a single int64 ``session_boundary_us`` = every event BELOW it
+      belongs to a fired session (new boundary = min(unfired session
+      starts, wm − lateness), never decreasing) — the trigger prunes
+      whole batches below it by metadata, and
+      :func:`watermarked_append` diverts later sub-boundary rows to the
+      late channel (a looser lateness can't smuggle into a fired
+      session, the same discipline as the fixed-window boundary);
+    * a per-SESSION journal file ``sessions/ses=<start_us>_<key-hash>``
+      — a closed session's identity (key, start) is stable, so crash
+      replay overwrites its own file (idempotent); the returned frame
+      reports sessions whose journal file did not exist before this
+      call (at-least-once across a crash, like the window trigger).
+
+    HONEST cost bound: a trigger reads every batch at or above the
+    boundary. A perpetually-active key (bot heartbeats within the gap)
+    keeps its session open and PINS the boundary, so trigger cost
+    grows with that session's span — that is inherent to unbounded
+    sessions (cap them upstream if it bites); for streams whose
+    sessions actually close, the boundary tracks the watermark and
+    cost stays proportional to new data. A sink fires EITHER fixed
+    windows or sessions, never both (the two boundaries would not
+    compose). ``gap`` is fixed per sink (conflict guard). Returns
+    ``(key, session_start_us, session_end_us, n)`` of newly fired
+    sessions."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.dedup import hash_strings64
+    from ..stages.windows import sessionize
+
+    gap_us = int(pd.Timedelta(gap).value // 1000)
+    if gap_us <= 0:
+        raise ValueError("gap must be a positive duration")
+    meta = _load_meta(out_dir)
+    if meta.get("width_us") is not None:
+        raise ValueError(
+            "this sink already fires FIXED windows (width_us recorded) "
+            "— session and window boundaries don't compose; use a "
+            "separate sink for sessions")
+    if meta.get("session_gap_us") is not None and \
+            int(meta["session_gap_us"]) != gap_us:
+        raise ValueError(
+            f"session gap {gap!r} ({gap_us}us) conflicts with this "
+            f"sink's recorded gap ({meta['session_gap_us']}us) — the "
+            "boundary is only meaningful for ONE gap per sink")
+    wm = meta.get("watermark_us")
+    late_us = int(meta.get("max_lateness_us", 0))
+    boundary = meta.get("session_boundary_us")
+    empty = pd.DataFrame({
+        key: pd.Series([], dtype="object"),
+        "session_start_us": pd.Series([], dtype="int64"),
+        "session_end_us": pd.Series([], dtype="int64"),
+        "n": pd.Series([], dtype="int64")})
+    if wm is None:
+        return empty
+    paths = _trigger_batch_paths(out_dir, meta,
+                                 None if boundary is None else
+                                 int(boundary), int(wm))
+    if not paths:
+        return empty
+
+    def project(b: pa.Table) -> pa.Table:
+        ts = _ts_micros(b[ts_col])
+        t = pa.table({key: b[key], "_ts": ts.cast(pa.timestamp("us"))})
+        if boundary is not None:
+            t = t.filter(pc.greater_equal(
+                ts, pa.scalar(int(boundary), pa.int64())))
+        return t
+
+    ev = rd.read_parquet(paths).map_batches(project,
+                                            batch_format="pyarrow")
+    ses = sessionize(ev, key=key, ts="_ts",
+                     gap=pd.Timedelta(microseconds=gap_us),
+                     num_buckets=num_buckets).to_pandas()
+    if len(ses) == 0:
+        return empty
+    start_us = ses["session_start"].astype("int64") // 1000 \
+        if str(ses["session_start"].dtype).endswith("[ns]") else \
+        ses["session_start"].astype("int64")
+    end_us = ses["session_end"].astype("int64") // 1000 \
+        if str(ses["session_end"].dtype).endswith("[ns]") else \
+        ses["session_end"].astype("int64")
+    out = pd.DataFrame({key: ses[key],
+                        "session_start_us": start_us.to_numpy(),
+                        "session_end_us": end_us.to_numpy(),
+                        "n": ses["n"].astype("int64")})
+    fired_mask = out["session_end_us"] + gap_us + late_us <= int(wm)
+    fired = out[fired_mask].sort_values(
+        [key, "session_start_us"], kind="mergesort").reset_index(drop=True)
+    unfired = out[~fired_mask]
+    new_boundary = int(wm) - late_us
+    if len(unfired):
+        new_boundary = min(new_boundary,
+                           int(unfired["session_start_us"].min()))
+    if boundary is not None:
+        new_boundary = max(new_boundary, int(boundary))
+
+    sdir = os.path.join(out_dir, "sessions")
+    fresh = []
+    if len(fired):
+        kh = hash_strings64(pa.array(
+            fired[key].astype(str).tolist(), pa.string()))
+        for i in range(len(fired)):
+            name = f"ses={int(fired['session_start_us'].iloc[i])}" \
+                   f"_{int(kh[i]):016x}"
+            wdir = os.path.join(sdir, name)
+            existed = os.path.exists(os.path.join(wdir, "data.parquet"))
+            os.makedirs(wdir, exist_ok=True)
+            tmp = os.path.join(wdir, ".data.parquet.tmp")
+            pq.write_table(pa.Table.from_pandas(
+                fired.iloc[[i]].reset_index(drop=True),
+                preserve_index=False), tmp)
+            os.replace(tmp, os.path.join(wdir, "data.parquet"))
+            if not existed:
+                fresh.append(i)
+    meta["session_boundary_us"] = int(new_boundary)
+    meta["session_gap_us"] = gap_us
+    _save_meta(out_dir, meta)
+    if not fresh:
+        return empty
+    return fired.iloc[fresh].reset_index(drop=True)
+
+
+def read_session_emissions(out_dir: str):
+    """The durable per-session emission journal as one frame (replays
+    everything ever fired, crashed consumers included)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(
+        os.path.join(out_dir, "sessions", "ses=*", "data.parquet")))
+    if not files:
+        return pd.DataFrame()
+    return pd.concat([pq.read_table(f).to_pandas() for f in files],
+                     ignore_index=True).reset_index(drop=True)
 
 
 def read_emissions(out_dir: str):

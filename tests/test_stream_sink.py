@@ -284,3 +284,66 @@ def test_hopping_shape_validation(ray_session, tmp_path):
         emit_closed_windows(out, ts_col="ts", width="1h", hop="15min")
     with pytest.raises(ValueError, match="width"):
         emit_closed_windows(out, ts_col="ts", width="2h", hop="30min")
+
+
+def _sev(rows):
+    import ray.data as rd
+
+    US = 1_000_000
+    return rd.from_arrow(pa.table({
+        "user_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] * US for r in rows], pa.int64())}))
+
+
+def test_session_trigger_lifecycle(ray_session, tmp_path):
+    """Gap-based session windows on the streaming sink: a session fires
+    once its end + gap + max_lateness clears the watermark; re-triggers
+    are exactly-once (per-session journal); a later row below the
+    session boundary diverts to the late channel even with a looser
+    lateness; gap and window/session mixing are guarded."""
+    from cattle_ray.sources.stream_sink import (emit_closed_sessions,
+                                                emit_closed_windows,
+                                                read_session_emissions,
+                                                watermarked_append)
+
+    US = 1_000_000
+    d = str(tmp_path / "sink")
+    watermarked_append(_sev([("u1", 0), ("u1", 60), ("u2", 1000)]), d,
+                       batch_id="b0", allowed_lateness="0s")
+    f1 = emit_closed_sessions(d, gap="5min")
+    assert f1.values.tolist() == [["u1", 0, 60 * US, 2]]
+    assert len(emit_closed_sessions(d, gap="5min")) == 0  # exactly-once
+    watermarked_append(_sev([("u2", 1200), ("u3", 2000)]), d,
+                       batch_id="b1", allowed_lateness="0s")
+    f2 = emit_closed_sessions(d, gap="5min")
+    assert f2.values.tolist() == [["u2", 1000 * US, 1200 * US, 2]]
+    # boundary guard: a sub-boundary row is late despite loose lateness
+    r = watermarked_append(_sev([("u1", 10)]), d, batch_id="b2",
+                           allowed_lateness="10h")
+    assert r["accepted"] == 0 and r["late"] == 1
+    assert len(read_session_emissions(d)) == 2
+    with pytest.raises(ValueError, match="gap"):
+        emit_closed_sessions(d, gap="1min")
+    with pytest.raises(ValueError, match="SESSION"):
+        emit_closed_windows(d, width="1h")
+
+
+def test_session_trigger_open_session_stays(ray_session, tmp_path):
+    """A perpetually-active key pins its session open (and the
+    boundary); it fires only once the gap finally clears — with its
+    FULL history intact."""
+    from cattle_ray.sources.stream_sink import (emit_closed_sessions,
+                                                watermarked_append)
+
+    US = 1_000_000
+    d = str(tmp_path / "sink")
+    # heartbeats every 60s across two batches (gap 5min keeps it open)
+    watermarked_append(_sev([("bot", t) for t in range(0, 600, 60)]), d,
+                       batch_id="b0", allowed_lateness="0s")
+    assert len(emit_closed_sessions(d, gap="5min")) == 0
+    watermarked_append(_sev([("bot", t) for t in range(600, 1200, 60)]
+                            + [("x", 5000)]), d,
+                       batch_id="b1", allowed_lateness="0s")
+    f = emit_closed_sessions(d, gap="5min")
+    # bot's whole 20-event run fires as ONE session
+    assert f.values.tolist() == [["bot", 0, 1140 * US, 20]]
