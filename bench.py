@@ -47,9 +47,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     counts: dict[str, int] = {}
 
     def timed(name, fn):
+        import pandas as pd
+
         t0 = time.perf_counter()
         ds = fn(sf_dir)
-        n = ds.count() if hasattr(ds, "count") else len(ds)
+        # pandas frames also have .count() (per-column Series) — len()
+        n = len(ds) if isinstance(ds, pd.DataFrame) \
+            else (ds.count() if hasattr(ds, "count") else len(ds))
         results[name] = round(time.perf_counter() - t0, 3)
         counts[name] = int(n)
         # drop the dataset's object-store refs NOW: 90+ queries in one
@@ -248,6 +252,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_sparql_aggexpr",
         "kg_federated",
         "kg_functional_check",
+        # round-5 operators
+        "kg_negative_samples_sharded",
+        "kg_sparql_star_unbound",
+        "kg_sparql_quant_path",
+        "kg_sparql_group_path",
+        "kg_sparql_service",
+        "kg_federated_obj_route",
+        "kg_owl_chain",
+        "doc_simhash_exact",
+        "doc_corpus_dedup_verified",
+        "events_session_stream",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

@@ -400,11 +400,15 @@ def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
       :func:`watermarked_append` diverts later sub-boundary rows to the
       late channel (a looser lateness can't smuggle into a fired
       session, the same discipline as the fixed-window boundary);
-    * a per-SESSION journal file ``sessions/ses=<start_us>_<key-hash>``
-      — a closed session's identity (key, start) is stable, so crash
-      replay overwrites its own file (idempotent); the returned frame
-      reports sessions whose journal file did not exist before this
-      call (at-least-once across a crash, like the window trigger).
+    * ONE journal file per effective trigger,
+      ``sessions/fire=<content-hash>/`` holding the NEWLY fired
+      sessions — a crash replay recomputes the same newly-fired set
+      (same meta state) and overwrites the same file (idempotent; the
+      window trigger's journal-first discipline). "Newly" is decided
+      against a SMALL meta set of already-fired session identities at
+      or above the boundary (only those can ever recompute — sessions
+      below the boundary are pruned away), so the set shrinks as the
+      boundary advances; it never grows with stream history.
 
     HONEST cost bound: a trigger reads every batch at or above the
     boundary. A perpetually-active key (bot heartbeats within the gap)
@@ -492,30 +496,43 @@ def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
     if boundary is not None:
         new_boundary = max(new_boundary, int(boundary))
 
-    sdir = os.path.join(out_dir, "sessions")
-    fresh = []
+    prev = {(int(s), h) for s, h in
+            meta.get("sessions_fired_above_boundary", [])}
+    newly = fired
+    ids: list = []
     if len(fired):
         kh = hash_strings64(pa.array(
             fired[key].astype(str).tolist(), pa.string()))
-        for i in range(len(fired)):
-            name = f"ses={int(fired['session_start_us'].iloc[i])}" \
-                   f"_{int(kh[i]):016x}"
-            wdir = os.path.join(sdir, name)
-            existed = os.path.exists(os.path.join(wdir, "data.parquet"))
-            os.makedirs(wdir, exist_ok=True)
-            tmp = os.path.join(wdir, ".data.parquet.tmp")
-            pq.write_table(pa.Table.from_pandas(
-                fired.iloc[[i]].reset_index(drop=True),
-                preserve_index=False), tmp)
-            os.replace(tmp, os.path.join(wdir, "data.parquet"))
-            if not existed:
-                fresh.append(i)
+        ids = [(int(s), f"{int(h):016x}") for s, h in
+               zip(fired["session_start_us"], kh)]
+        mask = [i not in prev for i in ids]
+        newly = fired[mask].reset_index(drop=True)
+    if len(newly):
+        import hashlib
+
+        # journal FIRST, meta second (window-trigger discipline): the
+        # file name is a content hash of the newly-fired set, so a
+        # crash replay (same meta → same recompute) rewrites the same
+        # file instead of duplicating emissions
+        canon = newly.to_csv(index=False).encode()
+        wdir = os.path.join(out_dir, "sessions",
+                            f"fire={hashlib.md5(canon).hexdigest()}")
+        os.makedirs(wdir, exist_ok=True)
+        tmp = os.path.join(wdir, ".data.parquet.tmp")
+        pq.write_table(pa.Table.from_pandas(newly, preserve_index=False),
+                       tmp)
+        os.replace(tmp, os.path.join(wdir, "data.parquet"))
+    # remember fired identities that could still recompute (start ≥ new
+    # boundary); everything below is pruned forever — bounded state
+    live = sorted({i for i in (prev | set(ids))
+                   if i[0] >= int(new_boundary)})
+    meta["sessions_fired_above_boundary"] = [list(i) for i in live]
     meta["session_boundary_us"] = int(new_boundary)
     meta["session_gap_us"] = gap_us
     _save_meta(out_dir, meta)
-    if not fresh:
+    if not len(newly):
         return empty
-    return fired.iloc[fresh].reset_index(drop=True)
+    return newly
 
 
 def read_session_emissions(out_dir: str):
@@ -527,7 +544,7 @@ def read_session_emissions(out_dir: str):
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(
-        os.path.join(out_dir, "sessions", "ses=*", "data.parquet")))
+        os.path.join(out_dir, "sessions", "fire=*", "data.parquet")))
     if not files:
         return pd.DataFrame()
     return pd.concat([pq.read_table(f).to_pandas() for f in files],
