@@ -4339,6 +4339,35 @@ def q_kg_negative_samples_sharded(sf_dir: str):
                                  num_shards=16)
 
 
+def q_kg_transe_epoch(sf_dir: str):
+    """ONE deterministic full-batch TransE epoch over the doc↔entity
+    edge graph (stages/kgembed.py): hash-init embeddings, the filtered
+    negative sampler's (positive, corruption) pairs, four co-partitioned
+    vector gathers, int64 fixed-point gradient sums through one raw-task
+    exchange — the trained table is a pure function of the edges, so
+    reruns and repartitions agree bit-for-bit (pytest-pinned against an
+    in-memory numpy reference). Rows-only (vector math has no SQL
+    mirror); output = per-entity L2 norm of the trained vector in
+    µ-units (exact int64 view of the float32 table)."""
+    from cattle_ray.stages.kgembed import transe_epoch
+    from cattle_ray.stages.reason import property_graph_tables
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    out = transe_epoch(edges, dim=16, k=1, seed=5, num_buckets=8)
+
+    def norms(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        emb = np.stack([np.frombuffer(x, np.float32)
+                        for x in b["emb"].to_pylist()])
+        n = np.sqrt((emb.astype(np.float64) ** 2).sum(1))
+        return pa.table({"id": b["id"],
+                         "norm_u": pa.array(
+                             np.round(n * 1_000_000).astype(np.int64))})
+
+    return out["entities"].map_batches(norms, batch_format="pyarrow")
+
+
 def q_kg_sample_neighbors(sf_dir: str):
     """GNN minibatch sampling (graph.sample_neighbors): 2-hop fanout-3
     sampled subgraph around the lexicographically first doc subject,
@@ -4773,7 +4802,7 @@ def q_kg_owl_chain(sf_dir: str):
         "pred": [OWL_CHAIN, RDF_FIRST, RDF_REST, RDF_FIRST, RDF_REST],
         "obj": ["_:l1", EX + "broader", "_:l2", EX + "broader",
                 RDF_NIL]})
-    closed = owl_materialize(tr, schema)
+    closed = owl_materialize(tr, schema, num_buckets=8)
     out = closed.filter(
         expr=f"pred == '{EX}grandBroader'").map_batches(
         lambda b: pa.table({"e": b["subj"], "g": b["obj"]}),
@@ -5438,6 +5467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_property_graph": q_kg_property_graph,
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
         "kg_negative_samples_sharded": q_kg_negative_samples_sharded,
+        "kg_transe_epoch": q_kg_transe_epoch,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,

@@ -1,0 +1,351 @@
+"""Deterministic distributed KG-embedding training (TransE) — the
+training loop the negative sampler feeds.
+
+Why full-batch and fixed-point: SGD's row order is a partition artifact,
+and float accumulation order varies with layout — either would make the
+trained vectors depend on how blocks happened to split. One epoch here
+is the FULL-batch subgradient of the margin ranking loss, with per-row
+gradients quantized to int64 fixed-point (``grad_scale``) before the
+per-entity scatter-sum — integer sums commute, so the epoch is a pure
+function of (edges, dim, hyperparameters): layout/parallelism-invariant
+and reproducible, the same exact-cents discipline the engine's
+aggregates use.
+
+Scale shape (the 100-TB story):
+
+* the ENTITY embedding table is a Dataset ``(id, emb)`` with ``emb`` a
+  fixed-size float32 binary payload — entity-sized, never driver-side;
+  epoch 0 needs no stored table at all (deterministic hash init:
+  vector j of ``id`` is a splitmix of ``h(id), j`` — TransE's uniform
+  ±6/√dim window);
+* corrupted pairs come from :func:`~.reason.negative_sample_edges`
+  (``keep_true_dst`` pairs each corruption with its positive) — the
+  sampler's own broadcast/sharded crossover applies;
+* FOUR vector gathers per pair row (src, rel, true dst, corrupted dst):
+  entity vectors by co-partitioned :func:`~.joins.hash_join` against
+  the table, relation vectors from a ``ray.put`` broadcast (relations
+  are vocabulary-sized by contract, same guard as the RDFS schema);
+* the per-entity gradient sum rides ONE raw-task
+  :func:`~.exchange.hash_exchange`; the update is one LEFT join of the
+  table against the summed gradients.
+
+Reference scope note: the reference system performs no training; this
+is beyond-reference surface implied by the KG tier (TransE: Bordes et
+al., NeurIPS 2013 — public).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+MAX_RELATIONS = 1_000_000  # broadcast guard: relations are vocabulary
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    x = (x + _GOLD).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hash_init_vecs(ids, dim: int, *, seed: int = 0) -> np.ndarray:
+    """(n, dim) float32 init vectors as a pure function of the ids:
+    uniform in ±6/√dim (the TransE init window) from a splitmix of
+    ``(xxhash(id), column, seed)`` — no stored epoch-0 table, and any
+    worker can materialize any entity's vector independently."""
+    from .dedup import hash_strings64
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    if not isinstance(ids, pa.Array):
+        ids = pa.array(list(ids), pa.string())
+    h = hash_strings64(pc.cast(ids, pa.string()))
+    cols = np.arange(dim, dtype=np.uint64)
+    m = _mix64(h[:, None] ^ (cols[None, :] * _GOLD)
+               ^ np.uint64(seed))
+    u = (m >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    w = 6.0 / np.sqrt(dim)
+    return ((u - 0.5) * 2.0 * w).astype(np.float32)
+
+
+def _vec_col(mat: np.ndarray) -> pa.Array:
+    """(n, dim) float32 → fixed-size-binary column (dim·4 bytes/row)."""
+    dim4 = mat.shape[1] * 4
+    return pa.Array.from_buffers(
+        pa.binary(dim4), len(mat),
+        [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+
+
+def _vecs(col, dim: int, dtype=np.float32) -> np.ndarray:
+    """Fixed-size-binary column → (n, dim) array (zero-copy buffer view
+    when the column is a single chunk)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    itemsize = np.dtype(dtype).itemsize
+    buf = col.buffers()[1]
+    off = col.offset * dim * itemsize
+    return np.frombuffer(buf, dtype=dtype,
+                         count=len(col) * dim,
+                         offset=off).reshape(len(col), dim)
+
+
+def entity_embeddings(edges_ds, dim: int, *, src: str = "src",
+                      dst: str = "dst", seed: int = 0,
+                      num_buckets: int = 32):
+    """Initial entity embedding table ``(id, emb)`` for every distinct
+    edge endpoint — hash-init vectors, distributed distinct, nothing
+    driver-side."""
+    from .aggregates import distinct
+
+    def ends(b: pa.Table) -> pa.Table:
+        a, d = b[src], b[dst]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        return pa.table({"id": pa.concat_arrays([a, d])})
+
+    ids = distinct(edges_ds.map_batches(ends, batch_format="pyarrow"),
+                   ["id"], num_buckets=num_buckets)
+    return ids.map_batches(
+        lambda b: pa.table({"id": b["id"],
+                            "emb": _vec_col(hash_init_vecs(
+                                b["id"], dim, seed=seed))}),
+        batch_format="pyarrow")
+
+
+def _fetch_vecs(rows_ds, emb_ds, key_col: str, out_col: str, dim: int,
+                num_buckets: int):
+    """Attach ``emb_ds``'s vector for ``rows[key_col]`` as ``out_col``
+    via one co-partitioned inner join (every key must exist — the
+    epoch derives its table from the same edges)."""
+    from .joins import hash_join
+
+    side = emb_ds.map_batches(
+        lambda b: pa.table({f"_k_{out_col}": b["id"], out_col: b["emb"]}),
+        batch_format="pyarrow")
+    j = hash_join(rows_ds, side, key_col, f"_k_{out_col}",
+                  num_buckets=num_buckets)
+    return j.map_batches(
+        lambda b: b.drop_columns([f"_k_{out_col}"]),
+        batch_format="pyarrow")
+
+
+def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
+                 *, dim: int = 16, lr: float = 0.05, margin: float = 1.0,
+                 k: int = 1, src: str = "src", rel: str = "rel",
+                 dst: str = "dst", seed: int = 0,
+                 grad_scale: int = 1 << 24, num_buckets: int = 16,
+                 sampler_mode: str = "auto",
+                 entity_max: int = 10_000_000):
+    """ONE full-batch TransE epoch. Returns ``{"entities": Dataset
+    (id, emb), "relations": {rel: np.ndarray}, "loss": float,
+    "active_pairs": int, "pairs": int}`` — loss is the exact
+    fixed-point sum of ``max(0, margin + ‖e_s+r−e_d‖ − ‖e_s+r−e_d'‖)``
+    over every (positive, corruption) pair, and the updated tables are
+    a pure function of the inputs (chain epochs by feeding the outputs
+    back in). ``ent_emb_ds=None`` / ``rel_vecs=None`` hash-init from
+    the edges themselves."""
+    import ray
+
+    from .exchange import hash_exchange
+    from .joins import _col_hash64
+    from .reason import negative_sample_edges
+
+    edges_ds = edges_ds.materialize()
+    if ent_emb_ds is None:
+        ent_emb_ds = entity_embeddings(edges_ds, dim, src=src, dst=dst,
+                                       seed=seed,
+                                       num_buckets=num_buckets)
+    ent_emb_ds = ent_emb_ds.materialize()
+    if rel_vecs is None:
+        from .aggregates import distinct
+
+        rels_ds = distinct(edges_ds.map_batches(
+            lambda b: pa.table({"r": b[rel]}), batch_format="pyarrow"),
+            ["r"], num_buckets=num_buckets)
+        rels = [r["r"] for r in rels_ds.take_all()]
+        if len(rels) > MAX_RELATIONS:
+            raise ValueError(
+                f"{len(rels)} distinct relations exceed MAX_RELATIONS="
+                f"{MAX_RELATIONS} — relation vocabularies are broadcast "
+                "by contract (an id-like relation column is a modelling "
+                "bug)")
+        rels = sorted(rels)
+        rel_vecs = dict(zip(rels, hash_init_vecs(rels, dim, seed=seed
+                                                 + 1)))
+    rel_ref = ray.put({r: np.asarray(v, np.float32)
+                       for r, v in rel_vecs.items()})
+
+    # corruption pairs: negatives carry their positive's dst for the
+    # margin pairing; positives themselves aren't needed as rows
+    pairs = negative_sample_edges(
+        edges_ds, k=k, src=src, rel=rel, dst=dst, seed=seed,
+        mode=sampler_mode, entity_max=entity_max,
+        keep_true_dst="_td").filter(expr="label == 0").map_batches(
+        lambda b: pa.table({"s": b[src], "r": b[rel], "dn": b[dst],
+                            "d": b["_td"]}),
+        batch_format="pyarrow")
+    got = pairs
+    for key_col, out in (("s", "es"), ("d", "ed"), ("dn", "edn")):
+        got = _fetch_vecs(got, ent_emb_ds, key_col, out, dim,
+                          num_buckets)
+    got = got.materialize()
+
+    def grad_batch(b: pa.Table) -> pa.Table:
+        rv = ray.get(rel_ref)
+        n = len(b)
+        if n == 0:
+            return pa.table({
+                "kind": pa.array([], pa.string()),
+                "id": pa.array([], pa.string()),
+                "g": pa.array([], pa.binary()),
+                "loss_q": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64())})
+        es = _vecs(b["es"], dim)
+        ed = _vecs(b["ed"], dim)
+        edn = _vecs(b["edn"], dim)
+        r_ids = b["r"].to_pylist()
+        er = np.stack([rv[x] for x in r_ids]).astype(np.float32)
+        diff_p = (es + er - ed).astype(np.float64)
+        diff_n = (es + er - edn).astype(np.float64)
+        d_p = np.sqrt((diff_p * diff_p).sum(1))
+        d_n = np.sqrt((diff_n * diff_n).sum(1))
+        loss = margin + d_p - d_n
+        act = loss > 0
+        # quantized per-pair loss: the reported total is an exact sum
+        loss_q = int(np.round(loss[act] * grad_scale).sum())
+        if not act.any():
+            return pa.table({
+                "kind": pa.array(["loss"], pa.string()),
+                "id": pa.array([""], pa.string()),
+                "g": pa.array([b""], pa.binary()),
+                "loss_q": pa.array([0], pa.int64()),
+                "cnt": pa.array([0], pa.int64())})
+        u_p = np.where(d_p[act, None] > 0, diff_p[act] / np.maximum(
+            d_p[act, None], 1e-30), 0.0)
+        u_n = np.where(d_n[act, None] > 0, diff_n[act] / np.maximum(
+            d_n[act, None], 1e-30), 0.0)
+        g_sr = u_p - u_n          # ∂L/∂e_s and ∂L/∂r
+        g_d = -u_p                # ∂L/∂e_d
+        g_dn = u_n                # ∂L/∂e_d'
+        sa = np.asarray(b["s"].to_pylist(), object)[act]
+        da = np.asarray(b["d"].to_pylist(), object)[act]
+        dna = np.asarray(b["dn"].to_pylist(), object)[act]
+        ra = np.asarray(r_ids, object)[act]
+        ids = np.concatenate([sa, da, dna, ra])
+        kinds = np.concatenate([np.full(len(sa), "e", object),
+                                np.full(len(da), "e", object),
+                                np.full(len(dna), "e", object),
+                                np.full(len(ra), "r", object)])
+        g = np.concatenate([g_sr, g_d, g_dn, g_sr])
+        gq = np.round(g * grad_scale).astype(np.int64)
+        out = pa.table({
+            "kind": pa.array(kinds.tolist(), pa.string()),
+            "id": pa.array(ids.tolist(), pa.string()),
+            "g": pa.array([row.tobytes() for row in gq], pa.binary()),
+            "loss_q": pa.array(np.zeros(len(ids), np.int64)),
+            "cnt": pa.array(np.zeros(len(ids), np.int64))})
+        head = pa.table({
+            "kind": pa.array(["loss"], pa.string()),
+            "id": pa.array([""], pa.string()),
+            "g": pa.array([b""], pa.binary()),
+            "loss_q": pa.array([loss_q], pa.int64()),
+            "cnt": pa.array([int(act.sum())], pa.int64())})
+        return pa.concat_tables([head, out])
+
+    emitted = got.map_batches(grad_batch,
+                              batch_format="pyarrow").materialize()
+    n_pairs = got.count()
+
+    # loss + active counts: exact int64 partials, driver-summed
+    lp = emitted.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "loss")).select(
+            ["loss_q", "cnt"]),
+        batch_format="pyarrow").to_pandas()
+    total_loss = float(lp["loss_q"].sum()) / grad_scale
+    active = int(lp["cnt"].sum())
+
+    # relation gradients: vocabulary-sized — per-batch partial sums,
+    # driver-combined (same contract as the broadcast itself)
+    def rel_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["kind"], "r"))
+        if len(t) == 0:
+            return pa.table({"id": pa.array([], pa.string()),
+                             "g": pa.array([], pa.binary())})
+        ids = np.asarray(t["id"].to_pylist(), object)
+        gq = np.stack([np.frombuffer(x, np.int64)
+                       for x in t["g"].to_pylist()])
+        out_ids, out_g = [], []
+        for u in np.unique(ids):
+            out_ids.append(str(u))
+            out_g.append(gq[ids == u].sum(0).tobytes())
+        return pa.table({"id": pa.array(out_ids, pa.string()),
+                         "g": pa.array(out_g, pa.binary())})
+
+    rp = emitted.map_batches(rel_partial,
+                             batch_format="pyarrow").to_pandas()
+    new_rels = {}
+    for r_id, vec in rel_vecs.items():
+        gsum = np.zeros(dim, np.int64)
+        for x in rp[rp["id"] == r_id]["g"]:
+            gsum += np.frombuffer(x, np.int64)
+        new_rels[r_id] = (np.asarray(vec, np.float32)
+                          - np.float32(lr)
+                          * (gsum / grad_scale).astype(np.float32))
+
+    # entity gradients: one raw-task exchange, exact int64 vector sums
+    ent_rows = emitted.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "e")).select(["id", "g"]),
+        batch_format="pyarrow")
+    ent_rows = ent_rows.map_batches(
+        lambda b: b.append_column("_bucket", pa.array(
+            (_col_hash64(b["id"]) % np.uint64(num_buckets)).astype(
+                np.int64))),
+        batch_format="pyarrow")
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"id": pa.array([], pa.string()),
+                             "gs": pa.array([], pa.binary())})
+        ids = np.asarray(t["id"].to_pylist(), object)
+        gq = np.stack([np.frombuffer(x, np.int64)
+                       for x in t["g"].to_pylist()])
+        order = np.argsort(ids, kind="stable")
+        ids_s, gq_s = ids[order], gq[order]
+        uniq, starts = np.unique(ids_s, return_index=True)
+        sums = np.add.reduceat(gq_s, starts, axis=0)
+        return pa.table({
+            "id": pa.array(uniq.tolist(), pa.string()),
+            "gs": pa.array([row.tobytes() for row in sums],
+                           pa.binary())})
+
+    grads = hash_exchange(ent_rows, "_bucket", sum_bucket, num_buckets)
+
+    from .joins import hash_join
+
+    upd = hash_join(ent_emb_ds, grads.map_batches(
+        lambda b: pa.table({"_gid": b["id"], "gs": b["gs"]}),
+        batch_format="pyarrow"), "id", "_gid", how="left",
+        num_buckets=num_buckets)
+
+    def apply(b: pa.Table) -> pa.Table:
+        emb = np.stack([np.frombuffer(x, np.float32)
+                        for x in b["emb"].to_pylist()])
+        gs = b["gs"].to_pylist()
+        for i, x in enumerate(gs):
+            if x is not None and len(x):
+                emb[i] = emb[i] - np.float32(lr) * (
+                    np.frombuffer(x, np.int64) / grad_scale).astype(
+                    np.float32)
+        return pa.table({"id": b["id"], "emb": _vec_col(emb)})
+
+    new_ents = upd.map_batches(apply, batch_format="pyarrow")
+    return {"entities": new_ents, "relations": new_rels,
+            "loss": total_loss, "active_pairs": active,
+            "pairs": n_pairs}

@@ -869,7 +869,8 @@ def _edge_corruption_hashes(b: pa.Table, src: str, rel: str, dst: str,
 
 
 def _neg_resolve(b: pa.Table, voc, src: str, rel: str, dst: str,
-                 hashes: np.ndarray, label_schema: pa.Schema) -> list:
+                 hashes: np.ndarray, label_schema: pa.Schema,
+                 true_dst_col: "str | None" = None) -> list:
     """Resolve corruption hashes against an entity pool ``voc`` (sorted
     Arrow string array): candidate = voc[h % len(voc)]; a candidate that
     collides with the edge's TRUE dst or its src re-hashes once and then
@@ -901,7 +902,11 @@ def _neg_resolve(b: pa.Table, voc, src: str, rel: str, dst: str,
         for col in b.column_names:
             if col not in (src, rel, dst):
                 neg = neg.append_column(col, b[col].take(idx))
-        neg = neg.select([f.name for f in label_schema][:-1]).append_column(
+        tail = 2 if true_dst_col is not None else 1
+        neg = neg.select([f.name for f in label_schema][:-tail])
+        if true_dst_col is not None:
+            neg = neg.append_column(true_dst_col, b[dst].take(idx))
+        neg = neg.append_column(
             "label", pa.array(np.zeros(int(keep.sum()), np.int64)))
         outs.append(neg.cast(label_schema))
     return outs
@@ -913,7 +918,8 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
                           entity_max: int = 10_000_000,
                           seed: int = 0x9E3779B9,
                           mode: str = "auto",
-                          num_shards: int = 64):
+                          num_shards: int = 64,
+                          keep_true_dst: "str | None" = None):
     """FILTERED negative sampling for KG-embedding training (TransE /
     DistMult-style): every positive edge emits ``k`` corrupted copies
     ``(src, rel, dst')`` with ``dst'`` drawn from the corpus's entity
@@ -973,7 +979,13 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
 
     vocab_ds = distinct(edges_ds.map_batches(ends, batch_format="pyarrow"),
                         ["e"])
-    n_vocab = vocab_ds.count()
+    # forced-sharded with an explicit shard count never needs the
+    # vocabulary size: skip the count pass entirely (the pools size
+    # themselves by hashing; empty-shard drops stay rare for any
+    # vocabulary ≳ 16 × num_shards — the caller's contract when forcing)
+    n_vocab = None
+    if mode != "sharded":
+        n_vocab = vocab_ds.count()
     if mode == "broadcast" and n_vocab > entity_max:
         raise ValueError(
             f"{n_vocab} distinct entities exceed entity_max="
@@ -985,7 +997,13 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
     edge_schema = edges_ds.schema()
     base = edge_schema if isinstance(edge_schema, pa.Schema) else \
         pa.schema(list(zip(edge_schema.names, edge_schema.types)))
-    label_schema = pa.schema(list(base) + [pa.field("label", pa.int64())])
+    # keep_true_dst: name of an extra output column carrying the TRUE
+    # dst on every row (= dst on positives) — the margin-loss pairing
+    # column KG-embedding training needs (kgembed.transe_epoch)
+    extra = [] if keep_true_dst is None else \
+        [pa.field(keep_true_dst, pa.string())]
+    label_schema = pa.schema(list(base) + extra
+                             + [pa.field("label", pa.int64())])
 
     if not use_shards:
         vocab = pa.array([r["e"] for r in vocab_ds.take_all()], pa.string())
@@ -995,14 +1013,19 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
         vocab_ref = ray.put(vocab)
 
         def sample(b: pa.Table) -> pa.Table:
-            pos = b.append_column("label", pa.array(
+            pos = b
+            if keep_true_dst is not None:
+                pos = pos.append_column(keep_true_dst,
+                                        pc.cast(b[dst], pa.string()))
+            pos = pos.append_column("label", pa.array(
                 np.ones(len(b), np.int64))).cast(label_schema)
             if len(b) == 0:
                 return pos
             hashes = _edge_corruption_hashes(b, src, rel, dst, k, seed)
             return pa.concat_tables(
                 [pos] + _neg_resolve(b, ray.get(vocab_ref), src, rel,
-                                     dst, hashes, label_schema))
+                                     dst, hashes, label_schema,
+                                     keep_true_dst))
 
         return edges_ds.map_batches(sample, batch_format="pyarrow")
 
@@ -1011,7 +1034,10 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
     from .exchange import hash_exchange
 
     # expected ≥ ~16 entities per shard so empty-shard drops stay rare
-    n_shards = max(1, min(num_shards, n_vocab // 16 or 1))
+    # expected ≥ ~16 entities per shard when the size is known (auto
+    # crossover); forced mode trusts the caller's num_shards
+    n_shards = num_shards if n_vocab is None else \
+        max(1, min(num_shards, n_vocab // 16 or 1))
 
     # union schema: edge columns + pool column + routing columns
     wire = pa.schema(list(base) + [
@@ -1064,16 +1090,21 @@ def negative_sample_edges(edges_ds, *, k: int = 1,
         b = reqs.select(edge_cols).cast(base)
         hashes = reqs["_h"].to_numpy(zero_copy_only=False)[None, :]
         return pa.concat_tables(
-            _neg_resolve(b, pool, src, rel, dst, hashes, label_schema))
+            _neg_resolve(b, pool, src, rel, dst, hashes, label_schema,
+                         keep_true_dst))
 
     unioned = vocab_ds.map_batches(pool_rows, batch_format="pyarrow").union(
         edges_ds.map_batches(request_rows, batch_format="pyarrow"))
     negatives = hash_exchange(unioned, "_bucket", finish, n_shards)
-    positives = edges_ds.map_batches(
-        lambda b: b.append_column(
+    def pos_rows(b: pa.Table) -> pa.Table:
+        if keep_true_dst is not None:
+            b = b.append_column(keep_true_dst, pc.cast(b[dst],
+                                                       pa.string()))
+        return b.append_column(
             "label", pa.array(np.ones(len(b), np.int64))).cast(
-            label_schema),
-        batch_format="pyarrow")
+            label_schema)
+
+    positives = edges_ds.map_batches(pos_rows, batch_format="pyarrow")
     return positives.union(negatives)
 
 
