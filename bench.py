@@ -263,6 +263,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_simhash_exact",
         "doc_corpus_dedup_verified",
         "events_session_stream",
+        "kg_transe_epoch",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

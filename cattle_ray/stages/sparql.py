@@ -1634,12 +1634,12 @@ def sparql(source, text: str, *, num_buckets: int = 32,
         evaluate_bgp_store
 
     if entailment is not None:
-        if entailment != "rdfs":
+        if entailment not in ("rdfs", "rdfs+owl"):
             raise ValueError(
                 f"unknown entailment regime {entailment!r} — "
-                "supported: 'rdfs'")
+                "supported: 'rdfs', 'rdfs+owl'")
         from ..sources.triple_sink import read_store_asof
-        from .reason import rdfs_materialize
+        from .reason import owl_materialize, rdfs_materialize
 
         if isinstance(source, str):
             ds = read_store_asof(source)
@@ -1650,6 +1650,13 @@ def sparql(source, text: str, *, num_buckets: int = 32,
                 ds = ds.union(more)
         else:
             ds = source
+        if entailment == "rdfs+owl":
+            # OWL axioms first (inverse/symmetric swaps, transitive
+            # closures, property chains), then the RDFS pass over the
+            # enlarged stream — the common vocabulary stack; iterate
+            # materializations yourself when axiom families feed each
+            # other deeper than one round
+            ds = owl_materialize(ds, schema)
         source = rdfs_materialize(ds, schema)
 
     q = parse_sparql(text)

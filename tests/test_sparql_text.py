@@ -954,3 +954,29 @@ def test_grouped_path_over_store(ray_session, tmp_path):
     got = evaluate_bgp_store(
         d, [("a", ("pseq", ["p1", "p2"], "+"), "?x")]).to_pandas()
     assert sorted(got["x"]) == ["c", "e"]
+
+
+def test_entailment_rdfs_plus_owl(ray_session):
+    """entailment='rdfs+owl': OWL axioms (here inverseOf) materialize
+    before the RDFS pass, so a query sees both the swapped edges and
+    the class inferences from one mixed schema table."""
+    import ray.data as rd
+
+    from cattle_ray.stages.reason import (OWL_INVERSE_OF, RDF_TYPE,
+                                          RDFS_RANGE)
+
+    t = pa.table({
+        "subj": ["d1", "teaches", "teaches"],
+        "pred": ["teaches", OWL_INVERSE_OF, RDFS_RANGE],
+        "obj": ["p1", "taughtBy", "Student"]})
+    got = sparql(rd.from_arrow(t), """
+        SELECT ?s ?o WHERE { ?s <taughtBy> ?o . }""",
+        entailment="rdfs+owl").to_pandas()
+    assert got.values.tolist() == [["p1", "d1"]]
+    got2 = sparql(rd.from_arrow(t), f"""
+        SELECT ?x WHERE {{ ?x <{RDF_TYPE}> <Student> . }}""",
+        entailment="rdfs+owl").to_pandas()
+    assert sorted(got2["x"]) == ["p1"]
+    with pytest.raises(ValueError, match="regime"):
+        sparql(rd.from_arrow(t), "SELECT ?s WHERE { ?s ?p ?o . }",
+               entailment="owl2-rl")
