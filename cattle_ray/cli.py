@@ -469,6 +469,54 @@ def cmd_reason(args):
                                       if schema is not None else None)}))
 
 
+def cmd_embed(args):
+    """KG-embedding training from the shell: N deterministic full-batch
+    TransE epochs over a triple source's resource-to-resource edges
+    (stages/kgembed.py — layout/parallelism-invariant fixed-point
+    gradients), entity vectors written as partitioned parquet
+    ``(id, emb float32-bytes)``, relation vectors as one small parquet.
+    Prints one JSON line with the per-epoch loss curve."""
+    import os
+
+    from .stages.kgembed import transe_epoch
+    from .stages.reason import property_graph_tables
+
+    _ensure_ray(args.num_cpus)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    src = args.source
+    if os.path.isdir(src) and os.path.exists(
+            os.path.join(src, "_meta.json")):
+        from .sources.triple_sink import read_store_asof
+
+        ds = read_store_asof(src)
+    else:
+        ds = rd.read_parquet(src)
+    _nodes, edges = property_graph_tables(ds)
+    ents = rels = None
+    losses = []
+    for _ in range(max(1, args.epochs)):
+        out = transe_epoch(edges, ents, rels, dim=args.dim,
+                           lr=args.lr, margin=args.margin, k=args.k,
+                           seed=args.seed)
+        ents, rels = out["entities"].materialize(), out["relations"]
+        losses.append(round(out["loss"], 4))
+    ents.write_parquet(os.path.join(args.out, "entities"))
+    rel_ids = sorted(rels)
+    pq.write_table(pa.table({
+        "rel": pa.array(rel_ids, pa.string()),
+        "emb": pa.array([np.asarray(rels[r], np.float32).tobytes()
+                         for r in rel_ids], pa.binary())}),
+        os.path.join(args.out, "relations.parquet"))
+    print(json.dumps({"epochs": len(losses), "loss": losses,
+                      "dim": args.dim,
+                      "n_entities": int(ents.count()),
+                      "n_relations": len(rel_ids), "out": args.out}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="cattle-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -607,6 +655,22 @@ def main(argv=None):
     rn.add_argument("--drop-schema", action="store_true",
                     help="drop schema triples from the output")
     rn.set_defaults(fn=cmd_reason)
+
+    eb = sub.add_parser("embed", help="train TransE KG embeddings over "
+                                      "a triple source (deterministic "
+                                      "full-batch epochs)")
+    eb.add_argument("source", help="triples parquet file/dir or "
+                                   "partitioned store")
+    eb.add_argument("out", help="output dir (entities/ parquet + "
+                                "relations.parquet)")
+    eb.add_argument("--epochs", type=int, default=1)
+    eb.add_argument("--dim", type=int, default=32)
+    eb.add_argument("--lr", type=float, default=0.05)
+    eb.add_argument("--margin", type=float, default=1.0)
+    eb.add_argument("--k", type=int, default=1,
+                    help="corruptions per positive edge")
+    eb.add_argument("--seed", type=int, default=0)
+    eb.set_defaults(fn=cmd_embed)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
                                        "(quality/repetition/lang rules)")

@@ -120,20 +120,27 @@ def entity_embeddings(edges_ds, dim: int, *, src: str = "src",
 
 
 def _fetch_vecs(rows_ds, emb_ds, key_col: str, out_col: str, dim: int,
-                num_buckets: int):
+                num_buckets: int, rows_schema: pa.Schema):
     """Attach ``emb_ds``'s vector for ``rows[key_col]`` as ``out_col``
     via one co-partitioned inner join (every key must exist — the
-    epoch derives its table from the same edges)."""
+    epoch derives its table from the same edges). Plan-known schemas
+    thread through explicitly: chained join outputs are lazy and
+    Ray can't always infer their schema without executing."""
     from .joins import hash_join
 
+    emb_t = pa.binary(dim * 4)
+    side_schema = pa.schema([(f"_k_{out_col}", pa.string()),
+                             (out_col, emb_t)])
     side = emb_ds.map_batches(
         lambda b: pa.table({f"_k_{out_col}": b["id"], out_col: b["emb"]}),
         batch_format="pyarrow")
     j = hash_join(rows_ds, side, key_col, f"_k_{out_col}",
-                  num_buckets=num_buckets)
+                  num_buckets=num_buckets, left_schema=rows_schema,
+                  right_schema=side_schema)
+    out_schema = pa.schema(list(rows_schema) + [pa.field(out_col, emb_t)])
     return j.map_batches(
         lambda b: b.drop_columns([f"_k_{out_col}"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow"), out_schema
 
 
 def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
@@ -192,9 +199,11 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                             "d": b["_td"]}),
         batch_format="pyarrow")
     got = pairs
+    got_schema = pa.schema([("s", pa.string()), ("r", pa.string()),
+                            ("dn", pa.string()), ("d", pa.string())])
     for key_col, out in (("s", "es"), ("d", "ed"), ("dn", "edn")):
-        got = _fetch_vecs(got, ent_emb_ds, key_col, out, dim,
-                          num_buckets)
+        got, got_schema = _fetch_vecs(got, ent_emb_ds, key_col, out,
+                                      dim, num_buckets, got_schema)
     got = got.materialize()
 
     def grad_batch(b: pa.Table) -> pa.Table:
@@ -268,6 +277,11 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
         lambda b: b.filter(pc.equal(b["kind"], "loss")).select(
             ["loss_q", "cnt"]),
         batch_format="pyarrow").to_pandas()
+    if "loss_q" not in lp.columns:  # wholly empty pair set (no edges /
+        # every corruption dropped): nothing to train — inputs pass
+        # through unchanged (empty frames lose their schema in Ray)
+        return {"entities": ent_emb_ds, "relations": dict(rel_vecs),
+                "loss": 0.0, "active_pairs": 0, "pairs": n_pairs}
     total_loss = float(lp["loss_q"].sum()) / grad_scale
     active = int(lp["cnt"].sum())
 
@@ -329,10 +343,14 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
 
     from .joins import hash_join
 
+    emb_schema = pa.schema([("id", pa.string()),
+                            ("emb", pa.binary(dim * 4))])
     upd = hash_join(ent_emb_ds, grads.map_batches(
         lambda b: pa.table({"_gid": b["id"], "gs": b["gs"]}),
         batch_format="pyarrow"), "id", "_gid", how="left",
-        num_buckets=num_buckets)
+        num_buckets=num_buckets, left_schema=emb_schema,
+        right_schema=pa.schema([("_gid", pa.string()),
+                                ("gs", pa.binary())]))
 
     def apply(b: pa.Table) -> pa.Table:
         emb = np.stack([np.frombuffer(x, np.float32)

@@ -110,3 +110,39 @@ def test_hash_init_is_pure_and_windowed():
     w = 6.0 / np.sqrt(16)
     assert np.abs(a).max() <= w
     assert (hash_init_vecs(["x"], 16, seed=2) != a[0]).any()
+
+
+def test_cli_embed(ray_session, tmp_path):
+    """`cli embed`: parquet triples → 2 TransE epochs → entity parquet
+    + relation table + a loss curve on stdout."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from cattle_ray.cli import main
+
+    # objs must be IRI-shaped: property_graph_tables routes literal
+    # objects to node attributes, not edges
+    t = pa.table({
+        "subj": [f"urn:s{i}" for i in range(20)],
+        "pred": ["urn:r"] * 20,
+        "obj": [f"urn:d{i % 4}" for i in range(20)]})
+    src = tmp_path / "triples.parquet"
+    pq.write_table(t, str(src))
+    out = tmp_path / "emb"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["embed", str(src), str(out), "--epochs", "2",
+              "--dim", "8"])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["epochs"] == 2 and len(summary["loss"]) == 2
+    ents = pq.read_table(glob.glob(f"{out}/entities/*.parquet"))
+    assert ents.num_rows == summary["n_entities"] == 24
+    rels = pq.read_table(f"{out}/relations.parquet")
+    assert rels.num_rows == 1
+    vec = np.frombuffer(rels["emb"][0].as_py(), np.float32)
+    assert vec.shape == (8,)
