@@ -149,7 +149,8 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                  dst: str = "dst", seed: int = 0,
                  grad_scale: int = 1 << 24, num_buckets: int = 16,
                  sampler_mode: str = "auto",
-                 entity_max: int = 10_000_000):
+                 entity_max: int = 10_000_000,
+                 normalize: bool = True):
     """ONE full-batch TransE epoch. Returns ``{"entities": Dataset
     (id, emb), "relations": {rel: np.ndarray}, "loss": float,
     "active_pairs": int, "pairs": int}`` — loss is the exact
@@ -157,7 +158,15 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
     over every (positive, corruption) pair, and the updated tables are
     a pure function of the inputs (chain epochs by feeding the outputs
     back in). ``ent_emb_ds=None`` / ``rel_vecs=None`` hash-init from
-    the edges themselves."""
+    the edges themselves.
+
+    Update rule: MEAN gradient per entity/relation (exact int64 sum ÷
+    exact incident count) — a zipf hub's step stays bounded by ``lr``
+    instead of exploding with its degree (measured: summed gradients
+    blew the loss up 200× in one epoch on a zipf graph) — then, with
+    ``normalize=True`` (TransE's constraint), entity vectors project
+    onto the unit ball ``v / max(1, ‖v‖)``. Relations follow TransE
+    and stay unnormalized."""
     import ray
 
     from .exchange import hash_exchange
@@ -206,36 +215,58 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                                       dim, num_buckets, got_schema)
     got = got.materialize()
 
+    def _g_col(mat: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(dim * 8), len(mat),
+            [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())])
+
+    _EMIT_SCHEMA = pa.schema([
+        ("kind", pa.string()), ("id", pa.string()),
+        ("g", pa.binary(dim * 8)), ("cnt", pa.int64()),
+        ("loss_q", pa.int64())])
+
+    def _combine(kinds, ids, gq):
+        """Batch-local map-side combine: one (kind, id) row per batch
+        with the int64 gradient sum and incident active count —
+        vectorized lexsort + reduceat, no per-id Python loop."""
+        key = np.char.add(np.char.add(kinds.astype("U1"), "\x1f"),
+                          ids.astype(str))
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        uniq_idx = np.concatenate([[0], np.nonzero(ks[1:] != ks[:-1])[0]
+                                   + 1])
+        sums = np.add.reduceat(gq[order], uniq_idx, axis=0)
+        cnts = np.diff(np.concatenate([uniq_idx, [len(ks)]]))
+        return (kinds[order][uniq_idx], ids[order][uniq_idx], sums,
+                cnts.astype(np.int64))
+
     def grad_batch(b: pa.Table) -> pa.Table:
         rv = ray.get(rel_ref)
         n = len(b)
         if n == 0:
-            return pa.table({
-                "kind": pa.array([], pa.string()),
-                "id": pa.array([], pa.string()),
-                "g": pa.array([], pa.binary()),
-                "loss_q": pa.array([], pa.int64()),
-                "cnt": pa.array([], pa.int64())})
+            return _EMIT_SCHEMA.empty_table()
         es = _vecs(b["es"], dim)
         ed = _vecs(b["ed"], dim)
         edn = _vecs(b["edn"], dim)
-        r_ids = b["r"].to_pylist()
-        er = np.stack([rv[x] for x in r_ids]).astype(np.float32)
+        r_np = np.asarray(b["r"].to_pylist(), dtype=object)
+        r_uniq, r_inv = np.unique(r_np, return_inverse=True)
+        er = np.stack([rv[x] for x in r_uniq]).astype(
+            np.float32)[r_inv]  # gather per UNIQUE relation only
         diff_p = (es + er - ed).astype(np.float64)
         diff_n = (es + er - edn).astype(np.float64)
         d_p = np.sqrt((diff_p * diff_p).sum(1))
         d_n = np.sqrt((diff_n * diff_n).sum(1))
         loss = margin + d_p - d_n
         act = loss > 0
-        # quantized per-pair loss: the reported total is an exact sum
         loss_q = int(np.round(loss[act] * grad_scale).sum())
+        head = pa.table({
+            "kind": pa.array(["loss"], pa.string()),
+            "id": pa.array([""], pa.string()),
+            "g": pa.array([b"\0" * (dim * 8)], pa.binary(dim * 8)),
+            "cnt": pa.array([int(act.sum())], pa.int64()),
+            "loss_q": pa.array([loss_q], pa.int64())}).cast(_EMIT_SCHEMA)
         if not act.any():
-            return pa.table({
-                "kind": pa.array(["loss"], pa.string()),
-                "id": pa.array([""], pa.string()),
-                "g": pa.array([b""], pa.binary()),
-                "loss_q": pa.array([0], pa.int64()),
-                "cnt": pa.array([0], pa.int64())})
+            return head
         u_p = np.where(d_p[act, None] > 0, diff_p[act] / np.maximum(
             d_p[act, None], 1e-30), 0.0)
         u_n = np.where(d_n[act, None] > 0, diff_n[act] / np.maximum(
@@ -246,26 +277,22 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
         sa = np.asarray(b["s"].to_pylist(), object)[act]
         da = np.asarray(b["d"].to_pylist(), object)[act]
         dna = np.asarray(b["dn"].to_pylist(), object)[act]
-        ra = np.asarray(r_ids, object)[act]
+        ra = r_np[act]
         ids = np.concatenate([sa, da, dna, ra])
         kinds = np.concatenate([np.full(len(sa), "e", object),
                                 np.full(len(da), "e", object),
                                 np.full(len(dna), "e", object),
                                 np.full(len(ra), "r", object)])
-        g = np.concatenate([g_sr, g_d, g_dn, g_sr])
-        gq = np.round(g * grad_scale).astype(np.int64)
+        gq = np.round(np.concatenate([g_sr, g_d, g_dn, g_sr])
+                      * grad_scale).astype(np.int64)
+        ck, ci, cs, cc = _combine(np.asarray(kinds), np.asarray(ids), gq)
         out = pa.table({
-            "kind": pa.array(kinds.tolist(), pa.string()),
-            "id": pa.array(ids.tolist(), pa.string()),
-            "g": pa.array([row.tobytes() for row in gq], pa.binary()),
-            "loss_q": pa.array(np.zeros(len(ids), np.int64)),
-            "cnt": pa.array(np.zeros(len(ids), np.int64))})
-        head = pa.table({
-            "kind": pa.array(["loss"], pa.string()),
-            "id": pa.array([""], pa.string()),
-            "g": pa.array([b""], pa.binary()),
-            "loss_q": pa.array([loss_q], pa.int64()),
-            "cnt": pa.array([int(act.sum())], pa.int64())})
+            "kind": pa.array(ck.tolist(), pa.string()),
+            "id": pa.array(ci.tolist(), pa.string()),
+            "g": _g_col(cs),
+            "cnt": pa.array(cc),
+            "loss_q": pa.array(np.zeros(len(ci), np.int64))}).cast(
+            _EMIT_SCHEMA)
         return pa.concat_tables([head, out])
 
     emitted = got.map_batches(grad_batch,
@@ -285,37 +312,31 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
     total_loss = float(lp["loss_q"].sum()) / grad_scale
     active = int(lp["cnt"].sum())
 
-    # relation gradients: vocabulary-sized — per-batch partial sums,
-    # driver-combined (same contract as the broadcast itself)
-    def rel_partial(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.equal(b["kind"], "r"))
-        if len(t) == 0:
-            return pa.table({"id": pa.array([], pa.string()),
-                             "g": pa.array([], pa.binary())})
-        ids = np.asarray(t["id"].to_pylist(), object)
-        gq = np.stack([np.frombuffer(x, np.int64)
-                       for x in t["g"].to_pylist()])
-        out_ids, out_g = [], []
-        for u in np.unique(ids):
-            out_ids.append(str(u))
-            out_g.append(gq[ids == u].sum(0).tobytes())
-        return pa.table({"id": pa.array(out_ids, pa.string()),
-                         "g": pa.array(out_g, pa.binary())})
-
-    rp = emitted.map_batches(rel_partial,
-                             batch_format="pyarrow").to_pandas()
+    # relation gradients: vocabulary-sized — batch partials (already
+    # combined per batch) merged on the driver; MEAN gradient per
+    # relation (sum/count) keeps the full-batch step bounded for hot
+    # relations, same rationale as the entity mean below
+    rp = emitted.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], "r")).select(
+            ["id", "g", "cnt"]),
+        batch_format="pyarrow").to_pandas()
     new_rels = {}
     for r_id, vec in rel_vecs.items():
-        gsum = np.zeros(dim, np.int64)
-        for x in rp[rp["id"] == r_id]["g"]:
-            gsum += np.frombuffer(x, np.int64)
-        new_rels[r_id] = (np.asarray(vec, np.float32)
-                          - np.float32(lr)
-                          * (gsum / grad_scale).astype(np.float32))
+        sub = rp[rp["id"] == r_id] if len(rp) else rp
+        if len(sub):
+            gsum = np.stack([np.frombuffer(x, np.int64)
+                             for x in sub["g"]]).sum(0)
+            cnt = int(sub["cnt"].sum())
+            step = (gsum / grad_scale / cnt).astype(np.float32)
+            new_rels[r_id] = np.asarray(vec, np.float32) \
+                - np.float32(lr) * step
+        else:
+            new_rels[r_id] = np.asarray(vec, np.float32)
 
     # entity gradients: one raw-task exchange, exact int64 vector sums
     ent_rows = emitted.map_batches(
-        lambda b: b.filter(pc.equal(b["kind"], "e")).select(["id", "g"]),
+        lambda b: b.filter(pc.equal(b["kind"], "e")).select(
+            ["id", "g", "cnt"]),
         batch_format="pyarrow")
     ent_rows = ent_rows.map_batches(
         lambda b: b.append_column("_bucket", pa.array(
@@ -323,21 +344,26 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                 np.int64))),
         batch_format="pyarrow")
 
+    _SUM_SCHEMA = pa.schema([("id", pa.string()),
+                             ("gs", pa.binary(dim * 8)),
+                             ("cnt", pa.int64())])
+
     def sum_bucket(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table({"id": pa.array([], pa.string()),
-                             "gs": pa.array([], pa.binary())})
+            return _SUM_SCHEMA.empty_table()
         ids = np.asarray(t["id"].to_pylist(), object)
-        gq = np.stack([np.frombuffer(x, np.int64)
-                       for x in t["g"].to_pylist()])
-        order = np.argsort(ids, kind="stable")
-        ids_s, gq_s = ids[order], gq[order]
-        uniq, starts = np.unique(ids_s, return_index=True)
-        sums = np.add.reduceat(gq_s, starts, axis=0)
+        gq = _vecs(t["g"], dim, np.int64)
+        cn = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids.astype(str), kind="stable")
+        ids_s, gq_s, cn_s = ids[order], gq[order], cn[order]
+        u = np.concatenate([[0], np.nonzero(
+            ids_s[1:] != ids_s[:-1])[0] + 1])
+        sums = np.add.reduceat(gq_s, u, axis=0)
+        cnts = np.add.reduceat(cn_s, u)
         return pa.table({
-            "id": pa.array(uniq.tolist(), pa.string()),
-            "gs": pa.array([row.tobytes() for row in sums],
-                           pa.binary())})
+            "id": pa.array(ids_s[u].tolist(), pa.string()),
+            "gs": _g_col(sums),
+            "cnt": pa.array(cnts.astype(np.int64))}).cast(_SUM_SCHEMA)
 
     grads = hash_exchange(ent_rows, "_bucket", sum_bucket, num_buckets)
 
@@ -346,21 +372,33 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
     emb_schema = pa.schema([("id", pa.string()),
                             ("emb", pa.binary(dim * 4))])
     upd = hash_join(ent_emb_ds, grads.map_batches(
-        lambda b: pa.table({"_gid": b["id"], "gs": b["gs"]}),
+        lambda b: pa.table({"_gid": b["id"], "gs": b["gs"],
+                            "_gcnt": b["cnt"]}),
         batch_format="pyarrow"), "id", "_gid", how="left",
         num_buckets=num_buckets, left_schema=emb_schema,
         right_schema=pa.schema([("_gid", pa.string()),
-                                ("gs", pa.binary())]))
+                                ("gs", pa.binary(dim * 8)),
+                                ("_gcnt", pa.int64())]))
 
     def apply(b: pa.Table) -> pa.Table:
-        emb = np.stack([np.frombuffer(x, np.float32)
-                        for x in b["emb"].to_pylist()])
-        gs = b["gs"].to_pylist()
-        for i, x in enumerate(gs):
-            if x is not None and len(x):
-                emb[i] = emb[i] - np.float32(lr) * (
-                    np.frombuffer(x, np.int64) / grad_scale).astype(
-                    np.float32)
+        emb = _vecs(b["emb"], dim).copy()
+        gs_col = b["gs"]
+        if isinstance(gs_col, pa.ChunkedArray):
+            gs_col = gs_col.combine_chunks()
+        valid = pc.is_valid(gs_col).to_numpy(zero_copy_only=False)
+        if valid.any():
+            gq = _vecs(pc.fill_null(
+                gs_col, b"\0" * (dim * 8)), dim, np.int64)
+            cn = pc.fill_null(b["_gcnt"], 1).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            # MEAN gradient: a hub entity's step is bounded by lr, not
+            # by its degree (the full-batch analogue of per-sample SGD)
+            step = (gq / grad_scale / cn[:, None]).astype(np.float32)
+            emb[valid] = emb[valid] - np.float32(lr) * step[valid]
+        if normalize:
+            nrm = np.sqrt((emb.astype(np.float64) ** 2).sum(1))
+            scale = np.where(nrm > 1.0, nrm, 1.0)
+            emb = (emb / scale[:, None]).astype(np.float32)
         return pa.table({"id": b["id"], "emb": _vec_col(emb)})
 
     new_ents = upd.map_batches(apply, batch_format="pyarrow")

@@ -29,6 +29,8 @@ def _ref_epoch(edges, dim, k, seed, lr=0.05, margin=1.0, sc=1 << 24):
     R = dict(zip(rels, hash_init_vecs(rels, dim, seed=seed + 1)))
     gE = {i: np.zeros(dim, np.int64) for i in ids}
     gR = {r: np.zeros(dim, np.int64) for r in rels}
+    cE = {i: 0 for i in ids}
+    cR = {r: 0 for r in rels}
     tot = 0
     n_act = 0
     for _, row in neg.iterrows():
@@ -48,10 +50,24 @@ def _ref_epoch(edges, dim, k, seed, lr=0.05, margin=1.0, sc=1 << 24):
         gR[r] += np.round((up - un) * sc).astype(np.int64)
         gE[d] += np.round(-up * sc).astype(np.int64)
         gE[dn] += np.round(un * sc).astype(np.int64)
-    newE = {i: E[i] - np.float32(lr) * (gE[i] / sc).astype(np.float32)
-            for i in ids}
-    newR = {r: R[r] - np.float32(lr) * (gR[r] / sc).astype(np.float32)
-            for r in rels}
+        cE[s] += 1
+        cE[d] += 1
+        cE[dn] += 1
+        cR[r] += 1
+
+    def upd(v, g, c):
+        if c == 0:
+            return np.asarray(v, np.float32)
+        step = (g / sc / float(c)).astype(np.float32)
+        return np.asarray(v, np.float32) - np.float32(lr) * step
+
+    def norm(v):
+        # float64 divide then one cast — the engine's vectorized form
+        n = float(np.sqrt((v.astype(np.float64) ** 2).sum()))
+        return (v.astype(np.float64) / max(n, 1.0)).astype(np.float32)
+
+    newE = {i: norm(upd(E[i], gE[i], cE[i])) for i in ids}
+    newR = {r: upd(R[r], gR[r], cR[r]) for r in rels}
     return newE, newR, tot / sc, n_act
 
 
