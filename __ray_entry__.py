@@ -7741,6 +7741,16 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT rk.subj AS s, en.obj AS e, sc.obj AS v
             FROM rk JOIN en USING (subj) JOIN sc USING (subj)
         """,
+        "kg_bgp_store": _TRIPLE_BASE_CTE + f""",
+            rk AS (SELECT subj FROM triples
+                   WHERE pred = '{EX}rank' AND obj = '2'),
+            en AS (SELECT subj, obj FROM triples
+                   WHERE pred = '{EX}entity'),
+            sc AS (SELECT subj, obj FROM triples
+                   WHERE pred = '{EX}score')
+            SELECT rk.subj AS s, en.obj AS e, sc.obj AS v
+            FROM rk JOIN en USING (subj) JOIN sc USING (subj)
+        """,
         "kg_obj_lookup": _TRIPLE_BASE_CTE + """
             SELECT subj, pred, obj, obj_is_iri, obj_datatype, obj_lang
             FROM triples WHERE obj = 'Entity7'
