@@ -4368,6 +4368,53 @@ def q_kg_transe_epoch(sf_dir: str):
     return out["entities"].map_batches(norms, batch_format="pyarrow")
 
 
+def q_kg_embed_neighbors(sf_dir: str):
+    """Composition: TransE-trained vectors feed the ANN machinery —
+    one epoch over the doc↔entity graph, then exact cosine top-5 among
+    the ENTITY vectors for queries Entity1..Entity3
+    (stages/similarity.knn_brute_force over the trained table; vector
+    ids are the entity numbers, so the output is deterministic).
+    Rows-only (trained vectors have no SQL mirror); the epoch itself
+    is parity-pinned in tests/test_kgembed.py."""
+    import numpy as np
+    import ray
+
+    from cattle_ray.stages.kgembed import _vecs, transe_epoch
+    from cattle_ray.stages.reason import property_graph_tables
+    from cattle_ray.stages.similarity import knn_brute_force
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    out = transe_epoch(edges, dim=16, k=1, seed=5, num_buckets=8)
+    ents = out["entities"].materialize()
+
+    def entity_rows(b: pa.Table) -> pa.Table:
+        ids = b["id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = pc.starts_with(ids, ENTITY_PREFIX)
+        t = b.filter(m)
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "embedding": pa.array(
+                                 [], pa.list_(pa.float64()))})
+        n = pc.cast(pc.utf8_slice_codeunits(
+            t["id"], start=len(ENTITY_PREFIX)), pa.int64())
+        vec = _vecs(t["emb"], 16).astype(np.float64)
+        return pa.table({"vec_id": n,
+                         "embedding": pa.array(vec.tolist(),
+                                               pa.list_(pa.float64()))})
+
+    vec_ds = ents.map_batches(entity_rows, batch_format="pyarrow") \
+        .materialize()
+    qrows = vec_ds.filter(expr="vec_id <= 3").filter(
+        expr="vec_id >= 1").to_pandas().sort_values("vec_id")
+    queries = np.stack(qrows["embedding"].to_numpy())
+    got = knn_brute_force(vec_ds, queries, k=5)
+    return got.map_batches(
+        lambda b: b.select(["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow")
+
+
 def q_kg_sample_neighbors(sf_dir: str):
     """GNN minibatch sampling (graph.sample_neighbors): 2-hop fanout-3
     sampled subgraph around the lexicographically first doc subject,
@@ -5468,6 +5515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples_generic": q_kg_negative_samples_generic,
         "kg_negative_samples_sharded": q_kg_negative_samples_sharded,
         "kg_transe_epoch": q_kg_transe_epoch,
+        "kg_embed_neighbors": q_kg_embed_neighbors,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,
