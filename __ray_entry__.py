@@ -4730,6 +4730,25 @@ def q_kg_sparql_star_unbound(sf_dir: str):
         }}""", num_buckets=8)
 
 
+def q_kg_sparql_hashfns(sf_dir: str):
+    """SPARQL hash / URI-escape / date-accessor builtins through the
+    text layer: MD5(?e) (per-row hashlib, DuckDB md5 mirror),
+    ENCODE_FOR_URI (RFC 3986 unreserved set, vectorized clean-row fast
+    path), and YEAR over a BIND-constructed xsd:dateTime lexical
+    (strptime both sides). NOW()/RAND()/UUID() are rejected with the
+    layout-invariance rationale."""
+    from cattle_ray.stages.sparql import sparql
+
+    return sparql(q_kg_csvw_triples(sf_dir), f"""
+        PREFIX ex: <{EX}>
+        SELECT ?s ?h ?u ?y WHERE {{
+          ?s ex:entity ?e ; ex:name ?n ; ex:rank ?r .
+          BIND(MD5(?e) AS ?h)
+          BIND(ENCODE_FOR_URI(CONCAT(?n, " #", ?r)) AS ?u)
+          BIND(YEAR(CONCAT("200", ?r, "-03-05T10:20:30")) AS ?y)
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_quant_path(sf_dir: str):
     """Bounded path quantifier ``p{n,m}`` through the text layer
     (VERDICT r4 order #3): ``?e ex:broader{1,2} ?a`` over the synthetic
@@ -5525,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_negprop": q_kg_sparql_negprop,
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
         "kg_sparql_quant_path": q_kg_sparql_quant_path,
+        "kg_sparql_hashfns": q_kg_sparql_hashfns,
         "kg_sparql_group_path": q_kg_sparql_group_path,
         "kg_owl_chain": q_kg_owl_chain,
         "kg_sparql_or": q_kg_sparql_or,
@@ -7458,6 +7478,20 @@ def _oracle_sql_base() -> dict[str, str]:
               (SELECT * FROM a1 UNION SELECT * FROM a2
                UNION SELECT * FROM a3 UNION SELECT * FROM a4
                UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+        """,
+        "kg_sparql_hashfns": _TRIPLE_BASE_CTE + f""",
+            en AS (SELECT subj, obj AS e FROM triples
+                   WHERE pred = '{EX}entity'),
+            nm AS (SELECT subj, obj AS n FROM triples
+                   WHERE pred = '{EX}name'),
+            rk AS (SELECT subj, obj AS r FROM triples
+                   WHERE pred = '{EX}rank')
+            SELECT en.subj AS s, md5(e) AS h,
+                   replace(replace(n || ' #' || r, ' ', '%20'),
+                           '#', '%23') AS u,
+                   CAST(year(strptime('200' || r || '-03-05T10:20:30',
+                        '%Y-%m-%dT%H:%M:%S')) AS BIGINT) AS y
+            FROM en JOIN nm USING (subj) JOIN rk USING (subj)
         """,
         "kg_sparql_quant_path": _TRIPLE_BASE_CTE + rf""",
             ents AS (SELECT DISTINCT obj AS ent FROM triples

@@ -1174,7 +1174,9 @@ def _union_bindings(streams_for, branches, num_buckets):
 _BIND_OPS = frozenset({"concat", "add", "sub", "mul", "div", "strlen",
                        "ucase", "lcase", "substr", "coalesce", "if",
                        "int", "num", "replace", "strbefore", "strafter",
-                       "abs", "ceil", "floor", "round"})
+                       "abs", "ceil", "floor", "round", "encode_uri",
+                       "md5", "sha1", "sha256", "year", "month", "day",
+                       "hours", "minutes", "seconds"})
 
 
 def _eval_expr(b: pa.Table, expr):
@@ -1260,6 +1262,52 @@ def _eval_expr(b: pa.Table, expr):
         return pc.cast(args[0], pa.int64())
     if op == "num":
         return pc.cast(args[0], pa.float64())
+    if op == "encode_uri":
+        # SPARQL ENCODE_FOR_URI: percent-encode everything outside the
+        # RFC 3986 unreserved set. Clean values pass vectorized; only
+        # rows carrying reserved bytes go through Python (the
+        # template-layer iri_encode discipline)
+        from urllib.parse import quote
+
+        x = args[0]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        dirty = pc.match_substring_regex(x, r"[^A-Za-z0-9\-_.~]")
+        if not pc.any(dirty).as_py():
+            return x
+        vals = x.to_pylist()
+        m = dirty.to_pylist()
+        return pa.array(
+            [None if v is None else
+             (quote(v, safe="-_.~") if mm else v)
+             for v, mm in zip(vals, m)], pa.string())
+    if op in ("md5", "sha1", "sha256"):
+        # SPARQL hash functions — hex digest of the UTF-8 lexical form;
+        # per-row C-speed hashlib (no vectorized kernel exists), null
+        # propagates. Mirrors DuckDB md5()/sha256() one-to-one
+        import hashlib
+
+        fn = getattr(hashlib, op)
+        x = args[0]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        return pa.array(
+            [None if v is None else fn(v.encode()).hexdigest()
+             for v in x.to_pylist()], pa.string())
+    if op in ("year", "month", "day", "hours", "minutes", "seconds"):
+        # xsd:dateTime accessors over the lexical form: unparsable or
+        # null lexicals yield NULL (SPARQL error → unbound), matching
+        # the engine's error-is-false/unbound discipline. Fractional
+        # seconds/timezones are out of this v1's lexical form
+        x = args[0]
+        if isinstance(x, pa.ChunkedArray):
+            x = x.combine_chunks()
+        ts = pc.strptime(x, format="%Y-%m-%dT%H:%M:%S", unit="s",
+                         error_is_null=True)
+        field = {"year": pc.year, "month": pc.month, "day": pc.day,
+                 "hours": pc.hour, "minutes": pc.minute,
+                 "seconds": pc.second}[op]
+        return pc.cast(field(ts), pa.int64())
     raise ValueError(f"unknown BIND operator {op!r}")
 
 

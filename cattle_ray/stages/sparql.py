@@ -1145,7 +1145,18 @@ class _Parser:
                    "REPLACE": "replace", "STRBEFORE": "strbefore",
                    "STRAFTER": "strafter", "ABS": "abs", "CEIL": "ceil",
                    "FLOOR": "floor", "ROUND": "round", "STR": None,
-                   "IRI": None, "URI": None}
+                   "IRI": None, "URI": None,
+                   "ENCODE_FOR_URI": "encode_uri", "MD5": "md5",
+                   "SHA1": "sha1", "SHA256": "sha256",
+                   "YEAR": "year", "MONTH": "month", "DAY": "day",
+                   "HOURS": "hours", "MINUTES": "minutes",
+                   "SECONDS": "seconds"}
+            if fn in ("NOW", "RAND", "UUID", "STRUUID", "BNODE"):
+                raise SparqlSyntaxError(
+                    f"{fn}() is non-deterministic — results would "
+                    "depend on when/where a block executed, which "
+                    "breaks the engine's layout-invariance contract; "
+                    "compute it driver-side and pass it as a constant")
             if fn not in fns:
                 raise SparqlSyntaxError(f"unsupported function {v!r}")
             self.next()
@@ -1236,7 +1247,9 @@ class _Parser:
             _ORD_FNS = ("CONCAT", "STRLEN", "UCASE", "LCASE", "SUBSTR",
                         "COALESCE", "IF", "REPLACE", "STRBEFORE",
                         "STRAFTER", "ABS", "CEIL", "FLOOR", "ROUND",
-                        "STR", "IRI", "URI")
+                        "STR", "IRI", "URI", "ENCODE_FOR_URI", "MD5",
+                        "SHA1", "SHA256", "YEAR", "MONTH", "DAY",
+                        "HOURS", "MINUTES", "SECONDS")
             while True:
                 k, v = self.peek()
                 if k == "VAR":

@@ -980,3 +980,37 @@ def test_entailment_rdfs_plus_owl(ray_session):
     with pytest.raises(ValueError, match="regime"):
         sparql(rd.from_arrow(t), "SELECT ?s WHERE { ?s ?p ?o . }",
                entailment="owl2-rl")
+
+
+def test_text_hash_uri_date_builtins(ray_session):
+    """MD5/SHA256, ENCODE_FOR_URI (unreserved-set escaping, NULL
+    propagation), YEAR/MONTH/SECONDS over xsd:dateTime lexicals
+    (unparsable → unbound), and the non-deterministic-function
+    rejection."""
+    import hashlib
+
+    import ray.data as rd
+
+    from cattle_ray.stages.sparql import SparqlSyntaxError
+
+    t = pa.table({"subj": ["a", "b", "c"], "pred": ["p"] * 3,
+                  "obj": ["hello world/x", "2024-03-05T10:20:30",
+                          "plain"]})
+    ds = rd.from_arrow(t)
+    out = sparql(ds, """SELECT ?o (ENCODE_FOR_URI(?o) AS ?e)
+        (MD5(?o) AS ?h) (SHA256(?o) AS ?h2)
+        WHERE { ?s <p> ?o . } ORDER BY ?o""").to_pandas()
+    row = out[out.o == "hello world/x"].iloc[0]
+    assert row["e"] == "hello%20world%2Fx"
+    assert row["h"] == hashlib.md5(b"hello world/x").hexdigest()
+    assert row["h2"] == hashlib.sha256(b"hello world/x").hexdigest()
+    assert out[out.o == "plain"]["e"].iloc[0] == "plain"
+    out2 = sparql(ds, """SELECT ?o (YEAR(?o) AS ?y) (MONTH(?o) AS ?m)
+        (SECONDS(?o) AS ?sec) WHERE { ?s <p> ?o . } ORDER BY ?o""") \
+        .to_pandas()
+    row = out2[out2.o == "2024-03-05T10:20:30"].iloc[0]
+    assert (row["y"], row["m"], row["sec"]) == (2024, 3, 30)
+    assert out2[out2.o == "plain"]["y"].isna().all()
+    for fn in ("NOW()", "RAND()", "UUID()"):
+        with pytest.raises(SparqlSyntaxError, match="non-deterministic"):
+            sparql(ds, f"SELECT ({fn} AS ?x) WHERE {{ ?s <p> ?o . }}")
