@@ -366,6 +366,42 @@ def cmd_sparql(args):
         else:
             print("true" if out else "false")
         sys.exit(0 if out else 1)
+    if getattr(args, "out", None):
+        # durable results instead of stdout: CONSTRUCT/DESCRIBE graphs
+        # land as N-Quads parts (the engine's distributed RDF sink),
+        # SELECT bindings as partitioned parquet
+        from .stages.sparql import parse_sparql
+
+        kind = parse_sparql(query)["kind"]
+        if kind == "construct":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from .sources.nquads import write_nquads
+
+            def pad(b):
+                # CONSTRUCT graphs carry bare (subj, pred, obj); the
+                # N-Quads formatter needs the annotation side columns —
+                # IRI-shaped objects (URI scheme prefix) serialize as
+                # IRIs, everything else as plain literals
+                n = len(b)
+                is_iri = pc.match_substring_regex(
+                    pc.cast(b["obj"], pa.string()),
+                    r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+                return pa.table({
+                    "subj": b["subj"], "pred": b["pred"],
+                    "obj": b["obj"],
+                    "obj_is_iri": pc.fill_null(is_iri, False),
+                    "obj_datatype": pa.nulls(n, pa.string()),
+                    "obj_lang": pa.nulls(n, pa.string())})
+
+            write_nquads(out.map_batches(pad, batch_format="pyarrow"),
+                         args.out, include_graph=False)
+            print(json.dumps({"out": args.out, "format": "nquads"}))
+        else:
+            out.write_parquet(args.out)
+            print(json.dumps({"out": args.out, "format": "parquet"}))
+        return
     names = out.schema().names
     if getattr(args, "srj", False):
         # W3C SPARQL 1.1 Query Results JSON — the interchange format
@@ -628,6 +664,10 @@ def main(argv=None):
     sp.add_argument("--srj", action="store_true",
                     help="W3C SPARQL 1.1 Query Results JSON "
                          "(application/sparql-results+json)")
+    sp.add_argument("--out", default=None,
+                    help="write results durably instead of stdout: "
+                         "CONSTRUCT/DESCRIBE → N-Quads part files, "
+                         "SELECT → partitioned parquet")
     sp.set_defaults(fn=cmd_sparql)
 
     up = sub.add_parser("update", help="SPARQL UPDATE (INSERT/DELETE "

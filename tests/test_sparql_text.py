@@ -1014,3 +1014,43 @@ def test_text_hash_uri_date_builtins(ray_session):
     for fn in ("NOW()", "RAND()", "UUID()"):
         with pytest.raises(SparqlSyntaxError, match="non-deterministic"):
             sparql(ds, f"SELECT ({fn} AS ?x) WHERE {{ ?s <p> ?o . }}")
+
+
+def test_cli_sparql_out(ray_session, tmp_path):
+    """`cli sparql --out`: CONSTRUCT graphs land as N-Quads parts,
+    SELECT bindings as parquet."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as parquet
+
+    from cattle_ray.cli import main as cli_main
+
+    src = tmp_path / "triples.parquet"
+    parquet.write_table(pa.table({
+        "subj": ["urn:a", "urn:b"], "pred": ["urn:p"] * 2,
+        "obj": ["urn:x", "urn:y"]}), str(src))
+    import contextlib
+    import io
+
+    nq_out = tmp_path / "nq"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["sparql", str(src),
+                  "CONSTRUCT { ?s <urn:q> ?o . } WHERE "
+                  "{ ?s <urn:p> ?o . }", "--out", str(nq_out)])
+    assert _json.loads(buf.getvalue().splitlines()[-1])["format"] \
+        == "nquads"
+    lines = []
+    for f in glob.glob(f"{nq_out}/*.nq"):
+        lines += open(f).read().strip().splitlines()
+    assert sorted(lines) == [
+        "<urn:a> <urn:q> <urn:x> .", "<urn:b> <urn:q> <urn:y> ."]
+    pq_out = tmp_path / "sel"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cli_main(["sparql", str(src),
+                  "SELECT ?s ?o WHERE { ?s <urn:p> ?o . }",
+                  "--out", str(pq_out)])
+    t = parquet.read_table(glob.glob(f"{pq_out}/*.parquet"))
+    assert sorted(t["s"].to_pylist()) == ["urn:a", "urn:b"]
