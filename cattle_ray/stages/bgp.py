@@ -420,6 +420,11 @@ def _path_group_bindings(triples_ds, terms):
         edges = triples_ds.map_batches(
             lambda b: hop(b, list(elems), False), batch_format="pyarrow")
     else:
+        if len(elems) > 1:
+            # each sequence leg scans the stream once — pin the blocks
+            # instead of re-running the upstream per leg (store scans
+            # are already pruned to the union of base predicates)
+            triples_ds = triples_ds.materialize()
         legs = []
         for e in elems:
             inv = e.startswith("^")

@@ -516,6 +516,12 @@ def owl_materialize(triples_ds, schema: "pa.Table | None" = None, *,
         # incremental entailment store's combined fixpoint)
         return owl_swap_batch(b, ray.get(ref))
 
+    if trans or all_chains:
+        # transitive closures / chain legs each re-consume the stream
+        # (one scan per composed predicate plus the infer pass): pin
+        # the blocks once instead of re-running the upstream pipeline
+        # per consumer
+        triples_ds = triples_ds.materialize()
     out_ds = triples_ds.map_batches(infer, batch_format="pyarrow")
 
     composed = []  # (pred_iri, pairs_ds with (s, o) columns)
