@@ -4876,6 +4876,51 @@ def q_kg_owl_chain(sf_dir: str):
     return distinct(out, ["e", "g"], num_buckets=8)
 
 
+def q_kg_sparql_graph_path(sf_dir: str):
+    """GRAPH-VARIABLE transitive path (``GRAPH ?g { ?e broader+ ?a }``)
+    — previously rejected ("one closure per graph"): the graph now
+    embeds into the closure key (``g\\x1fs`` pairs join only within
+    their own graph), so EVERY graph's closure computes in ONE
+    path-doubling run with no per-graph loop or driver enumeration.
+    Broader edges split across two parity graphs; mirrored as the
+    unrolled join chain with per-hop graph equality."""
+    from cattle_ray.stages.aggregates import distinct
+    from cattle_ray.stages.sparql import sparql
+
+    ents = distinct(
+        q_kg_csvw_triples(sf_dir)
+        .filter(expr=f"pred == '{EX}entity'")
+        .map_batches(lambda b: pa.table({"ent": b["obj"]}),
+                     batch_format="pyarrow"),
+        ["ent"])
+
+    def broader(b: pa.Table) -> pa.Table:
+        ent = b["ent"]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        i = pc.cast(pc.replace_substring_regex(
+            ent, r"^.*Entity(\d+)$", r"\1"), pa.int64())
+        keep = pc.greater_equal(i, 1)
+        child = ent.filter(keep)
+        ik = i.filter(keep)
+        parent = pc.binary_join_element_wise(
+            pa.array([ENTITY_PREFIX] * len(child)),
+            pc.cast(pc.divide(ik, 2), pa.string()), "")
+        graph = pc.binary_join_element_wise(
+            pa.array(["https://example.org/graph/"] * len(child)),
+            pc.cast(pc.bit_wise_and(ik, 1), pa.string()), "")
+        return pa.table({"subj": child,
+                         "pred": pa.array([EX + "broader"] * len(child)),
+                         "obj": parent, "graph": graph})
+
+    tr = ents.map_batches(broader, batch_format="pyarrow")
+    return sparql(tr, f"""
+        PREFIX ex: <{EX}>
+        SELECT DISTINCT ?g ?e ?a WHERE {{
+          GRAPH ?g {{ ?e ex:broader+ ?a . }}
+        }}""", num_buckets=8)
+
+
 def q_kg_sparql_negprop(sf_dir: str):
     """Negated property set (``!(p1|p2|p3)``) through the text layer:
     edges whose predicate is NONE of the named ones — lowers to a fresh
@@ -5545,6 +5590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_star_unbound": q_kg_sparql_star_unbound,
         "kg_sparql_quant_path": q_kg_sparql_quant_path,
         "kg_sparql_hashfns": q_kg_sparql_hashfns,
+        "kg_sparql_graph_path": q_kg_sparql_graph_path,
         "kg_sparql_group_path": q_kg_sparql_group_path,
         "kg_owl_chain": q_kg_owl_chain,
         "kg_sparql_or": q_kg_sparql_or,
@@ -7478,6 +7524,31 @@ def _oracle_sql_base() -> dict[str, str]:
               (SELECT * FROM a1 UNION SELECT * FROM a2
                UNION SELECT * FROM a3 UNION SELECT * FROM a4
                UNION SELECT * FROM a5 UNION SELECT * FROM a6)
+        """,
+        "kg_sparql_graph_path": _TRIPLE_BASE_CTE + rf""",
+            ents AS (SELECT DISTINCT obj AS ent FROM triples
+                     WHERE pred = '{EX}entity'),
+            ei AS (SELECT ent, CAST(regexp_extract(ent, 'Entity(\d+)$', 1)
+                               AS BIGINT) AS i FROM ents),
+            par AS (SELECT ent AS child,
+                           '{ENTITY_PREFIX}' || CAST(i // 2 AS VARCHAR)
+                             AS parent,
+                           'https://example.org/graph/'
+                             || CAST(i % 2 AS VARCHAR) AS g
+                    FROM ei WHERE i >= 1),
+            a1 AS (SELECT g, child AS e, parent AS a FROM par),
+            a2 AS (SELECT a1.g, a1.e, p.parent AS a FROM a1
+                   JOIN par p ON a1.a = p.child AND a1.g = p.g),
+            a3 AS (SELECT a2.g, a2.e, p.parent AS a FROM a2
+                   JOIN par p ON a2.a = p.child AND a2.g = p.g),
+            a4 AS (SELECT a3.g, a3.e, p.parent AS a FROM a3
+                   JOIN par p ON a3.a = p.child AND a3.g = p.g),
+            a5 AS (SELECT a4.g, a4.e, p.parent AS a FROM a4
+                   JOIN par p ON a4.a = p.child AND a4.g = p.g)
+            SELECT DISTINCT g, e, a FROM
+              (SELECT * FROM a1 UNION SELECT * FROM a2
+               UNION SELECT * FROM a3 UNION SELECT * FROM a4
+               UNION SELECT * FROM a5)
         """,
         "kg_sparql_hashfns": _TRIPLE_BASE_CTE + f""",
             en AS (SELECT subj, obj AS e FROM triples

@@ -73,28 +73,64 @@ def _path_bindings(triples_ds, terms):
 
     s, p, o = terms[0], terms[1], terms[2]
     g = terms[3] if len(terms) == 4 else None
-    if g is not None and (_is_var(g) or not isinstance(g, str)):
+    g_var = g is not None and isinstance(g, str) and _is_var(g)
+    if g is not None and not isinstance(g, str):
         raise NotImplementedError(
-            "a path pattern's graph term must be a constant: the closure "
-            "is computed over ONE graph's edges — a graph variable would "
-            "mean one closure per graph")
+            "a path pattern's graph term must be a constant or a "
+            "variable")
     base = p[:-1]
 
-    def edges(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["pred"], base)
-        if g is not None:
-            m = pc.and_(m, pc.equal(b["graph"], g))
-        b = b.filter(m)
-        return pa.table({"subj": b["subj"], "obj": b["obj"]})
+    if g_var:
+        # GRAPH-variable closure in ONE pass: the graph embeds into the
+        # closure key (``g\x1fs`` pairs can only join ``g\x1fo`` of the
+        # SAME graph, so the per-graph closures compute simultaneously
+        # inside one path-doubling run — no per-graph loop, no graph
+        # enumeration on the driver); the key splits back afterwards.
+        # \x1f never appears in IRIs/graph names (a control char)
+        def edges_g(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.and_(pc.equal(b["pred"], base),
+                                 pc.is_valid(b["graph"])))
+            gs = pc.binary_join_element_wise(
+                pc.cast(b["graph"], pa.string()),
+                pc.cast(b["subj"], pa.string()), "\x1f")
+            go = pc.binary_join_element_wise(
+                pc.cast(b["graph"], pa.string()),
+                pc.cast(b["obj"], pa.string()), "\x1f")
+            return pa.table({"subj": gs, "obj": go})
 
-    pairs = transitive_closure(
-        triples_ds.map_batches(edges, batch_format="pyarrow"),
-        src="subj", dst="obj")
+        keyed_pairs = transitive_closure(
+            triples_ds.map_batches(edges_g, batch_format="pyarrow"),
+            src="subj", dst="obj")
+
+        def split_keys(b: pa.Table) -> pa.Table:
+            pat = r"(?s)^(?P<g>[^\x1f]*)\x1f(?P<v>.*)$"
+            sm = pc.extract_regex(b["subj"], pattern=pat)
+            om = pc.extract_regex(b["obj"], pattern=pat)
+            return pa.table({
+                "graph": pc.struct_field(sm, "g"),
+                "subj": pc.struct_field(sm, "v"),
+                "obj": pc.struct_field(om, "v")})
+
+        pairs = keyed_pairs.map_batches(split_keys,
+                                        batch_format="pyarrow")
+    else:
+        def edges(b: pa.Table) -> pa.Table:
+            m = pc.equal(b["pred"], base)
+            if g is not None:
+                m = pc.and_(m, pc.equal(b["graph"], g))
+            b = b.filter(m)
+            return pa.table({"subj": b["subj"], "obj": b["obj"]})
+
+        pairs = transitive_closure(
+            triples_ds.map_batches(edges, batch_format="pyarrow"),
+            src="subj", dst="obj")
 
     out_vars: list[str] = []
     for term in (s, o):
         if _is_var(term) and term[1:] not in out_vars:
             out_vars.append(term[1:])
+    if g_var and g[1:] not in out_vars:
+        out_vars.append(g[1:])
     if not out_vars:
         raise ValueError(f"pattern {terms!r} binds no variable")
 
@@ -118,6 +154,8 @@ def _path_bindings(triples_ds, terms):
         for col, term in (("subj", s), ("obj", o)):
             if _is_var(term) and term[1:] not in cols:
                 cols[term[1:]] = b[col]
+        if g_var and g[1:] not in cols:
+            cols[g[1:]] = b["graph"]
         return pa.table(cols)
 
     return pairs.map_batches(project, batch_format="pyarrow"), out_vars
@@ -372,6 +410,8 @@ def _path_quant_bindings(triples_ds, terms):
         for col, term in (("subj", s), ("obj", o)):
             if _is_var(term) and term[1:] not in cols:
                 cols[term[1:]] = b[col]
+        if g_var and g[1:] not in cols:
+            cols[g[1:]] = b["graph"]
         return pa.table(cols)
 
     return pairs.map_batches(project, batch_format="pyarrow"), out_vars

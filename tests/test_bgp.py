@@ -1321,3 +1321,33 @@ def test_path_quantifier_gates(ray_session):
         sparql(ds, "SELECT ?x WHERE { <c1> <b>{1,} ?x . }")
     with pytest.raises(SparqlSyntaxError, match="plain IRIs"):
         sparql(ds, "SELECT ?x WHERE { <c1> <b>{1,2}|<c> ?x . }")
+
+
+def test_graph_variable_path_closure(ray_session):
+    """GRAPH-variable pred+ closes every graph in ONE path-doubling run
+    — the graph embeds into the closure key, so same-graph pairs join
+    and cross-graph pairs can't; ?g binds in the output; endpoint
+    constants still filter; the textual layer parses it."""
+    import ray.data as rd
+
+    from cattle_ray.stages.bgp import evaluate_bgp
+    from cattle_ray.stages.sparql import sparql
+
+    rows = [("a", "p", "b", "g1"), ("b", "p", "c", "g1"),
+            ("a", "p", "c", "g2"), ("c", "p", "d", "g2")]
+    t = pa.table({"subj": [r[0] for r in rows],
+                  "pred": [r[1] for r in rows],
+                  "obj": [r[2] for r in rows],
+                  "graph": [r[3] for r in rows]})
+    ds = rd.from_arrow(t).repartition(2)
+    out = evaluate_bgp(ds, [("?x", "p+", "?y", "?g")]).to_pandas()
+    assert sorted(zip(out["g"], out["x"], out["y"])) == sorted(
+        [("g1", "a", "b"), ("g1", "b", "c"), ("g1", "a", "c"),
+         ("g2", "a", "c"), ("g2", "c", "d"), ("g2", "a", "d")])
+    out2 = evaluate_bgp(ds, [("a", "p+", "?y", "?g")]).to_pandas()
+    assert sorted(zip(out2["g"], out2["y"])) == sorted(
+        [("g1", "b"), ("g1", "c"), ("g2", "c"), ("g2", "d")])
+    txt = sparql(ds, """SELECT ?g ?y WHERE {
+        GRAPH ?g { <a> <p>+ ?y . } }""").to_pandas()
+    assert sorted(zip(txt["g"], txt["y"])) == sorted(
+        [("g1", "b"), ("g1", "c"), ("g2", "c"), ("g2", "d")])
