@@ -332,6 +332,17 @@ def _path_quant_bindings(triples_ds, terms):
     edge_ds = triples_ds.map_batches(edges, batch_format="pyarrow") \
         .materialize()
 
+    out_vars_early: list[str] = []
+    for term in (s, o):
+        if _is_var(term) and term[1:] not in out_vars_early:
+            out_vars_early.append(term[1:])
+    if edge_ds.count() == 0:
+        # no matching edges at all: an empty Dataset loses its schema
+        # through to_pandas — emit the typed empty bindings directly
+        empty = pa.table({v: pa.array([], pa.string())
+                          for v in out_vars_early})
+        return rd.from_arrow(empty), out_vars_early
+
     def lvl1(e):
         if s_bound:
             seeds = list(s) if isinstance(s, (list, tuple, set)) else [s]

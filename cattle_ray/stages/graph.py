@@ -879,6 +879,12 @@ def bfs_labeled(edges_ds, seeds_ds, *, src: str = "s", dst: str = "o",
 
     seeds_named = seeds_ds.map_batches(
         lambda b: pa.table({"root": b[root_col]}), batch_format="pyarrow")
+    if seeds_named.count() == 0:
+        # empty seed domain: empty pairs WITH schema (an empty Dataset
+        # loses its columns through to_pandas)
+        return rd.from_arrow(pa.table({
+            "root": pa.array([], pa.string()),
+            "node": pa.array([], pa.string())}))
     if edges.count() <= small_edges:
         # in-process crossover: seeds are ≤ the restricted domain the
         # caller derived them from — with the edge set this small, the
@@ -989,6 +995,11 @@ def transitive_closure(edges_ds, src: str = "s", dst: str = "o",
     )
     r = distinct(r, [src, dst], num_buckets=num_buckets).materialize()
     n = r.count()
+    if n == 0:
+        # empty relation: typed empty pairs (an empty Dataset loses its
+        # columns through to_pandas, which broke the local merge below)
+        return rd.from_arrow(pa.table({src: pa.array([], pa.string()),
+                                       dst: pa.array([], pa.string())}))
     if n <= small_edges:
         local = _closure_local(r.to_pandas(), src, dst, max_rounds)
         return rd.from_pandas(local.reset_index(drop=True))

@@ -1351,3 +1351,27 @@ def test_graph_variable_path_closure(ray_session):
         GRAPH ?g { <a> <p>+ ?y . } }""").to_pandas()
     assert sorted(zip(txt["g"], txt["y"])) == sorted(
         [("g1", "b"), ("g1", "c"), ("g2", "c"), ("g2", "d")])
+
+
+def test_path_forms_empty_edge_sets(ray_session):
+    """Every path form survives a predicate that matches NOTHING (an
+    empty Dataset loses its schema through to_pandas — each form must
+    emit typed empty bindings instead): quant, grouped seq with one
+    empty leg, seeded star with an empty restriction domain, and bare
+    p+ (the latent transitive_closure local-path case)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_triples([("c1", "broader", "c2")]))
+    from cattle_ray.stages.bgp import evaluate_bgp
+
+    assert evaluate_bgp(ds, [("c1", "nope{1,2}", "?x")]).count() == 0
+    assert evaluate_bgp(
+        ds, [("?c", "missing_type", "?t"),
+             ("?c", "broader*", "?r")]).count() == 0
+    assert evaluate_bgp(
+        ds, [("c1", ("pseq", ["broader", "nope"], "+"), "?x")]
+    ).count() == 0
+    assert evaluate_bgp(ds, [("c1", "broader{2,3}", "?x")]).count() == 0
+    assert evaluate_bgp(
+        ds, [("?a", "nope+", "?b"), ("?a", "broader", "?x")]
+    ).count() == 0
