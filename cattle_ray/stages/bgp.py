@@ -421,8 +421,6 @@ def _path_quant_bindings(triples_ds, terms):
         for col, term in (("subj", s), ("obj", o)):
             if _is_var(term) and term[1:] not in cols:
                 cols[term[1:]] = b[col]
-        if g_var and g[1:] not in cols:
-            cols[g[1:]] = b["graph"]
         return pa.table(cols)
 
     return pairs.map_batches(project, batch_format="pyarrow"), out_vars

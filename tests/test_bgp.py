@@ -532,8 +532,11 @@ def test_quad_patterns_named_graph(ray_session, tmp_path):
     assert set(out3["x"]) == {"X", "TOP"}
     out4 = evaluate_bgp(ds, [("E2", "in+", "?x", "g2")]).to_pandas()
     assert set(out4["x"]) == {"X"}  # X→TOP lives in g1, not g2
-    with pytest.raises(NotImplementedError, match="graph term"):
-        evaluate_bgp(ds, [("E1", "in+", "?x", "?g")]).to_pandas()
+    # graph-VARIABLE transitive path (round 5): every graph's closure
+    # in one path-doubling run, ?g bound per pair
+    out5 = evaluate_bgp(ds, [("E1", "in+", "?x", "?g")]).to_pandas()
+    assert set(zip(out5["g"], out5["x"])) == {
+        ("g1", "X"), ("g1", "TOP")}
 
     # store-backed: graph filter pushes into the scan; plain ^p works
     from cattle_ray.sources.triple_sink import write_triples_hash_partitioned
