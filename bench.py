@@ -264,6 +264,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "doc_corpus_dedup_verified",
         "events_session_stream",
         "kg_transe_epoch",
+        "kg_sparql_hashfns",
+        "kg_sparql_graph_path",
+        "kg_embed_neighbors",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:
