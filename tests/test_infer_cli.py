@@ -358,12 +358,19 @@ def test_cli_webrank(tmp_path):
     })
     pq.write_table(pages_from_documents_batch(docs, n_docs=n),
                    str(tmp_path / "p.parquet"))
-    out = subprocess.run(
-        [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
-         "webrank", str(tmp_path / "p.parquet"), str(tmp_path / "ranked"),
-         "--iters", "3"],
-        capture_output=True, text=True, cwd="/root/repo",
-    )
+    # one retry: the subprocess starts its OWN Ray while the pytest
+    # session holds a 32-cpu cluster — under full-suite load that
+    # startup occasionally dies on this shared host (observed once in
+    # ~5 full runs; the command itself is deterministic)
+    for attempt in (0, 1):
+        out = subprocess.run(
+            [sys.executable, "-m", "cattle_ray.cli", "--num-cpus", "4",
+             "webrank", str(tmp_path / "p.parquet"),
+             str(tmp_path / "ranked"), "--iters", "3"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        if out.returncode == 0:
+            break
     assert out.returncode == 0, out.stderr[-500:]
     rep = _json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["pages_ranked"] > 0 and rep["parts"] >= 1
