@@ -4415,6 +4415,35 @@ def q_kg_embed_neighbors(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_kg_embed_linkpred(sf_dir: str):
+    """Sampled link-prediction evaluation over TWO chained TransE
+    epochs (kgembed.link_prediction_eval): every doc↔entity edge's true
+    dst ranked against 10 deterministic filtered corruptions —
+    hits@1/3/10 numerators exact integers, MRR a per-bucket float
+    partial; the whole eval is layout/parallelism-invariant (pytest
+    parity + the trained-beats-init signal pinned). Rows-only."""
+    import pandas as pd
+
+    from cattle_ray.stages.kgembed import (link_prediction_eval,
+                                           transe_epoch)
+    from cattle_ray.stages.reason import property_graph_tables
+
+    _nodes, edges = property_graph_tables(q_kg_csvw_triples(sf_dir))
+    edges = edges.materialize()
+    ents = rels = None
+    for _ in range(2):
+        out = transe_epoch(edges, ents, rels, dim=16, k=1, seed=5,
+                           num_buckets=8)
+        ents, rels = out["entities"].materialize(), out["relations"]
+    m = link_prediction_eval(edges, ents, rels, dim=16, k=10, seed=5,
+                             num_buckets=8)
+    return pd.DataFrame([{
+        "n_edges": m["n_edges"],
+        "mrr_u": int(round(m["mrr"] * 1_000_000)),
+        "hits1_u": int(round(m["hits@1"] * 1_000_000)),
+        "hits10_u": int(round(m["hits@10"] * 1_000_000))}])
+
+
 def q_kg_sample_neighbors(sf_dir: str):
     """GNN minibatch sampling (graph.sample_neighbors): 2-hop fanout-3
     sampled subgraph around the lexicographically first doc subject,
@@ -5580,6 +5609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples_sharded": q_kg_negative_samples_sharded,
         "kg_transe_epoch": q_kg_transe_epoch,
         "kg_embed_neighbors": q_kg_embed_neighbors,
+        "kg_embed_linkpred": q_kg_embed_linkpred,
         "kg_sample_neighbors": q_kg_sample_neighbors,
         "kg_owl_inverse": q_kg_owl_inverse,
         "kg_federated": q_kg_federated,

@@ -267,6 +267,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "kg_sparql_hashfns",
         "kg_sparql_graph_path",
         "kg_embed_neighbors",
+        "kg_embed_linkpred",
     ]
     only = os.environ.get("GRAFT_BENCH_QUERIES")
     if only:

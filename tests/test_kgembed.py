@@ -162,3 +162,61 @@ def test_cli_embed(ray_session, tmp_path):
     assert rels.num_rows == 1
     vec = np.frombuffer(rels["emb"][0].as_py(), np.float32)
     assert vec.shape == (8,)
+
+
+def test_link_prediction_eval_parity_and_training_signal(ray_session):
+    """Sampled link-prediction metrics match an in-memory reference
+    exactly (same sampler draw, same pessimistic tie rule) at any
+    partitioning — and training epochs IMPROVE them over hash-init."""
+    import ray.data as rd
+
+    from cattle_ray.stages.kgembed import (entity_embeddings,
+                                           hash_init_vecs,
+                                           link_prediction_eval,
+                                           transe_epoch)
+    from cattle_ray.stages.reason import negative_sample_edges
+
+    edges = _edges()
+    ds = rd.from_arrow(edges)
+    ents0 = entity_embeddings(ds, 8, seed=3).materialize()
+    ids = sorted(set(edges["src"].to_pylist())
+                 | set(edges["dst"].to_pylist()))
+    rels = sorted(set(edges["rel"].to_pylist()))
+    R = dict(zip(rels, hash_init_vecs(rels, 8, seed=4)))
+
+    # in-memory reference over the same sampler pairs
+    E = dict(zip(ids, hash_init_vecs(ids, 8, seed=3)))
+    pairs = negative_sample_edges(ds, k=10, seed=0,
+                                  keep_true_dst="_td").to_pandas()
+    neg = pairs[pairs.label == 0]
+    per = {}
+    for _, row in neg.iterrows():
+        s, r, dn, d = row["src"], row["rel"], row["dst"], row["_td"]
+        dp = float(np.sqrt(((E[s] + R[r] - E[d]).astype(np.float64)
+                            ** 2).sum()))
+        dnv = float(np.sqrt(((E[s] + R[r] - E[dn]).astype(np.float64)
+                             ** 2).sum()))
+        key = (s, r, d)
+        per[key] = per.get(key, 0) + (1 if dnv <= dp else 0)
+    ranks = np.array([1 + w for w in per.values()])
+    want = {"mrr": float((1.0 / ranks).mean()),
+            "hits@1": float((ranks <= 1).mean()),
+            "n_edges": len(ranks)}
+
+    for parts in (1, 4):
+        got = link_prediction_eval(
+            rd.from_arrow(edges).repartition(parts), ents0, R,
+            dim=8, k=10, seed=0)
+        assert got["n_edges"] == want["n_edges"]
+        assert abs(got["mrr"] - want["mrr"]) < 1e-12
+        assert abs(got["hits@1"] - want["hits@1"]) < 1e-12
+
+    # the training signal: 5 chained epochs beat hash-init on MRR
+    ents, rels_v = None, None
+    for _ in range(5):
+        out = transe_epoch(ds, ents, rels_v, dim=8, k=2, seed=3,
+                           lr=0.1)
+        ents, rels_v = out["entities"].materialize(), out["relations"]
+    before = link_prediction_eval(ds, ents0, R, dim=8, k=10, seed=0)
+    after = link_prediction_eval(ds, ents, rels_v, dim=8, k=10, seed=0)
+    assert after["mrr"] > before["mrr"]
