@@ -496,6 +496,13 @@ def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
     if boundary is not None:
         new_boundary = max(new_boundary, int(boundary))
 
+    # fired identity = (session END, key hash) — NOT the start: when
+    # another key's still-open session pins the boundary BELOW a fired
+    # session's span, the next trigger recomputes that session from its
+    # boundary-surviving events as a TRUNCATED fragment (later start,
+    # SAME end — one key's sessions have distinct ends), and a
+    # start-keyed set would re-emit it (found by review, regression-
+    # pinned in test_session_trigger_no_fragment_reemission)
     prev = {(int(s), h) for s, h in
             meta.get("sessions_fired_above_boundary", [])}
     newly = fired
@@ -503,8 +510,8 @@ def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
     if len(fired):
         kh = hash_strings64(pa.array(
             fired[key].astype(str).tolist(), pa.string()))
-        ids = [(int(s), f"{int(h):016x}") for s, h in
-               zip(fired["session_start_us"], kh)]
+        ids = [(int(e), f"{int(h):016x}") for e, h in
+               zip(fired["session_end_us"], kh)]
         mask = [i not in prev for i in ids]
         newly = fired[mask].reset_index(drop=True)
     if len(newly):
@@ -522,8 +529,9 @@ def emit_closed_sessions(out_dir: str, *, ts_col: str = "ts",
         pq.write_table(pa.Table.from_pandas(newly, preserve_index=False),
                        tmp)
         os.replace(tmp, os.path.join(wdir, "data.parquet"))
-    # remember fired identities that could still recompute (start ≥ new
-    # boundary); everything below is pruned forever — bounded state
+    # remember fired identities that could still recompute (END ≥ new
+    # boundary — a session whose end lies below it has every event
+    # filtered forever, fragments included); bounded state
     live = sorted({i for i in (prev | set(ids))
                    if i[0] >= int(new_boundary)})
     meta["sessions_fired_above_boundary"] = [list(i) for i in live]

@@ -347,3 +347,37 @@ def test_session_trigger_open_session_stays(ray_session, tmp_path):
     f = emit_closed_sessions(d, gap="5min")
     # bot's whole 20-event run fires as ONE session
     assert f.values.tolist() == [["bot", 0, 1140 * US, 20]]
+
+
+def test_session_trigger_no_fragment_reemission(ray_session, tmp_path):
+    """Regression (round-5 review): a fired session whose span crosses
+    the boundary — pinned lower by ANOTHER key's still-open session —
+    must not re-fire as a truncated fragment on the next trigger. The
+    fired-identity set keys on (session END, key), which a fragment
+    shares with its original."""
+    from cattle_ray.sources.stream_sink import (emit_closed_sessions,
+                                                read_session_emissions,
+                                                watermarked_append)
+
+    US = 1_000_000
+    d = str(tmp_path / "sink")
+    # key A: chained events 60..76 — still open at wm=80 (76+5 > 80),
+    # pins the boundary at its start 60;
+    # key B: chained session [50, 70] — fires at wm=80 (70+5 <= 80)
+    # and SPANS the boundary (50 < 60 <= 70)
+    watermarked_append(
+        _sev([("A", t) for t in (60, 64, 68, 72, 76)]
+             + [("B", t) for t in (50, 54, 58, 62, 66, 70)]
+             + [("w", 80)]), d, batch_id="b0", allowed_lateness="0s")
+    f1 = emit_closed_sessions(d, gap="5s")
+    assert sorted(map(tuple, f1.values.tolist())) == [
+        ("B", 50 * US, 70 * US, 6)]
+    # nudge the watermark to 81: A's full session [60,76] now fires
+    # (81 <= 81) — but B's boundary-surviving fragment [62,70] must
+    # NOT re-emit (same end, truncated start)
+    watermarked_append(_sev([("c", 81)]), d, batch_id="b1",
+                       allowed_lateness="0s")
+    f2 = emit_closed_sessions(d, gap="5s")
+    assert sorted(map(tuple, f2.values.tolist())) == [
+        ("A", 60 * US, 76 * US, 5)]
+    assert len(read_session_emissions(d)) == 2
