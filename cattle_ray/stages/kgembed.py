@@ -149,7 +149,8 @@ def link_prediction_eval(edges_ds, ent_emb_ds, rel_vecs: dict, *,
                          dst: str = "dst", seed: int = 0,
                          num_buckets: int = 16,
                          sampler_mode: str = "auto",
-                         entity_max: int = 10_000_000):
+                         entity_max: int = 10_000_000,
+                         model: str = "transe"):
     """Standard KG-embedding LINK-PREDICTION evaluation in the sampled
     setting: each test edge's true dst is ranked against its ``k``
     deterministic filtered corruptions (the same
@@ -166,6 +167,8 @@ def link_prediction_eval(edges_ds, ent_emb_ds, rel_vecs: dict, *,
 
     from .reason import negative_sample_edges
 
+    if model not in ("transe", "distmult"):
+        raise ValueError(f"unknown model {model!r}")
     edges_ds = edges_ds.materialize()
     rel_ref = ray.put({r: np.asarray(v, np.float32)
                        for r, v in rel_vecs.items()})
@@ -197,9 +200,15 @@ def link_prediction_eval(edges_ds, ent_emb_ds, rel_vecs: dict, *,
         r_np = np.asarray(b["r"].to_pylist(), dtype=object)
         r_uniq, r_inv = np.unique(r_np, return_inverse=True)
         er = np.stack([rv[x] for x in r_uniq]).astype(np.float32)[r_inv]
-        dp = np.sqrt(((es + er - ed).astype(np.float64) ** 2).sum(1))
-        dn = np.sqrt(((es + er - edn).astype(np.float64) ** 2).sum(1))
-        win = (dn <= dp).astype(np.int64)  # pessimistic tie handling
+        if model == "transe":
+            dp = np.sqrt(((es + er - ed).astype(np.float64) ** 2).sum(1))
+            dn = np.sqrt(((es + er - edn).astype(np.float64)
+                          ** 2).sum(1))
+            win = (dn <= dp).astype(np.int64)  # pessimistic ties
+        else:  # distmult: higher trilinear score wins
+            f_p = (es.astype(np.float64) * er * ed).sum(1)
+            f_n = (es.astype(np.float64) * er * edn).sum(1)
+            win = (f_n >= f_p).astype(np.int64)
         key = np.char.add(np.char.add(
             np.asarray(b["s"].to_pylist(), dtype="U"), "\x1f"),
             np.char.add(np.char.add(r_np.astype("U"), "\x1f"),
@@ -265,7 +274,8 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                  grad_scale: int = 1 << 24, num_buckets: int = 16,
                  sampler_mode: str = "auto",
                  entity_max: int = 10_000_000,
-                 normalize: bool = True):
+                 normalize: bool = True,
+                 model: str = "transe"):
     """ONE full-batch TransE epoch. Returns ``{"entities": Dataset
     (id, emb), "relations": {rel: np.ndarray}, "loss": float,
     "active_pairs": int, "pairs": int}`` — loss is the exact
@@ -274,6 +284,11 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
     a pure function of the inputs (chain epochs by feeding the outputs
     back in). ``ent_emb_ds=None`` / ``rel_vecs=None`` hash-init from
     the edges themselves.
+
+    ``model="transe"`` scores by −‖e_s + r − e_d‖ (distance, lower
+    better); ``model="distmult"`` by ⟨e_s, r, e_d⟩ (trilinear product,
+    higher better) — same pair machinery, same fixed-point discipline,
+    different per-row kernel.
 
     Update rule: MEAN gradient per entity/relation (exact int64 sum ÷
     exact incident count) — a zipf hub's step stays bounded by ``lr``
@@ -288,6 +303,8 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
     from .joins import _col_hash64
     from .reason import negative_sample_edges
 
+    if model not in ("transe", "distmult"):
+        raise ValueError(f"unknown model {model!r}")
     edges_ds = edges_ds.materialize()
     if ent_emb_ds is None:
         ent_emb_ds = entity_embeddings(edges_ds, dim, src=src, dst=dst,
@@ -367,11 +384,16 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
         r_uniq, r_inv = np.unique(r_np, return_inverse=True)
         er = np.stack([rv[x] for x in r_uniq]).astype(
             np.float32)[r_inv]  # gather per UNIQUE relation only
-        diff_p = (es + er - ed).astype(np.float64)
-        diff_n = (es + er - edn).astype(np.float64)
-        d_p = np.sqrt((diff_p * diff_p).sum(1))
-        d_n = np.sqrt((diff_n * diff_n).sum(1))
-        loss = margin + d_p - d_n
+        if model == "transe":
+            diff_p = (es + er - ed).astype(np.float64)
+            diff_n = (es + er - edn).astype(np.float64)
+            d_p = np.sqrt((diff_p * diff_p).sum(1))
+            d_n = np.sqrt((diff_n * diff_n).sum(1))
+            loss = margin + d_p - d_n
+        else:  # distmult: higher score better
+            f_p = (es.astype(np.float64) * er * ed).sum(1)
+            f_n = (es.astype(np.float64) * er * edn).sum(1)
+            loss = margin - f_p + f_n
         act = loss > 0
         loss_q = int(np.round(loss[act] * grad_scale).sum())
         head = pa.table({
@@ -382,13 +404,24 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
             "loss_q": pa.array([loss_q], pa.int64())}).cast(_EMIT_SCHEMA)
         if not act.any():
             return head
-        u_p = np.where(d_p[act, None] > 0, diff_p[act] / np.maximum(
-            d_p[act, None], 1e-30), 0.0)
-        u_n = np.where(d_n[act, None] > 0, diff_n[act] / np.maximum(
-            d_n[act, None], 1e-30), 0.0)
-        g_sr = u_p - u_n          # ∂L/∂e_s and ∂L/∂r
-        g_d = -u_p                # ∂L/∂e_d
-        g_dn = u_n                # ∂L/∂e_d'
+        if model == "transe":
+            u_p = np.where(d_p[act, None] > 0, diff_p[act] / np.maximum(
+                d_p[act, None], 1e-30), 0.0)
+            u_n = np.where(d_n[act, None] > 0, diff_n[act] / np.maximum(
+                d_n[act, None], 1e-30), 0.0)
+            g_sr = u_p - u_n          # ∂L/∂e_s and ∂L/∂r
+            g_d = -u_p                # ∂L/∂e_d
+            g_dn = u_n                # ∂L/∂e_d'
+            g_r = g_sr
+        else:
+            ea, ra = es[act].astype(np.float64), er[act].astype(
+                np.float64)
+            da, dna = ed[act].astype(np.float64), edn[act].astype(
+                np.float64)
+            g_sr = ra * (dna - da)    # ∂L/∂e_s
+            g_r = ea * (dna - da)     # ∂L/∂r
+            g_d = -(ea * ra)          # ∂L/∂e_d
+            g_dn = ea * ra            # ∂L/∂e_d'
         sa = np.asarray(b["s"].to_pylist(), object)[act]
         da = np.asarray(b["d"].to_pylist(), object)[act]
         dna = np.asarray(b["dn"].to_pylist(), object)[act]
@@ -398,7 +431,7 @@ def transe_epoch(edges_ds, ent_emb_ds=None, rel_vecs: "dict | None" = None,
                                 np.full(len(da), "e", object),
                                 np.full(len(dna), "e", object),
                                 np.full(len(ra), "r", object)])
-        gq = np.round(np.concatenate([g_sr, g_d, g_dn, g_sr])
+        gq = np.round(np.concatenate([g_sr, g_d, g_dn, g_r])
                       * grad_scale).astype(np.int64)
         ck, ci, cs, cc = _combine(np.asarray(kinds), np.asarray(ids), gq)
         out = pa.table({

@@ -220,3 +220,46 @@ def test_link_prediction_eval_parity_and_training_signal(ray_session):
     before = link_prediction_eval(ds, ents0, R, dim=8, k=10, seed=0)
     after = link_prediction_eval(ds, ents, rels_v, dim=8, k=10, seed=0)
     assert after["mrr"] > before["mrr"]
+
+
+def test_distmult_model_trains_and_evals(ray_session):
+    """model='distmult': trilinear scoring rides the same pair/gradient
+    machinery — deterministic across partitionings, loss decreases over
+    chained epochs, and training beats hash-init on sampled MRR."""
+    import ray.data as rd
+
+    from cattle_ray.stages.kgembed import (entity_embeddings,
+                                           hash_init_vecs,
+                                           link_prediction_eval,
+                                           transe_epoch)
+
+    edges = _edges()
+    ds = rd.from_arrow(edges)
+    outs = []
+    for parts in (1, 4):
+        o = transe_epoch(rd.from_arrow(edges).repartition(parts),
+                         dim=8, k=2, seed=3, model="distmult")
+        outs.append({r["id"]: np.frombuffer(r["emb"], np.float32)
+                     for r in o["entities"].take_all()})
+    assert all((outs[0][i] == outs[1][i]).all() for i in outs[0])
+    ents = rels = None
+    losses = []
+    for _ in range(4):
+        o = transe_epoch(ds, ents, rels, dim=8, k=2, seed=3, lr=0.1,
+                         model="distmult")
+        ents, rels = o["entities"].materialize(), o["relations"]
+        losses.append(o["loss"])
+    assert losses[-1] < losses[0]
+    ents0 = entity_embeddings(ds, 8, seed=3).materialize()
+    rels0 = dict(zip(sorted(set(edges["rel"].to_pylist())),
+                     hash_init_vecs(sorted(set(edges["rel"].to_pylist())),
+                                    8, seed=4)))
+    before = link_prediction_eval(ds, ents0, rels0, dim=8, k=10,
+                                  seed=0, model="distmult")
+    after = link_prediction_eval(ds, ents, rels, dim=8, k=10, seed=0,
+                                 model="distmult")
+    assert after["mrr"] > before["mrr"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown model"):
+        transe_epoch(ds, dim=8, model="complex")
