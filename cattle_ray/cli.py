@@ -537,7 +537,7 @@ def cmd_embed(args):
     for _ in range(max(1, args.epochs)):
         out = transe_epoch(edges, ents, rels, dim=args.dim,
                            lr=args.lr, margin=args.margin, k=args.k,
-                           seed=args.seed)
+                           seed=args.seed, model=args.model)
         ents, rels = out["entities"].materialize(), out["relations"]
         losses.append(round(out["loss"], 4))
     ents.write_parquet(os.path.join(args.out, "entities"))
@@ -710,6 +710,8 @@ def main(argv=None):
     eb.add_argument("--k", type=int, default=1,
                     help="corruptions per positive edge")
     eb.add_argument("--seed", type=int, default=0)
+    eb.add_argument("--model", default="transe",
+                    choices=("transe", "distmult"))
     eb.set_defaults(fn=cmd_embed)
 
     cu = sub.add_parser("curate", help="config-driven corpus curation "
