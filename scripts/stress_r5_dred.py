@@ -92,11 +92,27 @@ def main() -> None:
                                           build_entailment_store,
                                           refresh_entailment_store)
 
-    schema = pa.table({
-        "subj": [EX + "Student", EX + "teaches", EX + "teaches"],
-        "pred": [RDFS_SUBCLASS, RDFS_DOMAIN, RDFS_RANGE],
-        "obj": [EX + "Person", EX + "Teacher", EX + "Student"],
-    })
+    if os.environ.get("STRESS_DRED_OWL"):
+        # OWL-lite variant: the combined RDFS+inverseOf fixpoint kernel
+        # drives both build and refresh (roadmap r5 item 2's scale
+        # evidence) — every teaches edge additionally entails its
+        # taughtBy inverse
+        from cattle_ray.stages.reason import OWL_INVERSE_OF
+
+        schema = pa.table({
+            "subj": [EX + "Student", EX + "teaches", EX + "teaches",
+                     EX + "teaches"],
+            "pred": [RDFS_SUBCLASS, RDFS_DOMAIN, RDFS_RANGE,
+                     OWL_INVERSE_OF],
+            "obj": [EX + "Person", EX + "Teacher", EX + "Student",
+                    EX + "taughtBy"],
+        })
+    else:
+        schema = pa.table({
+            "subj": [EX + "Student", EX + "teaches", EX + "teaches"],
+            "pred": [RDFS_SUBCLASS, RDFS_DOMAIN, RDFS_RANGE],
+            "obj": [EX + "Person", EX + "Teacher", EX + "Student"],
+        })
     base = tempfile.mkdtemp(prefix="dred_stress_", dir="/tmp")
     pdir, edir = f"{base}/primary", f"{base}/ent"
     write_triples_hash_partitioned(
@@ -140,6 +156,7 @@ def main() -> None:
     first = np.mean(refresh_secs[:ROUNDS // 2])
     last = np.mean(refresh_secs[ROUNDS // 2:])
     out = {
+        "owl_lite": bool(os.environ.get("STRESS_DRED_OWL")),
         "n_primary_triples": 2 * N_SUBJ,
         "closure_triples": got[0],
         "rounds": ROUNDS, "merge_rows": MERGE_K, "delete_rows": DELETE_K,
