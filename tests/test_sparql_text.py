@@ -1054,3 +1054,54 @@ def test_cli_sparql_out(ray_session, tmp_path):
                   "--out", str(pq_out)])
     t = parquet.read_table(glob.glob(f"{pq_out}/*.parquet"))
     assert sorted(t["s"].to_pylist()) == ["urn:a", "urn:b"]
+
+
+def test_service_interaction_combos(ray_session, tmp_path):
+    """Interaction battery: SERVICE joins compose with OPTIONAL,
+    VALUES, DISTINCT/ORDER/OFFSET over federation, a store UPDATE is
+    visible to a later SERVICE read, and aggregates run over
+    SERVICE-joined bindings."""
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.sparql import sparql_update
+
+    def store(rows, d):
+        import ray.data as rd
+
+        s, p, o = zip(*rows)
+        n = len(rows)
+        t = pa.table({
+            "subj": list(s), "pred": list(p), "obj": list(o),
+            "obj_is_iri": pa.array([True] * n),
+            "obj_datatype": pa.array([None] * n, pa.string()),
+            "obj_lang": pa.array([None] * n, pa.string())})
+        write_triples_hash_partitioned(rd.from_arrow(t), d,
+                                       num_partitions=2)
+
+    d1, d2, d3 = (str(tmp_path / x) for x in ("d1", "d2", "d3"))
+    store([("a", "type", "Doc"), ("b", "type", "Doc"),
+           ("c", "type", "Doc")], d1)
+    store([("a", "score", "3"), ("b", "score", "9")], d2)
+    store([("b", "tag", "hot"), ("c", "tag", "cold")], d3)
+    # SERVICE is a JOIN (docs without a tag drop); VALUES pins {a,b}
+    out = sparql(d1, f"""SELECT ?d ?s ?t WHERE {{
+        ?d <type> <Doc> .
+        SERVICE <store:{d2}> {{ ?d <score> ?s . }}
+        OPTIONAL {{ ?d <missing> ?m . }}
+        SERVICE <store:{d3}> {{ ?d <tag> ?t . }}
+        VALUES ?d {{ <a> <b> }} }} ORDER BY ?d""").to_pandas()
+    assert out[["d", "s", "t"]].values.tolist() == [["b", "9", "hot"]]
+    out2 = sparql([d1, d1], """SELECT DISTINCT ?d WHERE {
+        ?d <type> <Doc> . } ORDER BY ?d LIMIT 2 OFFSET 1""").to_pandas()
+    assert out2["d"].tolist() == ["b", "c"]
+    sparql_update(d3, "INSERT DATA { <a> <tag> <warm> . }")
+    out3 = sparql(d1, f"""SELECT ?d ?t WHERE {{
+        ?d <type> <Doc> .
+        SERVICE <store:{d3}> {{ ?d <tag> ?t . }} }} ORDER BY ?d""") \
+        .to_pandas()
+    assert out3.values.tolist() == [
+        ["a", "warm"], ["b", "hot"], ["c", "cold"]]
+    out4 = sparql(d1, f"""SELECT (COUNT(*) AS ?n) WHERE {{
+        ?d <type> <Doc> .
+        SERVICE <store:{d2}> {{ ?d <score> ?s . }} }}""").to_pandas()
+    assert out4["n"].tolist() == [2]
