@@ -1378,3 +1378,45 @@ def test_path_forms_empty_edge_sets(ray_session):
     assert evaluate_bgp(
         ds, [("?a", "nope+", "?b"), ("?a", "broader", "?x")]
     ).count() == 0
+
+
+def test_path_family_interactions(ray_session, tmp_path):
+    """Path forms inside group positions: quantifier inside EXISTS,
+    grouped path inside OPTIONAL (NULL for unmatched), both-unbound
+    star with only a UNION restriction still raises (the fold sees
+    required patterns only), and a transitive path inside SERVICE."""
+    import ray.data as rd
+
+    from cattle_ray.sources.triple_sink import \
+        write_triples_hash_partitioned
+    from cattle_ray.stages.bgp import evaluate_bgp
+    from cattle_ray.stages.sparql import sparql
+
+    rows = [("a", "type", "Doc"), ("b", "type", "Doc"),
+            ("a", "broader", "m"), ("m", "broader", "top")]
+    ds = rd.from_arrow(_triples(rows))
+    out = evaluate_bgp(ds, [("?d", "type", "Doc")],
+                       exists=[[("?d", "broader{2,2}", "top")]]) \
+        .to_pandas()
+    assert sorted(out["d"]) == ["a"]
+    out2 = evaluate_bgp(
+        ds, [("?d", "type", "Doc")],
+        optional=[[("?d", ("pseq", ["broader", "broader"], "+"),
+                    "?gp")]]).to_pandas()
+    assert sorted(zip(out2["d"], out2["gp"].fillna("-"))) == [
+        ("a", "top"), ("b", "-")]
+    with pytest.raises((NotImplementedError, ValueError)):
+        evaluate_bgp(ds, [("?x", "broader*", "?y")],
+                     union=[[("?x", "type", "Doc")]]).count()
+    d = str(tmp_path / "svc")
+    t = _triples(rows)
+    n = t.num_rows
+    t = t.append_column("obj_is_iri", pa.array([True] * n)) \
+         .append_column("obj_datatype", pa.array([None] * n, pa.string())) \
+         .append_column("obj_lang", pa.array([None] * n, pa.string()))
+    write_triples_hash_partitioned(rd.from_arrow(t), d, num_partitions=2)
+    out3 = sparql(ds, f"""SELECT ?d ?anc WHERE {{
+        ?d <type> <Doc> .
+        SERVICE <store:{d}> {{ ?d <broader>+ ?anc . }}
+        }} ORDER BY ?d ?anc""").to_pandas()
+    assert out3.values.tolist() == [["a", "m"], ["a", "top"]]
